@@ -1,0 +1,23 @@
+package graft.tools
+
+import graft.urls.UrlKernel
+
+/** Tiny CLI over the URL kernel — `sbt "runMain graft.tools.UrlProbe <url> [pattern]"`.
+  * Prints every kernel derivation for one URL; the dev/debug surface for the
+  * canonicalization spec (reference equivalent: `rust-scraper --dry-run` URL echo).
+  */
+object UrlProbe {
+  def main(args: Array[String]): Unit = {
+    if (args.isEmpty) { println("usage: UrlProbe <url> [pattern]"); return }
+    val url = args(0)
+    println(s"input          : $url")
+    println(s"parse          : ${UrlKernel.parse(url)}")
+    println(s"canonicalize   : ${UrlKernel.canonicalize(url)}")
+    println(s"linkNormalize  : ${UrlKernel.linkNormalize(url)}")
+    println(s"extractDomain  : ${UrlKernel.extractDomain(url)}")
+    println(s"pathDepth      : ${UrlKernel.pathDepth(url)}")
+    println(s"paramCount     : ${UrlKernel.paramCount(url)}")
+    if (args.length > 1)
+      println(s"matches '${args(1)}' : ${UrlKernel.matchesPattern(url, args(1))}")
+  }
+}
