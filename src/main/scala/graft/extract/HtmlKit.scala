@@ -1,0 +1,414 @@
+package graft.extract
+
+import graft.urls.UrlKernel
+
+/** Deterministic HTML processing kernel.
+  *
+  * The reference delegates HTML work to native crates (`scraper` for link
+  * extraction at src/infrastructure/crawler/link_extractor.rs:42-76,
+  * `html-cleaning` for boilerplate removal at
+  * src/infrastructure/converter/html_cleaner.rs:16-90, `legible` for
+  * Firefox-readability main-content extraction at
+  * src/infrastructure/scraper/readability.rs:47-59, `htmd` fallback at
+  * src/infrastructure/scraper/fallback.rs:20-29). Byte-parity with those
+  * binaries is not reproducible without them, so this file IS the committed
+  * extraction spec (SURVEY.md §7.3): the synthetic-corpus generator, the
+  * engine, and the goldens all run these exact functions, making per-url
+  * byte-identity a real regression invariant.
+  *
+  * Everything here is pure, allocation-conscious, and runs inside one fused
+  * `mapPartitions` stage on executors (SURVEY.md §4 physical design #4).
+  */
+object HtmlKit {
+
+  // ---------------------------------------------------------------- DOM ----
+
+  sealed trait Node
+  final case class Elem(tag: String, attrs: Vector[(String, String)], children: Vector[Node]) extends Node {
+    def attr(name: String): Option[String] = attrs.collectFirst { case (k, v) if k == name => v }
+    def classes: Set[String] = attr("class").map(_.split("\\s+").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+  }
+  final case class TextNode(text: String) extends Node
+
+  private val VoidTags = Set("area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr")
+  private val RawTextTags = Set("script", "style", "noscript", "textarea", "title")
+
+  /** Lenient, deterministic HTML parse. Unknown/unclosed markup degrades to
+    * text or gets auto-closed; never throws. */
+  def parse(html: String): Elem = {
+    val root = new MutableElem("#root", Vector.empty)
+    var stack = List(root)
+    val n = html.length
+    var i = 0
+    def top = stack.head
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { // trailing text
+        if (i < n) top.children += TextNode(html.substring(i))
+        i = n
+      } else {
+        if (lt > i) top.children += TextNode(html.substring(i, lt))
+        if (html.startsWith("<!--", lt)) {
+          val end = html.indexOf("-->", lt + 4)
+          i = if (end < 0) n else end + 3
+        } else if (lt + 1 < n && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
+          val end = html.indexOf('>', lt)
+          i = if (end < 0) n else end + 1
+        } else if (lt + 1 < n && html.charAt(lt + 1) == '/') {
+          val end = html.indexOf('>', lt)
+          if (end < 0) { i = n }
+          else {
+            val tag = html.substring(lt + 2, end).trim.toLowerCase
+            // pop to matching open tag if present
+            if (stack.exists(e => e.tag == tag)) {
+              while (stack.head.tag != tag) { closeTop(stack); stack = stack.tail }
+              closeTop(stack); stack = stack.tail
+              if (stack.isEmpty) stack = List(root)
+            }
+            i = end + 1
+          }
+        } else if (lt + 1 < n && html.charAt(lt + 1).isLetter) {
+          val (elem, selfClosing, next) = parseTag(html, lt)
+          i = next
+          val tag = elem.tag
+          if (RawTextTags.contains(tag) && !selfClosing) {
+            // raw text until the matching close tag
+            val closeIdx = html.toLowerCase.indexOf("</" + tag, i)
+            val end = if (closeIdx < 0) n else closeIdx
+            elem.children += TextNode(html.substring(i, end))
+            top.children += elem
+            i = if (closeIdx < 0) n else {
+              val gt = html.indexOf('>', closeIdx)
+              if (gt < 0) n else gt + 1
+            }
+          } else if (VoidTags.contains(tag) || selfClosing) {
+            top.children += elem
+          } else {
+            top.children += elem
+            stack = elem :: stack
+          }
+        } else { // stray '<'
+          top.children += TextNode("<")
+          i = lt + 1
+        }
+      }
+    }
+    root.freeze
+  }
+
+  private final class MutableElem(val tag: String, val attrs0: Vector[(String, String)]) {
+    val children = new scala.collection.mutable.ArrayBuffer[Any]()
+    var frozen: Elem = _
+    def freeze: Elem = {
+      if (frozen == null)
+        frozen = Elem(tag, attrs0, children.map {
+          case m: MutableElem => m.freeze
+          case n: Node        => n
+        }.toVector)
+      frozen
+    }
+  }
+  private def closeTop(stack: List[MutableElem]): Unit = () // freeze is lazy; nothing to do
+
+  /** Parse `<tag attr=... >` starting at `lt`; returns (elem, selfClosing, nextIndex). */
+  private def parseTag(html: String, lt: Int): (MutableElem, Boolean, Int) = {
+    val n = html.length
+    var i = lt + 1
+    val tagStart = i
+    while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '-')) i += 1
+    val tag = html.substring(tagStart, i).toLowerCase
+    val attrs = Vector.newBuilder[(String, String)]
+    var selfClosing = false
+    var done = false
+    while (!done && i < n) {
+      while (i < n && html.charAt(i).isWhitespace) i += 1
+      if (i < n && html.charAt(i) == '>') { i += 1; done = true }
+      else if (i < n && html.charAt(i) == '/') {
+        i += 1
+        if (i < n && html.charAt(i) == '>') { i += 1; selfClosing = true; done = true }
+      } else if (i < n) {
+        val nameStart = i
+        while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '=' &&
+          html.charAt(i) != '>' && html.charAt(i) != '/') i += 1
+        val name = html.substring(nameStart, i).toLowerCase
+        while (i < n && html.charAt(i).isWhitespace) i += 1
+        var value = ""
+        if (i < n && html.charAt(i) == '=') {
+          i += 1
+          while (i < n && html.charAt(i).isWhitespace) i += 1
+          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val quote = html.charAt(i); i += 1
+            val vStart = i
+            while (i < n && html.charAt(i) != quote) i += 1
+            value = html.substring(vStart, i)
+            if (i < n) i += 1
+          } else {
+            val vStart = i
+            while (i < n && !html.charAt(i).isWhitespace && html.charAt(i) != '>') i += 1
+            value = html.substring(vStart, i)
+          }
+        }
+        if (name.nonEmpty) attrs += (name -> value)
+      }
+    }
+    (new MutableElem(tag, attrs.result()), selfClosing, i)
+  }
+
+  // -------------------------------------------------------- link extract ----
+
+  /** Extract all `a[href]` links, resolved against `baseUrl` and normalized
+    * with the link normalizer; per-page order-preserving dedup.
+    * Reference: link_extractor.rs:42-76. Invalid base → empty (the engine
+    * filters unparseable URLs before fetch). */
+  def extractLinks(html: String, baseUrl: String): Vector[String] = {
+    val base = UrlKernel.parse(baseUrl)
+    if (base.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[String]
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    def walk(e: Elem): Unit = {
+      if (e.tag == "a") e.attr("href").foreach { href =>
+        UrlKernel.resolve(base.get, href).foreach { abs =>
+          val norm = UrlKernel.linkNormalize(abs)
+          if (seen.add(norm)) out += norm
+        }
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(parse(html))
+    out.result()
+  }
+
+  /** Asset URL extraction: img[src], img[srcset], source[srcset], plus
+    * document links from a[href] by extension; skips data:/javascript:/#.
+    * Reference: src/extractor/mod.rs:49-158. */
+  final case class AssetUrl(url: String, assetType: String, alt: Option[String])
+
+  private val DocExts = Set(".pdf", ".doc", ".docx", ".xls", ".xlsx", ".ppt", ".pptx", ".zip")
+
+  def extractAssets(html: String, baseUrl: String): Vector[AssetUrl] = {
+    val base = UrlKernel.parse(baseUrl)
+    if (base.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[AssetUrl]
+    def skip(u: String) = u.startsWith("data:") || u.startsWith("javascript:") || u.startsWith("#") || u.isEmpty
+    def resolve(u: String): Option[String] = UrlKernel.resolve(base.get, u)
+    def walk(e: Elem): Unit = {
+      e.tag match {
+        case "img" =>
+          e.attr("src").filterNot(skip).flatMap(resolve)
+            .foreach(u => out += AssetUrl(u, "image", e.attr("alt")))
+          e.attr("srcset").foreach(ss => parseSrcset(ss).filterNot(skip).flatMap(resolve)
+            .foreach(u => out += AssetUrl(u, "image", e.attr("alt"))))
+        case "source" =>
+          e.attr("srcset").foreach(ss => parseSrcset(ss).filterNot(skip).flatMap(resolve)
+            .foreach(u => out += AssetUrl(u, "image", None)))
+        case "a" =>
+          e.attr("href").filterNot(skip).foreach { href =>
+            val lower = href.toLowerCase
+            if (DocExts.exists(ext => lower.endsWith(ext)))
+              resolve(href).foreach(u => out += AssetUrl(u, "document", None))
+          }
+        case _ =>
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(parse(html))
+    out.result()
+  }
+
+  /** First URL of each srcset entry. Reference: extractor/mod.rs:197-208. */
+  def parseSrcset(srcset: String): Vector[String] =
+    srcset.split(",").toVector.map(_.trim.split("\\s+")(0)).filter(_.nonEmpty)
+
+  // -------------------------------------------------------------- clean ----
+
+  /** Tag/selector removal lists — verbatim from html_cleaner.rs:21-84. */
+  private val RemoveTags = Set(
+    "script", "style", "noscript", "form", "iframe", "object", "embed",
+    "svg", "canvas", "video", "audio", "nav", "header", "footer", "aside")
+  private val RemoveClasses = Set(
+    "site-title", "global-nav", "global-nav-list", "mobile-menu-wrapper",
+    "right-sidebar", "right-sidebar-container", "mobile-toc", "sl-sidebar",
+    "sl-mobile-toc", "search", "site-search", "social-icons", "page-feedback",
+    "feedback", "sl-breadcrumbs", "pagination", "copy-markdown-btn",
+    "copy-code-button", "skip-link")
+  private val PreservedAttrs = Set("href", "src", "alt", "id", "class", "dir", "code")
+
+  private def shouldRemove(e: Elem): Boolean =
+    RemoveTags.contains(e.tag) ||
+      e.classes.exists(RemoveClasses.contains) ||
+      e.classes.exists(_.contains("sr-only")) ||            // [class*='sr-only']
+      e.attr("aria-hidden").contains("true") ||             // [aria-hidden='true']
+      e.attrs.exists(_._1 == "hidden")                      // [hidden]
+
+  /** Boilerplate removal: drop removable elements, strip non-preserved
+    * attributes, prune empty elements, normalize whitespace in text.
+    * Reference: html_cleaner.rs:16-90. */
+  def clean(root: Elem): Elem = {
+    def go(e: Elem): Option[Elem] = {
+      if (e.tag != "#root" && shouldRemove(e)) return None
+      val kept = e.children.flatMap {
+        case c: Elem => go(c)
+        case TextNode(t) =>
+          val norm = normalizeWs(t)
+          if (norm.isEmpty) None else Some(TextNode(norm))
+      }
+      val attrs = e.attrs.filter { case (k, _) => PreservedAttrs.contains(k) }
+      val pruned = Elem(e.tag, attrs, kept)
+      // prune empties: no children, no text, not a void/meaningful tag
+      if (kept.isEmpty && !VoidTags.contains(e.tag) && e.tag != "#root") None
+      else Some(pruned)
+    }
+    go(root).getOrElse(Elem("#root", Vector.empty, Vector.empty))
+  }
+
+  def cleanHtml(html: String): String = render(clean(parse(html)))
+
+  /** Serialize a DOM back to HTML (deterministic attribute order = input order). */
+  def render(e: Elem): String = {
+    val sb = new StringBuilder
+    def go(n: Node): Unit = n match {
+      case TextNode(t) => sb.append(t)
+      case el: Elem =>
+        if (el.tag != "#root") {
+          sb.append('<').append(el.tag)
+          el.attrs.foreach { case (k, v) => sb.append(' ').append(k).append("=\"").append(v).append('"') }
+          sb.append('>')
+        }
+        el.children.foreach(go)
+        if (el.tag != "#root" && !VoidTags.contains(el.tag)) sb.append("</").append(el.tag).append('>')
+    }
+    go(e)
+    sb.toString
+  }
+
+  private def normalizeWs(s: String): String = {
+    val collapsed = s.replaceAll("[ \\t\\r\\n\\f]+", " ")
+    collapsed.trim
+  }
+
+  // ------------------------------------------------------------ extract ----
+
+  private val BlockTags = Set("p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "pre",
+    "blockquote", "div", "section", "article", "main", "table", "tr", "ul", "ol",
+    "dl", "dt", "dd", "figcaption", "body", "html")
+
+  final case class Extracted(title: String, text: String, usedFallback: Boolean, failed: Boolean)
+
+  /** Minimum bytes below which the fallback result counts as extraction
+    * failure. Reference: crawler_service.rs:370-383 (MIN_FALLBACK = 100). */
+  val MinFallbackBytes = 100
+
+  /** The committed main-content extraction spec (readability-lite):
+    *  1. clean the DOM (boilerplate removal, html_cleaner rule list);
+    *  2. main content = first `article`, else first `main`, else `body`,
+    *     else the whole cleaned doc;
+    *  3. block-render: each block element's inline text is a paragraph;
+    *     paragraphs joined with "\n\n"; inline whitespace collapsed;
+    *  4. if the primary text is < 100 bytes (UTF-8), fall back to
+    *     strip-tags → line-trim-join (fallback.rs:20-29); if THAT is
+    *     < 100 bytes the row is an extraction failure (failed=true,
+    *     routed to the errors side-channel like crawler_service.rs:370-383).
+    * Title: document `<title>`, else first `<h1>`, else "".
+    */
+  def extractText(html: String): Extracted = {
+    val dom = parse(html)
+    val title = findTitle(dom)
+    val cleaned = clean(dom)
+    val content = findFirst(cleaned, "article")
+      .orElse(findFirst(cleaned, "main"))
+      .orElse(findFirst(cleaned, "body"))
+      .getOrElse(cleaned)
+    val primary = blockText(content)
+    if (utf8Len(primary) >= MinFallbackBytes) Extracted(title, primary, usedFallback = false, failed = false)
+    else {
+      val fb = fallbackText(html)
+      if (utf8Len(fb) >= MinFallbackBytes) Extracted(title, fb, usedFallback = true, failed = false)
+      else Extracted(title, fb, usedFallback = true, failed = true)
+    }
+  }
+
+  private def utf8Len(s: String): Int = {
+    var n = 0; var i = 0
+    while (i < s.length) { val c = s.codePointAt(i)
+      n += (if (c < 0x80) 1 else if (c < 0x800) 2 else if (c < 0x10000) 3 else 4)
+      i += Character.charCount(c) }
+    n
+  }
+
+  def findTitle(dom: Elem): String = {
+    findFirst(dom, "title").map(e => normalizeWs(inlineText(e)))
+      .filter(_.nonEmpty)
+      .orElse(findFirst(dom, "h1").map(e => normalizeWs(inlineText(e))).filter(_.nonEmpty))
+      .getOrElse("")
+  }
+
+  def findFirst(e: Elem, tag: String): Option[Elem] = {
+    if (e.tag == tag) return Some(e)
+    e.children.foreach {
+      case c: Elem =>
+        val r = findFirst(c, tag)
+        if (r.isDefined) return r
+      case _ =>
+    }
+    None
+  }
+
+  private def inlineText(e: Elem): String = {
+    val sb = new StringBuilder
+    def go(n: Node): Unit = n match {
+      case TextNode(t) => sb.append(t)
+      case el: Elem    => el.children.foreach(go)
+    }
+    go(e)
+    sb.toString
+  }
+
+  /** Render block text: paragraphs = maximal inline runs inside block
+    * elements; joined "\n\n", empties dropped. */
+  def blockText(root: Elem): String = {
+    val paras = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    def flush(): Unit = {
+      val t = normalizeWs(cur.toString)
+      if (t.nonEmpty) paras += t
+      cur.setLength(0)
+    }
+    def go(n: Node): Unit = n match {
+      case TextNode(t) => cur.append(t).append(' ')
+      case el: Elem =>
+        val isBlock = BlockTags.contains(el.tag)
+        if (isBlock) flush()
+        el.children.foreach(go)
+        if (isBlock) flush()
+    }
+    go(root)
+    flush()
+    paras.result().mkString("\n\n")
+  }
+
+  /** Strip tags char-scan — '>' emits '\n'. Verbatim semantics of
+    * chunker.rs strip_html_tags (ai/chunker.rs:243-263). */
+  def stripTags(html: String): String = {
+    val sb = new StringBuilder(html.length)
+    var inTag = false
+    html.foreach { ch =>
+      if (ch == '<') inTag = true
+      else if (ch == '>') { inTag = false; sb.append('\n') }
+      else if (!inTag) sb.append(ch)
+    }
+    sb.toString
+  }
+
+  /** Fallback extraction: strip tags, trim lines, drop empties, join "\n".
+    * Reference: fallback.rs:20-29 (error branch). */
+  def fallbackText(html: String): String =
+    stripTags(html).split("\n").iterator.map(_.trim).filter(_.nonEmpty).mkString("\n")
+
+  /** SPA heuristic: tiny text + root/app mount div.
+    * Reference: scraper_service.rs:61-81 (threshold 50 at :24). */
+  def isSpa(html: String, extractedText: String): Boolean =
+    extractedText.length < 50 &&
+      (html.contains("<div id=\"root\">") || html.contains("<div id=\"app\">") ||
+        html.contains("<div id='root'>") || html.contains("<div id='app'>"))
+}

@@ -1,0 +1,222 @@
+package graft.extract
+
+/** Text analysis kernel: language ID, WAF detection, entropy, chunking,
+  * content stats. Pure deterministic Scala — usable inside typed Dataset ops
+  * and (for the SQL-expressible parts) mirrored as Column expressions in
+  * graft.pipeline so Catalyst codegen handles the hot path.
+  */
+object TextKit {
+
+  // ---------------------------------------------------------- language ----
+
+  /** Marker-word profiles for the deterministic language detector.
+    *
+    * The reference uses `whatlang` trigram detection over the first ≤1024
+    * bytes with a reliability gate (obsidian/metadata.rs:103-120), returning
+    * ISO-639-3 codes. Trigram tables are model weights we cannot ship, so the
+    * committed spec is a function-word detector over the same ≤1024-byte
+    * char-boundary-safe sample: score = distinct marker words present; the
+    * result is reliable iff top score ≥ 2 and strictly greater than the
+    * runner-up. Ties / low scores → None (mirrors `is_reliable`).
+    * Codes are ISO-639-3 like whatlang ("eng", "spa", "deu", "fra", "cmn").
+    */
+  val LangProfiles: Vector[(String, Vector[String])] = Vector(
+    "eng" -> Vector("the", "and", "of", "with", "from", "that", "this", "for"),
+    "spa" -> Vector("el", "la", "de", "que", "los", "una", "por", "para"),
+    "deu" -> Vector("der", "die", "und", "das", "nicht", "mit", "ein", "für"),
+    "fra" -> Vector("le", "les", "des", "une", "est", "dans", "pour", "avec"),
+    "cmn" -> Vector("的", "是", "在", "了", "我们", "这个", "数据", "可以")
+  )
+
+  /** Char-boundary-safe ≤1024-byte sample (metadata.rs:107-117 semantics). */
+  def sample1024(content: String): String = {
+    val bytes = content.getBytes("UTF-8")
+    if (bytes.length <= 1024) content
+    else {
+      // walk chars until utf-8 length would exceed the cap at index > 1024
+      val sb = new StringBuilder
+      var byteLen = 0
+      var i = 0
+      var done = false
+      while (i < content.length && !done) {
+        val cp = content.codePointAt(i)
+        val w = if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+        if (byteLen > 1024) done = true
+        else { sb.appendAll(Character.toChars(cp)); byteLen += w; i += Character.charCount(cp) }
+      }
+      sb.toString
+    }
+  }
+
+  def detectLanguage(content: String): Option[String] = {
+    val s = sample1024(content)
+    val words = s.toLowerCase.split("[^\\p{L}\\p{M}']+").filter(_.nonEmpty).toSet
+    val scores = LangProfiles.map { case (code, markers) =>
+      val wordHits = markers.count(m => words.contains(m))
+      // CJK markers are not whitespace-delimited — substring test for cmn
+      val hits = if (code == "cmn") markers.count(m => s.contains(m)) else wordHits
+      (code, hits)
+    }
+    val sorted = scores.sortBy { case (c, h) => (-h, c) }
+    val (top, topScore) = sorted.head
+    val second = sorted(1)._2
+    if (topScore >= 2 && topScore > second) Some(top) else None
+  }
+
+  // --------------------------------------------------------- WAF detect ----
+
+  /** (signature, provider) pairs — verbatim list from
+    * src/application/http_client/waf.rs:12-64. Scanned in order; first hit
+    * wins, matching `find_map`. */
+  val WafSignatures: Vector[(String, String)] = Vector(
+    "cf-turnstile" -> "Cloudflare Turnstile",
+    "challenge-platform" -> "Cloudflare JS Challenge",
+    "Just a moment..." -> "Cloudflare",
+    "Checking your browser" -> "Cloudflare",
+    "__cf_chl_f_tk" -> "Cloudflare",
+    "cf-browser-verification" -> "Cloudflare",
+    "cf-ray" -> "Cloudflare",
+    "cf-cache-status" -> "Cloudflare",
+    "g-recaptcha" -> "reCAPTCHA",
+    "recaptcha/api.js" -> "reCAPTCHA",
+    "grecaptcha.execute" -> "reCAPTCHA",
+    "recaptcha.net" -> "reCAPTCHA",
+    "hcaptcha.com" -> "hCaptcha",
+    "h-captcha" -> "hCaptcha",
+    "hcaptcha-api" -> "hCaptcha",
+    "datadome" -> "DataDome",
+    "dd-captcha" -> "DataDome",
+    "datadome.co" -> "DataDome",
+    "perimeterx" -> "PerimeterX",
+    "_pxCaptcha" -> "PerimeterX",
+    "px-captcha" -> "PerimeterX",
+    "perimeterx.net" -> "PerimeterX",
+    "_abck" -> "Akamai Bot Manager",
+    "SensorData" -> "Akamai Bot Manager",
+    "akamai-bot-manager" -> "Akamai Bot Manager",
+    "akamai.net" -> "Akamai",
+    "incapsula" -> "Imperva Incapsula",
+    "visid_incap" -> "Imperva Incapsula",
+    "incap_ses" -> "Imperva Incapsula",
+    "sucuri" -> "Sucuri",
+    "sucuri.net" -> "Sucuri",
+    "Please verify you are a human" -> "Generic Challenge",
+    "verify you are human" -> "Generic Challenge",
+    "bot detection" -> "Generic Detection",
+    "automated requests" -> "Generic Detection",
+    "security check" -> "Generic Challenge",
+    "anti-bot" -> "Generic Detection",
+    "challenge.js" -> "Generic Challenge",
+    "captcha.js" -> "Generic Challenge",
+    "verify.js" -> "Generic Challenge",
+    "bot-check" -> "Generic Detection"
+  )
+
+  /** Shannon entropy over UTF-8 bytes, 0..8 bits. Reference: waf.rs:79-102. */
+  def shannonEntropy(s: String): Double = {
+    if (s.isEmpty) return 0.0
+    val bytes = s.getBytes("UTF-8")
+    val freq = new Array[Long](256)
+    bytes.foreach(b => freq(b & 0xff) += 1)
+    val len = bytes.length.toDouble
+    var entropy = 0.0
+    freq.foreach { c =>
+      if (c > 0) { val p = c / len; entropy -= p * (math.log(p) / math.log(2)) }
+    }
+    entropy
+  }
+
+  /** Detect WAF/CAPTCHA challenge pages disguised as HTTP 200.
+    * Reference: waf.rs:120-152 — size>100KB + entropy>5.5 first, then
+    * ordered signature scan. */
+  def detectWafChallenge(body: String): Option[String] = {
+    if (body.length > 100000 && shannonEntropy(body) > 5.5)
+      return Some("Entropy-Based Detection")
+    WafSignatures.collectFirst { case (sig, provider) if body.contains(sig) => provider }
+  }
+
+  // ----------------------------------------------------------- chunking ----
+
+  val MinChunkSize = 100 // chunker.rs:63
+  val MaxChunkSize = 512 // chunker.rs:64
+
+  /** Sentence split via java.text.BreakIterator (UAX#29, same annex the
+    * reference's unicode-segmentation crate implements; ai/sentence.rs). */
+  def splitSentences(text: String): Vector[String] = {
+    val it = java.text.BreakIterator.getSentenceInstance(java.util.Locale.ROOT)
+    it.setText(text)
+    val out = Vector.newBuilder[String]
+    var start = it.first()
+    var end = it.next()
+    while (end != java.text.BreakIterator.DONE) {
+      out += text.substring(start, end)
+      start = end
+      end = it.next()
+    }
+    out.result()
+  }
+
+  /** Structural chunking of HTML → text chunks. Reference: chunker.rs:166-368.
+    *  1. strip tags ('>' → '\n'), split on "\n\n", trim, drop < minSize;
+    *  2. greedy-merge adjacent chunks while combined ≤ maxSize (joined " ");
+    *  3. split > maxSize chunks on sentence boundaries.
+    */
+  def chunk(html: String,
+            minSize: Int = MinChunkSize,
+            maxSize: Int = MaxChunkSize): Vector[String] = {
+    val text = HtmlKit.stripTags(html)
+    val paragraphs = text.split("\n\n").iterator
+      .map(_.trim).filter(_.nonEmpty).filter(_.length >= minSize).toVector
+    val merged = mergeSmall(paragraphs, minSize, maxSize)
+    merged.flatMap(c => if (c.length <= maxSize) Vector(c) else splitLarge(c, maxSize))
+  }
+
+  private def mergeSmall(chunks: Vector[String], minSize: Int, maxSize: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var cur = ""
+    chunks.foreach { c =>
+      if (cur.isEmpty) cur = c
+      else if (cur.length + c.length <= maxSize) cur = cur + " " + c
+      else {
+        if (cur.length >= minSize) out += cur
+        cur = c
+      }
+    }
+    if (cur.nonEmpty && cur.length >= minSize) out += cur
+    out.result()
+  }
+
+  private def splitLarge(chunk: String, maxSize: Int): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    splitSentences(chunk).foreach { s =>
+      if (cur.length + s.length > maxSize && cur.nonEmpty) {
+        out += cur.toString
+        cur.setLength(0)
+      }
+      cur.append(s)
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.result()
+  }
+
+  // -------------------------------------------------------------- stats ----
+
+  /** Whitespace word count. Reference: metadata.rs:85-87. */
+  def wordCount(content: String): Int =
+    content.split("\\s+").count(_.nonEmpty)
+
+  /** Reading minutes at 200 WPM, ceil, min 1. Reference: metadata.rs:92-97. */
+  def readingTime(wc: Int): Int =
+    if (wc == 0) 1 else math.ceil(wc / 200.0).toInt
+
+  /** Content-type heuristic. Reference: metadata.rs:123-149. */
+  def detectContentType(url: String, content: String): String = {
+    val u = url.toLowerCase
+    if (u.contains("/doc") || u.contains("/docs") || u.contains("/api")) "documentation"
+    else if (u.contains("/forum") || u.contains("/thread") || u.contains("/discussion")) "forum"
+    else if (u.contains("/product") || u.contains("/shop") || u.contains("/store")) "product"
+    else if (wordCount(content) > 500) "article"
+    else "other"
+  }
+}

@@ -1,0 +1,172 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's link_extractor.rs, html_cleaner.rs, extractor and
+  * scraper tests for the committed extraction spec. */
+class HtmlKitSpec extends AnyFunSuite {
+
+  // --- extractLinks (link_extractor.rs:181-260) ---
+  test("extract basic links, relative + external") {
+    val html =
+      """<html><body>
+        |<a href="/page1">Link 1</a>
+        |<a href="/page2">Link 2</a>
+        |<a href="https://other.com/external">External</a>
+        |</body></html>""".stripMargin
+    val links = HtmlKit.extractLinks(html, "https://example.com")
+    assert(links.contains("https://example.com/page1"))
+    assert(links.contains("https://example.com/page2"))
+    assert(links.contains("https://other.com/external"))
+    assert(links.size == 3)
+  }
+
+  test("extract relative path links") {
+    val html =
+      """<html><body>
+        |<a href="../parent">Parent</a>
+        |<a href="./current">Current</a>
+        |<a href="sub/child">Child</a>
+        |</body></html>""".stripMargin
+    val links = HtmlKit.extractLinks(html, "https://example.com/dir/page")
+    assert(links.contains("https://example.com/parent"))
+    assert(links.contains("https://example.com/dir/current"))
+    assert(links.contains("https://example.com/dir/sub/child"))
+  }
+
+  test("links deduped per page, order-preserving") {
+    val html = """<a href="/page">1</a><a href="/page">2</a><a href="/page">3</a>"""
+    val links = HtmlKit.extractLinks(html, "https://example.com")
+    assert(links == Vector("https://example.com/page"))
+  }
+
+  test("no links / invalid html") {
+    assert(HtmlKit.extractLinks("<html><body>No links here</body></html>", "https://example.com").isEmpty)
+    assert(HtmlKit.extractLinks("This is not HTML at all", "https://example.com").isEmpty)
+  }
+
+  test("javascript/mailto/tel links are included (reference semantics)") {
+    val html =
+      """<a href="/valid">Valid</a>
+        |<a href="javascript:alert(1)">JS</a>
+        |<a href="mailto:test@example.com">Email</a>
+        |<a href="tel:+1234567890">Phone</a>""".stripMargin
+    val links = HtmlKit.extractLinks(html, "https://example.com")
+    assert(links.contains("https://example.com/valid"))
+    assert(links.contains("javascript:alert(1)"))
+    assert(links.contains("mailto:test@example.com"))
+    assert(links.contains("tel:+1234567890"))
+  }
+
+  test("links with fragments are normalized together") {
+    val html = """<a href="/p#a">1</a><a href="/p#b">2</a>"""
+    assert(HtmlKit.extractLinks(html, "https://example.com") == Vector("https://example.com/p"))
+  }
+
+  // --- clean (html_cleaner.rs tests) ---
+  test("clean removes scripts") {
+    val cleaned = HtmlKit.cleanHtml("<html><body><script>alert(1)</script><p>Hello</p></body></html>")
+    assert(!cleaned.contains("<script>"))
+    assert(cleaned.contains("Hello"))
+  }
+  test("clean removes svg and nav") {
+    val cleaned = HtmlKit.cleanHtml(
+      "<html><body><nav><svg>icon</svg></nav><article><h1>Title</h1></article></body></html>")
+    assert(!cleaned.contains("<svg>"))
+    assert(!cleaned.contains("<nav>"))
+    assert(cleaned.contains("Title"))
+  }
+  test("clean preserves content, drops chrome and selector-listed classes") {
+    val cleaned = HtmlKit.cleanHtml(
+      """<html><body><nav>Menu</nav><div class="sl-sidebar">Side</div>
+        |<div aria-hidden="true">hidden</div><div hidden>also</div>
+        |<main><h1>Article</h1><p>Content here</p></main></body></html>""".stripMargin)
+    assert(cleaned.contains("Article"))
+    assert(cleaned.contains("Content here"))
+    assert(!cleaned.contains("Menu"))
+    assert(!cleaned.contains("Side"))
+    assert(!cleaned.contains("hidden"))
+  }
+  test("clean strips non-preserved attributes") {
+    val cleaned = HtmlKit.cleanHtml("""<p style="color:red" data-x="1" id="keep">t</p>""")
+    assert(!cleaned.contains("style"))
+    assert(!cleaned.contains("data-x"))
+    assert(cleaned.contains("id=\"keep\""))
+  }
+
+  // --- extractText spec ---
+  test("extractText prefers article content, builds paragraphs") {
+    val html =
+      """<html><head><title>My Page</title></head><body>
+        |<nav>Home About</nav>
+        |<article><h1>Heading</h1><p>First paragraph with plenty of words to pass the gate.</p>
+        |<p>Second paragraph also has enough length to matter for extraction.</p></article>
+        |<footer>(c) 2026</footer></body></html>""".stripMargin
+    val r = HtmlKit.extractText(html)
+    assert(r.title == "My Page")
+    assert(!r.usedFallback && !r.failed)
+    assert(r.text ==
+      "Heading\n\nFirst paragraph with plenty of words to pass the gate.\n\nSecond paragraph also has enough length to matter for extraction.")
+  }
+
+  test("extractText falls back on tiny main content, fails under 100 bytes") {
+    val tiny = "<html><body><article><p>hi</p></article></body></html>"
+    val r = HtmlKit.extractText(tiny)
+    assert(r.usedFallback && r.failed) // fallback also tiny → failed (crawler_service.rs:370-383)
+    val fallbackable =
+      "<html><body><div id=\"app\"></div>" +
+        "some raw text outside blocks that is definitely long enough to exceed one hundred bytes of content once joined" +
+        "</body></html>"
+    val r2 = HtmlKit.extractText(fallbackable)
+    assert(!r2.failed)
+  }
+
+  test("title falls back to h1") {
+    val r = HtmlKit.extractText("<html><body><h1>Only H1</h1><p>text</p></body></html>")
+    assert(r.title == "Only H1")
+  }
+
+  // --- stripTags (chunker.rs semantics: '>' emits newline) ---
+  test("stripTags emits newline per closed tag") {
+    assert(HtmlKit.stripTags("<p>a</p><p>b</p>") == "\na\n\nb\n")
+  }
+
+  // --- assets (extractor/mod.rs) ---
+  test("extractAssets: img src, srcset first URLs, doc links; skips data:") {
+    val html =
+      """<img src="/a.png" alt="A">
+        |<img srcset="/b-1x.png 1x, /b-2x.png 2x">
+        |<source srcset="/c.webp 100w">
+        |<a href="/file.pdf">doc</a>
+        |<img src="data:image/png;base64,xyz">""".stripMargin
+    val assets = HtmlKit.extractAssets(html, "https://example.com")
+    val urls = assets.map(_.url)
+    assert(urls.contains("https://example.com/a.png"))
+    assert(urls.contains("https://example.com/b-1x.png"))
+    assert(urls.contains("https://example.com/b-2x.png"))
+    assert(urls.contains("https://example.com/c.webp"))
+    assert(assets.exists(a => a.url == "https://example.com/file.pdf" && a.assetType == "document"))
+    assert(!urls.exists(_.startsWith("data:")))
+    assert(assets.exists(_.alt.contains("A")))
+  }
+
+  test("parseSrcset takes first token of each entry") {
+    assert(HtmlKit.parseSrcset("/a.png 1x, /b.png 2x") == Vector("/a.png", "/b.png"))
+  }
+
+  // --- SPA detection (scraper_service.rs:61-81) ---
+  test("isSpa flags root/app div with tiny text") {
+    assert(HtmlKit.isSpa("""<div id="root"></div>""", "tiny"))
+    assert(!HtmlKit.isSpa("""<div id="root"></div>""", "x" * 60))
+    assert(!HtmlKit.isSpa("<p>normal</p>", "tiny"))
+  }
+
+  // --- determinism: parse/render roundtrip stability ---
+  test("clean is idempotent") {
+    val html =
+      """<html><body><nav>x</nav><article><p class="k" style="s">Body text</p></article></body></html>"""
+    val once = HtmlKit.cleanHtml(html)
+    val twice = HtmlKit.cleanHtml(once)
+    assert(once == twice)
+  }
+}

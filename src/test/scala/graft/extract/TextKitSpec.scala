@@ -1,0 +1,86 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextKitSpec extends AnyFunSuite {
+
+  // --- language detection ---
+  test("detectLanguage identifies profile languages, returns ISO-639-3") {
+    assert(TextKit.detectLanguage("the table and the index scan of that query with this plan").contains("eng"))
+    assert(TextKit.detectLanguage("el motor de la consulta que ordena los datos por una clave").contains("spa"))
+    assert(TextKit.detectLanguage("der plan und die sortierung mit das system nicht langsam für uns").contains("deu"))
+    assert(TextKit.detectLanguage("le moteur les données des index dans une table est pour avec").contains("fra"))
+    assert(TextKit.detectLanguage("我们的数据在这个系统里是可以快速查询的").contains("cmn"))
+  }
+  test("detectLanguage unreliable → None") {
+    assert(TextKit.detectLanguage("xyzzy qwfp zxcv").isEmpty)
+    assert(TextKit.detectLanguage("").isEmpty)
+  }
+  test("sample1024 is char-boundary safe") {
+    val s = "é" * 2000 // 2 bytes each
+    val sample = TextKit.sample1024(s)
+    assert(sample.getBytes("UTF-8").length <= 1028) // ≤1024 + one char slack like the reference
+    assert(sample.forall(_ == 'é'))
+  }
+
+  // --- WAF (waf.rs tests) ---
+  test("detect cloudflare turnstile / just a moment") {
+    assert(TextKit.detectWafChallenge("""<div id="cf-turnstile" data-sitekey="abc"></div>""")
+      .contains("Cloudflare Turnstile"))
+    assert(TextKit.detectWafChallenge("<h1>Just a moment...</h1>").contains("Cloudflare"))
+    assert(TextKit.detectWafChallenge("<div class=\"g-recaptcha\"></div>").contains("reCAPTCHA"))
+    assert(TextKit.detectWafChallenge("<p>plain page</p>").isEmpty)
+  }
+  test("entropy-based detection for huge high-entropy bodies") {
+    val rnd = new java.util.Random(7)
+    val sb = new StringBuilder
+    (1 to 110000).foreach(_ => sb.append((rnd.nextInt(94) + 33).toChar))
+    assert(TextKit.detectWafChallenge(sb.toString).contains("Entropy-Based Detection"))
+  }
+  test("shannon entropy bounds") {
+    assert(TextKit.shannonEntropy("") == 0.0)
+    assert(TextKit.shannonEntropy("aaaa") == 0.0)
+    assert(math.abs(TextKit.shannonEntropy("ab") - 1.0) < 1e-9)
+  }
+
+  // --- chunking (chunker.rs) ---
+  test("chunk drops small paragraphs, merges, splits large") {
+    val para1 = "This paragraph contains a good number of characters to exceed the minimum chunk size threshold set at one hundred."
+    val para2 = "Another paragraph that is long enough on its own to be kept as a chunk by the structural chunker logic."
+    val html = s"<article><p>$para1</p><p>tiny</p><p>$para2</p></article>"
+    val chunks = TextKit.chunk(html)
+    assert(chunks.nonEmpty)
+    assert(chunks.forall(_.length >= TextKit.MinChunkSize))
+    assert(chunks.forall(_.length <= TextKit.MaxChunkSize + 200)) // sentence-split slack
+    // both texts survive
+    assert(chunks.mkString(" ").contains("minimum chunk size"))
+    assert(chunks.mkString(" ").contains("structural chunker"))
+    assert(!chunks.mkString(" ").contains("tiny"))
+  }
+  test("large chunk is sentence-split") {
+    val sentence = "This sentence has exactly enough words to be meaningful in a split test. "
+    val big = sentence * 20 // ~1460 chars
+    val chunks = TextKit.chunk(s"<p>${big.trim}</p>")
+    assert(chunks.size > 1)
+  }
+  test("splitSentences splits on boundaries") {
+    val s = TextKit.splitSentences("First sentence. Second sentence! Third?")
+    assert(s.size == 3)
+  }
+
+  // --- stats (metadata.rs tests) ---
+  test("wordCount and readingTime") {
+    assert(TextKit.wordCount("") == 0)
+    assert(TextKit.wordCount("one two  three") == 3)
+    assert(TextKit.readingTime(0) == 1)
+    assert(TextKit.readingTime(200) == 1)
+    assert(TextKit.readingTime(201) == 2)
+  }
+  test("detectContentType URL heuristics then word count") {
+    assert(TextKit.detectContentType("https://x.com/docs/intro", "") == "documentation")
+    assert(TextKit.detectContentType("https://x.com/forum/t/1", "") == "forum")
+    assert(TextKit.detectContentType("https://x.com/shop/item", "") == "product")
+    assert(TextKit.detectContentType("https://x.com/post", "w " * 501) == "article")
+    assert(TextKit.detectContentType("https://x.com/post", "short") == "other")
+  }
+}
