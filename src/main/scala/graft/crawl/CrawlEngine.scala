@@ -1,0 +1,307 @@
+package graft.crawl
+
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+import graft.extract.{HtmlKit, TextKit}
+import graft.frontier.Frontier
+import graft.model._
+import graft.politeness.Robots
+import graft.state.SnapshotStore
+import graft.urls.UrlKernel
+
+/** The URL-frontier + fetch-scheduler wave loop — the Spark-native
+  * re-expression of the reference's BFS crawl engine
+  * (src/application/crawler_service.rs:472-672).
+  *
+  * Design (SURVEY.md §3.2 "Spark shape", §4):
+  *  - the tokio task pool + mpsc channel + DashSet seen-set collapse into a
+  *    driver loop of Dataset waves: politeness-select → fetch-join →
+  *    fused extract → link-gen → anti-join(seen) → snapshot commit;
+  *  - "fetch" is an equi-join of the frontier wave against the pages table
+  *    pre-partitioned by canonical URL (only the small wave side shuffles);
+  *  - the global token-bucket rate limiter (rate_limiter.rs:26-70) becomes a
+  *    deterministic per-host budget per wave (k fetches/host/wave ≈ rate
+  *    r·Δt), upgraded per north rule from the reference's global-only rate;
+  *  - robots Disallow gating (north-rule extension; reference reads robots
+  *    only for Sitemap: lines) via a broadcast host→rules map;
+  *  - crawl order is total and deterministic: (wave, depth asc,
+  *    pathDepth desc, xxhash64 asc, canonical asc) — identical at any
+  *    parallelism, the property the local[8]-vs-local[32] evidence checks;
+  *  - per-wave Iceberg-style snapshot commit (frontier + seen + manifest)
+  *    makes runs resumable mid-crawl.
+  */
+object CrawlEngine {
+
+  /** xxhash64 with Spark SQL's default seed 42 — byte-compatible with the
+    * built-in `xxhash64()` function so Scala-side and Column-side keys agree. */
+  def urlHash(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), 42L)
+
+  def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(s.getBytes(UTF_8))
+    d.map("%02x".format(_)).mkString
+  }
+
+  /** Deterministic run id in W3C traceparent format
+    * (reference: src/domain/value_objects.rs:71-78). */
+  def runId(config: CrawlConfig): String = {
+    val h = sha256Hex(config.toString)
+    s"00-${h.substring(0, 32)}-${h.substring(32, 48)}-01"
+  }
+
+  private def entryFor(canonical: String, rawUrl: String, depth: Int, parent: String): FrontierEntry = {
+    val host = UrlKernel.extractDomain(canonical).getOrElse("")
+    val pd = UrlKernel.pathDepth(canonical)
+    FrontierEntry(canonical, rawUrl, depth, parent, host, pd, urlHash(canonical))
+  }
+
+  /** One row of the fetch-join output (wave side + page side). */
+  final case class FetchedRow(
+      canonicalUrl: String, url: String, depth: Int, parentUrl: String, host: String,
+      servedUrl: String, warcTs: java.sql.Timestamp,
+      html: Array[Byte], storedText: String, storedLang: String)
+
+  final case class ExtractOut(
+      page: ExtractedPage, links: Seq[String], chunks: Seq[ChunkRow], parityOk: Boolean)
+
+  final case class CrawlSummary(
+      runId: String, waves: Int, fetchedTotal: Long, errorsTotal: Long,
+      parityFailures: Long, stateDir: String)
+
+  final case class WaveStats(wave: Int, selected: Long, fetched: Long, errors: Long, newFrontier: Long)
+
+  /** Output readers — everything the engine writes under `stateDir/out`. */
+  def readOrder(spark: SparkSession, stateDir: String): Dataset[CrawlOrderRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$stateDir/out/crawl_order").as[CrawlOrderRow].orderBy("wave", "rank")
+  }
+  def readPages(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/out/pages")
+  def readChunks(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/out/chunks")
+  def readMetrics(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/out/metrics")
+
+  def run(
+      spark: SparkSession,
+      pages: Dataset[PageRow],
+      config: CrawlConfig,
+      stateDir: String,
+      resume: Boolean = false,
+      waveLimit: Int = 1000,
+      log: String => Unit = _ => ()
+  ): CrawlSummary = {
+    import spark.implicits._
+    val store = new SnapshotStore(stateDir)
+    store.init()
+    val rid = runId(config)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+
+    val canonUdf = udf((u: String) => UrlKernel.canonicalize(u).orNull)
+
+    // ---- pages table prep: canonical key + explicit co-partitioning --------
+    // (SURVEY §4.1: frontier⋈pages repeats every wave; pre-hash-partitioning
+    // the big side means only the wave-sized side ever shuffles.)
+    val prepared = pages
+      .withColumn("canonicalUrl", canonUdf(col("url")))
+      .filter(col("canonicalUrl").isNotNull)
+      .select(col("canonicalUrl"), col("url").as("servedUrl"), col("warc_ts").as("warcTs"),
+        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
+      .repartition(shufflePartitions, col("canonicalUrl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // ---- robots rules: tiny per-host payload → driver parse + broadcast ----
+    val robotsRows = prepared
+      .filter(col("canonicalUrl").endsWith("/robots.txt"))
+      .select(col("canonicalUrl"), col("html"))
+      .collect()
+    val robotsMap: Map[String, Robots.Rules] = robotsRows.flatMap { r =>
+      val url = r.getString(0)
+      val body = new String(r.getAs[Array[Byte]](1), UTF_8)
+      UrlKernel.extractDomain(url).map(h => Robots.stripWww(h) -> Robots.parse(body))
+    }.toMap
+    val bcRobots = spark.sparkContext.broadcast(if (config.respectRobots) robotsMap else Map.empty[String, Robots.Rules])
+
+    // ---- seed frontier ----------------------------------------------------
+    val seedEntries = config.seeds.flatMap { s =>
+      UrlKernel.canonicalize(s).map(c => entryFor(c, s, 0, ""))
+    }
+    val seedHosts = seedEntries.map(_.host).toSet
+    val bcSeedHosts = spark.sparkContext.broadcast(seedHosts)
+    val bcIncludes = spark.sparkContext.broadcast(config.includePatterns)
+    val bcExcludes = spark.sparkContext.broadcast(config.excludePatterns)
+
+    def emptySeen: DataFrame =
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("canonicalUrl", org.apache.spark.sql.types.StringType))))
+
+    // ---- resume or cold start --------------------------------------------
+    var (wave, seen, frontier, fetchedTotal) = (resume, store.current()) match {
+      case (true, Some(w)) =>
+        val m = store.manifest(w)
+        log(s"resuming from snapshot wave=$w fetched=${m.fetchedTotal}")
+        (w + 1, store.loadSeen(spark, w), store.loadFrontier(spark, w).as[FrontierEntry], m.fetchedTotal)
+      case _ =>
+        (0, emptySeen, spark.createDataset(seedEntries), 0L)
+    }
+    var seenCount = if (resume) seen.count() else 0L
+    var errorsTotal = 0L
+    var parityFailures = 0L
+
+    val priorityWindow = Window.orderBy(
+      col("depth").asc, col("pathDepth").desc, col("urlHash").asc, col("canonicalUrl").asc)
+
+    var done = false
+    while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
+      val frontierPersisted = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+      val frontierCount = frontierPersisted.count()
+      if (frontierCount == 0) { done = true }
+      else {
+        // -- politeness: deterministic per-host top-k (salted two-phase) ----
+        val selectedAll = Frontier.politenessSelect(
+          spark, frontierPersisted, config.perHostBudget, config.saltBuckets)
+        val remaining = (config.maxPages - fetchedTotal).min(Int.MaxValue.toLong).toInt
+        // NOTE: the global sort here is over ONE WAVE (≤ hosts×budget rows),
+        // not the frontier — bounded, and required for the max_pages cap to
+        // be deterministic (reference: results_channel.rs:144-146).
+        val selected = selectedAll
+          .orderBy(Frontier.priorityCols: _*)
+          .limit(remaining)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val selCount = selected.count()
+        if (selCount == 0) { done = true }
+        else {
+          // -- crawl order (wave-local ranks; wave is the major sort key) ---
+          // wave=N dir naming = Spark partition discovery supplies the wave
+          // column on read; data files must not repeat it.
+          val orderDf = selected
+            .withColumn("rank", row_number().over(priorityWindow).cast("long") - 1)
+            .select(col("rank"), col("canonicalUrl"), col("url"),
+              col("parentUrl"), col("depth"), col("host"))
+          orderDf.write.mode("overwrite").parquet(s"$stateDir/out/crawl_order/wave=$wave")
+
+          // -- simulated fetch: equi-join against the pre-partitioned table -
+          val fetched = prepared.join(selected.select("canonicalUrl", "url", "depth", "parentUrl", "host"),
+            Seq("canonicalUrl"), "inner")
+          val fetchedDs = fetched.select(
+            col("canonicalUrl"), col("url"), col("depth"), col("parentUrl"), col("host"),
+            col("servedUrl"), col("warcTs"), col("html"), col("storedText"), col("storedLang")
+          ).as[FetchedRow]
+
+          val maxDepth = config.maxDepth
+          val waveNum = wave
+          // -- fused extract stage: clean→text→links→lang→waf→chunks --------
+          // One mapPartitions = one codegen-opaque stage, no row-format churn
+          // (SURVEY §4 design #4).
+          val extracted = fetchedDs.mapPartitions { it =>
+            it.map { r =>
+              val html = new String(r.html, UTF_8)
+              val ex = HtmlKit.extractText(html)
+              val waf = TextKit.detectWafChallenge(html).getOrElse("")
+              val spa = HtmlKit.isSpa(html, ex.text)
+              val lang = TextKit.detectLanguage(ex.text).getOrElse("")
+              val links = if (waf.isEmpty) HtmlKit.extractLinks(html, r.servedUrl) else Vector.empty[String]
+              val chunks =
+                if (waf.isEmpty && !ex.failed)
+                  TextKit.chunk(ex.text).zipWithIndex.map { case (c, i) =>
+                    ChunkRow(sha256Hex(r.canonicalUrl + "#" + i), r.canonicalUrl, ex.title, c, i,
+                      lang, TextKit.wordCount(c), r.warcTs)
+                  }
+                else Vector.empty[ChunkRow]
+              val page = ExtractedPage(r.canonicalUrl, r.url, ex.title, ex.text, lang,
+                ex.usedFallback, ex.failed, spa, waf,
+                r.html.length.toLong, ex.text.getBytes(UTF_8).length.toLong, waveNum, r.depth)
+              ExtractOut(page, links, chunks, ex.text == r.storedText)
+            }
+          }.persist(StorageLevel.MEMORY_AND_DISK)
+
+          val fetchCount = extracted.count()
+          val parityFailWave = extracted.filter(e => !e.parityOk).count()
+          parityFailures += parityFailWave
+
+          // -- outputs ------------------------------------------------------
+          extracted.map(_.page)
+            .withColumn("runId", lit(rid))
+            .withColumn("partitionId", spark_partition_id())
+            .drop("wave")
+            .write.mode("overwrite").parquet(s"$stateDir/out/pages/wave=$wave")
+          extracted.flatMap(_.chunks)
+            .write.mode("overwrite").parquet(s"$stateDir/out/chunks/wave=$wave")
+
+          // -- errors: selected-but-missing rows (simulated 404s) -----------
+          val misses = selected.join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
+          val missByHost = misses.groupBy("host").agg(count("*").as("errors"))
+          val errCount = selCount - fetchCount
+          errorsTotal += errCount
+
+          // -- per-host metrics (metrics.rs:15-100 equivalents) -------------
+          val hostAgg = extracted.map(e => (
+              UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
+              e.page.htmlBytes, e.page.textBytes,
+              if (e.page.extractionFailed) 1L else 0L,
+              if (e.page.wafProvider.nonEmpty) 1L else 0L))
+            .toDF("host", "htmlBytes", "textBytes", "exFail", "waf")
+            .groupBy("host")
+            .agg(count("*").as("fetched"), sum("htmlBytes").as("htmlBytes"),
+              sum("textBytes").as("textBytes"), sum("exFail").as("extractionFailures"),
+              sum("waf").as("wafBlocked"))
+          hostAgg.join(missByHost, Seq("host"), "full_outer")
+            .na.fill(0L)
+            .withColumn("runId", lit(rid))
+            .write.mode("overwrite").parquet(s"$stateDir/out/metrics/wave=$wave")
+
+          // -- seen += selected --------------------------------------------
+          val newSeen = seen.union(selected.select("canonicalUrl"))
+          fetchedTotal += selCount
+          seenCount += selCount
+
+          // -- link generation → next frontier ------------------------------
+          val newLinkEntries: Dataset[FrontierEntry] = extracted
+            .filter(e => e.page.depth < maxDepth)
+            .flatMap { e =>
+              val parentUrl = e.page.url
+              val childDepth = e.page.depth + 1
+              e.links.iterator
+                .filter { l =>
+                  UrlKernel.parse(l).exists(p => p.scheme == "http" || p.scheme == "https")
+                } // scheme filter: url_validator.rs:75-80
+                .filter(l => !l.endsWith("/robots.txt") && !l.endsWith("/sitemap.xml"))
+                .filter(l => UrlKernel.isAllowed(l, bcIncludes.value, bcExcludes.value))
+                .filter(l => !config.internalOnly ||
+                  bcSeedHosts.value.exists(h => UrlKernel.isInternal(l, h)))
+                .filter(l => UrlKernel.paramCount(l) <= config.maxQueryParams) // batch_processor.rs:69-76
+                .flatMap(l => UrlKernel.canonicalize(l).map(c => entryFor(c, l, childDepth, parentUrl)))
+                .filter(en => !Robots.isBlocked(en.canonicalUrl, bcRobots.value))
+            }
+
+          val leftovers = frontierPersisted
+            .join(selected.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
+            .as[FrontierEntry]
+          val combined = Frontier.dedupeWave(spark, leftovers.union(newLinkEntries))
+          val nextFrontier = Frontier.newOnly(spark, combined, newSeen, seenCount)
+
+          // -- snapshot commit + lineage truncation -------------------------
+          store.commit(spark, wave, nextFrontier.toDF(), newSeen, fetchedTotal, rid)
+          val newFrontierCount = store.loadFrontier(spark, wave).count()
+          log(f"wave=$wave%-3d selected=$selCount%-6d fetched=$fetchCount%-6d errors=$errCount%-4d " +
+            f"frontier'=$newFrontierCount%-6d seen=$seenCount%-7d parityFail=$parityFailWave")
+
+          extracted.unpersist()
+          selected.unpersist()
+          frontierPersisted.unpersist()
+          seen = store.loadSeen(spark, wave)
+          frontier = store.loadFrontier(spark, wave).as[FrontierEntry]
+          wave += 1
+        }
+      }
+    }
+    prepared.unpersist()
+    CrawlSummary(rid, wave, fetchedTotal, errorsTotal, parityFailures, stateDir)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import graft.model.FrontierEntry
+
+/** Frontier/seen-set machinery: the reference's atomic check-and-insert
+  * DashSet (url_queue.rs:52-70) and visited HashSet
+  * (crawler_service.rs:510-625) collapse into ONE persisted seen table plus
+  * an anti-join, with a broadcast bloom pre-filter so the 10^10-row link
+  * stream doesn't shuffle against the full seen table every wave
+  * (SURVEY.md §2.4, §4 "Dedup atomic check-and-insert").
+  */
+object Frontier extends Serializable {
+
+  /** Above this seen-set size, build a bloom filter and split candidates:
+    * definite-new rows (bloom negative) skip the shuffle entirely; only
+    * bloom-positive rows do the exact anti-join (false-positive safe). */
+  val BloomThreshold = 10000L
+  val BloomFpp = 0.01
+
+  def newOnly(
+      spark: SparkSession,
+      candidates: Dataset[FrontierEntry],
+      seen: DataFrame,
+      seenCount: Long
+  ): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    if (seenCount == 0) return candidates
+    if (seenCount < BloomThreshold) {
+      candidates.join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+    } else {
+      val bloom: BloomFilter =
+        seen.stat.bloomFilter("canonicalUrl", math.max(seenCount, 1000L), BloomFpp)
+      val bcast = spark.sparkContext.broadcast(bloom)
+      val definitelyNew = candidates.filter(e => !bcast.value.mightContainString(e.canonicalUrl))
+      val maybeSeen = candidates.filter(e => bcast.value.mightContainString(e.canonicalUrl))
+        .join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+      definitelyNew.union(maybeSeen)
+    }
+  }
+
+  /** Deterministic within-wave dedup: one entry per canonical URL, keeping
+    * the lexicographically-smallest (url, parentUrl) representative and the
+    * minimum depth — a total, order-independent choice (the reference's
+    * nondeterministic HashSet first-wins is replaced by this spec,
+    * SURVEY.md §7.5). */
+  def dedupeWave(spark: SparkSession, links: Dataset[FrontierEntry]): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    links.groupByKey(_.canonicalUrl).reduceGroups { (a, b) =>
+      if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
+      else if (a.url != b.url) { if (a.url < b.url) a else b }
+      else if (a.parentUrl <= b.parentUrl) a else b
+    }.map(_._2)
+  }
+
+  /** The documented deterministic priority: (depth asc, pathDepth desc,
+    * urlHash asc, canonicalUrl asc) — total order (SURVEY.md §2.6;
+    * reference's sorted path is batch_processor.rs:56-65, depth-first by
+    * path specificity; hash+canonical tie-breaks are our spec). */
+  val priorityOrdering: Ordering[FrontierEntry] =
+    Ordering.by(e => (e.depth, -e.pathDepth, e.urlHash, e.canonicalUrl))
+
+  def priorityCols = Seq(col("depth").asc, col("pathDepth").desc, col("urlHash").asc, col("canonicalUrl").asc)
+
+  /** Per-host politeness budget: deterministic top-k within each host by the
+    * priority order. Two-phase (salted pre-top-k, then exact per-host top-k)
+    * so one giant host cannot blow a single task's memory — phase 1 bounds
+    * any group to the salt bucket, phase 2 sees ≤ salts×k rows per host
+    * (SURVEY.md §4 skew design #2). Result is EXACTLY the global per-host
+    * top-k, independent of partitioning.
+    */
+  def politenessSelect(
+      spark: SparkSession,
+      frontier: Dataset[FrontierEntry],
+      budget: Int,
+      salts: Int
+  ): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    def topK(it: Iterator[FrontierEntry]): Iterator[FrontierEntry] =
+      it.toArray.sorted(priorityOrdering).take(budget).iterator
+    val phase1 =
+      if (salts <= 1) frontier
+      else frontier
+        .groupByKey(e => (e.host, java.lang.Long.remainderUnsigned(e.urlHash, salts.toLong)))
+        .flatMapGroups((_, it) => topK(it))
+    phase1.groupByKey(_.host).flatMapGroups((_, it) => topK(it))
+  }
+}

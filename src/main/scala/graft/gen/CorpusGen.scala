@@ -1,0 +1,186 @@
+package graft.gen
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.extract.HtmlKit
+import graft.model.PageRow
+
+/** Deterministic synthetic web corpus — the stand-in for the Common-Crawl
+  * style Iceberg pages table (input_hint schema).
+  *
+  * Every row is a pure function of (seed, host index, page index): generation
+  * is distributed via `spark.range(...).map(...)` and the result is identical
+  * for ANY partitioning or parallelism level — the property the determinism
+  * and N-vs-4N scaling evidence rests on.
+  *
+  * The `text` column is computed with the SAME committed extraction spec the
+  * engine runs (graft.extract.HtmlKit.extractText), making the engine's
+  * per-url byte-identity check a real invariant; frozen goldens in
+  * src/test/resources guard the spec against drift (SURVEY.md §7.1).
+  *
+  * Corpus shape (per host): a root page, docs/blog/products/misc sections,
+  * robots-disallowed /private/ pages, deep paths, query-param pages (only
+  * reachable via sitemap — the reference's link normalizer drops queries,
+  * link_extractor.rs:137-155), SPA shells and WAF challenge pages, plus a
+  * robots.txt row (Disallow + Sitemap directives, crawler_service.rs:958-1054)
+  * and a sitemap.xml row (sitemap_parser.rs:183-292).
+  */
+object CorpusGen {
+
+  final case class Spec(hosts: Int, pagesPerHost: Int, seed: Long = 42L) {
+    /** rows per host: robots.txt + sitemap.xml + content pages */
+    def rowsPerHost: Int = pagesPerHost + 2
+    def totalRows: Long = hosts.toLong * rowsPerHost
+  }
+
+  def hostName(h: Int): String = s"site$h.com"
+
+  /** Served URL base — every 3rd host serves under www (canonicalization
+    * exercise: links and frontier keys must unify www/non-www). */
+  def servedBase(h: Int): String =
+    if (h % 3 == 0) s"https://www.site$h.com" else s"https://site$h.com"
+
+  /** Path (plus query for product pages, trailing slash for misc) of page i. */
+  def pathFor(i: Int): String =
+    if (i == 0) "/"
+    else (i % 10) match {
+      case 1 | 2 | 3 => s"/docs/guide-$i"
+      case 4 | 5     => s"/blog/2026/post-$i"
+      case 6         => s"/products/item-$i?id=$i"
+      case 7         => s"/private/internal-$i"
+      case 8         => s"/a/b$i/deep/page-$i"
+      case 9         => s"/misc/sec-$i/"
+      case _         => s"/docs/index-$i"
+    }
+
+  def isSpaPage(i: Int): Boolean = i % 17 == 3
+  def isWafPage(i: Int): Boolean = i % 23 == 5
+  def isPrivatePage(i: Int): Boolean = i % 10 == 7
+
+  private def mix(seed: Long, h: Long, i: Long): Long = {
+    var x = seed * 0x9E3779B97F4A7C15L + h * 0xC2B2AE3D27D4EB4FL + i * 0x165667B19E3779F9L
+    x ^= (x >>> 30); x *= 0xBF58476D1CE4E5B9L
+    x ^= (x >>> 27); x *= 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  private val baseTs = 1767225600000L // 2026-01-01T00:00:00Z
+
+  def robotsBody(h: Int): String =
+    s"""User-agent: *
+       |Disallow: /private/
+       |Crawl-delay: 1
+       |
+       |Sitemap: https://${hostName(h)}/sitemap.xml
+       |""".stripMargin
+
+  def sitemapBody(spec: Spec, h: Int): String = {
+    val n = math.min(spec.pagesPerHost, 25)
+    val locs = (0 until n).map { i =>
+      s"  <url><loc>https://${hostName(h)}${pathFor(i)}</loc></url>"
+    }.mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+       |$locs
+       |</urlset>
+       |""".stripMargin
+  }
+
+  /** Deterministic internal link targets for page i (index arithmetic keeps
+    * the BFS graph connected without any cross-row lookups). */
+  private def linkTargets(i: Int, p: Int): Vector[Int] =
+    Vector((i + 1) % p, (2 * i + 3) % p, (i + 7) % p, (5 * i + 1) % p).distinct
+
+  def htmlFor(spec: Spec, h: Int, i: Int): String = {
+    val rnd = new java.util.Random(mix(spec.seed, h, i))
+    val pool = LangText.poolFor(h * spec.pagesPerHost + i)
+    val title = s"${hostName(h)} ${pathFor(i).takeWhile(_ != '?')} ${pool.code}"
+    if (isSpaPage(i))
+      return s"""<!DOCTYPE html><html><head><title>$title</title></head><body><div id="root"></div><script src="/bundle.js"></script></body></html>"""
+    if (isWafPage(i))
+      return s"""<!DOCTYPE html><html><head><title>Just a moment...</title></head><body><h1>Just a moment...</h1><p>Checking your browser before accessing ${hostName(h)}.</p></body></html>"""
+    val paras = (0 until 2 + rnd.nextInt(3)).map(_ => LangText.paragraph(pool, rnd, 2 + rnd.nextInt(3)))
+    val p = spec.pagesPerHost
+    val targets = linkTargets(i, p)
+    // varied link styles exercising canonicalization
+    def styled(j: Int, style: Int): String = {
+      val path = pathFor(j)
+      style % 5 match {
+        case 0 => path // absolute-path reference
+        case 1 => s"https://www.${hostName(h)}$path"
+        case 2 => s"https://${hostName(h)}$path"
+        case 3 => s"$path#section-$j"
+        case 4 => if (path.contains("?") || path.endsWith("/")) path else path + "/"
+      }
+    }
+    val contentLinks = targets.zipWithIndex.map { case (j, k) =>
+      s"""<a href="${styled(j, rnd.nextInt(5) + k)}">ref-$j</a>"""
+    }.mkString(" ")
+    val crossHost =
+      if (i % 5 == 0 && spec.hosts > 1)
+        s"""<a href="https://site${(h + 1) % spec.hosts}.com/">partner</a>"""
+      else ""
+    val external = if (i % 4 == 0) s"""<a href="https://external-data.org/ref$i">ext</a>""" else ""
+    val navNext = pathFor((i + 1) % p)
+    s"""<!DOCTYPE html>
+       |<html><head><title>$title</title>
+       |<style>body { margin: 0; } .x { color: red; }</style>
+       |<script>var page = $i; function t() { return page * 2; }</script>
+       |</head>
+       |<body>
+       |<header><div class="site-title">${hostName(h)}</div></header>
+       |<nav><ul><li><a href="/">Home</a></li><li><a href="$navNext">Next</a></li></ul></nav>
+       |<aside class="sl-sidebar"><a href="${pathFor((i + 3) % p)}">side</a></aside>
+       |<main>
+       |<article>
+       |<h1>$title</h1>
+       |${paras.map(t => s"<p>$t</p>").mkString("\n")}
+       |<p>See also: $contentLinks $crossHost $external
+       |<a href="javascript:void(0)">noop</a> <a href="mailto:info@${hostName(h)}">mail</a></p>
+       |<img src="/img/fig-$i.png" alt="figure $i" srcset="/img/fig-$i-1x.png 1x, /img/fig-$i-2x.png 2x">
+       |</article>
+       |</main>
+       |<footer><a href="https://external-data.org/about">about</a> (c) 2026 ${hostName(h)}</footer>
+       |</body></html>""".stripMargin
+  }
+
+  /** Row for host h, slot k (0 = robots.txt, 1 = sitemap.xml, else page k-2). */
+  def rowFor(spec: Spec, h: Int, k: Int): PageRow = {
+    val g = h.toLong * spec.rowsPerHost + k
+    val ts = new Timestamp(baseTs + g * 1000L)
+    if (k == 0) {
+      val body = robotsBody(h)
+      PageRow(s"https://${hostName(h)}/robots.txt", ts, body.getBytes("UTF-8"), "", "")
+    } else if (k == 1) {
+      val body = sitemapBody(spec, h)
+      PageRow(s"https://${hostName(h)}/sitemap.xml", ts, body.getBytes("UTF-8"), "", "")
+    } else {
+      val i = k - 2
+      val html = htmlFor(spec, h, i)
+      val extracted = HtmlKit.extractText(html)
+      val lang =
+        if (isSpaPage(i) || isWafPage(i)) ""
+        else LangText.poolFor(h * spec.pagesPerHost + i).code
+      PageRow(servedBase(h) + pathFor(i), ts, html.getBytes("UTF-8"), extracted.text, lang)
+    }
+  }
+
+  /** Driver-side corpus (tests, goldens). */
+  def localPages(spec: Spec): Vector[PageRow] =
+    (0 until spec.hosts).flatMap(h => (0 until spec.rowsPerHost).map(k => rowFor(spec, h, k))).toVector
+
+  /** Distributed corpus — row content depends only on the global index, so
+    * any partitioning yields the same table. */
+  def dataset(spark: SparkSession, spec: Spec): Dataset[PageRow] = {
+    import spark.implicits._
+    val rph = spec.rowsPerHost
+    spark.range(0, spec.totalRows)
+      .map { g => rowFor(spec, (g / rph).toInt, (g % rph).toInt) }
+  }
+
+  def writeParquet(spark: SparkSession, spec: Spec, path: String, partitions: Int = 0): Unit = {
+    val ds = dataset(spark, spec)
+    val out = if (partitions > 0) ds.repartition(partitions) else ds
+    out.write.mode("overwrite").parquet(path)
+  }
+}

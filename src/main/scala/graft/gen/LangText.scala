@@ -1,0 +1,54 @@
+package graft.gen
+
+/** Deterministic per-language word pools for the synthetic corpus.
+  * Each pool leads with the marker words graft.extract.TextKit.LangProfiles
+  * keys on, so generated articles are reliably detectable; fillers are
+  * plausible topic words. All generation is seeded — no global randomness. */
+object LangText {
+
+  final case class Pool(code: String, markers: Vector[String], fillers: Vector[String])
+
+  val pools: Vector[Pool] = Vector(
+    Pool("eng",
+      Vector("the", "and", "of", "with", "from", "that", "this", "for"),
+      Vector("engine", "crawler", "page", "index", "content", "data", "link", "query",
+        "system", "frontier", "fetch", "schedule", "robots", "budget", "depth", "order")),
+    Pool("spa",
+      Vector("el", "la", "de", "que", "los", "una", "por", "para"),
+      Vector("motor", "rastreador", "datos", "enlace", "contenido", "sistema",
+        "consulta", "orden", "nivel", "tabla", "red", "indice", "pagina", "clave")),
+    Pool("deu",
+      Vector("der", "die", "und", "das", "nicht", "mit", "ein", "für"),
+      Vector("system", "seite", "daten", "inhalt", "suche", "ordnung", "tiefe",
+        "tabelle", "netz", "anfrage", "schlüssel", "plan", "speicher", "wert")),
+    Pool("fra",
+      Vector("le", "les", "des", "une", "est", "dans", "pour", "avec"),
+      Vector("moteur", "page", "contenu", "donnée", "lien", "système", "requête",
+        "ordre", "niveau", "table", "réseau", "index", "clé", "valeur")),
+    Pool("cmn",
+      Vector("的", "是", "在", "了", "我们", "这个", "数据", "可以"),
+      Vector("系统", "页面", "内容", "链接", "查询", "顺序", "深度", "表格",
+        "网络", "索引", "键值", "计划", "存储", "抓取"))
+  )
+
+  def poolFor(idx: Int): Pool = pools(math.floorMod(idx, pools.length))
+
+  /** Deterministic sentence: starts with 2 markers, then filler mix. */
+  def sentence(pool: Pool, rnd: java.util.Random): String = {
+    val n = 8 + rnd.nextInt(8)
+    val words = Vector.newBuilder[String]
+    words += pool.markers(rnd.nextInt(pool.markers.length))
+    words += pool.fillers(rnd.nextInt(pool.fillers.length))
+    words += pool.markers(rnd.nextInt(pool.markers.length))
+    (0 until n).foreach { _ =>
+      val w = if (rnd.nextInt(3) == 0) pool.markers(rnd.nextInt(pool.markers.length))
+      else pool.fillers(rnd.nextInt(pool.fillers.length))
+      words += w
+    }
+    val s = words.result().mkString(" ")
+    if (pool.code == "cmn") s + "。" else s.capitalize + "."
+  }
+
+  def paragraph(pool: Pool, rnd: java.util.Random, sentences: Int): String =
+    (0 until sentences).map(_ => sentence(pool, rnd)).mkString(" ")
+}

@@ -1,0 +1,102 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core row types — Spark-encodable case classes mirroring SURVEY.md §1.1. */
+
+/** One row of the Common-Crawl-style input pages table (input_hint schema):
+  * (url string, warc_ts timestamp, html binary, text string, lang string).
+  * `text` is the expected extraction output for `html` — the byte-identity
+  * invariant surface. */
+final case class PageRow(
+    url: String,
+    warc_ts: Timestamp,
+    html: Array[Byte],
+    text: String,
+    lang: String
+)
+
+/** Frontier entry — reference `DiscoveredUrl`
+  * (src/domain/crawl_job/entities.rs:26-35) plus the derived columns the
+  * Spark engine partitions and prioritizes on. */
+final case class FrontierEntry(
+    canonicalUrl: String,
+    url: String,
+    depth: Int,
+    parentUrl: String,
+    host: String,
+    pathDepth: Int,
+    urlHash: Long
+)
+
+/** Deterministic crawl-order output row: total order is
+  * (wave asc, rank asc); rank within a wave follows the documented priority
+  * (depth asc, pathDepth desc, urlHash asc, canonicalUrl asc). */
+final case class CrawlOrderRow(
+    wave: Int,
+    rank: Long,
+    canonicalUrl: String,
+    url: String,
+    parentUrl: String,
+    depth: Int,
+    host: String
+)
+
+/** Extracted page — reference `ScrapedContent` (src/domain/entities.rs:151-170). */
+final case class ExtractedPage(
+    canonicalUrl: String,
+    url: String,
+    title: String,
+    text: String,
+    lang: String,
+    usedFallback: Boolean,
+    extractionFailed: Boolean,
+    isSpa: Boolean,
+    wafProvider: String, // empty = none
+    htmlBytes: Long,
+    textBytes: Long,
+    wave: Int,
+    depth: Int
+)
+
+/** RAG chunk — reference `DocumentChunk` (src/domain/entities.rs:241-266);
+  * ids are deterministic sha256(url#index) instead of UUIDv4 (SURVEY §2.8). */
+final case class ChunkRow(
+    id: String,
+    url: String,
+    title: String,
+    content: String,
+    chunkIndex: Int,
+    lang: String,
+    wordCount: Int,
+    ts: Timestamp
+)
+
+/** Per-host per-wave fetch/extract metrics — reference metrics.rs:15-100. */
+final case class HostMetrics(
+    wave: Int,
+    host: String,
+    fetched: Long,
+    errors: Long,
+    htmlBytes: Long,
+    textBytes: Long,
+    extractionFailures: Long,
+    wafBlocked: Long
+)
+
+/** Crawl configuration — reference `CrawlerConfig`
+  * (src/domain/site/config.rs:15-38) defaults: maxDepth 3, maxPages 100,
+  * per-wave host budget standing in for delay_ms×concurrency token bucket
+  * (SURVEY §2.9 politeness equivalence). */
+final case class CrawlConfig(
+    seeds: Seq[String],
+    maxDepth: Int = 3,
+    maxPages: Long = 100,
+    perHostBudget: Int = 3,
+    includePatterns: Seq[String] = Seq.empty,
+    excludePatterns: Seq[String] = Seq.empty,
+    maxQueryParams: Int = 5, // batch_processor.rs:69-76
+    respectRobots: Boolean = true, // north-rule extension (reference parses Sitemap: only)
+    internalOnly: Boolean = true,
+    saltBuckets: Int = 8 // politeness-group salting for skewed hosts
+)

@@ -1,0 +1,66 @@
+package graft.politeness
+
+import graft.urls.UrlKernel
+
+/** robots.txt handling.
+  *
+  * The reference parses robots.txt ONLY for `Sitemap:` directives
+  * (src/application/crawler_service.rs:958-1054 — discover_sitemap_url); it
+  * never enforces Disallow. The north rule upgrades this to real robots
+  * gating, so this parser reads both: `Sitemap:` lines (seed discovery) and
+  * `User-agent: *` group `Disallow:` prefixes (fetch gating). Rules are tiny
+  * per host → parsed into a driver-side map and BROADCAST to executors
+  * (SURVEY.md §4 physical design #3); gating is then a cheap filter, no join.
+  */
+object Robots {
+
+  final case class Rules(disallow: Vector[String], sitemaps: Vector[String]) {
+    /** True when `path` is blocked. Empty-string Disallow means allow-all
+      * (standard robots semantics). */
+    def isDisallowed(path: String): Boolean =
+      disallow.exists(p => p.nonEmpty && path.startsWith(p))
+  }
+  val empty: Rules = Rules(Vector.empty, Vector.empty)
+
+  /** Parse a robots.txt body. Only `User-agent: *` groups contribute
+    * Disallow rules; `Sitemap:` is global (per RFC 9309 + reference's
+    * line-scan at crawler_service.rs:976-999). */
+  def parse(body: String): Rules = {
+    val disallow = Vector.newBuilder[String]
+    val sitemaps = Vector.newBuilder[String]
+    var inStarGroup = false
+    var seenAgentLine = false
+    body.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val colon = line.indexOf(':')
+      if (colon > 0) {
+        val key = line.substring(0, colon).trim.toLowerCase
+        val value = line.substring(colon + 1).trim
+        key match {
+          case "user-agent" =>
+            // a new agent line after rules starts a new group
+            if (seenAgentLine && inStarGroup) inStarGroup = value == "*" || inStarGroup
+            else inStarGroup = value == "*"
+            seenAgentLine = true
+          case "disallow" if inStarGroup => disallow += value
+          case "allow"                   => () // not modeled (reference has no robots rules at all)
+          case "sitemap"                 => sitemaps += value
+          case _                         => ()
+        }
+      } else if (line.isEmpty) {
+        seenAgentLine = false
+      }
+    }
+    Rules(disallow.result(), sitemaps.result())
+  }
+
+  /** True when `url`'s path is robots-blocked for its host per `rules`. */
+  def isBlocked(url: String, rules: Map[String, Rules]): Boolean =
+    UrlKernel.parse(url).exists { p =>
+      val host = stripWww(p.host)
+      rules.get(host).exists(_.isDisallowed(p.path))
+    }
+
+  def stripWww(host: String): String =
+    if (host.startsWith("www.")) host.substring(4) else host
+}

@@ -1,0 +1,75 @@
+package graft.sources
+
+import graft.urls.UrlKernel
+
+/** Sitemap ingestion — seed discovery from sitemap.xml bodies stored as rows
+  * of the pages table (the table-driven analogue of the reference's
+  * streaming-XML fetch at src/infrastructure/crawler/sitemap_parser.rs:183-292).
+  *
+  * Extracts `<loc>` values (text or CDATA), resolves them against the sitemap
+  * URL, filters to http/https, and dedups — exactly the reference's pipeline
+  * (scheme filter :582-603 semantics, HashSet dedup :323-348). Sitemap INDEX
+  * files (`<sitemapindex>`) recurse ≤ maxDepth (default 3,
+  * sitemap_config.rs:36-52) through a caller-provided body lookup.
+  */
+object SitemapSeeder {
+
+  val MaxIndexDepth = 3
+  /** 50 MB response cap (sitemap_parser.rs:237-255). */
+  val MaxBodyBytes: Long = 50L * 1024 * 1024
+
+  private val LocRe = "(?s)<loc>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</loc>".r
+
+  /** Pull every <loc> URL out of a sitemap body. */
+  def parseLocs(body: String, baseUrl: String): Vector[String] = {
+    if (body.length > MaxBodyBytes) return Vector.empty
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    LocRe.findAllMatchIn(body).foreach { m =>
+      val raw = Option(m.group(1)).getOrElse(m.group(2)).trim
+      if (raw.nonEmpty) {
+        UrlKernel.resolve(baseUrl, raw).foreach { abs =>
+          UrlKernel.parse(abs).foreach { p =>
+            if (p.scheme == "http" || p.scheme == "https") seen += p.fullString
+          }
+        }
+      }
+    }
+    seen.toVector
+  }
+
+  def isSitemapIndex(body: String): Boolean = body.contains("<sitemapindex")
+
+  private def looksLikeSitemapUrl(u: String): Boolean = {
+    val l = u.toLowerCase
+    l.endsWith(".xml") || l.endsWith(".xml.gz")
+  }
+
+  /** Recursively expand sitemap bodies into page URLs.
+    * `lookup` resolves a sitemap URL to its body (e.g. a fetch-join against
+    * the pages table, or a driver-side map for small seed sets). */
+  def expand(
+      sitemapUrl: String,
+      lookup: String => Option[String],
+      depth: Int = 0
+  ): Vector[String] = {
+    if (depth > MaxIndexDepth) return Vector.empty
+    lookup(sitemapUrl) match {
+      case None => Vector.empty
+      case Some(body) =>
+        val locs = parseLocs(body, sitemapUrl)
+        if (isSitemapIndex(body))
+          locs.filter(looksLikeSitemapUrl).flatMap(u => expand(u, lookup, depth + 1)).distinct
+        else locs
+    }
+  }
+
+  /** Sitemap URL discovery for a host from its robots rules, with the
+    * reference's fallback candidates (/sitemap.xml first,
+    * crawler_service.rs:1030-1054). */
+  def candidateSitemaps(host: String, robotsSitemaps: Seq[String]): Vector[String] =
+    (robotsSitemaps ++ Seq(
+      s"https://$host/sitemap.xml",
+      s"https://$host/sitemap_index.xml",
+      s"https://$host/sitemap.xml.gz"
+    )).toVector.distinct
+}

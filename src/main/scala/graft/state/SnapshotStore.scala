@@ -1,0 +1,68 @@
+package graft.state
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Iceberg-style snapshot emulation (SURVEY.md §4.5).
+  *
+  * No iceberg-spark-runtime jar ships in this sandbox, so snapshot semantics
+  * are emulated: each wave commits `snap-<wave>/` (frontier.parquet,
+  * seen.parquet, manifest.json) and then atomically moves a `CURRENT` pointer
+  * file. Resume = read `CURRENT` → load that snapshot. The API is isolated so
+  * a real Iceberg catalog is a drop-in replacement (reference equivalent:
+  * per-domain JSON state store with file locks,
+  * src/infrastructure/export/state_store.rs:28-200; job-level atomic commit
+  * replaces the locks).
+  */
+final class SnapshotStore(root: String) {
+
+  private def snapDir(wave: Int) = s"$root/snap-$wave"
+  private val currentPath = Paths.get(root, "CURRENT")
+
+  final case class Manifest(wave: Int, fetchedTotal: Long, runId: String)
+
+  def init(): Unit = Files.createDirectories(Paths.get(root))
+
+  /** Commit a wave: write tables, then manifest, then atomically flip CURRENT. */
+  def commit(
+      spark: SparkSession,
+      wave: Int,
+      frontier: DataFrame,
+      seen: DataFrame,
+      fetchedTotal: Long,
+      runId: String
+  ): Unit = {
+    val dir = snapDir(wave)
+    frontier.write.mode("overwrite").parquet(s"$dir/frontier.parquet")
+    seen.write.mode("overwrite").parquet(s"$dir/seen.parquet")
+    val manifest =
+      s"""{"wave": $wave, "fetchedTotal": $fetchedTotal, "runId": "$runId"}"""
+    Files.write(Paths.get(dir, "manifest.json"), manifest.getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(root, s".CURRENT.tmp-$wave")
+    Files.write(tmp, wave.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Latest committed wave, if any. */
+  def current(): Option[Int] =
+    if (Files.exists(currentPath))
+      Some(new String(Files.readAllBytes(currentPath), StandardCharsets.UTF_8).trim.toInt)
+    else None
+
+  def manifest(wave: Int): Manifest = {
+    val text = new String(Files.readAllBytes(Paths.get(snapDir(wave), "manifest.json")), StandardCharsets.UTF_8)
+    def long(key: String): Long = {
+      val m = ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
+      m.map(_.group(1).toLong).getOrElse(0L)
+    }
+    val runId = "\"runId\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
+    Manifest(long("wave").toInt, long("fetchedTotal"), runId)
+  }
+
+  def loadFrontier(spark: SparkSession, wave: Int): DataFrame =
+    spark.read.parquet(s"${snapDir(wave)}/frontier.parquet")
+
+  def loadSeen(spark: SparkSession, wave: Int): DataFrame =
+    spark.read.parquet(s"${snapDir(wave)}/seen.parquet")
+}

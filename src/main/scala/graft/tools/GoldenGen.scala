@@ -1,0 +1,75 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.SparkSession
+import graft.crawl.CrawlEngine
+import graft.gen.CorpusGen
+import graft.model.CrawlConfig
+
+/** Regenerates the frozen goldens in src/test/resources/goldens/ from the
+  * committed extraction + crawl spec (SURVEY.md §7.1: goldens are generated
+  * once, reviewed, and committed — regressions are then caught by
+  * CrawlGoldenSpec, not re-derived). Run only when the spec deliberately
+  * changes: `sbt "runMain graft.tools.GoldenGen"`.
+  */
+object GoldenGen {
+
+  val Hosts = 3
+  val PagesPerHost = 30
+  val MaxPages = 60L
+
+  def config(hosts: Int): CrawlConfig = CrawlConfig(
+    seeds = (0 until hosts).map(h => s"https://${CorpusGen.hostName(h)}/"),
+    maxDepth = 3,
+    maxPages = MaxPages,
+    perHostBudget = 3,
+    excludePatterns = Seq("external-data.org", "*.external-data.org"))
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-golden-gen")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val dir = Paths.get("src/test/resources/goldens")
+    Files.createDirectories(dir)
+
+    val spec = CorpusGen.Spec(Hosts, PagesPerHost)
+    val pages = CorpusGen.dataset(spark, spec)
+    val stateDir = Files.createTempDirectory("graft-golden").toString
+    val summary = CrawlEngine.run(spark, pages, config(Hosts), stateDir)
+    require(summary.parityFailures == 0, "extraction parity must hold when freezing goldens")
+
+    // crawl order: wave|rank|canonicalUrl|depth|host
+    val order = CrawlEngine.readOrder(spark, stateDir).collect()
+    val orderLines = order.map(o => s"${o.wave}|${o.rank}|${o.canonicalUrl}|${o.depth}|${o.host}")
+    Files.write(dir.resolve("crawl_order.txt"), orderLines.mkString("\n").getBytes(UTF_8))
+
+    // seen set, sorted
+    val seenDir = stateDir
+    val seen = spark.read.parquet(s"$seenDir/snap-${summary.waves - 1}/seen.parquet")
+      .collect().map(_.getString(0)).sorted
+    Files.write(dir.resolve("seen.txt"), seen.mkString("\n").getBytes(UTF_8))
+
+    // per-url sha256 of extracted text (byte-identity freeze)
+    val texts = CrawlEngine.readPages(spark, stateDir)
+      .select("canonicalUrl", "text").collect()
+      .map(r => s"${r.getString(0)}|${CrawlEngine.sha256Hex(r.getString(1))}")
+      .sorted
+    Files.write(dir.resolve("text_sha256.txt"), texts.mkString("\n").getBytes(UTF_8))
+
+    // two full extracted texts for human review
+    val sample = CrawlEngine.readPages(spark, stateDir)
+      .select("canonicalUrl", "text").orderBy("canonicalUrl").limit(2).collect()
+    val sampleText = sample.map(r => s"=== ${r.getString(0)} ===\n${r.getString(1)}").mkString("\n\n")
+    Files.write(dir.resolve("text_samples.txt"), sampleText.getBytes(UTF_8))
+
+    println(s"goldens written: order=${orderLines.length} seen=${seen.length} texts=${texts.length}")
+    spark.stop()
+  }
+}

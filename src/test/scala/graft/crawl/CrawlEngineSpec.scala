@@ -1,0 +1,121 @@
+package graft.crawl
+
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gen.CorpusGen
+import graft.model.CrawlConfig
+import graft.tools.GoldenGen
+
+/** End-to-end crawl engine invariants (SURVEY.md §5 plan items 2-4):
+  * frozen-golden order/seen/text parity, robots gating, politeness budget,
+  * max-pages cap, snapshot resume, and parallelism invariance.
+  */
+class CrawlEngineSpec extends AnyFunSuite {
+
+  private def withSpark[T](master: String, partitions: Int = 4)(f: SparkSession => T): T = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", partitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try f(spark)
+    finally spark.stop()
+  }
+
+  private def resource(name: String): String = {
+    val p = Paths.get("src/test/resources/goldens", name)
+    new String(Files.readAllBytes(p), UTF_8)
+  }
+
+  private def runCrawl(spark: SparkSession,
+                       maxPages: Long = GoldenGen.MaxPages,
+                       resumeDir: Option[String] = None): (CrawlEngine.CrawlSummary, String) = {
+    val spec = CorpusGen.Spec(GoldenGen.Hosts, GoldenGen.PagesPerHost)
+    val pages = CorpusGen.dataset(spark, spec)
+    val dir = resumeDir.getOrElse(Files.createTempDirectory("graft-test").toString)
+    val cfg = GoldenGen.config(GoldenGen.Hosts).copy(maxPages = maxPages)
+    val summary = CrawlEngine.run(spark, pages, cfg, dir, resume = resumeDir.isDefined)
+    (summary, dir)
+  }
+
+  private def orderLines(spark: SparkSession, dir: String): Vector[String] =
+    CrawlEngine.readOrder(spark, dir).collect()
+      .map(o => s"${o.wave}|${o.rank}|${o.canonicalUrl}|${o.depth}|${o.host}").toVector
+
+  private def seenSet(spark: SparkSession, dir: String, lastWave: Int): Vector[String] =
+    spark.read.parquet(s"$dir/snap-$lastWave/seen.parquet")
+      .collect().map(_.getString(0)).sorted.toVector
+
+  test("golden: crawl order, seen set, and per-url text bytes match frozen spec") {
+    withSpark("local[4]") { spark =>
+      val (summary, dir) = runCrawl(spark)
+      assert(summary.parityFailures == 0, "extracted text must be byte-identical to stored text")
+      assert(orderLines(spark, dir).mkString("\n") == resource("crawl_order.txt").trim)
+      assert(seenSet(spark, dir, summary.waves - 1).mkString("\n") == resource("seen.txt").trim)
+      val texts = CrawlEngine.readPages(spark, dir)
+        .select("canonicalUrl", "text").collect()
+        .map(r => s"${r.getString(0)}|${CrawlEngine.sha256Hex(r.getString(1))}")
+        .sorted.mkString("\n")
+      assert(texts == resource("text_sha256.txt").trim)
+    }
+  }
+
+  test("robots gating: /private/ pages are never fetched; politeness budget holds; cap holds") {
+    withSpark("local[4]") { spark =>
+      val (summary, dir) = runCrawl(spark)
+      val order = CrawlEngine.readOrder(spark, dir).collect()
+      assert(!order.exists(_.canonicalUrl.contains("/private/")), "robots Disallow must gate fetches")
+      // per-host-per-wave budget (token bucket equivalence, SURVEY §2.9)
+      val budget = GoldenGen.config(GoldenGen.Hosts).perHostBudget
+      val perWaveHost = order.groupBy(o => (o.wave, o.host)).values.map(_.length)
+      assert(perWaveHost.forall(_ <= budget), "politeness budget exceeded")
+      assert(summary.fetchedTotal <= GoldenGen.MaxPages)
+    }
+  }
+
+  test("max_pages cap truncates deterministically") {
+    withSpark("local[4]") { spark =>
+      val (summary, dir) = runCrawl(spark, maxPages = 10)
+      assert(summary.fetchedTotal == 10)
+      val order = orderLines(spark, dir)
+      assert(order.size == 10)
+      // the capped prefix must equal the uncapped golden prefix up to the
+      // first capped wave boundary (waves before the cap are identical)
+      val golden = resource("crawl_order.txt").trim.split("\n").toVector
+      val fullWaves = order.map(_.split('|')(0).toInt).distinct.dropRight(1)
+      val prefix = order.takeWhile(l => fullWaves.contains(l.split('|')(0).toInt))
+      assert(golden.startsWith(prefix))
+    }
+  }
+
+  test("resume from a truncated snapshot reproduces the uninterrupted run exactly") {
+    withSpark("local[4]") { spark =>
+      val (full, fullDir) = runCrawl(spark)
+      // simulate a crash after wave 1: flip CURRENT back, wipe later snapshots
+      val (_, dir2) = runCrawl(spark)
+      Files.write(Paths.get(dir2, "CURRENT"), "1".getBytes(UTF_8))
+      val (resumed, _) = runCrawl(spark, resumeDir = Some(dir2))
+      assert(resumed.fetchedTotal == full.fetchedTotal)
+      assert(orderLines(spark, dir2) == orderLines(spark, fullDir))
+      assert(seenSet(spark, dir2, resumed.waves - 1) == seenSet(spark, fullDir, full.waves - 1))
+    }
+  }
+
+  test("parallelism invariance: local[2] and local[8] produce identical order and seen set") {
+    val (o2, s2) = withSpark("local[2]", partitions = 2) { spark =>
+      val (summary, dir) = runCrawl(spark)
+      (orderLines(spark, dir), seenSet(spark, dir, summary.waves - 1))
+    }
+    val (o8, s8) = withSpark("local[8]", partitions = 8) { spark =>
+      val (summary, dir) = runCrawl(spark)
+      (orderLines(spark, dir), seenSet(spark, dir, summary.waves - 1))
+    }
+    assert(o2 == o8, "crawl order must not depend on parallelism")
+    assert(s2 == s8, "seen set must not depend on parallelism")
+  }
+}

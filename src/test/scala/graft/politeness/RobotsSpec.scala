@@ -1,0 +1,83 @@
+package graft.politeness
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.SitemapSeeder
+import graft.gen.CorpusGen
+
+class RobotsSpec extends AnyFunSuite {
+
+  val body =
+    """# comment
+      |User-agent: *
+      |Disallow: /private/
+      |Disallow: /tmp
+      |Crawl-delay: 1
+      |
+      |User-agent: badbot
+      |Disallow: /
+      |
+      |Sitemap: https://site0.com/sitemap.xml
+      |""".stripMargin
+
+  test("parse: star-group disallows + global sitemaps") {
+    val r = Robots.parse(body)
+    assert(r.disallow == Vector("/private/", "/tmp"))
+    assert(r.sitemaps == Vector("https://site0.com/sitemap.xml"))
+  }
+
+  test("isDisallowed prefix semantics; empty disallow allows all") {
+    val r = Robots.parse(body)
+    assert(r.isDisallowed("/private/x"))
+    assert(r.isDisallowed("/tmpfile"))
+    assert(!r.isDisallowed("/public"))
+    assert(!Robots.parse("User-agent: *\nDisallow:\n").isDisallowed("/anything"))
+  }
+
+  test("isBlocked matches host with www stripped") {
+    val rules = Map("site0.com" -> Robots.parse(body))
+    assert(Robots.isBlocked("https://www.site0.com/private/a", rules))
+    assert(Robots.isBlocked("https://site0.com/private/a", rules))
+    assert(!Robots.isBlocked("https://site1.com/private/a", rules))
+  }
+
+  test("non-star group rules are ignored") {
+    assert(!Robots.parse(body).isDisallowed("/")) // badbot's Disallow: / must not apply
+  }
+
+  // --- sitemap seeding over the generated corpus ---
+  test("sitemap parse: loc extraction, scheme filter, dedup, CDATA") {
+    val xml =
+      """<?xml version="1.0"?><urlset>
+        |<url><loc>https://site0.com/a</loc></url>
+        |<url><loc><![CDATA[https://site0.com/b]]></loc></url>
+        |<url><loc>https://site0.com/a</loc></url>
+        |<url><loc>ftp://site0.com/c</loc></url>
+        |<url><loc>/relative</loc></url>
+        |</urlset>""".stripMargin
+    val locs = SitemapSeeder.parseLocs(xml, "https://site0.com/sitemap.xml")
+    assert(locs == Vector("https://site0.com/a", "https://site0.com/b", "https://site0.com/relative"))
+  }
+
+  test("sitemap index recursion honors depth limit") {
+    val index = """<sitemapindex><sitemap><loc>https://s.com/sub.xml</loc></sitemap></sitemapindex>"""
+    val sub = """<urlset><url><loc>https://s.com/page</loc></url></urlset>"""
+    val lookup: String => Option[String] = {
+      case u if u.endsWith("sub.xml") => Some(sub)
+      case u if u.endsWith("idx.xml") => Some(index)
+      case _ => None
+    }
+    assert(SitemapSeeder.expand("https://s.com/idx.xml", lookup) == Vector("https://s.com/page"))
+    // self-recursive index terminates at MaxIndexDepth
+    val selfIdx = """<sitemapindex><sitemap><loc>https://s.com/idx.xml</loc></sitemap></sitemapindex>"""
+    assert(SitemapSeeder.expand("https://s.com/idx.xml", _ => Some(selfIdx)).isEmpty)
+  }
+
+  test("corpus sitemap lists product pages with queries intact") {
+    val spec = CorpusGen.Spec(1, 30)
+    val body = CorpusGen.sitemapBody(spec, 0)
+    val locs = SitemapSeeder.parseLocs(body, "https://site0.com/sitemap.xml")
+    assert(locs.exists(_.contains("/products/item-6?id=6")),
+      "sitemap is the only path that reaches query-param pages (link normalizer drops queries)")
+    assert(locs.size == math.min(spec.pagesPerHost, 25))
+  }
+}
