@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run each oracle SQL in
+DuckDB against the sf tables and compare with the Verify parquet dumps.
+
+usage: check_oracle.py <verify_out_dir> <sf_dir>
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    # normalize numerics: decimals -> float strings via round-trip repr
+    return df
+
+
+def main(out_dir: str, sf_dir: str) -> int:
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    con = duckdb.connect()
+    for name in ["region", "nation", "customer", "supplier", "part", "orders",
+                 "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{sf_dir}/{name}.parquet'")
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            expected = canon(con.sql(sql).df())
+            actual = canon(pd.read_parquet(f"{out_dir}/{name}"))
+            if list(expected.columns) != list(actual.columns):
+                print(f"FAIL {name}: columns {list(actual.columns)} vs "
+                      f"oracle {list(expected.columns)}")
+                failures += 1
+                continue
+            if len(expected) != len(actual):
+                print(f"FAIL {name}: rows {len(actual)} vs oracle {len(expected)}")
+                failures += 1
+                continue
+            # value compare with dtype coercion to string
+            es = expected.astype(str).reset_index(drop=True)
+            as_ = actual.astype(str).reset_index(drop=True)
+            if not es.equals(as_):
+                diff = (es != as_).any(axis=1)
+                print(f"FAIL {name}: {int(diff.sum())} differing rows; first:")
+                idx = diff[diff].index[0]
+                print("  spark :", as_.loc[idx].to_dict())
+                print("  duckdb:", es.loc[idx].to_dict())
+                failures += 1
+            else:
+                print(f"OK   {name}: {len(actual)} rows")
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            failures += 1
+    print(f"\n{len(oracles) - failures}/{len(oracles)} oracle queries match")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

@@ -1,24 +1,124 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.crawl.CrawlEngine
+import graft.gen.CorpusGen
+import graft.model.CrawlConfig
+
+/** Per-round benchmark main. Headline: the end-to-end crawl
+  * (fetch+extract pages/sec — the north-rule metric) on a bench-scale
+  * deterministic corpus, plus the oracle-backed query mix on
+  * `SPARK_GRAFT_SF_DIR`. Prints ONE JSON line. */
 object Bench {
+
+  /** Bench corpus: 200 hosts × 60 pages, 4× article richness (≈6-8 KB html),
+    * budget 40/host/wave. */
+  val BenchHosts = 200
+  val BenchPages = 60
+  val BenchRichness = 4
+  val BenchBudget = 40
+
+  def benchSpec: CorpusGen.Spec = CorpusGen.Spec(BenchHosts, BenchPages, richness = BenchRichness)
+
+  def benchConfig: CrawlConfig = CrawlConfig(
+    seeds = (0 until BenchHosts).map(h => s"https://${CorpusGen.hostName(h)}/"),
+    maxDepth = 8,
+    maxPages = BenchHosts.toLong * BenchPages,
+    perHostBudget = BenchBudget,
+    excludePatterns = Seq("external-data.org", "*.external-data.org"))
+
+  /** Run the BFS crawl against a pre-written corpus table; returns (pages, secs). */
+  def crawlOnce(spark: SparkSession, corpusPath: String): (Long, Double) = {
+    import spark.implicits._
+    val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-bench-crawl").toString
+    val t0 = System.nanoTime()
+    val summary = CrawlEngine.run(spark, pages, benchConfig, stateDir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(summary.parityFailures == 0, "bench crawl must keep byte parity")
+    (summary.fetchedTotal, secs)
+  }
+
+  // --- saturated-frontier throughput (the north-rule metric) ---------------
+  // A 10^10-URL production frontier keeps every wave full; the sandbox
+  // analogue is one mega-wave: every non-robots-blocked URL seeded at once,
+  // so fetch-join + fused extract dominate and per-wave scheduling overhead
+  // amortizes away. Politeness/depth semantics are correctness-gated in
+  // CrawlEngineSpec at small scale; here the budget is set non-binding.
+  val WaveHosts = 500
+  val WavePages = 200
+  val WaveRichness = 8
+
+  def waveSpec: CorpusGen.Spec = CorpusGen.Spec(WaveHosts, WavePages, richness = WaveRichness)
+
+  def waveSeeds: Seq[String] =
+    for {
+      h <- 0 until WaveHosts
+      i <- 0 until WavePages
+      if !CorpusGen.isPrivatePage(i) // robots-gated pages are not crawl targets
+    } yield CorpusGen.servedBase(h) + CorpusGen.pathFor(i)
+
+  def waveConfig: CrawlConfig = CrawlConfig(
+    seeds = waveSeeds,
+    maxDepth = 0, // single saturated wave; link-extraction still runs in-stage
+    maxPages = WaveHosts.toLong * WavePages,
+    perHostBudget = WavePages,
+    excludePatterns = Seq("external-data.org", "*.external-data.org"))
+
+  def megaWaveOnce(spark: SparkSession, corpusPath: String): (Long, Double) = {
+    import spark.implicits._
+    val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-bench-wave").toString
+    val t0 = System.nanoTime()
+    // writeOutputs=false: the metric is fetch+extract throughput, not local
+    // disk bandwidth; extraction (clean/text/links/lang/waf/chunks) is fully
+    // materialized by the engine's stats action, snapshots still commit.
+    val summary = CrawlEngine.run(spark, pages, waveConfig, stateDir, writeOutputs = false)
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(summary.parityFailures == 0, "mega-wave must keep byte parity")
+    (summary.fetchedTotal, secs)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // corpus written once, read back like a real input table
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-bench-corpus").toString + "/pages"
+    CorpusGen.writeParquet(spark, benchSpec, corpusPath, partitions = cpus.toInt * 2)
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    val (crawledPages, crawlSecs) = crawlOnce(spark, corpusPath)
+    results += "crawl_e2e" -> crawlSecs
+    val pagesPerSec = crawledPages / crawlSecs
+
+    // oracle-backed query mix on the sf tables
+    val queryNames = Seq("q_agg_pricing", "q_filter_pushdown", "q_join_multi",
+      "q_window_rank", "q_exact_dedup", "q_doc_quality", "q_token_count",
+      "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk")
+    queryNames.foreach { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch { case _: Throwable =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
+      results += name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_pages":$crawledPages,"crawl_pages_per_sec":$pagesPerSec%.1f}""")
     spark.stop()
   }
 }

@@ -1,13 +1,78 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.pipeline.{CrawlQueries, Dedup, DedupQueries, Relational, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries with entries in `oracleSql` are verified value-for-value against
+  * DuckDB; the rest (crawl-surface and hash-signature ops, not expressible
+  * in portable SQL) are deterministic and gated by the ScalaTest golden
+  * suite instead (CrawlEngineSpec / DedupSpec).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: the end-to-end crawl (frontier → politeness → fetch-join →
+    * extract → dedup) on the deterministic synthetic corpus. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    CrawlQueries.crawlOrder(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational / dataflow shapes (oracle-backed) ---
+    "q_agg_pricing" -> (Relational.aggPricing _),
+    "q_filter_pushdown" -> (Relational.filterPushdown _),
+    "q_join_broadcast" -> (Relational.joinBroadcast _),
+    "q_join_multi" -> (Relational.joinMulti _),
+    "q_antijoin_seen" -> (Relational.antiJoinSeen _),
+    "q_semijoin" -> (Relational.semiJoin _),
+    "q_topk_priority" -> (Relational.topkPriority _),
+    "q_window_rank" -> (Relational.windowRank _),
+    "q_union_dedup" -> (Relational.unionDedup _),
+    "q_event_metrics" -> (Relational.eventMetrics _),
+    // --- text analysis (oracle-backed) ---
+    "q_exact_dedup" -> (TextAnalysis.exactDedup _),
+    "q_doc_quality" -> (TextAnalysis.docQuality _),
+    "q_token_count" -> (TextAnalysis.tokenCount _),
+    "q_reading_time" -> (TextAnalysis.readingTime _),
+    "q_topic_class" -> (TextAnalysis.topicClass _),
+    "q_lang_distribution" -> (TextAnalysis.langDistribution _),
+    "q_embedding_stats" -> (TextAnalysis.embeddingStats _),
+    // --- dedup / similarity (deterministic; ScalaTest-gated) ---
+    "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
+    "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
+    "q_simhash_index" -> (DedupQueries.simhashIndex _),
+    "q_simhash_neardup" -> (DedupQueries.simhashNearDup _),
+    "q_ann_topk" -> (DedupQueries.annTopK _),
+    "q_ann_lsh" -> (DedupQueries.annLsh _),
+    "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),
+    // --- crawl surface (deterministic; golden-gated) ---
+    "q_crawl_order" -> (CrawlQueries.crawlOrder _),
+    "q_crawl_pages" -> (CrawlQueries.crawlPages _),
+    "q_crawl_chunks" -> (CrawlQueries.crawlChunks _),
+    "q_crawl_metrics" -> (CrawlQueries.crawlMetrics _),
+    "q_canonicalize_urls" -> (CrawlQueries.canonicalizeUrls _),
+    "q_extract_link_edges" -> (CrawlQueries.extractLinkEdges _),
+    "q_waf_entropy" -> (CrawlQueries.wafEntropy _),
+    "q_sitemap_seeds" -> (CrawlQueries.sitemapSeeds _),
+    "q_lang_detect" -> (CrawlQueries.langDetect _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" -> Relational.aggPricingSql,
+    "q_filter_pushdown" -> Relational.filterPushdownSql,
+    "q_join_broadcast" -> Relational.joinBroadcastSql,
+    "q_join_multi" -> Relational.joinMultiSql,
+    "q_antijoin_seen" -> Relational.antiJoinSeenSql,
+    "q_semijoin" -> Relational.semiJoinSql,
+    "q_topk_priority" -> Relational.topkPrioritySql,
+    "q_window_rank" -> Relational.windowRankSql,
+    "q_union_dedup" -> Relational.unionDedupSql,
+    "q_event_metrics" -> Relational.eventMetricsSql,
+    "q_exact_dedup" -> TextAnalysis.exactDedupSql,
+    "q_doc_quality" -> TextAnalysis.docQualitySql,
+    "q_token_count" -> TextAnalysis.tokenCountSql,
+    "q_reading_time" -> TextAnalysis.readingTimeSql,
+    "q_topic_class" -> TextAnalysis.topicClassSql,
+    "q_lang_distribution" -> TextAnalysis.langDistributionSql,
+    "q_embedding_stats" -> TextAnalysis.embeddingStatsSql
+  )
 }

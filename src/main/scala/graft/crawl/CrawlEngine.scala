@@ -3,7 +3,6 @@ package graft.crawl
 import java.nio.charset.StandardCharsets.UTF_8
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 
 import graft.extract.{HtmlKit, TextKit}
@@ -87,6 +86,11 @@ object CrawlEngine {
   def readMetrics(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/out/metrics")
 
+  /** @param writeOutputs when false, the crawl_order/pages/chunks/metrics
+    *   sinks are skipped (snapshot commits still happen). Extraction is fully
+    *   materialized either way — the per-wave stats action consumes the
+    *   fused-extract output. Used by the throughput benchmark, whose metric
+    *   is fetch+extract pages/sec, not disk bandwidth. */
   def run(
       spark: SparkSession,
       pages: Dataset[PageRow],
@@ -94,9 +98,12 @@ object CrawlEngine {
       stateDir: String,
       resume: Boolean = false,
       waveLimit: Int = 1000,
+      writeOutputs: Boolean = true,
       log: String => Unit = _ => ()
   ): CrawlSummary = {
     import spark.implicits._
+    val tStart = System.nanoTime()
+    def elapsed: String = f"t=${(System.nanoTime() - tStart) / 1e9}%.1fs"
     val store = new SnapshotStore(stateDir)
     store.init()
     val rid = runId(config)
@@ -126,12 +133,14 @@ object CrawlEngine {
       UrlKernel.extractDomain(url).map(h => Robots.stripWww(h) -> Robots.parse(body))
     }.toMap
     val bcRobots = spark.sparkContext.broadcast(if (config.respectRobots) robotsMap else Map.empty[String, Robots.Rules])
+    log(s"prep done (pages cached + robots broadcast) $elapsed")
 
-    // ---- seed frontier ----------------------------------------------------
-    val seedEntries = config.seeds.flatMap { s =>
-      UrlKernel.canonicalize(s).map(c => entryFor(c, s, 0, ""))
-    }
-    val seedHosts = seedEntries.map(_.host).toSet
+    // ---- seed frontier (canonicalized on executors — seed lists can be
+    // sitemap-scale, SURVEY §2.1) --------------------------------------------
+    val seedDs = spark.createDataset(config.seeds)
+      .flatMap(s => UrlKernel.canonicalize(s).map(c => entryFor(c, s, 0, "")))
+    val seedHosts = config.seeds
+      .flatMap(s => UrlKernel.canonicalize(s).flatMap(UrlKernel.extractDomain)).toSet
     val bcSeedHosts = spark.sparkContext.broadcast(seedHosts)
     val bcIncludes = spark.sparkContext.broadcast(config.includePatterns)
     val bcExcludes = spark.sparkContext.broadcast(config.excludePatterns)
@@ -148,46 +157,64 @@ object CrawlEngine {
         log(s"resuming from snapshot wave=$w fetched=${m.fetchedTotal}")
         (w + 1, store.loadSeen(spark, w), store.loadFrontier(spark, w).as[FrontierEntry], m.fetchedTotal)
       case _ =>
-        (0, emptySeen, spark.createDataset(seedEntries), 0L)
+        (0, emptySeen, seedDs, 0L)
     }
     var seenCount = if (resume) seen.count() else 0L
     var errorsTotal = 0L
     var parityFailures = 0L
 
-    val priorityWindow = Window.orderBy(
-      col("depth").asc, col("pathDepth").desc, col("urlHash").asc, col("canonicalUrl").asc)
-
     var done = false
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
       val frontierPersisted = frontier.persist(StorageLevel.MEMORY_AND_DISK)
-      val frontierCount = frontierPersisted.count()
-      if (frontierCount == 0) { done = true }
+      // -- politeness: deterministic per-host top-k (salted two-phase) ------
+      // (an empty frontier yields selCount == 0 below — no separate count job)
+      val selectedAll = Frontier.politenessSelect(
+        spark, frontierPersisted, config.perHostBudget, config.saltBuckets)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val rawCount = selectedAll.count()
+      log(s"wave=$wave politeness-select done ($rawCount rows) $elapsed")
+      val remaining = (config.maxPages - fetchedTotal).min(Int.MaxValue.toLong).toInt
+      // max_pages cap (results_channel.rs:144-146): the single-partition
+      // GlobalLimit funnel only runs when the cap actually binds — i.e. on
+      // the final, already-small remainder — never on a full-size wave.
+      val (selected, selCount) =
+        if (rawCount > remaining) {
+          val s = selectedAll
+            .orderBy(Frontier.priorityCols: _*)
+            .limit(remaining)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          (s, s.count())
+        } else (selectedAll, rawCount)
+      if (selCount == 0) { done = true }
       else {
-        // -- politeness: deterministic per-host top-k (salted two-phase) ----
-        val selectedAll = Frontier.politenessSelect(
-          spark, frontierPersisted, config.perHostBudget, config.saltBuckets)
-        val remaining = (config.maxPages - fetchedTotal).min(Int.MaxValue.toLong).toInt
-        // NOTE: the global sort here is over ONE WAVE (≤ hosts×budget rows),
-        // not the frontier — bounded, and required for the max_pages cap to
-        // be deterministic (reference: results_channel.rs:144-146).
-        val selected = selectedAll
-          .orderBy(Frontier.priorityCols: _*)
-          .limit(remaining)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val selCount = selected.count()
-        if (selCount == 0) { done = true }
-        else {
+        {
           // -- crawl order (wave-local ranks; wave is the major sort key) ---
+          // Distributed total-order rank: range-partitioned sort +
+          // zipWithIndex (partition-offset pass) — no single-partition
+          // window funnel, scales to arbitrarily wide waves.
           // wave=N dir naming = Spark partition discovery supplies the wave
           // column on read; data files must not repeat it.
-          val orderDf = selected
-            .withColumn("rank", row_number().over(priorityWindow).cast("long") - 1)
-            .select(col("rank"), col("canonicalUrl"), col("url"),
-              col("parentUrl"), col("depth"), col("host"))
-          orderDf.write.mode("overwrite").parquet(s"$stateDir/out/crawl_order/wave=$wave")
+          if (writeOutputs) {
+            val sortedSel = selected
+              .orderBy(Frontier.priorityCols: _*)
+              .select(col("canonicalUrl"), col("url"), col("parentUrl"), col("depth"), col("host"))
+            val orderSchema = org.apache.spark.sql.types.StructType(
+              org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType) +:
+                sortedSel.schema.fields)
+            val rankedRdd = sortedSel.rdd.zipWithIndex().map { case (r, idx) =>
+              org.apache.spark.sql.Row.fromSeq(idx +: r.toSeq)
+            }
+            spark.createDataFrame(rankedRdd, orderSchema)
+              .write.mode("overwrite").parquet(s"$stateDir/out/crawl_order/wave=$wave")
+          }
 
-          // -- simulated fetch: equi-join against the pre-partitioned table -
-          val fetched = prepared.join(selected.select("canonicalUrl", "url", "depth", "parentUrl", "host"),
+          // -- simulated fetch: equi-join against the pre-partitioned table.
+          // SHUFFLE_HASH beats the default sort-merge here: the pages side
+          // carries multi-KB html payloads that must never be sorted; the
+          // wave side is the small build side. (At cluster scale the same
+          // holds — sorting 100 TB of html to join a wave is wrong.)
+          val fetched = prepared.join(
+            selected.select("canonicalUrl", "url", "depth", "parentUrl", "host").hint("shuffle_hash"),
             Seq("canonicalUrl"), "inner")
           val fetchedDs = fetched.select(
             col("canonicalUrl"), col("url"), col("depth"), col("parentUrl"), col("host"),
@@ -219,42 +246,51 @@ object CrawlEngine {
                 r.html.length.toLong, ex.text.getBytes(UTF_8).length.toLong, waveNum, r.depth)
               ExtractOut(page, links, chunks, ex.text == r.storedText)
             }
-          }.persist(StorageLevel.MEMORY_AND_DISK)
+          }
+          // cache only when a second consumer exists (output sinks or the
+          // link-generation pass); a single-consumer wave streams it once
+          val linkGenActive = config.maxDepth > 0
+          if (writeOutputs || linkGenActive) extracted.persist(StorageLevel.MEMORY_AND_DISK)
 
-          val fetchCount = extracted.count()
-          val parityFailWave = extracted.filter(e => !e.parityOk).count()
+          // one action for count + parity (avoids a second pass)
+          val stats = extracted.toDF()
+            .agg(count(lit(1)), sum(when(col("parityOk"), 0L).otherwise(1L))).head()
+          val fetchCount = stats.getLong(0)
+          val parityFailWave = if (stats.isNullAt(1)) 0L else stats.getLong(1)
           parityFailures += parityFailWave
-
-          // -- outputs ------------------------------------------------------
-          extracted.map(_.page)
-            .withColumn("runId", lit(rid))
-            .withColumn("partitionId", spark_partition_id())
-            .drop("wave")
-            .write.mode("overwrite").parquet(s"$stateDir/out/pages/wave=$wave")
-          extracted.flatMap(_.chunks)
-            .write.mode("overwrite").parquet(s"$stateDir/out/chunks/wave=$wave")
+          log(s"wave=$wave fetch+extract done ($fetchCount rows) $elapsed")
 
           // -- errors: selected-but-missing rows (simulated 404s) -----------
-          val misses = selected.join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
-          val missByHost = misses.groupBy("host").agg(count("*").as("errors"))
           val errCount = selCount - fetchCount
           errorsTotal += errCount
 
-          // -- per-host metrics (metrics.rs:15-100 equivalents) -------------
-          val hostAgg = extracted.map(e => (
-              UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
-              e.page.htmlBytes, e.page.textBytes,
-              if (e.page.extractionFailed) 1L else 0L,
-              if (e.page.wafProvider.nonEmpty) 1L else 0L))
-            .toDF("host", "htmlBytes", "textBytes", "exFail", "waf")
-            .groupBy("host")
-            .agg(count("*").as("fetched"), sum("htmlBytes").as("htmlBytes"),
-              sum("textBytes").as("textBytes"), sum("exFail").as("extractionFailures"),
-              sum("waf").as("wafBlocked"))
-          hostAgg.join(missByHost, Seq("host"), "full_outer")
-            .na.fill(0L)
-            .withColumn("runId", lit(rid))
-            .write.mode("overwrite").parquet(s"$stateDir/out/metrics/wave=$wave")
+          if (writeOutputs) {
+            extracted.map(_.page)
+              .withColumn("runId", lit(rid))
+              .withColumn("partitionId", spark_partition_id())
+              .drop("wave")
+              .write.mode("overwrite").parquet(s"$stateDir/out/pages/wave=$wave")
+            extracted.flatMap(_.chunks)
+              .write.mode("overwrite").parquet(s"$stateDir/out/chunks/wave=$wave")
+
+            // -- per-host metrics (metrics.rs:15-100 equivalents) -----------
+            val misses = selected.join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
+            val missByHost = misses.groupBy("host").agg(count("*").as("errors"))
+            val hostAgg = extracted.map(e => (
+                UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
+                e.page.htmlBytes, e.page.textBytes,
+                if (e.page.extractionFailed) 1L else 0L,
+                if (e.page.wafProvider.nonEmpty) 1L else 0L))
+              .toDF("host", "htmlBytes", "textBytes", "exFail", "waf")
+              .groupBy("host")
+              .agg(count("*").as("fetched"), sum("htmlBytes").as("htmlBytes"),
+                sum("textBytes").as("textBytes"), sum("exFail").as("extractionFailures"),
+                sum("waf").as("wafBlocked"))
+            hostAgg.join(missByHost, Seq("host"), "full_outer")
+              .na.fill(0L)
+              .withColumn("runId", lit(rid))
+              .write.mode("overwrite").parquet(s"$stateDir/out/metrics/wave=$wave")
+          }
 
           // -- seen += selected --------------------------------------------
           val newSeen = seen.union(selected.select("canonicalUrl"))
@@ -262,7 +298,9 @@ object CrawlEngine {
           seenCount += selCount
 
           // -- link generation → next frontier ------------------------------
-          val newLinkEntries: Dataset[FrontierEntry] = extracted
+          val newLinkEntries: Dataset[FrontierEntry] = if (!linkGenActive)
+            spark.emptyDataset[FrontierEntry]
+          else extracted
             .filter(e => e.page.depth < maxDepth)
             .flatMap { e =>
               val parentUrl = e.page.url
@@ -286,14 +324,15 @@ object CrawlEngine {
           val combined = Frontier.dedupeWave(spark, leftovers.union(newLinkEntries))
           val nextFrontier = Frontier.newOnly(spark, combined, newSeen, seenCount)
 
-          // -- snapshot commit + lineage truncation -------------------------
-          store.commit(spark, wave, nextFrontier.toDF(), newSeen, fetchedTotal, rid)
-          val newFrontierCount = store.loadFrontier(spark, wave).count()
+          // -- snapshot commit (frontier full, seen as delta) ---------------
+          store.commit(spark, wave, nextFrontier.toDF(), selected.select("canonicalUrl"),
+            fetchedTotal, rid)
           log(f"wave=$wave%-3d selected=$selCount%-6d fetched=$fetchCount%-6d errors=$errCount%-4d " +
-            f"frontier'=$newFrontierCount%-6d seen=$seenCount%-7d parityFail=$parityFailWave")
+            f"seen=$seenCount%-7d parityFail=$parityFailWave $elapsed")
 
           extracted.unpersist()
           selected.unpersist()
+          selectedAll.unpersist()
           frontierPersisted.unpersist()
           seen = store.loadSeen(spark, wave)
           frontier = store.loadFrontier(spark, wave).as[FrontierEntry]

@@ -27,7 +27,10 @@ import graft.model.PageRow
   */
 object CorpusGen {
 
-  final case class Spec(hosts: Int, pagesPerHost: Int, seed: Long = 42L) {
+  /** `richness` multiplies article length (paragraph count) — 1 keeps the
+    * frozen-golden corpus byte-identical; bench uses larger values so
+    * extraction compute (not job overhead) dominates the measurement. */
+  final case class Spec(hosts: Int, pagesPerHost: Int, seed: Long = 42L, richness: Int = 1) {
     /** rows per host: robots.txt + sitemap.xml + content pages */
     def rowsPerHost: Int = pagesPerHost + 2
     def totalRows: Long = hosts.toLong * rowsPerHost
@@ -99,7 +102,8 @@ object CorpusGen {
       return s"""<!DOCTYPE html><html><head><title>$title</title></head><body><div id="root"></div><script src="/bundle.js"></script></body></html>"""
     if (isWafPage(i))
       return s"""<!DOCTYPE html><html><head><title>Just a moment...</title></head><body><h1>Just a moment...</h1><p>Checking your browser before accessing ${hostName(h)}.</p></body></html>"""
-    val paras = (0 until 2 + rnd.nextInt(3)).map(_ => LangText.paragraph(pool, rnd, 2 + rnd.nextInt(3)))
+    val paras = (0 until spec.richness * (2 + rnd.nextInt(3)))
+      .map(_ => LangText.paragraph(pool, rnd, 2 + rnd.nextInt(3)))
     val p = spec.pagesPerHost
     val targets = linkTargets(i, p)
     // varied link styles exercising canonicalization

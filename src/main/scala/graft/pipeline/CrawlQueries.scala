@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.crawl.CrawlEngine
+import graft.extract.{HtmlKit, TextKit}
+import graft.gen.CorpusGen
+import graft.model.CrawlConfig
+import graft.sources.SitemapSeeder
+import graft.urls.UrlKernel
+
+/** Crawl-surface queries for the driver contract. These run on the
+  * deterministic synthetic corpus (the north-rule input table shape), not on
+  * the TPC-H-ish tables, so they carry no DuckDB oracle — their correctness
+  * gate is the frozen-golden + parity ScalaTest suite (CrawlEngineSpec).
+  * The sfDir argument is accepted for signature uniformity and ignored.
+  */
+object CrawlQueries {
+
+  val Hosts = 3
+  val PagesPerHost = 30
+
+  private def spec = CorpusGen.Spec(Hosts, PagesPerHost)
+
+  private def config = CrawlConfig(
+    seeds = (0 until Hosts).map(h => s"https://${CorpusGen.hostName(h)}/"),
+    maxDepth = 3, maxPages = 60, perHostBudget = 3,
+    excludePatterns = Seq("external-data.org", "*.external-data.org"))
+
+  /** One crawl per JVM — all crawl queries read from the same state dir. */
+  @volatile private var crawlDir: Option[String] = None
+  private def crawlState(spark: SparkSession): String = synchronized {
+    crawlDir.getOrElse {
+      val dir = java.nio.file.Files.createTempDirectory("graft-queries-crawl").toString
+      val summary = CrawlEngine.run(spark, CorpusGen.dataset(spark, spec), config, dir)
+      require(summary.parityFailures == 0, "extraction parity violated")
+      crawlDir = Some(dir)
+      dir
+    }
+  }
+
+  def crawlOrder(spark: SparkSession, dir: String): DataFrame =
+    CrawlEngine.readOrder(spark, crawlState(spark)).toDF()
+
+  def crawlPages(spark: SparkSession, dir: String): DataFrame =
+    CrawlEngine.readPages(spark, crawlState(spark))
+      .select("canonicalUrl", "title", "lang", "textBytes", "htmlBytes", "depth", "wave",
+        "usedFallback", "extractionFailed", "isSpa", "wafProvider")
+      .orderBy("canonicalUrl")
+
+  def crawlChunks(spark: SparkSession, dir: String): DataFrame =
+    CrawlEngine.readChunks(spark, crawlState(spark))
+      .select("id", "url", "chunkIndex", "wordCount", "lang")
+      .orderBy("url", "chunkIndex")
+
+  def crawlMetrics(spark: SparkSession, dir: String): DataFrame =
+    CrawlEngine.readMetrics(spark, crawlState(spark))
+      .select("wave", "host", "fetched", "errors", "htmlBytes", "textBytes",
+        "extractionFailures", "wafBlocked")
+      .orderBy("wave", "host")
+
+  /** URL kernel over every corpus URL — canonical form + partition keys. */
+  def canonicalizeUrls(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .map(p => (
+        p.url,
+        UrlKernel.canonicalize(p.url).getOrElse(""),
+        UrlKernel.extractDomain(p.url).getOrElse(""),
+        UrlKernel.pathDepth(p.url),
+        UrlKernel.paramCount(p.url),
+        CrawlEngine.urlHash(UrlKernel.canonicalize(p.url).getOrElse(""))))
+      .toDF("url", "canonical_url", "host", "path_depth", "param_count", "url_hash")
+      .orderBy("url")
+  }
+
+  /** Link-graph edges from raw HTML (the crawl's edge generator). */
+  def extractLinkEdges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .filter(p => !p.url.endsWith("robots.txt") && !p.url.endsWith("sitemap.xml"))
+      .flatMap { p =>
+        val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        HtmlKit.extractLinks(html, p.url).map(l => (p.url, l))
+      }
+      .toDF("src", "dst")
+      .orderBy("src", "dst")
+  }
+
+  /** WAF + entropy + SPA flags per page (waf.rs / scraper_service.rs). */
+  def wafEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .filter(p => !p.url.endsWith("robots.txt") && !p.url.endsWith("sitemap.xml"))
+      .map { p =>
+        val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        (p.url,
+          TextKit.detectWafChallenge(html).getOrElse(""),
+          math.round(TextKit.shannonEntropy(html) * 1000) / 1000.0,
+          HtmlKit.isSpa(html, p.text))
+      }
+      .toDF("url", "waf_provider", "entropy_milli", "is_spa")
+      .orderBy("url")
+  }
+
+  /** Sitemap seed ingestion over the corpus sitemap rows. */
+  def sitemapSeeds(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .filter(p => p.url.endsWith("/sitemap.xml"))
+      .flatMap { p =>
+        val body = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        SitemapSeeder.parseLocs(body, p.url).map(l => (p.url, l))
+      }
+      .toDF("sitemap", "loc")
+      .orderBy("sitemap", "loc")
+  }
+
+  /** Language detection on extracted text vs stored label (accuracy table). */
+  def langDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .filter(p => p.lang.nonEmpty)
+      .map(p => (p.url, p.lang, TextKit.detectLanguage(p.text).getOrElse("und")))
+      .toDF("url", "stored_lang", "detected_lang")
+      .orderBy("url")
+  }
+}

@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.crawl.CrawlEngine.urlHash
+
+/** Near-duplicate detection family for training-data curation: MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design: signatures are computed in one typed pass (no shuffle);
+  * candidate generation shuffles only (band, bucket, id) triples — the
+  * classic banding trick keeps the self-join off the full corpus. Exact
+  * Jaccard runs ONLY on LSH candidates. All hashing is xxhash64 with fixed
+  * seeds — deterministic across partitionings and parallelism levels.
+  */
+object Dedup {
+
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
+  val ShingleSize = 3
+
+  require(Bands * RowsPerBand == NumHashes)
+
+  /** xxhash64 of a string with a given seed (signature permutations). */
+  private def hashSeed(s: String, seed: Long): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), seed)
+
+  /** Word 3-gram shingles of a document. */
+  def shingles(text: String, n: Int = ShingleSize): Set[String] = {
+    val words = text.split("\\s+").filter(_.nonEmpty)
+    if (words.length < n) Set(words.mkString(" "))
+    else words.sliding(n).map(_.mkString(" ")).toSet
+  }
+
+  /** MinHash signature: for each of k seeded hash functions, the minimum
+    * hash over the document's shingles. */
+  def minhashSignature(text: String, k: Int = NumHashes): Array[Long] = {
+    val sh = shingles(text)
+    val sig = Array.fill(k)(Long.MaxValue)
+    sh.foreach { s =>
+      var i = 0
+      while (i < k) {
+        val h = hashSeed(s, i + 1L)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  final case class DocSig(doc_id: Long, sig: Array[Long])
+  final case class BandBucket(doc_id: Long, band: Int, bucket: Long)
+
+  /** (doc_id, band, bucket) rows — the LSH index. Deterministic. */
+  def lshBuckets(spark: SparkSession, docs: DataFrame,
+                 idCol: String = "doc_id", textCol: String = "text"): Dataset[BandBucket] = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => DocSig(id, minhashSignature(text)) })
+      .flatMap { ds =>
+        (0 until Bands).iterator.map { b =>
+          val slice = ds.sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand)
+          BandBucket(ds.doc_id, b, hashSeed(slice.mkString(","), 0x5eedL))
+        }
+      }
+  }
+
+  final case class CandidatePair(a: Long, b: Long)
+
+  /** Candidate pairs: documents sharing any (band, bucket). The groupByKey
+    * is on bucket ids — shuffle payload is 3 longs per (doc, band). */
+  def candidatePairs(spark: SparkSession, buckets: Dataset[BandBucket]): Dataset[CandidatePair] = {
+    import spark.implicits._
+    buckets
+      .groupByKey(bb => (bb.band, bb.bucket))
+      .flatMapGroups { (_, it) =>
+        val ids = it.map(_.doc_id).toArray.sorted
+        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+          yield CandidatePair(ids(i), ids(j))
+      }
+      .distinct()
+  }
+
+  final case class VerifiedPair(doc_a: Long, doc_b: Long, jaccard: Double)
+
+  /** Exact shingle-Jaccard verification of LSH candidates ≥ threshold.
+    * Joins candidates back to texts twice (both joins are on ids — hash
+    * joins on the narrow pair table). */
+  def verifiedNearDups(spark: SparkSession, docs: DataFrame, threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text"): Dataset[VerifiedPair] = {
+    import spark.implicits._
+    val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val cands = candidatePairs(spark, lshBuckets(spark, docs, idCol, textCol))
+    cands.toDF("a", "b")
+      .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "text_a"), "a")
+      .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "text_b"), "b")
+      .as[(Long, Long, String, String)]
+      .map { case (b, a, ta, tb) => // join order put b first
+        val sa = shingles(ta); val sb = shingles(tb)
+        val inter = sa.intersect(sb).size.toDouble
+        val union = sa.size + sb.size - inter
+        VerifiedPair(math.min(a, b), math.max(a, b), if (union == 0) 0.0 else inter / union)
+      }
+      .filter(_.jaccard >= threshold)
+  }
+
+  /** 64-bit SimHash over word unigrams (counts weighted). */
+  def simhash64(text: String): Long = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Int]
+    text.split("\\s+").withFilter(_.nonEmpty).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+    val acc = new Array[Long](64)
+    counts.foreach { case (w, c) =>
+      val h = hashSeed(w, 7L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += c else acc(j) -= c
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  final case class SimHashRow(doc_id: Long, simhash: Long, prefix: Int)
+
+  /** SimHash fingerprints with a 16-bit prefix bucket (pigeonhole blocking:
+    * near-dups within hamming ≤ 3 share at least one of 4 16-bit blocks;
+    * emitting all 4 blocks per doc makes the blocking exact). */
+  def simhashIndex(spark: SparkSession, docs: DataFrame,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val fp = simhash64(text)
+        (0 until 4).map(blk => SimHashRow(id, fp, ((fp >>> (blk * 16)) & 0xffffL).toInt | (blk << 16)))
+      })
+      .toDF()
+  }
+
+  /** SimHash near-dup pairs: block on 16-bit segments, verify hamming ≤ maxDist. */
+  def simhashNearDups(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    simhashIndex(spark, docs, idCol, textCol).as[SimHashRow]
+      .groupByKey(_.prefix)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_.doc_id)
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          if rows(i).doc_id != rows(j).doc_id && hamming(rows(i).simhash, rows(j).simhash) <= maxDist
+        } yield (rows(i).doc_id, rows(j).doc_id, hamming(rows(i).simhash, rows(j).simhash))
+      }
+      .distinct()
+      .toDF("doc_a", "doc_b", "hamming_dist")
+  }
+
+  /** Exact word-unigram Jaccard between all pairs of a (small) candidate
+    * id set — the exact n-gram-Jaccard measure for tests/verification. */
+  def unigramJaccard(a: String, b: String): Double = {
+    val sa = a.split("\\s+").filter(_.nonEmpty).toSet
+    val sb = b.split("\\s+").filter(_.nonEmpty).toSet
+    val inter = sa.intersect(sb).size.toDouble
+    val union = sa.size + sb.size - inter
+    if (union == 0) 0.0 else inter / union
+  }
+}

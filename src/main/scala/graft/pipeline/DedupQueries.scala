@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-dup / similarity queries for the driver contract. Hash-based
+  * signatures cannot be reproduced in a DuckDB oracle, so these entries are
+  * rows-only checked by the driver; their semantic gates live in
+  * DedupSpec/SimilaritySpec (planted duplicates must be found, exact
+  * Jaccard/cosine verified).
+  *
+  * Where a query would legitimately return zero rows on the synthetic corpus
+  * (truly near-dup-free random text), planted mutated copies are unioned in —
+  * clearly marked with ids offset by 10^7 — so the operator demonstrably
+  * fires end-to-end.
+  */
+object DedupQueries {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def embeddings(spark: SparkSession, dir: String): Dataset[Similarity.Embedded] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[Similarity.Embedded]
+  }
+
+  val PlantOffset = 10000000L
+
+  /** Documents plus near-identical copies of the first 25 (drop last word). */
+  private def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val plants = base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        // drop the last word — near-dup but not exact-dup
+        expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").as("text"))
+    base.union(plants)
+  }
+
+  /** MinHash LSH index over the raw documents table. */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshBuckets(spark, docs(spark, dir)).toDF()
+      .orderBy("doc_id", "band")
+
+  /** MinHash near-dup pairs (Jaccard ≥ 0.5) over docs + planted near-dups. */
+  def minhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.verifiedNearDups(spark, docsWithPlants(spark, dir), 0.5).toDF()
+      .withColumn("jaccard_milli", round(col("jaccard") * 1000).cast("long"))
+      .drop("jaccard")
+      .orderBy("doc_a", "doc_b")
+
+  /** SimHash fingerprints (4 blocking segments per doc). */
+  def simhashIndex(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashIndex(spark, docs(spark, dir))
+      .orderBy("doc_id", "prefix")
+
+  /** SimHash near-dup pairs over docs + planted near-dups. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(spark, docsWithPlants(spark, dir), maxDist = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Brute-force exact ANN: top-5 cosine neighbors of the first 10 vectors. */
+  def annTopK(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = embeddings(spark, dir)
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    Similarity.bruteForceTopK(spark, corpus, queries, k = 5).toDF()
+      .withColumn("cosine_micro", round(col("cosine") * 1000000).cast("long"))
+      .drop("cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** LSH-bucketed ANN over the same queries (scale path). */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = embeddings(spark, dir)
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    Similarity.lshTopK(spark, corpus, queries, k = 5).toDF()
+      .withColumn("cosine_micro", round(col("cosine") * 1000000).cast("long"))
+      .drop("cosine")
+      .orderBy("query_id", "rank")
+  }
+
+  /** Embedding-cosine near-dup pairs over embeddings + planted exact copies. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = embeddings(spark, dir)
+    val plants = base.filter(_.vec_id < 20).map(e => e.copy(vec_id = e.vec_id + PlantOffset))
+    Similarity.cosineNearDups(spark, base.union(plants), threshold = 0.95)
+      .withColumn("cosine_micro", round(col("cosine") * 1000000).cast("long"))
+      .drop("cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+}

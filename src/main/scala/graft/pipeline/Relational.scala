@@ -1,0 +1,188 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-backed relational operators over the driver's TPC-H-ish tables.
+  *
+  * These re-express the reference's dataflow shapes (SURVEY.md §2.3-§2.7:
+  * filters, anti-join seen-set membership, set ops, priority sort + limit,
+  * counters/aggregations) as declarative DataFrame plans so Catalyst gets
+  * full pushdown/pruning/reorder freedom. Numeric outputs are cast to
+  * DECIMAL before aggregation so Spark and the DuckDB oracle agree
+  * bit-for-bit (float summation order is engine-dependent; decimals are not).
+  *
+  * Every query ends in a deterministic ORDER BY over a unique key.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Pricing summary (agg shape — metrics.rs:15-100 count/sum equivalents). */
+  def aggPricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
+        sum((col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val aggPricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Filter + projection pushdown shape (TPC-H Q6-like): the scan must read
+    * only 3 columns with predicates pushed to parquet. */
+  def filterPushdown(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.05 && col("l_quantity") < 24)
+      .select((col("l_extendedprice").cast("decimal(18,2)") *
+        col("l_discount").cast("decimal(18,2)")).cast("decimal(18,4)").as("disc_rev"))
+      .agg(sum("disc_rev").cast("double").as("revenue"), count(lit(1)).as("n_rows"))
+
+  val filterPushdownSql: String =
+    """SELECT
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+      |  AND l_discount >= 0.05 AND l_quantity < 24""".stripMargin
+
+  /** Broadcast dim join (SURVEY §4: broadcast small sides). */
+  def joinBroadcast(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total_price"))
+      .orderBy("c_mktsegment")
+
+  val joinBroadcastSql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** 4-way join through the star schema — Catalyst join-reorder surface. */
+  def joinMulti(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+        .cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+
+  val joinMultiSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** The seen-set shape: LEFT ANTI join (frontier minus seen,
+    * url_queue.rs:52-70 → SURVEY §2.4). Customers with no orders. */
+  def antiJoinSeen(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val antiJoinSeenSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Membership probe (semi-join): suppliers that shipped anything. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier")
+      .join(t(spark, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  val semiJoinSql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Deterministic priority top-k (crawl-budget sort + max_pages cap,
+    * batch_processor.rs:56-65 + results_channel.rs:144-146). */
+  def topkPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("o_totalprice"))
+
+  val topkPrioritySql: String =
+    """SELECT o_orderkey, o_custkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice
+      |FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20""".stripMargin
+
+  /** Window rank per key (wave-local rank assignment shape). */
+  def windowRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("user_id", "rn", "event_id", "event_type")
+      .orderBy("user_id", "rn")
+  }
+
+  val windowRankSql: String =
+    """SELECT user_id, rn, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+      |  FROM events) WHERE rn <= 3
+      |ORDER BY user_id, rn""".stripMargin
+
+  /** Set op: union + distinct (sub-sitemap URL merging, SURVEY §2.7). */
+  def unionDedup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val a = orders.filter(col("o_orderstatus") === "F").select(col("o_custkey"))
+    val b = orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    a.union(b).distinct().orderBy("o_custkey")
+  }
+
+  val unionDedupSql: String =
+    """SELECT DISTINCT o_custkey FROM (
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |  UNION ALL
+      |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Grouped event metrics (per-domain bandwidth/latency shape,
+    * metrics.rs:25-66): per event_type totals over a time slice. */
+  def eventMetrics(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  val eventMetricsSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+}

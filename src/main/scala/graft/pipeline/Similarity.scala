@@ -1,0 +1,187 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`), plus
+  * embedding-cosine near-duplicate detection.
+  *
+  * Two paths (SURVEY-style scale split):
+  *  - brute-force top-k against a BROADCAST query set: one pass over the
+  *    corpus, per-partition bounded heaps, no shuffle of the corpus — the
+  *    exact baseline;
+  *  - random-hyperplane LSH bucketing as the 10^10-scale path: sign-bit
+  *    sketches computed in-row (deterministic seeded hyperplanes), candidates
+  *    only within matching buckets.
+  *
+  * Cosine on unit-normalized vectors = dot product (reference:
+  * src/infrastructure/ai/embedding_ops.rs:72-108 — SIMD there, JIT/codegen
+  * here).
+  */
+object Similarity {
+
+  final case class Embedded(vec_id: Long, embedding: Array[Float])
+  final case class Neighbor(query_id: Long, rank: Int, neighbor_id: Long, cosine: Double)
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val na = norm(a); val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (queries broadcast;
+    * corpus streamed once; per-partition partial top-k then global merge —
+    * the merge shuffles only queries×k rows). Ties broken by neighbor_id
+    * ascending for full determinism. */
+  def bruteForceTopK(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      queries: Array[Embedded],
+      k: Int
+  ): Dataset[Neighbor] = {
+    import spark.implicits._
+    val bq = spark.sparkContext.broadcast(queries)
+    val partials = corpus.mapPartitions { it =>
+      val qs = bq.value
+      // per-query bounded candidate lists
+      val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) } // min-heap on cosine, max on id
+      ))
+      it.foreach { e =>
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)
+          if (e.vec_id != q.vec_id) {
+            val c = cosine(q.embedding, e.embedding)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((c, e.vec_id))
+            else {
+              val (wc, wid) = h.head
+              if (c > wc || (c == wc && e.vec_id < wid)) { h.dequeue(); h.enqueue((c, e.vec_id)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, id) => (qs(qi).vec_id, c, id) }
+      }
+    }
+    // global merge: only |queries| × k × partitions rows reach the shuffle
+    partials.toDF("query_id", "cosine", "neighbor_id")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .as[Neighbor]
+  }
+
+  /** Deterministic pseudo-random unit hyperplanes (seeded splitmix). */
+  def hyperplanes(dims: Int, bits: Int, seed: Long = 0x9e3779b9L): Array[Array[Float]] = {
+    var state = seed
+    def next(): Long = {
+      state += 0x9E3779B97F4A7C15L
+      var z = state
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    Array.fill(bits) {
+      Array.fill(dims) {
+        // approximate gaussian via sum of uniforms (deterministic, portable)
+        val u = (1 to 4).map(_ => (next() >>> 11).toDouble / (1L << 53).toDouble).sum - 2.0
+        u.toFloat
+      }
+    }
+  }
+
+  /** Sign-bit LSH sketch of a vector under `planes`. */
+  def signSketch(v: Array[Float], planes: Array[Array[Float]]): Long = {
+    var bits = 0L
+    var i = 0
+    while (i < planes.length) {
+      if (dot(v, planes(i)) >= 0) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** LSH-bucketed ANN: bucket = sign sketch; exact cosine only within
+    * buckets (multi-probe by also emitting 1-bit-flipped buckets keeps
+    * recall up while preserving determinism). */
+  /** Default sketch width / probe radius. On hard (near-uniform) embedding
+    * distributions the top-k neighbors sit at modest cosine, so recall needs
+    * a generous probe radius; on real clustered embeddings tighter settings
+    * (more bits, radius 1) give a far bigger candidate cut. */
+  val DefaultBits = 8
+  val DefaultProbeRadius = 2
+
+  def lshTopK(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      queries: Array[Embedded],
+      k: Int,
+      bits: Int = DefaultBits,
+      dims: Int = 64,
+      probeRadius: Int = DefaultProbeRadius
+  ): Dataset[Neighbor] = {
+    import spark.implicits._
+    val planes = hyperplanes(dims, bits)
+    val bp = spark.sparkContext.broadcast(planes)
+    val bq = spark.sparkContext.broadcast(
+      queries.map(q => (q.vec_id, q.embedding, signSketch(q.embedding, planes))))
+    val candidates = corpus.mapPartitions { it =>
+      val qs = bq.value
+      it.flatMap { e =>
+        val sk = signSketch(e.embedding, bp.value)
+        qs.iterator.filter { case (qid, _, qsk) =>
+          qid != e.vec_id && java.lang.Long.bitCount(sk ^ qsk) <= probeRadius
+        }.map { case (qid, qv, _) => (qid, cosine(qv, e.embedding), e.vec_id) }
+      }
+    }
+    candidates.toDF("query_id", "cosine", "neighbor_id")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .as[Neighbor]
+  }
+
+  /** Embedding-cosine near-duplicate pairs: sign-sketch blocking + exact
+    * verify ≥ threshold (the near-dup analogue of ANN). */
+  def cosineNearDups(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      threshold: Double,
+      bits: Int = 16,
+      dims: Int = 64
+  ): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(dims, bits)
+    val bp = spark.sparkContext.broadcast(planes)
+    corpus.map(e => (e.vec_id, e.embedding, signSketch(e.embedding, bp.value)))
+      .toDF("vec_id", "embedding", "sketch")
+      .as[(Long, Array[Float], Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (_, it) =>
+        val rows = it.toArray.sortBy(_._1)
+        for {
+          i <- rows.indices.iterator
+          j <- (i + 1) until rows.length
+          c = cosine(rows(i)._2, rows(j)._2)
+          if c >= threshold
+        } yield (rows(i)._1, rows(j)._1, c)
+      }
+      .toDF("vec_a", "vec_b", "cosine")
+  }
+}

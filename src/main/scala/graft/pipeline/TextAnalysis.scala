@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines, over the `documents`
+  * table. All hot paths are Column expressions (whole-stage codegen; zero
+  * UDFs) with exact integer/string outputs so the DuckDB oracle matches
+  * bit-for-bit. Marker counting uses higher-order array functions
+  * (`filter` on split words) — exact in both engines, no substring-overlap
+  * ambiguity.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** Exact dedup by content hash (the dedup family's baseline:
+    * hash-groupBy; reference analogue: seen-set membership SURVEY §2.4). */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min("doc_id").as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("text_md5")
+
+  val exactDedupSql: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY text_md5""".stripMargin
+
+  /** Per-document quality stats: chars, tokens, distinct tokens — the
+    * length/stopword-ratio family (metadata.rs:85-97 word count) as pure
+    * column expressions. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).as("n_uniq_tokens"))
+      .orderBy("doc_id")
+
+  val docQualitySql: String =
+    """SELECT doc_id,
+      |  length(text) AS n_chars_m,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Token counting per source corpus (BPE-ish budget accounting). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("source")
+
+  val tokenCountSql: String =
+    """SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens, count(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Reading-time histogram (metadata.rs:92-97: ceil(words/200), min 1). */
+  def readingTime(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(greatest(ceil(size(split(col("text"), " ")) / 200.0), lit(1)).cast("long").as("minutes"))
+      .groupBy("minutes")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("minutes")
+
+  val readingTimeSql: String =
+    """SELECT minutes, count(*) AS n_docs FROM (
+      |  SELECT CAST(greatest(ceil(len(string_split(text, ' ')) / 200.0), 1) AS BIGINT) AS minutes
+      |  FROM documents)
+      |GROUP BY minutes ORDER BY minutes""".stripMargin
+
+  /** Marker-word language/topic scoring — the SQL-expressible shape of the
+    * engine's detector (TextKit.detectLanguage): count exact word hits per
+    * marker set, argmax with deterministic tie-break. */
+  private val sqlMarkers = Map(
+    "sql" -> Seq("join", "query", "table", "filter"),
+    "stream" -> Seq("window", "batch", "stream"),
+    "ml" -> Seq("vector", "data", "row"))
+
+  private def hitCount(markers: Seq[String]) = {
+    val words = split(col("text"), " ")
+    markers.map(m => size(filter(words, w => w === lit(m)))).reduce(_ + _)
+  }
+
+  def topicClass(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(col("doc_id"),
+      hitCount(sqlMarkers("sql")).as("s_sql"),
+      hitCount(sqlMarkers("stream")).as("s_stream"),
+      hitCount(sqlMarkers("ml")).as("s_ml"))
+    scored.select(col("doc_id"), col("s_sql"), col("s_stream"), col("s_ml"),
+      when(col("s_sql") >= col("s_stream") && col("s_sql") >= col("s_ml"), "sql")
+        .when(col("s_stream") >= col("s_ml"), "stream")
+        .otherwise("ml").as("topic"))
+      .orderBy("doc_id")
+  }
+
+  val topicClassSql: String = {
+    def cnt(markers: Seq[String]) =
+      markers.map(m => s"len(list_filter(string_split(text, ' '), w -> w = '$m'))").mkString(" + ")
+    s"""SELECT doc_id, s_sql, s_stream, s_ml,
+       |  CASE WHEN s_sql >= s_stream AND s_sql >= s_ml THEN 'sql'
+       |       WHEN s_stream >= s_ml THEN 'stream'
+       |       ELSE 'ml' END AS topic
+       |FROM (SELECT doc_id,
+       |  ${cnt(sqlMarkers("sql"))} AS s_sql,
+       |  ${cnt(sqlMarkers("stream"))} AS s_stream,
+       |  ${cnt(sqlMarkers("ml"))} AS s_ml
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Language distribution of the corpus (stored labels). */
+  def langDistribution(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("lang")
+
+  val langDistributionSql: String =
+    """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Embedding component stats — exact integer outputs over float vectors
+    * (sign counts are engine-independent; sums are not). */
+  def embeddingStats(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dims"),
+        size(filter(col("embedding"), x => x > 0f)).as("n_pos"))
+      .orderBy("vec_id")
+
+  val embeddingStatsSql: String =
+    """SELECT vec_id, label, len(embedding) AS dims,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+}

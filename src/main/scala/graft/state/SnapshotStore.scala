@@ -24,18 +24,22 @@ final class SnapshotStore(root: String) {
 
   def init(): Unit = Files.createDirectories(Paths.get(root))
 
-  /** Commit a wave: write tables, then manifest, then atomically flip CURRENT. */
+  /** Commit a wave: write the full frontier plus only the seen-set DELTA
+    * (this wave's newly-visited canonical urls), then manifest, then
+    * atomically flip CURRENT. Deltas keep the per-wave write O(wave) instead
+    * of O(total-seen) — the same trick as Iceberg manifest lists; `loadSeen`
+    * reads the union of all committed delta files. */
   def commit(
       spark: SparkSession,
       wave: Int,
       frontier: DataFrame,
-      seen: DataFrame,
+      seenDelta: DataFrame,
       fetchedTotal: Long,
       runId: String
   ): Unit = {
     val dir = snapDir(wave)
     frontier.write.mode("overwrite").parquet(s"$dir/frontier.parquet")
-    seen.write.mode("overwrite").parquet(s"$dir/seen.parquet")
+    seenDelta.write.mode("overwrite").parquet(s"$dir/seen-delta.parquet")
     val manifest =
       s"""{"wave": $wave, "fetchedTotal": $fetchedTotal, "runId": "$runId"}"""
     Files.write(Paths.get(dir, "manifest.json"), manifest.getBytes(StandardCharsets.UTF_8))
@@ -63,6 +67,10 @@ final class SnapshotStore(root: String) {
   def loadFrontier(spark: SparkSession, wave: Int): DataFrame =
     spark.read.parquet(s"${snapDir(wave)}/frontier.parquet")
 
-  def loadSeen(spark: SparkSession, wave: Int): DataFrame =
-    spark.read.parquet(s"${snapDir(wave)}/seen.parquet")
+  /** Union of all seen-set deltas committed up to and including `wave`. */
+  def loadSeen(spark: SparkSession, wave: Int): DataFrame = {
+    val paths = (0 to wave).map(w => s"${snapDir(w)}/seen-delta.parquet")
+      .filter(p => Files.exists(Paths.get(p)))
+    spark.read.parquet(paths: _*)
+  }
 }

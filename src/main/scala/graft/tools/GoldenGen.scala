@@ -51,8 +51,8 @@ object GoldenGen {
     Files.write(dir.resolve("crawl_order.txt"), orderLines.mkString("\n").getBytes(UTF_8))
 
     // seen set, sorted
-    val seenDir = stateDir
-    val seen = spark.read.parquet(s"$seenDir/snap-${summary.waves - 1}/seen.parquet")
+    val seen = new graft.state.SnapshotStore(stateDir)
+      .loadSeen(spark, summary.waves - 1)
       .collect().map(_.getString(0)).sorted
     Files.write(dir.resolve("seen.txt"), seen.mkString("\n").getBytes(UTF_8))
 

@@ -1,0 +1,58 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.Bench
+
+/** N-vs-4N scaling evidence (BASELINE.md target: ≥0.8 throughput scaling
+  * efficiency from N to 4N executors; sandbox proxy per driver instruction:
+  * the SAME job + SAME input at local[N] and local[4N]).
+  *
+  * The corpus is generated once to parquet; each measurement is a fresh
+  * SparkSession that reads it cold. Efficiency =
+  * (pagesPerSec_4N / pagesPerSec_N) / 4.
+  *
+  * usage: runMain graft.tools.ScalingBench [N] (default 8 → compares 8 vs 32)
+  */
+object ScalingBench {
+
+  def withSession[T](cores: Int)(f: SparkSession => T): T = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try f(spark)
+    finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 8
+    val n4 = n * 4
+
+    // build the input table once (deterministic — any session writes the same bytes)
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-scaling-corpus").toString + "/pages"
+    withSession(n4)(spark => graft.gen.CorpusGen.writeParquet(spark, Bench.waveSpec, corpusPath, partitions = n4 * 2))
+
+    def measure(cores: Int): (Long, Double) =
+      withSession(cores)(spark => Bench.megaWaveOnce(spark, corpusPath))
+
+    measure(n4) // JIT/page-cache warmup run (discarded)
+    // interleaved median-of-3 — the sandbox host has noisy neighbors
+    val runs = (1 to 3).map(_ => (measure(n), measure(n4)))
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val pagesN = runs.head._1._1
+    val pages4N = runs.head._2._1
+    val secsN = median(runs.map(_._1._2))
+    val secs4N = median(runs.map(_._2._2))
+    require(pagesN == pages4N, s"determinism violated: $pagesN vs $pages4N pages")
+
+    val ppsN = pagesN / secsN
+    val pps4N = pages4N / secs4N
+    val efficiency = (pps4N / ppsN) / 4.0
+    println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"n4_cores":$n4,"pages":$pagesN,"pages_per_sec_n":$ppsN%.1f,"pages_per_sec_4n":$pps4N%.1f,"secs_n":$secsN%.1f,"secs_4n":$secs4N%.1f}""")
+  }
+}

