@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.pipeline.{CrawlQueries, Dedup, DedupQueries, Relational, TextAnalysis}
+import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -44,6 +44,11 @@ object SparkEntry {
     "q_ann_topk" -> (DedupQueries.annTopK _),
     "q_ann_lsh" -> (DedupQueries.annLsh _),
     "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),
+    // --- export validation / relevance / multimodal ---
+    "q_vector_validate" -> (ExportQueries.vectorValidate _),
+    "q_relevance_filter" -> (ExportQueries.relevanceFilter _),
+    "q_chunk_validate" -> (ExportQueries.chunkValidate _),
+    "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
     // --- crawl surface (deterministic; golden-gated) ---
     "q_crawl_order" -> (CrawlQueries.crawlOrder _),
     "q_crawl_pages" -> (CrawlQueries.crawlPages _),
@@ -73,6 +78,7 @@ object SparkEntry {
     "q_reading_time" -> TextAnalysis.readingTimeSql,
     "q_topic_class" -> TextAnalysis.topicClassSql,
     "q_lang_distribution" -> TextAnalysis.langDistributionSql,
-    "q_embedding_stats" -> TextAnalysis.embeddingStatsSql
+    "q_embedding_stats" -> TextAnalysis.embeddingStatsSql,
+    "q_vector_validate" -> ExportQueries.vectorValidateSql
   )
 }

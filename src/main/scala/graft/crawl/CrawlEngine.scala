@@ -99,6 +99,7 @@ object CrawlEngine {
       resume: Boolean = false,
       waveLimit: Int = 1000,
       writeOutputs: Boolean = true,
+      prePartitionPages: Boolean = true,
       log: String => Unit = _ => ()
   ): CrawlSummary = {
     import spark.implicits._
@@ -113,19 +114,27 @@ object CrawlEngine {
 
     // ---- pages table prep: canonical key + explicit co-partitioning --------
     // (SURVEY §4.1: frontier⋈pages repeats every wave; pre-hash-partitioning
-    // the big side means only the wave-sized side ever shuffles.)
-    val prepared = pages
+    // + caching the big side means only the wave-sized side ever shuffles on
+    // waves ≥ 1. For single-wave jobs — a saturated frontier — the
+    // repartition+cache is pure overhead, so it's switchable: the join then
+    // shuffles the pages side exactly once, inside the measured dataflow.)
+    val preparedBase = pages
       .withColumn("canonicalUrl", canonUdf(col("url")))
       .filter(col("canonicalUrl").isNotNull)
       .select(col("canonicalUrl"), col("url").as("servedUrl"), col("warc_ts").as("warcTs"),
         col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
-      .repartition(shufflePartitions, col("canonicalUrl"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val prepared =
+      if (prePartitionPages)
+        preparedBase.repartition(shufflePartitions, col("canonicalUrl"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+      else preparedBase
 
     // ---- robots rules: tiny per-host payload → driver parse + broadcast ----
-    val robotsRows = prepared
-      .filter(col("canonicalUrl").endsWith("/robots.txt"))
-      .select(col("canonicalUrl"), col("html"))
+    // (scans the raw input, not `prepared`, so single-wave runs never force
+    // the prepared pipeline twice)
+    val robotsRows = pages.toDF()
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(col("url"), col("html"))
       .collect()
     val robotsMap: Map[String, Robots.Rules] = robotsRows.flatMap { r =>
       val url = r.getString(0)
@@ -137,8 +146,9 @@ object CrawlEngine {
 
     // ---- seed frontier (canonicalized on executors — seed lists can be
     // sitemap-scale, SURVEY §2.1) --------------------------------------------
-    val seedDs = spark.createDataset(config.seeds)
-      .flatMap(s => UrlKernel.canonicalize(s).map(c => entryFor(c, s, 0, "")))
+    val seedDs = Frontier.dedupeWave(spark,
+      spark.createDataset(config.seeds)
+        .flatMap(s => UrlKernel.canonicalize(s).map(c => entryFor(c, s, 0, ""))))
     val seedHosts = config.seeds
       .flatMap(s => UrlKernel.canonicalize(s).flatMap(UrlKernel.extractDomain)).toSet
     val bcSeedHosts = spark.sparkContext.broadcast(seedHosts)
@@ -321,7 +331,11 @@ object CrawlEngine {
           val leftovers = frontierPersisted
             .join(selected.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
             .as[FrontierEntry]
-          val combined = Frontier.dedupeWave(spark, leftovers.union(newLinkEntries))
+          // frontier entries are unique per canonical (invariant below), so
+          // the dedupe shuffle only runs when new links joined the pool
+          val combined =
+            if (linkGenActive) Frontier.dedupeWave(spark, leftovers.union(newLinkEntries))
+            else leftovers
           val nextFrontier = Frontier.newOnly(spark, combined, newSeen, seenCount)
 
           // -- snapshot commit (frontier full, seen as delta) ---------------

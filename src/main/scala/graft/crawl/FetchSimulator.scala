@@ -1,0 +1,74 @@
+package graft.crawl
+
+/** Table-driven simulation of the reference's HTTP retry ladder
+  * (src/application/http_client/client.rs:163-384 and
+  * src/infrastructure/crawler/retry_policy.rs:21-80): per-(url, attempt) a
+  * deterministic status, the retry schedule that follows, and the final
+  * outcome + simulated latency. Real fetching is out of scope (zero-egress);
+  * the scheduler-visible behavior — attempts consumed, backoff budget,
+  * terminal status — is what downstream operators consume.
+  */
+object FetchSimulator {
+
+  /** Retry policy constants (retry_policy.rs:30-37; http_client/config.rs:45-47). */
+  val MaxAttempts = 3
+  val BaseBackoffMs = 1000L
+  val MaxBackoffMs = 10000L
+
+  /** Exponential backoff for attempt n (1-based): base × 2^(n−1), capped. */
+  def backoffMs(attempt: Int): Long =
+    math.min(BaseBackoffMs * (1L << math.max(attempt - 1, 0)), MaxBackoffMs)
+
+  /** Deterministic per-(url, attempt) status. Distribution mirrors a crawl's
+    * long tail: mostly 200; sprinkled 403 (UA-rotate once), 429
+    * (Retry-After), 5xx (backoff), and hard 404. Transient failures succeed
+    * on a later attempt when the hash says so. */
+  def statusFor(url: String, attempt: Int): Int = {
+    val h = CrawlEngine.urlHash(s"$url#a$attempt")
+    val bucket = java.lang.Long.remainderUnsigned(h, 100L)
+    val firstBucket = java.lang.Long.remainderUnsigned(CrawlEngine.urlHash(url), 100L)
+    firstBucket match {
+      case b if b < 80 => 200 // stable pages
+      case b if b < 85 => if (attempt >= 2) 200 else 503 // transient 5xx, recovers
+      case b if b < 89 => if (attempt >= 2) 200 else 429 // rate-limited, recovers
+      case b if b < 92 => if (attempt >= 2 && bucket < 50) 200 else 403 // UA-rotate maybe helps
+      case b if b < 96 => 404 // gone
+      case _           => 503 // persistently down
+    }
+  }
+
+  final case class FetchOutcome(
+      url: String,
+      attempts: Int,
+      finalStatus: Int,
+      success: Boolean,
+      totalBackoffMs: Long,
+      uaRotated: Boolean)
+
+  /** Walk the retry ladder for one url (client.rs:163-384 semantics):
+    * 2xx → done; 403 → rotate UA once then retry; 429/5xx → backoff+retry;
+    * 404/410 → terminal, no retry; attempts capped at MaxAttempts. */
+  def simulate(url: String): FetchOutcome = {
+    var attempt = 1
+    var backoff = 0L
+    var uaRotated = false
+    while (attempt <= MaxAttempts) {
+      val status = statusFor(url, attempt)
+      status match {
+        case s if s >= 200 && s < 300 =>
+          return FetchOutcome(url, attempt, s, success = true, backoff, uaRotated)
+        case 404 | 410 =>
+          return FetchOutcome(url, attempt, status, success = false, backoff, uaRotated)
+        case 403 =>
+          if (uaRotated) // second 403: give up (one rotation only)
+            return FetchOutcome(url, attempt, 403, success = false, backoff, uaRotated)
+          uaRotated = true
+          backoff += backoffMs(attempt)
+        case _ => // 429 / 5xx → backoff and retry
+          backoff += backoffMs(attempt)
+      }
+      attempt += 1
+    }
+    FetchOutcome(url, MaxAttempts, statusFor(url, MaxAttempts), success = false, backoff, uaRotated)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.extract
+
+import HtmlKit.{Elem, Node, TextNode}
+
+/** HTML → Markdown conversion — the reference pipeline
+  * clean_html → html-to-markdown (ATX headings, fenced code) → fallback
+  * (src/infrastructure/converter/html_to_markdown.rs:26-41). Deterministic
+  * spec over the same mini-DOM as the rest of the extract stage.
+  */
+object Markdown {
+
+  /** Convert (already-cleaned or raw) HTML to markdown; falls back to the
+    * line-trim-join text on conversion failure (empty result). */
+  def htmlToMarkdown(html: String): String = {
+    val cleaned = HtmlKit.clean(HtmlKit.parse(html))
+    val md = render(cleaned).replaceAll("\n{3,}", "\n\n").trim
+    if (md.nonEmpty) md else HtmlKit.fallbackText(html)
+  }
+
+  private def render(root: Elem): String = {
+    val sb = new StringBuilder
+    def inline(n: Node): String = n match {
+      case TextNode(t) => t
+      case e: Elem =>
+        val inner = e.children.map(inline).mkString
+        e.tag match {
+          case "a" =>
+            val href = e.attr("href").getOrElse("")
+            if (href.nonEmpty) s"[$inner]($href)" else inner
+          case "strong" | "b" => s"**$inner**"
+          case "em" | "i"     => s"*$inner*"
+          case "code"         => s"`$inner`"
+          case "img" =>
+            val alt = e.attr("alt").getOrElse("")
+            val src = e.attr("src").getOrElse("")
+            if (src.nonEmpty) s"![$alt]($src)" else ""
+          case "br" => "\n"
+          case _    => inner
+        }
+    }
+    def block(n: Node, listDepth: Int): Unit = n match {
+      case TextNode(t) => if (t.trim.nonEmpty) sb.append(t.trim).append("\n\n")
+      case e: Elem =>
+        e.tag match {
+          case h if h.length == 2 && h(0) == 'h' && h(1).isDigit && h(1) > '0' && h(1) <= '6' =>
+            sb.append("#" * (h(1) - '0')).append(' ').append(e.children.map(inline).mkString.trim).append("\n\n")
+          case "p" =>
+            val t = e.children.map(inline).mkString.trim
+            if (t.nonEmpty) sb.append(t).append("\n\n")
+          case "pre" =>
+            sb.append("```\n").append(e.children.map(inline).mkString.stripLineEnd).append("\n```\n\n")
+          case "blockquote" =>
+            val t = e.children.map(inline).mkString.trim
+            if (t.nonEmpty) sb.append("> ").append(t).append("\n\n")
+          case "ul" | "ol" =>
+            var idx = 1
+            e.children.foreach {
+              case li: Elem if li.tag == "li" =>
+                val marker = if (e.tag == "ol") s"$idx. " else "- "
+                sb.append("  " * listDepth).append(marker)
+                  .append(li.children.map(inline).mkString.trim).append('\n')
+                idx += 1
+              case _ =>
+            }
+            sb.append('\n')
+          case "hr" => sb.append("---\n\n")
+          case _    => e.children.foreach(c => block(c, listDepth))
+        }
+    }
+    root.children.foreach(c => block(c, 0))
+    sb.toString
+  }
+}

@@ -1,0 +1,102 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, processed in batched per-partition passes.
+  *
+  * The decode step is STUBBED with a deterministic fake codec (no
+  * image/audio libraries ship in this container — see the builder brief);
+  * everything Spark-side is real and tested: the schema, the partitioning,
+  * the batch shape (one decoder instance per partition, amortized setup —
+  * the same shape a Pandas-UDF/mapInPandas or JNI decoder slots into), and
+  * the feature pipeline downstream of decode.
+  */
+object Multimodal {
+
+  /** A media row: payload + typed metadata (mirrors `DownloadedAsset`,
+    * reference src/domain/entities.rs:133-142, upgraded with binary payload). */
+  final case class MediaRow(
+      media_id: Long,
+      kind: String, // image | audio | video
+      payload: Array[Byte],
+      width: Int,
+      height: Int,
+      sampleRate: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      kind: String,
+      n_bytes: Long,
+      sha256: String,
+      byteHistogram: Array[Float], // 16-bucket normalized histogram
+      thumbnailMean: Double) // stubbed decode output
+
+  /** Deterministic fake payload for media_id (stands in for real bytes). */
+  def fakePayload(id: Long, kind: String, len: Int = 256): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var x = id * 0x9E3779B97F4A7C15L + kind.hashCode
+    var i = 0
+    while (i < len) {
+      x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+      out(i) = (x & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** STUB decoder: a real build replaces this with an image/audio codec
+    * (javax.imageio / ffmpeg JNI / a Pandas UDF via mapInPandas on PySpark).
+    * Deterministic: "decodes" the payload into a pseudo-pixel mean. */
+  final class StubDecoder {
+    def decodeMean(payload: Array[Byte]): Double = {
+      var s = 0L
+      payload.foreach(b => s += (b & 0xff))
+      if (payload.isEmpty) 0.0 else s.toDouble / payload.length / 255.0
+    }
+  }
+
+  /** Batched feature extraction: ONE decoder per partition (amortized init —
+    * the property that matters when the decoder is an ONNX session or codec
+    * context), streaming rows through it. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder // per-partition init, NOT per-row
+      it.map { m =>
+        val hist = new Array[Float](16)
+        m.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+        val n = math.max(m.payload.length, 1)
+        var i = 0
+        while (i < 16) { hist(i) /= n; i += 1 }
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+          graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(m.payload)),
+          hist, decoder.decodeMean(m.payload))
+      }
+    }
+  }
+
+  /** Synthetic media table derived from the embeddings ids (deterministic). */
+  def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long"))
+      .as[Long]
+      .map { id =>
+        val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
+        MediaRow(id, kind, fakePayload(id, kind), 64 + (id % 16).toInt * 8,
+          48 + (id % 12).toInt * 8, if (kind == "audio") 16000 else 0)
+      }
+  }
+
+  /** The media-features query (deterministic; rows-only driver check). */
+  def mediaFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    extractFeatures(spark, mediaTable(spark, dir))
+      .map(f => (f.media_id, f.kind, f.n_bytes, f.sha256,
+        math.round(f.thumbnailMean * 1000000))) // exact long output
+      .toDF("media_id", "kind", "n_bytes", "payload_sha256", "decode_mean_micro")
+      .orderBy("media_id")
+  }
+}

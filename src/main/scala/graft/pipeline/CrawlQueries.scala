@@ -53,6 +53,10 @@ object CrawlQueries {
       .select("id", "url", "chunkIndex", "wordCount", "lang")
       .orderBy("url", "chunkIndex")
 
+  /** Full chunk rows incl. content (for validation/export stages). */
+  def crawlChunksFull(spark: SparkSession, dir: String): DataFrame =
+    CrawlEngine.readChunks(spark, crawlState(spark))
+
   def crawlMetrics(spark: SparkSession, dir: String): DataFrame =
     CrawlEngine.readMetrics(spark, crawlState(spark))
       .select("wave", "host", "fetched", "errors", "htmlBytes", "textBytes",

@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sinks.Exporters
+
+/** Export-validation and relevance-filter queries (SURVEY §2.2, §2.5). */
+object ExportQueries {
+
+  /** Vector-export validation flags (vector_exporter.rs dims + NaN gates) —
+    * exact boolean/int outputs, oracle-backed. */
+  def vectorValidate(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"),
+        (size(col("embedding")) === 64).as("dim_ok"),
+        (!exists(col("embedding"), x => isnan(x))).as("no_nan"))
+      .orderBy("vec_id")
+
+  val vectorValidateSql: String =
+    """SELECT vec_id,
+      |  len(embedding) = 64 AS dim_ok,
+      |  len(list_filter(embedding, x -> isnan(x))) = 0 AS no_nan
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** AI relevance filter (relevance_scorer.rs:23-120: cosine vs a broadcast
+    * reference embedding, keep > 0.3). Reference vector = vec_id 0. */
+  def relevanceFilter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[Similarity.Embedded]
+    val ref = corpus.filter(_.vec_id == 0L).head().embedding
+    val bc = spark.sparkContext.broadcast(ref)
+    corpus
+      .map(e => (e.vec_id, Similarity.cosine(bc.value, e.embedding)))
+      .filter(_._2 > 0.3)
+      .map { case (id, c) => (id, math.round(c * 1000000)) }
+      .toDF("vec_id", "cosine_micro")
+      .orderBy("vec_id")
+  }
+
+  /** Chunk validation (Draft→Validated typestate as a filter stage,
+    * entities.rs:391-430) over the crawl's chunk output: per-url counts of
+    * valid chunks after the emptiness/url gates. */
+  def chunkValidate(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = CrawlQueries.crawlChunksFull(spark, dir)
+    val (valid, _) = Exporters.validateChunks(chunks)
+    valid.groupBy("url")
+      .agg(count(lit(1)).as("n_valid_chunks"), sum("wordCount").as("total_words"))
+      .orderBy("url")
+  }
+}

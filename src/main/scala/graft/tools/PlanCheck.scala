@@ -1,0 +1,86 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.pipeline.Relational
+
+/** Physical-plan inspection: asserts the plans we designed for are the plans
+  * Catalyst actually produces — parquet predicate pushdown + column pruning
+  * on the scan, broadcast joins on dims, no sort-merge join on the crawl
+  * fetch path. Prints the formatted plans and a PASS/FAIL line per check.
+  *
+  * usage: runMain graft.tools.PlanCheck [sfDir]
+  */
+object PlanCheck {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-plan-check")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    var failures = 0
+    def check(name: String, cond: Boolean, detail: String): Unit = {
+      println(s"${if (cond) "PASS" else "FAIL"}  $name — $detail")
+      if (!cond) failures += 1
+    }
+
+    // 1. filter + projection pushdown reach the parquet scan
+    val q6 = Relational.filterPushdown(spark, sfDir)
+    val q6Plan = q6.queryExecution.executedPlan.toString
+    check("q_filter_pushdown/PushedFilters",
+      q6Plan.contains("PushedFilters: [") && q6Plan.contains("IsNotNull(l_shipdate)"),
+      "shipdate/discount/quantity predicates pushed to parquet")
+    check("q_filter_pushdown/ReadSchema-pruned",
+      "l_extendedprice|l_discount|l_quantity|l_shipdate".r.findAllIn(
+        q6Plan.split("ReadSchema").last).size <= 5 &&
+        !q6Plan.split("ReadSchema").last.contains("l_orderkey"),
+      "scan reads only the 4 needed columns")
+
+    // 2. dim joins broadcast
+    val jb = Relational.joinBroadcast(spark, sfDir)
+    val jbPlan = jb.queryExecution.executedPlan.toString
+    check("q_join_broadcast/BroadcastHashJoin",
+      jbPlan.contains("BroadcastHashJoin"), "customer dim is broadcast")
+
+    val jm = Relational.joinMulti(spark, sfDir)
+    val jmPlan = jm.queryExecution.executedPlan.toString
+    check("q_join_multi/two-broadcasts",
+      "BroadcastHashJoin".r.findAllIn(jmPlan).size >= 2,
+      "customer and nation broadcast; lineitem⋈orders shuffles")
+
+    // 3. whole-stage codegen covers the agg pipeline (AQE finalizes the
+    // plan only after execution, so run it first)
+    val aggQ = Relational.aggPricing(spark, sfDir)
+    aggQ.collect()
+    check("q_agg_pricing/WholeStageCodegen",
+      aggQ.queryExecution.executedPlan.toString.contains("*("),
+      "agg runs inside codegen stages")
+
+    // 4. crawl fetch join: shuffled-hash, never sort-merge on the html side
+    val spec = graft.gen.CorpusGen.Spec(2, 10)
+    import spark.implicits._
+    val pages = graft.gen.CorpusGen.dataset(spark, spec)
+    val prepared = pages
+      .withColumnRenamed("url", "u")
+      .selectExpr("u as canonicalUrl", "html")
+    val wave = Seq("https://site0.com", "https://site1.com").toDF("canonicalUrl")
+    val fetchPlan = prepared.join(wave.hint("shuffle_hash"), Seq("canonicalUrl"), "inner")
+      .queryExecution.executedPlan.toString
+    check("fetch-join/ShuffledHashJoin",
+      fetchPlan.contains("ShuffledHashJoin") && !fetchPlan.contains("SortMergeJoin"),
+      "html side streamed, never sorted")
+
+    println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
+    // full plans for the record
+    println("\n=== q_filter_pushdown plan ===")
+    q6.explain("formatted")
+    println("\n=== q_join_multi plan ===")
+    jm.explain("formatted")
+    spark.stop()
+    if (failures > 0) sys.exit(1)
+  }
+}

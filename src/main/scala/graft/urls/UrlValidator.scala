@@ -1,0 +1,49 @@
+package graft.urls
+
+/** URL validation predicates — reference:
+  * src/infrastructure/crawler/url_validator.rs.
+  */
+object UrlValidator {
+
+  /** Only http/https survive (url_validator.rs:75-80). */
+  def hasValidScheme(url: String): Boolean =
+    UrlKernel.parse(url).exists(p => p.scheme == "http" || p.scheme == "https")
+
+  /** Site-specific heuristic kept as a pluggable predicate
+    * (url_validator.rs:50-83): rejects Node.js release-style URLs with a
+    * bogus major version (> 99), e.g. /download/release/v100.0.0/. */
+  private val NodeReleaseRe = ".*/v(\\d+)\\.\\d+\\.\\d+(/.*)?$".r
+
+  def isInvalidPattern(url: String): Boolean =
+    UrlKernel.parse(url).exists { p =>
+      p.path match {
+        case NodeReleaseRe(major, _) => major.toInt > 99
+        case _                       => false
+      }
+    }
+
+  sealed trait ValidationResult
+  case object Valid extends ValidationResult
+  final case class Invalid(reason: String) extends ValidationResult
+  final case class NeedsRedirect(location: String) extends ValidationResult
+
+  /** HTTP status classification (url_validator.rs:86-114): 2xx Valid;
+    * 301/302/307/308 NeedsRedirect(location); 404/410 Invalid; other 4xx/5xx
+    * Invalid with the code. Table-driven fetch supplies the status column. */
+  def classifyStatus(status: Int, location: Option[String]): ValidationResult =
+    status match {
+      case s if s >= 200 && s < 300              => Valid
+      case 301 | 302 | 307 | 308                 => NeedsRedirect(location.getOrElse(""))
+      case 404 | 410                             => Invalid("not_found")
+      case s                                     => Invalid(s"http_$s")
+    }
+
+  /** Sitemap relevance filter (crawler_service.rs:863-891): keep URLs whose
+    * path starts with the target path. */
+  def isRelevantToPath(url: String, targetPath: String): Boolean =
+    UrlKernel.parse(url).exists(_.path.startsWith(targetPath))
+
+  /** Max-response-size guard (sitemap_parser.rs:237-255: 50 MB stream cap). */
+  val MaxResponseBytes: Long = 50L * 1024 * 1024
+  def withinSizeCap(bodyBytes: Long): Boolean = bodyBytes <= MaxResponseBytes
+}

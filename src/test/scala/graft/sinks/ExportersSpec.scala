@@ -1,0 +1,106 @@
+package graft.sinks
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Compression
+
+class ExportersSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-export-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("validateVectors: dims mismatch, NaN, Inf, null rejected with reasons") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 2f, 3f)),
+      (2L, Array(1f, 2f)), // wrong dims
+      (3L, Array(1f, Float.NaN, 3f)), // NaN
+      (4L, Array(1f, Float.PositiveInfinity, 3f)), // Inf
+      (5L, Array(0f, 0f, 0f))
+    ).toDF("id", "vec")
+    val (ok, rejected) = Exporters.validateVectors(df, "vec", dims = 3)
+    assert(ok.select("id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 5L))
+    val reasons = rejected.select("id", "_reject_reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(reasons(2L) == "dimension_mismatch")
+    assert(reasons(3L) == "nan_component")
+    assert(reasons(4L) == "inf_component")
+  }
+
+  test("validateChunks splits empty content / missing url") {
+    import spark.implicits._
+    val df = Seq(
+      ("c1", "https://a/1", "real content here"),
+      ("c2", "https://a/2", "   "),
+      ("c3", "", "content")
+    ).toDF("id", "url", "content")
+    val (valid, invalid) = Exporters.validateChunks(df)
+    assert(valid.count() == 1)
+    assert(invalid.count() == 2)
+  }
+
+  test("writeJsonl produces one JSON object per line, append-able") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/out"
+    val df = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    Exporters.writeJsonl(df, dir)
+    Exporters.writeJsonl(df, dir) // append
+    val lines = spark.read.textFile(dir).collect()
+    assert(lines.length == 4)
+    assert(lines.forall(l => l.startsWith("{") && l.endsWith("}")))
+  }
+
+  test("writeVectors records dims metadata and filters invalid rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
+    val df = Seq((1L, Array(1f, 2f)), (2L, Array(1f, Float.NaN)), (3L, Array(1f, 2f, 3f)))
+      .toDF("id", "vec")
+    val n = Exporters.writeVectors(spark, df, "vec", dims = 2, dir)
+    assert(n == 1)
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "metadata.json")), "UTF-8")
+    assert(meta.contains("\"dimensions\": 2"))
+    assert(meta.contains("\"count\": 1"))
+  }
+
+  // --- compression (compression_handler.rs tests) ---
+  test("compression: gzip round-trip, magic detection, passthrough") {
+    val payload = "the quick brown fox".getBytes("UTF-8")
+    val gz = Compression.gzip(payload)
+    assert(Compression.detect(gz) == Compression.Gzip)
+    assert(Compression.detectAndDecompress(gz).toOption.get.sameElements(payload))
+    assert(Compression.detect(payload) == Compression.None)
+    assert(Compression.detectAndDecompress(payload).toOption.get.sameElements(payload))
+  }
+
+  test("compression: url extension fallback, unsupported codecs reported") {
+    assert(Compression.detect("plain".getBytes, "https://x/s.xml.gz") == Compression.Gzip)
+    assert(Compression.detect(Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte)) == Compression.Zstd)
+    assert(Compression.detectAndDecompress(
+      Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte)).isLeft)
+  }
+
+  test("compression: corrupt gzip yields error not crash") {
+    val bad = Array[Byte](0x1f.toByte, 0x8b.toByte, 1, 2, 3)
+    assert(Compression.detectAndDecompress(bad).isLeft)
+  }
+
+  // --- multimodal plumbing ---
+  test("multimodal features: deterministic, batched, schema intact") {
+    val a = graft.multimodal.Multimodal.mediaFeaturesQuery(spark, "/root/testdata/sf0.001").collect()
+    val b = graft.multimodal.Multimodal.mediaFeaturesQuery(spark, "/root/testdata/sf0.001").collect()
+    assert(a.length == 500)
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    assert(a.forall(_.getLong(2) == 256)) // payload bytes
+    val kinds = a.map(_.getString(1)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+}

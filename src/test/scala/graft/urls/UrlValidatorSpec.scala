@@ -1,0 +1,87 @@
+package graft.urls
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.crawl.FetchSimulator
+import graft.extract.Markdown
+
+class UrlValidatorSpec extends AnyFunSuite {
+
+  test("scheme filter: only http/https") {
+    assert(UrlValidator.hasValidScheme("https://a.com/x"))
+    assert(UrlValidator.hasValidScheme("http://a.com"))
+    assert(!UrlValidator.hasValidScheme("ftp://a.com/x"))
+    assert(!UrlValidator.hasValidScheme("javascript:alert(1)"))
+    assert(!UrlValidator.hasValidScheme("not a url"))
+  }
+
+  test("invalid-pattern heuristic: nodejs-style major > 99") {
+    assert(UrlValidator.isInvalidPattern("https://nodejs.org/download/release/v100.0.0/"))
+    assert(!UrlValidator.isInvalidPattern("https://nodejs.org/download/release/v20.11.1/"))
+    assert(!UrlValidator.isInvalidPattern("https://a.com/docs"))
+  }
+
+  test("status classification (url_validator.rs:86-114)") {
+    assert(UrlValidator.classifyStatus(200, None) == UrlValidator.Valid)
+    assert(UrlValidator.classifyStatus(204, None) == UrlValidator.Valid)
+    assert(UrlValidator.classifyStatus(301, Some("https://b/x")) == UrlValidator.NeedsRedirect("https://b/x"))
+    assert(UrlValidator.classifyStatus(308, None) == UrlValidator.NeedsRedirect(""))
+    assert(UrlValidator.classifyStatus(404, None) == UrlValidator.Invalid("not_found"))
+    assert(UrlValidator.classifyStatus(410, None) == UrlValidator.Invalid("not_found"))
+    assert(UrlValidator.classifyStatus(500, None) == UrlValidator.Invalid("http_500"))
+  }
+
+  test("sitemap relevance + size cap") {
+    assert(UrlValidator.isRelevantToPath("https://a.com/docs/intro", "/docs"))
+    assert(!UrlValidator.isRelevantToPath("https://a.com/blog/x", "/docs"))
+    assert(UrlValidator.withinSizeCap(1024))
+    assert(!UrlValidator.withinSizeCap(51L * 1024 * 1024))
+  }
+
+  // --- retry ladder (retry_policy.rs + client.rs semantics) ---
+  test("backoff: exponential, capped at 10s") {
+    assert(FetchSimulator.backoffMs(1) == 1000)
+    assert(FetchSimulator.backoffMs(2) == 2000)
+    assert(FetchSimulator.backoffMs(3) == 4000)
+    assert(FetchSimulator.backoffMs(5) == 10000)
+  }
+
+  test("retry ladder: deterministic outcomes, attempts within budget") {
+    val urls = (0 until 2000).map(i => s"https://site${i % 7}.com/page-$i")
+    val outcomes = urls.map(FetchSimulator.simulate)
+    assert(outcomes.forall(_.attempts <= FetchSimulator.MaxAttempts))
+    // deterministic across invocations
+    assert(urls.map(FetchSimulator.simulate) == outcomes)
+    val ok = outcomes.count(_.success)
+    // ~80% stable + most transient recoveries
+    assert(ok > urls.size * 7 / 10, s"only $ok/${urls.size} succeeded")
+    // terminal 404s never retry
+    outcomes.filter(_.finalStatus == 404).foreach(o => assert(o.attempts == 1))
+    // some urls exercise the retry path
+    assert(outcomes.exists(_.attempts > 1))
+    assert(outcomes.exists(o => o.uaRotated))
+    // backoff accounting: retried urls accumulate ladder sums
+    outcomes.filter(_.attempts == 2).foreach(o => assert(o.totalBackoffMs == 1000))
+  }
+
+  // --- markdown (html_to_markdown.rs shapes) ---
+  test("htmlToMarkdown: ATX headings, lists, links, fences") {
+    val html =
+      """<article><h1>Title</h1><p>Hello <strong>world</strong> with a
+        |<a href="/doc">link</a>.</p>
+        |<ul><li>one</li><li>two</li></ul>
+        |<pre>code here</pre></article>""".stripMargin
+    val md = Markdown.htmlToMarkdown(html)
+    assert(md.contains("# Title"))
+    assert(md.contains("**world**"))
+    assert(md.contains("[link](/doc)"))
+    assert(md.contains("- one"))
+    assert(md.contains("```\ncode here\n```"))
+  }
+
+  test("htmlToMarkdown falls back on empty conversion") {
+    // nav-only content is removed by the cleaner → fallback text path
+    val md = Markdown.htmlToMarkdown("<nav>only chrome</nav>plain tail text")
+    assert(md.nonEmpty)
+    assert(md.contains("plain tail text"))
+  }
+}
