@@ -58,7 +58,10 @@ object SparkEntry {
     "q_extract_link_edges" -> (CrawlQueries.extractLinkEdges _),
     "q_waf_entropy" -> (CrawlQueries.wafEntropy _),
     "q_sitemap_seeds" -> (CrawlQueries.sitemapSeeds _),
-    "q_lang_detect" -> (CrawlQueries.langDetect _)
+    "q_lang_detect" -> (CrawlQueries.langDetect _),
+    "q_crawl_sitemap_seeded" -> (CrawlQueries.crawlSitemapSeeded _),
+    "q_fetch_retry" -> (CrawlQueries.fetchRetry _),
+    "q_markdown" -> (CrawlQueries.markdown _)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -120,6 +120,61 @@ object CrawlQueries {
       .orderBy("sitemap", "loc")
   }
 
+  /** Sitemap-seeded crawl: seeds come from robots.txt Sitemap: discovery →
+    * sitemap <loc> expansion (the reference's primary discovery path,
+    * crawler_service.rs:788-891). Reaches the query-param product pages that
+    * link-crawling cannot (the link normalizer drops queries). */
+  @volatile private var sitemapCrawlDir: Option[String] = None
+  def crawlSitemapSeeded(spark: SparkSession, dir: String): DataFrame = {
+    import graft.politeness.Robots
+    val stateDir = synchronized {
+      sitemapCrawlDir.getOrElse {
+        val corpus = CorpusGen.localPages(spec)
+        val bodies = corpus.map(p => p.url -> new String(p.html, java.nio.charset.StandardCharsets.UTF_8)).toMap
+        val seeds = (0 until Hosts).flatMap { h =>
+          val host = CorpusGen.hostName(h)
+          val robots = Robots.parse(bodies(s"https://$host/robots.txt"))
+          SitemapSeeder.candidateSitemaps(host, robots.sitemaps)
+            .flatMap(sm => SitemapSeeder.expand(sm, bodies.get))
+        }
+        val d = java.nio.file.Files.createTempDirectory("graft-sitemap-crawl").toString
+        val summary = CrawlEngine.run(spark, CorpusGen.dataset(spark, spec),
+          config.copy(seeds = seeds, maxDepth = 1, maxPages = 100), d)
+        require(summary.parityFailures == 0)
+        sitemapCrawlDir = Some(d)
+        d
+      }
+    }
+    CrawlEngine.readOrder(spark, stateDir).toDF()
+  }
+
+  /** Retry-ladder outcomes over every corpus URL (client.rs:163-384
+    * semantics, table-driven). */
+  def fetchRetry(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .map { p =>
+        val o = graft.crawl.FetchSimulator.simulate(p.url)
+        (o.url, o.attempts, o.finalStatus, o.success, o.totalBackoffMs, o.uaRotated)
+      }
+      .toDF("url", "attempts", "final_status", "success", "total_backoff_ms", "ua_rotated")
+      .orderBy("url")
+  }
+
+  /** HTML→Markdown over the corpus (html_to_markdown.rs path). */
+  def markdown(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .filter(p => p.lang.nonEmpty)
+      .map { p =>
+        val md = graft.extract.Markdown.htmlToMarkdown(
+          new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+        (p.url, md.length, CrawlEngine.sha256Hex(md))
+      }
+      .toDF("url", "md_chars", "md_sha256")
+      .orderBy("url")
+  }
+
   /** Language detection on extracted text vs stored label (accuracy table). */
   def langDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

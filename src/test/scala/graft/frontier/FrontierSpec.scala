@@ -1,0 +1,85 @@
+package graft.frontier
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.FrontierEntry
+import graft.crawl.CrawlEngine
+
+class FrontierSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-frontier-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def entry(i: Long, host: String = "site0.com", depth: Int = 1): FrontierEntry = {
+    val c = s"https://$host/p$i"
+    FrontierEntry(c, c, depth, "", host, 1, CrawlEngine.urlHash(c))
+  }
+
+  test("newOnly small path (exact anti-join) removes seen") {
+    import spark.implicits._
+    val candidates = spark.createDataset((0L until 100L).map(entry(_)))
+    val seen = (0L until 50L).map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+    val out = Frontier.newOnly(spark, candidates, seen, 50L).collect()
+    assert(out.length == 50)
+    assert(out.forall(e => e.canonicalUrl.drop("https://site0.com/p".length).toLong >= 50))
+  }
+
+  test("newOnly bloom path (seen > threshold): exact result despite false positives") {
+    import spark.implicits._
+    val n = Frontier.BloomThreshold + 5000 // force the bloom branch
+    val seenIds = (0L until n)
+    val seen = seenIds.map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+    // candidates: half seen, half new
+    val candidates = spark.createDataset(
+      (0L until n by 2).map(entry(_)) ++ (n until n + 3000L).map(entry(_)))
+    val out = Frontier.newOnly(spark, candidates, seen, n).collect()
+    val ids = out.map(_.canonicalUrl.drop("https://site0.com/p".length).toLong).sorted
+    assert(ids.toSeq == (n until n + 3000L), "bloom pre-filter must not lose or leak rows")
+  }
+
+  test("dedupeWave keeps min-depth, then lexicographically smallest url/parent") {
+    import spark.implicits._
+    val c = "https://site0.com/x"
+    val entries = Seq(
+      FrontierEntry(c, c + "?b", 2, "https://p2", "site0.com", 1, 1L),
+      FrontierEntry(c, c + "?a", 2, "https://p1", "site0.com", 1, 1L),
+      FrontierEntry(c, c + "?c", 1, "https://p9", "site0.com", 1, 1L))
+    val out = Frontier.dedupeWave(spark, spark.createDataset(entries)).collect()
+    assert(out.length == 1)
+    assert(out.head.depth == 1 && out.head.url == c + "?c")
+    // same-depth case: smallest url wins
+    val out2 = Frontier.dedupeWave(spark, spark.createDataset(entries.take(2))).collect()
+    assert(out2.head.url == c + "?a")
+  }
+
+  test("politenessSelect: exact global per-host top-k under salting") {
+    import spark.implicits._
+    // 3 hosts × 40 urls with varying priorities
+    val entries = for {
+      h <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val c = s"https://site$h.com/${"d/" * (i % 5)}p$i"
+      FrontierEntry(c, c, 1, "", s"site$h.com", i % 5, CrawlEngine.urlHash(c))
+    }
+    val ds = spark.createDataset(entries)
+    val unsalted = Frontier.politenessSelect(spark, ds, budget = 7, salts = 1)
+      .collect().map(_.canonicalUrl).sorted
+    val salted = Frontier.politenessSelect(spark, ds, budget = 7, salts = 8)
+      .collect().map(_.canonicalUrl).sorted
+    assert(unsalted.length == 21)
+    assert(salted.toSeq == unsalted.toSeq, "salting must not change the selected set")
+    // and it's the true top-k per host
+    val expected = entries.groupBy(_.host).values.flatMap(
+      _.sorted(Frontier.priorityOrdering).take(7)).map(_.canonicalUrl).toSeq.sorted
+    assert(unsalted.toSeq == expected)
+  }
+}
