@@ -118,15 +118,24 @@ object CrawlEngine {
     // waves ≥ 1. For single-wave jobs — a saturated frontier — the
     // repartition+cache is pure overhead, so it's switchable: the join then
     // shuffles the pages side exactly once, inside the measured dataflow.)
+    // A Common-Crawl-style table holds MULTIPLE captures of one page
+    // (re-crawls, www/non-www variants). One fetchable row per canonical URL:
+    // the latest warc_ts wins, ties broken by largest served url — without
+    // this the fetch join multiplies wave rows and corrupts error counts.
+    // max(struct(...)) compares lexicographically, so (warcTs, servedUrl)
+    // lead the struct; the aggregation exchange doubles as the canonical
+    // hash-partitioning the per-wave fetch join needs.
     val preparedBase = pages
       .withColumn("canonicalUrl", canonUdf(col("url")))
       .filter(col("canonicalUrl").isNotNull)
-      .select(col("canonicalUrl"), col("url").as("servedUrl"), col("warc_ts").as("warcTs"),
-        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
+      .groupBy(col("canonicalUrl"))
+      .agg(max(struct(col("warc_ts").as("warcTs"), col("url").as("servedUrl"),
+        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))).as("r"))
+      .select(col("canonicalUrl"), col("r.servedUrl"), col("r.warcTs"),
+        col("r.html"), col("r.storedText"), col("r.storedLang"))
     val prepared =
       if (prePartitionPages)
-        preparedBase.repartition(shufflePartitions, col("canonicalUrl"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
       else preparedBase
 
     // ---- robots rules: tiny per-host payload → driver parse + broadcast ----
@@ -161,17 +170,19 @@ object CrawlEngine {
           org.apache.spark.sql.types.StructField("canonicalUrl", org.apache.spark.sql.types.StringType))))
 
     // ---- resume or cold start --------------------------------------------
-    var (wave, seen, frontier, fetchedTotal) = (resume, store.current()) match {
-      case (true, Some(w)) =>
-        val m = store.manifest(w)
-        log(s"resuming from snapshot wave=$w fetched=${m.fetchedTotal}")
-        (w + 1, store.loadSeen(spark, w), store.loadFrontier(spark, w).as[FrontierEntry], m.fetchedTotal)
-      case _ =>
-        (0, emptySeen, seedDs, 0L)
-    }
+    var (wave, seen, frontier, fetchedTotal, errorsTotal0, parityFailures0) =
+      (resume, store.current()) match {
+        case (true, Some(w)) =>
+          val m = store.manifest(w)
+          log(s"resuming from snapshot wave=$w fetched=${m.fetchedTotal} errors=${m.errorsTotal}")
+          (w + 1, store.loadSeen(spark, w), store.loadFrontier(spark, w).as[FrontierEntry],
+            m.fetchedTotal, m.errorsTotal, m.parityFailures)
+        case _ =>
+          (0, emptySeen, seedDs, 0L, 0L, 0L)
+      }
     var seenCount = if (resume) seen.count() else 0L
-    var errorsTotal = 0L
-    var parityFailures = 0L
+    var errorsTotal = errorsTotal0
+    var parityFailures = parityFailures0
 
     var done = false
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
@@ -239,14 +250,15 @@ object CrawlEngine {
           val extracted = fetchedDs.mapPartitions { it =>
             it.map { r =>
               val html = new String(r.html, UTF_8)
-              val ex = HtmlKit.extractText(html)
+              val dom = HtmlKit.parse(html) // parse ONCE; text + links share the tree
+              val ex = HtmlKit.extractText(dom, html)
               val waf = TextKit.detectWafChallenge(html).getOrElse("")
               val spa = HtmlKit.isSpa(html, ex.text)
               val lang = TextKit.detectLanguage(ex.text).getOrElse("")
-              val links = if (waf.isEmpty) HtmlKit.extractLinks(html, r.servedUrl) else Vector.empty[String]
+              val links = if (waf.isEmpty) HtmlKit.extractLinks(dom, r.servedUrl) else Vector.empty[String]
               val chunks =
                 if (waf.isEmpty && !ex.failed)
-                  TextKit.chunk(ex.text).zipWithIndex.map { case (c, i) =>
+                  TextKit.chunkText(ex.text).zipWithIndex.map { case (c, i) =>
                     ChunkRow(sha256Hex(r.canonicalUrl + "#" + i), r.canonicalUrl, ex.title, c, i,
                       lang, TextKit.wordCount(c), r.warcTs)
                   }
@@ -340,7 +352,7 @@ object CrawlEngine {
 
           // -- snapshot commit (frontier full, seen as delta) ---------------
           store.commit(spark, wave, nextFrontier.toDF(), selected.select("canonicalUrl"),
-            fetchedTotal, rid)
+            fetchedTotal, errorsTotal, parityFailures, rid)
           log(f"wave=$wave%-3d selected=$selCount%-6d fetched=$fetchCount%-6d errors=$errCount%-4d " +
             f"seen=$seenCount%-7d parityFail=$parityFailWave $elapsed")
 

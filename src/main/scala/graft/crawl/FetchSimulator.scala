@@ -46,26 +46,28 @@ object FetchSimulator {
       uaRotated: Boolean)
 
   /** Walk the retry ladder for one url (client.rs:163-384 semantics):
-    * 2xx → done; 403 → rotate UA once then retry; 429/5xx → backoff+retry;
-    * 404/410 → terminal, no retry; attempts capped at MaxAttempts. */
+    * 2xx → done; 403 → rotate UA once then retry IMMEDIATELY (no sleep);
+    * 429/5xx → backoff then retry; 404/410 → terminal, no retry; attempts
+    * capped at MaxAttempts. Backoff accrues only when a retry actually
+    * follows — the final failed attempt sleeps for nothing. */
   def simulate(url: String): FetchOutcome = {
     var attempt = 1
     var backoff = 0L
     var uaRotated = false
     while (attempt <= MaxAttempts) {
       val status = statusFor(url, attempt)
+      val retriesLeft = attempt < MaxAttempts
       status match {
         case s if s >= 200 && s < 300 =>
           return FetchOutcome(url, attempt, s, success = true, backoff, uaRotated)
         case 404 | 410 =>
           return FetchOutcome(url, attempt, status, success = false, backoff, uaRotated)
         case 403 =>
-          if (uaRotated) // second 403: give up (one rotation only)
+          if (uaRotated || !retriesLeft) // second 403 (one rotation only) or out of budget
             return FetchOutcome(url, attempt, 403, success = false, backoff, uaRotated)
-          uaRotated = true
-          backoff += backoffMs(attempt)
-        case _ => // 429 / 5xx → backoff and retry
-          backoff += backoffMs(attempt)
+          uaRotated = true // rotate + retry immediately
+        case _ => // 429 / 5xx → backoff, then retry if budget remains
+          if (retriesLeft) backoff += backoffMs(attempt)
       }
       attempt += 1
     }

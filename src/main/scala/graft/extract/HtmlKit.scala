@@ -73,8 +73,9 @@ object HtmlKit {
           i = next
           val tag = elem.tag
           if (RawTextTags.contains(tag) && !selfClosing) {
-            // raw text until the matching close tag
-            val closeIdx = html.toLowerCase.indexOf("</" + tag, i)
+            // raw text until the matching close tag (case-insensitive scan —
+            // no full-string lowercase copy per raw-text element)
+            val closeIdx = indexOfIgnoreCase(html, "</" + tag, i)
             val end = if (closeIdx < 0) n else closeIdx
             elem.children += TextNode(html.substring(i, end))
             top.children += elem
@@ -95,6 +96,16 @@ object HtmlKit {
       }
     }
     root.freeze
+  }
+
+  private def indexOfIgnoreCase(haystack: String, needle: String, from: Int): Int = {
+    val max = haystack.length - needle.length
+    var i = math.max(from, 0)
+    while (i <= max) {
+      if (haystack.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
   }
 
   private final class MutableElem(val tag: String, val attrs0: Vector[(String, String)]) {
@@ -161,7 +172,13 @@ object HtmlKit {
     * with the link normalizer; per-page order-preserving dedup.
     * Reference: link_extractor.rs:42-76. Invalid base → empty (the engine
     * filters unparseable URLs before fetch). */
-  def extractLinks(html: String, baseUrl: String): Vector[String] = {
+  def extractLinks(html: String, baseUrl: String): Vector[String] =
+    extractLinks(parse(html), baseUrl)
+
+  /** Overload over an already-parsed DOM — the fused extract stage parses
+    * each page exactly once and feeds the same tree to text + link + asset
+    * extraction. */
+  def extractLinks(dom: Elem, baseUrl: String): Vector[String] = {
     val base = UrlKernel.parse(baseUrl)
     if (base.isEmpty) return Vector.empty
     val out = Vector.newBuilder[String]
@@ -175,7 +192,7 @@ object HtmlKit {
       }
       e.children.foreach { case c: Elem => walk(c); case _ => }
     }
-    walk(parse(html))
+    walk(dom)
     out.result()
   }
 
@@ -311,8 +328,11 @@ object HtmlKit {
     *     routed to the errors side-channel like crawler_service.rs:370-383).
     * Title: document `<title>`, else first `<h1>`, else "".
     */
-  def extractText(html: String): Extracted = {
-    val dom = parse(html)
+  def extractText(html: String): Extracted = extractText(parse(html), html)
+
+  /** Overload over an already-parsed DOM (single-parse fused stage); the raw
+    * html string is still needed for the strip-tags fallback path. */
+  def extractText(dom: Elem, html: String): Extracted = {
     val title = findTitle(dom)
     val cleaned = clean(dom)
     val content = findFirst(cleaned, "article")

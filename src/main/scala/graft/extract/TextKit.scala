@@ -28,7 +28,10 @@ object TextKit {
     "cmn" -> Vector("的", "是", "在", "了", "我们", "这个", "数据", "可以")
   )
 
-  /** Char-boundary-safe ≤1024-byte sample (metadata.rs:107-117 semantics). */
+  /** Char-boundary-safe sample: every char STARTING within the first 1024
+    * bytes is included (so the sample can exceed 1024 by up to 3 bytes) —
+    * exactly the reference's `take_while(idx <= 1024)` behavior
+    * (metadata.rs:107-117). */
   def sample1024(content: String): String = {
     val bytes = content.getBytes("UTF-8")
     if (bytes.length <= 1024) content
@@ -163,8 +166,18 @@ object TextKit {
     */
   def chunk(html: String,
             minSize: Int = MinChunkSize,
-            maxSize: Int = MaxChunkSize): Vector[String] = {
-    val text = HtmlKit.stripTags(html)
+            maxSize: Int = MaxChunkSize): Vector[String] =
+    chunkText(HtmlKit.stripTags(html), minSize, maxSize)
+
+  /** Chunk PLAIN text — no tag stripping. The reference's `chunk_text`
+    * (chunker.rs:200-230) documents "skips HTML tag stripping" but its body
+    * delegates to chunk() which strips anyway — a reference bug that eats
+    * content at any literal '<' (e.g. `if (a < b)` in extracted docs text).
+    * We implement the documented intent; the engine chunks extracted text
+    * through this entry point. */
+  def chunkText(text: String,
+                minSize: Int = MinChunkSize,
+                maxSize: Int = MaxChunkSize): Vector[String] = {
     val paragraphs = text.split("\n\n").iterator
       .map(_.trim).filter(_.nonEmpty).filter(_.length >= minSize).toVector
     val merged = mergeSmall(paragraphs, minSize, maxSize)

@@ -2,7 +2,6 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.crawl.CrawlEngine.urlHash
 
 /** Near-duplicate detection family for training-data curation: MinHash+LSH,
   * SimHash, and exact n-gram Jaccard verification.

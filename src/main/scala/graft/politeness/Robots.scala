@@ -24,12 +24,16 @@ object Robots {
 
   /** Parse a robots.txt body. Only `User-agent: *` groups contribute
     * Disallow rules; `Sitemap:` is global (per RFC 9309 + reference's
-    * line-scan at crawler_service.rs:976-999). */
+    * line-scan at crawler_service.rs:976-999).
+    *
+    * Group semantics (RFC 9309 §2.1): consecutive `User-agent` lines stack
+    * onto one group; a `User-agent` line that follows RULES starts a NEW
+    * group (blank lines are not required to separate groups). */
   def parse(body: String): Rules = {
     val disallow = Vector.newBuilder[String]
     val sitemaps = Vector.newBuilder[String]
     var inStarGroup = false
-    var seenAgentLine = false
+    var lastLineWasAgent = false
     body.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
@@ -38,17 +42,18 @@ object Robots {
         val value = line.substring(colon + 1).trim
         key match {
           case "user-agent" =>
-            // a new agent line after rules starts a new group
-            if (seenAgentLine && inStarGroup) inStarGroup = value == "*" || inStarGroup
-            else inStarGroup = value == "*"
-            seenAgentLine = true
-          case "disallow" if inStarGroup => disallow += value
-          case "allow"                   => () // not modeled (reference has no robots rules at all)
-          case "sitemap"                 => sitemaps += value
-          case _                         => ()
+            if (lastLineWasAgent) inStarGroup ||= value == "*" // stacked agents, same group
+            else inStarGroup = value == "*" // rules (or start of file) precede → new group
+            lastLineWasAgent = true
+          case "disallow" =>
+            if (inStarGroup) disallow += value
+            lastLineWasAgent = false
+          case "sitemap" =>
+            sitemaps += value
+            lastLineWasAgent = false
+          case _ =>
+            lastLineWasAgent = false
         }
-      } else if (line.isEmpty) {
-        seenAgentLine = false
       }
     }
     Rules(disallow.result(), sitemaps.result())

@@ -20,7 +20,8 @@ final class SnapshotStore(root: String) {
   private def snapDir(wave: Int) = s"$root/snap-$wave"
   private val currentPath = Paths.get(root, "CURRENT")
 
-  final case class Manifest(wave: Int, fetchedTotal: Long, runId: String)
+  final case class Manifest(wave: Int, fetchedTotal: Long, errorsTotal: Long,
+                            parityFailures: Long, runId: String)
 
   def init(): Unit = Files.createDirectories(Paths.get(root))
 
@@ -35,13 +36,15 @@ final class SnapshotStore(root: String) {
       frontier: DataFrame,
       seenDelta: DataFrame,
       fetchedTotal: Long,
+      errorsTotal: Long,
+      parityFailures: Long,
       runId: String
   ): Unit = {
     val dir = snapDir(wave)
     frontier.write.mode("overwrite").parquet(s"$dir/frontier.parquet")
     seenDelta.write.mode("overwrite").parquet(s"$dir/seen-delta.parquet")
     val manifest =
-      s"""{"wave": $wave, "fetchedTotal": $fetchedTotal, "runId": "$runId"}"""
+      s"""{"wave": $wave, "fetchedTotal": $fetchedTotal, "errorsTotal": $errorsTotal, "parityFailures": $parityFailures, "runId": "$runId"}"""
     Files.write(Paths.get(dir, "manifest.json"), manifest.getBytes(StandardCharsets.UTF_8))
     val tmp = Paths.get(root, s".CURRENT.tmp-$wave")
     Files.write(tmp, wave.toString.getBytes(StandardCharsets.UTF_8))
@@ -61,7 +64,8 @@ final class SnapshotStore(root: String) {
       m.map(_.group(1).toLong).getOrElse(0L)
     }
     val runId = "\"runId\"\\s*:\\s*\"([^\"]*)\"".r.findFirstMatchIn(text).map(_.group(1)).getOrElse("")
-    Manifest(long("wave").toInt, long("fetchedTotal"), runId)
+    Manifest(long("wave").toInt, long("fetchedTotal"), long("errorsTotal"),
+      long("parityFailures"), runId)
   }
 
   def loadFrontier(spark: SparkSession, wave: Int): DataFrame =

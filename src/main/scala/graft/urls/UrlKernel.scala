@@ -138,28 +138,32 @@ object UrlKernel {
     Some(ParsedUrl(scheme, host, portOpt, path, query, fragment, None))
   }
 
-  /** RFC 3986 §5.2.4 remove_dot_segments. */
+  /** RFC 3986 §5.2.4 remove_dot_segments — exact algorithm (preserves
+    * interior empty segments like "/a//b", keeps the trailing slash that a
+    * trailing ".." / "." implies). */
   def removeDotSegments(path: String): String = {
     if (path.isEmpty) return path
-    val out = new scala.collection.mutable.ArrayBuffer[String]()
-    val segs = path.split("/", -1)
-    val absolute = path.startsWith("/")
-    var idx = 0
-    while (idx < segs.length) {
-      val s = segs(idx)
-      s match {
-        case "." | "" if idx != segs.length - 1 => // skip (but keep trailing empty)
-          if (s == "" && idx == 0) () // leading empty from absolute path
-        case ".." =>
-          if (out.nonEmpty) out.remove(out.length - 1)
-        case "." => // trailing "." → trailing slash
-          out += ""
-        case other => out += other
+    val out = new StringBuilder
+    var in = path
+    while (in.nonEmpty) {
+      if (in.startsWith("../")) in = in.substring(3)
+      else if (in.startsWith("./")) in = in.substring(2)
+      else if (in.startsWith("/./")) in = "/" + in.substring(3)
+      else if (in == "/.") in = "/"
+      else if (in.startsWith("/../") || in == "/..") {
+        in = if (in == "/..") "/" else "/" + in.substring(4)
+        val lastSlash = out.lastIndexOf("/")
+        out.setLength(if (lastSlash >= 0) lastSlash else 0)
+      } else if (in == "." || in == "..") in = ""
+      else {
+        // move the first segment (incl. leading "/" if any) to the output
+        val start = if (in.charAt(0) == '/') 1 else 0
+        val nextSlash = in.indexOf('/', start)
+        if (nextSlash < 0) { out.append(in); in = "" }
+        else { out.append(in.substring(0, nextSlash)); in = in.substring(nextSlash) }
       }
-      idx += 1
     }
-    val joined = out.mkString("/")
-    if (absolute) "/" + joined else joined
+    out.toString
   }
 
   /** Dedup-canonical form — THE frontier key.

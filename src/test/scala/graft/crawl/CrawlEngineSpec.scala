@@ -106,6 +106,35 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate captures in the pages table: latest warc_ts wins, no row multiplication") {
+    withSpark("local[4]") { spark =>
+      import spark.implicits._
+      val spec = CorpusGen.Spec(1, 10)
+      val base = CorpusGen.localPages(spec)
+      // plant older captures of every page with garbage html/text and a
+      // www-variant duplicate of the root — the engine must pick the latest
+      // capture per canonical and fetch each page exactly once
+      val older = base.map(p => p.copy(
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime - 1000000L),
+        html = "<html><body><p>stale capture</p></body></html>".getBytes("UTF-8"),
+        text = "WRONG"))
+      val wwwDup = base.filter(_.url == "https://site0.com/").map(p =>
+        p.copy(url = "https://www.site0.com/",
+          warc_ts = new java.sql.Timestamp(p.warc_ts.getTime - 5000L)))
+      val pages = spark.createDataset(base ++ older ++ wwwDup)
+      val cfg = CrawlConfig(seeds = Seq("https://site0.com/"), maxDepth = 2,
+        maxPages = 20, perHostBudget = 5,
+        excludePatterns = Seq("external-data.org", "*.external-data.org"))
+      val dir = Files.createTempDirectory("graft-dup-test").toString
+      val summary = CrawlEngine.run(spark, pages, cfg, dir)
+      assert(summary.parityFailures == 0, "latest capture must be chosen (stale text would fail parity)")
+      assert(summary.errorsTotal >= 0)
+      val pagesOut = CrawlEngine.readPages(spark, dir)
+      val n = pagesOut.count()
+      assert(pagesOut.select("canonicalUrl").distinct().count() == n, "no duplicate fetches")
+    }
+  }
+
   test("parallelism invariance: local[2] and local[8] produce identical order and seen set") {
     val (o2, s2) = withSpark("local[2]", partitions = 2) { spark =>
       val (summary, dir) = runCrawl(spark)

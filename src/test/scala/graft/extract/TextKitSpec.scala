@@ -63,6 +63,13 @@ class TextKitSpec extends AnyFunSuite {
     val chunks = TextKit.chunk(s"<p>${big.trim}</p>")
     assert(chunks.size > 1)
   }
+  test("chunkText preserves literal '<' in plain text (no tag stripping)") {
+    val text = ("if (a < b) return x else y > 0 holds in this code snippet paragraph " * 3).trim
+    val chunks = TextKit.chunkText(text)
+    assert(chunks.nonEmpty)
+    assert(chunks.mkString(" ").contains("a < b"), "plain-text chunking must not eat '<...>' spans")
+  }
+
   test("splitSentences splits on boundaries") {
     val s = TextKit.splitSentences("First sentence. Second sentence! Third?")
     assert(s.size == 3)

@@ -44,6 +44,14 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.parse(body).isDisallowed("/")) // badbot's Disallow: / must not apply
   }
 
+  test("agent line after rules starts a NEW group even without a blank line") {
+    val r = Robots.parse("User-agent: *\nDisallow: /tmp\nUser-agent: badbot\nDisallow: /\n")
+    assert(r.disallow == Vector("/tmp"), "badbot's Disallow must not leak into the * group")
+    // stacked agent lines share one group
+    val r2 = Robots.parse("User-agent: a\nUser-agent: *\nDisallow: /x\n")
+    assert(r2.disallow == Vector("/x"))
+  }
+
   // --- sitemap seeding over the generated corpus ---
   test("sitemap parse: loc extraction, scheme filter, dedup, CDATA") {
     val xml =

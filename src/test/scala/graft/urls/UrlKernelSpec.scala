@@ -142,6 +142,26 @@ class UrlKernelSpec extends AnyFunSuite {
     assert(paramCount("https://example.com/p?a=1&b=2&c=3") == 3)
   }
 
+  test("removeDotSegments: RFC 3986 exactness (empty segments, trailing dots)") {
+    assert(removeDotSegments("/a//b") == "/a//b") // interior empty preserved
+    assert(removeDotSegments("/a/b/..") == "/a/") // trailing .. keeps slash
+    assert(removeDotSegments("/a/b/.") == "/a/b/")
+    assert(removeDotSegments("/a/./b") == "/a/b")
+    assert(removeDotSegments("/..") == "/")
+    // RFC-literal: step C strips the whole first segment, leaving "/b".
+    // In the kernel this function only ever sees merged ABSOLUTE paths
+    // (parse forces "/" on special schemes; resolve merges onto the base
+    // directory), so the bare-relative case is documentation, not a path
+    // the engine takes.
+    assert(removeDotSegments("a/../b") == "/b")
+    assert(removeDotSegments("/a/b/c/./../../g") == "/a/g") // RFC example
+    assert(removeDotSegments("mid/content=5/../6") == "mid/6") // RFC example
+  }
+
+  test("canonicalize keeps distinct pages distinct (/a//b vs /a/b)") {
+    assert(canonicalize("https://s.com/a//b") != canonicalize("https://s.com/a/b"))
+  }
+
   // --- property tests (tests/property_tests.rs) ---
   private val domainGen: Gen[String] = for {
     a <- Gen.listOfN(5, Gen.alphaLowerChar).map(_.mkString)

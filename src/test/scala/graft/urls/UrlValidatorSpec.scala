@@ -59,8 +59,16 @@ class UrlValidatorSpec extends AnyFunSuite {
     // some urls exercise the retry path
     assert(outcomes.exists(_.attempts > 1))
     assert(outcomes.exists(o => o.uaRotated))
-    // backoff accounting: retried urls accumulate ladder sums
-    outcomes.filter(_.attempts == 2).foreach(o => assert(o.totalBackoffMs == 1000))
+    // backoff accounting: only sleeps that precede an actual retry count;
+    // transient 2-attempt recoveries slept once (1000ms); UA-rotate retries
+    // are immediate (0ms)
+    outcomes.filter(o => o.attempts == 2 && !o.uaRotated)
+      .foreach(o => assert(o.totalBackoffMs == 1000))
+    outcomes.filter(o => o.attempts == 2 && o.uaRotated && o.success)
+      .foreach(o => assert(o.totalBackoffMs == 0))
+    // persistent failures: 3 attempts but only 2 inter-attempt sleeps
+    outcomes.filter(o => o.attempts == 3 && !o.success && !o.uaRotated && o.finalStatus == 503)
+      .foreach(o => assert(o.totalBackoffMs == 3000))
   }
 
   // --- markdown (html_to_markdown.rs shapes) ---
