@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Relational, TextAnalysis}
+import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Relational, Relational2, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,6 +28,12 @@ object SparkEntry {
     "q_window_rank" -> (Relational.windowRank _),
     "q_union_dedup" -> (Relational.unionDedup _),
     "q_event_metrics" -> (Relational.eventMetrics _),
+    "q_sessionize" -> (Relational2.sessionize _),
+    "q_having_filter" -> (Relational2.havingFilter _),
+    "q_price_bands" -> (Relational2.priceBands _),
+    "q_string_funcs" -> (Relational2.stringFuncs _),
+    "q_temporal_extremes" -> (Relational2.temporalExtremes _),
+    "q_top_order_per_customer" -> (Relational2.topOrderPerCustomer _),
     // --- text analysis (oracle-backed) ---
     "q_exact_dedup" -> (TextAnalysis.exactDedup _),
     "q_doc_quality" -> (TextAnalysis.docQuality _),
@@ -82,6 +88,12 @@ object SparkEntry {
     "q_topic_class" -> TextAnalysis.topicClassSql,
     "q_lang_distribution" -> TextAnalysis.langDistributionSql,
     "q_embedding_stats" -> TextAnalysis.embeddingStatsSql,
-    "q_vector_validate" -> ExportQueries.vectorValidateSql
+    "q_vector_validate" -> ExportQueries.vectorValidateSql,
+    "q_sessionize" -> Relational2.sessionizeSql,
+    "q_having_filter" -> Relational2.havingFilterSql,
+    "q_price_bands" -> Relational2.priceBandsSql,
+    "q_string_funcs" -> Relational2.stringFuncsSql,
+    "q_temporal_extremes" -> Relational2.temporalExtremesSql,
+    "q_top_order_per_customer" -> Relational2.topOrderPerCustomerSql
   )
 }

@@ -1,0 +1,137 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Second tranche of oracle-backed relational operators: sessionization,
+  * HAVING, bucketing, string functions, temporal extremes, and the
+  * greatest-per-group shape. Same exactness rules as Relational (decimal →
+  * double at the boundary, integer aggregates, total ORDER BY). */
+object Relational2 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Sessionization: a new session starts after a >30-minute gap per user
+    * (lag + running sum — the standard event-stream shape). */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    t(spark, dir, "events")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          // events.ts is TIMESTAMP_NTZ; route through timestamp (session tz
+          // pinned UTC) to epoch seconds — matches DuckDB's epoch()
+          col("ts").cast("timestamp").cast("long") -
+            col("prev_ts").cast("timestamp").cast("long") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_idx", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("event_id").as("first_event"), max("event_id").as("last_event"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(event_id) AS first_event, max(event_id) AS last_event
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM (
+      |    SELECT user_id, ts, event_id,
+      |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+      |             OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800
+      |           THEN 1 ELSE 0 END AS new_session
+      |    FROM events))
+      |GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** HAVING shape: customers with ≥ 10 orders. */
+  def havingFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .filter(col("n_orders") >= 10)
+      .orderBy("o_custkey")
+
+  val havingFilterSql: String =
+    """SELECT o_custkey, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_custkey HAVING count(*) >= 10
+      |ORDER BY o_custkey""".stripMargin
+
+  /** CASE bucketing: order count per price band. */
+  def priceBands(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .withColumn("band",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("band")
+
+  val priceBandsSql: String =
+    """SELECT band, count(*) AS n_orders FROM (
+      |  SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+      |              WHEN o_totalprice < 150000 THEN 'medium'
+      |              ELSE 'large' END AS band
+      |  FROM orders)
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** String functions: upper/substr/concat/length over customer names. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 1, 8).as("name_prefix"),
+        concat(col("c_mktsegment"), lit(":"), col("c_name")).as("seg_name"),
+        length(col("c_name")).as("name_len"))
+      .orderBy("c_custkey")
+
+  val stringFuncsSql: String =
+    """SELECT c_custkey, upper(c_name) AS name_upper,
+      |  substr(c_name, 1, 8) AS name_prefix,
+      |  c_mktsegment || ':' || c_name AS seg_name,
+      |  length(c_name) AS name_len
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Temporal extremes per status (timestamp min/max equality check). */
+  def temporalExtremes(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(min("o_orderdate").as("first_order"), max("o_orderdate").as("last_order"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
+  val temporalExtremesSql: String =
+    """SELECT o_orderstatus, min(o_orderdate) AS first_order,
+      |  max(o_orderdate) AS last_order, count(*) AS n
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** Greatest-per-group (correlated-subquery shape): each customer's
+    * highest-value order, deterministic tie-break on orderkey. */
+  def topOrderPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,2)").cast("double").as("best_price"))
+      .orderBy("o_custkey")
+  }
+
+  val topOrderPerCustomerSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS best_price
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+}
