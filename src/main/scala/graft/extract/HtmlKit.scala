@@ -21,12 +21,17 @@ import graft.urls.UrlKernel
   */
 object HtmlKit {
 
+  // precompiled hot-path patterns (compiling a regex per call dominated
+  // profile samples of the fused extract stage)
+  private val WsRun = java.util.regex.Pattern.compile("[ \\t\\r\\n\\f]+")
+  private[extract] val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
   // ---------------------------------------------------------------- DOM ----
 
   sealed trait Node
   final case class Elem(tag: String, attrs: Vector[(String, String)], children: Vector[Node]) extends Node {
     def attr(name: String): Option[String] = attrs.collectFirst { case (k, v) if k == name => v }
-    def classes: Set[String] = attr("class").map(_.split("\\s+").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+    def classes: Set[String] = attr("class").map(c => HtmlKit.WsSplit.split(c).filter(_.nonEmpty).toSet).getOrElse(Set.empty)
   }
   final case class TextNode(text: String) extends Node
 
@@ -235,7 +240,7 @@ object HtmlKit {
 
   /** First URL of each srcset entry. Reference: extractor/mod.rs:197-208. */
   def parseSrcset(srcset: String): Vector[String] =
-    srcset.split(",").toVector.map(_.trim.split("\\s+")(0)).filter(_.nonEmpty)
+    srcset.split(",").toVector.map(e => WsSplit.split(e.trim)(0)).filter(_.nonEmpty)
 
   // -------------------------------------------------------------- clean ----
 
@@ -300,7 +305,7 @@ object HtmlKit {
   }
 
   private def normalizeWs(s: String): String = {
-    val collapsed = s.replaceAll("[ \\t\\r\\n\\f]+", " ")
+    val collapsed = WsRun.matcher(s).replaceAll(" ")
     collapsed.trim
   }
 

@@ -7,6 +7,9 @@ package graft.extract
   */
 object TextKit {
 
+  private val WordSplit = java.util.regex.Pattern.compile("[^\\p{L}\\p{M}']+")
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
   // ---------------------------------------------------------- language ----
 
   /** Marker-word profiles for the deterministic language detector.
@@ -53,7 +56,7 @@ object TextKit {
 
   def detectLanguage(content: String): Option[String] = {
     val s = sample1024(content)
-    val words = s.toLowerCase.split("[^\\p{L}\\p{M}']+").filter(_.nonEmpty).toSet
+    val words = WordSplit.split(s.toLowerCase).filter(_.nonEmpty).toSet
     val scores = LangProfiles.map { case (code, markers) =>
       val wordHits = markers.count(m => words.contains(m))
       // CJK markers are not whitespace-delimited — substring test for cmn
@@ -217,7 +220,7 @@ object TextKit {
 
   /** Whitespace word count. Reference: metadata.rs:85-87. */
   def wordCount(content: String): Int =
-    content.split("\\s+").count(_.nonEmpty)
+    WsSplit.split(content).count(_.nonEmpty)
 
   /** Reading minutes at 200 WPM, ceil, min 1. Reference: metadata.rs:92-97. */
   def readingTime(wc: Int): Int =

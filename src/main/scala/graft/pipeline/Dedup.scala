@@ -14,6 +14,8 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
   val NumHashes = 64
   val Bands = 16
   val RowsPerBand = 4 // Bands * RowsPerBand == NumHashes
@@ -28,7 +30,7 @@ object Dedup {
 
   /** Word 3-gram shingles of a document. */
   def shingles(text: String, n: Int = ShingleSize): Set[String] = {
-    val words = text.split("\\s+").filter(_.nonEmpty)
+    val words = WsSplit.split(text).filter(_.nonEmpty)
     if (words.length < n) Set(words.mkString(" "))
     else words.sliding(n).map(_.mkString(" ")).toSet
   }
@@ -109,7 +111,7 @@ object Dedup {
   /** 64-bit SimHash over word unigrams (counts weighted). */
   def simhash64(text: String): Long = {
     val counts = scala.collection.mutable.HashMap.empty[String, Int]
-    text.split("\\s+").withFilter(_.nonEmpty).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
+    WsSplit.split(text).withFilter(_.nonEmpty).foreach(w => counts.update(w, counts.getOrElse(w, 0) + 1))
     val acc = new Array[Long](64)
     counts.foreach { case (w, c) =>
       val h = hashSeed(w, 7L)
@@ -165,8 +167,8 @@ object Dedup {
   /** Exact word-unigram Jaccard between all pairs of a (small) candidate
     * id set — the exact n-gram-Jaccard measure for tests/verification. */
   def unigramJaccard(a: String, b: String): Double = {
-    val sa = a.split("\\s+").filter(_.nonEmpty).toSet
-    val sb = b.split("\\s+").filter(_.nonEmpty).toSet
+    val sa = WsSplit.split(a).filter(_.nonEmpty).toSet
+    val sb = WsSplit.split(b).filter(_.nonEmpty).toSet
     val inter = sa.intersect(sb).size.toDouble
     val union = sa.size + sb.size - inter
     if (union == 0) 0.0 else inter / union
