@@ -49,6 +49,7 @@ object SparkEntry {
     "q_simhash_neardup" -> (DedupQueries.simhashNearDup _),
     "q_ann_topk" -> (DedupQueries.annTopK _),
     "q_ann_lsh" -> (DedupQueries.annLsh _),
+    "q_ann_ivf" -> (DedupQueries.annIvf _),
     "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),
     // --- export validation / relevance / multimodal ---
     "q_vector_validate" -> (ExportQueries.vectorValidate _),

@@ -82,6 +82,18 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-bucketed ANN over the same queries (k-means-trained scale path;
+    * complements the training-free hyperplane LSH variant). */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = embeddings(spark, dir)
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    Similarity.ivfTopK(spark, corpus, queries, k = 5, nlist = 16, nprobe = 4).toDF()
+      .withColumn("cosine_micro", round(col("cosine") * 1000000).cast("long"))
+      .drop("cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs over embeddings + planted exact copies. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

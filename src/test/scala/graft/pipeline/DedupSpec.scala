@@ -125,6 +125,94 @@ class DedupSpec extends AnyFunSuite {
     assert(mean >= 0.2, s"LSH mean recall $mean too low")
   }
 
+  test("ivfTopK: perfect recall on planted clusters, deterministic") {
+    import spark.implicits._
+    // 8 well-separated clusters of 30 vectors: center = one-hot-ish basis
+    // direction, members = center + small deterministic perturbation
+    val vecs = (for {
+      c <- 0 until 8
+      m <- 0 until 30
+    } yield {
+      val v = new Array[Float](64)
+      var i = 0
+      while (i < 64) {
+        val base = if (i % 8 == c) 1.0f else 0.0f
+        v(i) = base + 0.05f * math.sin(c * 997 + m * 31 + i).toFloat
+        i += 1
+      }
+      Similarity.Embedded((c * 30 + m).toLong, v)
+    }).toDS().repartition(4)
+    val queries = Array(0L, 35L, 190L).map(id =>
+      vecs.filter(_.vec_id == id).collect().head)
+    val exact = Similarity.bruteForceTopK(spark, vecs, queries, 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val ivf = Similarity.ivfTopK(spark, vecs, queries, 5, nlist = 8, nprobe = 2)
+      .collect()
+    val approx = ivf.groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    exact.foreach { case (q, ids) =>
+      val got = approx.getOrElse(q, Set.empty)
+      assert(ids.subsetOf(got) || got == ids,
+        s"query $q: planted-cluster IVF must recover exact top-5 (got $got want $ids)")
+    }
+    val ivf2 = Similarity.ivfTopK(spark, vecs, queries, 5, nlist = 8, nprobe = 2)
+      .collect()
+    assert(ivf.map(_.toString).sorted.sameElements(ivf2.map(_.toString).sorted),
+      "IVF must be deterministic across runs")
+  }
+
+  test("ivfTopK recall vs brute force on real embeddings; candidate cut holds") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[Similarity.Embedded]
+    val queries = corpus.filter(_.vec_id < 5).collect().sortBy(_.vec_id)
+    val exact = Similarity.bruteForceTopK(spark, corpus, queries, 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val approx = Similarity.ivfTopK(spark, corpus, queries, 5, nlist = 16, nprobe = 4)
+      .collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recalls = exact.map { case (q, ids) =>
+      approx.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+    }
+    val mean = recalls.sum / recalls.size
+    // same worst-case caveat as the LSH gate: near-uniform random vectors
+    assert(mean >= 0.2, s"IVF mean recall $mean too low")
+    // candidate cut: probed lists must hold well under the full corpus
+    val centroids = Similarity.trainCentroids(spark, corpus, nlist = 16)
+    val lists = Similarity.assignLists(spark, corpus, centroids)
+    val total = lists.count()
+    val sizes = lists.groupBy("list").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val biggestProbe = sizes.values.toSeq.sorted.reverse.take(4).sum
+    assert(biggestProbe < total * 2 / 3,
+      s"4 largest of 16 lists hold $biggestProbe/$total — quantizer degenerate")
+  }
+
+  test("assignLists partition layout prunes unprobed lists at the scan") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[Similarity.Embedded]
+    val centroids = Similarity.trainCentroids(spark, corpus, nlist = 8)
+    val out = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    Similarity.assignLists(spark, corpus, centroids)
+      .write.mode("overwrite").partitionBy("list").parquet(out)
+    val probed = spark.read.parquet(out)
+      .filter(org.apache.spark.sql.functions.col("list").isin(0, 1))
+    // partition pruning: the executed plan's scan must carry the partition
+    // filter (only list=0/1 directories are read)
+    probed.collect()
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list"),
+      s"expected partition filter on list in:\n$plan")
+    val full = spark.read.parquet(out).count()
+    val pruned = probed.count()
+    assert(pruned < full, "probe subset must be a strict subset")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   test("cosineNearDups finds planted exact copies") {
     import spark.implicits._
     val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
