@@ -184,14 +184,28 @@ object CrawlEngine {
     var errorsTotal = errorsTotal0
     var parityFailures = parityFailures0
 
+    // ---- adaptive politeness state (sparse host→budget table) -------------
+    def loadBudgets(w: Int): Dataset[HostBudget] = {
+      val p = s"$stateDir/budgets/wave=$w"
+      if (config.adaptivePoliteness && new java.io.File(p).exists())
+        spark.read.parquet(p).as[HostBudget]
+      else spark.emptyDataset[HostBudget]
+    }
+    var hostBudgets: Dataset[HostBudget] = loadBudgets(wave - 1)
+
     var done = false
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
       val frontierPersisted = frontier.persist(StorageLevel.MEMORY_AND_DISK)
       // -- politeness: deterministic per-host top-k (salted two-phase) ------
       // (an empty frontier yields selCount == 0 below — no separate count job)
-      val selectedAll = Frontier.politenessSelect(
-        spark, frontierPersisted, config.perHostBudget, config.saltBuckets)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val selectedAll = (
+        if (config.adaptivePoliteness)
+          Frontier.politenessSelectBudgets(
+            spark, frontierPersisted, hostBudgets, config.perHostBudget, config.saltBuckets)
+        else
+          Frontier.politenessSelect(
+            spark, frontierPersisted, config.perHostBudget, config.saltBuckets)
+      ).persist(StorageLevel.MEMORY_AND_DISK)
       val rawCount = selectedAll.count()
       log(s"wave=$wave politeness-select done ($rawCount rows) $elapsed")
       val remaining = (config.maxPages - fetchedTotal).min(Int.MaxValue.toLong).toInt
@@ -312,6 +326,39 @@ object CrawlEngine {
               .na.fill(0L)
               .withColumn("runId", lit(rid))
               .write.mode("overwrite").parquet(s"$stateDir/out/metrics/wave=$wave")
+          }
+
+          // -- adaptive politeness: next wave's per-host budgets -------------
+          // Penalized hosts (errors or WAF this wave) halve; clean hosts
+          // recover by max(1, max/4). Hosts back at the max leave the table,
+          // so it stays proportional to the set of unhealthy hosts, not to
+          // all hosts ever crawled. Written per wave → resumable, and the
+          // read-back cuts the wave-over-wave lineage exactly like the
+          // frontier/seen snapshots.
+          if (config.adaptivePoliteness) {
+            val maxB = config.perHostBudget
+            val recover = math.max(1, maxB / 4)
+            val errByHost = selected
+              .join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
+              .groupBy("host").agg(count(lit(1)).as("errors"))
+            val wafByHost = extracted
+              .map(e => (UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
+                if (e.page.wafProvider.nonEmpty) 1L else 0L))
+              .toDF("host", "wafHit")
+              .groupBy("host").agg(sum("wafHit").as("waf"))
+            val health = errByHost.join(wafByHost, Seq("host"), "full_outer").na.fill(0L)
+            val updated = hostBudgets.toDF().join(health, Seq("host"), "full_outer")
+              .select(col("host"),
+                coalesce(col("budget"), lit(maxB)).as("cur"),
+                (coalesce(col("errors"), lit(0L)) + coalesce(col("waf"), lit(0L))).as("penalty"))
+              .select(col("host"),
+                when(col("penalty") > 0,
+                  greatest(lit(config.minHostBudget), floor(col("cur") / 2).cast("int")))
+                  .otherwise(least(lit(maxB), (col("cur") + recover).cast("int")))
+                  .as("budget"))
+              .filter(col("budget") < maxB)
+            updated.write.mode("overwrite").parquet(s"$stateDir/budgets/wave=$wave")
+            hostBudgets = loadBudgets(wave)
           }
 
           // -- seen += selected --------------------------------------------

@@ -3,7 +3,7 @@ package graft.frontier
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
-import graft.model.FrontierEntry
+import graft.model.{FrontierEntry, HostBudget}
 
 /** Frontier/seen-set machinery: the reference's atomic check-and-insert
   * DashSet (url_queue.rs:52-70) and visited HashSet
@@ -86,5 +86,38 @@ object Frontier extends Serializable {
         .groupByKey(e => (e.host, java.lang.Long.remainderUnsigned(e.urlHash, salts.toLong)))
         .flatMapGroups((_, it) => topK(it))
     phase1.groupByKey(_.host).flatMapGroups((_, it) => topK(it))
+  }
+
+  /** [[politenessSelect]] with ADAPTIVE per-host budgets: each host's cap
+    * comes from `budgets` (hosts absent from the table use `defaultBudget`;
+    * the engine keeps the table sparse by dropping hosts back at the max).
+    *
+    * Scale shape: phase 1 salts with the default budget — which is the
+    * MAXIMUM, so task memory stays bounded exactly as in the static path and
+    * phase 1's output is a superset of any adaptive selection. Phase 2
+    * cogroups the ≤ salts×default survivors per host against the budget
+    * table (a shuffle of the tiny budget table, never of the frontier
+    * beyond what the static path already shuffles) and takes the exact
+    * per-host top-k. Deterministic for the same budgets table. */
+  def politenessSelectBudgets(
+      spark: SparkSession,
+      frontier: Dataset[FrontierEntry],
+      budgets: Dataset[HostBudget],
+      defaultBudget: Int,
+      salts: Int
+  ): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    def topK(it: Iterator[FrontierEntry], k: Int): Iterator[FrontierEntry] =
+      it.toArray.sorted(priorityOrdering).take(k).iterator
+    val phase1 =
+      if (salts <= 1) frontier
+      else frontier
+        .groupByKey(e => (e.host, java.lang.Long.remainderUnsigned(e.urlHash, salts.toLong)))
+        .flatMapGroups((_, it) => topK(it, defaultBudget))
+    phase1.groupByKey(_.host)
+      .cogroup(budgets.groupByKey(_.host)) { (_, entries, bs) =>
+        val k = bs.nextOption().map(_.budget).getOrElse(defaultBudget)
+        topK(entries, math.max(0, k))
+      }
   }
 }

@@ -29,6 +29,10 @@ final case class FrontierEntry(
     urlHash: Long
 )
 
+/** One row of the sparse adaptive-politeness budget table: only hosts whose
+  * current budget differs from the configured maximum are present. */
+final case class HostBudget(host: String, budget: Int)
+
 /** Deterministic crawl-order output row: total order is
   * (wave asc, rank asc); rank within a wave follows the documented priority
   * (depth asc, pathDepth desc, urlHash asc, canonicalUrl asc). */
@@ -98,5 +102,11 @@ final case class CrawlConfig(
     maxQueryParams: Int = 5, // batch_processor.rs:69-76
     respectRobots: Boolean = true, // north-rule extension (reference parses Sitemap: only)
     internalOnly: Boolean = true,
-    saltBuckets: Int = 8 // politeness-group salting for skewed hosts
+    saltBuckets: Int = 8, // politeness-group salting for skewed hosts
+    // Beyond-reference scale extension (off by default — the frozen goldens
+    // pin the static-budget crawl): when on, a host's budget halves the wave
+    // after it served errors or WAF challenges and recovers by max(1, max/4)
+    // per clean wave, floored at minHostBudget and capped at perHostBudget.
+    adaptivePoliteness: Boolean = false,
+    minHostBudget: Int = 1
 )

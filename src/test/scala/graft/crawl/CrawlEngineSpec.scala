@@ -135,6 +135,103 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("adaptive politeness: error-serving host is throttled next wave, then recovers") {
+    withSpark("local[4]") { spark =>
+      import spark.implicits._
+      val spec = CorpusGen.Spec(2, 20)
+      val base = CorpusGen.localPages(spec)
+      // drop every other non-root site0 page from the table; their URLs stay
+      // linked in the surviving html → deterministic selected-but-missing 404s
+      val site0NonRoot = base.filter(p => p.url.contains("site0.com") &&
+        p.url != "https://site0.com/" &&
+        !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+        .map(_.url).sorted
+      val toDrop = site0NonRoot.zipWithIndex.collect { case (u, i) if i % 2 == 0 => u }.toSet
+      val pages = spark.createDataset(base.filterNot(p => toDrop.contains(p.url)))
+      val maxB = 4
+      val cfg = GoldenGen.config(2).copy(
+        maxPages = 1000, perHostBudget = maxB,
+        adaptivePoliteness = true, minHostBudget = 1)
+      val dir = Files.createTempDirectory("graft-adaptive-test").toString
+      val summary = CrawlEngine.run(spark, pages, cfg, dir)
+      assert(summary.errorsTotal > 0, "dropped pages must surface as errors")
+
+      def budgetsAt(w: Int): Map[String, Int] = {
+        val p = Paths.get(dir, "budgets", s"wave=$w")
+        if (!Files.exists(p)) Map.empty
+        else spark.read.parquet(p.toString).collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap
+      }
+      val allBudgets = (0 until summary.waves).map(w => w -> budgetsAt(w)).toMap
+      // site0 must get throttled at some point (budget below the max)
+      assert(allBudgets.values.exists(_.get("site0.com").exists(_ < maxB)),
+        s"site0.com never throttled: $allBudgets")
+      // the wave AFTER a throttle must respect the reduced budget, every host
+      val order = CrawlEngine.readOrder(spark, dir).collect()
+      val byWaveHost = order.groupBy(o => (o.wave, o.host)).view.mapValues(_.length).toMap
+      byWaveHost.foreach { case ((w, h), n) =>
+        val allowed = if (w == 0) maxB else allBudgets.getOrElse(w - 1, Map.empty).getOrElse(h, maxB)
+        assert(n <= allowed, s"wave=$w host=$h selected $n > budget $allowed")
+      }
+      // determinism: same run twice → same budget trajectory
+      val dir2 = Files.createTempDirectory("graft-adaptive-test2").toString
+      CrawlEngine.run(spark, pages, cfg, dir2)
+      val budgets2 = (0 until summary.waves).map { w =>
+        val p = Paths.get(dir2, "budgets", s"wave=$w")
+        if (!Files.exists(p)) Map.empty[String, Int]
+        else spark.read.parquet(p.toString).collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      }
+      assert((0 until summary.waves).forall(w => allBudgets(w) == budgets2(w)))
+    }
+  }
+
+  test("adaptive politeness: single error halves once, then budget recovers to max") {
+    withSpark("local[4]") { spark =>
+      import spark.implicits._
+      val ts = new java.sql.Timestamp(1700000000000L)
+      val filler = "This paragraph pads the page body well past the one-hundred-byte " +
+        "minimum-content extraction gate so the page counts as a clean fetch. "
+      def page(url: String, links: Seq[String]): graft.model.PageRow = {
+        val html = "<html><body><p>" + filler * 2 + "</p>" +
+          links.map(l => s"""<a href="$l">x</a>""").mkString + "</body></html>"
+        val text = graft.extract.HtmlKit.extractText(
+          graft.extract.HtmlKit.parse(html), html).text
+        graft.model.PageRow(url, ts, html.getBytes(UTF_8), text, "eng")
+      }
+      // /a is LINKED but absent from the table → exactly one 404, in wave 1
+      val pages = spark.createDataset(Seq(
+        page("https://site0.com/", Seq("/a", "/b", "/c")),
+        page("https://site0.com/b", Seq("/b1", "/b2", "/b3")),
+        page("https://site0.com/c", Seq("/c1")),
+        page("https://site0.com/b1", Seq.empty), page("https://site0.com/b2", Seq.empty),
+        page("https://site0.com/b3", Seq.empty), page("https://site0.com/c1", Seq.empty)))
+      val cfg = CrawlConfig(seeds = Seq("https://site0.com/"), maxDepth = 3,
+        maxPages = 100, perHostBudget = 4,
+        adaptivePoliteness = true, minHostBudget = 1)
+      val dir = Files.createTempDirectory("graft-adaptive-recovery").toString
+      val summary = CrawlEngine.run(spark, pages, cfg, dir)
+      assert(summary.errorsTotal == 1)
+      def budgetsAt(w: Int): Map[String, Int] = {
+        val p = Paths.get(dir, "budgets", s"wave=$w")
+        if (!Files.exists(p)) Map.empty
+        else spark.read.parquet(p.toString).collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap
+      }
+      // wave 1 selects {a,b,c}; a 404s → 4/2 = 2
+      assert(budgetsAt(1) == Map("site0.com" -> 2), s"got ${budgetsAt(1)}")
+      // wave 2 runs at budget 2 (clean) → recovers to 3
+      assert(budgetsAt(2) == Map("site0.com" -> 3), s"got ${budgetsAt(2)}")
+      val order = CrawlEngine.readOrder(spark, dir).collect()
+      val wave2 = order.filter(_.wave == 2)
+      assert(wave2.length == 2, "throttled wave must select exactly the halved budget")
+      // wave 3 drains the remaining 2 leaves at budget 3, clean → back at
+      // max → host leaves the sparse table
+      assert(budgetsAt(3) == Map.empty)
+      // selections: 1 root + 3 children (one 404) + 2 + 2 leaves = 8
+      assert(order.length == 8)
+    }
+  }
+
   test("parallelism invariance: local[2] and local[8] produce identical order and seen set") {
     val (o2, s2) = withSpark("local[2]", partitions = 2) { spark =>
       val (summary, dir) = runCrawl(spark)

@@ -60,6 +60,35 @@ class FrontierSpec extends AnyFunSuite {
     assert(out2.head.url == c + "?a")
   }
 
+  test("politenessSelectBudgets: per-host overrides, default elsewhere, salting-invariant") {
+    import spark.implicits._
+    val entries = for {
+      h <- 0 until 3
+      i <- 0 until 40
+    } yield {
+      val c = s"https://site$h.com/${"d/" * (i % 5)}p$i"
+      FrontierEntry(c, c, 1, "", s"site$h.com", i % 5, CrawlEngine.urlHash(c))
+    }
+    val ds = spark.createDataset(entries)
+    val budgets = spark.createDataset(Seq(
+      graft.model.HostBudget("site0.com", 2),
+      graft.model.HostBudget("site2.com", 0)))
+    val out = Frontier.politenessSelectBudgets(spark, ds, budgets, defaultBudget = 7, salts = 8)
+      .collect()
+    val byHost = out.groupBy(_.host).view.mapValues(_.map(_.canonicalUrl).sorted.toSeq).toMap
+    assert(byHost.getOrElse("site0.com", Seq.empty).size == 2)
+    assert(byHost.getOrElse("site1.com", Seq.empty).size == 7, "absent host uses default")
+    assert(!byHost.contains("site2.com"), "zero budget starves the host")
+    // overridden hosts still select the TRUE top-k under their budget
+    val expected0 = entries.filter(_.host == "site0.com")
+      .sorted(Frontier.priorityOrdering).take(2).map(_.canonicalUrl).sorted.toSeq
+    assert(byHost("site0.com") == expected0)
+    // salting must not change the selected set
+    val unsalted = Frontier.politenessSelectBudgets(spark, ds, budgets, 7, salts = 1)
+      .collect().map(_.canonicalUrl).sorted.toSeq
+    assert(out.map(_.canonicalUrl).sorted.toSeq == unsalted)
+  }
+
   test("politenessSelect: exact global per-host top-k under salting") {
     import spark.implicits._
     // 3 hosts × 40 urls with varying priorities
