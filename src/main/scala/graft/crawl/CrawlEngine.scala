@@ -399,7 +399,7 @@ object CrawlEngine {
 
           // -- snapshot commit (frontier full, seen as delta) ---------------
           store.commit(spark, wave, nextFrontier.toDF(), selected.select("canonicalUrl"),
-            fetchedTotal, errorsTotal, parityFailures, rid)
+            fetchedTotal, errorsTotal, parityFailures, rid, config.snapshotFileTarget)
           log(f"wave=$wave%-3d selected=$selCount%-6d fetched=$fetchCount%-6d errors=$errCount%-4d " +
             f"seen=$seenCount%-7d parityFail=$parityFailWave $elapsed")
 

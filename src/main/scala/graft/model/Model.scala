@@ -108,5 +108,11 @@ final case class CrawlConfig(
     // after it served errors or WAF challenges and recovers by max(1, max/4)
     // per clean wave, floored at minHostBudget and capped at perHostBudget.
     adaptivePoliteness: Boolean = false,
-    minHostBudget: Int = 1
+    minHostBudget: Int = 1,
+    // When set, each snapshot's frontier is range-clustered on urlHash into
+    // this many files before commit (Iceberg sort-order + target-file-size
+    // analogue) so manifest-list pruning can open a hash shard without
+    // scanning the frontier. Costs a sampling pass + shuffle per wave; leave
+    // unset for small politeness-bound crawls.
+    snapshotFileTarget: Option[Int] = None
 )

@@ -3,6 +3,7 @@ package graft.state
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Iceberg-style snapshot emulation (SURVEY.md §4.5).
   *
@@ -23,13 +24,28 @@ final class SnapshotStore(root: String) {
   final case class Manifest(wave: Int, fetchedTotal: Long, errorsTotal: Long,
                             parityFailures: Long, runId: String)
 
+  /** One data file of a committed frontier, with its footer-derived column
+    * stats — the Iceberg manifest-list entry equivalent. `urlHashMin/Max`
+    * are tight because commit range-clusters the frontier on urlHash. */
+  final case class FileStat(path: String, rows: Long, urlHashMin: Long, urlHashMax: Long)
+
   def init(): Unit = Files.createDirectories(Paths.get(root))
 
   /** Commit a wave: write the full frontier plus only the seen-set DELTA
     * (this wave's newly-visited canonical urls), then manifest, then
     * atomically flip CURRENT. Deltas keep the per-wave write O(wave) instead
     * of O(total-seen) — the same trick as Iceberg manifest lists; `loadSeen`
-    * reads the union of all committed delta files. */
+    * reads the union of all committed delta files.
+    *
+    * When `targetFrontierFiles` is set, the frontier is range-clustered on
+    * `urlHash` before the write (`repartitionByRange` + in-partition sort —
+    * the Iceberg sort-order practice). A `manifest-list.json` always
+    * records each data file's row count and urlHash min/max read from the
+    * parquet FOOTERS (no data scan). At 10^10-URL scale that list is what
+    * lets a resume, shard repair, or partial re-crawl open only the files
+    * whose hash range it needs — see [[loadFrontierRange]]. Boundary
+    * sampling makes the file layout (not the data) run-dependent, exactly
+    * like Iceberg's. */
   def commit(
       spark: SparkSession,
       wave: Int,
@@ -38,10 +54,23 @@ final class SnapshotStore(root: String) {
       fetchedTotal: Long,
       errorsTotal: Long,
       parityFailures: Long,
-      runId: String
+      runId: String,
+      targetFrontierFiles: Option[Int] = None
   ): Unit = {
     val dir = snapDir(wave)
-    frontier.write.mode("overwrite").parquet(s"$dir/frontier.parquet")
+    // Clustering costs a sampling pass + range shuffle per commit — worth it
+    // when frontier shards are re-read selectively (10^10-URL deployments set
+    // a file target, Iceberg's write.target-file-size analogue), pure
+    // overhead for small politeness-bound waves. The manifest list is
+    // written either way: min/max stats stay CORRECT unclustered, just
+    // looser, so pruned reads degrade to full reads, never to wrong ones.
+    val clustered = targetFrontierFiles match {
+      case Some(n) if frontier.columns.contains("urlHash") =>
+        frontier.repartitionByRange(n, col("urlHash")).sortWithinPartitions("urlHash")
+      case _ => frontier
+    }
+    clustered.write.mode("overwrite").parquet(s"$dir/frontier.parquet")
+    writeManifestList(wave)
     seenDelta.write.mode("overwrite").parquet(s"$dir/seen-delta.parquet")
     val manifest =
       s"""{"wave": $wave, "fetchedTotal": $fetchedTotal, "errorsTotal": $errorsTotal, "parityFailures": $parityFailures, "runId": "$runId"}"""
@@ -49,6 +78,78 @@ final class SnapshotStore(root: String) {
     val tmp = Paths.get(root, s".CURRENT.tmp-$wave")
     Files.write(tmp, wave.toString.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Footer-only stats collection for every data file of a wave's frontier
+    * (the Iceberg commit-time stats gather: row counts + column min/max come
+    * from parquet metadata, never a data scan). */
+  private def writeManifestList(wave: Int): Unit = {
+    val dataDir = new java.io.File(s"${snapDir(wave)}/frontier.parquet")
+    val files = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val stats = files.map { f =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var rows = 0L
+        var mn = Long.MaxValue
+        var mx = Long.MinValue
+        blocks.forEach { b =>
+          rows += b.getRowCount
+          b.getColumns.forEach { c =>
+            if (c.getPath.toDotString == "urlHash") {
+              val st = c.getStatistics
+              if (st != null && st.hasNonNullValue) {
+                mn = math.min(mn, st.genericGetMin.asInstanceOf[java.lang.Long].longValue())
+                mx = math.max(mx, st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
+              }
+            }
+          }
+        }
+        FileStat(f.getName, rows, mn, mx)
+      } finally reader.close()
+    }
+    val json = stats.map(s =>
+      s"""{"path": "${s.path}", "rows": ${s.rows}, "urlHashMin": ${s.urlHashMin}, "urlHashMax": ${s.urlHashMax}}""")
+      .mkString("[\n", ",\n", "\n]")
+    Files.write(Paths.get(snapDir(wave), "manifest-list.json"),
+      json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The committed frontier's per-file stats for `wave` (empty if the wave
+    * predates manifest lists or holds no data files). */
+  def manifestList(wave: Int): Seq[FileStat] = {
+    val p = Paths.get(snapDir(wave), "manifest-list.json")
+    if (!Files.exists(p)) return Seq.empty
+    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val entry = ("\\{\"path\": \"([^\"]+)\", \"rows\": (-?\\d+), " +
+      "\"urlHashMin\": (-?\\d+), \"urlHashMax\": (-?\\d+)\\}").r
+    entry.findAllMatchIn(text).map(m =>
+      FileStat(m.group(1), m.group(2).toLong, m.group(3).toLong, m.group(4).toLong)).toSeq
+  }
+
+  /** Manifest-pruned file selection: the data files whose [min,max] urlHash
+    * range intersects [lo,hi]. Rowless files never match. */
+  def filesForRange(wave: Int, lo: Long, hi: Long): Seq[FileStat] =
+    manifestList(wave).filter(s => s.rows > 0 && s.urlHashMin <= hi && s.urlHashMax >= lo)
+
+  /** Load only the frontier rows with urlHash in [lo,hi], opening just the
+    * manifest-pruned files (Iceberg file skipping: at scale a shard repair
+    * or partial re-crawl reads nprobe-of-n files, not the whole frontier).
+    * Falls back to a full scan + filter when no manifest list exists. */
+  def loadFrontierRange(spark: SparkSession, wave: Int, lo: Long, hi: Long): DataFrame = {
+    val pruned = filesForRange(wave, lo, hi)
+    val base =
+      if (manifestList(wave).isEmpty) loadFrontier(spark, wave)
+      else if (pruned.isEmpty)
+        loadFrontier(spark, wave).limit(0)
+      else
+        spark.read.parquet(pruned.map(s => s"${snapDir(wave)}/frontier.parquet/${s.path}"): _*)
+    base.filter(col("urlHash") >= lo && col("urlHash") <= hi)
   }
 
   /** Latest committed wave, if any. */

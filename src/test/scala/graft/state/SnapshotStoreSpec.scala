@@ -1,0 +1,126 @@
+package graft.state
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.crawl.CrawlEngine
+import graft.model.FrontierEntry
+
+/** Manifest-list + file-pruning semantics of the Iceberg-style snapshot
+  * store: footer stats must be exact, range loads must prune files AND
+  * return exactly the filter-equivalent rows. */
+class SnapshotStoreSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-state-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def entries(n: Int): Seq[FrontierEntry] =
+    (0 until n).map { i =>
+      val c = s"https://site${i % 7}.com/p$i"
+      FrontierEntry(c, c, 1, "", s"site${i % 7}.com", 1, CrawlEngine.urlHash(c))
+    }
+
+  private def committedStore(n: Int): (SnapshotStore, Seq[FrontierEntry]) = {
+    import spark.implicits._
+    val es = entries(n)
+    val store = new SnapshotStore(Files.createTempDirectory("graft-snap-test").toString)
+    store.init()
+    store.commit(spark, 0, spark.createDataset(es).toDF(),
+      spark.createDataset(es.map(_.canonicalUrl)).toDF("canonicalUrl"),
+      n.toLong, 0L, 0L, "run", targetFrontierFiles = Some(8))
+    (store, es)
+  }
+
+  test("manifest list: exact row counts, tight disjoint-ish hash ranges") {
+    val (store, es) = committedStore(4000)
+    val stats = store.manifestList(0)
+    assert(stats.nonEmpty)
+    assert(stats.map(_.rows).sum == 4000L, "footer row counts must sum to the frontier size")
+    val dataFiles = stats.filter(_.rows > 0)
+    dataFiles.foreach(s => assert(s.urlHashMin <= s.urlHashMax))
+    // range clustering: file ranges must not all overlap — sort by min and
+    // require strictly increasing mins (distinct range-partition bounds)
+    val mins = dataFiles.map(_.urlHashMin).sorted
+    assert(mins.distinct.size == mins.size, "range-clustered files must cover distinct ranges")
+    // global min/max across files == true min/max of the data
+    assert(dataFiles.map(_.urlHashMin).min == es.map(_.urlHash).min)
+    assert(dataFiles.map(_.urlHashMax).max == es.map(_.urlHash).max)
+  }
+
+  test("loadFrontierRange prunes files and returns exactly the matching rows") {
+    val (store, es) = committedStore(4000)
+    val hashes = es.map(_.urlHash).sorted
+    // a range holding ~10% of rows
+    val (lo, hi) = (hashes(1800), hashes(2200))
+    val pruned = store.filesForRange(0, lo, hi)
+    val all = store.manifestList(0).count(_.rows > 0)
+    assert(pruned.size < all, s"pruning must skip files (${pruned.size}/$all opened)")
+    val got = store.loadFrontierRange(spark, 0, lo, hi)
+      .collect().map(_.getAs[Long]("urlHash")).sorted
+    val want = hashes.filter(h => h >= lo && h <= hi)
+    assert(got.toSeq == want, "pruned load must equal the full-scan filter")
+    // empty range → no files opened, zero rows
+    assert(store.filesForRange(0, Long.MaxValue - 1, Long.MaxValue).size <= 1)
+    // full range → everything
+    assert(store.loadFrontierRange(spark, 0, Long.MinValue, Long.MaxValue).count() == 4000L)
+  }
+
+  test("unclustered commit: manifest still exact, pruned load still correct") {
+    import spark.implicits._
+    val es = entries(3000)
+    val store = new SnapshotStore(Files.createTempDirectory("graft-snap-unclustered").toString)
+    store.init()
+    store.commit(spark, 0, spark.createDataset(es).toDF().repartition(6),
+      spark.createDataset(es.map(_.canonicalUrl)).toDF("canonicalUrl"),
+      3000L, 0L, 0L, "run") // no file target → layout left as-is
+    val stats = store.manifestList(0)
+    assert(stats.map(_.rows).sum == 3000L)
+    val hashes = es.map(_.urlHash).sorted
+    val (lo, hi) = (hashes(1000), hashes(1500))
+    val got = store.loadFrontierRange(spark, 0, lo, hi)
+      .collect().map(_.getAs[Long]("urlHash")).sorted
+    assert(got.toSeq == hashes.filter(h => h >= lo && h <= hi),
+      "loose stats may skip pruning but must never change results")
+  }
+
+  test("crawl with snapshotFileTarget commits prunable clustered snapshots") {
+    import spark.implicits._
+    val spec = graft.gen.CorpusGen.Spec(3, 30)
+    val pages = graft.gen.CorpusGen.dataset(spark, spec)
+    val cfg = graft.model.CrawlConfig(
+      seeds = (0 until 3).map(h => s"https://${graft.gen.CorpusGen.hostName(h)}/"),
+      maxDepth = 3, maxPages = 60, perHostBudget = 3,
+      excludePatterns = Seq("external-data.org", "*.external-data.org"),
+      snapshotFileTarget = Some(4))
+    val dir = Files.createTempDirectory("graft-snap-engine").toString
+    val summary = CrawlEngine.run(spark, pages, cfg, dir)
+    assert(summary.fetchedTotal > 0)
+    val store = new SnapshotStore(dir)
+    // wave 0's frontier (post-seed expansion) must carry a manifest whose
+    // multi-file ranges are distinct (clustered), and a half-range load must
+    // open fewer files than the full set
+    val stats = store.manifestList(0).filter(_.rows > 0)
+    if (stats.size > 1) {
+      assert(stats.map(_.urlHashMin).distinct.size == stats.size)
+      val probe = store.filesForRange(0, Long.MinValue, stats.head.urlHashMax)
+      assert(probe.size < stats.size)
+    }
+    // and a resumed run over clustered snapshots still reproduces the crawl
+    val full = store.loadFrontier(spark, 0).count()
+    assert(full == stats.map(_.rows).sum)
+  }
+
+  test("loadFrontier full read is unaffected by the clustered layout") {
+    val (store, es) = committedStore(500)
+    val got = store.loadFrontier(spark, 0).collect().map(_.getAs[String]("canonicalUrl")).sorted
+    assert(got.toSeq == es.map(_.canonicalUrl).sorted)
+  }
+}
