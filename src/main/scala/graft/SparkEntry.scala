@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Relational, Relational2, TextAnalysis}
+import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Relational, Relational2, Relational3, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,9 @@ object SparkEntry {
     "q_string_funcs" -> (Relational2.stringFuncs _),
     "q_temporal_extremes" -> (Relational2.temporalExtremes _),
     "q_top_order_per_customer" -> (Relational2.topOrderPerCustomer _),
+    "q_rollup_nation" -> (Relational3.rollupNation _),
+    "q_cube_orders" -> (Relational3.cubeOrders _),
+    "q_grouping_sets" -> (Relational3.groupingSetsLineitem _),
     // --- text analysis (oracle-backed) ---
     "q_exact_dedup" -> (TextAnalysis.exactDedup _),
     "q_doc_quality" -> (TextAnalysis.docQuality _),
@@ -95,6 +98,9 @@ object SparkEntry {
     "q_price_bands" -> Relational2.priceBandsSql,
     "q_string_funcs" -> Relational2.stringFuncsSql,
     "q_temporal_extremes" -> Relational2.temporalExtremesSql,
-    "q_top_order_per_customer" -> Relational2.topOrderPerCustomerSql
+    "q_top_order_per_customer" -> Relational2.topOrderPerCustomerSql,
+    "q_rollup_nation" -> Relational3.rollupNationSql,
+    "q_cube_orders" -> Relational3.cubeOrdersSql,
+    "q_grouping_sets" -> Relational3.groupingSetsLineitemSql
   )
 }

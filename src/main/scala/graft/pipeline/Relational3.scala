@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Third tranche of oracle-backed relational operators: multi-dimensional
+  * aggregation (ROLLUP / CUBE / GROUPING SETS). Subtotal rows surface NULL
+  * group keys in both engines; every query coalesces them to the sentinel
+  * 'ALL' on BOTH sides so the driver's value compare never depends on null
+  * serialization. Same exactness rules as Relational (decimal → double at
+  * the boundary, integer aggregates as BIGINT, total ORDER BY). */
+object Relational3 {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Region → nation revenue rollup: per-nation rows, per-region subtotals,
+    * grand total. The catalyst Expand under rollup keeps this one shuffle —
+    * partial aggregation applies to every grouping set. */
+  def rollupNation(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .join(t(spark, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_orders"), col("revenue"))
+      .orderBy("region", "nation")
+
+  val rollupNationSql: String =
+    """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY region, nation""".stripMargin
+
+  /** Status × priority cube over orders: all four grouping combinations. */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("total"))
+      .orderBy("status", "priority")
+
+  val cubeOrdersSql: String =
+    """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      |  coalesce(o_orderpriority, 'ALL') AS priority,
+      |  count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
+  /** Explicit grouping sets over lineitem — (flag,status), (flag), () — with
+    * grouping_id to disambiguate subtotal levels (SQL-standard GROUPING()
+    * bits, identical in Spark and DuckDB). */
+  def groupingSetsLineitem(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |  coalesce(l_linestatus, 'ALL') AS status,
+        |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, flag, status""".stripMargin)
+  }
+
+  val groupingSetsLineitemSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |  coalesce(l_linestatus, 'ALL') AS status,
+      |  CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, flag, status""".stripMargin
+}
