@@ -74,6 +74,26 @@ object PlanCheck {
       fetchPlan.contains("ShuffledHashJoin") && !fetchPlan.contains("SortMergeJoin"),
       "html side streamed, never sorted")
 
+    // 5. rollup/grouping-sets: Expand feeds a PARTIAL aggregate before the
+    // one agg exchange — every grouping set combines map-side; subtotals
+    // never cost extra shuffles
+    val ru = graft.pipeline.Relational3.rollupNation(spark, sfDir)
+    ru.collect()
+    val ruPlan = ru.queryExecution.executedPlan.toString
+    check("q_rollup_nation/Expand+partial-agg",
+      ruPlan.contains("Expand") &&
+        "HashAggregate".r.findAllIn(ruPlan).size >= 2,
+      "rollup uses Expand with map-side partial aggregation")
+    val gsQ = graft.pipeline.Relational3.groupingSetsLineitem(spark, sfDir)
+    gsQ.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — inspect only
+    // the final plan section
+    val gsPlan = gsQ.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_grouping_sets/one-agg-exchange",
+      gsPlan.contains("Expand") &&
+        "Exchange hashpartitioning".r.findAllIn(gsPlan).size <= 1,
+      "all three grouping sets share a single aggregation shuffle")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
