@@ -283,10 +283,12 @@ object CrawlEngine {
               ExtractOut(page, links, chunks, ex.text == r.storedText)
             }
           }
-          // cache only when a second consumer exists (output sinks or the
-          // link-generation pass); a single-consumer wave streams it once
+          // cache only when a second consumer exists (output sinks, the
+          // link-generation pass, or the adaptive-politeness health agg);
+          // a single-consumer wave streams it once
           val linkGenActive = config.maxDepth > 0
-          if (writeOutputs || linkGenActive) extracted.persist(StorageLevel.MEMORY_AND_DISK)
+          if (writeOutputs || linkGenActive || config.adaptivePoliteness)
+            extracted.persist(StorageLevel.MEMORY_AND_DISK)
 
           // one action for count + parity (avoids a second pass)
           val stats = extracted.toDF()
@@ -300,6 +302,29 @@ object CrawlEngine {
           val errCount = selCount - fetchCount
           errorsTotal += errCount
 
+          // -- per-host health aggregates, shared by the metrics sink and the
+          // adaptive-politeness update (tiny per-host tables; persisted so
+          // the two sinks don't re-run the anti-join / extract agg) ---------
+          val needHealth = writeOutputs || config.adaptivePoliteness
+          val (missByHost, hostAgg) = if (needHealth) {
+            val miss = selected
+              .join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
+              .groupBy("host").agg(count(lit(1)).as("errors"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            val agg = extracted.map(e => (
+                UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
+                e.page.htmlBytes, e.page.textBytes,
+                if (e.page.extractionFailed) 1L else 0L,
+                if (e.page.wafProvider.nonEmpty) 1L else 0L))
+              .toDF("host", "htmlBytes", "textBytes", "exFail", "waf")
+              .groupBy("host")
+              .agg(count("*").as("fetched"), sum("htmlBytes").as("htmlBytes"),
+                sum("textBytes").as("textBytes"), sum("exFail").as("extractionFailures"),
+                sum("waf").as("wafBlocked"))
+              .persist(StorageLevel.MEMORY_AND_DISK)
+            (miss, agg)
+          } else (null, null)
+
           if (writeOutputs) {
             extracted.map(_.page)
               .withColumn("runId", lit(rid))
@@ -310,18 +335,6 @@ object CrawlEngine {
               .write.mode("overwrite").parquet(s"$stateDir/out/chunks/wave=$wave")
 
             // -- per-host metrics (metrics.rs:15-100 equivalents) -----------
-            val misses = selected.join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
-            val missByHost = misses.groupBy("host").agg(count("*").as("errors"))
-            val hostAgg = extracted.map(e => (
-                UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
-                e.page.htmlBytes, e.page.textBytes,
-                if (e.page.extractionFailed) 1L else 0L,
-                if (e.page.wafProvider.nonEmpty) 1L else 0L))
-              .toDF("host", "htmlBytes", "textBytes", "exFail", "waf")
-              .groupBy("host")
-              .agg(count("*").as("fetched"), sum("htmlBytes").as("htmlBytes"),
-                sum("textBytes").as("textBytes"), sum("exFail").as("extractionFailures"),
-                sum("waf").as("wafBlocked"))
             hostAgg.join(missByHost, Seq("host"), "full_outer")
               .na.fill(0L)
               .withColumn("runId", lit(rid))
@@ -338,15 +351,9 @@ object CrawlEngine {
           if (config.adaptivePoliteness) {
             val maxB = config.perHostBudget
             val recover = math.max(1, maxB / 4)
-            val errByHost = selected
-              .join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
-              .groupBy("host").agg(count(lit(1)).as("errors"))
-            val wafByHost = extracted
-              .map(e => (UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
-                if (e.page.wafProvider.nonEmpty) 1L else 0L))
-              .toDF("host", "wafHit")
-              .groupBy("host").agg(sum("wafHit").as("waf"))
-            val health = errByHost.join(wafByHost, Seq("host"), "full_outer").na.fill(0L)
+            val health = missByHost
+              .join(hostAgg.select(col("host"), col("wafBlocked").as("waf")), Seq("host"), "full_outer")
+              .na.fill(0L)
             val updated = hostBudgets.toDF().join(health, Seq("host"), "full_outer")
               .select(col("host"),
                 coalesce(col("budget"), lit(maxB)).as("cur"),
@@ -360,6 +367,7 @@ object CrawlEngine {
             updated.write.mode("overwrite").parquet(s"$stateDir/budgets/wave=$wave")
             hostBudgets = loadBudgets(wave)
           }
+          if (needHealth) { missByHost.unpersist(); hostAgg.unpersist() }
 
           // -- seen += selected --------------------------------------------
           val newSeen = seen.union(selected.select("canonicalUrl"))

@@ -8,7 +8,7 @@ package graft.extract
 object TextKit {
 
   private val WordSplit = java.util.regex.Pattern.compile("[^\\p{L}\\p{M}']+")
-  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+  private val WsSplit = HtmlKit.WsSplit // one whitespace spec for the extract kernels
 
   // ---------------------------------------------------------- language ----
 

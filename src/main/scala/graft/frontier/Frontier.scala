@@ -78,27 +78,23 @@ object Frontier extends Serializable {
       salts: Int
   ): Dataset[FrontierEntry] = {
     import spark.implicits._
-    def topK(it: Iterator[FrontierEntry]): Iterator[FrontierEntry] =
-      it.toArray.sorted(priorityOrdering).take(budget).iterator
-    val phase1 =
-      if (salts <= 1) frontier
-      else frontier
-        .groupByKey(e => (e.host, java.lang.Long.remainderUnsigned(e.urlHash, salts.toLong)))
-        .flatMapGroups((_, it) => topK(it))
-    phase1.groupByKey(_.host).flatMapGroups((_, it) => topK(it))
+    politenessSelectBudgets(spark, frontier, spark.emptyDataset[HostBudget], budget, salts)
   }
 
   /** [[politenessSelect]] with ADAPTIVE per-host budgets: each host's cap
     * comes from `budgets` (hosts absent from the table use `defaultBudget`;
     * the engine keeps the table sparse by dropping hosts back at the max).
+    * Budgets are THROTTLES: values above `defaultBudget` are clamped to it —
+    * phase 1 keeps only `defaultBudget` rows per salt bucket, so a larger
+    * phase-2 take could silently return a non-top-k set.
     *
-    * Scale shape: phase 1 salts with the default budget — which is the
-    * MAXIMUM, so task memory stays bounded exactly as in the static path and
-    * phase 1's output is a superset of any adaptive selection. Phase 2
-    * cogroups the ≤ salts×default survivors per host against the budget
-    * table (a shuffle of the tiny budget table, never of the frontier
-    * beyond what the static path already shuffles) and takes the exact
-    * per-host top-k. Deterministic for the same budgets table. */
+    * Scale shape: phase 1 salts with the default budget — the maximum, so
+    * task memory stays bounded and phase 1's output is a superset of any
+    * adaptive selection. Phase 2 cogroups the ≤ salts×default survivors per
+    * host against the budget table (a shuffle of the tiny budget table,
+    * never of the frontier beyond what the static path already shuffles)
+    * and takes the exact per-host top-k. Deterministic for the same budgets
+    * table. */
   def politenessSelectBudgets(
       spark: SparkSession,
       frontier: Dataset[FrontierEntry],
@@ -116,7 +112,7 @@ object Frontier extends Serializable {
         .flatMapGroups((_, it) => topK(it, defaultBudget))
     phase1.groupByKey(_.host)
       .cogroup(budgets.groupByKey(_.host)) { (_, entries, bs) =>
-        val k = bs.nextOption().map(_.budget).getOrElse(defaultBudget)
+        val k = bs.nextOption().map(b => math.min(b.budget, defaultBudget)).getOrElse(defaultBudget)
         topK(entries, math.max(0, k))
       }
   }

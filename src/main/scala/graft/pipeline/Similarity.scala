@@ -174,12 +174,17 @@ object Similarity {
 
   /** Distributed spherical k-means (Lloyd's) for the IVF coarse quantizer.
     *
-    * Deterministic throughout: seeds are the `nlist` corpus vectors with the
-    * smallest `xxhash64(vec_id)` (a reproducible pseudo-random spread), the
-    * assignment tie-break is the lowest centroid index, and FP sums are
-    * reduced in cluster-index order. Scale shape: each iteration is ONE pass
-    * over the corpus producing at most `nlist` partial-sum rows per
-    * partition (map-side combine); only `nlist` reduced rows ever reach the
+    * Deterministic for a given input partitioning: seeds are the `nlist`
+    * corpus vectors with the smallest `xxhash64(vec_id)` (a reproducible
+    * pseudo-random spread), the assignment tie-break is the lowest centroid
+    * index, and per-partition partial sums are merged in partition-id order
+    * so repeated runs reduce the same doubles in the same order. (Like any
+    * distributed FP aggregate — Spark's own `sum()` included — a DIFFERENT
+    * partition layout regroups the additions and can shift centroids by
+    * ULPs; the crawl engine's integer/order-based parallelism invariance
+    * does not extend to FP training.) Scale shape: each iteration is ONE
+    * pass over the corpus producing at most `nlist` partial-sum rows per
+    * partition (map-side combine); only `nlist` merged rows ever reach the
     * driver, so training a 10^10-row corpus moves nlist × dims doubles per
     * iteration, not data. Empty clusters keep their previous centroid. */
   def trainCentroids(
@@ -199,6 +204,7 @@ object Similarity {
     while (iter < iters) {
       val bc = spark.sparkContext.broadcast(centroids)
       val partials = corpus.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         val cs = bc.value
         val dims = if (cs.nonEmpty) cs(0).length else 0
         val sums = Array.fill(cs.length)(new Array[Double](dims))
@@ -211,17 +217,24 @@ object Similarity {
           counts(a) += 1L
         }
         Iterator.range(0, cs.length).filter(counts(_) > 0L)
-          .map(i => (i, sums(i), counts(i)))
+          .map(i => (i, pid, sums(i), counts(i)))
       }
+      // merge partials in (cluster, partitionId) order: same input layout →
+      // same FP addition order → bit-identical centroids across runs
+      // (reduceGroups would merge in scheduling order)
       val totals = partials
         .groupByKey(_._1)
-        .reduceGroups { (x, y) =>
-          val s = x._2.clone()
-          var d = 0
-          while (d < s.length) { s(d) += y._2(d); d += 1 }
-          (x._1, s, x._3 + y._3)
+        .mapGroups { (cluster, it) =>
+          val parts = it.toArray.sortBy(_._2)
+          val s = parts.head._3.clone()
+          var n = parts.head._4
+          parts.tail.foreach { p =>
+            var d = 0
+            while (d < s.length) { s(d) += p._3(d); d += 1 }
+            n += p._4
+          }
+          (cluster, s, n)
         }
-        .map(_._2)
         .collect() // ≤ nlist rows
       val next = centroids.map(identity)
       totals.foreach { case (i, sum, n) =>

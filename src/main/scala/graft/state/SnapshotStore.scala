@@ -142,9 +142,10 @@ final class SnapshotStore(root: String) {
     * or partial re-crawl reads nprobe-of-n files, not the whole frontier).
     * Falls back to a full scan + filter when no manifest list exists. */
   def loadFrontierRange(spark: SparkSession, wave: Int, lo: Long, hi: Long): DataFrame = {
-    val pruned = filesForRange(wave, lo, hi)
+    val stats = manifestList(wave)
+    val pruned = stats.filter(s => s.rows > 0 && s.urlHashMin <= hi && s.urlHashMax >= lo)
     val base =
-      if (manifestList(wave).isEmpty) loadFrontier(spark, wave)
+      if (stats.isEmpty) loadFrontier(spark, wave)
       else if (pruned.isEmpty)
         loadFrontier(spark, wave).limit(0)
       else

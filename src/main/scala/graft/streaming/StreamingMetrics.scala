@@ -70,8 +70,12 @@ object StreamingMetrics {
     sorted.foreach { case (ts, eventId) =>
       state match {
         case Some(s) if ts - s.lastTs <= gapMs =>
-          state = Some(s.copy(lastTs = math.max(s.lastTs, ts), nEvents = s.nEvents + 1,
-            lastEvent = eventId))
+          // cross-batch disorder (bounded by the watermark) can deliver an
+          // event between firstTs and lastTs — track true extremes so
+          // first/last event ids always agree with start_ts/end_ts
+          val (fTs, fEv) = if (ts < s.firstTs) (ts, eventId) else (s.firstTs, s.firstEvent)
+          val (lTs, lEv) = if (ts >= s.lastTs) (ts, eventId) else (s.lastTs, s.lastEvent)
+          state = Some(SessionState(fTs, lTs, s.nEvents + 1, fEv, lEv))
         case Some(s) =>
           closed += ClosedSession(userId, s.nEvents, s.firstEvent, s.lastEvent,
             new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs))

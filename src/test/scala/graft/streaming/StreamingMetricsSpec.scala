@@ -107,4 +107,18 @@ class StreamingMetricsSpec extends AnyFunSuite {
     // empty batch is a no-op
     assert(StreamingMetrics.foldEvents(7L, Seq.empty, open) == (Seq.empty, open))
   }
+
+  test("foldEvents: cross-batch out-of-order events keep first/last consistent with extremes") {
+    // open session at [100s, 200s]; a later batch delivers an in-gap event
+    // at 150s (between first and last) and one at 50s (before first)
+    val open = Some(SessionState(100000L, 200000L, 2L, 10L, 20L))
+    val (c1, o1) = StreamingMetrics.foldEvents(7L, Seq((150000L, 15L)), open)
+    assert(c1.isEmpty)
+    assert(o1.contains(SessionState(100000L, 200000L, 3L, 10L, 20L)),
+      "mid-session event must not displace first/last ids")
+    val (c2, o2) = StreamingMetrics.foldEvents(7L, Seq((50000L, 5L)), o1)
+    assert(c2.isEmpty)
+    assert(o2.contains(SessionState(50000L, 200000L, 4L, 5L, 20L)),
+      "earlier event must move firstTs AND firstEvent together")
+  }
 }
