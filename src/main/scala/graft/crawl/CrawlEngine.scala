@@ -306,11 +306,13 @@ object CrawlEngine {
           // adaptive-politeness update (tiny per-host tables; persisted so
           // the two sinks don't re-run the anti-join / extract agg) ---------
           val needHealth = writeOutputs || config.adaptivePoliteness
+          // persist only when BOTH consumers run (metrics sink + budget
+          // update); single-consumer waves stream the aggregates once
+          val twoConsumers = writeOutputs && config.adaptivePoliteness
           val (missByHost, hostAgg) = if (needHealth) {
             val miss = selected
               .join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
               .groupBy("host").agg(count(lit(1)).as("errors"))
-              .persist(StorageLevel.MEMORY_AND_DISK)
             val agg = extracted.map(e => (
                 UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""),
                 e.page.htmlBytes, e.page.textBytes,
@@ -321,7 +323,10 @@ object CrawlEngine {
               .agg(count("*").as("fetched"), sum("htmlBytes").as("htmlBytes"),
                 sum("textBytes").as("textBytes"), sum("exFail").as("extractionFailures"),
                 sum("waf").as("wafBlocked"))
-              .persist(StorageLevel.MEMORY_AND_DISK)
+            if (twoConsumers) {
+              miss.persist(StorageLevel.MEMORY_AND_DISK)
+              agg.persist(StorageLevel.MEMORY_AND_DISK)
+            }
             (miss, agg)
           } else (null, null)
 
@@ -367,7 +372,7 @@ object CrawlEngine {
             updated.write.mode("overwrite").parquet(s"$stateDir/budgets/wave=$wave")
             hostBudgets = loadBudgets(wave)
           }
-          if (needHealth) { missByHost.unpersist(); hostAgg.unpersist() }
+          if (twoConsumers) { missByHost.unpersist(); hostAgg.unpersist() }
 
           // -- seen += selected --------------------------------------------
           val newSeen = seen.union(selected.select("canonicalUrl"))
