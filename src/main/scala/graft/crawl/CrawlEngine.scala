@@ -110,7 +110,10 @@ object CrawlEngine {
     val rid = runId(config)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    val canonUdf = udf((u: String) => UrlKernel.canonicalize(u).orNull)
+    // native Catalyst expression, not a ScalaUDF: the canonicalize runs on
+    // the FULL pages table (100 TB at target scale) and must stay inside
+    // whole-stage codegen
+    val canonCol = graft.functions.GraftExpressions.canonicalize_url(col("url"))
 
     // ---- pages table prep: canonical key + explicit co-partitioning --------
     // (SURVEY §4.1: frontier⋈pages repeats every wave; pre-hash-partitioning
@@ -126,7 +129,7 @@ object CrawlEngine {
     // lead the struct; the aggregation exchange doubles as the canonical
     // hash-partitioning the per-wave fetch join needs.
     val preparedBase = pages
-      .withColumn("canonicalUrl", canonUdf(col("url")))
+      .withColumn("canonicalUrl", canonCol)
       .filter(col("canonicalUrl").isNotNull)
       .groupBy(col("canonicalUrl"))
       .agg(max(struct(col("warc_ts").as("warcTs"), col("url").as("servedUrl"),

@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.pipeline.Dedup
+import graft.urls.UrlKernel
+
+/** Native Catalyst expressions for the kernel functions that sit on full-
+  * table scans — the preference order from the build brief: a codegen'd
+  * `Expression` beats a Scala UDF (no ScalaUDF wrapper, no per-row
+  * encoder round-trip, stays inside the WholeStageCodegen span).
+  *
+  * Evaluation goes through the static helpers in [[GraftExpressions]] so the
+  * generated Java calls straight into JIT-compiled kernel code; `UTF8String`
+  * → String conversion is the only per-row cost (the kernels are
+  * String-based).
+  */
+object GraftExpressions {
+
+  /** Static entry points for generated code (Scala objects emit static
+    * forwarders, so codegen references them as plain Java statics). */
+  def canonicalizeEval(u: UTF8String): UTF8String =
+    UrlKernel.canonicalize(u.toString).map(UTF8String.fromString).orNull
+
+  def simhash64Eval(t: UTF8String): Long = Dedup.simhash64(t.toString)
+
+  /** `canonicalize_url(url)` — dedup-canonical URL or NULL when the input is
+    * not a canonicalizable http(s) URL (deduplicator.rs:109-151 semantics,
+    * same kernel the crawl engine applies Scala-side to links). */
+  case class CanonicalizeUrl(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = true // invalid URLs canonicalize to NULL
+    override def prettyName: String = "canonicalize_url"
+
+    override protected def nullSafeEval(input: Any): Any =
+      canonicalizeEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val tmp = ctx.freshName("canon")
+        s"""
+           |org.apache.spark.unsafe.types.UTF8String $tmp =
+           |  graft.functions.GraftExpressions.canonicalizeEval($c);
+           |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp; }
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** `simhash64(text)` — the 64-bit near-dup fingerprint as a column
+    * function (column twin of `Dedup.simhash64`). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "simhash64"
+
+    override protected def nullSafeEval(input: Any): Any =
+      simhash64Eval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.simhash64Eval($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  // ------------------------------------------------------------ Column API --
+
+  def canonicalize_url(c: Column): Column =
+    GraftColumnBridge.column(CanonicalizeUrl(GraftColumnBridge.expression(c)))
+
+  def simhash64(c: Column): Column =
+    GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+
+  /** Register both as SQL functions on this session (idempotent) so
+    * `spark.sql("SELECT canonicalize_url(url) ...")` works too. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("canonicalize_url",
+      (args: Seq[Expression]) => CanonicalizeUrl(args.head), "built-in")
+    registry.createOrReplaceTempFunction("simhash64",
+      (args: Seq[Expression]) => SimHash64(args.head), "built-in")
+  }
+}

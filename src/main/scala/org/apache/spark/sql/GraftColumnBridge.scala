@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ↔ catalyst-Expression bridge for graft's native expressions.
+  *
+  * Spark 4 routes `Column` through `ColumnNode`, and the conversion helpers
+  * (`classic.ExpressionUtils`) are `private[sql]` — so, like other Spark
+  * extension libraries, graft hosts this one-file accessor inside the sql
+  * package. Nothing else of graft lives outside the `graft` namespace.
+  */
+object GraftColumnBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
