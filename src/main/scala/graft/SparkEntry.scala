@@ -54,6 +54,7 @@ object SparkEntry {
     "q_ann_lsh" -> (DedupQueries.annLsh _),
     "q_ann_ivf" -> (DedupQueries.annIvf _),
     "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),
+    "q_dedup_keep" -> (DedupQueries.dedupKeep _),
     // --- export validation / relevance / multimodal ---
     "q_vector_validate" -> (ExportQueries.vectorValidate _),
     "q_relevance_filter" -> (ExportQueries.relevanceFilter _),

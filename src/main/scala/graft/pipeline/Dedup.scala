@@ -164,6 +164,78 @@ object Dedup {
       .toDF("doc_a", "doc_b", "hamming_dist")
   }
 
+  // --------------------------------------------- components / keep-list ----
+
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation ("hash-to-min"): every doc starts labeled with its own id;
+    * each round a doc takes the minimum label among itself and its
+    * neighbors; convergence in O(component diameter) rounds — near-dup
+    * clusters are shallow, so a handful of shuffles. All joins are
+    * key-partitioned equi-joins (no driver-side graph), labels persist
+    * per round and the previous round unpersists, so state is 2×|V|.
+    * Deterministic: min over a set is order-free.
+    *
+    * Returns (doc_id, component) for every doc appearing in `pairs`;
+    * `component` = the smallest doc_id reachable through the pair graph. */
+  def connectedComponents(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs
+      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
+      .union(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var backing = labels // the persisted frame the current labels live on
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("nc")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("nc").as("minNeighbor"))
+      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("component"), coalesce(col("minNeighbor"), col("component"))).as("component"),
+          (col("minNeighbor") < col("component")).as("changed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changes = next.filter(col("changed")).count() // materializes next
+      labels = next.select("doc_id", "component") // served from next's cache
+      backing.unpersist()
+      backing = next
+      converged = changes == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"components did not converge in $maxIter rounds — pathological chain?")
+    labels // NOTE: backed by the final round's cache; evicted LRU downstream
+  }
+
+  /** End-to-end dedup keep-list: exact duplicates (identical text) and
+    * verified near-duplicates (word-3-gram Jaccard ≥ `threshold` via the
+    * MinHash-LSH path) collapse into components; the smallest doc_id of
+    * each component is kept. Docs in no component keep themselves. Output:
+    * (doc_id, keep_id, kept) for EVERY input doc — the projection a
+    * training-data pipeline applies before tokenization. */
+  def dedupKeepList(spark: SparkSession, docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    // exact edges: every doc of an identical-text group links to the group min
+    val exactPairs = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(collect_list(col("doc_id").cast("long")).as("ids"))
+      .select(explode(expr(
+        "transform(filter(ids, i -> i != array_min(ids)), i -> named_struct('doc_a', array_min(ids), 'doc_b', i))")).as("e"))
+      .select(col("e.doc_a"), col("e.doc_b"))
+    val nearPairs = verifiedNearDups(spark, docs, threshold).toDF()
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+    val comps = connectedComponents(spark, exactPairs.union(nearPairs))
+    docs.select(col("doc_id").cast("long"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("keep_id"))
+      .withColumn("kept", col("doc_id") === col("keep_id"))
+  }
+
   /** Exact word-unigram Jaccard between all pairs of a (small) candidate
     * id set — the exact n-gram-Jaccard measure for tests/verification. */
   def unigramJaccard(a: String, b: String): Double = {

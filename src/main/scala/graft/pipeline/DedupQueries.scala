@@ -82,6 +82,19 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Dedup keep-list over docs + planted exact and near duplicates: every
+    * doc mapped to the component minimum it dedups into (transitive via
+    * connected components). */
+  def dedupKeep(spark: SparkSession, dir: String): DataFrame = {
+    // plants: near-dups of docs 0-24 (offset 10^7) AND exact copies of docs
+    // 0-9 (offset 2×10^7) — keep-list must collapse chains across both
+    val base = docs(spark, dir).select("doc_id", "text")
+    val exactPlants = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 2 * PlantOffset).as("doc_id"), col("text"))
+    Dedup.dedupKeepList(spark, docsWithPlants(spark, dir).union(exactPlants), 0.5)
+      .orderBy("doc_id")
+  }
+
   /** IVF-bucketed ANN over the same queries (k-means-trained scale path;
     * complements the training-free hyperplane LSH variant). */
   def annIvf(spark: SparkSession, dir: String): DataFrame = {

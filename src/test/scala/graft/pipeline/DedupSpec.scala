@@ -227,6 +227,33 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: multi-hop chains collapse to the component minimum") {
+    import spark.implicits._
+    // components: {1,2,3,9} via chain 9-3, 3-2, 2-1; {5,6}; {7,8}
+    val pairs = Seq((9L, 3L), (3L, 2L), (2L, 1L), (5L, 6L), (8L, 7L))
+      .toDF("doc_a", "doc_b")
+    val comps = Dedup.connectedComponents(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("dedupKeepList: exact + near dups collapse transitively; uniques keep themselves") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // near-dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"), // exact dup of 2
+      (4L, "one two three four five six seven eight nine ten eleven twelve"),     // unique
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu")  // exact dup of 1
+    ).toDF("doc_id", "text")
+    val keep = Dedup.dedupKeepList(spark, docs, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    // 1,2,3,5 form ONE component (1-2 near, 2-3 exact, 1-5 exact) → keep 1
+    assert(keep.toSeq == Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 4L, true), (5L, 1L, false)))
+  }
+
   test("DedupQueries are deterministic across two runs") {
     val a = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
     val b = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
