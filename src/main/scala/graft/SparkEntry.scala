@@ -55,6 +55,7 @@ object SparkEntry {
     "q_ann_ivf" -> (DedupQueries.annIvf _),
     "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),
     "q_dedup_keep" -> (DedupQueries.dedupKeep _),
+    "q_winnow_containment" -> (DedupQueries.winnowContainment _),
     // --- export validation / relevance / multimodal ---
     "q_vector_validate" -> (ExportQueries.vectorValidate _),
     "q_relevance_filter" -> (ExportQueries.relevanceFilter _),

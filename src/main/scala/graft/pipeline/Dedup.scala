@@ -164,6 +164,107 @@ object Dedup {
       .toDF("doc_a", "doc_b", "hamming_dist")
   }
 
+  // ------------------------------------------------ winnowing fingerprint --
+
+  /** Winnowing parameters: k-gram length and window size. Guarantee
+    * (Schleimer, Wilkerson, Aiken 2003 — public MOSS paper): any shared
+    * substring of at least w + k - 1 normalized chars produces at least one
+    * shared fingerprint. */
+  val WinnowK = 5
+  val WinnowW = 4
+
+  /** Normalize for fingerprinting: lowercase, alphanumerics only (MOSS-style
+    * whitespace/punctuation insensitivity). */
+  private[pipeline] def winnowNormalize(text: String): Array[Char] =
+    text.toLowerCase.iterator.filter(_.isLetterOrDigit).toArray
+
+  /** Rolling-hash document fingerprints: polynomial k-gram hashes over the
+    * normalized text, then the rightmost minimum of each w-window (the
+    * winnowing rule — rightmost tie-break maximizes window overlap reuse).
+    * Pure and deterministic; O(n) per document. */
+  def winnowFingerprints(text: String, k: Int = WinnowK, w: Int = WinnowW): Set[Long] = {
+    val s = winnowNormalize(text)
+    if (s.length < k) return if (s.isEmpty) Set.empty else Set(hashSeed(new String(s), 31L))
+    val B = 1000003L
+    // precompute B^(k-1) for the rolling update
+    var bk = 1L
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val n = s.length - k + 1
+    val hashes = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + s(i); i += 1 }
+    hashes(0) = finalizeHash(h)
+    i = 1
+    while (i < n) {
+      h = (h - s(i - 1) * bk) * B + s(i + k - 1)
+      hashes(i) = finalizeHash(h)
+      i += 1
+    }
+    if (n <= w) return Set(hashes.min)
+    val out = scala.collection.mutable.HashSet.empty[Long]
+    var win = 0
+    while (win <= n - w) {
+      // rightmost minimum of hashes[win, win+w)
+      var best = win
+      var j = win + 1
+      while (j < win + w) { if (hashes(j) <= hashes(best)) best = j; j += 1 }
+      out += hashes(best)
+      win += 1
+    }
+    out.toSet
+  }
+
+  /** splitmix64-style finalizer so k-gram hashes spread over the full Long
+    * range (raw polynomial hashes of short alphanumeric grams cluster). */
+  private def finalizeHash(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Winnowing fingerprint index: (doc_id, fp) rows — the inverted index a
+    * containment search joins against (shared-fp groupBy, no all-pairs). */
+  def winnowIndex(spark: SparkSession, docs: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) => winnowFingerprints(text).iterator.map(fp => (id, fp)) }
+      .toDF("doc_id", "fp")
+  }
+
+  /** Containment candidates: pairs sharing ≥ minShared fingerprints, with
+    * the shared count and containment ratio |A∩B| / min(|A|,|B|). Blocking
+    * is the fp inverted index — only docs sharing a fingerprint ever meet —
+    * and fingerprints present in more than `maxDocFreq` docs are dropped
+    * first (stop-gram guard: one ubiquitous boilerplate gram must not turn
+    * the self-join quadratic; real matches share many non-ubiquitous fps). */
+  def winnowOverlaps(spark: SparkSession, docs: DataFrame, minShared: Int = 2,
+                     maxDocFreq: Int = 100): DataFrame = {
+    val idxAll = winnowIndex(spark, docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rareFps = idxAll.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq).select("fp")
+    val idx = idxAll.join(rareFps, Seq("fp"))
+    val sizes = idxAll.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    val shared = idx.as("a").join(idx.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+    val out = shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        (col("shared") / least(col("fp_a"), col("fp_b"))).as("containment"))
+    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    idxAll.unpersist()
+    out
+  }
+
   // --------------------------------------------- components / keep-list ----
 
   /** Connected components over near-dup pairs by iterative min-label

@@ -82,6 +82,26 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Winnowing containment pairs over docs + planted partial copies: doc
+    * 10^7+i embeds the full text of doc i inside unrelated padding — the
+    * rolling-hash path must flag containment that whole-doc signatures
+    * (minhash/simhash on diluted text) can miss. */
+  def winnowContainment(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val plants = base.filter(col("doc_id") < 15)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat(lit("Entirely unrelated preamble paragraph padding this page with words. "),
+          col("text"),
+          lit(" Trailing boilerplate navigation footer copyright words appended here.")).as("text"))
+    Dedup.winnowOverlaps(spark, base.union(plants), minShared = 5)
+      // the synthetic corpus shares template sentences at low containment;
+      // the interesting signal is substantial containment
+      .filter(col("containment") >= 0.3)
+      .withColumn("containment_milli", round(col("containment") * 1000).cast("long"))
+      .drop("containment")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Dedup keep-list over docs + planted exact and near duplicates: every
     * doc mapped to the component minimum it dedups into (transitive via
     * connected components). */

@@ -254,6 +254,40 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, true), (5L, 1L, false)))
   }
 
+  test("winnowing: deterministic, guarantee holds, partial copies flagged") {
+    import spark.implicits._
+    // determinism + normalization insensitivity
+    val t = "The quick brown fox jumps over the lazy dog near the river bank today."
+    assert(Dedup.winnowFingerprints(t) == Dedup.winnowFingerprints(t))
+    assert(Dedup.winnowFingerprints(t) ==
+      Dedup.winnowFingerprints(t.toUpperCase.replace(" ", "  ")),
+      "case and whitespace must not change fingerprints")
+    // SWA03 guarantee: a shared substring of >= w+k-1 normalized chars
+    // yields at least one shared fingerprint
+    val sharedCore = "zxqvwjkyzxqvmnbp" // 16 >= WinnowW + WinnowK - 1 = 8
+    val a = "aaaa bbbb " + sharedCore + " cccc dddd"
+    val b = "eeee ffff " + sharedCore + " gggg hhhh"
+    assert(Dedup.winnowFingerprints(a).intersect(Dedup.winnowFingerprints(b)).nonEmpty,
+      "guaranteed shared fingerprint missing")
+    // unrelated texts share ~nothing
+    val u1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val u2 = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    assert(Dedup.winnowFingerprints(u1).intersect(Dedup.winnowFingerprints(u2)).isEmpty)
+    // Spark path: planted CONTAINED copy found with high containment
+    val core = "the central copied paragraph with highly specific vocabulary " +
+      "sequences pangolin quartz viaduct mosaic lantern harbor citadel"
+    val docsDf = Seq(
+      (1L, core),
+      (2L, "completely different opening words here. " + core + " and a different ending too."),
+      (3L, "independent document about other topics entirely with its own words galaxy nebula comet")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowOverlaps(spark, docsDf, minShared = 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.contains((1L, 2L)), "contained copy must be flagged")
+    assert(pairs((1L, 2L)) > 0.8, s"containment should be high, got ${pairs((1L, 2L))}")
+    assert(!pairs.keySet.exists { case (x, y) => x == 3L || y == 3L })
+  }
+
   test("DedupQueries are deterministic across two runs") {
     val a = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
     val b = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
