@@ -1,0 +1,88 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.gen.CorpusGen
+import graft.model.CrawlConfig
+
+/** WARC source semantics: byte-exact record round-trips (plain and
+  * member-per-record gzip), non-response records skipped, and a raw WARC
+  * archive ingesting straight into the crawl engine with parity. */
+class WarcKitSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-warc-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def corpus = CorpusGen.localPages(CorpusGen.Spec(2, 12))
+
+  test("round-trip: plain and gzip WARC preserve url, timestamp, and body bytes") {
+    val pages = corpus.take(10)
+    val records = WarcKit.toRecords(pages)
+    val dir = Files.createTempDirectory("graft-warc").toString
+    WarcKit.writeWarcFile(records, s"$dir/a.warc")
+    WarcKit.writeWarcFile(records, s"$dir/b.warc.gz", gzip = true)
+    for (f <- Seq("a.warc", "b.warc.gz")) {
+      val got = WarcKit.readRecords(spark, s"$dir/$f").collect().sortBy(_.url)
+      val want = records.sortBy(_.url)
+      assert(got.length == want.length, s"$f record count")
+      got.zip(want).foreach { case (g, w) =>
+        assert(g.url == w.url)
+        assert(g.warc_ts.getTime == w.warc_ts.getTime, s"$f timestamp for ${w.url}")
+        assert(g.status == 200 && g.contentType == "text/html")
+        assert(java.util.Arrays.equals(g.html, w.html), s"$f body bytes for ${w.url}")
+      }
+    }
+  }
+
+  test("non-response records are skipped; malformed trailing bytes tolerated") {
+    val pages = corpus.take(3)
+    val dir = Files.createTempDirectory("graft-warc-mixed").toString
+    val path = s"$dir/mixed.warc"
+    // hand-build: warcinfo + request records around real responses
+    val info = "WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\nsoftware\n\r\n\r\n"
+    val req = "WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://x.com/\r\nContent-Length: 4\r\n\r\nGET \r\n\r\n"
+    val out = new java.io.FileOutputStream(path)
+    out.write(info.getBytes("UTF-8"))
+    WarcKit.toRecords(pages).foreach { r =>
+      out.write(req.getBytes("UTF-8"))
+      val tmp = Files.createTempFile("one", ".warc")
+      WarcKit.writeWarcFile(Seq(r), tmp.toString)
+      out.write(Files.readAllBytes(tmp))
+    }
+    out.write("\r\n".getBytes("UTF-8"))
+    out.close()
+    val got = WarcKit.readRecords(spark, path).collect()
+    assert(got.length == 3, "exactly the response records")
+    assert(got.map(_.url).toSet == pages.map(_.url).toSet)
+  }
+
+  test("pagesFromWarc → CrawlEngine: raw archive crawls with byte parity") {
+    import spark.implicits._
+    val pages = corpus
+    val dir = Files.createTempDirectory("graft-warc-ingest").toString
+    // shard across two gz files — file-level parallelism path
+    val (h1, h2) = pages.partition(_.url.contains("site0"))
+    WarcKit.writeWarcFile(WarcKit.toRecords(h1), s"$dir/seg-0.warc.gz", gzip = true)
+    WarcKit.writeWarcFile(WarcKit.toRecords(h2), s"$dir/seg-1.warc.gz", gzip = true)
+    val ingested = WarcKit.pagesFromWarc(spark, s"$dir/*.warc.gz")
+    assert(ingested.count() == pages.length)
+    val cfg = CrawlConfig(
+      seeds = Seq("https://site0.com/", "https://site1.com/"),
+      maxDepth = 2, maxPages = 30, perHostBudget = 4,
+      excludePatterns = Seq("external-data.org", "*.external-data.org"))
+    val stateDir = Files.createTempDirectory("graft-warc-crawl").toString
+    val summary = graft.crawl.CrawlEngine.run(spark, ingested, cfg, stateDir)
+    assert(summary.fetchedTotal > 0)
+    assert(summary.parityFailures == 0,
+      "warc-ingested pages must extract byte-identically (same kernels)")
+  }
+}
