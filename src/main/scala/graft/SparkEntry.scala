@@ -73,7 +73,8 @@ object SparkEntry {
     "q_lang_detect" -> (CrawlQueries.langDetect _),
     "q_crawl_sitemap_seeded" -> (CrawlQueries.crawlSitemapSeeded _),
     "q_fetch_retry" -> (CrawlQueries.fetchRetry _),
-    "q_markdown" -> (CrawlQueries.markdown _)
+    "q_markdown" -> (CrawlQueries.markdown _),
+    "q_warc_roundtrip" -> (CrawlQueries.warcRoundtrip _)
   )
 
   def oracleSql: Map[String, String] = Map(
