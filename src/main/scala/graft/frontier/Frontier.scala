@@ -95,6 +95,26 @@ object Frontier extends Serializable {
     * never of the frontier beyond what the static path already shuffles)
     * and takes the exact per-host top-k. Deterministic for the same budgets
     * table. */
+  /** Streaming exact top-k under the total priority order: bounded heap of
+    * the k best seen (worst at the head), O(group) time, O(k) MEMORY — a
+    * 10^10-URL frontier can put millions of entries in one (host, salt)
+    * bucket, and materializing the bucket to sort it would OOM the task;
+    * the heap never holds more than k entries. Total ordering makes the
+    * result identical to sort-then-take. */
+  private[frontier] def topK(it: Iterator[FrontierEntry], k: Int): Iterator[FrontierEntry] = {
+    if (k <= 0) return Iterator.empty
+    val worstFirst = priorityOrdering.reverse
+    val heap = new java.util.PriorityQueue[FrontierEntry](math.max(k, 1), worstFirst)
+    it.foreach { e =>
+      if (heap.size < k) heap.add(e)
+      else if (priorityOrdering.lt(e, heap.peek())) { heap.poll(); heap.add(e) }
+    }
+    val out = new Array[FrontierEntry](heap.size)
+    var i = out.length - 1
+    while (i >= 0) { out(i) = heap.poll(); i -= 1 } // drain worst-first → fill back-to-front
+    out.iterator
+  }
+
   def politenessSelectBudgets(
       spark: SparkSession,
       frontier: Dataset[FrontierEntry],
@@ -103,8 +123,6 @@ object Frontier extends Serializable {
       salts: Int
   ): Dataset[FrontierEntry] = {
     import spark.implicits._
-    def topK(it: Iterator[FrontierEntry], k: Int): Iterator[FrontierEntry] =
-      it.toArray.sorted(priorityOrdering).take(k).iterator
     val phase1 =
       if (salts <= 1) frontier
       else frontier

@@ -89,6 +89,19 @@ class FrontierSpec extends AnyFunSuite {
     assert(out.map(_.canonicalUrl).sorted.toSeq == unsalted)
   }
 
+  test("bounded-heap topK is exactly sort-then-take under the total order") {
+    // adversarial mix: duplicate priorities across depth/pathDepth, hash ties
+    val entries = (0 until 5000).map { i =>
+      val c = s"https://h.com/${"x/" * (i % 7)}p${i % 997}"
+      FrontierEntry(c, c, i % 4, "", "h.com", i % 7, CrawlEngine.urlHash(c) % 50)
+    }
+    for (k <- Seq(0, 1, 7, 100, 5000, 9999)) {
+      val heap = Frontier.topK(entries.iterator, k).toVector
+      val sorted = entries.sorted(Frontier.priorityOrdering).take(k).toVector
+      assert(heap == sorted, s"k=$k mismatch")
+    }
+  }
+
   test("politenessSelect: exact global per-host top-k under salting") {
     import spark.implicits._
     // 3 hosts × 40 urls with varying priorities
