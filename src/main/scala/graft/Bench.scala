@@ -123,7 +123,8 @@ object Bench {
     // oracle-backed query mix on the sf tables
     val queryNames = Seq("q_agg_pricing", "q_filter_pushdown", "q_join_multi",
       "q_window_rank", "q_exact_dedup", "q_doc_quality", "q_token_count",
-      "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk")
+      "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk",
+      "q_ann_ivf", "q_dedup_keep", "q_rollup_nation", "q_grouping_sets")
     queryNames.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
