@@ -81,10 +81,14 @@ object GraftExpressions {
   /** Register both as SQL functions on this session (idempotent) so
     * `spark.sql("SELECT canonicalize_url(url) ...")` works too. */
   def register(spark: SparkSession): Unit = {
+    def unary(name: String, make: Expression => Expression)(args: Seq[Expression]): Expression = {
+      require(args.length == 1, s"$name expects exactly 1 argument, got ${args.length}")
+      make(args.head)
+    }
     val registry = spark.sessionState.functionRegistry
     registry.createOrReplaceTempFunction("canonicalize_url",
-      (args: Seq[Expression]) => CanonicalizeUrl(args.head), "built-in")
+      unary("canonicalize_url", CanonicalizeUrl.apply) _, "built-in")
     registry.createOrReplaceTempFunction("simhash64",
-      (args: Seq[Expression]) => SimHash64(args.head), "built-in")
+      unary("simhash64", SimHash64.apply) _, "built-in")
   }
 }

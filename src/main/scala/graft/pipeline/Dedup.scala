@@ -249,7 +249,10 @@ object Dedup {
     val rareFps = idxAll.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDocFreq).select("fp")
     val idx = idxAll.join(rareFps, Seq("fp"))
-    val sizes = idxAll.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
+    // sizes from the SAME filtered index as the numerator — otherwise a doc
+    // whose fingerprints are mostly ubiquitous boilerplate can never reach
+    // high containment even when fully copied
+    val sizes = idx.groupBy("doc_id").agg(count(lit(1)).as("n_fp"))
     val shared = idx.as("a").join(idx.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -262,7 +265,8 @@ object Dedup {
         (col("shared") / least(col("fp_a"), col("fp_b"))).as("containment"))
     out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
     idxAll.unpersist()
-    out
+    out // NOTE: returned persisted (protects the idxAll unpersist above);
+        // callers that loop should unpersist when done
   }
 
   // --------------------------------------------- components / keep-list ----
@@ -278,7 +282,7 @@ object Dedup {
     *
     * Returns (doc_id, component) for every doc appearing in `pairs`;
     * `component` = the smallest doc_id reachable through the pair graph. */
-  def connectedComponents(spark: SparkSession, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(spark: SparkSession, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
@@ -309,7 +313,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    require(converged, s"components did not converge in $maxIter rounds — pathological chain?")
+    // explicit failure beats a silently-wrong keep-list: propagation needs
+    // component-diameter rounds, so raise maxIter for corpora with very long
+    // incremental-edit chains
+    require(converged, s"components did not converge in $maxIter rounds — raise maxIter (chain deeper than $maxIter hops)")
     labels // NOTE: backed by the final round's cache; evicted LRU downstream
   }
 
@@ -319,7 +326,8 @@ object Dedup {
     * each component is kept. Docs in no component keep themselves. Output:
     * (doc_id, keep_id, kept) for EVERY input doc — the projection a
     * training-data pipeline applies before tokenization. */
-  def dedupKeepList(spark: SparkSession, docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+  def dedupKeepList(spark: SparkSession, docs: DataFrame, threshold: Double = 0.5,
+                    maxIter: Int = 50): DataFrame = {
     // exact edges: every doc of an identical-text group links to the group min
     val exactPairs = docs
       .groupBy(md5(col("text")).as("h"))
@@ -329,7 +337,7 @@ object Dedup {
       .select(col("e.doc_a"), col("e.doc_b"))
     val nearPairs = verifiedNearDups(spark, docs, threshold).toDF()
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-    val comps = connectedComponents(spark, exactPairs.union(nearPairs))
+    val comps = connectedComponents(spark, exactPairs.union(nearPairs), maxIter)
     docs.select(col("doc_id").cast("long"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),

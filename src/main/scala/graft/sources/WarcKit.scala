@@ -91,15 +91,35 @@ object WarcKit {
     buf
   }
 
+  /** Skip exactly n bytes (InputStream.skip may return short). */
+  private def skipFully(in: InputStream, n: Long): Unit = {
+    var left = n
+    while (left > 0) {
+      val skipped = in.skip(left)
+      if (skipped <= 0) {
+        require(in.read() != -1, s"truncated WARC record: $left bytes short")
+        left -= 1
+      } else left -= skipped
+    }
+  }
+
+  /** Records larger than this are skipped (not buffered): the pages schema
+    * targets html documents, and a task must never allocate a multi-GB
+    * payload array. WARC Content-Length is 64-bit — real archives carry
+    * giant conversion/resource records. */
+  val MaxRecordBytes: Long = 64L * 1024 * 1024
+
   /** Stream-parse all response records from a (possibly multi-member-gzip)
-    * WARC stream. Non-response records (warcinfo, request, metadata) are
-    * skipped by Content-Length without buffering their payloads. */
-  def parseWarcStream(raw: InputStream, gzipped: Boolean): Iterator[WarcRecord] = {
+    * WARC stream. Non-response and over-cap records are skipped by
+    * Content-Length without buffering their payloads; the stream is closed
+    * on EOF and on parse failure. */
+  def parseWarcStream(raw: InputStream, gzipped: Boolean,
+                      maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] = {
     val in = new BufferedInputStream(if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _
       private var done = false
-      private def advance(): Unit = {
+      private def advance(): Unit = try {
         nextRec = null
         while (nextRec == null && !done) {
           // seek the next WARC version line (skips inter-record blank lines)
@@ -117,9 +137,12 @@ object WarcKit {
                 if (i > 0) fields(s.substring(0, i).trim.toLowerCase) = s.substring(i + 1).trim
                 l = readLine(in)
               }
-              val len = fields.getOrElse("content-length", "0").toInt
-              val body = readFully(in, len)
-              if (fields.getOrElse("warc-type", "") == "response") {
+              val len = fields.getOrElse("content-length", "0").trim.toLongOption.getOrElse(0L)
+              val isResponse = fields.getOrElse("warc-type", "") == "response"
+              if (!isResponse || len > maxRecordBytes) {
+                skipFully(in, len) // never buffer what we won't keep
+              } else {
+                val body = readFully(in, len.toInt)
                 // split HTTP header block from the entity body
                 val sep = indexOfDoubleCrlf(body)
                 val (status, ctype, entity) =
@@ -140,6 +163,12 @@ object WarcKit {
             case Some(_) => () // garbage line between records — keep scanning
           }
         }
+      } catch {
+        case e: Throwable =>
+          // close the underlying file handle before propagating — task
+          // retries must not leak PortableDataStream descriptors
+          try in.close() catch { case _: Throwable => () }
+          throw e
       }
       advance()
       override def hasNext: Boolean = nextRec != null

@@ -56,10 +56,15 @@ class GraftExpressionsSpec extends AnyFunSuite {
     import spark.implicits._
     GraftExpressions.register(spark)
     urls.toDF("url").createOrReplaceTempView("expr_urls")
-    val got = spark.sql(
-      "SELECT canonicalize_url(url) AS c, simhash64(coalesce(url, '')) AS h FROM expr_urls")
-      .collect().map(r => Option(r.getString(0)))
-    assert(got.toSeq == urls.map(UrlKernel.canonicalize))
+    val rows = spark.sql(
+      "SELECT url, canonicalize_url(url) AS c, simhash64(coalesce(url, '')) AS h FROM expr_urls")
+      .collect()
+    assert(rows.map(r => Option(r.getString(1))).toSeq == urls.map(UrlKernel.canonicalize))
+    rows.foreach(r => assert(r.getLong(2) == Dedup.simhash64(r.getString(0)),
+      s"SQL simhash64 mismatch for ${r.getString(0)}"))
+    // wrong arity is an error, not a silent drop
+    val err = intercept[Exception](spark.sql("SELECT canonicalize_url(url, 'x') FROM expr_urls").collect())
+    assert(err.getMessage.contains("exactly 1 argument"), err.getMessage)
   }
 
   test("codegen path: identical results from a parquet scan, inside WholeStageCodegen") {

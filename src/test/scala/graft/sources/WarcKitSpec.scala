@@ -65,6 +65,33 @@ class WarcKitSpec extends AnyFunSuite {
     assert(got.map(_.url).toSet == pages.map(_.url).toSet)
   }
 
+  test("over-cap and 64-bit-length records are skipped without buffering; parse continues") {
+    val pages = corpus.take(3)
+    val dir = Files.createTempDirectory("graft-warc-cap").toString
+    val path = s"$dir/cap.warc"
+    val out = new java.io.FileOutputStream(path)
+    // record 0: normal; record 1: big body (will exceed the test cap);
+    // record 2: normal — the parser must skip 1 and still deliver 2
+    val recs = WarcKit.toRecords(pages)
+    val big = recs(1).copy(html = Array.fill(100000)('x'.toByte))
+    Seq(recs(0), big, recs(2)).foreach { r =>
+      val tmp = Files.createTempFile("one", ".warc")
+      WarcKit.writeWarcFile(Seq(r), tmp.toString)
+      out.write(Files.readAllBytes(tmp))
+    }
+    out.close()
+    val got = WarcKit.parseWarcStream(new java.io.FileInputStream(path),
+      gzipped = false, maxRecordBytes = 16384).toVector
+    assert(got.map(_.url) == Vector(recs(0).url, recs(2).url),
+      "over-cap record skipped, following records still parsed")
+    // malformed Content-Length tolerated (treated as 0, record skipped)
+    val weird = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://w.com/\r\nContent-Length: 2x\r\n\r\n"
+    val bytes = weird.getBytes("UTF-8") ++ Files.readAllBytes(java.nio.file.Paths.get(path))
+    val got2 = WarcKit.parseWarcStream(new java.io.ByteArrayInputStream(bytes),
+      gzipped = false, maxRecordBytes = 16384).toVector
+    assert(got2.exists(_.url == recs(0).url))
+  }
+
   test("pagesFromWarc → CrawlEngine: raw archive crawls with byte parity") {
     import spark.implicits._
     val pages = corpus
