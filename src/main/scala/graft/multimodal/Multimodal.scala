@@ -77,6 +77,71 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- resize / frame-sample --
+
+  /** Nearest-neighbor resize over the byte grid. The INDEX ARITHMETIC is the
+    * real resize plumbing (what a kernel or Pandas UDF computes per pixel);
+    * only the pixel semantics are stubbed. Deterministic, O(target). */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int, tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    while (y < th) {
+      val sy = (y.toLong * h / th).toInt
+      var x = 0
+      while (x < tw) {
+        val sx = (x.toLong * w / tw).toInt
+        val idx = sy * w + sx
+        out(y * tw + x) = if (idx < payload.length) payload(idx) else 0
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class FrameRow(media_id: Long, frame_idx: Int, n_bytes: Long,
+                            frame_sha256: String, frame_mean_micro: Long)
+
+  /** Deterministic every-kth frame sampling: the payload is striped into
+    * fixed-size frames and every `stride`-th is emitted — the media→frames
+    * EXPLODE dataflow (one input row fans out to N frame rows, downstream
+    * ops repartition on media_id as needed). */
+  def sampleFrames(m: MediaRow, frameBytes: Int = 64, stride: Int = 2): Seq[FrameRow] = {
+    val decoder = new StubDecoder
+    val nFrames = math.max(m.payload.length / frameBytes, 1)
+    (0 until nFrames by stride).map { f =>
+      val frame = m.payload.slice(f * frameBytes, math.min((f + 1) * frameBytes, m.payload.length))
+      FrameRow(m.media_id, f, frame.length.toLong,
+        graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(frame)),
+        math.round(decoder.decodeMean(frame) * 1000000))
+    }
+  }
+
+  /** Batch-shaped decode interface — the Scala analogue of
+    * `mapInPandas(fn, schema)`: the decoder sees a whole batch per call
+    * (Arrow-batch shape), not a row, so vectorized codecs/ONNX sessions
+    * amortize per-call overhead. Results must be independent of how rows
+    * fall into batches (tested). */
+  def decodeBatches(spark: SparkSession, media: Dataset[MediaRow],
+                    batchSize: Int = 512): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val decoder = new StubDecoder // per-partition init
+      it.grouped(batchSize).flatMap { batch => // per-call: a batch, not a row
+        batch.map { m =>
+          val hist = new Array[Float](16)
+          m.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+          val n = math.max(m.payload.length, 1)
+          var i = 0
+          while (i < 16) { hist(i) /= n; i += 1 }
+          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+            graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(m.payload)),
+            hist, decoder.decodeMean(m.payload))
+        }
+      }
+    }
+  }
+
   /** Synthetic media table derived from the embeddings ids (deterministic). */
   def mediaTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
@@ -98,5 +163,16 @@ object Multimodal {
         math.round(f.thumbnailMean * 1000000))) // exact long output
       .toDF("media_id", "kind", "n_bytes", "payload_sha256", "decode_mean_micro")
       .orderBy("media_id")
+  }
+
+  /** Frame-sampling query: video rows explode into every-2nd-frame rows
+    * (deterministic; rows-only driver check). */
+  def mediaFramesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .filter(_.kind == "video")
+      .flatMap(m => sampleFrames(m))
+      .toDF()
+      .orderBy("media_id", "frame_idx")
   }
 }

@@ -103,4 +103,40 @@ class ExportersSpec extends AnyFunSuite {
     val kinds = a.map(_.getString(1)).toSet
     assert(kinds == Set("image", "audio", "video"))
   }
+
+  test("multimodal batch shape: results independent of batch size") {
+    import spark.implicits._
+    val media = graft.multimodal.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val tiny = graft.multimodal.Multimodal.decodeBatches(spark, media, batchSize = 1)
+      .collect().map(f => (f.media_id, f.sha256, f.thumbnailMean)).sortBy(_._1)
+    val big = graft.multimodal.Multimodal.decodeBatches(spark, media, batchSize = 512)
+      .collect().map(f => (f.media_id, f.sha256, f.thumbnailMean)).sortBy(_._1)
+    assert(tiny.sameElements(big), "batch boundaries must not change results")
+    // and batch interface agrees with the row interface
+    val rowWise = graft.multimodal.Multimodal.extractFeatures(spark, media)
+      .collect().map(f => (f.media_id, f.sha256, f.thumbnailMean)).sortBy(_._1)
+    assert(tiny.sameElements(rowWise))
+  }
+
+  test("multimodal resize: exact nearest-neighbor index math") {
+    // 4x2 source grid, values = index; resize to 2x1 → picks (0,0) and (0,2)
+    val src = Array.tabulate(8)(_.toByte)
+    val out = graft.multimodal.Multimodal.resizeStub(src, w = 4, h = 2, tw = 2, th = 1)
+    assert(out.toSeq == Seq(0.toByte, 2.toByte))
+    // upscale 2x1 → 4x2 replicates columns/rows
+    val up = graft.multimodal.Multimodal.resizeStub(Array[Byte](10, 20), w = 2, h = 1, tw = 4, th = 2)
+    assert(up.toSeq == Seq[Byte](10, 10, 20, 20, 10, 10, 20, 20))
+  }
+
+  test("multimodal frame sampling: every-2nd 64-byte frame, deterministic explode") {
+    val m = graft.multimodal.Multimodal.MediaRow(7L, "video",
+      graft.multimodal.Multimodal.fakePayload(7L, "video", 256), 64, 48, 0)
+    val frames = graft.multimodal.Multimodal.sampleFrames(m) // 256/64 = 4 frames, stride 2
+    assert(frames.map(_.frame_idx) == Seq(0, 2))
+    assert(frames.forall(_.n_bytes == 64))
+    assert(frames == graft.multimodal.Multimodal.sampleFrames(m), "deterministic")
+    val q = graft.multimodal.Multimodal.mediaFramesQuery(spark, "/root/testdata/sf0.001")
+    assert(q.count() > 0)
+    assert(q.select("media_id").distinct().count() < q.count(), "explode fan-out")
+  }
 }
