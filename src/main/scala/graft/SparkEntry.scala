@@ -45,6 +45,7 @@ object SparkEntry {
     "q_topic_class" -> (TextAnalysis.topicClass _),
     "q_lang_distribution" -> (TextAnalysis.langDistribution _),
     "q_embedding_stats" -> (TextAnalysis.embeddingStats _),
+    "q_label_centroids" -> ((s: SparkSession, d: String) => graft.pipeline.Similarity.labelCentroids(s, d)),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),

@@ -254,6 +254,23 @@ class DedupSpec extends AnyFunSuite {
       (4L, 4L, true), (5L, 1L, false)))
   }
 
+  test("CentroidAgg: exact mean on a hand-built group; labelCentroids deterministic") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Array(1.0f, 2.0f, 3.0f)), (0, Array(3.0f, 4.0f, 5.0f)),
+      (1, Array(10.0f, 0.0f, -2.0f))
+    ).toDS().repartition(3)
+    val agg = new Similarity.CentroidAgg(3).toColumn
+    val got = vecs.groupByKey(_._1).mapValues(_._2).agg(agg).collect().toMap
+    assert(got(0).toSeq == Seq(2.0f, 3.0f, 4.0f))
+    assert(got(1).toSeq == Seq(10.0f, 0.0f, -2.0f))
+    // micro-quantized per-label centroids over the real table: stable
+    val a = Similarity.labelCentroids(spark, sfDir).collect().map(_.toString)
+    val b = Similarity.labelCentroids(spark, sfDir).collect().map(_.toString)
+    assert(a.sameElements(b))
+    assert(a.length == 10 * 64, "10 labels x 64 dims")
+  }
+
   test("winnowing: deterministic, guarantee holds, partial copies flagged") {
     import spark.implicits._
     // determinism + normalization insensitivity
