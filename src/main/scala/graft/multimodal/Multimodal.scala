@@ -48,13 +48,31 @@ object Multimodal {
 
   /** STUB decoder: a real build replaces this with an image/audio codec
     * (javax.imageio / ffmpeg JNI / a Pandas UDF via mapInPandas on PySpark).
-    * Deterministic: "decodes" the payload into a pseudo-pixel mean. */
+    * Deterministic: "decodes" the payload into a pseudo-pixel mean.
+    * `decodeMeanBatch` is the vectorized entry point — ONE call per batch —
+    * that an ONNX session or codec context would implement; per-element
+    * results must equal the scalar path (tested). */
   final class StubDecoder {
     def decodeMean(payload: Array[Byte]): Double = {
       var s = 0L
       payload.foreach(b => s += (b & 0xff))
       if (payload.isEmpty) 0.0 else s.toDouble / payload.length / 255.0
     }
+    def decodeMeanBatch(payloads: Seq[Array[Byte]]): Seq[Double] =
+      payloads.map(decodeMean) // real impl: one vectorized inference call
+  }
+
+  /** Shared per-row feature computation (single source of truth for the
+    * row-wise and batch paths). */
+  private def featuresOf(m: MediaRow, decodeMean: Double): MediaFeatures = {
+    val hist = new Array[Float](16)
+    m.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
+    val n = math.max(m.payload.length, 1)
+    var i = 0
+    while (i < 16) { hist(i) /= n; i += 1 }
+    MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
+      graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(m.payload)),
+      hist, decodeMean)
   }
 
   /** Batched feature extraction: ONE decoder per partition (amortized init —
@@ -64,16 +82,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       val decoder = new StubDecoder // per-partition init, NOT per-row
-      it.map { m =>
-        val hist = new Array[Float](16)
-        m.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
-        val n = math.max(m.payload.length, 1)
-        var i = 0
-        while (i < 16) { hist(i) /= n; i += 1 }
-        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-          graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(m.payload)),
-          hist, decoder.decodeMean(m.payload))
-      }
+      it.map(m => featuresOf(m, decoder.decodeMean(m.payload)))
     }
   }
 
@@ -106,9 +115,10 @@ object Multimodal {
     * fixed-size frames and every `stride`-th is emitted — the media→frames
     * EXPLODE dataflow (one input row fans out to N frame rows, downstream
     * ops repartition on media_id as needed). */
-  def sampleFrames(m: MediaRow, frameBytes: Int = 64, stride: Int = 2): Seq[FrameRow] = {
-    val decoder = new StubDecoder
-    val nFrames = math.max(m.payload.length / frameBytes, 1)
+  def sampleFrames(m: MediaRow, decoder: StubDecoder, frameBytes: Int = 64,
+                   stride: Int = 2): Seq[FrameRow] = {
+    // ceil division: the trailing partial frame is a frame, not silent loss
+    val nFrames = math.max((m.payload.length + frameBytes - 1) / frameBytes, 1)
     (0 until nFrames by stride).map { f =>
       val frame = m.payload.slice(f * frameBytes, math.min((f + 1) * frameBytes, m.payload.length))
       FrameRow(m.media_id, f, frame.length.toLong,
@@ -127,17 +137,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       val decoder = new StubDecoder // per-partition init
-      it.grouped(batchSize).flatMap { batch => // per-call: a batch, not a row
-        batch.map { m =>
-          val hist = new Array[Float](16)
-          m.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
-          val n = math.max(m.payload.length, 1)
-          var i = 0
-          while (i < 16) { hist(i) /= n; i += 1 }
-          MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-            graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(m.payload)),
-            hist, decoder.decodeMean(m.payload))
-        }
+      it.grouped(batchSize).flatMap { batch =>
+        // ONE decoder call per batch — the vectorized entry point
+        val means = decoder.decodeMeanBatch(batch.map(_.payload))
+        batch.lazyZip(means).map((m, mean) => featuresOf(m, mean))
       }
     }
   }
@@ -171,7 +174,10 @@ object Multimodal {
     import spark.implicits._
     mediaTable(spark, dir)
       .filter(_.kind == "video")
-      .flatMap(m => sampleFrames(m))
+      .mapPartitions { it =>
+        val decoder = new StubDecoder // per-partition, shared across rows
+        it.flatMap(m => sampleFrames(m, decoder))
+      }
       .toDF()
       .orderBy("media_id", "frame_idx")
   }

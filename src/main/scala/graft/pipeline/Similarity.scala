@@ -189,21 +189,44 @@ object Similarity {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
   }
 
-  /** Per-label centroids of an embedding table, micro-quantized so the
-    * result is stable across partition layouts (the FP merge-order ULPs
-    * disappear under 1e-6 rounding). One exploded row per (label, dim). */
+  /** Per-label centroids of an embedding table, micro-quantized. Built on
+    * partition-id-ordered partial sums (same pattern as [[trainCentroids]])
+    * rather than [[CentroidAgg]] so repeated runs merge the same doubles in
+    * the same order — bit-stable, not just quantization-probably-stable.
+    * One exploded row per (label, dim). */
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val agg = new CentroidAgg(64).toColumn
-    spark.read.parquet(s"$dir/embeddings.parquet")
+    val dims = 64
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("label").cast("int").as("label"), col("embedding"))
       .as[(Int, Array[Float])]
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .agg(agg)
+    val partials = rows.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      val sums = scala.collection.mutable.HashMap.empty[Int, (Array[Double], Array[Long])]
+      it.foreach { case (label, v) =>
+        val (s, n) = sums.getOrElseUpdate(label, (new Array[Double](dims), new Array[Long](1)))
+        val m = math.min(dims, v.length)
+        var i = 0
+        while (i < m) { s(i) += v(i); i += 1 }
+        n(0) += 1L
+      }
+      sums.iterator.map { case (label, (s, n)) => (label, pid, s, n(0)) }
+    }
+    partials.groupByKey(_._1)
+      .mapGroups { (label, it) =>
+        val parts = it.toArray.sortBy(_._2) // partition-id order
+        val s = parts.head._3.clone()
+        var n = parts.head._4
+        parts.tail.foreach { p =>
+          var i = 0
+          while (i < dims) { s(i) += p._3(i); i += 1 }
+          n += p._4
+        }
+        (label, s.map(v => v / n))
+      }
       .flatMap { case (label, c) =>
         c.iterator.zipWithIndex.map { case (v, d) =>
-          (label, d, math.round(v * 1000000.0).toLong)
+          (label, d, math.round(v * 1000000.0))
         }
       }
       .toDF("label", "dim", "centroid_micro")

@@ -107,14 +107,16 @@ class ExportersSpec extends AnyFunSuite {
   test("multimodal batch shape: results independent of batch size") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    def key(f: graft.multimodal.Multimodal.MediaFeatures) =
+      (f.media_id, f.sha256, f.thumbnailMean, f.byteHistogram.toSeq)
     val tiny = graft.multimodal.Multimodal.decodeBatches(spark, media, batchSize = 1)
-      .collect().map(f => (f.media_id, f.sha256, f.thumbnailMean)).sortBy(_._1)
+      .collect().map(key).sortBy(_._1)
     val big = graft.multimodal.Multimodal.decodeBatches(spark, media, batchSize = 512)
-      .collect().map(f => (f.media_id, f.sha256, f.thumbnailMean)).sortBy(_._1)
+      .collect().map(key).sortBy(_._1)
     assert(tiny.sameElements(big), "batch boundaries must not change results")
-    // and batch interface agrees with the row interface
+    // and batch interface agrees with the row interface (histograms included)
     val rowWise = graft.multimodal.Multimodal.extractFeatures(spark, media)
-      .collect().map(f => (f.media_id, f.sha256, f.thumbnailMean)).sortBy(_._1)
+      .collect().map(key).sortBy(_._1)
     assert(tiny.sameElements(rowWise))
   }
 
@@ -129,12 +131,18 @@ class ExportersSpec extends AnyFunSuite {
   }
 
   test("multimodal frame sampling: every-2nd 64-byte frame, deterministic explode") {
+    val dec = new graft.multimodal.Multimodal.StubDecoder
     val m = graft.multimodal.Multimodal.MediaRow(7L, "video",
       graft.multimodal.Multimodal.fakePayload(7L, "video", 256), 64, 48, 0)
-    val frames = graft.multimodal.Multimodal.sampleFrames(m) // 256/64 = 4 frames, stride 2
+    val frames = graft.multimodal.Multimodal.sampleFrames(m, dec) // 256/64 = 4 frames, stride 2
     assert(frames.map(_.frame_idx) == Seq(0, 2))
     assert(frames.forall(_.n_bytes == 64))
-    assert(frames == graft.multimodal.Multimodal.sampleFrames(m), "deterministic")
+    assert(frames == graft.multimodal.Multimodal.sampleFrames(m, dec), "deterministic")
+    // trailing partial frame is emitted, not dropped (ceil division)
+    val odd = m.copy(payload = graft.multimodal.Multimodal.fakePayload(7L, "video", 300))
+    val oddFrames = graft.multimodal.Multimodal.sampleFrames(odd, dec)
+    assert(oddFrames.map(_.frame_idx) == Seq(0, 2, 4))
+    assert(oddFrames.last.n_bytes == 300 - 4 * 64)
     val q = graft.multimodal.Multimodal.mediaFramesQuery(spark, "/root/testdata/sf0.001")
     assert(q.count() > 0)
     assert(q.select("media_id").distinct().count() < q.count(), "explode fan-out")
