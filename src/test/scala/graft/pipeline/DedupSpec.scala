@@ -305,6 +305,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (x, y) => x == 3L || y == 3L })
   }
 
+  test("winnowing guarantee property: random texts sharing a >= w+k-1 substring share a fingerprint") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    var seed = Seed(42L)
+    def sample[A](g: Gen[A]): A = {
+      seed = seed.next
+      g.apply(Gen.Parameters.default, seed).get
+    }
+    val word = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    val text = Gen.choose(3, 20).flatMap(n => Gen.listOfN(n, word).map(_.mkString(" ")))
+    val minShared = Dedup.WinnowW + Dedup.WinnowK - 1 // 8 normalized chars
+    (1 to 200).foreach { _ =>
+      val core = sample(Gen.listOfN(3, word).map(_.mkString(" ")))
+      if (core.count(_.isLetterOrDigit) >= minShared) {
+        val a = sample(text) + " " + core + " " + sample(text)
+        val b = sample(text) + " " + core + " " + sample(text)
+        val fa = Dedup.winnowFingerprints(a)
+        val fb = Dedup.winnowFingerprints(b)
+        assert(fa.intersect(fb).nonEmpty,
+          s"guarantee violated for shared core '$core' in\nA=$a\nB=$b")
+      }
+    }
+  }
+
   test("DedupQueries are deterministic across two runs") {
     val a = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
     val b = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
