@@ -173,10 +173,55 @@ final class SnapshotStore(root: String) {
   def loadFrontier(spark: SparkSession, wave: Int): DataFrame =
     spark.read.parquet(s"${snapDir(wave)}/frontier.parquet")
 
-  /** Union of all seen-set deltas committed up to and including `wave`. */
+  /** Union of the seen-set up to and including `wave`: the latest compacted
+    * full snapshot at or before `wave` (if any) plus the deltas after it.
+    * Without compaction this unions O(wave) delta files — see [[compact]]. */
   def loadSeen(spark: SparkSession, wave: Int): DataFrame = {
-    val paths = (0 to wave).map(w => s"${snapDir(w)}/seen-delta.parquet")
+    val compactedAt = (wave to 0 by -1).find(w =>
+      Files.exists(Paths.get(s"${snapDir(w)}/seen-full.parquet")))
+    val base = compactedAt.map(w => Seq(s"${snapDir(w)}/seen-full.parquet")).getOrElse(Seq.empty)
+    val from = compactedAt.map(_ + 1).getOrElse(0)
+    val deltas = (from to wave).map(w => s"${snapDir(w)}/seen-delta.parquet")
       .filter(p => Files.exists(Paths.get(p)))
-    spark.read.parquet(paths: _*)
+    spark.read.parquet((base ++ deltas): _*)
+  }
+
+  /** Compact the seen-set at `wave`: rewrite the union of everything up to
+    * `wave` as ONE table inside snap-`wave` (the Iceberg
+    * rewrite-manifests/expire-snapshots preparation step). After this,
+    * `loadSeen` for `wave` and later reads the compacted table plus only the
+    * newer deltas, and snapshots before `wave` carry no live seen state. At
+    * a 10^4-wave crawl this bounds resume metadata instead of unioning one
+    * delta directory per wave forever. */
+  def compact(spark: SparkSession, wave: Int): Unit = {
+    val full = loadSeen(spark, wave)
+    val tmp = s"${snapDir(wave)}/.seen-full.tmp"
+    full.write.mode("overwrite").parquet(tmp)
+    val dest = Paths.get(s"${snapDir(wave)}/seen-full.parquet")
+    if (Files.exists(dest)) {
+      // already compacted at this wave — replace atomically-enough via rename
+      org.apache.commons.io.FileUtils.deleteDirectory(dest.toFile)
+    }
+    Files.move(Paths.get(tmp), dest)
+  }
+
+  /** Expire snapshots strictly before `keepFrom`. Refuses unless
+    * snap-`keepFrom` is self-contained (has a compacted seen-full table) —
+    * an expire that strands live state is the unrecoverable failure mode,
+    * so it is checked, not assumed. Returns the number of removed dirs. */
+  def expire(keepFrom: Int): Int = {
+    require(Files.exists(Paths.get(s"${snapDir(keepFrom)}/seen-full.parquet")),
+      s"snap-$keepFrom has no compacted seen-full table — compact($keepFrom) first")
+    require(current().exists(_ >= keepFrom),
+      s"CURRENT is before $keepFrom — expiring would delete the live snapshot")
+    var removed = 0
+    (0 until keepFrom).foreach { w =>
+      val dir = new java.io.File(snapDir(w))
+      if (dir.exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        removed += 1
+      }
+    }
+    removed
   }
 }

@@ -118,6 +118,42 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(full == stats.map(_.rows).sum)
   }
 
+  test("compact + expire: seen set survives, old snapshots reclaimed, resume intact") {
+    import spark.implicits._
+    // full crawl → compact at an interior wave → expire earlier snapshots →
+    // the seen set and a resume must be unchanged
+    val spec = graft.gen.CorpusGen.Spec(2, 20)
+    val pages = graft.gen.CorpusGen.dataset(spark, spec)
+    val cfg = graft.model.CrawlConfig(
+      seeds = (0 until 2).map(h => s"https://${graft.gen.CorpusGen.hostName(h)}/"),
+      maxDepth = 3, maxPages = 40, perHostBudget = 3,
+      excludePatterns = Seq("external-data.org", "*.external-data.org"))
+    val dir = Files.createTempDirectory("graft-snap-compact").toString
+    val summary = CrawlEngine.run(spark, pages, cfg, dir)
+    val store = new SnapshotStore(dir)
+    val last = summary.waves - 1
+    val mid = last - 1
+    assert(mid >= 1, s"need >= 3 waves, got ${summary.waves}")
+
+    val seenBefore = store.loadSeen(spark, last).collect().map(_.getString(0)).sorted
+    store.compact(spark, mid)
+    // compacted read at mid and at last both equal the delta-union baseline
+    assert(store.loadSeen(spark, last).collect().map(_.getString(0)).sorted
+      .sameElements(seenBefore))
+    // expire refuses without a self-contained target, then reclaims
+    intercept[IllegalArgumentException](store.expire(mid + 1))
+    val removed = store.expire(mid)
+    assert(removed == mid, s"expected $mid dirs removed, got $removed")
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "snap-0")))
+    assert(store.loadSeen(spark, last).collect().map(_.getString(0)).sorted
+      .sameElements(seenBefore), "seen set must survive expiry")
+    // resume from the last snapshot still works over the expired store
+    Files.write(java.nio.file.Paths.get(dir, "CURRENT"), last.toString.getBytes("UTF-8"))
+    val resumed = CrawlEngine.run(spark, pages, cfg, dir, resume = true)
+    assert(resumed.fetchedTotal == summary.fetchedTotal,
+      "resume after compaction+expiry must see the same crawl state")
+  }
+
   test("loadFrontier full read is unaffected by the clustered layout") {
     val (store, es) = committedStore(500)
     val got = store.loadFrontier(spark, 0).collect().map(_.getAs[String]("canonicalUrl")).sorted
