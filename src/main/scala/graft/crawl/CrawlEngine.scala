@@ -141,20 +141,41 @@ object CrawlEngine {
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
       else preparedBase
 
-    // ---- robots rules: tiny per-host payload → driver parse + broadcast ----
-    // (scans the raw input, not `prepared`, so single-wave runs never force
-    // the prepared pipeline twice)
-    val robotsRows = pages.toDF()
-      .filter(col("url").endsWith("/robots.txt"))
-      .select(col("url"), col("html"))
-      .collect()
-    val robotsMap: Map[String, Robots.Rules] = robotsRows.flatMap { r =>
-      val url = r.getString(0)
-      val body = new String(r.getAs[Array[Byte]](1), UTF_8)
-      UrlKernel.extractDomain(url).map(h => Robots.stripWww(h) -> Robots.parse(body))
-    }.toMap
-    val bcRobots = spark.sparkContext.broadcast(if (config.respectRobots) robotsMap else Map.empty[String, Robots.Rules])
-    log(s"prep done (pages cached + robots broadcast) $elapsed")
+    // ---- robots rules: host-keyed Dataset, joined against new links --------
+    // Rules are parsed on EXECUTORS and kept as a (host, disallow) table —
+    // never collected to the driver: at Common-Crawl scale there are 10^7+
+    // hosts and a driver map would OOM. Only hosts that actually Disallow
+    // something are kept (the overwhelming majority of robots.txt files gate
+    // nothing for `*`), so the table is a small minority of hosts; it is
+    // persisted once (the parse scans the raw input, not `prepared`) and the
+    // per-wave gate is a left-anti-style join — broadcast-hash when the table
+    // is small, plain shuffle join otherwise. (Scans the raw input so
+    // single-wave runs never force the prepared pipeline twice.)
+    val robotsActive = config.respectRobots && config.maxDepth > 0
+    var robotsRulesBase: DataFrame = null // persisted base (unpersisted at end)
+    val robotsRules: DataFrame = if (!robotsActive) null
+    else {
+      val r = pages.toDF()
+        .filter(col("url").endsWith("/robots.txt"))
+        .select(col("url"), col("html"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (url, body) =>
+          UrlKernel.extractDomain(url).flatMap { h =>
+            val rules = Robots.parse(new String(body, UTF_8))
+            if (rules.disallow.exists(_.nonEmpty))
+              Some((Robots.stripWww(h), rules.disallow))
+            else scala.None
+          }
+        }
+        .toDF("rhost", "disallow")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      robotsRulesBase = r
+      val nRules = r.count()
+      // broadcast the gate join while the disallowing-host table is small;
+      // a 10^7-host deployment falls back to a shuffle join automatically
+      if (nRules < 200000L) broadcast(r) else r
+    }
+    log(s"prep done (pages cached + robots rules table) $elapsed")
 
     // ---- seed frontier (canonicalized on executors — seed lists can be
     // sitemap-scale, SURVEY §2.1) --------------------------------------------
@@ -223,7 +244,14 @@ object CrawlEngine {
             .persist(StorageLevel.MEMORY_AND_DISK)
           (s, s.count())
         } else (selectedAll, rawCount)
-      if (selCount == 0) { done = true }
+      if (selCount == 0) {
+        done = true
+        // the empty final wave must still release its cached frames — crawls
+        // run many-per-JVM (CrawlQueries) and leaked caches accumulate
+        selected.unpersist()
+        selectedAll.unpersist()
+        frontierPersisted.unpersist()
+      }
       else {
         {
           // -- crawl order (wave-local ranks; wave is the major sort key) ---
@@ -400,8 +428,14 @@ object CrawlEngine {
                   bcSeedHosts.value.exists(h => UrlKernel.isInternal(l, h)))
                 .filter(l => UrlKernel.paramCount(l) <= config.maxQueryParams) // batch_processor.rs:69-76
                 .flatMap(l => UrlKernel.canonicalize(l).map(c => entryFor(c, l, childDepth, parentUrl)))
-                .filter(en => !Robots.isBlocked(en.canonicalUrl, bcRobots.value))
             }
+          // robots Disallow gate: host-keyed join against the rules table
+          // (no driver map — see prep above). Same predicate as
+          // Robots.isBlocked, expressed as a join so it scales past the
+          // broadcastable-host-count point.
+          val gatedLinkEntries: Dataset[FrontierEntry] =
+            if (!robotsActive || !linkGenActive) newLinkEntries
+            else Robots.gate(spark, newLinkEntries, robotsRules)
 
           val leftovers = frontierPersisted
             .join(selected.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
@@ -409,7 +443,7 @@ object CrawlEngine {
           // frontier entries are unique per canonical (invariant below), so
           // the dedupe shuffle only runs when new links joined the pool
           val combined =
-            if (linkGenActive) Frontier.dedupeWave(spark, leftovers.union(newLinkEntries))
+            if (linkGenActive) Frontier.dedupeWave(spark, leftovers.union(gatedLinkEntries))
             else leftovers
           val nextFrontier = Frontier.newOnly(spark, combined, newSeen, seenCount)
 
@@ -430,6 +464,7 @@ object CrawlEngine {
       }
     }
     prepared.unpersist()
+    if (robotsRulesBase != null) robotsRulesBase.unpersist()
     CrawlSummary(rid, wave, fetchedTotal, errorsTotal, parityFailures, stateDir)
   }
 }

@@ -20,19 +20,46 @@ object Frontier extends Serializable {
   val BloomThreshold = 10000L
   val BloomFpp = 0.01
 
+  /** Hard ceiling on the bloom sketch (bits). The sketch lives on the driver
+    * and is broadcast every wave, so it must NOT scale with the seen-set: at
+    * the 10^10-URL design point an uncapped 1% bloom is ~12 GB — a driver
+    * OOM. 2^32 bits = 512 MiB keeps the broadcast bounded; past the ceiling
+    * the fpp degrades gracefully (false positives only cost exact-anti-join
+    * traffic, never correctness), and once the capped sketch would pass
+    * [[BloomSkipFpp]] it filters so little that the co-partitioned exact
+    * anti-join alone is the better plan, so the bloom is skipped entirely. */
+  val DefaultMaxBloomBits: Long = 1L << 32
+  val BloomSkipFpp = 0.5
+
+  /** Expected false-positive rate of an `m`-bit bloom holding `n` items with
+    * the optimal hash count for that load (standard fpp formula). */
+  def estimatedFpp(n: Long, m: Long): Double = {
+    if (n <= 0) return 0.0
+    if (m <= 0) return 1.0
+    val k = math.max(1, math.round(m.toDouble / n * math.log(2.0))).toInt
+    math.pow(1.0 - math.exp(-k.toDouble * n / m), k)
+  }
+
   def newOnly(
       spark: SparkSession,
       candidates: Dataset[FrontierEntry],
       seen: DataFrame,
-      seenCount: Long
+      seenCount: Long,
+      maxBloomBits: Long = DefaultMaxBloomBits
   ): Dataset[FrontierEntry] = {
     import spark.implicits._
     if (seenCount == 0) return candidates
     if (seenCount < BloomThreshold) {
+      return candidates.join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+    }
+    val wantBits = BloomFilter.optimalNumOfBits(math.max(seenCount, 1000L), BloomFpp)
+    val bits = math.min(wantBits, maxBloomBits)
+    if (estimatedFpp(seenCount, bits) > BloomSkipFpp) {
+      // budget-capped bloom would pass >50% of candidates anyway — pure
+      // exact anti-join, no driver sketch at all
       candidates.join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
     } else {
-      val bloom: BloomFilter =
-        seen.stat.bloomFilter("canonicalUrl", math.max(seenCount, 1000L), BloomFpp)
+      val bloom: BloomFilter = seen.stat.bloomFilter("canonicalUrl", math.max(seenCount, 1000L), bits)
       val bcast = spark.sparkContext.broadcast(bloom)
       val definitelyNew = candidates.filter(e => !bcast.value.mightContainString(e.canonicalUrl))
       val maybeSeen = candidates.filter(e => bcast.value.mightContainString(e.canonicalUrl))

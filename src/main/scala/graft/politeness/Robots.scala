@@ -1,5 +1,8 @@
 package graft.politeness
 
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.FrontierEntry
 import graft.urls.UrlKernel
 
 /** robots.txt handling.
@@ -68,4 +71,28 @@ object Robots {
 
   def stripWww(host: String): String =
     if (host.startsWith("www.")) host.substring(4) else host
+
+  /** Distributed Disallow gate: drop every entry whose path is robots-blocked
+    * for its host. `rules` is a (rhost, disallow array) table holding ONLY
+    * hosts with non-empty Disallow lines (see CrawlEngine prep) — the gate is
+    * a left join on the www-stripped host plus the same prefix predicate as
+    * [[isBlocked]]. No driver-side map: at 10^7+ crawled hosts the rules stay
+    * a table and the join planner picks broadcast vs shuffle. */
+  def gate(spark: SparkSession, entries: Dataset[FrontierEntry], rules: DataFrame): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    entries.toDF()
+      .withColumn("rhost",
+        when(col("host").startsWith("www."), expr("substring(host, 5)")).otherwise(col("host")))
+      .join(rules, Seq("rhost"), "left_outer")
+      .select(col("canonicalUrl"), col("url"), col("depth"), col("parentUrl"),
+        col("host"), col("pathDepth"), col("urlHash"), col("disallow"))
+      .as[(String, String, Int, String, String, Int, Long, Seq[String])]
+      .flatMap { case (canonicalUrl, url, depth, parentUrl, host, pathDepth, urlHash, disallow) =>
+        val blocked = disallow != null &&
+          UrlKernel.parse(canonicalUrl).exists(p =>
+            disallow.exists(d => d.nonEmpty && p.path.startsWith(d)))
+        if (blocked) scala.None
+        else Some(FrontierEntry(canonicalUrl, url, depth, parentUrl, host, pathDepth, urlHash))
+      }
+  }
 }

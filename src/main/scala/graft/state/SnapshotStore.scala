@@ -177,6 +177,19 @@ final class SnapshotStore(root: String) {
     * full snapshot at or before `wave` (if any) plus the deltas after it.
     * Without compaction this unions O(wave) delta files — see [[compact]]. */
   def loadSeen(spark: SparkSession, wave: Int): DataFrame = {
+    // An interrupted compact() leaves .seen-full.tmp / seen-full.old behind.
+    // When the final seen-full is MISSING at such a wave, silently falling
+    // back to residual deltas would resume from an incomplete seen set (and
+    // re-fetch pages) — fail loudly instead; compact() knows how to recover.
+    (wave to 0 by -1).foreach { w =>
+      val dir = snapDir(w)
+      val interrupted = Files.exists(Paths.get(s"$dir/.seen-full.tmp")) ||
+        Files.exists(Paths.get(s"$dir/seen-full.old"))
+      if (interrupted && !Files.exists(Paths.get(s"$dir/seen-full.parquet")))
+        throw new IllegalStateException(
+          s"snap-$w holds an interrupted compaction (.seen-full.tmp/seen-full.old present, " +
+            s"seen-full.parquet missing) — run compact(spark, $w) to recover before loading")
+    }
     val compactedAt = (wave to 0 by -1).find(w =>
       Files.exists(Paths.get(s"${snapDir(w)}/seen-full.parquet")))
     val base = compactedAt.map(w => Seq(s"${snapDir(w)}/seen-full.parquet")).getOrElse(Seq.empty)
@@ -193,16 +206,29 @@ final class SnapshotStore(root: String) {
     * newer deltas, and snapshots before `wave` carry no live seen state. At
     * a 10^4-wave crawl this bounds resume metadata instead of unioning one
     * delta directory per wave forever. */
+  /** Crash-safe swap discipline: a pre-existing seen-full is renamed ASIDE
+    * (seen-full.old), never deleted before the replacement lands — after an
+    * expire() the compacted table can be the ONLY durable copy of the seen
+    * set, and a delete-then-move window would strand it in a hidden tmp dir.
+    * compact() also RECOVERS from any interrupted prior swap (restores the
+    * .old copy / clears a stale tmp); loadSeen refuses to read through an
+    * unrecovered state. */
   def compact(spark: SparkSession, wave: Int): Unit = {
-    val full = loadSeen(spark, wave)
-    val tmp = s"${snapDir(wave)}/.seen-full.tmp"
-    full.write.mode("overwrite").parquet(tmp)
     val dest = Paths.get(s"${snapDir(wave)}/seen-full.parquet")
-    if (Files.exists(dest)) {
-      // already compacted at this wave — replace atomically-enough via rename
-      org.apache.commons.io.FileUtils.deleteDirectory(dest.toFile)
-    }
-    Files.move(Paths.get(tmp), dest)
+    val old = Paths.get(s"${snapDir(wave)}/seen-full.old")
+    val tmp = Paths.get(s"${snapDir(wave)}/.seen-full.tmp")
+    // ---- recovery from an interrupted previous compact at this wave -------
+    if (Files.exists(old) && !Files.exists(dest))
+      Files.move(old, dest) // crash was mid-swap: .old is the durable copy
+    else if (Files.exists(old))
+      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile) // crash after swap: stale aside
+    if (Files.exists(tmp))
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile) // incomplete write; rebuilt below
+    val full = loadSeen(spark, wave)
+    full.write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(dest)) Files.move(dest, old) // aside, not delete
+    Files.move(tmp, dest)
+    if (Files.exists(old)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
   }
 
   /** Expire snapshots strictly before `keepFrom`. Refuses unless

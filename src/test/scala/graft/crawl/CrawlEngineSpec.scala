@@ -78,6 +78,38 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("robots at scale: a 10^5-host rules table gates links with no driver-side map") {
+    withSpark("local[4]") { spark =>
+      import spark.implicits._
+      val ts = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+      val robotsBody = "User-agent: *\nDisallow: /private/".getBytes(UTF_8)
+      // 100,000 hosts each publishing a Disallow — the shape that OOMs a
+      // driver-collected host→rules map at Common-Crawl scale
+      val manyRobots = spark.range(100000).map { i =>
+        graft.model.PageRow(s"https://bulk$i.example/robots.txt", ts, robotsBody, "", "en")
+      }
+      val seedHtml = ("<html><body><a href=\"/private/x\">a</a>" +
+        "<a href=\"/pub/y\">b</a></body></html>").getBytes(UTF_8)
+      val site = spark.createDataset(Seq(
+        graft.model.PageRow("https://seed.example/", ts, seedHtml, "", "en"),
+        graft.model.PageRow("https://seed.example/robots.txt", ts, robotsBody, "", "en"),
+        graft.model.PageRow("https://seed.example/pub/y", ts,
+          "<html><body>leaf</body></html>".getBytes(UTF_8), "", "en"),
+        graft.model.PageRow("https://seed.example/private/x", ts,
+          "<html><body>secret</body></html>".getBytes(UTF_8), "", "en")))
+      val pages = site.union(manyRobots)
+      val dir = Files.createTempDirectory("graft-robots-scale").toString
+      val cfg = CrawlConfig(seeds = Seq("https://seed.example/"),
+        maxDepth = 1, maxPages = 100, perHostBudget = 10)
+      val summary = CrawlEngine.run(spark, pages, cfg, dir)
+      val order = CrawlEngine.readOrder(spark, dir).collect()
+      assert(order.exists(_.canonicalUrl.contains("/pub/y")), "allowed link must be crawled")
+      assert(!order.exists(_.canonicalUrl.contains("/private/")),
+        "robots Disallow must gate via the rules-table join")
+      assert(summary.fetchedTotal == 2L)
+    }
+  }
+
   test("max_pages cap truncates deterministically") {
     withSpark("local[4]") { spark =>
       val (summary, dir) = runCrawl(spark, maxPages = 10)

@@ -45,6 +45,35 @@ class FrontierSpec extends AnyFunSuite {
     assert(ids.toSeq == (n until n + 3000L), "bloom pre-filter must not lose or leak rows")
   }
 
+  test("bounded bloom: bit budget caps the sketch; capped and skipped paths stay exact") {
+    import spark.implicits._
+    val n = Frontier.BloomThreshold + 5000
+    val seen = (0L until n).map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+    val candidates = spark.createDataset(
+      (0L until n by 2).map(entry(_)) ++ (n until n + 2000L).map(entry(_)))
+    val expected = (n until n + 2000L).toSeq
+    // (a) budget forces a much smaller bloom than optimal but still useful fpp
+    val capped = Frontier.newOnly(spark, candidates, seen, n, maxBloomBits = 1L << 16)
+      .collect().map(_.canonicalUrl.drop("https://site0.com/p".length).toLong).sorted
+    assert(capped.toSeq == expected, "capped bloom must not lose or leak rows")
+    // (b) budget so small the bloom is useless → skip path (pure anti-join)
+    assert(Frontier.estimatedFpp(n, 64) > Frontier.BloomSkipFpp)
+    val skipped = Frontier.newOnly(spark, candidates, seen, n, maxBloomBits = 64)
+      .collect().map(_.canonicalUrl.drop("https://site0.com/p".length).toLong).sorted
+    assert(skipped.toSeq == expected, "bloom-skip fallback must be exact")
+  }
+
+  test("estimatedFpp: design-point sanity (10^10 seen never builds a 12 GB driver sketch)") {
+    // at the stated 10^10-URL design point the default budget (2^32 bits)
+    // yields a useless bloom → the skip rule engages instead of a driver OOM
+    assert(Frontier.estimatedFpp(10000000000L, Frontier.DefaultMaxBloomBits) > Frontier.BloomSkipFpp)
+    // at 10^8 seen the capped bloom is still a worthwhile pre-filter
+    assert(Frontier.estimatedFpp(100000000L, Frontier.DefaultMaxBloomBits) < 0.05)
+    // near-optimal sizing reproduces the configured fpp within 2x
+    val m = org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(1000000L, Frontier.BloomFpp)
+    assert(Frontier.estimatedFpp(1000000L, m) < Frontier.BloomFpp * 2)
+  }
+
   test("dedupeWave keeps min-depth, then lexicographically smallest url/parent") {
     import spark.implicits._
     val c = "https://site0.com/x"

@@ -154,6 +154,41 @@ class SnapshotStoreSpec extends AnyFunSuite {
       "resume after compaction+expiry must see the same crawl state")
   }
 
+  test("interrupted compaction: loadSeen fails loudly; compact() recovers both crash shapes") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap-crash").toString
+    val es = entries(200)
+    val store = new SnapshotStore(root)
+    store.init()
+    store.commit(spark, 0, spark.createDataset(es).toDF(),
+      spark.createDataset(es.map(_.canonicalUrl)).toDF("canonicalUrl"), 200L, 0L, 0L, "run")
+    store.compact(spark, 0)
+    val baseline = store.loadSeen(spark, 0).collect().map(_.getString(0)).sorted.toSeq
+    val dest = java.nio.file.Paths.get(s"$root/snap-0/seen-full.parquet")
+    val old = java.nio.file.Paths.get(s"$root/snap-0/seen-full.old")
+    val tmp = java.nio.file.Paths.get(s"$root/snap-0/.seen-full.tmp")
+
+    // crash shape A: died mid-swap — dest was renamed aside, replacement never landed
+    Files.move(dest, old)
+    val exA = intercept[IllegalStateException](store.loadSeen(spark, 0))
+    assert(exA.getMessage.contains("interrupted compaction"))
+    store.compact(spark, 0) // recovery: .old is the durable copy
+    assert(store.loadSeen(spark, 0).collect().map(_.getString(0)).sorted.toSeq == baseline)
+    assert(!Files.exists(old) && !Files.exists(tmp))
+
+    // crash shape B: died mid-tmp-write with no compacted dest at this wave
+    org.apache.commons.io.FileUtils.deleteDirectory(dest.toFile)
+    Files.createDirectory(tmp)
+    val exB = intercept[IllegalStateException](store.loadSeen(spark, 0))
+    assert(exB.getMessage.contains("interrupted compaction"))
+    store.compact(spark, 0) // recovery: stale tmp cleared, rebuilt from deltas
+    assert(store.loadSeen(spark, 0).collect().map(_.getString(0)).sorted.toSeq == baseline)
+
+    // re-compaction at the same wave (the post-expire() danger case) is clean
+    store.compact(spark, 0)
+    assert(store.loadSeen(spark, 0).collect().map(_.getString(0)).sorted.toSeq == baseline)
+  }
+
   test("loadFrontier full read is unaffected by the clustered layout") {
     val (store, es) = committedStore(500)
     val got = store.loadFrontier(spark, 0).collect().map(_.getAs[String]("canonicalUrl")).sorted
