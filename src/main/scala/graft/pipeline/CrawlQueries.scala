@@ -185,17 +185,18 @@ object CrawlQueries {
       .orderBy("url")
   }
 
-  /** WARC round-trip: corpus pages → member-per-record gzip WARC shards →
-    * streamed back through the WARC source — url, timestamp, and body bytes
-    * must survive the archive format exactly. */
+  /** WARC round-trip: corpus pages → member-per-record gzip AND
+    * frame-per-record zstd WARC shards → streamed back through the WARC
+    * source — url, timestamp, and body bytes must survive both Common Crawl
+    * archive layouts exactly. */
   def warcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pages = CorpusGen.localPages(CorpusGen.Spec(2, 15))
     val tmp = java.nio.file.Files.createTempDirectory("graft-q-warc").toString
     val (h0, h1) = pages.partition(_.url.contains("site0"))
     graft.sources.WarcKit.writeWarcFile(graft.sources.WarcKit.toRecords(h0), s"$tmp/seg-0.warc.gz", gzip = true)
-    graft.sources.WarcKit.writeWarcFile(graft.sources.WarcKit.toRecords(h1), s"$tmp/seg-1.warc.gz", gzip = true)
-    graft.sources.WarcKit.readRecords(spark, s"$tmp/*.warc.gz")
+    graft.sources.WarcKit.writeWarcFile(graft.sources.WarcKit.toRecords(h1), s"$tmp/seg-1.warc.zst", zstd = true)
+    graft.sources.WarcKit.readRecords(spark, s"$tmp/*.warc.*")
       .map(r => (r.url, r.warc_ts, r.html.length.toLong, CrawlEngine.sha256Hex(new String(r.html, java.nio.charset.StandardCharsets.UTF_8))))
       .toDF("url", "warc_ts", "html_bytes", "html_sha256")
       .orderBy("url")

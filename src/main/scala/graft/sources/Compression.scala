@@ -3,9 +3,10 @@ package graft.sources
 /** Payload decompression by magic bytes — reference:
   * src/infrastructure/crawler/compression_handler.rs:44-113 (gzip/deflate/
   * brotli/zstd detect, 100 MB bomb limit). The JDK covers gzip + deflate;
-  * zstd/brotli would need jars not present in this sandbox, so those magics
-  * are detected and reported as unsupported rather than silently passed
-  * through.
+  * zstd rides the zstd-jni jar Spark already ships (multi-frame streams
+  * supported — the Common Crawl frame-per-record layout). Brotli has no jar
+  * in this environment, so its magic is detected and reported as an error
+  * rather than silently passed through.
   */
 object Compression {
 
@@ -42,9 +43,19 @@ object Compression {
         try inflate(new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)))
         catch { case e: java.io.IOException => Left(s"corrupt_stream: ${e.getMessage}") }
       case Deflate => inflate(new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))
-      case Zstd => Left("zstd_unsupported_in_sandbox")
-      case Brotli => Left("brotli_unsupported_in_sandbox")
+      case Zstd =>
+        try inflate(zstdStream(new java.io.ByteArrayInputStream(bytes)))
+        catch { case e: java.io.IOException => Left(s"corrupt_stream: ${e.getMessage}") }
+      case Brotli => Left("brotli_unsupported_no_jar")
     }
+
+  /** Multi-frame-capable zstd reader (continuous mode reads concatenated
+    * frames — one frame per WARC record, the Common Crawl layout). */
+  def zstdStream(in: java.io.InputStream): java.io.InputStream = {
+    val z = new com.github.luben.zstd.ZstdInputStream(in)
+    z.setContinuous(true)
+    z
+  }
 
   private def inflate(in: java.io.InputStream): Either[String, Array[Byte]] = {
     try {
@@ -66,6 +77,14 @@ object Compression {
     val bos = new java.io.ByteArrayOutputStream()
     val gz = new java.util.zip.GZIPOutputStream(bos)
     gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** One zstd frame holding `bytes` (fixture/export helper). */
+  def zstd(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(bytes); z.close()
     bos.toByteArray
   }
 }

@@ -53,8 +53,10 @@ object WarcKit {
   /** Write records as a single WARC file (driver-side fixture/export helper;
     * production export would shard via foreachPartition with one file per
     * partition — same bytes per record). `gzip=true` writes one gzip member
-    * per record, the Common Crawl layout. */
-  def writeWarcFile(records: Seq[WarcRecord], path: String, gzip: Boolean = false): Unit = {
+    * per record, `zstd=true` one zstd frame per record — both the Common
+    * Crawl member-per-record layouts. */
+  def writeWarcFile(records: Seq[WarcRecord], path: String, gzip: Boolean = false,
+                    zstd: Boolean = false): Unit = {
     val fos = new java.io.FileOutputStream(path)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(fos))
     try records.foreach { r =>
@@ -64,7 +66,8 @@ object WarcKit {
         val gz = new GZIPOutputStream(bos)
         gz.write(bytes); gz.close()
         out.write(bos.toByteArray)
-      } else out.write(bytes)
+      } else if (zstd) out.write(Compression.zstd(bytes))
+      else out.write(bytes)
     } finally out.close()
   }
 
@@ -114,8 +117,19 @@ object WarcKit {
     * Content-Length without buffering their payloads; the stream is closed
     * on EOF and on parse failure. */
   def parseWarcStream(raw: InputStream, gzipped: Boolean,
-                      maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] = {
-    val in = new BufferedInputStream(if (gzipped) new GZIPInputStream(raw) else raw, 1 << 16)
+                      maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] =
+    parseWarcStreamCodec(raw, if (gzipped) "gz" else "none", maxRecordBytes)
+
+  /** [[parseWarcStream]] with an explicit codec: "gz" (multi-member gzip),
+    * "zst" (multi-frame zstd — Common Crawl's newer layout), or "none". */
+  def parseWarcStreamCodec(raw: InputStream, codec: String,
+                           maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] = {
+    val decoded = codec match {
+      case "gz" => new GZIPInputStream(raw)
+      case "zst" => Compression.zstdStream(raw)
+      case _ => raw
+    }
+    val in = new BufferedInputStream(decoded, 1 << 16)
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _
       private var done = false
@@ -195,7 +209,11 @@ object WarcKit {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (name, pds) =>
-        parseWarcStream(pds.open(), gzipped = name.endsWith(".gz"))
+        val codec =
+          if (name.endsWith(".gz")) "gz"
+          else if (name.endsWith(".zst")) "zst"
+          else "none"
+        parseWarcStreamCodec(pds.open(), codec)
       }
       .toDS()
   }

@@ -84,8 +84,27 @@ class ExportersSpec extends AnyFunSuite {
   test("compression: url extension fallback, unsupported codecs reported") {
     assert(Compression.detect("plain".getBytes, "https://x/s.xml.gz") == Compression.Gzip)
     assert(Compression.detect(Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte)) == Compression.Zstd)
-    assert(Compression.detectAndDecompress(
-      Array(0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte)).isLeft)
+    // brotli: no jar in this environment → detected, reported, never passed through
+    assert(Compression.detect("plain".getBytes, "https://x/s.br") == Compression.Brotli)
+    assert(Compression.detectAndDecompress("plain".getBytes, "https://x/s.br") ==
+      Left("brotli_unsupported_no_jar"))
+  }
+
+  test("compression: zstd round-trip, multi-frame, bomb cap, corrupt stream") {
+    val payload = "zstandard payload for the crawl".getBytes("UTF-8")
+    val z = Compression.zstd(payload)
+    assert(Compression.detect(z) == Compression.Zstd)
+    assert(Compression.detectAndDecompress(z).toOption.get.sameElements(payload))
+    // concatenated frames decode as one stream (continuous mode)
+    val two = Compression.zstd(payload) ++ Compression.zstd(payload)
+    assert(Compression.detectAndDecompress(two).toOption.get.sameElements(payload ++ payload))
+    // decompression bomb: >100 MB of zeros compresses tiny, must hit the cap
+    val bomb = Compression.zstd(new Array[Byte](Compression.MaxDecompressedBytes + 1024))
+    assert(bomb.length < 1024 * 1024)
+    assert(Compression.detectAndDecompress(bomb) == Left("decompression_bomb"))
+    // corrupt: valid magic, garbage body
+    val bad = Array[Byte](0x28.toByte, 0xb5.toByte, 0x2f.toByte, 0xfd.toByte, 9, 9, 9)
+    assert(Compression.detectAndDecompress(bad).isLeft)
   }
 
   test("compression: corrupt gzip yields error not crash") {

@@ -30,7 +30,8 @@ class WarcKitSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-warc").toString
     WarcKit.writeWarcFile(records, s"$dir/a.warc")
     WarcKit.writeWarcFile(records, s"$dir/b.warc.gz", gzip = true)
-    for (f <- Seq("a.warc", "b.warc.gz")) {
+    WarcKit.writeWarcFile(records, s"$dir/c.warc.zst", zstd = true)
+    for (f <- Seq("a.warc", "b.warc.gz", "c.warc.zst")) {
       val got = WarcKit.readRecords(spark, s"$dir/$f").collect().sortBy(_.url)
       val want = records.sortBy(_.url)
       assert(got.length == want.length, s"$f record count")
