@@ -71,31 +71,72 @@ object Dedup {
 
   final case class CandidatePair(a: Long, b: Long)
 
+  /** A (band,bucket) group larger than this emits a STAR (every member paired
+    * with the bucket minimum) instead of all pairs: N identical-band docs —
+    * ubiquitous boilerplate clusters in web corpora — must cost O(N)
+    * candidates, never N². Verification still sees every member (via the
+    * anchor), so within-bucket connectivity survives for the keep-list;
+    * only direct non-anchor pairings inside a degenerate bucket are elided. */
+  val MaxBucket = 2000
+
   /** Candidate pairs: documents sharing any (band, bucket). The groupByKey
-    * is on bucket ids — shuffle payload is 3 longs per (doc, band). */
-  def candidatePairs(spark: SparkSession, buckets: Dataset[BandBucket]): Dataset[CandidatePair] = {
+    * is on bucket ids — shuffle payload is 3 longs per (doc, band). Buckets
+    * over `maxBucket` are capped to a star (see [[MaxBucket]]); pass
+    * `cappedBuckets` to count how many buckets were capped. */
+  def candidatePairs(spark: SparkSession, buckets: Dataset[BandBucket],
+                     maxBucket: Int = MaxBucket,
+                     cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = scala.None
+                    ): Dataset[CandidatePair] = {
     import spark.implicits._
     buckets
       .groupByKey(bb => (bb.band, bb.bucket))
       .flatMapGroups { (_, it) =>
         val ids = it.map(_.doc_id).toArray.sorted
-        for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
-          yield CandidatePair(ids(i), ids(j))
+        if (ids.length > maxBucket) {
+          cappedBuckets.foreach(_.add(1L))
+          val anchor = ids(0)
+          ids.iterator.drop(1).map(b => CandidatePair(anchor, b))
+        } else {
+          for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
+            yield CandidatePair(ids(i), ids(j))
+        }
       }
       .distinct()
   }
 
   final case class VerifiedPair(doc_a: Long, doc_b: Long, jaccard: Double)
 
-  /** Exact shingle-Jaccard verification of LSH candidates ≥ threshold.
-    * Joins candidates back to texts twice (both joins are on ids — hash
-    * joins on the narrow pair table). */
+  /** Near-duplicate edge set: exact-duplicate edges (identical text,
+    * jaccard 1.0, member→group-minimum star) plus shingle-Jaccard-verified
+    * LSH pairs ≥ threshold among the exact-group REPRESENTATIVES.
+    *
+    * The exact pre-pass is the quadratic-bucket defuse: a cluster of N
+    * byte-identical documents — ubiquitous in web corpora — would land in
+    * the same LSH bucket in all bands and cost ~bands·N² candidate pairs;
+    * grouping by md5 first feeds ONE representative per identical-text group
+    * to LSH and links the rest with O(N) exact edges. Identical texts have
+    * identical shingle sets, so the representative's verified pairs stand in
+    * for every member: the output's connected components equal those of the
+    * full pairwise near-dup graph (the property the keep-list consumes),
+    * though redundant member-level near-dup pairs are not enumerated.
+    *
+    * Verification joins candidates back to texts twice (both joins are on
+    * ids — hash joins on the narrow pair table). */
   def verifiedNearDups(spark: SparkSession, docs: DataFrame, threshold: Double,
                        idCol: String = "doc_id", textCol: String = "text"): Dataset[VerifiedPair] = {
     import spark.implicits._
     val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    val cands = candidatePairs(spark, lshBuckets(spark, docs, idCol, textCol))
-    cands.toDF("a", "b")
+    // exact pre-pass: groupBy md5 + join-back (no collect_list — a giant
+    // identical-text group must never materialize as one wide row)
+    val hashed = texts.withColumn("h", md5(col("text")))
+    val reps = hashed.groupBy("h").agg(min("id").as("rep"))
+    val withRep = hashed.join(reps, Seq("h"))
+    val exactEdges = withRep.filter(col("id") =!= col("rep"))
+      .select(col("rep").as("doc_a"), col("id").as("doc_b"), lit(1.0).as("jaccard"))
+      .as[VerifiedPair]
+    val repTexts = withRep.filter(col("id") === col("rep")).select(col("id"), col("text"))
+    val cands = candidatePairs(spark, lshBuckets(spark, repTexts, "id", "text"))
+    val verified = cands.toDF("a", "b")
       .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "text_a"), "a")
       .join(texts.withColumnRenamed("id", "b").withColumnRenamed("text", "text_b"), "b")
       .as[(Long, Long, String, String)]
@@ -106,6 +147,7 @@ object Dedup {
         VerifiedPair(math.min(a, b), math.max(a, b), if (union == 0) 0.0 else inter / union)
       }
       .filter(_.jaccard >= threshold)
+    verified.union(exactEdges)
   }
 
   /** 64-bit SimHash over word unigrams (counts weighted). */
@@ -263,10 +305,15 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared") / least(col("fp_a"), col("fp_b"))).as("containment"))
-    out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).count()
+    // eager localCheckpoint: materializes while idxAll is still cached (so
+    // the index is computed once), then the returned frame is backed by
+    // ContextCleaner-managed blocks — freed on GC, no caller-side unpersist
+    // contract to forget (repeated invocations must not accumulate executor
+    // storage). Caveat: non-resilient to executor loss; a 100-TB deployment
+    // writes this intermediate to a table instead.
+    val result = out.localCheckpoint()
     idxAll.unpersist()
-    out // NOTE: returned persisted (protects the idxAll unpersist above);
-        // callers that loop should unpersist when done
+    result
   }
 
   // --------------------------------------------- components / keep-list ----
@@ -328,16 +375,12 @@ object Dedup {
     * training-data pipeline applies before tokenization. */
   def dedupKeepList(spark: SparkSession, docs: DataFrame, threshold: Double = 0.5,
                     maxIter: Int = 50): DataFrame = {
-    // exact edges: every doc of an identical-text group links to the group min
-    val exactPairs = docs
-      .groupBy(md5(col("text")).as("h"))
-      .agg(collect_list(col("doc_id").cast("long")).as("ids"))
-      .select(explode(expr(
-        "transform(filter(ids, i -> i != array_min(ids)), i -> named_struct('doc_a', array_min(ids), 'doc_b', i))")).as("e"))
-      .select(col("e.doc_a"), col("e.doc_b"))
-    val nearPairs = verifiedNearDups(spark, docs, threshold).toDF()
+    // verifiedNearDups already carries BOTH edge families: exact-duplicate
+    // stars (md5 pre-pass) and rep-level verified near-dup pairs — an edge
+    // set whose components equal the full near-dup graph's
+    val pairs = verifiedNearDups(spark, docs, threshold).toDF()
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-    val comps = connectedComponents(spark, exactPairs.union(nearPairs), maxIter)
+    val comps = connectedComponents(spark, pairs, maxIter)
     docs.select(col("doc_id").cast("long"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"),

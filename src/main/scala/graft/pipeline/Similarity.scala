@@ -391,8 +391,17 @@ object Similarity {
       .as[Neighbor]
   }
 
-  /** Embedding-cosine near-duplicate pairs: sign-sketch blocking + exact
-    * verify ≥ threshold (the near-dup analogue of ANN). */
+  /** Embedding-cosine near-duplicate pairs: sign-sketch blocking with 1-bit
+    * multi-probe + exact verify ≥ threshold (the near-dup analogue of ANN).
+    *
+    * Each vector lands in its HOME bucket plus the `bits` one-bit-flipped
+    * buckets (bits+1 rows/vector), and a pair is compared whenever one side
+    * is home in a bucket the other reaches — i.e. whenever the sketches
+    * differ by ≤ 1 bit. Exact-sketch-only blocking misses true near-dups
+    * sitting one hyperplane sign apart (a near-boundary pair flips exactly
+    * one bit); the probe closes that recall gap deterministically, the same
+    * trick [[lshTopK]] uses. Cost: (bits+1)× the blocking shuffle — still
+    * O(corpus), never all-pairs. */
   def cosineNearDups(
       spark: SparkSession,
       corpus: Dataset[Embedded],
@@ -403,19 +412,23 @@ object Similarity {
     import spark.implicits._
     val planes = hyperplanes(dims, bits)
     val bp = spark.sparkContext.broadcast(planes)
-    corpus.map(e => (e.vec_id, e.embedding, signSketch(e.embedding, bp.value)))
-      .toDF("vec_id", "embedding", "sketch")
-      .as[(Long, Array[Float], Long)]
+    corpus.flatMap { e =>
+        val sk = signSketch(e.embedding, bp.value)
+        Iterator.single((e.vec_id, e.embedding, sk, true)) ++
+          Iterator.range(0, bits).map(b => (e.vec_id, e.embedding, sk ^ (1L << b), false))
+      }
       .groupByKey(_._3)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_._1)
         for {
           i <- rows.indices.iterator
           j <- (i + 1) until rows.length
+          if rows(i)._4 || rows(j)._4 // at least one side is home here
           c = cosine(rows(i)._2, rows(j)._2)
           if c >= threshold
         } yield (rows(i)._1, rows(j)._1, c)
       }
+      .distinct() // a hamming-1 pair meets in both homes; enumerate once
       .toDF("vec_a", "vec_b", "cosine")
   }
 }

@@ -227,6 +227,70 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-dup pre-pass: 10k identical docs cost O(N) edges, keep-list intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // a mirror-farm cluster: 10,000 byte-identical documents. Without the
+    // md5 pre-pass these land in the same LSH bucket in all 16 bands and
+    // enumerate ~8×10^8 candidate pairs; with it, one representative reaches
+    // LSH and the rest link via N-1 exact star edges.
+    val n = 10000
+    val identical = spark.range(n).select(col("id").as("doc_id"),
+      lit("the same boilerplate page text repeated across the whole mirror farm cluster today").as("text"))
+    val others = Seq(
+      (20000L, "some totally different document content about rivers and mountains"),
+      (20001L, "another unrelated document covering compilers and type systems")).toDF("doc_id", "text")
+    val docs = identical.union(others)
+    val pairs = Dedup.verifiedNearDups(spark, docs, 0.5).collect()
+    assert(pairs.length == n - 1, s"expected ${n - 1} star edges, got ${pairs.length}")
+    assert(pairs.forall(p => p.doc_a == 0L && p.jaccard == 1.0), "exact edges anchor at the group min")
+    val keep = Dedup.dedupKeepList(spark, docs, 0.5).collect()
+    assert(keep.filter(_.getLong(0) < n).forall(_.getLong(1) == 0L), "identical docs all keep doc 0")
+    assert(keep.count(r => r.getBoolean(2)) == 3, "doc 0 + the two uniques are kept")
+  }
+
+  test("candidatePairs bucket cap: oversized bucket emits a counted star, small buckets full pairs") {
+    import spark.implicits._
+    val big = spark.createDataset((0L until 50L).map(id => Dedup.BandBucket(id, 0, 42L)))
+    val acc = spark.sparkContext.longAccumulator("graft-capped-buckets")
+    val capped = Dedup.candidatePairs(spark, big, maxBucket = 10, cappedBuckets = Some(acc)).collect()
+    assert(capped.length == 49 && capped.forall(_.a == 0L), "star on the bucket minimum")
+    assert(acc.value == 1L)
+    val small = spark.createDataset((0L until 5L).map(id => Dedup.BandBucket(id, 0, 42L)))
+    assert(Dedup.candidatePairs(spark, small).collect().length == 10, "under the cap: all pairs")
+  }
+
+  test("cosineNearDups multi-probe: a true near-dup one hyperplane sign apart is found") {
+    import spark.implicits._
+    val dims = 64
+    val bits = 16
+    val planes = Similarity.hyperplanes(dims, bits)
+    // deterministically construct a boundary pair: reflect a base vector
+    // across its least-aligned hyperplane — flips exactly that sign bit while
+    // keeping cosine high (cos = 1 - 2·cos²α with α ≈ 90°)
+    val found = (1 to 40).view.map { seed =>
+      val v = Similarity.hyperplanes(dims, 1, seed = 1000L + seed)(0)
+      val skV = Similarity.signSketch(v, planes)
+      val i = planes.indices.minBy(i =>
+        math.abs(Similarity.dot(v, planes(i))) / Similarity.norm(planes(i)))
+      val p = planes(i)
+      val c = (2.0 * Similarity.dot(v, p) / Similarity.dot(p, p)).toFloat
+      val v2 = v.zip(p).map { case (a, b) => a - c * b }
+      val skV2 = Similarity.signSketch(v2, planes)
+      (v, v2, java.lang.Long.bitCount(skV ^ skV2), Similarity.cosine(v, v2))
+    }.find { case (_, _, hamming, cos) => hamming == 1 && cos >= 0.95 }
+    assert(found.isDefined, "construction must yield a 1-bit-apart high-cosine pair")
+    val (v, v2, _, _) = found.get
+    val filler = (10L until 20L).map(i =>
+      Similarity.Embedded(i, Similarity.hyperplanes(dims, 1, seed = 2000L + i)(0)))
+    val corpus = spark.createDataset(Seq(Similarity.Embedded(1L, v), Similarity.Embedded(2L, v2)) ++ filler)
+    val pairs = Similarity.cosineNearDups(spark, corpus, threshold = 0.95, bits = bits, dims = dims)
+      .collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "1-bit multi-probe must compare the boundary pair exact blocking misses")
+    assert(pairs.count(r => r.getLong(0) == 1L && r.getLong(1) == 2L) == 1, "pair enumerated once")
+  }
+
   test("connectedComponents: multi-hop chains collapse to the component minimum") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 9-3, 3-2, 2-1; {5,6}; {7,8}
