@@ -46,6 +46,8 @@ object SparkEntry {
     "q_lang_distribution" -> (TextAnalysis.langDistribution _),
     "q_embedding_stats" -> (TextAnalysis.embeddingStats _),
     "q_label_centroids" -> ((s: SparkSession, d: String) => graft.pipeline.Similarity.labelCentroids(s, d)),
+    "q_token_bpe" -> (TextAnalysis.bpeTokenCount _),
+    "q_bpe_roundtrip" -> (TextAnalysis.bpeRoundtrip _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -97,6 +99,7 @@ object SparkEntry {
     "q_topic_class" -> TextAnalysis.topicClassSql,
     "q_lang_distribution" -> TextAnalysis.langDistributionSql,
     "q_embedding_stats" -> TextAnalysis.embeddingStatsSql,
+    "q_bpe_roundtrip" -> TextAnalysis.bpeRoundtripSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

@@ -216,6 +216,83 @@ object TextKit {
     out.result()
   }
 
+  /** Maximum subword tokens per chunk — the reference's model-input budget
+    * concern (ai/tokenizer.rs caps sequences; chunker.rs sizes chunks to stay
+    * inside the "token limit safe zone"). 512 matches chunker.rs's cap. */
+  val MaxChunkTokens = 512
+
+  /** Chunk text under a SUBWORD-token cap: run the structural chunker first
+    * (reference semantics, [[chunkText]]), then re-split any chunk whose BPE
+    * token count exceeds `maxTokens` — first at sentence boundaries, then
+    * (for a single oversized sentence) at pretoken boundaries, slicing the
+    * ORIGINAL text so content survives byte-for-byte. Char-capped chunks can
+    * over-fill a subword-budgeted model input (512 chars of punctuation-dense
+    * text is far more than 512 WordPiece/BPE tokens ≠ chars); this entry
+    * point guarantees every chunk fits the token budget. */
+  def chunkTextByTokens(text: String,
+                        maxTokens: Int = MaxChunkTokens,
+                        model: graft.functions.Bpe.Model = graft.functions.Bpe.default): Vector[String] = {
+    val session = model.session()
+    chunkText(text).flatMap { c =>
+      if (session.count(c) <= maxTokens) Vector(c) else tokenSplit(c, maxTokens, session)
+    }
+  }
+
+  private def tokenSplit(chunk: String, maxTokens: Int,
+                         session: graft.functions.Bpe.Session): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val sb = new StringBuilder
+    var curTokens = 0
+    def flush(): Unit = {
+      val s = sb.toString.trim
+      if (s.nonEmpty) out += s
+      sb.setLength(0); curTokens = 0
+    }
+    splitSentences(chunk).foreach { s =>
+      val t = session.count(s)
+      if (t > maxTokens) {
+        flush()
+        // hard-split one oversized sentence at pretoken boundaries (regex
+        // matches are maximal runs, so every pretoken start is a safe cut)
+        val pts = graft.functions.Bpe.pretokenize(s)
+        var pieceStart = 0
+        var n = 0
+        pts.foreach { p =>
+          val pt = session.word(p.text.toLowerCase(java.util.Locale.ROOT)).length
+          if (pt > maxTokens) {
+            // one pretoken alone busts the budget (a >cap-char word: long
+            // URLs, DNA strings) — emit what precedes it, then char-slice
+            // the giant itself (tokens ≤ chars, so cap-char slices fit)
+            val pre = s.substring(pieceStart, p.start).trim
+            if (pre.nonEmpty) out += pre
+            var o = p.start
+            while (o < p.end) {
+              val e = math.min(o + maxTokens, p.end)
+              out += s.substring(o, e)
+              o = e
+            }
+            pieceStart = p.end
+            n = 0
+          } else if (n + pt > maxTokens && n > 0) {
+            val piece = s.substring(pieceStart, p.start).trim
+            if (piece.nonEmpty) out += piece
+            pieceStart = p.start
+            n = pt
+          } else n += pt
+        }
+        val tail = s.substring(pieceStart).trim
+        if (tail.nonEmpty) out += tail
+      } else if (curTokens + t > maxTokens && curTokens > 0) {
+        flush()
+        sb.append(s); curTokens = t
+      } else {
+        sb.append(s); curTokens += t
+      }
+    }
+    flush()
+    out.result()
+  }
+
   // -------------------------------------------------------------- stats ----
 
   /** Whitespace word count. Reference: metadata.rs:85-87. */

@@ -1,0 +1,199 @@
+package graft.functions
+
+/** Deterministic byte-pair-encoding subword tokenizer (public BPE algorithm,
+  * Sennrich et al. 2016) with a COMMITTED merges table trained once on the
+  * deterministic synthetic corpus (`graft.tools.BpeTrain`) — no downloaded
+  * model weights, fully reproducible.
+  *
+  * Fills the reference's subword-token accounting role
+  * (src/infrastructure/ai/tokenizer.rs — HF WordPiece for all-MiniLM-L6-v2):
+  * the reference caps model inputs by SUBWORD tokens, so a training-data
+  * pipeline that budgets by whitespace words over- or under-fills chunks.
+  * The vocabulary differs from MiniLM's (that is licensed model data); the
+  * SEMANTICS — greedy lowest-rank merge over pretokens, end-of-word marker,
+  * unknown fallback to character symbols — are the standard public algorithm.
+  *
+  * Everything is pure and deterministic: same text → same tokens at any
+  * parallelism, which is what lets token counts participate in oracle-checked
+  * queries and frozen goldens.
+  */
+object Bpe {
+
+  /** End-of-word marker appended to a word's last symbol (classic BPE). */
+  val Eow = "</w>"
+
+  /** Pretokenizer: letter runs, digit runs, or single non-alphanumeric
+    * non-space chars — offsets into the ORIGINAL text (lowercasing happens
+    * per-pretoken at encode time so offsets stay valid for chunk slicing). */
+  private val PreTok = java.util.regex.Pattern.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]")
+
+  final case class Pretoken(text: String, start: Int, end: Int)
+
+  def pretokenize(text: String): Vector[Pretoken] = {
+    val m = PreTok.matcher(text)
+    val out = Vector.newBuilder[Pretoken]
+    while (m.find()) out += Pretoken(m.group(), m.start(), m.end())
+    out.result()
+  }
+
+  /** A trained merges table. `merges` order IS the rank order. */
+  final class Model(val merges: Vector[(String, String)]) extends Serializable {
+    private val rank: Map[(String, String), Int] = merges.zipWithIndex.toMap
+
+    /** token → id: single-char base symbols (with and without the EOW
+      * marker) enumerated from the merges' alphabet first, then one id per
+      * merge product. Unknown symbols map to [[UnkId]]. */
+    val vocab: Map[String, Int] = {
+      val baseChars = merges.flatMap { case (a, b) => (a + b).replace(Eow, "") }
+        .distinct.sorted
+      val base = baseChars.flatMap(c => Seq(c.toString, c.toString + Eow))
+      val merged = merges.map { case (a, b) => a + b }
+      (base ++ merged).distinct.zipWithIndex.map { case (t, i) => (t, i + 1) }.toMap
+    }
+    val UnkId = 0
+
+    /** BPE-encode one (already lowercased) word into subword symbols:
+      * start from characters (last carries the EOW marker), repeatedly merge
+      * the present pair with the LOWEST rank until none applies. */
+    def encodeWord(word: String): Vector[String] = {
+      if (word.isEmpty) return Vector.empty
+      var symbols: Vector[String] = {
+        val cs = word.map(_.toString).toVector
+        cs.init :+ (cs.last + Eow)
+      }
+      var continue = symbols.length > 1
+      while (continue) {
+        var bestRank = Int.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i < symbols.length - 1) {
+          rank.get((symbols(i), symbols(i + 1))).foreach { r =>
+            if (r < bestRank) { bestRank = r; bestIdx = i }
+          }
+          i += 1
+        }
+        if (bestIdx < 0) continue = false
+        else {
+          // merge ALL adjacent occurrences of the best pair, left to right
+          val (a, b) = (symbols(bestIdx), symbols(bestIdx + 1))
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < symbols.length) {
+            if (j < symbols.length - 1 && symbols(j) == a && symbols(j + 1) == b) {
+              out += a + b; j += 2
+            } else { out += symbols(j); j += 1 }
+          }
+          symbols = out.result()
+          continue = symbols.length > 1
+        }
+      }
+      symbols
+    }
+
+    def session(): Session = new Session(this)
+
+    def tokenize(text: String): Vector[String] = session().tokens(text)
+    def tokenCount(text: String): Int = session().count(text)
+
+    /** Inverse of [[tokenize]] up to the pretokenizer's normalization:
+      * `decode(tokenize(t)) == pretokenize(t).map(_.text.toLowerCase).mkString(" ")`. */
+    def decode(tokens: Seq[String]): String =
+      tokens.mkString("").replace(Eow, " ").trim
+  }
+
+  /** Per-task memo of word → symbols: web text repeats words heavily, and
+    * encode cost is per DISTINCT word. Callers that stream many documents
+    * through one task (mapPartitions) should reuse one Session. */
+  final class Session(model: Model) {
+    private val cache = new java.util.HashMap[String, Vector[String]]()
+    def word(w: String): Vector[String] = {
+      val hit = cache.get(w)
+      if (hit != null) hit
+      else {
+        val enc = model.encodeWord(w)
+        if (cache.size < 65536) cache.put(w, enc) // bound task memory
+        enc
+      }
+    }
+    def tokens(text: String): Vector[String] =
+      pretokenize(text).flatMap(p => word(p.text.toLowerCase(java.util.Locale.ROOT)))
+    def count(text: String): Int = {
+      var n = 0
+      pretokenize(text).foreach(p => n += word(p.text.toLowerCase(java.util.Locale.ROOT)).length)
+      n
+    }
+    def ids(text: String): Vector[Int] = tokens(text).map(t => model.vocab.getOrElse(t, model.UnkId))
+  }
+
+  /** Parse a merges table (one `left right` pair per line; `#` comments). */
+  def parseMerges(lines: Iterator[String]): Model = {
+    val merges = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
+      val i = l.lastIndexOf(' ')
+      require(i > 0, s"malformed merge line: '$l'")
+      (l.substring(0, i), l.substring(i + 1))
+    }.toVector
+    new Model(merges)
+  }
+
+  /** The committed default model (resource trained by graft.tools.BpeTrain). */
+  lazy val default: Model = {
+    val in = getClass.getResourceAsStream("/graft/bpe_merges.txt")
+    require(in != null, "missing resource /graft/bpe_merges.txt — run graft.tools.BpeTrain")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try parseMerges(src.getLines()) finally src.close()
+  }
+
+  // ------------------------------------------------------------ training ----
+
+  /** Train a merges table from word frequencies: standard BPE — repeatedly
+    * merge the most frequent adjacent symbol pair; ties break on the
+    * lexicographically smallest pair so training is order-independent.
+    * Stops early when no pair occurs at least `minPairFreq` times. */
+  def train(wordFreq: Map[String, Long], numMerges: Int, minPairFreq: Long = 2L): Vector[(String, String)] = {
+    // words as symbol vectors with frequencies
+    var words: Vector[(Vector[String], Long)] = wordFreq.toVector
+      .filter(_._1.nonEmpty)
+      .sortBy(_._1) // deterministic iteration order
+      .map { case (w, f) =>
+        val cs = w.map(_.toString).toVector
+        (cs.init :+ (cs.last + Eow), f)
+      }
+    val merges = Vector.newBuilder[(String, String)]
+    var round = 0
+    var done = false
+    while (round < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (bestPair, bestFreq) = counts.toVector.minBy { case ((a, b), f) => (-f, a, b) }
+        if (bestFreq < minPairFreq) done = true
+        else {
+          merges += bestPair
+          val (a, b) = bestPair
+          words = words.map { case (syms, f) =>
+            if (syms.length < 2) (syms, f)
+            else {
+              val out = Vector.newBuilder[String]
+              var j = 0
+              while (j < syms.length) {
+                if (j < syms.length - 1 && syms(j) == a && syms(j + 1) == b) { out += a + b; j += 2 }
+                else { out += syms(j); j += 1 }
+              }
+              (out.result(), f)
+            }
+          }
+          round += 1
+        }
+      }
+    }
+    merges.result()
+  }
+}

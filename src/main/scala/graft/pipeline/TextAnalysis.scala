@@ -111,6 +111,52 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-document SUBWORD token accounting via the committed BPE model
+    * (graft.functions.Bpe) next to the whitespace word count — the
+    * reference budgets model inputs by subword tokens (ai/tokenizer.rs), and
+    * a whitespace count over/under-fills that budget. One Session (word
+    * memo) per partition; merges replay is not expressible in portable SQL,
+    * so this entry is rows-only checked — its correctness gate is the
+    * [[bpeRoundtrip]] oracle plus BpeSpec. */
+  def bpeTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val session = graft.functions.Bpe.default.session()
+        it.map { case (id, t) =>
+          (id, session.count(t).toLong, t.split("\\s+").count(_.nonEmpty).toLong)
+        }
+      }
+      .toDF("doc_id", "bpe_tokens", "ws_words")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checkable BPE invariant: decoding the token stream reproduces
+    * the pretoken-normalized text for EVERY document (tokenize/decode are
+    * mutual inverses up to the pretokenizer). The oracle pins ok=1 for all
+    * rows — any roundtrip break flips a value and fails the hash compare. */
+  def bpeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    docs(spark, dir).select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val model = graft.functions.Bpe.default
+        val session = model.session()
+        it.map { case (id, t) =>
+          val expected = graft.functions.Bpe.pretokenize(t)
+            .map(_.text.toLowerCase(java.util.Locale.ROOT)).mkString(" ")
+          (id, if (model.decode(session.tokens(t)) == expected) 1L else 0L)
+        }
+      }
+      .toDF("doc_id", "ok")
+      .orderBy("doc_id")
+  }
+
+  val bpeRoundtripSql: String =
+    """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Language distribution of the corpus (stored labels). */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy("lang")

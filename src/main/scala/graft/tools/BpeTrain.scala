@@ -1,0 +1,64 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.functions.Bpe
+
+/** One-shot trainer for the committed BPE merges table
+  * (src/main/resources/graft/bpe_merges.txt).
+  *
+  * Word frequencies come from the deterministic synthetic corpus: the
+  * CorpusGen pages' extracted text plus (when present) the driver-generated
+  * documents table — both reproducible, no external data. The output file is
+  * COMMITTED; retraining is only needed if the corpus generator changes, and
+  * must be deliberate (token counts feed frozen goldens/oracles).
+  *
+  * Usage: sbt "runMain graft.tools.BpeTrain [numMerges] [outPath]"
+  */
+object BpeTrain {
+
+  def main(args: Array[String]): Unit = {
+    val numMerges = args.lift(0).map(_.toInt).getOrElse(1500)
+    val out = args.lift(1).getOrElse("src/main/resources/graft/bpe_merges.txt")
+
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-bpe-train")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val corpusText: Seq[String] =
+      graft.gen.CorpusGen.localPages(graft.gen.CorpusGen.Spec(8, 60)).map(_.text)
+    val docsPath = "/root/testdata/sf0.01/documents.parquet"
+    val docText: Seq[String] =
+      if (new java.io.File(docsPath).exists())
+        spark.read.parquet(docsPath).select(col("text").cast("string")).as[String].collect().toSeq
+      else Seq.empty
+
+    val freqs: Map[String, Long] = (corpusText ++ docText).iterator
+      .flatMap(t => Bpe.pretokenize(t))
+      .map(_.text.toLowerCase(java.util.Locale.ROOT))
+      .foldLeft(scala.collection.mutable.HashMap.empty[String, Long]) { (m, w) =>
+        m.update(w, m.getOrElse(w, 0L) + 1L); m
+      }.toMap
+
+    println(s"training on ${freqs.size} distinct pretokens (${freqs.values.sum} total)")
+    val merges = Bpe.train(freqs, numMerges)
+    println(s"trained ${merges.length} merges")
+
+    val body = ("# BPE merges trained by graft.tools.BpeTrain on the deterministic synthetic corpus\n" +
+      "# (CorpusGen Spec(8,60) text + /root/testdata/sf0.01 documents). One merge per line, rank order.\n" +
+      merges.map { case (a, b) => s"$a $b" }.mkString("\n") + "\n")
+    Files.createDirectories(Paths.get(out).getParent)
+    Files.write(Paths.get(out), body.getBytes(UTF_8))
+    println(s"wrote $out")
+    spark.stop()
+  }
+}

@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.TextKit
+
+/** Semantic gates for the committed-merges BPE tokenizer: determinism,
+  * decode-roundtrip inverse, real compression from the trained merges, exact
+  * training behavior on a hand corpus, and the 512-token chunk cap. */
+class BpeSpec extends AnyFunSuite {
+
+  private def emptyModel = new Bpe.Model(Vector.empty)
+
+  test("tokenize is deterministic and decode is its inverse (pretoken normalization)") {
+    val samples = Seq(
+      "The quick brown Fox, jumps over 42 lazy dogs!",
+      "punct-heavy: a.b.c (x=y); [1,2,3] {k:v} \"quoted\" 'single'",
+      "unicode naïve café über 東京 data",
+      "   leading and trailing   whitespace   ",
+      "",
+      "1234567890 0x1f numbers 3.14159")
+    val m = Bpe.default
+    samples.foreach { s =>
+      val t1 = m.tokenize(s)
+      val t2 = m.tokenize(s)
+      assert(t1 == t2, "deterministic")
+      val expected = Bpe.pretokenize(s).map(_.text.toLowerCase(java.util.Locale.ROOT)).mkString(" ")
+      assert(m.decode(t1) == expected, s"roundtrip for '$s'")
+    }
+  }
+
+  test("trained merges compress: common corpus words become single tokens") {
+    val m = Bpe.default
+    assert(m.merges.nonEmpty, "committed merges table must load")
+    val text = graft.gen.CorpusGen.localPages(graft.gen.CorpusGen.Spec(1, 5))
+      .map(_.text).find(_.length > 200).get
+    val chars = Bpe.pretokenize(text).map(_.text.length).sum
+    val tokens = m.tokenCount(text)
+    assert(tokens < chars * 0.5, s"merges must compress well below chars ($tokens vs $chars)")
+    // with NO merges every word costs one token per char
+    assert(emptyModel.tokenCount("abc de") == 5)
+    // a word the corpus uses constantly should be a single subword
+    assert(m.tokenize("the").length == 1, "high-frequency word fully merged")
+  }
+
+  test("train: exact greedy-merge behavior on a hand corpus, deterministic tie-break") {
+    // 'abab' x3: pairs (a,b)=6, (b,a)=3, (b</w> after last)... symbols a b a b</w>
+    val merges = Bpe.train(Map("abab" -> 3L), numMerges = 10)
+    // round 1: pairs (a,b)=3, (b,a)=3, (b,b</w>)=3 → tie breaks lexicographically: (a,b)
+    assert(merges.head == ("a", "b"))
+    val m = new Bpe.Model(merges)
+    assert(m.encodeWord("abab").nonEmpty)
+    // training is reproducible
+    assert(Bpe.train(Map("abab" -> 3L), 10) == merges)
+    // minPairFreq gate: singleton words yield no merges
+    assert(Bpe.train(Map("xyz" -> 1L), 10).isEmpty)
+  }
+
+  test("vocab ids: stable, unknown symbols map to UnkId") {
+    val m = Bpe.default
+    val ids1 = m.session().ids("the data pipeline")
+    val ids2 = m.session().ids("the data pipeline")
+    assert(ids1 == ids2 && ids1.nonEmpty)
+    // a character the corpus never saw → unk
+    assert(m.session().ids("☃").contains(m.UnkId)) // snowman
+  }
+
+  test("chunkTextByTokens: 512-token boundary — oversized single sentence hard-splits exactly") {
+    // one giant sentence of 2000 single-char words: the structural chunker
+    // cannot split it (no sentence boundaries), so the token cap must
+    // pretoken-split it into ceil(2000/512) pieces with the first at the
+    // exact 512 boundary
+    val giant = Vector.fill(2000)("x").mkString(" ")
+    val m = Bpe.default
+    val chunks = TextKit.chunkTextByTokens(giant, maxTokens = 512, model = m)
+    val session = m.session()
+    assert(chunks.length == 4, s"2000 tokens / 512 → 4 pieces, got ${chunks.length}")
+    assert(chunks.forall(c => session.count(c) <= 512), "every chunk inside the token budget")
+    assert(session.count(chunks.head) == 512, "first piece fills the budget exactly")
+    // content preserved: pretoken streams concatenate to the original's
+    val got = chunks.flatMap(c => Bpe.pretokenize(c).map(_.text))
+    assert(got == Bpe.pretokenize(giant).map(_.text), "no pretoken lost or altered")
+  }
+
+  test("chunkTextByTokens: sentence packing respects a small token cap") {
+    // empty model → token count == char count per word. 30 sentences of 15
+    // tokens each ("alpha beta gamma." = 5+4+5+1); cap 30 packs EXACTLY two
+    // sentences per chunk
+    val text = Vector.fill(30)("alpha beta gamma.").mkString(" ")
+    val m = emptyModel
+    val chunks = TextKit.chunkTextByTokens(text, maxTokens = 30, model = m)
+    val session = m.session()
+    assert(chunks.length == 15, s"two sentences per chunk → 15 chunks, got ${chunks.length}")
+    assert(chunks.forall(c => session.count(c) == 30), "each chunk fills the cap exactly")
+    assert(chunks.forall(_.endsWith(".")), "sentences stay whole under packing")
+  }
+
+  test("chunkTextByTokens: a single word longer than the cap is char-sliced, never dropped") {
+    val giantWord = "z" * 1000
+    val text = ("pad " * 30) + giantWord + " tail words here."
+    val m = emptyModel
+    val chunks = TextKit.chunkTextByTokens(text, maxTokens = 64, model = m)
+    val session = m.session()
+    assert(chunks.forall(c => session.count(c) <= 64))
+    assert(chunks.map(c => c.count(_ == 'z')).sum == 1000, "every char of the giant word survives")
+  }
+
+  test("chunks under the cap pass through untouched (reference structural semantics)") {
+    val text = "Short paragraph with a few sentences. It stays well under the cap. Nothing splits here plus padding words to clear the min chunk size threshold for the structural chunker."
+    assert(TextKit.chunkTextByTokens(text) == TextKit.chunkText(text))
+  }
+}
