@@ -1,0 +1,133 @@
+package graft.extract
+
+/** MIME / asset-type detection — reference: src/adapters/detector/mime.rs.
+  *
+  * Three detectors, mirroring the reference's split:
+  *  - extension → MIME (verbatim static mapping, mime.rs:10-40);
+  *  - url/path → AssetType via extension lists (mime.rs:95-145);
+  *  - bytes → MIME by magic numbers (the reference delegates to the
+  *    mimetype-detector crate; the magic table here covers the same
+  *    image/document families and is the committed spec).
+  * Pure functions — usable in typed Dataset ops and tests alike.
+  */
+object Mime {
+
+  sealed trait AssetType { def name: String }
+  case object Image extends AssetType { val name = "image" }
+  case object Document extends AssetType { val name = "document" }
+  case object Unknown extends AssetType { val name = "unknown" }
+
+  /** Extension → MIME, verbatim from mime.rs:12-40. */
+  val MimeByExtension: Map[String, String] = Map(
+    "jpg" -> "image/jpeg", "jpeg" -> "image/jpeg",
+    "png" -> "image/png",
+    "gif" -> "image/gif",
+    "webp" -> "image/webp",
+    "svg" -> "image/svg+xml",
+    "ico" -> "image/x-icon",
+    "bmp" -> "image/bmp",
+    "tiff" -> "image/tiff", "tif" -> "image/tiff",
+    "pdf" -> "application/pdf",
+    "doc" -> "application/msword",
+    "docx" -> "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+    "xls" -> "application/vnd.ms-excel",
+    "xlsx" -> "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet",
+    "ppt" -> "application/vnd.ms-powerpoint",
+    "pptx" -> "application/vnd.openxmlformats-officedocument.presentationml.presentation",
+    "csv" -> "text/csv",
+    "odt" -> "application/vnd.oasis.opendocument.text",
+    "ods" -> "application/vnd.oasis.opendocument.spreadsheet",
+    "odp" -> "application/vnd.oasis.opendocument.presentation",
+    "epub" -> "application/epub+zip",
+    "rtf" -> "application/rtf",
+    "txt" -> "text/plain",
+    "json" -> "application/json",
+    "xml" -> "application/xml")
+
+  /** Extension families, verbatim from mime.rs:96-103. */
+  val ImageExtensions: Set[String] =
+    Set("jpg", "jpeg", "png", "gif", "webp", "svg", "bmp", "ico", "tiff", "tif")
+  val DocumentExtensions: Set[String] =
+    Set("pdf", "doc", "docx", "xls", "xlsx", "ppt", "pptx", "csv", "odt", "ods",
+      "odp", "epub", "rtf", "json", "xml")
+
+  /** Lowercased extension of a URL's path (query/fragment stripped) —
+    * mime.rs get_extension. None when the last path segment has no dot. */
+  def extension(url: String): Option[String] = {
+    val path = graft.urls.UrlKernel.parse(url).map(_.path).getOrElse {
+      val q = url.indexWhere(c => c == '?' || c == '#')
+      if (q >= 0) url.substring(0, q) else url
+    }
+    val seg = path.substring(path.lastIndexOf('/') + 1)
+    val dot = seg.lastIndexOf('.')
+    if (dot < 0 || dot == seg.length - 1) None
+    else Some(seg.substring(dot + 1).toLowerCase(java.util.Locale.ROOT))
+  }
+
+  def mimeFromExtension(ext: String): Option[String] =
+    MimeByExtension.get(ext.toLowerCase(java.util.Locale.ROOT))
+
+  def mimeFromUrl(url: String): Option[String] = extension(url).flatMap(mimeFromExtension)
+
+  /** detect_from_url / detect_from_path (mime.rs:106-145). */
+  def assetTypeFromUrl(url: String): AssetType =
+    extension(url) match {
+      case Some(e) if ImageExtensions.contains(e) => Image
+      case Some(e) if DocumentExtensions.contains(e) => Document
+      case _ => Unknown
+    }
+
+  def isAssetUrl(url: String): Boolean = assetTypeFromUrl(url) != Unknown
+
+  /** Magic-number MIME sniffing (the mimetype-detector role). Checked in
+    * order; first match wins. Covers the image/document families above plus
+    * gzip/zip containers. */
+  def mimeFromBytes(b: Array[Byte]): Option[String] = {
+    def at(i: Int, v: Int): Boolean = b.length > i && (b(i) & 0xff) == v
+    def ascii(off: Int, s: String): Boolean =
+      b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+    if (b.isEmpty) None
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff)) Some("image/jpeg")
+    else if (at(0, 0x89) && ascii(1, "PNG")) Some("image/png")
+    else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) Some("image/gif")
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) Some("image/webp")
+    else if (ascii(0, "BM")) Some("image/bmp")
+    else if (at(0, 0x00) && at(1, 0x00) && at(2, 0x01) && at(3, 0x00)) Some("image/x-icon")
+    else if (ascii(0, "II*\u0000") || ascii(0, "MM\u0000*")) Some("image/tiff")
+    else if (ascii(0, "%PDF")) Some("application/pdf")
+    else if (ascii(0, "{\\rtf")) Some("application/rtf")
+    else if (at(0, 0x1f) && at(1, 0x8b)) Some("application/gzip")
+    else if (ascii(0, "PK")) Some("application/zip") // docx/xlsx/epub containers
+    else {
+      // text-ish sniff for svg/xml/json
+      val head = new String(b, 0, math.min(b.length, 256), java.nio.charset.StandardCharsets.UTF_8)
+        .dropWhile(_.isWhitespace)
+      if (head.startsWith("<svg") || (head.startsWith("<?xml") && head.contains("<svg"))) Some("image/svg+xml")
+      else if (head.startsWith("<?xml") || head.startsWith("<")) Some("application/xml")
+      else if (head.startsWith("{") || head.startsWith("[")) Some("application/json")
+      else None
+    }
+  }
+
+  /** detect_from_bytes → AssetType (mime.rs:148-162): magic-sniffed MIME
+    * classified into the image/document families. */
+  def assetTypeFromBytes(b: Array[Byte]): AssetType =
+    mimeFromBytes(b) match {
+      case Some(m) if m.startsWith("image/") => Image
+      case Some("application/pdf" | "application/rtf" | "application/zip" |
+                "application/xml" | "application/json") => Document
+      case _ => Unknown
+    }
+
+  /** Combined detection, bytes first (content truth), extension fallback —
+    * the shape asset_download.rs applies per downloaded payload. */
+  def detect(url: String, bytes: Array[Byte]): (AssetType, String) = {
+    val byBytes = if (bytes != null && bytes.nonEmpty) mimeFromBytes(bytes) else scala.None
+    val mime = byBytes.orElse(mimeFromUrl(url)).getOrElse("application/octet-stream")
+    val t = assetTypeFromBytes(if (bytes == null) Array.emptyByteArray else bytes) match {
+      case Unknown => assetTypeFromUrl(url)
+      case known => known
+    }
+    (t, mime)
+  }
+}

@@ -1,0 +1,161 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.crawl.CrawlEngine
+import graft.extract.{HtmlKit, Mime}
+import graft.gen.CorpusGen
+import graft.model.PageRow
+
+/** Asset download/dedup pipeline — the Spark analogue of the reference's
+  * asset downloader (src/infrastructure/scraper/asset_download.rs;
+  * `DownloadedAsset` src/domain/entities.rs:133-142: url, local_path,
+  * asset_type, size).
+  *
+  * Shape: extract asset references from every crawled page (img/srcset +
+  * document links, HtmlKit.extractAssets), aggregate to one row per distinct
+  * asset URL, "download" via an equi-join against the pages table (the same
+  * fetch-is-a-join move the crawl engine makes), then sha-256 + size per
+  * payload and CONTENT-hash dedup (a CDN serving one logo from 10^4 URLs
+  * stores it once). Every step is a hash join or hash aggregation on the
+  * asset-url / sha key — co-partitioned, no all-pairs, 100-TB-safe.
+  */
+object Assets {
+
+  final case class AssetRow(
+      asset_url: String, tag_type: String, detected_type: String, mime: String,
+      alt: String, n_refs: Long, first_page: String,
+      downloaded: Boolean, bytes: Long, sha256: String)
+
+  /** One row per distinct asset URL referenced by any page, with payload
+    * metadata for assets present in `pages` and `dup_of` = the smallest
+    * asset URL sharing the payload's sha-256 (itself when unique/missing). */
+  def assetsTable(spark: SparkSession, pages: Dataset[PageRow]): DataFrame = {
+    import spark.implicits._
+    val refs = pages
+      .filter(p => !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+      .flatMap { p =>
+        val html = new String(p.html, UTF_8)
+        HtmlKit.extractAssets(html, p.url)
+          .map(a => (a.url, a.assetType, a.alt.getOrElse(""), p.url))
+      }
+      .toDF("asset_url", "tag_type", "alt", "page_url")
+    // one row per distinct asset URL; min() representatives keep the
+    // aggregation deterministic under any partitioning
+    val perAsset = refs.groupBy("asset_url").agg(
+      count(lit(1)).as("n_refs"),
+      min("page_url").as("first_page"),
+      min("tag_type").as("tag_type"),
+      min("alt").as("alt"))
+    // "download": payload join on the exact asset url (pages side may hold
+    // multiple captures; latest non-null wins via max — same discipline as
+    // the crawl fetch join)
+    val bodies = pages.toDF()
+      .select(col("url").as("asset_url"), col("warc_ts"), col("html"))
+      .groupBy("asset_url")
+      .agg(max(struct(col("warc_ts"), col("html"))).as("r"))
+      .select(col("asset_url"), col("r.html").as("payload"))
+    val downloaded = perAsset.join(bodies, Seq("asset_url"), "left_outer")
+      .select(col("asset_url"), col("tag_type"), col("alt"), col("n_refs"),
+        col("first_page"), col("payload"))
+      .as[(String, String, String, Long, String, Array[Byte])]
+      .map { case (u, tt, alt, n, fp, payload) =>
+        val has = payload != null
+        val (at, mime) = Mime.detect(u, payload)
+        AssetRow(u, tt, at.name, mime, alt, n, fp, has,
+          if (has) payload.length.toLong else 0L,
+          if (has) sha256Hex(payload) else "")
+      }
+      .toDF()
+    // content dedup: keep = smallest asset url per sha (downloaded rows only)
+    val keepBySha = downloaded.filter(col("downloaded"))
+      .groupBy("sha256").agg(min("asset_url").as("dup_of"))
+    downloaded.join(keepBySha, Seq("sha256"), "left_outer")
+      .withColumn("dup_of", coalesce(col("dup_of"), col("asset_url")))
+      .select("asset_url", "tag_type", "detected_type", "mime", "alt", "n_refs",
+        "first_page", "downloaded", "bytes", "sha256", "dup_of")
+  }
+
+  def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  // ------------------------------------------------------------- queries ----
+
+  /** Deterministic payload bytes for a subset of the corpus's referenced
+    * asset URLs: ~half get a PNG-magic payload whose body depends only on
+    * urlHash % 4 — so several URLs share bytes and the sha-dedup
+    * demonstrably collapses them. */
+  private def plantedPayloads(urls: Seq[String]): Seq[PageRow] = {
+    val ts = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    urls.filter(u => java.lang.Long.remainderUnsigned(CrawlEngine.urlHash(u), 2L) == 0L)
+      .map { u =>
+        val group = java.lang.Long.remainderUnsigned(CrawlEngine.urlHash(u), 4L)
+        val body = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+          s"planted-asset-payload-group-$group".getBytes(UTF_8)
+        PageRow(u, ts, body, "", "")
+      }
+  }
+
+  /** q_crawl_assets: the assets pipeline over the synthetic corpus plus
+    * planted payload rows. Deterministic; fixture-oracle-checked. */
+  def crawlAssets(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val spec = CorpusGen.Spec(CrawlQueries.Hosts, CrawlQueries.PagesPerHost)
+    val base = CorpusGen.localPages(spec)
+    val assetUrls = base
+      .filter(p => !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+      .flatMap(p => HtmlKit.extractAssets(new String(p.html, UTF_8), p.url).map(_.url))
+      .distinct.sorted
+    val pages = spark.createDataset(base ++ plantedPayloads(assetUrls))
+    assetsTable(spark, pages).orderBy("asset_url")
+  }
+
+  /** q_mime_detect: the MIME/asset-type kernel over a fixed URL list. The
+    * oracle VALUES are transcribed from the REFERENCE's own static tables
+    * (mime.rs:12-40,96-103) — an independent expected-output source. */
+  val MimeFixtureUrls: Seq[String] = Seq(
+    "https://a.com/x/photo.JPG",
+    "https://a.com/paper.pdf?download=1",
+    "https://a.com/archive.tar.gz",
+    "https://a.com/data.JSON",
+    "https://a.com/logo.svg",
+    "https://a.com/noext/",
+    "https://a.com/report.docx",
+    "https://a.com/movie.mp4",
+    "https://a.com/style.css?v=2",
+    "https://a.com/pic.webp",
+    "https://a.com/favicon.ico",
+    "https://a.com/scan.tif")
+
+  def mimeDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    MimeFixtureUrls
+      .map(u => (u,
+        Mime.extension(u).getOrElse(""),
+        Mime.mimeFromUrl(u).getOrElse(""),
+        Mime.assetTypeFromUrl(u).name))
+      .toDF("url", "ext", "mime", "asset_type")
+      .orderBy("url")
+  }
+
+  /** Expected rows per mime.rs:12-40 (extension→MIME) + :96-103 (families). */
+  val mimeDetectSql: String =
+    """SELECT * FROM (VALUES
+      |  ('https://a.com/x/photo.JPG', 'jpg', 'image/jpeg', 'image'),
+      |  ('https://a.com/paper.pdf?download=1', 'pdf', 'application/pdf', 'document'),
+      |  ('https://a.com/archive.tar.gz', 'gz', '', 'unknown'),
+      |  ('https://a.com/data.JSON', 'json', 'application/json', 'document'),
+      |  ('https://a.com/logo.svg', 'svg', 'image/svg+xml', 'image'),
+      |  ('https://a.com/noext/', '', '', 'unknown'),
+      |  ('https://a.com/report.docx', 'docx', 'application/vnd.openxmlformats-officedocument.wordprocessingml.document', 'document'),
+      |  ('https://a.com/movie.mp4', 'mp4', '', 'unknown'),
+      |  ('https://a.com/style.css?v=2', 'css', '', 'unknown'),
+      |  ('https://a.com/pic.webp', 'webp', 'image/webp', 'image'),
+      |  ('https://a.com/favicon.ico', 'ico', 'image/x-icon', 'image'),
+      |  ('https://a.com/scan.tif', 'tif', 'image/tiff', 'image')
+      |) AS t(url, ext, mime, asset_type) ORDER BY url""".stripMargin
+}

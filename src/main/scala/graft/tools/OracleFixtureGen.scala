@@ -1,0 +1,85 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Generates fixture oracles: runs the deterministic corpus-backed contract
+  * queries once and freezes their outputs as DuckDB `VALUES` SQL under
+  * src/main/resources/graft/oracle/ — the driver then value-compares the
+  * live Spark output against the frozen fixture exactly like any other
+  * oracle (the "ship the canonical forms as a fixture table and SQL-compare"
+  * discipline).
+  *
+  * These fixtures are GOLDENS expressed as SQL: regenerate only on a
+  * deliberate, reviewed spec change (same rule as src/test/resources/goldens;
+  * run `sbt "runMain graft.tools.OracleFixtureGen"`).
+  */
+object OracleFixtureGen {
+
+  /** Queries frozen as fixtures: deterministic, sfDir-independent (they run
+    * on the committed synthetic corpus), scalar-typed columns only. */
+  val FixtureQueries: Seq[String] = Seq(
+    "q_canonicalize_urls", "q_waf_entropy", "q_lang_detect", "q_sitemap_seeds",
+    "q_extract_link_edges", "q_crawl_order", "q_crawl_pages", "q_crawl_metrics",
+    "q_fetch_retry", "q_markdown", "q_crawl_assets")
+
+  private def duckType(dt: DataType): String = dt match {
+    case StringType => "VARCHAR"
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case BooleanType => "BOOLEAN"
+    case TimestampType => "TIMESTAMP"
+    case other => sys.error(s"fixture oracle cannot carry column type $other")
+  }
+
+  private def literal(v: Any): String = v match {
+    case null => "NULL"
+    case s: String => "'" + s.replace("'", "''") + "'"
+    case b: Boolean => if (b) "TRUE" else "FALSE"
+    case t: java.sql.Timestamp => "'" + t.toString + "'"
+    case d: Double => d.toString
+    case f: Float => f.toString
+    case n => n.toString
+  }
+
+  def valuesSql(df: DataFrame): String = {
+    val schema = df.schema
+    val rows = df.collect()
+    require(rows.nonEmpty, "fixture query returned no rows")
+    val names = schema.fields.map(_.name)
+    val header = schema.fields.zipWithIndex.map { case (f, i) =>
+      s"CAST(c$i AS ${duckType(f.dataType)}) AS ${f.name}"
+    }.mkString(", ")
+    val tuples = rows.map { r =>
+      "  (" + names.indices.map(i => literal(r.get(i))).mkString(", ") + ")"
+    }.mkString(",\n")
+    val cols = names.indices.map(i => s"c$i").mkString(", ")
+    s"SELECT $header FROM (VALUES\n$tuples\n) AS t($cols)"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.lift(0).getOrElse("src/main/resources/graft/oracle")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-oracle-fixture-gen")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    FixtureQueries.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+      val sql = valuesSql(df)
+      Files.write(Paths.get(outDir, s"$name.sql"), sql.getBytes(UTF_8))
+      println(s"wrote $name.sql (${sql.length} bytes)")
+    }
+    spark.stop()
+  }
+}
