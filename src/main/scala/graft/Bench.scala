@@ -125,20 +125,28 @@ object Bench {
       "q_window_rank", "q_exact_dedup", "q_doc_quality", "q_token_count",
       "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk",
       "q_ann_ivf", "q_dedup_keep", "q_rollup_nation", "q_grouping_sets")
+    // a crashing query must surface in the JSON, never masquerade as a
+    // normal timing — failed queries are timed but listed under "failed"
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     queryNames.foreach { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
       catch { case _: Throwable =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          failed += name
+          System.err.println(s"bench query $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
       results += name -> (System.nanoTime() - t0) / 1e9
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl_pages":$crawledPages,"crawl_pages_per_sec":$pagesPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","crawl_pages":$crawledPages,"crawl_pages_per_sec":$pagesPerSec%.1f}""")
     spark.stop()
   }
 }

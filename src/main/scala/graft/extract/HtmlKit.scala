@@ -39,6 +39,51 @@ object HtmlKit {
     "link", "meta", "param", "source", "track", "wbr")
   private val RawTextTags = Set("script", "style", "noscript", "textarea", "title")
 
+  /** Decode core HTML entities — named (&amp; &lt; &gt; &quot; &apos;
+    * &nbsp;) and numeric (&#NN; / &#xNN;) — applied to text nodes, title
+    * content, and attribute values at parse time. Real Common Crawl pages
+    * (WarcKit ingest) carry hrefs like `/a?x=1&amp;y=2` and entity-escaped
+    * prose; without decoding those resolve to wrong URLs and extracted text
+    * keeps literal escapes (the reference's html crates decode). Lenient:
+    * unknown entities and bare `&` stay literal. No-'&' fast path returns
+    * the same instance (the overwhelmingly common case pays one indexOf). */
+  def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val n = s.length
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        val decoded: String =
+          if (semi < 0 || semi > i + 10) null
+          else s.substring(i + 1, semi) match {
+            case "amp" => "&"
+            case "lt" => "<"
+            case "gt" => ">"
+            case "quot" => "\""
+            case "apos" => "'"
+            case "nbsp" => " "
+            case e if e.length > 1 && e.charAt(0) == '#' =>
+              val num =
+                try {
+                  if (e.length > 2 && (e.charAt(1) == 'x' || e.charAt(1) == 'X'))
+                    Integer.parseInt(e.substring(2), 16)
+                  else Integer.parseInt(e.substring(1))
+                } catch { case _: NumberFormatException => -1 }
+              if (num > 0 && Character.isValidCodePoint(num)) new String(Character.toChars(num))
+              else null
+            case _ => null
+          }
+        if (decoded == null) { sb.append('&'); i += 1 }
+        else { sb.append(decoded); i = semi + 1 }
+      }
+    }
+    sb.toString
+  }
+
   /** Lenient, deterministic HTML parse. Unknown/unclosed markup degrades to
     * text or gets auto-closed; never throws. */
   def parse(html: String): Elem = {
@@ -50,10 +95,10 @@ object HtmlKit {
     while (i < n) {
       val lt = html.indexOf('<', i)
       if (lt < 0) { // trailing text
-        if (i < n) top.children += TextNode(html.substring(i))
+        if (i < n) top.children += TextNode(decodeEntities(html.substring(i)))
         i = n
       } else {
-        if (lt > i) top.children += TextNode(html.substring(i, lt))
+        if (lt > i) top.children += TextNode(decodeEntities(html.substring(i, lt)))
         if (html.startsWith("<!--", lt)) {
           val end = html.indexOf("-->", lt + 4)
           i = if (end < 0) n else end + 3
@@ -82,7 +127,10 @@ object HtmlKit {
             // no full-string lowercase copy per raw-text element)
             val closeIdx = indexOfIgnoreCase(html, "</" + tag, i)
             val end = if (closeIdx < 0) n else closeIdx
-            elem.children += TextNode(html.substring(i, end))
+            val raw = html.substring(i, end)
+            // title is prose (entity-escaped on real pages); script/style/
+            // noscript/textarea stay verbatim (code, not markup text)
+            elem.children += TextNode(if (tag == "title") decodeEntities(raw) else raw)
             top.children += elem
             i = if (closeIdx < 0) n else {
               val gt = html.indexOf('>', closeIdx)
@@ -165,7 +213,7 @@ object HtmlKit {
             value = html.substring(vStart, i)
           }
         }
-        if (name.nonEmpty) attrs += (name -> value)
+        if (name.nonEmpty) attrs += (name -> decodeEntities(value))
       }
     }
     (new MutableElem(tag, attrs.result()), selfClosing, i)
@@ -425,10 +473,12 @@ object HtmlKit {
     sb.toString
   }
 
-  /** Fallback extraction: strip tags, trim lines, drop empties, join "\n".
+  /** Fallback extraction: strip tags, trim lines, drop empties, join "\n",
+    * entities decoded (same decode the DOM path applies at parse time).
     * Reference: fallback.rs:20-29 (error branch). */
   def fallbackText(html: String): String =
-    stripTags(html).split("\n").iterator.map(_.trim).filter(_.nonEmpty).mkString("\n")
+    decodeEntities(
+      stripTags(html).split("\n").iterator.map(_.trim).filter(_.nonEmpty).mkString("\n"))
 
   /** SPA heuristic: tiny text + root/app mount div.
     * Reference: scraper_service.rs:61-81 (threshold 50 at :24). */

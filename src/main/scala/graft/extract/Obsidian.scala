@@ -1,0 +1,114 @@
+package graft.extract
+
+/** Obsidian-flavored markdown output: YAML frontmatter + wiki-link
+  * conversion — reference: src/infrastructure/output/frontmatter.rs and
+  * src/infrastructure/converter/wikilinks.rs (obsidian.rs vault layer).
+  * Deterministic: dates are caller-supplied, never wall-clock.
+  */
+object Obsidian {
+
+  /** URL-safe slug of a URL path — exact wikilinks.rs:19-70 spec: strip
+    * query/fragment/trailing slash/served extensions, take the last segment,
+    * decode common percent escapes + '_'→' ', lowercase, non-alphanumerics
+    * collapse to single hyphens, trim hyphens; empty → "index". */
+  def slugFromUrl(urlPath: String): String = {
+    var path = urlPath.split('?')(0).split('#')(0)
+    while (path.endsWith("/")) path = path.substring(0, path.length - 1)
+    for (ext <- Seq(".html", ".htm", ".php", ".asp", ".aspx", ".jsp"))
+      if (path.endsWith(ext)) path = path.substring(0, path.length - ext.length)
+    val segment = path.substring(path.lastIndexOf('/') + 1)
+    if (segment.isEmpty) return "index"
+    val decoded = segment
+      .replace("%20", " ").replace("%2F", "/").replace("%2f", "/")
+      .replace("%3A", ":").replace("%3a", ":")
+      .replace("%2D", "-").replace("%2d", "-")
+      .replace("%2E", ".").replace("%2e", ".")
+      .replace("_", " ")
+    val sb = new StringBuilder(decoded.length)
+    var lastHyphen = false
+    decoded.foreach { ch =>
+      if (ch.isLetterOrDigit && ch < 128) { sb.append(ch.toLower); lastHyphen = false }
+      else if (!lastHyphen) { sb.append('-'); lastHyphen = true }
+    }
+    sb.toString.dropWhile(_ == '-').reverse.dropWhile(_ == '-').reverse
+  }
+
+  private val MdLink = java.util.regex.Pattern.compile("""\[([^\]]*)\]\(([^)\s]+)\)""")
+
+  /** should_convert_wikilink (wikilinks.rs:73-101): absolute same-domain
+    * http(s) URLs only — anchors, relative paths, and foreign hosts stay
+    * regular markdown links. */
+  def wikiSlugFor(url: String, baseDomain: String): Option[String] = {
+    if (url.startsWith("#")) return None
+    if (url.startsWith("/") && !url.contains("://")) return None
+    graft.urls.UrlKernel.parse(url) match {
+      case Some(p) if p.host == baseDomain => Some(slugFromUrl(p.path))
+      case _ => None
+    }
+  }
+
+  /** convert_wiki_links (wikilinks.rs:114+):
+    * `[text](https://same-domain/page)` → `[[page-slug|text]]`. */
+  def convertWikiLinks(markdown: String, baseDomain: String): String = {
+    val m = MdLink.matcher(markdown)
+    val sb = new StringBuffer(markdown.length)
+    while (m.find()) {
+      val text = m.group(1)
+      val url = m.group(2)
+      wikiSlugFor(url, baseDomain) match {
+        case Some(slug) =>
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(s"[[$slug|$text]]"))
+        case None =>
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(m.group(0)))
+      }
+    }
+    m.appendTail(sb)
+    sb.toString
+  }
+
+  /** YAML frontmatter (frontmatter.rs:16-84, camelCase keys; optional keys
+    * omitted when absent — serde skip_serializing_if). */
+  def frontmatter(
+      title: String,
+      url: String,
+      date: String,
+      author: Option[String] = None,
+      excerpt: Option[String] = None,
+      tags: Seq[String] = Seq.empty,
+      wordCount: Option[Int] = None,
+      readingTime: Option[Int] = None,
+      language: Option[String] = None,
+      contentType: Option[String] = None): String = {
+    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val lines = Vector.newBuilder[String]
+    lines += s"title: ${q(title)}"
+    lines += s"url: ${q(url)}"
+    lines += s"date: ${q(date)}"
+    author.foreach(a => lines += s"author: ${q(a)}")
+    excerpt.foreach(e => lines += s"excerpt: ${q(e)}")
+    if (tags.nonEmpty) {
+      lines += "tags:"
+      tags.foreach(t => lines += s"  - ${q(t)}")
+    }
+    wordCount.foreach(w => lines += s"wordCount: $w")
+    readingTime.foreach(r => lines += s"readingTime: $r")
+    language.foreach(l => lines += s"language: ${q(l)}")
+    contentType.foreach(c => lines += s"contentType: ${q(c)}")
+    "---\n" + lines.result().mkString("\n") + "\n---\n"
+  }
+
+  /** Full Obsidian note for an extracted page: frontmatter (with the rich
+    * metadata block) + wiki-linked markdown body. */
+  def note(url: String, title: String, markdown: String, text: String,
+           lang: String, date: String): String = {
+    val domain = graft.urls.UrlKernel.extractDomain(url).getOrElse("")
+    val wc = TextKit.wordCount(text)
+    val fm = frontmatter(
+      title = title, url = url, date = date,
+      wordCount = Some(wc),
+      readingTime = Some(TextKit.readingTime(wc)),
+      language = if (lang.nonEmpty) Some(lang) else None,
+      contentType = Some(TextKit.detectContentType(url, text)))
+    fm + convertWikiLinks(markdown, domain)
+  }
+}

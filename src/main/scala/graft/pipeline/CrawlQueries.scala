@@ -175,6 +175,28 @@ object CrawlQueries {
       .orderBy("url")
   }
 
+  /** Obsidian-flavored export: YAML frontmatter + wiki-linked markdown per
+    * page (frontmatter.rs / wikilinks.rs / obsidian.rs). Dates come from the
+    * stored warc_ts — deterministic. */
+  def obsidian(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .filter(p => p.lang.nonEmpty)
+      .map { p =>
+        val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        val md = graft.extract.Markdown.htmlToMarkdown(html)
+        val ex = HtmlKit.extractText(html)
+        val date = p.warc_ts.toLocalDateTime.toLocalDate.toString
+        val note = graft.extract.Obsidian.note(p.url, ex.title, md, ex.text, p.lang, date)
+        val slug = graft.extract.Obsidian.slugFromUrl(
+          UrlKernel.parse(p.url).map(_.path).getOrElse("/"))
+        val wikiLinks = "\\[\\[".r.findAllIn(note).length
+        (p.url, slug, note.length, wikiLinks, CrawlEngine.sha256Hex(note))
+      }
+      .toDF("url", "slug", "note_chars", "wiki_links", "note_sha256")
+      .orderBy("url")
+  }
+
   /** Language detection on extracted text vs stored label (accuracy table). */
   def langDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

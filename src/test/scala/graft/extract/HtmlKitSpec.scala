@@ -169,4 +169,41 @@ class HtmlKitSpec extends AnyFunSuite {
     val twice = HtmlKit.cleanHtml(once)
     assert(once == twice)
   }
+
+  test("entity decoding: text nodes, attributes, title; lenient on bare & and unknowns") {
+    // attribute values: real Common Crawl hrefs are entity-escaped
+    val html = """<html><head><title>Q &amp; A &#8212; FAQ</title></head><body>
+      |<a href="/a?x=1&amp;y=2">link</a>
+      |<p>Tom &amp; Jerry &lt;3 &quot;cheese&quot; &#65;&#x42; &nbsp;end</p>
+      |<p>bare & amp; stays; &unknown; too</p>
+      |<script>if (a &amp;&amp; b) {}</script>
+      |</body></html>""".stripMargin
+    // raw attribute decoded at parse time (the link normalizer strips
+    // queries later by spec — check the attr itself)
+    def findHref(e: HtmlKit.Elem): Option[String] =
+      if (e.tag == "a") e.attr("href")
+      else e.children.collectFirst(Function.unlift { case c: HtmlKit.Elem => findHref(c); case _ => scala.None })
+    assert(findHref(HtmlKit.parse(html)).contains("/a?x=1&y=2"),
+      s"href entities must decode, got ${findHref(HtmlKit.parse(html))}")
+    val ex = HtmlKit.extractText(HtmlKit.parse(html), html)
+    assert(ex.title == "Q & A — FAQ", s"title decoded, got '${ex.title}'")
+    assert(ex.text.contains("Tom & Jerry <3 \"cheese\" AB"), s"text decoded, got '${ex.text}'")
+    assert(ex.text.contains("bare & amp; stays"), "bare ampersand survives")
+    assert(ex.text.contains("&unknown;"), "unknown entities stay literal")
+    // raw-text script content is NOT decoded (code, not markup text)
+    val dom = HtmlKit.parse(html)
+    def findScript(e: HtmlKit.Elem): Option[String] = {
+      if (e.tag == "script") e.children.collectFirst { case HtmlKit.TextNode(t) => t }
+      else e.children.collectFirst(Function.unlift { case c: HtmlKit.Elem => findScript(c); case _ => scala.None })
+    }
+    assert(findScript(dom).exists(_.contains("&amp;&amp;")), "script body stays verbatim")
+  }
+
+  test("decodeEntities: numeric forms, invalid numerics, no-& fast path identity") {
+    assert(HtmlKit.decodeEntities("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(HtmlKit.decodeEntities("&#0;x") == "&#0;x", "invalid code points stay literal")
+    assert(HtmlKit.decodeEntities("&#zzz;") == "&#zzz;")
+    val s = "no entities here"
+    assert(HtmlKit.decodeEntities(s) eq s, "no-& input returns the same instance")
+  }
 }

@@ -1,0 +1,56 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Obsidian flavor: slug spec (wikilinks.rs:19-70 implementation, not its
+  * stale doc examples), wiki-link conversion rules, frontmatter shape. */
+class ObsidianSpec extends AnyFunSuite {
+
+  test("slugFromUrl: reference implementation cases") {
+    assert(Obsidian.slugFromUrl("/blog/my-post") == "my-post")
+    assert(Obsidian.slugFromUrl("/") == "index")
+    assert(Obsidian.slugFromUrl("") == "index")
+    assert(Obsidian.slugFromUrl("/My%20Post%20Title") == "my-post-title")
+    assert(Obsidian.slugFromUrl("/docs/page.html?x=1#frag") == "page")
+    assert(Obsidian.slugFromUrl("/a/b/c/") == "c")
+    assert(Obsidian.slugFromUrl("/under_score_name") == "under-score-name")
+    assert(Obsidian.slugFromUrl("/UPPER.and.dots.aspx") == "upper-and-dots")
+    assert(Obsidian.slugFromUrl("/--weird--%2D--") == "weird")
+  }
+
+  test("convertWikiLinks: same-domain absolute links only") {
+    val md = "See [guide](https://s.com/docs/guide-1) and " +
+      "[other](https://x.com/far) and [rel](/local/page) and [anchor](#top)."
+    val out = Obsidian.convertWikiLinks(md, "s.com")
+    assert(out.contains("[[guide-1|guide]]"), s"same-domain converts: $out")
+    assert(out.contains("[other](https://x.com/far)"), "foreign host untouched")
+    assert(out.contains("[rel](/local/page)"), "relative path untouched")
+    assert(out.contains("[anchor](#top)"), "anchor untouched")
+  }
+
+  test("frontmatter: required keys always, optional keys only when present") {
+    val minimal = Obsidian.frontmatter("T \"q\"", "https://u", "2025-06-01")
+    assert(minimal.startsWith("---\n") && minimal.endsWith("---\n"))
+    assert(minimal.contains("title: \"T \\\"q\\\"\""))
+    assert(!minimal.contains("author:") && !minimal.contains("tags:"))
+    val rich = Obsidian.frontmatter("T", "https://u", "2025-06-01",
+      author = Some("A"), tags = Seq("x", "y"), wordCount = Some(42),
+      readingTime = Some(1), language = Some("eng"), contentType = Some("article"))
+    assert(rich.contains("author: \"A\""))
+    assert(rich.contains("tags:\n  - \"x\"\n  - \"y\""))
+    assert(rich.contains("wordCount: 42") && rich.contains("readingTime: 1"))
+    assert(rich.contains("language: \"eng\"") && rich.contains("contentType: \"article\""))
+  }
+
+  test("note: deterministic, frontmatter + wiki-linked body") {
+    val html = "<html><head><title>Doc</title></head><body><p>" +
+      ("words " * 60) + "</p></body></html>"
+    val md = "Intro [next](https://s.com/docs/next-page) outro."
+    val n1 = Obsidian.note("https://s.com/docs/doc", "Doc", md, "words " * 60, "eng", "2025-06-01")
+    val n2 = Obsidian.note("https://s.com/docs/doc", "Doc", md, "words " * 60, "eng", "2025-06-01")
+    assert(n1 == n2)
+    assert(n1.contains("[[next-page|next]]"))
+    assert(n1.contains("wordCount: 60"))
+    assert(n1.contains("contentType: \"documentation\""), "url with /docs → documentation")
+  }
+}
