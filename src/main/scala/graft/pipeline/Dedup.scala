@@ -126,15 +126,19 @@ object Dedup {
                        idCol: String = "doc_id", textCol: String = "text"): Dataset[VerifiedPair] = {
     import spark.implicits._
     val texts = docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-    // exact pre-pass: groupBy md5 + join-back (no collect_list — a giant
-    // identical-text group must never materialize as one wide row)
-    val hashed = texts.withColumn("h", md5(col("text")))
-    val reps = hashed.groupBy("h").agg(min("id").as("rep"))
-    val withRep = hashed.join(reps, Seq("h"))
-    val exactEdges = withRep.filter(col("id") =!= col("rep"))
+    // exact pre-pass on (md5, id) KEYS only — the multi-KB text column never
+    // enters these shuffles (no collect_list either: a giant identical-text
+    // group must never materialize as one wide row)
+    val keys = docs.select(col(idCol).cast("long").as("id"), md5(col(textCol)).as("h"))
+    val reps = keys.groupBy("h").agg(min("id").as("rep"))
+    val dupMembers = keys.join(reps, Seq("h")).filter(col("id") =!= col("rep"))
+    val exactEdges = dupMembers
       .select(col("rep").as("doc_a"), col("id").as("doc_b"), lit(1.0).as("jaccard"))
       .as[VerifiedPair]
-    val repTexts = withRep.filter(col("id") === col("rep")).select(col("id"), col("text"))
+    // representatives = everyone minus dup members; the dup-member table is
+    // tiny in real corpora, so this anti-join broadcasts (AQE) instead of
+    // shuffling the text column
+    val repTexts = texts.join(dupMembers.select("id"), Seq("id"), "left_anti")
     val cands = candidatePairs(spark, lshBuckets(spark, repTexts, "id", "text"))
     val verified = cands.toDF("a", "b")
       .join(texts.withColumnRenamed("id", "a").withColumnRenamed("text", "text_a"), "a")
@@ -329,8 +333,45 @@ object Dedup {
     *
     * Returns (doc_id, component) for every doc appearing in `pairs`;
     * `component` = the smallest doc_id reachable through the pair graph. */
-  def connectedComponents(spark: SparkSession, pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  /** Edge cap for the exact driver-side union-find fast path: 2^20 edges ≈
+    * 16 MB of longs. Near-dup edge sets are tiny relative to the corpus
+    * (dups are the minority and the edge set is star-compressed upstream);
+    * paying 3+ Spark jobs of iterative-join overhead per round on a graph
+    * that fits in one array is pure waste — the same hybrid split
+    * production CC implementations use. Above the cap the distributed
+    * min-label loop below takes over unchanged. */
+  val CcDriverEdgeCap = 1 << 20
+
+  def connectedComponents(spark: SparkSession, pairs: DataFrame, maxIter: Int = 50,
+                          driverEdgeCap: Int = CcDriverEdgeCap): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // fast path: ONE job pulls at most cap+1 edges; if the graph fits, run
+    // exact union-find on the driver (same min-label result, deterministic)
+    val head = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .limit(driverEdgeCap + 1).collect()
+    if (head.length <= driverEdgeCap) {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      head.foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { // min root wins → component = smallest reachable id
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      val rows = parent.keys.toArray.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return spark.createDataset(rows.toSeq).toDF("doc_id", "component")
+    }
     val edges = pairs
       .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
       .union(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
@@ -338,8 +379,8 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var backing = labels // the persisted frame the current labels live on
+      .localCheckpoint() // eager; see loop note on lineage
+    var backing = labels // the materialized frame the current labels live on
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -347,13 +388,20 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("nc").as("minNeighbor"))
+      // localCheckpoint, not persist: persist caches DATA but each round's
+      // LOGICAL PLAN still embeds the previous round's (twice — join +
+      // projection), so plans double per iteration and AQE's explainString
+      // OOMs the driver near ~30 rounds. Checkpointing truncates lineage —
+      // constant plan size per round at any component diameter. (Caveat:
+      // non-resilient to executor loss; a reliable 10^10-scale run swaps in
+      // reliable checkpoint() with a checkpoint dir.)
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("minNeighbor"), col("component"))).as("component"),
           (col("minNeighbor") < col("component")).as("changed"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changes = next.filter(col("changed")).count() // materializes next
-      labels = next.select("doc_id", "component") // served from next's cache
+        .localCheckpoint() // eager: materializes before the old round unpersists
+      val changes = next.filter(col("changed")).count()
+      labels = next.select("doc_id", "component") // served from next's blocks
       backing.unpersist()
       backing = next
       converged = changes == 0L

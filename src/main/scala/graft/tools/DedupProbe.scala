@@ -1,0 +1,42 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scratch timing probe for the dedup keep-list path (not part of the
+  * contract surface). */
+object DedupProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val plants = base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 10000000L).as("doc_id"),
+        expr("array_join(slice(split(text, ' '), 1, size(split(text, ' ')) - 1), ' ')").as("text"))
+    val exactPlants = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 20000000L).as("doc_id"), col("text"))
+    val docs = base.union(plants).union(exactPlants)
+    (1 to 3).foreach { i =>
+      var t0 = System.nanoTime()
+      val pairs = graft.pipeline.Dedup.verifiedNearDups(spark, docs, 0.5).toDF()
+        .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+        .persist()
+      val np = pairs.count()
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      t0 = System.nanoTime()
+      val comps = graft.pipeline.Dedup.connectedComponents(spark, pairs)
+      val nc = comps.count()
+      val tCc = (System.nanoTime() - t0) / 1e9
+      pairs.unpersist()
+      println(f"run $i: pairs=$np ($tPairs%.2f s) cc=$nc ($tCc%.2f s)")
+    }
+    spark.stop()
+  }
+}

@@ -291,15 +291,37 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.count(r => r.getLong(0) == 1L && r.getLong(1) == 2L) == 1, "pair enumerated once")
   }
 
-  test("connectedComponents: multi-hop chains collapse to the component minimum") {
+  test("connectedComponents: multi-hop chains collapse to the component minimum (both paths)") {
     import spark.implicits._
     // components: {1,2,3,9} via chain 9-3, 3-2, 2-1; {5,6}; {7,8}
     val pairs = Seq((9L, 3L), (3L, 2L), (2L, 1L), (5L, 6L), (8L, 7L))
       .toDF("doc_a", "doc_b")
-    val comps = Dedup.connectedComponents(spark, pairs).collect()
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L)
+    // driver union-find fast path (default cap)
+    val fast = Dedup.connectedComponents(spark, pairs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
-      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 7L))
+    assert(fast == want)
+    // distributed min-label loop (cap 0 forces it) must agree exactly
+    val dist = Dedup.connectedComponents(spark, pairs, driverEdgeCap = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want, "distributed path must match the union-find result")
+  }
+
+  test("connectedComponents paths agree on a larger random graph") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: 400 nodes, 300 edges
+    val edges = (0 until 300).map { i =>
+      val a = (i * 2654435761L % 400L).abs
+      val b = ((i + 131) * 40503L % 400L).abs
+      (math.min(a, b), math.max(a, b))
+    }.filter(e => e._1 != e._2).distinct
+    val pairs = edges.toDF("doc_a", "doc_b")
+    val fast = Dedup.connectedComponents(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.connectedComponents(spark, pairs, driverEdgeCap = 0).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist)
   }
 
   test("dedupKeepList: exact + near dups collapse transitively; uniques keep themselves") {
