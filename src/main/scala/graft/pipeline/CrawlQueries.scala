@@ -197,6 +197,23 @@ object CrawlQueries {
       .orderBy("url")
   }
 
+  /** URL → filesystem output path kernel over every corpus URL
+    * (adapters/url_path.rs: Domain + UrlPath + OutputPath). */
+  def urlPaths(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .map { p =>
+        val path = UrlKernel.parse(p.url).map(_.path).getOrElse("/")
+        (p.url,
+          graft.urls.UrlPathKit.domainFromUrl(p.url).getOrElse(""),
+          graft.urls.UrlPathKit.safeFilename(path),
+          graft.urls.UrlPathKit.directoryPart(path),
+          graft.urls.UrlPathKit.outputPath(p.url).getOrElse(""))
+      }
+      .toDF("url", "domain", "filename", "directory", "output_path")
+      .orderBy("url")
+  }
+
   /** Language detection on extracted text vs stored label (accuracy table). */
   def langDetect(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -1,0 +1,80 @@
+package graft.urls
+
+/** URL → filesystem-safe output path — reference: src/adapters/url_path.rs
+  * (Domain / UrlPath / OutputPath newtypes). Pure deterministic kernel:
+  * unique per-path filenames (no index.md collisions), Windows reserved-name
+  * guard, sanitized segments.
+  */
+object UrlPathKit {
+
+  /** Windows reserved device names (url_path.rs:26-29). */
+  val WindowsReserved: Set[String] = Set(
+    "CON", "PRN", "AUX", "NUL", "COM1", "COM2", "COM3", "COM4", "COM5", "COM6",
+    "COM7", "COM8", "COM9", "LPT1", "LPT2", "LPT3", "LPT4", "LPT5", "LPT6",
+    "LPT7", "LPT8", "LPT9")
+
+  /** Domain::from_url — host with "www." stripped; None for unparseable/empty. */
+  def domainFromUrl(url: String): Option[String] =
+    UrlKernel.parse(url).map(_.host).filter(_.nonEmpty)
+      .map(h => if (h.startsWith("www.")) h.substring(4) else h)
+
+  /** UrlPath::from_url_path normalization: strip query/fragment, ensure a
+    * leading slash, trim the trailing slash (except root). */
+  def normalizePath(path: String): String = {
+    val clean = path.split('?')(0).split('#')(0)
+    val normalized = if (clean.isEmpty || !clean.startsWith("/")) "/" + clean else clean
+    if (normalized != "/" && normalized.endsWith("/"))
+      normalized.reverse.dropWhile(_ == '/').reverse
+    else normalized
+  }
+
+  /** sanitize_path_segment (url_path.rs:183-197): keep alphanumerics and
+    * `-_.`; map the Windows-invalid set (and space) to '_'; pass the rest. */
+  def sanitizeSegment(s: String): String = {
+    val invalid = Set('\\', ':', '*', '?', '"', '<', '>', '|', ' ')
+    s.map { c =>
+      if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c
+      else if (invalid.contains(c)) '_'
+      else c
+    }
+  }
+
+  /** to_safe_filename_with_format (url_path.rs:139-168): `/` → index.ext;
+    * otherwise the full path flattened (`/docs/api/v2/` → docs-api-v2.ext —
+    * unique per path, no trailing-slash collisions), sanitized, with a
+    * `_safe` suffix on Windows reserved names. Extensions: md/json/txt. */
+  def safeFilename(path: String, format: String = "md"): String = {
+    val ext = format match {
+      case "json" => "json"
+      case "txt" => "txt"
+      case _ => "md"
+    }
+    val p = normalizePath(path)
+    if (p == "/") return s"index.$ext"
+    val slug = p.dropWhile(_ == '/').replace('/', '-').replace(' ', '_')
+    val sanitized = sanitizeSegment(slug)
+    val name =
+      if (WindowsReserved.contains(sanitized.toUpperCase(java.util.Locale.ROOT)))
+        sanitized + "_safe"
+      else sanitized
+    s"$name.$ext"
+  }
+
+  /** to_directory (url_path.rs:170-181): parent segments of the path,
+    * trailing slash, empty for root/single-segment paths. */
+  def directoryPart(path: String): String = {
+    val p = normalizePath(path)
+    if (p == "/") return ""
+    val trimmed = p.dropWhile(_ == '/')
+    val lastSlash = trimmed.lastIndexOf('/')
+    if (lastSlash < 0) "" else trimmed.substring(0, lastSlash) + "/"
+  }
+
+  /** OutputPath: `domain/safe-filename` (the vault-relative location the
+    * reference writes each page to). None when the URL has no host. */
+  def outputPath(url: String, format: String = "md"): Option[String] =
+    for {
+      d <- domainFromUrl(url)
+      p <- UrlKernel.parse(url).map(_.path)
+    } yield s"$d/${safeFilename(p, format)}"
+}

@@ -1,0 +1,49 @@
+package graft.urls
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** url_path.rs parity — cases transcribed from the reference's own test
+  * module (url_path.rs:260-510). */
+class UrlPathKitSpec extends AnyFunSuite {
+
+  test("domainFromUrl: host, www strip, invalid") {
+    assert(UrlPathKit.domainFromUrl("https://geminicli.com/docs").contains("geminicli.com"))
+    assert(UrlPathKit.domainFromUrl("https://www.example.com/page").contains("example.com"))
+    assert(UrlPathKit.domainFromUrl("not-a-url").isEmpty)
+  }
+
+  test("safeFilename: reference's own cases") {
+    assert(UrlPathKit.safeFilename("/") == "index.md")
+    assert(UrlPathKit.safeFilename("/docs") == "docs.md")
+    assert(UrlPathKit.safeFilename("/docs/api/") == "docs-api.md")
+    assert(UrlPathKit.safeFilename("/docs/api") == "docs-api.md")
+    assert(UrlPathKit.safeFilename("/docs?foo=bar") == "docs.md")
+    assert(!UrlPathKit.safeFilename("/docs with spaces").contains(' '))
+    // trailing-slash collision avoidance
+    assert(UrlPathKit.safeFilename("/blog/post1/") != UrlPathKit.safeFilename("/blog/post2/"))
+    assert(UrlPathKit.safeFilename("/blog/post1/") == "blog-post1.md")
+    // formats
+    assert(UrlPathKit.safeFilename("/docs", "json") == "docs.json")
+    assert(UrlPathKit.safeFilename("/docs", "txt") == "docs.txt")
+  }
+
+  test("windows reserved names get _safe; nested paths don't match") {
+    assert(UrlPathKit.safeFilename("/con") == "con_safe.md")
+    assert(UrlPathKit.safeFilename("/Con") == "Con_safe.md")
+    assert(UrlPathKit.safeFilename("/docs/page/CON") == "docs-page-CON.md")
+    assert(UrlPathKit.safeFilename("/config") == "config.md", "prefix is not reserved")
+  }
+
+  test("directoryPart: parent segments with trailing slash") {
+    assert(UrlPathKit.directoryPart("/") == "")
+    assert(UrlPathKit.directoryPart("/docs") == "")
+    assert(UrlPathKit.directoryPart("/docs/api/") == "docs/")
+    assert(UrlPathKit.directoryPart("/docs/api/v2/users") == "docs/api/v2/")
+  }
+
+  test("outputPath: domain/filename; None without a host") {
+    assert(UrlPathKit.outputPath("https://www.example.com/blog/post1/")
+      .contains("example.com/blog-post1.md"))
+    assert(UrlPathKit.outputPath("not-a-url").isEmpty)
+  }
+}
