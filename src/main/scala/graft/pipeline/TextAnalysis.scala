@@ -45,6 +45,37 @@ object TextAnalysis {
       |  len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Stopword list for quality ratios (fixed, shared with the SQL twin). */
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "are", "was", "with", "for", "on", "that", "this")
+
+  /** Quality-ratio raw counts: stopword hits and ASCII-punctuation chars per
+    * document (the length/punct/stopword-ratio quality-scoring family —
+    * exact integers so the oracle matches bit-for-bit; ratios are a consumer
+    * division away). Pure Column expressions, zero UDFs. */
+  def qualityRatios(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    docs(spark, dir)
+      .select(col("doc_id"),
+        size(words).as("n_words"),
+        size(filter(words, w => lower(w).isin(Stopwords: _*))).as("n_stopwords"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[!-/:-@\\[-`{-~]", ""))).as("n_punct_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[0-9]", ""))).as("n_digit_chars"))
+      .orderBy("doc_id")
+  }
+
+  val qualityRatiosSql: String = {
+    val stopList = Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' ')) AS n_words,
+       |  len(list_filter(string_split(text, ' '), w -> lower(w) IN ($stopList))) AS n_stopwords,
+       |  length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS n_punct_chars,
+       |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   /** Token counting per source corpus (BPE-ish budget accounting). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)

@@ -1,7 +1,11 @@
 package graft.sinks
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.model.PageRow
 
 /** Export sinks — the reference's JSONL and Vector exporters re-expressed as
   * Spark writes with job-level atomic commit replacing file locks
@@ -44,6 +48,53 @@ object Exporters {
   /** JSONL export: one object per line, append mode (job-atomic). */
   def writeJsonl(df: DataFrame, path: String): Unit =
     df.write.mode("append").json(path)
+
+  /** Per-page file export — the reference's FileExporter + Obsidian vault
+    * layout (file_exporter.rs; adapters/url_path.rs OutputPath): one file
+    * per page at `<outDir>/<domain>/<safe-filename>.<ext>`, format
+    * "md" (Obsidian note: YAML frontmatter + wiki-linked markdown),
+    * "txt" (extracted text), or "json" (one object per file).
+    *
+    * Distributed shape: pages are deduplicated BY OUTPUT PATH first
+    * (min url wins — flattened filenames can collide across www variants,
+    * and two tasks racing on one path would be nondeterministic), then each
+    * task writes its own partition's files — no driver funnel; `outDir`
+    * must be a shared filesystem at cluster scale, exactly like the
+    * reference's vault directory. Returns the number of files written. */
+  def writeVault(spark: SparkSession, pages: Dataset[PageRow], outDir: String,
+                 format: String = "md"): Long = {
+    import spark.implicits._
+    val withPath = pages
+      .filter(p => !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+      .flatMap(p => graft.urls.UrlPathKit.outputPath(p.url, format).map(rel => (rel, p)))
+    val deduped = withPath
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => if (a._2.url <= b._2.url) a else b)
+      .map(_._2)
+    deduped.mapPartitions { it =>
+      var n = 0L
+      it.foreach { case (rel, p) =>
+        val html = new String(p.html, UTF_8)
+        val ex = graft.extract.HtmlKit.extractText(html)
+        val content = format match {
+          case "txt" => ex.text
+          case "json" =>
+            def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+            s"""{"url": "${esc(p.url)}", "title": "${esc(ex.title)}", "text": "${esc(ex.text)}", "lang": "${esc(p.lang)}"}"""
+          case _ =>
+            val md = graft.extract.Markdown.htmlToMarkdown(html)
+            val date = p.warc_ts.toLocalDateTime.toLocalDate.toString
+            graft.extract.Obsidian.note(p.url, ex.title, md, ex.text, p.lang, date)
+        }
+        val target = java.nio.file.Paths.get(outDir, rel)
+        java.nio.file.Files.createDirectories(target.getParent)
+        java.nio.file.Files.write(target, content.getBytes(UTF_8))
+        n += 1
+      }
+      Iterator.single(n)
+    }.toDF("n").agg(coalesce(sum("n"), lit(0L))).head().getLong(0) // 0 on empty input
+  }
 
   /** Vector export: validated rows only, parquet with dims recorded in the
     * directory metadata row (the reference's JSON header analogue). */

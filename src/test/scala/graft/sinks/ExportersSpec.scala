@@ -71,6 +71,40 @@ class ExportersSpec extends AnyFunSuite {
     assert(meta.contains("\"count\": 1"))
   }
 
+  test("writeVault: one file per page at domain/safe-filename, all formats, dedup by path") {
+    import spark.implicits._
+    val ts = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    def page(url: String, body: String) = graft.model.PageRow(url, ts,
+      s"<html><head><title>T</title></head><body><p>$body padding words to clear the extraction minimum threshold easily</p></body></html>"
+        .getBytes("UTF-8"), "", "eng")
+    val pages = spark.createDataset(Seq(
+      page("https://www.ex.com/blog/post1/", "first"),
+      page("https://ex.com/blog/post1", "www-variant collides on path"), // same output path
+      page("https://ex.com/docs/guide", "second"),
+      graft.model.PageRow("https://ex.com/robots.txt", ts, "User-agent: *".getBytes("UTF-8"), "", "")))
+    val dir = java.nio.file.Files.createTempDirectory("graft-vault").toString
+    val n = Exporters.writeVault(spark, pages, dir)
+    assert(n == 2, s"2 distinct output paths (robots skipped, collision deduped), got $n")
+    val post = java.nio.file.Paths.get(dir, "ex.com/blog-post1.md")
+    assert(java.nio.file.Files.exists(post))
+    val content = new String(java.nio.file.Files.readAllBytes(post), "UTF-8")
+    assert(content.startsWith("---\n"), "frontmatter present")
+    // path collision resolved deterministically: min url wins
+    assert(content.contains("url: \"https://ex.com/blog/post1\""),
+      s"min-url representative must win the path collision: $content")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "ex.com/docs-guide.md")))
+    // txt + json formats
+    val n2 = Exporters.writeVault(spark, pages, dir + "-txt", format = "txt")
+    assert(n2 == 2)
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "-txt", "ex.com/docs-guide.txt")), "UTF-8")
+    assert(txt.contains("second") && !txt.contains("---"))
+    Exporters.writeVault(spark, pages, dir + "-json", format = "json")
+    val js = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir + "-json", "ex.com/docs-guide.json")), "UTF-8")
+    assert(js.contains("\"url\": \"https://ex.com/docs/guide\""))
+  }
+
   // --- compression (compression_handler.rs tests) ---
   test("compression: gzip round-trip, magic detection, passthrough") {
     val payload = "the quick brown fox".getBytes("UTF-8")
