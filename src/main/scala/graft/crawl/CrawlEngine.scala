@@ -168,6 +168,13 @@ object CrawlEngine {
           }
         }
         .toDF("rhost", "disallow")
+        // ONE row per rhost: www./non-www (or re-captured) robots variants
+        // strip to the same key, and a left join against duplicate keys
+        // would duplicate frontier entries AND let a URL blocked by one
+        // variant survive via the other. Union of the variants' Disallow
+        // lists = most-restrictive-wins (per-host rule lists are tiny).
+        .groupBy("rhost")
+        .agg(array_distinct(flatten(collect_list(col("disallow")))).as("disallow"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       robotsRulesBase = r
       val nRules = r.count()

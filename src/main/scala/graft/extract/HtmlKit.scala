@@ -73,7 +73,8 @@ object HtmlKit {
                     Integer.parseInt(e.substring(2), 16)
                   else Integer.parseInt(e.substring(1))
                 } catch { case _: NumberFormatException => -1 }
-              if (num > 0 && Character.isValidCodePoint(num)) new String(Character.toChars(num))
+              if (num >= 0xD800 && num <= 0xDFFF) "�" // HTML5: surrogate refs → U+FFFD (an unpaired surrogate corrupts UTF-8 re-encoding)
+              else if (num > 0 && Character.isValidCodePoint(num)) new String(Character.toChars(num))
               else null
             case _ => null
           }

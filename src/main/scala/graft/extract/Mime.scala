@@ -99,11 +99,16 @@ object Mime {
     else if (at(0, 0x1f) && at(1, 0x8b)) Some("application/gzip")
     else if (ascii(0, "PK")) Some("application/zip") // docx/xlsx/epub containers
     else {
-      // text-ish sniff for svg/xml/json
+      // text-ish sniff for svg/xml/json/html. Deliberately NARROW: only an
+      // explicit xml declaration or svg/html root counts — a bare '<' must
+      // NOT read as xml, or every HTML error page served at an asset URL
+      // would sniff as a Document.
       val head = new String(b, 0, math.min(b.length, 256), java.nio.charset.StandardCharsets.UTF_8)
         .dropWhile(_.isWhitespace)
+      val lower = head.toLowerCase(java.util.Locale.ROOT)
       if (head.startsWith("<svg") || (head.startsWith("<?xml") && head.contains("<svg"))) Some("image/svg+xml")
-      else if (head.startsWith("<?xml") || head.startsWith("<")) Some("application/xml")
+      else if (lower.startsWith("<!doctype html") || lower.startsWith("<html")) Some("text/html")
+      else if (head.startsWith("<?xml")) Some("application/xml")
       else if (head.startsWith("{") || head.startsWith("[")) Some("application/json")
       else None
     }

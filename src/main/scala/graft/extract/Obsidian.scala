@@ -12,7 +12,11 @@ object Obsidian {
     * decode common percent escapes + '_'→' ', lowercase, non-alphanumerics
     * collapse to single hyphens, trim hyphens; empty → "index". */
   def slugFromUrl(urlPath: String): String = {
-    var path = urlPath.split('?')(0).split('#')(0)
+    def stripAfter(s: String, c: Char) = {
+      val i = s.indexOf(c); if (i < 0) s else s.substring(0, i)
+    }
+    // indexOf strip, not split: split('?')(0) throws on a bare "?" path
+    var path = stripAfter(stripAfter(urlPath, '?'), '#')
     while (path.endsWith("/")) path = path.substring(0, path.length - 1)
     for (ext <- Seq(".html", ".htm", ".php", ".asp", ".aspx", ".jsp"))
       if (path.endsWith(ext)) path = path.substring(0, path.length - ext.length)
@@ -33,7 +37,9 @@ object Obsidian {
     sb.toString.dropWhile(_ == '-').reverse.dropWhile(_ == '-').reverse
   }
 
-  private val MdLink = java.util.regex.Pattern.compile("""\[([^\]]*)\]\(([^)\s]+)\)""")
+  // leading optional '!' captured so image embeds ![alt](url) are left
+  // untouched — converting them would produce broken [[...]] note embeds
+  private val MdLink = java.util.regex.Pattern.compile("""(!?)\[([^\]]*)\]\(([^)\s]+)\)""")
 
   /** should_convert_wikilink (wikilinks.rs:73-101): absolute same-domain
     * http(s) URLs only — anchors, relative paths, and foreign hosts stay
@@ -53,11 +59,13 @@ object Obsidian {
     val m = MdLink.matcher(markdown)
     val sb = new StringBuffer(markdown.length)
     while (m.find()) {
-      val text = m.group(1)
-      val url = m.group(2)
-      wikiSlugFor(url, baseDomain) match {
-        case Some(slug) =>
-          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(s"[[$slug|$text]]"))
+      val isImage = m.group(1).nonEmpty
+      val text = m.group(2)
+      val url = m.group(3)
+      val slug = if (isImage) None else wikiSlugFor(url, baseDomain)
+      slug match {
+        case Some(s) =>
+          m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(s"[[$s|$text]]"))
         case None =>
           m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(m.group(0)))
       }

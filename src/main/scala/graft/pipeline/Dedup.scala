@@ -71,12 +71,16 @@ object Dedup {
 
   final case class CandidatePair(a: Long, b: Long)
 
-  /** A (band,bucket) group larger than this emits a STAR (every member paired
-    * with the bucket minimum) instead of all pairs: N identical-band docs —
-    * ubiquitous boilerplate clusters in web corpora — must cost O(N)
-    * candidates, never N². Verification still sees every member (via the
-    * anchor), so within-bucket connectivity survives for the keep-list;
-    * only direct non-anchor pairings inside a degenerate bucket are elided. */
+  /** A (band,bucket) group larger than this emits a STAR on the bucket
+    * minimum PLUS a sorted-adjacent CHAIN instead of all pairs: N
+    * identical-band docs — ubiquitous boilerplate clusters in web corpora —
+    * must cost O(N) candidates, never N². This cap is a LOSSY fallback by
+    * construction: an edge survives only if one of its 2(N-1) candidate
+    * pairings verifies, so a member-member near-dup whose star/chain
+    * candidates all fail Jaccard can be missed in a degenerate bucket
+    * (exact duplicates never reach here — the md5 pre-pass removed them —
+    * so capped buckets are boilerplate collisions where all-pairs
+    * enumeration is precisely the quadratic being defused). */
   val MaxBucket = 2000
 
   /** Candidate pairs: documents sharing any (band, bucket). The groupByKey
@@ -95,7 +99,11 @@ object Dedup {
         if (ids.length > maxBucket) {
           cappedBuckets.foreach(_.add(1L))
           val anchor = ids(0)
-          ids.iterator.drop(1).map(b => CandidatePair(anchor, b))
+          // star (anchor reaches everyone) + chain (adjacent ids reach each
+          // other): 2(N-1) candidates, twice the survival chances of a bare
+          // star at the same O(N) cost
+          ids.iterator.drop(1).map(b => CandidatePair(anchor, b)) ++
+            ids.iterator.zip(ids.iterator.drop(1)).map { case (a, b) => CandidatePair(a, b) }
         } else {
           for { i <- ids.indices.iterator; j <- (i + 1) until ids.length }
             yield CandidatePair(ids(i), ids(j))
@@ -377,10 +385,13 @@ object Dedup {
       .union(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val labelSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType)))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .localCheckpoint() // eager; see loop note on lineage
-    var backing = labels // the materialized frame the current labels live on
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var backing = labels // the persisted frame the current labels live on
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -388,20 +399,22 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("component").as("nc")), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("nc").as("minNeighbor"))
-      // localCheckpoint, not persist: persist caches DATA but each round's
-      // LOGICAL PLAN still embeds the previous round's (twice — join +
-      // projection), so plans double per iteration and AQE's explainString
-      // OOMs the driver near ~30 rounds. Checkpointing truncates lineage —
-      // constant plan size per round at any component diameter. (Caveat:
-      // non-resilient to executor loss; a reliable 10^10-scale run swaps in
-      // reliable checkpoint() with a checkpoint dir.)
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("minNeighbor"), col("component"))).as("component"),
           (col("minNeighbor") < col("component")).as("changed"))
-        .localCheckpoint() // eager: materializes before the old round unpersists
-      val changes = next.filter(col("changed")).count()
-      labels = next.select("doc_id", "component") // served from next's blocks
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changes = next.filter(col("changed")).count() // materializes next
+      // TRUNCATE LINEAGE: rebuild the labels frame from the cached RDD
+      // (LogicalRDD). persist alone caches DATA but each round's logical
+      // plan still embeds the previous round's twice (join + projection) —
+      // plans double per iteration and AQE's explainString OOMs the driver
+      // near ~30 rounds. The RDD-backed frame keeps plan size constant at
+      // any component diameter while persist/unpersist pairing still
+      // releases each round's blocks deterministically (localCheckpoint
+      // would leak: its blocks are not cacheManager-registered, so
+      // Dataset.unpersist is a no-op on them).
+      labels = spark.createDataFrame(next.select("doc_id", "component").rdd, labelSchema)
       backing.unpersist()
       backing = next
       converged = changes == 0L

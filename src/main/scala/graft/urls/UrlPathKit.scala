@@ -21,11 +21,18 @@ object UrlPathKit {
   /** UrlPath::from_url_path normalization: strip query/fragment, ensure a
     * leading slash, trim the trailing slash (except root). */
   def normalizePath(path: String): String = {
-    val clean = path.split('?')(0).split('#')(0)
+    // indexOf-based strip: String.split drops all-empty results, so
+    // split('?')(0) THROWS on a path of just "?" — these kernels are total
+    val clean = stripAfter(stripAfter(path, '?'), '#')
     val normalized = if (clean.isEmpty || !clean.startsWith("/")) "/" + clean else clean
     if (normalized != "/" && normalized.endsWith("/"))
       normalized.reverse.dropWhile(_ == '/').reverse
     else normalized
+  }
+
+  private def stripAfter(s: String, c: Char): String = {
+    val i = s.indexOf(c)
+    if (i < 0) s else s.substring(0, i)
   }
 
   /** sanitize_path_segment (url_path.rs:183-197): keep alphanumerics and
@@ -53,10 +60,22 @@ object UrlPathKit {
     if (p == "/") return s"index.$ext"
     val slug = p.dropWhile(_ == '/').replace('/', '-').replace(' ', '_')
     val sanitized = sanitizeSegment(slug)
-    val name =
+    val reserved =
       if (WindowsReserved.contains(sanitized.toUpperCase(java.util.Locale.ROOT)))
         sanitized + "_safe"
       else sanitized
+    // filesystem hardening beyond the reference: most filesystems cap a
+    // filename at 255 BYTES; a deep CMS path flattened into one name would
+    // crash the writer task. Over-long names truncate to 180 chars plus an
+    // xxhash64 suffix of the FULL slug — still unique per path, always legal.
+    val name =
+      if (reserved.length <= 200) reserved
+      else {
+        val h = java.lang.Long.toHexString(
+          org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
+            org.apache.spark.unsafe.types.UTF8String.fromString(reserved), 42L))
+        reserved.substring(0, 180) + "-" + h
+      }
     s"$name.$ext"
   }
 

@@ -202,6 +202,8 @@ class HtmlKitSpec extends AnyFunSuite {
   test("decodeEntities: numeric forms, invalid numerics, no-& fast path identity") {
     assert(HtmlKit.decodeEntities("&#x1F600;") == new String(Character.toChars(0x1F600)))
     assert(HtmlKit.decodeEntities("&#0;x") == "&#0;x", "invalid code points stay literal")
+    assert(HtmlKit.decodeEntities("&#xD800;") == "�",
+      "surrogate refs map to U+FFFD (HTML5), never an unpaired surrogate")
     assert(HtmlKit.decodeEntities("&#zzz;") == "&#zzz;")
     val s = "no entities here"
     assert(HtmlKit.decodeEntities(s) eq s, "no-& input returns the same instance")

@@ -28,6 +28,19 @@ class ObsidianSpec extends AnyFunSuite {
     assert(out.contains("[anchor](#top)"), "anchor untouched")
   }
 
+  test("convertWikiLinks: image embeds are never converted") {
+    val md = "Logo ![logo](https://s.com/img/a.png) and [link](https://s.com/docs/x)."
+    val out = Obsidian.convertWikiLinks(md, "s.com")
+    assert(out.contains("![logo](https://s.com/img/a.png)"),
+      s"image embed must stay a markdown image: $out")
+    assert(out.contains("[[x|link]]"), "plain links still convert")
+  }
+
+  test("slugFromUrl is total: bare ? and # paths don't crash") {
+    assert(Obsidian.slugFromUrl("?") == "index")
+    assert(Obsidian.slugFromUrl("#frag") == "index")
+  }
+
   test("frontmatter: required keys always, optional keys only when present") {
     val minimal = Obsidian.frontmatter("T \"q\"", "https://u", "2025-06-01")
     assert(minimal.startsWith("---\n") && minimal.endsWith("---\n"))

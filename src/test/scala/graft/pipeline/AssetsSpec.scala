@@ -47,9 +47,17 @@ class AssetsSpec extends AnyFunSuite {
     assert(Mime.mimeFromBytes("{\"k\": 1}".getBytes(UTF_8)).contains("application/json"))
     assert(Mime.mimeFromBytes(Array[Byte](7, 42, 99)).isEmpty)
     assert(Mime.mimeFromBytes(Array.emptyByteArray).isEmpty)
+    // HTML payloads sniff as text/html, NEVER as xml/Document — a soft-404
+    // error page served at an asset URL must not flip the asset to document
+    assert(Mime.mimeFromBytes("<!DOCTYPE html><html>...".getBytes(UTF_8)).contains("text/html"))
+    assert(Mime.mimeFromBytes("<html><body>404".getBytes(UTF_8)).contains("text/html"))
+    assert(Mime.mimeFromBytes("<p>fragment</p>".getBytes(UTF_8)).isEmpty, "bare '<' is not xml")
+    assert(Mime.assetTypeFromBytes("<html>err".getBytes(UTF_8)) == Mime.Unknown)
     // classification: bytes beat extension; extension is the fallback
     assert(Mime.detect("https://x/disguised.txt", b(0xff, 0xd8, 0xff)) == ((Mime.Image, "image/jpeg")))
     assert(Mime.detect("https://x/a.pdf", null) == ((Mime.Document, "application/pdf")))
+    // html error body at an image URL: truthful mime, type falls back to ext
+    assert(Mime.detect("https://x/logo.png", "<html>404".getBytes(UTF_8)) == ((Mime.Image, "text/html")))
   }
 
   test("assetsTable: refs aggregated, payload join, sha-256 content dedup") {

@@ -254,7 +254,10 @@ class DedupSpec extends AnyFunSuite {
     val big = spark.createDataset((0L until 50L).map(id => Dedup.BandBucket(id, 0, 42L)))
     val acc = spark.sparkContext.longAccumulator("graft-capped-buckets")
     val capped = Dedup.candidatePairs(spark, big, maxBucket = 10, cappedBuckets = Some(acc)).collect()
-    assert(capped.length == 49 && capped.forall(_.a == 0L), "star on the bucket minimum")
+    // star (49 pairs on min) + adjacent chain (49 pairs), (0,1) shared → 97
+    assert(capped.length == 97, s"star+chain distinct pairs, got ${capped.length}")
+    assert(capped.count(_.a == 0L) == 49, "star on the bucket minimum (chain (0,1) deduped)")
+    assert((1L until 49L).forall(i => capped.exists(p => p.a == i && p.b == i + 1)), "chain present")
     assert(acc.value == 1L)
     val small = spark.createDataset((0L until 5L).map(id => Dedup.BandBucket(id, 0, 42L)))
     assert(Dedup.candidatePairs(spark, small).collect().length == 10, "under the cap: all pairs")

@@ -34,6 +34,22 @@ class UrlPathKitSpec extends AnyFunSuite {
     assert(UrlPathKit.safeFilename("/config") == "config.md", "prefix is not reserved")
   }
 
+  test("totality + length hardening beyond the reference") {
+    // bare ?/# paths: String.split would drop all-empty results and crash
+    assert(UrlPathKit.safeFilename("?") == "index.md")
+    assert(UrlPathKit.safeFilename("#") == "index.md")
+    assert(UrlPathKit.normalizePath("?") == "/")
+    // a flattened deep path must never exceed the 255-byte filename limit
+    val deep = (1 to 60).map(i => s"segment$i").mkString("/", "/", "/")
+    val fn = UrlPathKit.safeFilename(deep)
+    assert(fn.length < 255, s"filename capped, got ${fn.length}")
+    // still unique per path (hash suffix of the full slug)
+    val fn2 = UrlPathKit.safeFilename(deep.dropRight(1) + "X/")
+    assert(fn != fn2, "distinct long paths keep distinct names")
+    // short names unchanged by the cap
+    assert(UrlPathKit.safeFilename("/docs/api") == "docs-api.md")
+  }
+
   test("directoryPart: parent segments with trailing slash") {
     assert(UrlPathKit.directoryPart("/") == "")
     assert(UrlPathKit.directoryPart("/docs") == "")
