@@ -94,12 +94,40 @@ object PlanCheck {
         "Exchange hashpartitioning".r.findAllIn(gsPlan).size <= 1,
       "all three grouping sets share a single aggregation shuffle")
 
+    // 6. assets pipeline: hash aggregation per asset URL + equi hash joins —
+    // never a cartesian/nested-loop, and the sha-dedup agg combines map-side
+    val assets = graft.pipeline.Assets.crawlAssets(spark, sfDir)
+    assets.collect()
+    val assetsPlan = assets.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_crawl_assets/hash-joins-only",
+      !assetsPlan.contains("CartesianProduct") && !assetsPlan.contains("BroadcastNestedLoopJoin"),
+      "payload join + sha dedup are equi hash joins, no all-pairs")
+    // string/struct agg buffers use SortAggregate — the property that
+    // matters at scale is the MAP-SIDE PARTIAL before each exchange
+    check("q_crawl_assets/partial-agg",
+      assetsPlan.contains("partial_count") && assetsPlan.contains("partial_min"),
+      "per-asset-url and sha-dedup aggregations combine map-side before the exchange")
+
+    // 7. quality ratios: pure Column pipeline — single codegen'd scan stage,
+    // no UDFs, projection pruned to doc_id + text
+    val qr = graft.pipeline.TextAnalysis.qualityRatios(spark, sfDir)
+    qr.collect()
+    val qrPlan = qr.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_quality_ratios/codegen-no-udf",
+      qrPlan.contains("*(") && !qrPlan.contains("BatchEvalPython") && !qrPlan.toLowerCase.contains("scalaudf"),
+      "stopword/punct counting runs inside whole-stage codegen, zero UDFs")
+    check("q_quality_ratios/ReadSchema-pruned",
+      !qrPlan.split("ReadSchema").last.split("\n").head.contains("lang"),
+      "scan reads only doc_id + text")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
     q6.explain("formatted")
     println("\n=== q_join_multi plan ===")
     jm.explain("formatted")
+    println("\n=== q_crawl_assets plan (tree) ===")
+    println(assetsPlan)
     spark.stop()
     if (failures > 0) sys.exit(1)
   }
