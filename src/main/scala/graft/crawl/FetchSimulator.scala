@@ -43,7 +43,8 @@ object FetchSimulator {
       finalStatus: Int,
       success: Boolean,
       totalBackoffMs: Long,
-      uaRotated: Boolean)
+      uaRotated: Boolean,
+      userAgent: String)
 
   /** Walk the retry ladder for one url (client.rs:163-384 semantics):
     * 2xx → done; 403 → rotate UA once then retry IMMEDIATELY (no sleep);
@@ -54,23 +55,25 @@ object FetchSimulator {
     var attempt = 1
     var backoff = 0L
     var uaRotated = false
+    // the UA actually on the wire: rotation 0 until a 403 rotates it once
+    def ua: String = UserAgents.userAgentFor(url, if (uaRotated) 1 else 0)
     while (attempt <= MaxAttempts) {
       val status = statusFor(url, attempt)
       val retriesLeft = attempt < MaxAttempts
       status match {
         case s if s >= 200 && s < 300 =>
-          return FetchOutcome(url, attempt, s, success = true, backoff, uaRotated)
+          return FetchOutcome(url, attempt, s, success = true, backoff, uaRotated, ua)
         case 404 | 410 =>
-          return FetchOutcome(url, attempt, status, success = false, backoff, uaRotated)
+          return FetchOutcome(url, attempt, status, success = false, backoff, uaRotated, ua)
         case 403 =>
           if (uaRotated || !retriesLeft) // second 403 (one rotation only) or out of budget
-            return FetchOutcome(url, attempt, 403, success = false, backoff, uaRotated)
+            return FetchOutcome(url, attempt, 403, success = false, backoff, uaRotated, ua)
           uaRotated = true // rotate + retry immediately
         case _ => // 429 / 5xx → backoff, then retry if budget remains
           if (retriesLeft) backoff += backoffMs(attempt)
       }
       attempt += 1
     }
-    FetchOutcome(url, MaxAttempts, statusFor(url, MaxAttempts), success = false, backoff, uaRotated)
+    FetchOutcome(url, MaxAttempts, statusFor(url, MaxAttempts), success = false, backoff, uaRotated, ua)
   }
 }

@@ -1,0 +1,55 @@
+package graft.crawl
+
+/** User-agent pool — reference: src/infrastructure/user_agent.rs.
+  *
+  * The reference lazy-downloads a fresh UA list with a 1-year TTL cache and
+  * falls back to a hardcoded 2026 list; selection is `rand::random % len`.
+  * Zero-egress here, so the COMMITTED pool is the reference's own fallback
+  * list (user_agent.rs:180-190 — spec data), and selection is seeded by
+  * (url, rotation) instead of a global RNG: a distributed crawl re-running a
+  * task must pick the same UA, or retries/goldens diverge. The cache-age
+  * check (chrome_year = 2023 + version - 120, valid while >= year-1) is kept
+  * as a pure function.
+  */
+object UserAgents {
+
+  /** The reference's hardcoded fallback pool, verbatim (user_agent.rs:180-190). */
+  val Pool: Vector[String] = Vector(
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/131.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/131.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/131.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/132.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/132.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:123.0) Gecko/20100101 Firefox/123.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10.15; rv:123.0) Gecko/20100101 Firefox/123.0")
+
+  /** Minimum acceptable Chrome major version (user_agent.rs:40). */
+  val MinChromeVersion = 131
+
+  /** chrome_year = 2023 + (version − 120) — the reference's cache-age
+    * formula (user_agent.rs:81-84). NOTE: the reference's own comment says
+    * "Chrome 131 = 2025" but its arithmetic yields 2034; the CODE is the
+    * committed spec (the formula effectively always validates a 131+ cache,
+    * which matches the observable behavior of the reference). */
+  def chromeYear(chromeVersion: Int): Int = 2023 + (chromeVersion - 120)
+
+  /** Cache valid while its Chrome year is within 1 year of `currentYear`
+    * (user_agent.rs:86-88). */
+  def cacheValid(chromeVersion: Int, currentYear: Int): Boolean =
+    chromeYear(chromeVersion) >= currentYear - 1
+
+  /** Chrome major version of a UA string, if it is a Chrome UA. */
+  def chromeVersionOf(ua: String): Option[Int] = {
+    val m = "Chrome/(\\d+)\\.".r.findFirstMatchIn(ua)
+    m.map(_.group(1).toInt)
+  }
+
+  /** Deterministic pool pick for (url, rotation): rotation 0 is the UA of
+    * the first attempt; a 403-triggered rotation bumps it. Replaces the
+    * reference's `rand::random % len` — same uniform-pick semantics, but
+    * reproducible across task retries and parallelism levels. */
+  def userAgentFor(url: String, rotation: Int = 0): String = {
+    val h = CrawlEngine.urlHash(s"$url#ua$rotation")
+    Pool(java.lang.Long.remainderUnsigned(h, Pool.length.toLong).toInt)
+  }
+}

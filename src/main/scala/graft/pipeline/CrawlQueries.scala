@@ -155,9 +155,9 @@ object CrawlQueries {
     CorpusGen.dataset(spark, spec)
       .map { p =>
         val o = graft.crawl.FetchSimulator.simulate(p.url)
-        (o.url, o.attempts, o.finalStatus, o.success, o.totalBackoffMs, o.uaRotated)
+        (o.url, o.attempts, o.finalStatus, o.success, o.totalBackoffMs, o.uaRotated, o.userAgent)
       }
-      .toDF("url", "attempts", "final_status", "success", "total_backoff_ms", "ua_rotated")
+      .toDF("url", "attempts", "final_status", "success", "total_backoff_ms", "ua_rotated", "user_agent")
       .orderBy("url")
   }
 

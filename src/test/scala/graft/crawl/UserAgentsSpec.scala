@@ -1,0 +1,48 @@
+package graft.crawl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** UA pool parity with user_agent.rs: the committed fallback list, the
+  * cache-age formula, and deterministic (seeded) pool selection. */
+class UserAgentsSpec extends AnyFunSuite {
+
+  test("pool is the reference's fallback list: 7 UAs, Chrome 131+/Firefox") {
+    assert(UserAgents.Pool.length == 7)
+    val chromeVersions = UserAgents.Pool.flatMap(UserAgents.chromeVersionOf)
+    assert(chromeVersions.nonEmpty)
+    assert(chromeVersions.forall(_ >= UserAgents.MinChromeVersion))
+    assert(UserAgents.Pool.count(_.contains("Firefox/123")) == 2)
+    assert(UserAgents.chromeVersionOf("Mozilla/5.0 ... Firefox/123.0").isEmpty)
+  }
+
+  test("cache-age formula matches the reference CODE (not its stale comment)") {
+    assert(UserAgents.chromeYear(120) == 2023)
+    assert(UserAgents.chromeYear(131) == 2034)
+    assert(UserAgents.cacheValid(131, currentYear = 2026))
+    assert(!UserAgents.cacheValid(121, currentYear = 2026), "Chrome 121 'year' 2024 < 2025")
+  }
+
+  test("selection: deterministic per (url, rotation), uniform over the pool") {
+    val urls = (0 until 500).map(i => s"https://site$i.com/p")
+    urls.foreach { u =>
+      assert(UserAgents.userAgentFor(u) == UserAgents.userAgentFor(u), "stable pick")
+      assert(UserAgents.Pool.contains(UserAgents.userAgentFor(u)))
+    }
+    // every pool entry is reachable and rotation moves at least some picks
+    assert(urls.map(UserAgents.userAgentFor(_)).distinct.size == UserAgents.Pool.size)
+    assert(urls.exists(u => UserAgents.userAgentFor(u, 1) != UserAgents.userAgentFor(u, 0)))
+  }
+
+  test("simulate reports the on-wire UA: rotation 1 after a 403 rotate") {
+    // find a url whose ladder rotates the UA (403 then recovery/failure)
+    val rotated = (0 until 2000).map(i => s"https://h.com/p$i")
+      .map(FetchSimulator.simulate).find(_.uaRotated)
+    assert(rotated.isDefined, "the status table must produce some 403 rotations")
+    val o = rotated.get
+    assert(o.userAgent == UserAgents.userAgentFor(o.url, 1))
+    // and a non-rotated outcome carries rotation 0's UA
+    val plain = (0 until 2000).map(i => s"https://h.com/p$i")
+      .map(FetchSimulator.simulate).find(!_.uaRotated).get
+    assert(plain.userAgent == UserAgents.userAgentFor(plain.url, 0))
+  }
+}
