@@ -203,12 +203,18 @@ object CrawlQueries {
     import spark.implicits._
     CorpusGen.dataset(spark, spec)
       .map { p =>
-        val path = UrlKernel.parse(p.url).map(_.path).getOrElse("/")
+        // ONE parse per row; domain/filename/directory/output all derive
+        // from the same ParsedUrl
+        val parsed = UrlKernel.parse(p.url)
+        val path = parsed.map(_.path).getOrElse("/")
+        val domain = parsed.map(_.host).filter(_.nonEmpty)
+          .map(h => if (h.startsWith("www.")) h.substring(4) else h)
+        val filename = graft.urls.UrlPathKit.safeFilename(path)
         (p.url,
-          graft.urls.UrlPathKit.domainFromUrl(p.url).getOrElse(""),
-          graft.urls.UrlPathKit.safeFilename(path),
+          domain.getOrElse(""),
+          filename,
           graft.urls.UrlPathKit.directoryPart(path),
-          graft.urls.UrlPathKit.outputPath(p.url).getOrElse(""))
+          domain.map(d => s"$d/$filename").getOrElse(""))
       }
       .toDF("url", "domain", "filename", "directory", "output_path")
       .orderBy("url")

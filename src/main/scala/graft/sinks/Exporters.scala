@@ -79,9 +79,7 @@ object Exporters {
         val content = format match {
           case "txt" => ex.text
           case "json" =>
-            def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-            s"""{"url": "${esc(p.url)}", "title": "${esc(ex.title)}", "text": "${esc(ex.text)}", "lang": "${esc(p.lang)}"}"""
+            s"""{"url": "${jsonEscape(p.url)}", "title": "${jsonEscape(ex.title)}", "text": "${jsonEscape(ex.text)}", "lang": "${jsonEscape(p.lang)}"}"""
           case _ =>
             val md = graft.extract.Markdown.htmlToMarkdown(html)
             val date = p.warc_ts.toLocalDateTime.toLocalDate.toString
@@ -89,11 +87,39 @@ object Exporters {
         }
         val target = java.nio.file.Paths.get(outDir, rel)
         java.nio.file.Files.createDirectories(target.getParent)
-        java.nio.file.Files.write(target, content.getBytes(UTF_8))
+        // per-file atomicity: write to an attempt-unique temp name and move
+        // into place — speculative/retried task attempts racing on one path
+        // must never leave a torn file (the module's commit guarantee)
+        val tmp = target.resolveSibling(
+          s".${target.getFileName}.tmp-${org.apache.spark.TaskContext.get() match {
+            case null => "driver"
+            case tc => s"${tc.taskAttemptId()}"
+          }}")
+        java.nio.file.Files.write(tmp, content.getBytes(UTF_8))
+        java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         n += 1
       }
       Iterator.single(n)
     }.toDF("n").agg(coalesce(sum("n"), lit(0L))).head().getLong(0) // 0 on empty input
+  }
+
+  /** RFC 8259-complete string escaping: quotes, backslash, and EVERY control
+    * character below 0x20 (a raw \b or \f in crawled text must not produce a
+    * file every JSON parser rejects). */
+  def jsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
   }
 
   /** Vector export: validated rows only, parquet with dims recorded in the

@@ -35,8 +35,9 @@ object PlanCheck {
       q6Plan.contains("PushedFilters: [") && q6Plan.contains("IsNotNull(l_shipdate)"),
       "shipdate/discount/quantity predicates pushed to parquet")
     check("q_filter_pushdown/ReadSchema-pruned",
-      "l_extendedprice|l_discount|l_quantity|l_shipdate".r.findAllIn(
-        q6Plan.split("ReadSchema").last).size <= 5 &&
+      q6Plan.contains("ReadSchema") && // absent ReadSchema must FAIL, not pass vacuously
+        "l_extendedprice|l_discount|l_quantity|l_shipdate".r.findAllIn(
+          q6Plan.split("ReadSchema").last).size <= 5 &&
         !q6Plan.split("ReadSchema").last.contains("l_orderkey"),
       "scan reads only the 4 needed columns")
 
@@ -117,7 +118,8 @@ object PlanCheck {
       qrPlan.contains("*(") && !qrPlan.contains("BatchEvalPython") && !qrPlan.toLowerCase.contains("scalaudf"),
       "stopword/punct counting runs inside whole-stage codegen, zero UDFs")
     check("q_quality_ratios/ReadSchema-pruned",
-      !qrPlan.split("ReadSchema").last.split("\n").head.contains("lang"),
+      qrPlan.contains("ReadSchema") && // absent ReadSchema must FAIL, not pass vacuously
+        !qrPlan.split("ReadSchema").last.split("\n").head.contains("lang"),
       "scan reads only doc_id + text")
 
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")

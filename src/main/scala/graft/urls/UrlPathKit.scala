@@ -65,18 +65,37 @@ object UrlPathKit {
         sanitized + "_safe"
       else sanitized
     // filesystem hardening beyond the reference: most filesystems cap a
-    // filename at 255 BYTES; a deep CMS path flattened into one name would
-    // crash the writer task. Over-long names truncate to 180 chars plus an
-    // xxhash64 suffix of the FULL slug — still unique per path, always legal.
+    // filename at 255 BYTES (not chars — 150 CJK chars is already 450 UTF-8
+    // bytes); a deep CMS path flattened into one name would crash the writer
+    // task. Over-long names truncate BY BYTES on a code-point boundary plus
+    // an xxhash64 suffix of the FULL slug — still unique per path, always
+    // legal.
     val name =
-      if (reserved.length <= 200) reserved
+      if (utf8Len(reserved) <= 200) reserved
       else {
         val h = java.lang.Long.toHexString(
           org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(
             org.apache.spark.unsafe.types.UTF8String.fromString(reserved), 42L))
-        reserved.substring(0, 180) + "-" + h
+        truncateUtf8(reserved, 180) + "-" + h
       }
     s"$name.$ext"
+  }
+
+  private def utf8Len(s: String): Int = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+
+  /** Longest prefix of `s` whose UTF-8 encoding is ≤ maxBytes, never
+    * splitting a surrogate pair. */
+  private def truncateUtf8(s: String, maxBytes: Int): String = {
+    var bytes = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w = if (cp < 0x80) 1 else if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+      if (bytes + w > maxBytes) return s.substring(0, i)
+      bytes += w
+      i += Character.charCount(cp)
+    }
+    s
   }
 
   /** to_directory (url_path.rs:170-181): parent segments of the path,
@@ -90,10 +109,12 @@ object UrlPathKit {
   }
 
   /** OutputPath: `domain/safe-filename` (the vault-relative location the
-    * reference writes each page to). None when the URL has no host. */
+    * reference writes each page to). None when the URL has no host.
+    * ONE UrlKernel.parse per call — this sits on per-row hot paths. */
   def outputPath(url: String, format: String = "md"): Option[String] =
-    for {
-      d <- domainFromUrl(url)
-      p <- UrlKernel.parse(url).map(_.path)
-    } yield s"$d/${safeFilename(p, format)}"
+    UrlKernel.parse(url).collect {
+      case p if p.host.nonEmpty =>
+        val d = if (p.host.startsWith("www.")) p.host.substring(4) else p.host
+        s"$d/${safeFilename(p.path, format)}"
+    }
 }
