@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming URL-frontier dedup — the exactly-once streaming twin of the
+  * batch engine's seen-set (Frontier.newOnly / the reference's DashSet
+  * check-and-insert, url_queue.rs:52-70).
+  *
+  * A continuous link-discovery stream (each micro-batch = one wave's
+  * extracted links) flows through `flatMapGroupsWithState` keyed by
+  * canonical URL: the FIRST occurrence ever emits downstream (to fetch);
+  * every later occurrence — within a batch or across batches — is dropped.
+  * State is one boolean per distinct URL, sharded by the group key across
+  * executors, checkpointed with the query: a restart resumes the seen set
+  * exactly (no re-fetch, no loss) — the property the reference's resume
+  * filter protects, upgraded to exactly-once.
+  *
+  * Scale note: unbounded keyed state is the honest cost of EXACT streaming
+  * dedup at 10^10 URLs; production deployments either bound it with a state
+  * TTL (`seenTtl` — re-crawl after expiry, the usual crawler policy) or use
+  * the batch engine's snapshot anti-join per wave. Both shapes live here.
+  */
+object StreamingFrontier {
+
+  final case class Discovered(canonicalUrl: String, url: String, depth: Int,
+                              parentUrl: String, host: String)
+
+  /** Exactly-once first-seen filter. `seenTtlMs` None = exact forever;
+    * Some(ms) = processing-time TTL after which a URL may be re-emitted
+    * (the re-crawl-after-expiry policy, and the state bound at 10^10). */
+  def firstSeenOnly(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      seenTtlMs: Option[Long] = None
+  ): Unit = {
+    import spark.implicits._
+    val schema = Encoders.product[Discovered].schema
+    val timeout = if (seenTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    val firsts = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // one discovery wave per micro-batch
+      .parquet(inputDir)
+      .as[Discovered]
+      .groupByKey(_.canonicalUrl)
+      .flatMapGroupsWithState[Long, Discovered](
+        OutputMode.Append(), timeout) {
+        (key: String, rows: Iterator[Discovered], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { // TTL expiry: forget, allow re-crawl
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            seenTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            Iterator.empty // already seen — drop every duplicate
+          } else {
+            // deterministic representative: the engine's dedupeWave order
+            // (min depth, then lexicographically smallest url/parent)
+            val best = rows.reduceLeft { (a, b) =>
+              if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
+              else if (a.url != b.url) { if (a.url < b.url) a else b }
+              else if (a.parentUrl <= b.parentUrl) a else b
+            }
+            state.update(1L)
+            seenTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            Iterator.single(best)
+          }
+      }
+    val q = firsts.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def readOutput(spark: SparkSession, outputDir: String): DataFrame =
+    spark.read.parquet(outputDir)
+}

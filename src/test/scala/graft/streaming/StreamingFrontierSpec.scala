@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming seen-set semantics: first occurrence emits, duplicates drop —
+  * within a batch, across batches, and across query RESTARTS (state
+  * checkpointed); deterministic representative under within-batch dups. */
+class StreamingFrontierSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-frontier-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def d(c: String, depth: Int = 1, url: String = "", parent: String = "p") =
+    StreamingFrontier.Discovered(c, if (url.isEmpty) c else url, depth, parent,
+      graft.urls.UrlKernel.extractDomain(c).getOrElse(""))
+
+  test("exactly-once first-seen across batches and restarts; dedupeWave representative") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+
+    // wave 1: a, b — with a within-batch duplicate of `a` at deeper depth
+    val wave1 = Seq(
+      d("https://s.com/a", depth = 2, url = "https://s.com/a?z"),
+      d("https://s.com/a", depth = 1, url = "https://s.com/a?x"),
+      d("https://s.com/b"))
+    spark.createDataset(wave1).write.mode("append").parquet(in)
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp)
+    val got1 = StreamingFrontier.readOutput(spark, out).collect()
+    assert(got1.length == 2, "within-batch dup collapses")
+    val a1 = got1.find(_.getAs[String]("canonicalUrl") == "https://s.com/a").get
+    assert(a1.getAs[Int]("depth") == 1 && a1.getAs[String]("url") == "https://s.com/a?x",
+      "min-depth/lexicographic representative (dedupeWave order)")
+
+    // wave 2 in a FRESH run from the same checkpoint: a re-discovered (drop),
+    // c new (emit) — seen state must survive the restart
+    val wave2 = Seq(d("https://s.com/a", depth = 3), d("https://s.com/c"))
+    spark.createDataset(wave2).write.mode("append").parquet(in)
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp)
+    val got2 = StreamingFrontier.readOutput(spark, out).collect()
+    assert(got2.length == 3, s"only c is new, got ${got2.length}")
+    assert(got2.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 1,
+      "re-discovered URL never re-emitted after restart")
+    assert(got2.exists(_.getAs[String]("canonicalUrl") == "https://s.com/c"))
+
+    // idle re-run: no new input → no output growth
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp)
+    assert(StreamingFrontier.readOutput(spark, out).count() == 3)
+  }
+}
