@@ -127,6 +127,19 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** SQ8-quantized ANN with exact re-rank over the same queries (the
+    * 4×-smaller-scan storage path; candidates from int8 codes, final order
+    * from true vectors). */
+  def annSq8(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = embeddings(spark, dir)
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    Similarity.sq8TopK(spark, corpus, queries, k = 5).toDF()
+      .withColumn("cosine_micro", round(col("cosine") * 1000000).cast("long"))
+      .drop("cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-dup pairs over embeddings + planted exact copies. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

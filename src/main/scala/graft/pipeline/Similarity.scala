@@ -391,6 +391,138 @@ object Similarity {
       .as[Neighbor]
   }
 
+  // ------------------------------------------------- scalar quantization ----
+
+  /** Per-dimension SQ8 codebook: (min, max) per dimension over the corpus —
+    * trained with ONE aggregation pass (map-side combined; only 2×dims
+    * doubles reach the driver). */
+  final case class Sq8Codebook(mins: Array[Float], maxs: Array[Float]) {
+    def encode(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](mins.length)
+      var i = 0
+      while (i < mins.length) {
+        val span = maxs(i) - mins(i)
+        val q = if (span <= 0f) 0
+          else math.round((math.min(math.max(v(i), mins(i)), maxs(i)) - mins(i)) / span * 255f)
+        out(i) = (q & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+    def decode(c: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](mins.length)
+      var i = 0
+      while (i < mins.length) {
+        val span = maxs(i) - mins(i)
+        out(i) = mins(i) + (c(i) & 0xff) / 255f * span
+        i += 1
+      }
+      out
+    }
+    /** Per-dimension quantization error bound: span / (2·255). */
+    def errorBound(dim: Int): Float = (maxs(dim) - mins(dim)) / 510f
+  }
+
+  /** Train the SQ8 codebook: per-dimension min/max via array-zip aggregation
+    * in ONE corpus pass (the classic FAISS SQ8 recipe, public knowledge).
+    * Deterministic: min/max are order-free. */
+  def trainSq8(spark: SparkSession, corpus: Dataset[Embedded], dims: Int): Sq8Codebook = {
+    import spark.implicits._
+    val (mins, maxs) = corpus.map(_.embedding)
+      .mapPartitions { it =>
+        val mn = Array.fill(dims)(Float.MaxValue)
+        val mx = Array.fill(dims)(Float.MinValue)
+        var any = false
+        it.foreach { v =>
+          any = true
+          var i = 0
+          val n = math.min(dims, v.length)
+          while (i < n) {
+            if (v(i) < mn(i)) mn(i) = v(i)
+            if (v(i) > mx(i)) mx(i) = v(i)
+            i += 1
+          }
+        }
+        if (any) Iterator.single((mn, mx)) else Iterator.empty
+      }
+      .reduce { (a, b) =>
+        val mn = a._1.zip(b._1).map(p => math.min(p._1, p._2))
+        val mx = a._2.zip(b._2).map(p => math.max(p._1, p._2))
+        (mn, mx)
+      }
+    Sq8Codebook(mins, maxs)
+  }
+
+  /** SQ8-compressed ANN with exact re-rank: the 100-TB storage shape — the
+    * scan reads 1-byte codes (4× less IO than float32), approximate cosine
+    * on DECODED codes selects `rerank` candidates per query, then exact
+    * cosine on the true vectors re-ranks the top-k. The candidate pass is
+    * the same broadcast-queries/bounded-heap shape as [[bruteForceTopK]];
+    * the re-rank join touches only queries×rerank rows. */
+  def sq8TopK(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      queries: Array[Embedded],
+      k: Int,
+      dims: Int = 64,
+      rerank: Int = 32
+  ): Dataset[Neighbor] = {
+    import spark.implicits._
+    val cb = trainSq8(spark, corpus, dims)
+    val bcb = spark.sparkContext.broadcast(cb)
+    // the compressed table a deployment would persist instead of float32
+    val codes = corpus.map(e => (e.vec_id, bcb.value.encode(e.embedding)))
+    val bq = spark.sparkContext.broadcast(queries)
+    val take = math.max(k, rerank)
+    val approx = codes.mapPartitions { it =>
+      val qs = bq.value
+      val heaps = qs.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+      it.foreach { case (id, code) =>
+        val dec = bcb.value.decode(code)
+        var qi = 0
+        while (qi < qs.length) {
+          val q = qs(qi)
+          if (id != q.vec_id) {
+            val c = cosine(q.embedding, dec)
+            val h = heaps(qi)
+            if (h.size < take) h.enqueue((c, id))
+            else {
+              val (wc, wid) = h.head
+              if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, id) => (qs(qi).vec_id, c, id) }
+      }
+    }.toDF("query_id", "approx_cosine", "neighbor_id")
+    // keep the global approx top-`rerank` per query, then re-rank EXACTLY
+    val candidates = approx
+      .withColumn("arank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("approx_cosine").desc, col("neighbor_id").asc)))
+      .filter(col("arank") <= take)
+      .select("query_id", "neighbor_id")
+    val qvecs = spark.createDataset(queries.toSeq).toDF("qid", "qvec")
+    candidates
+      .join(corpus.toDF("neighbor_id", "nvec"), Seq("neighbor_id"))
+      .join(broadcast(qvecs), col("query_id") === col("qid"))
+      .as[(Long, Long, Array[Float], Long, Array[Float])]
+      .map { case (neighborId, queryId, nvec, _, qvec) =>
+        (queryId, cosine(qvec, nvec), neighborId)
+      }
+      .toDF("query_id", "cosine", "neighbor_id")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+          .orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .as[Neighbor]
+  }
+
   /** Embedding-cosine near-duplicate pairs: sign-sketch blocking with 1-bit
     * multi-probe + exact verify ≥ threshold (the near-dup analogue of ANN).
     *

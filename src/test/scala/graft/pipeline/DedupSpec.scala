@@ -227,6 +227,43 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 quantization: error bound holds per dimension; top-k recall survives re-rank") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[Similarity.Embedded]
+    val cb = Similarity.trainSq8(spark, corpus, dims = 64)
+    // roundtrip error bound: |decode(encode(v)) - v| <= span/510 per dim
+    val sample = corpus.take(50)
+    sample.foreach { e =>
+      val rt = cb.decode(cb.encode(e.embedding))
+      e.embedding.indices.foreach { d =>
+        assert(math.abs(rt(d) - e.embedding(d)) <= cb.errorBound(d) + 1e-6f,
+          s"vec ${e.vec_id} dim $d out of bound")
+      }
+    }
+    // deterministic training (min/max are order-free)
+    val cb2 = Similarity.trainSq8(spark, corpus.repartition(7), dims = 64)
+    assert(cb.mins.sameElements(cb2.mins) && cb.maxs.sameElements(cb2.maxs))
+    // recall vs exact brute force with re-rank
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    val exact = Similarity.bruteForceTopK(spark, corpus, queries, k = 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val sq8 = Similarity.sq8TopK(spark, corpus, queries, k = 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val recall = exact.keys.toSeq.map(q =>
+      (sq8.getOrElse(q, Set.empty) intersect exact(q)).size.toDouble / exact(q).size).sum / exact.size
+    assert(recall >= 0.9, f"SQ8+rerank recall $recall%.2f must be >= 0.9")
+    // re-ranked cosines are EXACT (match brute-force values for shared hits)
+    val exactCos = Similarity.bruteForceTopK(spark, corpus, queries, k = 5).collect()
+      .map(n => (n.query_id, n.neighbor_id) -> n.cosine).toMap
+    Similarity.sq8TopK(spark, corpus, queries, k = 5).collect().foreach { n =>
+      exactCos.get((n.query_id, n.neighbor_id)).foreach(c =>
+        assert(math.abs(c - n.cosine) < 1e-12, "re-rank uses true vectors"))
+    }
+  }
+
   test("exact-dup pre-pass: 10k identical docs cost O(N) edges, keep-list intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
