@@ -364,6 +364,51 @@ object HtmlKit {
     "blockquote", "div", "section", "article", "main", "table", "tr", "ul", "ol",
     "dl", "dt", "dd", "figcaption", "body", "html")
 
+  /** Article metadata — the reference Readability output's excerpt/byline/
+    * published_time (readability.rs:12-25, via the legible crate). Sources
+    * are the standard readability.js getArticleMetadata ones: author/byline
+    * meta tags, description/og:description, article:published_time or the
+    * first <time datetime>. Deterministic: document order, first hit wins
+    * per field. */
+  final case class PageMeta(author: Option[String], excerpt: Option[String],
+                            publishedTime: Option[String])
+
+  def extractMeta(html: String): PageMeta = extractMeta(parse(html))
+
+  def extractMeta(dom: Elem): PageMeta = {
+    var author: Option[String] = None
+    var excerpt: Option[String] = None
+    var ogExcerpt: Option[String] = None
+    var published: Option[String] = None
+    var timeTag: Option[String] = None
+    def nonEmpty(s: Option[String]) = s.map(_.trim).filter(_.nonEmpty)
+    def walk(e: Elem): Unit = {
+      e.tag match {
+        case "meta" =>
+          val key = e.attr("name").orElse(e.attr("property"))
+            .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
+          val content = nonEmpty(e.attr("content"))
+          key match {
+            case "author" | "article:author" | "byl" | "dc.creator" =>
+              if (author.isEmpty) author = content
+            case "description" =>
+              if (excerpt.isEmpty) excerpt = content
+            case "og:description" | "twitter:description" =>
+              if (ogExcerpt.isEmpty) ogExcerpt = content
+            case "article:published_time" | "date" | "dc.date" =>
+              if (published.isEmpty) published = content
+            case _ =>
+          }
+        case "time" =>
+          if (timeTag.isEmpty) timeTag = nonEmpty(e.attr("datetime"))
+        case _ =>
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    PageMeta(author, excerpt.orElse(ogExcerpt), published.orElse(timeTag))
+  }
+
   final case class Extracted(title: String, text: String, usedFallback: Boolean, failed: Boolean)
 
   /** Minimum bytes below which the fallback result counts as extraction

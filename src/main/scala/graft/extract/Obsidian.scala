@@ -108,11 +108,14 @@ object Obsidian {
   /** Full Obsidian note for an extracted page: frontmatter (with the rich
     * metadata block) + wiki-linked markdown body. */
   def note(url: String, title: String, markdown: String, text: String,
-           lang: String, date: String): String = {
+           lang: String, date: String,
+           meta: HtmlKit.PageMeta = HtmlKit.PageMeta(None, None, None)): String = {
     val domain = graft.urls.UrlKernel.extractDomain(url).getOrElse("")
     val wc = TextKit.wordCount(text)
     val fm = frontmatter(
       title = title, url = url, date = date,
+      author = meta.author,
+      excerpt = meta.excerpt,
       wordCount = Some(wc),
       readingTime = Some(TextKit.readingTime(wc)),
       language = if (lang.nonEmpty) Some(lang) else None,

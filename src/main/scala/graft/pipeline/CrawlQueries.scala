@@ -187,7 +187,8 @@ object CrawlQueries {
         val md = graft.extract.Markdown.htmlToMarkdown(html)
         val ex = HtmlKit.extractText(html)
         val date = p.warc_ts.toLocalDateTime.toLocalDate.toString
-        val note = graft.extract.Obsidian.note(p.url, ex.title, md, ex.text, p.lang, date)
+        val note = graft.extract.Obsidian.note(p.url, ex.title, md, ex.text, p.lang, date,
+          HtmlKit.extractMeta(html))
         val slug = graft.extract.Obsidian.slugFromUrl(
           UrlKernel.parse(p.url).map(_.path).getOrElse("/"))
         val wikiLinks = "\\[\\[".r.findAllIn(note).length
@@ -196,6 +197,37 @@ object CrawlQueries {
       .toDF("url", "slug", "note_chars", "wiki_links", "note_sha256")
       .orderBy("url")
   }
+
+  /** Article-metadata kernel (readability.rs excerpt/byline/published_time)
+    * over a fixed snippet set — expected VALUES hand-transcribed from the
+    * snippets themselves (inspectable, engine-independent). */
+  val PageMetaFixtures: Seq[(String, String)] = Seq(
+    ("meta-author", """<html><head><meta name="author" content="Ada Lovelace">
+      |<meta name="description" content="First program."></head><body>x</body></html>""".stripMargin),
+    ("og-fallbacks", """<html><head><meta property="og:description" content="OG text">
+      |<meta property="article:published_time" content="2025-03-01T10:00:00Z">
+      |<meta property="article:author" content="Grace Hopper"></head><body>x</body></html>""".stripMargin),
+    ("time-tag", """<html><body><time datetime="2024-12-25">Christmas</time></body></html>"""),
+    ("description-beats-og", """<html><head><meta property="og:description" content="og">
+      |<meta name="description" content="plain"></head><body>x</body></html>""".stripMargin),
+    ("none", "<html><body>bare page</body></html>"))
+
+  def pageMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    PageMetaFixtures.map { case (id, html) =>
+      val m = HtmlKit.extractMeta(html)
+      (id, m.author.getOrElse(""), m.excerpt.getOrElse(""), m.publishedTime.getOrElse(""))
+    }.toDF("id", "author", "excerpt", "published_time").orderBy("id")
+  }
+
+  val pageMetaSql: String =
+    """SELECT * FROM (VALUES
+      |  ('meta-author', 'Ada Lovelace', 'First program.', ''),
+      |  ('og-fallbacks', 'Grace Hopper', 'OG text', '2025-03-01T10:00:00Z'),
+      |  ('time-tag', '', '', '2024-12-25'),
+      |  ('description-beats-og', '', 'plain', ''),
+      |  ('none', '', '', '')
+      |) AS t(id, author, excerpt, published_time) ORDER BY id""".stripMargin
 
   /** URL → filesystem output path kernel over every corpus URL
     * (adapters/url_path.rs: Domain + UrlPath + OutputPath). */

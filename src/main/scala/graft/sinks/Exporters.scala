@@ -83,7 +83,8 @@ object Exporters {
           case _ =>
             val md = graft.extract.Markdown.htmlToMarkdown(html)
             val date = p.warc_ts.toLocalDateTime.toLocalDate.toString
-            graft.extract.Obsidian.note(p.url, ex.title, md, ex.text, p.lang, date)
+            graft.extract.Obsidian.note(p.url, ex.title, md, ex.text, p.lang, date,
+              graft.extract.HtmlKit.extractMeta(html))
         }
         val target = java.nio.file.Paths.get(outDir, rel)
         java.nio.file.Files.createDirectories(target.getParent)

@@ -199,6 +199,27 @@ class HtmlKitSpec extends AnyFunSuite {
     assert(findScript(dom).exists(_.contains("&amp;&amp;")), "script body stays verbatim")
   }
 
+  test("extractMeta: readability.js metadata sources, first hit wins, description beats og") {
+    val html = """<html><head>
+      |<meta name="author" content="First Author">
+      |<meta name="author" content="Second Author">
+      |<meta property="og:description" content="og text">
+      |<meta name="description" content="plain description">
+      |<meta property="article:published_time" content="2025-01-02T03:04:05Z">
+      |</head><body><time datetime="2020-01-01">old</time></body></html>""".stripMargin
+    val m = HtmlKit.extractMeta(html)
+    assert(m.author.contains("First Author"), "document order, first hit wins")
+    assert(m.excerpt.contains("plain description"), "description beats og:description")
+    assert(m.publishedTime.contains("2025-01-02T03:04:05Z"), "meta beats <time>")
+    val m2 = HtmlKit.extractMeta("<html><body><time datetime=\"2024-12-25\">x</time></body></html>")
+    assert(m2.publishedTime.contains("2024-12-25") && m2.author.isEmpty && m2.excerpt.isEmpty)
+    val m3 = HtmlKit.extractMeta("<html><body>nothing</body></html>")
+    assert(m3 == HtmlKit.PageMeta(None, None, None))
+    // entity-decoded content attributes flow through
+    val m4 = HtmlKit.extractMeta("<html><head><meta name=\"author\" content=\"Q &amp; A\"></head></html>")
+    assert(m4.author.contains("Q & A"))
+  }
+
   test("decodeEntities: numeric forms, invalid numerics, no-& fast path identity") {
     assert(HtmlKit.decodeEntities("&#x1F600;") == new String(Character.toChars(0x1F600)))
     assert(HtmlKit.decodeEntities("&#0;x") == "&#0;x", "invalid code points stay literal")
