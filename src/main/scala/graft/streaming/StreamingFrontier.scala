@@ -18,17 +18,37 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Scale note: unbounded keyed state is the honest cost of EXACT streaming
   * dedup at 10^10 URLs; production deployments either bound it with a state
-  * TTL (`seenTtl` — re-crawl after expiry, the usual crawler policy) or use
+  * TTL (`seenTtlMs` — re-crawl after expiry, the usual crawler policy) or use
   * the batch engine's snapshot anti-join per wave. Both shapes live here.
+  *
+  * The TTL is EVENT-time (the `discoveredAt` crawl timestamp, the stream
+  * twin of the input table's `warc_ts`), enforced with a watermark +
+  * `EventTimeTimeout`, not `ProcessingTimeTimeout`, for two reasons:
+  * (1) re-crawl policy is "fetch again N days of CRAWL time after the last
+  * fetch", which must replay identically from checkpoint — wall-clock state
+  * expiry makes recovery timing-dependent; (2) under `ProcessingTimeTimeout`
+  * Spark's `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` is
+  * unconditionally true, so a `Trigger.AvailableNow` drain never terminates
+  * (and `processAllAvailable` never returns — `noNewData` is only signalled
+  * when no batch gets constructed). Event-time timeouts terminate: the
+  * forced extra batch runs only while the watermark still advances.
   */
 object StreamingFrontier {
 
   final case class Discovered(canonicalUrl: String, url: String, depth: Int,
-                              parentUrl: String, host: String)
+                              parentUrl: String, host: String,
+                              discoveredAt: java.sql.Timestamp)
 
   /** Exactly-once first-seen filter. `seenTtlMs` None = exact forever;
-    * Some(ms) = processing-time TTL after which a URL may be re-emitted
-    * (the re-crawl-after-expiry policy, and the state bound at 10^10). */
+    * Some(ms) = event-time TTL after which a URL's seen-state expires and a
+    * later discovery re-emits it (re-crawl-after-expiry, and the state bound
+    * at 10^10). Expiry counts from the FIRST sighting (the fetch), not from
+    * later duplicate sightings — duplicates are dropped, not re-fetched, so
+    * they don't reset the page's staleness clock. The state value is that
+    * expiry timestamp: GroupState CLEARS a key's timeout on every function
+    * invocation that doesn't re-set it, so the duplicate branch must re-arm
+    * the ORIGINAL expiry explicitly or a single duplicate sighting would
+    * silently cancel the re-crawl. */
   def firstSeenOnly(
       spark: SparkSession,
       inputDir: String,
@@ -37,36 +57,58 @@ object StreamingFrontier {
       seenTtlMs: Option[Long] = None
   ): Unit = {
     import spark.implicits._
+    seenTtlMs.foreach(t => require(t > 0, s"seenTtlMs must be positive, got $t"))
     val schema = Encoders.product[Discovered].schema
-    val timeout = if (seenTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+    val timeout = if (seenTtlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
                   else GroupStateTimeout.NoTimeout()
-    val firsts = spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1") // one discovery wave per micro-batch
       .parquet(inputDir)
+    val withWm = if (seenTtlMs.isDefined) raw.withWatermark("discoveredAt", "0 seconds") else raw
+    val firsts = withWm
       .as[Discovered]
       .groupByKey(_.canonicalUrl)
       .flatMapGroupsWithState[Long, Discovered](
         OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[Discovered], state: GroupState[Long]) =>
-          if (state.hasTimedOut) { // TTL expiry: forget, allow re-crawl
-            state.remove()
-            Iterator.empty
-          } else if (state.exists) {
-            seenTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
-            Iterator.empty // already seen — drop every duplicate
-          } else {
-            // deterministic representative: the engine's dedupeWave order
-            // (min depth, then lexicographically smallest url/parent)
+          // deterministic representative (the engine's dedupeWave order — min
+          // depth, then lexicographically smallest url/parent) and the max
+          // discovery timestamp (the TTL anchor), in one pass
+          def pick(): (Discovered, Long) = {
+            var maxTs = Long.MinValue
             val best = rows.reduceLeft { (a, b) =>
+              maxTs = math.max(maxTs, math.max(a.discoveredAt.getTime, b.discoveredAt.getTime))
               if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
               else if (a.url != b.url) { if (a.url < b.url) a else b }
               else if (a.parentUrl <= b.parentUrl) a else b
             }
-            state.update(1L)
-            seenTtlMs.foreach(ttl => state.setTimeoutDuration(ttl))
+            (best, math.max(maxTs, best.discoveredAt.getTime)) // single-row group
+          }
+          def admit(): Iterator[Discovered] = {
+            val (best, maxTs) = pick()
+            val expiry = seenTtlMs.map(maxTs + _).getOrElse(Long.MaxValue)
+            state.update(expiry)
+            seenTtlMs.foreach(_ => state.setTimeoutTimestamp(expiry))
             Iterator.single(best)
           }
+          if (state.hasTimedOut) { // TTL expiry: forget, allow re-crawl
+            state.remove()
+            Iterator.empty
+          } else if (state.exists) {
+            val expiry = state.get
+            if (seenTtlMs.isDefined && expiry <= state.getCurrentWatermarkMs()) {
+              // the TTL already lapsed in watermark time but the hasTimedOut
+              // callback hasn't fired (it only fires for keys WITHOUT input
+              // in a batch): this sighting IS the re-crawl
+              admit()
+            } else {
+              // drop the duplicate, but RE-ARM the original expiry — the
+              // invocation itself cleared the key's timeout
+              seenTtlMs.foreach(_ => state.setTimeoutTimestamp(expiry))
+              Iterator.empty
+            }
+          } else admit()
       }
     val q = firsts.writeStream
       .format("parquet")

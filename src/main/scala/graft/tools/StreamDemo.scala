@@ -2,10 +2,12 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import graft.gen.CorpusGen
-import graft.streaming.StreamingExtract
+import graft.streaming.{StreamingExtract, StreamingFrontier}
 
-/** Streaming-extract demo drive: pages files land in a dir, each
-  * AvailableNow pass drains exactly the new files through the extract stage.
+/** Streaming demo drive: (1) pages files land in a dir, each AvailableNow
+  * pass drains exactly the new files through the extract stage; (2) link
+  * discoveries flow through the streaming frontier's first-seen filter,
+  * exact and with an event-time TTL (re-crawl-after-expiry).
   * usage: runMain graft.tools.StreamDemo
   */
 object StreamDemo {
@@ -31,6 +33,29 @@ object StreamDemo {
     val df = StreamingExtract.readOutput(spark, out)
     println(s"after tranche 2: ${df.count()} rows (expected ${all.size})")
     df.select("url", "lang", "textBytes", "extractionFailed").orderBy("url").show(8, false)
+
+    // --- streaming frontier: first-seen dedup, exact and with event-time TTL
+    val froot = java.nio.file.Files.createTempDirectory("graft-stream-frontier").toString
+    val (fin, fout, fcp) = (s"$froot/in", s"$froot/out", s"$froot/cp")
+    val t0 = 1700000000000L
+    def disc(u: String, atMs: Long) = StreamingFrontier.Discovered(
+      u, u, 1, "seed", graft.urls.UrlKernel.extractDomain(u).getOrElse(""),
+      new java.sql.Timestamp(atMs))
+    val ttl = Some(60000L) // 60 s of event time
+    spark.createDataset(Seq(disc("https://d.com/a", t0), disc("https://d.com/b", t0)))
+      .coalesce(1).write.mode("append").parquet(fin)
+    StreamingFrontier.firstSeenOnly(spark, fin, fout, fcp, seenTtlMs = ttl)
+    println(s"frontier wave 1: ${StreamingFrontier.readOutput(spark, fout).count()} emitted (expect 2)")
+    // duplicate inside the TTL drops; watermark advance expires a+b
+    spark.createDataset(Seq(disc("https://d.com/a", t0 + 30000L), disc("https://d.com/c", t0 + 120000L)))
+      .coalesce(1).write.mode("append").parquet(fin)
+    StreamingFrontier.firstSeenOnly(spark, fin, fout, fcp, seenTtlMs = ttl)
+    println(s"frontier wave 2: ${StreamingFrontier.readOutput(spark, fout).count()} total (expect 3: dup dropped)")
+    // a expired → re-admitted
+    spark.createDataset(Seq(disc("https://d.com/a", t0 + 180000L)))
+      .coalesce(1).write.mode("append").parquet(fin)
+    StreamingFrontier.firstSeenOnly(spark, fin, fout, fcp, seenTtlMs = ttl)
+    println(s"frontier wave 3: ${StreamingFrontier.readOutput(spark, fout).count()} total (expect 4: expired re-admitted)")
     spark.stop()
   }
 }

@@ -5,7 +5,8 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Streaming seen-set semantics: first occurrence emits, duplicates drop —
   * within a batch, across batches, and across query RESTARTS (state
-  * checkpointed); deterministic representative under within-batch dups. */
+  * checkpointed); deterministic representative under within-batch dups;
+  * event-time TTL expiry re-admits URLs (re-crawl policy). */
 class StreamingFrontierSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = {
@@ -20,21 +21,32 @@ class StreamingFrontierSpec extends AnyFunSuite {
     s
   }
 
-  private def d(c: String, depth: Int = 1, url: String = "", parent: String = "p") =
+  private val T0 = 1700000000000L // fixed epoch base for event time
+
+  private def d(c: String, depth: Int = 1, url: String = "", parent: String = "p",
+                atMs: Long = T0) =
     StreamingFrontier.Discovered(c, if (url.isEmpty) c else url, depth, parent,
-      graft.urls.UrlKernel.extractDomain(c).getOrElse(""))
+      graft.urls.UrlKernel.extractDomain(c).getOrElse(""),
+      new java.sql.Timestamp(atMs))
+
+  /** Each Seq = one discovery wave = ONE parquet file: with
+    * maxFilesPerTrigger=1 a multi-file write would split a wave across
+    * micro-batches and the within-batch-dup assertions would race on file
+    * listing order. */
+  private def writeWave(in: String, rows: Seq[StreamingFrontier.Discovered]): Unit = {
+    import spark.implicits._
+    spark.createDataset(rows).coalesce(1).write.mode("append").parquet(in)
+  }
 
   test("exactly-once first-seen across batches and restarts; dedupeWave representative") {
-    import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-sfrontier").toString
     val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
 
     // wave 1: a, b — with a within-batch duplicate of `a` at deeper depth
-    val wave1 = Seq(
+    writeWave(in, Seq(
       d("https://s.com/a", depth = 2, url = "https://s.com/a?z"),
       d("https://s.com/a", depth = 1, url = "https://s.com/a?x"),
-      d("https://s.com/b"))
-    spark.createDataset(wave1).write.mode("append").parquet(in)
+      d("https://s.com/b")))
     StreamingFrontier.firstSeenOnly(spark, in, out, cp)
     val got1 = StreamingFrontier.readOutput(spark, out).collect()
     assert(got1.length == 2, "within-batch dup collapses")
@@ -44,8 +56,7 @@ class StreamingFrontierSpec extends AnyFunSuite {
 
     // wave 2 in a FRESH run from the same checkpoint: a re-discovered (drop),
     // c new (emit) — seen state must survive the restart
-    val wave2 = Seq(d("https://s.com/a", depth = 3), d("https://s.com/c"))
-    spark.createDataset(wave2).write.mode("append").parquet(in)
+    writeWave(in, Seq(d("https://s.com/a", depth = 3), d("https://s.com/c")))
     StreamingFrontier.firstSeenOnly(spark, in, out, cp)
     val got2 = StreamingFrontier.readOutput(spark, out).collect()
     assert(got2.length == 3, s"only c is new, got ${got2.length}")
@@ -56,5 +67,99 @@ class StreamingFrontierSpec extends AnyFunSuite {
     // idle re-run: no new input → no output growth
     StreamingFrontier.firstSeenOnly(spark, in, out, cp)
     assert(StreamingFrontier.readOutput(spark, out).count() == 3)
+  }
+
+  test("seen TTL config: dedup still exact within the TTL window") {
+    // Pins the TTL-configured PATH (watermark + EventTimeTimeout +
+    // setTimeoutTimestamp) with discoveries all inside the TTL window:
+    // dedup must be exactly the NoTimeout behavior.
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-ttl").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val ttl = Some(10L * 60L * 1000L) // 10 min of event time
+    writeWave(in, Seq(d("https://s.com/a"), d("https://s.com/b")))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    assert(StreamingFrontier.readOutput(spark, out).count() == 2)
+    // one minute later (well inside the TTL): a re-discovered, c new
+    writeWave(in, Seq(
+      d("https://s.com/a", depth = 5, atMs = T0 + 60000L),
+      d("https://s.com/c", atMs = T0 + 60000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    val rows = StreamingFrontier.readOutput(spark, out).collect()
+    assert(rows.length == 3, "inside the TTL window dedup is exact")
+    assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 1)
+  }
+
+  test("seen TTL expiry: an expired URL is forgotten and re-admitted") {
+    // Re-crawl-after-expiry, fully event-time deterministic (no wall-clock):
+    // a URL whose seen-state outlived the TTL in WATERMARK time is removed
+    // (Spark fires hasTimedOut callbacks — in the forced no-data batch after
+    // the watermark advances — only for keys WITHOUT input in the batch) and
+    // the next discovery re-emits it.
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-exp").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val ttl = Some(60000L) // 60 s of event time
+    writeWave(in, Seq(d("https://s.com/a"), d("https://s.com/b"))) // timeout at T0+60s
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    assert(StreamingFrontier.readOutput(spark, out).count() == 2)
+
+    // t=+120s, unrelated discovery: advances the watermark past the TTL;
+    // the follow-up no-data batch expires a and b
+    writeWave(in, Seq(d("https://s.com/d", atMs = T0 + 120000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+
+    // t=+180s: a re-discovered after expiry → emits AGAIN
+    writeWave(in, Seq(d("https://s.com/a", depth = 7, atMs = T0 + 180000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    val rows = StreamingFrontier.readOutput(spark, out).collect()
+    assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 2,
+      "expired URL re-admitted (re-crawl policy)")
+    assert(rows.length == 4)
+  }
+
+  test("a duplicate sighting does not cancel the expiry clock") {
+    // GroupState clears a key's timeout on every invocation that doesn't
+    // re-set it — if the duplicate branch forgot to re-arm, one dup sighting
+    // would pin the URL as seen FOREVER. Here `a` is re-seen inside its TTL
+    // (dropped), the same wave advances the watermark past the TTL, and a
+    // later discovery must still re-admit it.
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-rearm").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val ttl = Some(60000L)
+    writeWave(in, Seq(d("https://s.com/a"), d("https://s.com/b"))) // expiry T0+60s
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    writeWave(in, Seq( // dup of a (inside TTL, drops) + watermark → +120s
+      d("https://s.com/a", depth = 5, atMs = T0 + 30000L),
+      d("https://s.com/c", atMs = T0 + 120000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    assert(StreamingFrontier.readOutput(spark, out).count() == 3, "dup dropped inside TTL")
+    writeWave(in, Seq(d("https://s.com/a", atMs = T0 + 180000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    val rows = StreamingFrontier.readOutput(spark, out).collect()
+    assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 2,
+      "expiry survives an interleaved duplicate sighting")
+    assert(rows.length == 4)
+  }
+
+  test("a discovery arriving right after the watermark passes the TTL re-admits immediately") {
+    // hasTimedOut callbacks only fire for keys WITHOUT input in a batch; a
+    // rediscovery can land in the very batch after the watermark advance,
+    // before any cleanup batch saw the key idle. The dup branch must detect
+    // expiry-in-watermark-time itself and treat the sighting as the re-crawl.
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-imm").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val ttl = Some(60000L)
+    writeWave(in, Seq(d("https://s.com/a"), d("https://s.com/b"))) // expiry T0+60s
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    // one invocation, two files in mtime order: z advances the watermark to
+    // +120s, then a's rediscovery is processed in the NEXT batch (before any
+    // idle batch could expire it) — maxFilesPerTrigger=1 keeps them separate
+    writeWave(in, Seq(d("https://s.com/z", atMs = T0 + 120000L)))
+    Thread.sleep(100L) // distinct mtimes → deterministic file order
+    writeWave(in, Seq(d("https://s.com/a", depth = 9, atMs = T0 + 180000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    val rows = StreamingFrontier.readOutput(spark, out).collect()
+    assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 2,
+      "expired-in-watermark-time URL re-admitted by its own rediscovery")
+    assert(rows.length == 4)
   }
 }
