@@ -53,11 +53,56 @@ object CrawlEngine {
     s"00-${h.substring(0, 32)}-${h.substring(32, 48)}-01"
   }
 
-  private def entryFor(canonical: String, rawUrl: String, depth: Int, parent: String): FrontierEntry = {
+  private[graft] def entryFor(canonical: String, rawUrl: String, depth: Int, parent: String): FrontierEntry = {
     val host = UrlKernel.extractDomain(canonical).getOrElse("")
     val pd = UrlKernel.pathDepth(canonical)
     FrontierEntry(canonical, rawUrl, depth, parent, host, pd, urlHash(canonical))
   }
+
+  /** Canonical-keyed fetchable view of a Common-Crawl-style pages table.
+    * Such a table holds MULTIPLE captures of one page (re-crawls,
+    * www/non-www variants); one fetchable row per canonical URL: the latest
+    * warc_ts wins, ties broken by largest served url — without this the
+    * fetch join multiplies wave rows and corrupts error counts.
+    * max(struct(...)) compares lexicographically, so (warcTs, servedUrl)
+    * lead the struct; the aggregation exchange doubles as the canonical
+    * hash-partitioning the per-wave fetch join needs. The canonicalize is
+    * the native codegen Catalyst expression, not a ScalaUDF — it runs on the
+    * FULL pages table (100 TB at target scale) and must stay inside
+    * whole-stage codegen. Shared by the batch wave loop and the streaming
+    * crawl twin. */
+  private[graft] def preparePages(pages: Dataset[PageRow]): DataFrame = {
+    val canonCol = graft.functions.GraftExpressions.canonicalize_url(col("url"))
+    pages
+      .withColumn("canonicalUrl", canonCol)
+      .filter(col("canonicalUrl").isNotNull)
+      .groupBy(col("canonicalUrl"))
+      .agg(max(struct(col("warc_ts").as("warcTs"), col("url").as("servedUrl"),
+        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))).as("r"))
+      .select(col("canonicalUrl"), col("r.servedUrl"), col("r.warcTs"),
+        col("r.html"), col("r.storedText"), col("r.storedLang"))
+  }
+
+  /** The per-link admission chain (scheme filter → robots/sitemap-file skip
+    * → include/exclude patterns → internal-only → query-param cap →
+    * canonicalize), one place for both the batch wave loop and the streaming
+    * crawl twin — the streams stay in lock-step by construction.
+    * (url_validator.rs:75-80, url_filter.rs:84-133, batch_processor.rs:69-76.) */
+  private[graft] def linkCandidates(
+      links: Iterator[String], parentUrl: String, childDepth: Int,
+      includes: Seq[String], excludes: Seq[String],
+      internalOnly: Boolean, seedHosts: Set[String], maxQueryParams: Int): Iterator[FrontierEntry] =
+    links
+      .filter(l => UrlKernel.parse(l).exists(p => p.scheme == "http" || p.scheme == "https"))
+      .filter(l => !l.endsWith("/robots.txt") && !l.endsWith("/sitemap.xml"))
+      .filter(l => UrlKernel.isAllowed(l, includes, excludes))
+      .filter(l => !internalOnly || seedHosts.exists(h => UrlKernel.isInternal(l, h)))
+      .filter(l => UrlKernel.paramCount(l) <= maxQueryParams)
+      .flatMap(l => UrlKernel.canonicalize(l).map(c => entryFor(c, l, childDepth, parentUrl)))
+
+  /** Seed-list canonicalization (depth-0 entries) + the seed host set. */
+  private[graft] def seedEntry(seed: String): Option[FrontierEntry] =
+    UrlKernel.canonicalize(seed).map(c => entryFor(c, seed, 0, ""))
 
   /** One row of the fetch-join output (wave side + page side). */
   final case class FetchedRow(
@@ -110,32 +155,13 @@ object CrawlEngine {
     val rid = runId(config)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
-    // native Catalyst expression, not a ScalaUDF: the canonicalize runs on
-    // the FULL pages table (100 TB at target scale) and must stay inside
-    // whole-stage codegen
-    val canonCol = graft.functions.GraftExpressions.canonicalize_url(col("url"))
-
     // ---- pages table prep: canonical key + explicit co-partitioning --------
     // (SURVEY §4.1: frontier⋈pages repeats every wave; pre-hash-partitioning
     // + caching the big side means only the wave-sized side ever shuffles on
     // waves ≥ 1. For single-wave jobs — a saturated frontier — the
     // repartition+cache is pure overhead, so it's switchable: the join then
     // shuffles the pages side exactly once, inside the measured dataflow.)
-    // A Common-Crawl-style table holds MULTIPLE captures of one page
-    // (re-crawls, www/non-www variants). One fetchable row per canonical URL:
-    // the latest warc_ts wins, ties broken by largest served url — without
-    // this the fetch join multiplies wave rows and corrupts error counts.
-    // max(struct(...)) compares lexicographically, so (warcTs, servedUrl)
-    // lead the struct; the aggregation exchange doubles as the canonical
-    // hash-partitioning the per-wave fetch join needs.
-    val preparedBase = pages
-      .withColumn("canonicalUrl", canonCol)
-      .filter(col("canonicalUrl").isNotNull)
-      .groupBy(col("canonicalUrl"))
-      .agg(max(struct(col("warc_ts").as("warcTs"), col("url").as("servedUrl"),
-        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))).as("r"))
-      .select(col("canonicalUrl"), col("r.servedUrl"), col("r.warcTs"),
-        col("r.html"), col("r.storedText"), col("r.storedLang"))
+    val preparedBase = preparePages(pages)
     val prepared =
       if (prePartitionPages)
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
@@ -155,27 +181,7 @@ object CrawlEngine {
     var robotsRulesBase: DataFrame = null // persisted base (unpersisted at end)
     val robotsRules: DataFrame = if (!robotsActive) null
     else {
-      val r = pages.toDF()
-        .filter(col("url").endsWith("/robots.txt"))
-        .select(col("url"), col("html"))
-        .as[(String, Array[Byte])]
-        .flatMap { case (url, body) =>
-          UrlKernel.extractDomain(url).flatMap { h =>
-            val rules = Robots.parse(new String(body, UTF_8))
-            if (rules.disallow.exists(_.nonEmpty))
-              Some((Robots.stripWww(h), rules.disallow))
-            else scala.None
-          }
-        }
-        .toDF("rhost", "disallow")
-        // ONE row per rhost: www./non-www (or re-captured) robots variants
-        // strip to the same key, and a left join against duplicate keys
-        // would duplicate frontier entries AND let a URL blocked by one
-        // variant survive via the other. Union of the variants' Disallow
-        // lists = most-restrictive-wins (per-host rule lists are tiny).
-        .groupBy("rhost")
-        .agg(array_distinct(flatten(collect_list(col("disallow")))).as("disallow"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val r = Robots.rulesTable(spark, pages.toDF()).persist(StorageLevel.MEMORY_AND_DISK)
       robotsRulesBase = r
       val nRules = r.count()
       // broadcast the gate join while the disallowing-host table is small;
@@ -187,8 +193,7 @@ object CrawlEngine {
     // ---- seed frontier (canonicalized on executors — seed lists can be
     // sitemap-scale, SURVEY §2.1) --------------------------------------------
     val seedDs = Frontier.dedupeWave(spark,
-      spark.createDataset(config.seeds)
-        .flatMap(s => UrlKernel.canonicalize(s).map(c => entryFor(c, s, 0, ""))))
+      spark.createDataset(config.seeds).flatMap(s => seedEntry(s)))
     val seedHosts = config.seeds
       .flatMap(s => UrlKernel.canonicalize(s).flatMap(UrlKernel.extractDomain)).toSet
     val bcSeedHosts = spark.sparkContext.broadcast(seedHosts)
@@ -420,22 +425,17 @@ object CrawlEngine {
           // -- link generation → next frontier ------------------------------
           val newLinkEntries: Dataset[FrontierEntry] = if (!linkGenActive)
             spark.emptyDataset[FrontierEntry]
-          else extracted
-            .filter(e => e.page.depth < maxDepth)
-            .flatMap { e =>
-              val parentUrl = e.page.url
-              val childDepth = e.page.depth + 1
-              e.links.iterator
-                .filter { l =>
-                  UrlKernel.parse(l).exists(p => p.scheme == "http" || p.scheme == "https")
-                } // scheme filter: url_validator.rs:75-80
-                .filter(l => !l.endsWith("/robots.txt") && !l.endsWith("/sitemap.xml"))
-                .filter(l => UrlKernel.isAllowed(l, bcIncludes.value, bcExcludes.value))
-                .filter(l => !config.internalOnly ||
-                  bcSeedHosts.value.exists(h => UrlKernel.isInternal(l, h)))
-                .filter(l => UrlKernel.paramCount(l) <= config.maxQueryParams) // batch_processor.rs:69-76
-                .flatMap(l => UrlKernel.canonicalize(l).map(c => entryFor(c, l, childDepth, parentUrl)))
-            }
+          else {
+            val internalOnly = config.internalOnly
+            val maxQueryParams = config.maxQueryParams
+            extracted
+              .filter(e => e.page.depth < maxDepth)
+              .flatMap { e =>
+                linkCandidates(e.links.iterator, e.page.url, e.page.depth + 1,
+                  bcIncludes.value, bcExcludes.value, internalOnly,
+                  bcSeedHosts.value, maxQueryParams)
+              }
+          }
           // robots Disallow gate: host-keyed join against the rules table
           // (no driver map — see prep above). Same predicate as
           // Robots.isBlocked, expressed as a join so it scales past the

@@ -72,6 +72,35 @@ object Robots {
   def stripWww(host: String): String =
     if (host.startsWith("www.")) host.substring(4) else host
 
+  /** Host-keyed Disallow table parsed on EXECUTORS from the raw pages input
+    * (crawler_service.rs:958-1054's robots fetch, kept distributed): one row
+    * per www-stripped host that disallows anything, columns
+    * (rhost, disallow). www/non-www (or re-captured) robots variants strip
+    * to the same key and their Disallow lists union — most-restrictive-wins
+    * — because a left join against duplicate keys would duplicate frontier
+    * entries AND let a URL blocked by one variant survive via the other.
+    * Shared by the batch wave loop and the streaming crawl twin; the caller
+    * decides persist/broadcast. */
+  def rulesTable(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, body) =>
+        UrlKernel.extractDomain(url).flatMap { h =>
+          val rules = parse(new String(body, UTF_8))
+          if (rules.disallow.exists(_.nonEmpty))
+            Some((stripWww(h), rules.disallow))
+          else scala.None
+        }
+      }
+      .toDF("rhost", "disallow")
+      .groupBy("rhost")
+      .agg(array_distinct(flatten(collect_list(col("disallow")))).as("disallow"))
+  }
+
   /** Distributed Disallow gate: drop every entry whose path is robots-blocked
     * for its host. `rules` is a (rhost, disallow array) table holding ONLY
     * hosts with non-empty Disallow lines (see CrawlEngine prep) — the gate is

@@ -1,0 +1,214 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.crawl.CrawlEngine
+import graft.extract.{HtmlKit, TextKit}
+import graft.frontier.Frontier
+import graft.model.{CrawlConfig, FrontierEntry, PageRow}
+import graft.politeness.Robots
+
+/** The batch engine's BFS crawl re-expressed as a STREAMING frontier: the
+  * wave loop's only mutable state — the priority backlog and the seen set —
+  * lives in [[StreamingScheduler]]'s host-keyed, checkpointed
+  * `flatMapGroupsWithState`, while fetch (join vs the prepared pages table),
+  * extraction, link admission, and robots gating reuse the exact batch
+  * kernels (`CrawlEngine.preparePages` / `.linkCandidates`, `HtmlKit`,
+  * `Robots.rulesTable`/`.gate`).
+  *
+  * Each loop iteration = one wave: the previous wave's gated link
+  * discoveries (plus a tick row) land as one file on the scheduler's input,
+  * an AvailableNow drain releases at most `perHostBudget` URLs per host in
+  * the engine's priority order, those are fetched + extracted, and the new
+  * links loop back. The crawl converges when a tick releases nothing.
+  *
+  * Because the scheduler's state transition IS the batch wave transition
+  * (same dedup-merge, same seen anti-join semantics, same priority order,
+  * same budget), the per-wave release sets match `CrawlEngine.run`
+  * wave-for-wave — pinned by StreamingCrawlSpec. Restart-safety comes from
+  * the streaming checkpoint: kill the loop anywhere, re-run, and drained
+  * waves are not re-released (exactly-once), so fetches never repeat.
+  *
+  * Scale shape: no driver-side frontier or seen structure — the driver only
+  * moves FILE PATHS between stages; every per-URL structure is either a
+  * Dataset or scheduler state sharded by host. Adaptive politeness and
+  * max-pages caps stay batch-engine features (this twin keeps the static
+  * budget the north rule names).
+  */
+object StreamingCrawl {
+
+  final case class WaveStat(wave: Int, released: Long, fetched: Long, errors: Long)
+  final case class StreamCrawlSummary(waves: Int, fetchedTotal: Long,
+                                      errorsTotal: Long, parityFailures: Long,
+                                      waveStats: Seq[WaveStat])
+
+  /** Epoch base for the wave clock (any fixed value works — the clock only
+    * needs to be strictly increasing per wave). */
+  private val WaveClock0 = 1700000000000L
+  private[streaming] def waveClock(wave: Int): Long = WaveClock0 + wave.toLong * 60000L
+
+  def run(
+      spark: SparkSession,
+      pages: Dataset[PageRow],
+      config: CrawlConfig,
+      workDir: String,
+      waveLimit: Int = 1000
+  ): StreamCrawlSummary = {
+    import spark.implicits._
+    val discDir = s"$workDir/discoveries"
+    val schedDir = s"$workDir/scheduled"
+    val cpDir = s"$workDir/checkpoint"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(workDir))
+
+    val prepared = CrawlEngine.preparePages(pages).persist(StorageLevel.MEMORY_AND_DISK)
+
+    val robotsActive = config.respectRobots && config.maxDepth > 0
+    var robotsRulesBase: org.apache.spark.sql.DataFrame = null
+    val robotsRules =
+      if (robotsActive) {
+        val r = Robots.rulesTable(spark, pages.toDF()).persist(StorageLevel.MEMORY_AND_DISK)
+        robotsRulesBase = r
+        if (r.count() < 200000L) broadcast(r) else r
+      } else null
+
+    val seedHosts = config.seeds
+      .flatMap(s => graft.urls.UrlKernel.canonicalize(s).flatMap(graft.urls.UrlKernel.extractDomain)).toSet
+    val bcSeedHosts = spark.sparkContext.broadcast(seedHosts)
+    val bcIncludes = spark.sparkContext.broadcast(config.includePatterns)
+    val bcExcludes = spark.sparkContext.broadcast(config.excludePatterns)
+
+    def toCandidates(entries: Dataset[FrontierEntry], atMs: Long): Dataset[StreamingScheduler.Candidate] =
+      entries.map(e => StreamingScheduler.Candidate(e.canonicalUrl, e.url, e.depth,
+        e.parentUrl, e.host, e.pathDepth, e.urlHash, new java.sql.Timestamp(atMs)))
+
+    /** One wave's discoveries + the tick, as ONE deterministically-NAMED file
+      * (one micro-batch). The name makes replay idempotent: a resumed run
+      * re-deriving a wave's links skips the write instead of appending a
+      * duplicate discovery file (which would re-invoke hosts and burst the
+      * per-wave budget at the resume seam). */
+    def writeWaveFileIfAbsent(entries: Dataset[StreamingScheduler.Candidate], w: Int): Unit = {
+      val dest = java.nio.file.Paths.get(discDir, f"wave-$w%05d.parquet")
+      if (!java.nio.file.Files.exists(dest)) {
+        // temp dir inside workDir: same filesystem, so the move stays atomic
+        val tmp = java.nio.file.Files.createTempDirectory(
+          java.nio.file.Paths.get(workDir), "wave-tmp").toString
+        entries
+          .union(spark.createDataset(Seq(StreamingScheduler.tick(waveClock(w)))))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no part file written for wave $w"))
+        java.nio.file.Files.createDirectories(dest.getParent)
+        java.nio.file.Files.move(part.toPath, dest,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+
+    // fresh run: wave-0 input = the canonicalized seed list (depth 0);
+    // resume: continue at the last wave that released anything (its fetch is
+    // re-derived — pure recompute — and later writes are absent-guarded)
+    val priorMax: Option[Long] = {
+      val sd = new java.io.File(schedDir)
+      if (!sd.exists()) None
+      else {
+        val m = StreamingScheduler.readOutput(spark, schedDir).agg(max(col("emittedAtMs"))).head()
+        if (m.isNullAt(0)) None else Some(m.getLong(0))
+      }
+    }
+    if (priorMax.isEmpty) {
+      val seedEntries = Frontier.dedupeWave(spark,
+        spark.createDataset(config.seeds).flatMap(s => CrawlEngine.seedEntry(s)))
+      writeWaveFileIfAbsent(toCandidates(seedEntries, waveClock(0)), 0)
+    }
+
+    var wave = priorMax.map(m => ((m - WaveClock0) / 60000L).toInt).getOrElse(0)
+    var fetchedTotal = 0L
+    var errorsTotal = 0L
+    var parityFailures = 0L
+    val waveStats = scala.collection.mutable.ArrayBuffer.empty[WaveStat]
+    var done = false
+
+    while (!done && wave < waveLimit) {
+      // release this wave's tranche (drains the file written above; on a
+      // restart, already-drained files are skipped by the checkpoint and the
+      // backlog resumes exactly where it stopped)
+      StreamingScheduler.schedule(spark, discDir, schedDir, cpDir, config.perHostBudget)
+
+      val released = StreamingScheduler.readOutput(spark, schedDir)
+        .filter(col("emittedAtMs") === waveClock(wave))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val relCount = released.count()
+
+      if (relCount == 0L) {
+        released.unpersist()
+        done = true
+      } else {
+        // -- fetch: equi-join vs the canonical-keyed pages table (same
+        // SHUFFLE_HASH shape as the batch engine — html must never sort)
+        val fetched = prepared.join(
+          released.select("canonicalUrl", "url", "depth", "parentUrl", "host").hint("shuffle_hash"),
+          Seq("canonicalUrl"), "inner")
+          .select(col("canonicalUrl"), col("url"), col("depth"),
+            col("servedUrl"), col("html"), col("storedText"))
+          .as[(String, String, Int, String, Array[Byte], String)]
+
+        // -- fused extract (same kernels as the batch stage): links gated by
+        // WAF exactly like the engine; byte parity checked on every row
+        val maxDepth = config.maxDepth
+        val extractedLinks = fetched.mapPartitions { it =>
+          it.map { case (canonicalUrl, url, depth, servedUrl, html, storedText) =>
+            val h = new String(html, UTF_8)
+            val dom = HtmlKit.parse(h)
+            val ex = HtmlKit.extractText(dom, h)
+            val waf = TextKit.detectWafChallenge(h).getOrElse("")
+            val links =
+              if (waf.isEmpty && depth < maxDepth) HtmlKit.extractLinks(dom, servedUrl)
+              else Vector.empty[String]
+            (canonicalUrl, url, depth, links, ex.text == storedText)
+          }
+        }.persist(StorageLevel.MEMORY_AND_DISK)
+
+        val stats = extractedLinks.toDF("canonicalUrl", "url", "depth", "links", "parityOk")
+          .agg(count(lit(1)), sum(when(col("parityOk"), 0L).otherwise(1L))).head()
+        val fetchCount = stats.getLong(0)
+        parityFailures += (if (stats.isNullAt(1)) 0L else stats.getLong(1))
+        // the batch engine's convention: fetchedTotal counts RELEASED URLs
+        // (errors tracked separately; both mark the URL seen)
+        fetchedTotal += relCount
+        errorsTotal += relCount - fetchCount // released-but-missing = simulated 404s
+        waveStats += WaveStat(wave, relCount, fetchCount, relCount - fetchCount)
+
+        // -- admission chain + robots gate (the batch kernels), looped back
+        // as the NEXT wave's discovery file
+        val internalOnly = config.internalOnly
+        val maxQueryParams = config.maxQueryParams
+        val linkEntries: Dataset[FrontierEntry] = extractedLinks
+          .flatMap { case (_, url, depth, links, _) =>
+            CrawlEngine.linkCandidates(links.iterator, url, depth + 1,
+              bcIncludes.value, bcExcludes.value, internalOnly,
+              bcSeedHosts.value, maxQueryParams)
+          }
+        val gated =
+          if (robotsActive) Robots.gate(spark, linkEntries, robotsRules)
+          else linkEntries
+
+        wave += 1
+        // pre-shrink the wave file with the batch dedup (state would converge
+        // anyway — this keeps the file one canonical per URL, like the batch
+        // wave's dedupeWave, and makes the loop-back write proportional to
+        // distinct discoveries)
+        writeWaveFileIfAbsent(toCandidates(Frontier.dedupeWave(spark, gated), waveClock(wave)), wave)
+        extractedLinks.unpersist()
+        released.unpersist()
+      }
+    }
+
+    prepared.unpersist()
+    if (robotsRulesBase != null) robotsRulesBase.unpersist()
+    StreamCrawlSummary(wave, fetchedTotal, errorsTotal, parityFailures, waveStats.toSeq)
+  }
+}

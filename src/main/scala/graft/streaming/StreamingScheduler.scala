@@ -1,0 +1,160 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.util.LongAccumulator
+
+/** Streaming per-host frontier scheduler — the streaming twin of the batch
+  * engine's frontier+politeness step (reference: the token-bucket rate
+  * limiter, rate_limiter.rs:26-70, the priority sort,
+  * batch_processor.rs:56-65, and the DashSet seen check,
+  * url_queue.rs:52-70 — here sharded by host).
+  *
+  * Link discoveries flow into `flatMapGroupsWithState` keyed by HOST. The
+  * state is that host's slice of the whole frontier state machine:
+  *   - the pending BACKLOG (the priority queue), merged on arrival with the
+  *     batch engine's exact dedup rule (one entry per canonical URL keeping
+  *     min depth, then lexicographically smallest url/parentUrl —
+  *     `Frontier.dedupeWave`), so a later shallower rediscovery upgrades a
+  *     backlogged entry exactly as the batch frontier merge does;
+  *   - the host's FETCHED set (the seen-set shard: a canonical URL maps to
+  *     exactly one host, so the per-host shard is an exact partition of the
+  *     global seen set), which drops rediscoveries of already-released URLs
+  *     — the streaming equivalent of `Frontier.newOnly`'s anti-join.
+  * Every wave each host releases at most `budget` URLs in the engine's
+  * deterministic priority order (depth asc, pathDepth desc, urlHash asc,
+  * canonicalUrl asc — `Frontier.priorityOrdering`), stamped with the wave
+  * clock, and retains the rest.
+  *
+  * The wave clock is EVENT time: every wave's input file carries its
+  * discovery rows AND one `tick` row, ALL STAMPED WITH THE SAME wave
+  * timestamp (strictly greater than the previous wave's — rows older than
+  * the watermark are dropped as late, the standard event-time contract).
+  * Hosts that received discoveries this wave emit their tranche in the data
+  * batch; hosts with backlog but no new discoveries are woken by an
+  * event-time timeout armed at `waveClock + 1`, which the NEXT wave's tick
+  * fires (the current wave cannot: its watermark is exactly `waveClock`).
+  * Processing-time timeouts would never let an AvailableNow drain terminate;
+  * see [[StreamingFrontier]].
+  *
+  * Scale shape: state size is the frontier backlog plus the seen set — the
+  * honest cost of a 10^10-URL streaming frontier, held sharded-by-host in
+  * the state store (RocksDB in production), never on the driver.
+  * Per-invocation work is one sort of a single host's backlog;
+  * `maxBacklogPerHost` caps a pathological host by dropping lowest-priority
+  * overflow, counted in the optional accumulator (the
+  * `winnowOverlaps.maxDocFreq` no-silent-caps discipline).
+  */
+object StreamingScheduler {
+
+  /** A frontier candidate on the wave clock: `FrontierEntry` fields + the
+    * discovery event time. */
+  final case class Candidate(canonicalUrl: String, url: String, depth: Int,
+                             parentUrl: String, host: String, pathDepth: Int,
+                             urlHash: Long, discoveredAt: java.sql.Timestamp)
+
+  /** A released URL: the candidate plus the wave clock at release — the
+    * crawl loop keys each fetch wave off `emittedAtMs`. */
+  final case class Scheduled(canonicalUrl: String, url: String, depth: Int,
+                             parentUrl: String, host: String, pathDepth: Int,
+                             urlHash: Long, emittedAtMs: Long)
+
+  /** Per-host frontier shard: pending backlog + released (seen) canonicals. */
+  final case class HostState(backlog: Seq[Candidate], fetched: Seq[String])
+
+  /** Sentinel host for wave-clock ticks: advances the watermark, never
+    * scheduled, never stored. */
+  val TickHost = ""
+
+  def tick(atMs: Long): Candidate =
+    Candidate("", "", Int.MaxValue, "", TickHost, 0, 0L, new java.sql.Timestamp(atMs))
+
+  /** Same total order as `Frontier.priorityOrdering`. */
+  private[streaming] val priority: Ordering[Candidate] =
+    Ordering.by((c: Candidate) => (c.depth, -c.pathDepth, c.urlHash, c.canonicalUrl))
+
+  /** `Frontier.dedupeWave`'s exact merge rule (min depth, then smallest url,
+    * then smallest parentUrl) — keeps streaming/batch frontier parity. */
+  private def merge(a: Candidate, b: Candidate): Candidate =
+    if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
+    else if (a.url != b.url) { if (a.url < b.url) a else b }
+    else if (a.parentUrl <= b.parentUrl) a else b
+
+  /** One frontier-scheduler stream pass: drains whatever is in `inputDir`
+    * (each file = one wave's gated link discoveries + one tick row, all on
+    * the wave timestamp), emitting at most `budget` URLs per host per wave
+    * to `outputDir` parquet, stamped with the wave clock. Exactly-once
+    * across restarts via `checkpointDir`. `droppedAcc`, when given, counts
+    * backlog overflow discarded by `maxBacklogPerHost` (observability;
+    * accumulators are per-run, not part of checkpointed state). */
+  def schedule(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String,
+      budget: Int,
+      maxBacklogPerHost: Int = Int.MaxValue,
+      droppedAcc: Option[LongAccumulator] = None
+  ): Unit = {
+    import spark.implicits._
+    require(budget > 0, s"budget must be positive, got $budget")
+    val schema = Encoders.product[Candidate].schema
+    val scheduled = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // one wave per micro-batch
+      .parquet(inputDir)
+      .withWatermark("discoveredAt", "0 seconds")
+      .as[Candidate]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[HostState, Scheduled](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (host: String, rows: Iterator[Candidate], state: GroupState[HostState]) =>
+          if (host == TickHost) {
+            Iterator.empty // wave-clock rows carry no work
+          } else {
+            // backlog ∪ this wave's arrivals (empty on a timeout wake-up),
+            // one entry per canonical URL under the batch merge rule, minus
+            // everything this host already released
+            val arrivals = rows.toSeq
+            val prior = if (state.exists) state.get else HostState(Nil, Nil)
+            val fetched = prior.fetched.toSet
+            val all = (prior.backlog ++ arrivals)
+              .groupBy(_.canonicalUrl).valuesIterator.map(_.reduceLeft(merge))
+              .filter(c => !fetched.contains(c.canonicalUrl))
+              .toSeq.sorted(priority)
+            val kept = if (all.size > maxBacklogPerHost) {
+              droppedAcc.foreach(_.add(all.size - maxBacklogPerHost))
+              all.take(maxBacklogPerHost)
+            } else all
+            val (emit, rest) = kept.splitAt(budget)
+            // this wave's clock: the max of the current watermark (timeout
+            // wake-up) and this wave's row timestamps (data batch, where the
+            // watermark still lags one batch behind)
+            val rowMax = if (arrivals.isEmpty) Long.MinValue
+                         else arrivals.iterator.map(_.discoveredAt.getTime).max
+            val waveClock = math.max(state.getCurrentWatermarkMs(), rowMax)
+            if (emit.nonEmpty || rest.nonEmpty) {
+              state.update(HostState(rest, prior.fetched ++ emit.map(_.canonicalUrl)))
+              // wake on the NEXT wave's tick — arming any lower than
+              // waveClock+1 would re-fire THIS drain's forced batch and
+              // double the tranche. (No timeout when the backlog is empty:
+              // the fetched set stays, new data re-invokes.)
+              if (rest.nonEmpty) state.setTimeoutTimestamp(waveClock + 1)
+            }
+            emit.iterator.map(c => Scheduled(c.canonicalUrl, c.url, c.depth,
+              c.parentUrl, c.host, c.pathDepth, c.urlHash, waveClock))
+          }
+      }
+    val q = scheduled.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  def readOutput(spark: SparkSession, outputDir: String): DataFrame =
+    spark.read.parquet(outputDir)
+}

@@ -56,6 +56,19 @@ object StreamDemo {
       .coalesce(1).write.mode("append").parquet(fin)
     StreamingFrontier.firstSeenOnly(spark, fin, fout, fcp, seenTtlMs = ttl)
     println(s"frontier wave 3: ${StreamingFrontier.readOutput(spark, fout).count()} total (expect 4: expired re-admitted)")
+
+    // --- streaming crawl twin: the full wave loop with the frontier state
+    // machine (backlog + seen shard) living in checkpointed keyed state
+    val cdir = java.nio.file.Files.createTempDirectory("graft-stream-crawl").toString
+    val corpus = CorpusGen.dataset(spark, CorpusGen.Spec(2, 12))
+    val cfg = graft.model.CrawlConfig(
+      seeds = Seq(s"https://${CorpusGen.hostName(0)}/", s"https://${CorpusGen.hostName(1)}/"),
+      maxDepth = 2, maxPages = 100000L, perHostBudget = 3,
+      excludePatterns = Seq("external-data.org", "*.external-data.org"))
+    val cs = graft.streaming.StreamingCrawl.run(spark, corpus, cfg, cdir)
+    println(s"streaming crawl: waves=${cs.waves} released=${cs.fetchedTotal} " +
+      s"errors=${cs.errorsTotal} parityFailures=${cs.parityFailures}")
+    cs.waveStats.foreach(w => println(s"  wave ${w.wave}: released=${w.released} fetched=${w.fetched}"))
     spark.stop()
   }
 }

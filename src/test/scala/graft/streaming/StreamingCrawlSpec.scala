@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.crawl.CrawlEngine
+import graft.gen.CorpusGen
+import graft.tools.GoldenGen
+
+/** The streaming crawl twin must be the batch engine in different clothes:
+  * same per-wave release sets under a binding politeness budget + robots
+  * gating, same totals, byte parity on every fetched page — and exactly-once
+  * release across a mid-crawl kill/restart. */
+class StreamingCrawlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-streaming-crawl-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  // budget 3 binds (30 pages/host); maxPages must NOT bind — the streaming
+  // twin keeps the static-budget north-rule semantics, not the results-cap
+  private def cfg = GoldenGen.config(GoldenGen.Hosts).copy(maxPages = 100000L)
+
+  private def corpus = CorpusGen.dataset(spark, CorpusGen.Spec(GoldenGen.Hosts, GoldenGen.PagesPerHost))
+
+  private def streamedWaveSets(schedDir: String, waves: Int): Vector[Set[String]] =
+    (0 until waves).map { w =>
+      StreamingScheduler.readOutput(spark, schedDir)
+        .filter(col("emittedAtMs") === StreamingCrawl.waveClock(w))
+        .select("canonicalUrl").collect().map(_.getString(0)).toSet
+    }.toVector
+
+  test("wave-for-wave release parity with the batch engine") {
+    val pages = corpus
+    val batchDir = Files.createTempDirectory("graft-scrawl-batch").toString
+    val batch = CrawlEngine.run(spark, pages, cfg, batchDir)
+    val batchWaves: Vector[Set[String]] = CrawlEngine.readOrder(spark, batchDir).collect()
+      .groupBy(_.wave).toVector.sortBy(_._1)
+      .map(_._2.map(_.canonicalUrl).toSet)
+
+    val sDir = Files.createTempDirectory("graft-scrawl-stream").toString
+    val s = StreamingCrawl.run(spark, pages, cfg, sDir)
+
+    assert(s.parityFailures == 0, "extracted text byte-identical on every row")
+    assert(s.waves == batch.waves, s"wave count: streaming ${s.waves} vs batch ${batch.waves}")
+    assert(s.fetchedTotal == batch.fetchedTotal)
+    assert(s.errorsTotal == batch.errorsTotal)
+    val sWaves = streamedWaveSets(s"$sDir/scheduled", s.waves)
+    batchWaves.zipWithIndex.foreach { case (bset, w) =>
+      assert(sWaves(w) == bset,
+        s"wave $w: streaming released ${sWaves(w).size} vs batch ${bset.size}; " +
+          s"only-streaming=${(sWaves(w) -- bset).take(3)} only-batch=${(bset -- sWaves(w)).take(3)}")
+    }
+  }
+
+  test("kill/restart mid-crawl: exactly-once release, identical final set") {
+    val pages = corpus
+    val sDir = Files.createTempDirectory("graft-scrawl-restart").toString
+    // first run killed after two waves (waveLimit), then a fresh run resumes
+    // from the streaming checkpoint and finishes the crawl
+    val partial = StreamingCrawl.run(spark, pages, cfg, sDir, waveLimit = 2)
+    assert(partial.waves == 2)
+    val resumed = StreamingCrawl.run(spark, pages, cfg, sDir)
+    assert(resumed.parityFailures == 0)
+
+    val released = StreamingScheduler.readOutput(spark, s"$sDir/scheduled")
+      .select("canonicalUrl").collect().map(_.getString(0)).toVector
+    assert(released.size == released.distinct.size,
+      "no URL is ever released twice across the restart")
+
+    val batchDir = Files.createTempDirectory("graft-scrawl-restart-batch").toString
+    CrawlEngine.run(spark, pages, cfg, batchDir)
+    val batchSeen = CrawlEngine.readOrder(spark, batchDir).collect().map(_.canonicalUrl).toSet
+    assert(released.toSet == batchSeen, "final released set == batch seen set")
+  }
+}
