@@ -71,6 +71,23 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** DuckDB twin of [[annTopK]]: brute-force cosine in the SAME double
+    * precision and operation order as `Similarity.cosine` (sequential dot in
+    * double over the float values; dot / (sqrt(aa) * sqrt(bb))), self
+    * excluded, ties broken by neighbor_id ascending — an INDEPENDENT exact
+    * oracle, not a frozen fixture. */
+  val annTopKSql: String =
+    """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT * FROM e WHERE vec_id < 10),
+      |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |        list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+      |      FROM q, e c WHERE c.vec_id <> q.vec_id),
+      |r AS (SELECT query_id, neighbor_id, cos,
+      |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+      |      FROM p)
+      |SELECT query_id, CAST(rnk AS INTEGER) AS rank, neighbor_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micro
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** LSH-bucketed ANN over the same queries (scale path). */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -139,6 +156,20 @@ object DedupQueries {
       .drop("cosine")
       .orderBy("query_id", "rank")
   }
+
+  /** DuckDB twin of [[cosineNearDup]]: ALL-PAIRS cosine ≥ 0.95 over the same
+    * union (base + planted copies of vec_id < 20), same double kernel. The
+    * Spark side is sketch-blocked with 1-bit multi-probe — this oracle
+    * passing means the blocking's recall is EXACT on this corpus, which is
+    * precisely the claim worth pinning. */
+  val cosineNearDupSql: String =
+    """WITH base AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |u AS (SELECT * FROM base UNION ALL SELECT vec_id + 10000000, v FROM base WHERE vec_id < 20),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |        list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+      |      FROM u a, u b WHERE a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micro
+      |FROM p WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
 
   /** Embedding-cosine near-dup pairs over embeddings + planted exact copies. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {

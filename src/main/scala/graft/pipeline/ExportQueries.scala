@@ -39,6 +39,19 @@ object ExportQueries {
       .orderBy("vec_id")
   }
 
+  /** DuckDB twin of [[relevanceFilter]]: same double-precision kernel —
+    * dot/norms accumulated sequentially in double over the float values
+    * (list_dot_product over DOUBLE[] = the Scala loop's `s += a(i)*b(i)`),
+    * cosine = dot / (norm_ref * norm_vec) in the same operation order. */
+  val relevanceFilterSql: String =
+    """WITH e AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |r AS (SELECT v FROM e WHERE vec_id = 0),
+      |s AS (SELECT e.vec_id,
+      |        list_dot_product(r.v, e.v) / (sqrt(list_dot_product(r.v, r.v)) * sqrt(list_dot_product(e.v, e.v))) AS cos
+      |      FROM e, r)
+      |SELECT vec_id, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micro
+      |FROM s WHERE cos > 0.3 ORDER BY vec_id""".stripMargin
+
   /** Chunk validation (Draft→Validated typestate as a filter stage,
     * entities.rs:391-430) over the crawl's chunk output: per-url counts of
     * valid chunks after the emptiness/url gates. */

@@ -194,6 +194,18 @@ object Similarity {
     * rather than [[CentroidAgg]] so repeated runs merge the same doubles in
     * the same order — bit-stable, not just quantization-probably-stable.
     * One exploded row per (label, dim). */
+  /** DuckDB twin of [[labelCentroids]]: per-(label, dim) mean as an explicit
+    * sum/count over the exploded dims (sequential double accumulation, like
+    * the partition-ordered partial merge; micro-quantization absorbs the
+    * association-order ULPs). Missing dims count as 0 against the full row
+    * count, mirroring the Scala kernel's min(dims, v.length) sum over n. */
+  val labelCentroidsSql: String =
+    """WITH e AS (SELECT CAST(label AS INTEGER) AS label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |x AS (SELECT label, CAST(t.d AS INTEGER) AS dim, coalesce(v[CAST(t.d AS INTEGER) + 1], 0.0) AS val
+      |      FROM e, range(64) t(d))
+      |SELECT label, dim, CAST(round(sum(val) / count(*) * 1000000) AS BIGINT) AS centroid_micro
+      |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin
+
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val dims = 64
