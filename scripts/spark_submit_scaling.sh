@@ -1,0 +1,20 @@
+#!/usr/bin/env bash
+# North-rule scaling evidence via spark-submit (BASELINE.json: "run via
+# spark-submit ... at two cluster sizes (N and 4N executors) with throughput
+# scaling efficiency >=0.8"). The sandbox has no multi-executor cluster, so
+# per the driver instruction the same job + same input runs at local[N] and
+# local[4N]; graft.tools.ScalingBench does the interleaved best-of-2
+# measurement and prints one JSON line.
+#
+# usage: scripts/spark_submit_scaling.sh [N]   (default 2 -> compares 2 vs 8)
+set -euo pipefail
+cd "$(dirname "$0")/.."
+N="${1:-2}"
+sbt -batch package > /dev/null
+JAR=$(ls target/scala-2.13/rustscraperspark_2.13-*.jar | head -1)
+exec /opt/spark/bin/spark-submit \
+  --class graft.tools.ScalingBench \
+  --master "local[$((N * 4))]" \
+  --driver-memory 24g \
+  --conf spark.ui.enabled=false \
+  "$JAR" "$N"

@@ -43,12 +43,16 @@ object Obsidian {
 
   /** should_convert_wikilink (wikilinks.rs:73-101): absolute same-domain
     * http(s) URLs only — anchors, relative paths, and foreign hosts stay
-    * regular markdown links. */
+    * regular markdown links. "Same domain" is www-insensitive: the vault
+    * layout (UrlPathKit.domainFromUrl) strips `www.`, so a page served as
+    * www.ex.com and a link to ex.com land in the SAME vault directory and
+    * must wiki-link to each other. */
   def wikiSlugFor(url: String, baseDomain: String): Option[String] = {
     if (url.startsWith("#")) return None
     if (url.startsWith("/") && !url.contains("://")) return None
+    def noWww(h: String) = if (h.startsWith("www.")) h.substring(4) else h
     graft.urls.UrlKernel.parse(url) match {
-      case Some(p) if p.host == baseDomain => Some(slugFromUrl(p.path))
+      case Some(p) if noWww(p.host) == noWww(baseDomain) => Some(slugFromUrl(p.path))
       case _ => None
     }
   }
@@ -87,7 +91,18 @@ object Obsidian {
       readingTime: Option[Int] = None,
       language: Option[String] = None,
       contentType: Option[String] = None): String = {
-    def q(s: String): String = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // YAML double-quoted scalar escaping incl. control chars: a newline in a
+    // crawled <meta content> would otherwise be line-folded (silently turned
+    // into a space) and a raw tab makes the frontmatter invalid YAML
+    def q(s: String): String = "\"" + s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     val lines = Vector.newBuilder[String]
     lines += s"title: ${q(title)}"
     lines += s"url: ${q(url)}"

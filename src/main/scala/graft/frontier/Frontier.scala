@@ -68,26 +68,35 @@ object Frontier extends Serializable {
     }
   }
 
-  /** Deterministic within-wave dedup: one entry per canonical URL, keeping
-    * the lexicographically-smallest (url, parentUrl) representative and the
-    * minimum depth — a total, order-independent choice (the reference's
-    * nondeterministic HashSet first-wins is replaced by this spec,
-    * SURVEY.md §7.5). */
+  /** The dedup MERGE rule: which representative survives when two
+    * discoveries share a canonical URL — min depth, then lexicographically
+    * smallest url, then smallest parentUrl. A total, order-independent
+    * choice (the reference's nondeterministic HashSet first-wins is replaced
+    * by this spec, SURVEY.md §7.5). Generic over [[graft.model.LinkMergeKey]]
+    * so the batch engine and the streaming twins (StreamingScheduler,
+    * StreamingFrontier) share ONE definition — their parity is by
+    * construction, not by copy. */
+  def merge[T <: graft.model.LinkMergeKey](a: T, b: T): T =
+    if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
+    else if (a.url != b.url) { if (a.url < b.url) a else b }
+    else if (a.parentUrl <= b.parentUrl) a else b
+
+  /** Deterministic within-wave dedup: one entry per canonical URL under
+    * [[merge]]. */
   def dedupeWave(spark: SparkSession, links: Dataset[FrontierEntry]): Dataset[FrontierEntry] = {
     import spark.implicits._
-    links.groupByKey(_.canonicalUrl).reduceGroups { (a, b) =>
-      if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
-      else if (a.url != b.url) { if (a.url < b.url) a else b }
-      else if (a.parentUrl <= b.parentUrl) a else b
-    }.map(_._2)
+    links.groupByKey(_.canonicalUrl).reduceGroups(merge[FrontierEntry] _).map(_._2)
   }
 
   /** The documented deterministic priority: (depth asc, pathDepth desc,
     * urlHash asc, canonicalUrl asc) — total order (SURVEY.md §2.6;
     * reference's sorted path is batch_processor.rs:56-65, depth-first by
-    * path specificity; hash+canonical tie-breaks are our spec). */
-  val priorityOrdering: Ordering[FrontierEntry] =
+    * path specificity; hash+canonical tie-breaks are our spec). Generic for
+    * the same single-source-of-truth reason as [[merge]]. */
+  def priorityOrder[T <: graft.model.LinkPriorityKey]: Ordering[T] =
     Ordering.by(e => (e.depth, -e.pathDepth, e.urlHash, e.canonicalUrl))
+
+  val priorityOrdering: Ordering[FrontierEntry] = priorityOrder[FrontierEntry]
 
   def priorityCols = Seq(col("depth").asc, col("pathDepth").desc, col("urlHash").asc, col("canonicalUrl").asc)
 

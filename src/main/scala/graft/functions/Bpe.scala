@@ -125,12 +125,20 @@ object Bpe {
     def ids(text: String): Vector[Int] = tokens(text).map(t => model.vocab.getOrElse(t, model.UnkId))
   }
 
-  /** Parse a merges table (one `left right` pair per line; `#` comments). */
+  /** Parse a merges table: one `left right` pair per line. Symbols never
+    * contain spaces (pretokens are whitespace-split), so a merge line has
+    * EXACTLY two tokens — that, not a `#` prefix, is the discriminator:
+    * a trained merge whose left symbol is literally `#` (markdown-heavy
+    * corpora produce one) must not be silently dropped as a comment.
+    * Header/comment lines (`# ...` prose, >2 tokens) are skipped; anything
+    * else malformed fails loudly. */
   def parseMerges(lines: Iterator[String]): Model = {
-    val merges = lines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#")).map { l =>
-      val i = l.lastIndexOf(' ')
-      require(i > 0, s"malformed merge line: '$l'")
-      (l.substring(0, i), l.substring(i + 1))
+    val merges = lines.map(_.trim).filter(_.nonEmpty).flatMap { l =>
+      val parts = l.split(' ')
+      if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty)
+        Some((parts(0), parts(1)))
+      else if (l.startsWith("#")) None // prose header — never exactly two tokens
+      else sys.error(s"malformed merge line: '$l'")
     }.toVector
     new Model(merges)
   }

@@ -16,6 +16,24 @@ final case class PageRow(
     lang: String
 )
 
+/** The fields the frontier DEDUP MERGE rule reads — implemented by every
+  * link-shaped row type (batch FrontierEntry, the streaming twins'
+  * Candidate/Discovered) so `Frontier.merge` is the single source of truth
+  * for which representative survives a duplicate discovery. */
+trait LinkMergeKey {
+  def depth: Int
+  def url: String
+  def parentUrl: String
+}
+
+/** [[LinkMergeKey]] plus the fields the deterministic PRIORITY total order
+  * reads (`Frontier.priorityOrder`). */
+trait LinkPriorityKey extends LinkMergeKey {
+  def pathDepth: Int
+  def urlHash: Long
+  def canonicalUrl: String
+}
+
 /** Frontier entry — reference `DiscoveredUrl`
   * (src/domain/crawl_job/entities.rs:26-35) plus the derived columns the
   * Spark engine partitions and prioritizes on. */
@@ -27,7 +45,7 @@ final case class FrontierEntry(
     host: String,
     pathDepth: Int,
     urlHash: Long
-)
+) extends LinkPriorityKey
 
 /** One row of the sparse adaptive-politeness budget table: only hosts whose
   * current budget differs from the configured maximum are present. */

@@ -353,12 +353,20 @@ object Dedup {
   def connectedComponents(spark: SparkSession, pairs: DataFrame, maxIter: Int = 50,
                           driverEdgeCap: Int = CcDriverEdgeCap): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // persist the edge list FIRST: callers hand in unpersisted, expensive
+    // pipelines (dedupKeepList's LSH+Jaccard verify), and this function
+    // consumes them up to three times — the fast-path probe below plus the
+    // two scans in the src/dst union. Without the cache the priciest stage
+    // of the whole dedup path re-executes per consumer, exactly on the
+    // large corpora the driver-edge cap exists for.
+    val pairsEdges = pairs
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // fast path: ONE job pulls at most cap+1 edges; if the graph fits, run
     // exact union-find on the driver (same min-label result, deterministic)
-    val head = pairs
-      .select(col("doc_a").cast("long"), col("doc_b").cast("long"))
-      .limit(driverEdgeCap + 1).collect()
+    val head = pairsEdges.limit(driverEdgeCap + 1).collect()
     if (head.length <= driverEdgeCap) {
+      pairsEdges.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -380,9 +388,9 @@ object Dedup {
       import spark.implicits._
       return spark.createDataset(rows.toSeq).toDF("doc_id", "component")
     }
-    val edges = pairs
-      .select(col("doc_a").cast("long").as("src"), col("doc_b").cast("long").as("dst"))
-      .union(pairs.select(col("doc_b").cast("long").as("src"), col("doc_a").cast("long").as("dst")))
+    val edges = pairsEdges
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairsEdges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val labelSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -421,6 +429,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    pairsEdges.unpersist()
     // explicit failure beats a silently-wrong keep-list: propagation needs
     // component-diameter rounds, so raise maxIter for corpora with very long
     // incremental-edit chains

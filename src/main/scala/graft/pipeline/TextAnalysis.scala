@@ -188,6 +188,127 @@ object TextAnalysis {
     """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS ok
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ PII redaction ----------
+
+  /** PII patterns shared by the Column pipeline and the SQL twin. Written
+    * with `[.]`/`[+]` classes instead of backslash escapes so the SAME
+    * pattern text is valid and identical under Java regex (Spark codegen)
+    * and RE2 (DuckDB) — no cross-engine escaping to get wrong. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhoneRe = "[+][0-9]{7,15}" // E.164-style plus-prefixed numbers
+  val IpRe = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+  private val PiiPlantSuffix =
+    " Contact bob.smith+spam@mail-host.example.org or call +14155550123 or ping 10.0.42.7 now"
+
+  /** PII redaction — the scrub pass a web-scale training pipeline runs
+    * before tokenization: per-document counts of emails / plus-prefixed
+    * phone numbers / IPv4 literals, and the md5 of the text with each
+    * replaced by a typed placeholder (emails first, then phones, then IPs —
+    * fixed order, so the hash is deterministic). Pure Column expressions
+    * (codegen'd regexp_count / regexp_replace). The synthetic corpus is
+    * PII-free by construction, so planted rows (ids offset by 10^7, the
+    * DedupQueries convention) carry one of each — the operator demonstrably
+    * fires and the DuckDB oracle recomputes the same union. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val plants = base.filter(col("doc_id") < 12)
+      .select((col("doc_id") + DedupQueries.PlantOffset).as("doc_id"),
+        concat(col("text"), lit(PiiPlantSuffix)).as("text"))
+    base.union(plants)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(IpRe)).cast("long").as("n_ips"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"),
+          IpRe, "<IP>")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactSql: String =
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |u AS (SELECT * FROM base
+       |      UNION ALL
+       |      SELECT doc_id + 10000000, concat(text, '$PiiPlantSuffix') FROM base WHERE doc_id < 12)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+       |  CAST(len(regexp_extract_all(text, '$IpRe')) AS BIGINT) AS n_ips,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |    '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g'), '$IpRe', '<IP>', 'g')) AS redacted_md5
+       |FROM u ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------- repetition signals --------
+
+  private val RepPlantPhrase = "click here to subscribe now "
+  private val RepPlantTimes = 25
+
+  /** Repetition signals — the Gopher/FineWeb-style repetitive-content
+    * filters (public quality heuristics for web training data): per document
+    * the word count, the most-frequent word's count, and the most-frequent
+    * word-bigram's count, plus their milli-fractions of the word count
+    * (integer DIV — exact in both engines; thresholding is the consumer's
+    * one comparison). Boilerplate plants (a phrase repeated ${25}× prepended
+    * to docs 0-9, ids offset by 10^7) give the signal something to fire on.
+    * Dataflow: explode → two-level groupBy — map-side partial aggregation
+    * on (doc_id, gram), then a tiny per-doc max; no per-task maps that
+    * scale with vocabulary. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val plants = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + DedupQueries.PlantOffset).as("doc_id"),
+        concat(lit(RepPlantPhrase * RepPlantTimes), col("text")).as("text"))
+    val u = base.union(plants)
+    val withWords = u.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val top1 = withWords.select(col("doc_id"), explode(col("ws")).as("wd"))
+      .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_n"))
+    val top2 = withWords
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    u.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
+      .join(top1, Seq("doc_id"), "left")
+      .join(top2, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_word_n", "top_bigram_n"))
+      .select(col("doc_id"), col("n_words"), col("top_word_n"), col("top_bigram_n"),
+        expr("(top_word_n * 1000) DIV n_words").as("top_word_milli"),
+        expr("(top_bigram_n * 1000) DIV n_words").as("top_bigram_milli"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionSignalsSql: String =
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |u AS (SELECT * FROM base
+       |      UNION ALL
+       |      SELECT doc_id + 10000000, concat(repeat('$RepPlantPhrase', $RepPlantTimes), text)
+       |      FROM base WHERE doc_id < 10),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM u),
+       |t1 AS (SELECT doc_id, max(c) AS top_word_n FROM (
+       |        SELECT doc_id, wd, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY doc_id, wd)
+       |      GROUP BY doc_id),
+       |t2 AS (SELECT doc_id, max(c) AS top_bigram_n FROM (
+       |        SELECT doc_id, pair, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pair
+       |              FROM w WHERE len(ws) > 1)
+       |        GROUP BY doc_id, pair)
+       |      GROUP BY doc_id)
+       |SELECT u.doc_id, CAST(len(string_split(u.text, ' ')) AS BIGINT) AS n_words,
+       |  coalesce(t1.top_word_n, 0) AS top_word_n,
+       |  coalesce(t2.top_bigram_n, 0) AS top_bigram_n,
+       |  (coalesce(t1.top_word_n, 0) * 1000) // len(string_split(u.text, ' ')) AS top_word_milli,
+       |  (coalesce(t2.top_bigram_n, 0) * 1000) // len(string_split(u.text, ' ')) AS top_bigram_milli
+       |FROM u LEFT JOIN t1 ON u.doc_id = t1.doc_id LEFT JOIN t2 ON u.doc_id = t2.doc_id
+       |ORDER BY u.doc_id""".stripMargin
+
   /** Language distribution of the corpus (stored labels). */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy("lang")

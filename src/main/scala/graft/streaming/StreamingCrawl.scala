@@ -105,6 +105,9 @@ object StreamingCrawl {
         java.nio.file.Files.createDirectories(dest.getParent)
         java.nio.file.Files.move(part.toPath, dest,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        // the tmp dir (now only _SUCCESS/.crc siblings) must not accumulate
+        // one junk dir per wave in the operator-facing state dir
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
     }
 

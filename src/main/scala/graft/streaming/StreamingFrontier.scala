@@ -38,6 +38,7 @@ object StreamingFrontier {
   final case class Discovered(canonicalUrl: String, url: String, depth: Int,
                               parentUrl: String, host: String,
                               discoveredAt: java.sql.Timestamp)
+    extends graft.model.LinkMergeKey
 
   /** Exactly-once first-seen filter. `seenTtlMs` None = exact forever;
     * Some(ms) = event-time TTL after which a URL's seen-state expires and a
@@ -73,23 +74,32 @@ object StreamingFrontier {
         OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[Discovered], state: GroupState[Long]) =>
           // deterministic representative (the engine's dedupeWave order — min
-          // depth, then lexicographically smallest url/parent) and the max
-          // discovery timestamp (the TTL anchor), in one pass
+          // depth, then lexicographically smallest url/parent) and the MIN
+          // discovery timestamp (the TTL anchor = the FIRST sighting; a
+          // same-batch duplicate must not extend the staleness clock any
+          // more than a cross-batch one does), in one pass
           def pick(): (Discovered, Long) = {
-            var maxTs = Long.MinValue
+            var minTs = Long.MaxValue
             val best = rows.reduceLeft { (a, b) =>
-              maxTs = math.max(maxTs, math.max(a.discoveredAt.getTime, b.discoveredAt.getTime))
-              if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
-              else if (a.url != b.url) { if (a.url < b.url) a else b }
-              else if (a.parentUrl <= b.parentUrl) a else b
+              minTs = math.min(minTs, math.min(a.discoveredAt.getTime, b.discoveredAt.getTime))
+              graft.frontier.Frontier.merge(a, b) // THE batch merge rule
             }
-            (best, math.max(maxTs, best.discoveredAt.getTime)) // single-row group
+            (best, math.min(minTs, best.discoveredAt.getTime)) // single-row group
           }
           def admit(): Iterator[Discovered] = {
-            val (best, maxTs) = pick()
-            val expiry = seenTtlMs.map(maxTs + _).getOrElse(Long.MaxValue)
-            state.update(expiry)
-            seenTtlMs.foreach(_ => state.setTimeoutTimestamp(expiry))
+            val (best, firstTs) = pick()
+            val expiry = seenTtlMs.map(firstTs + _).getOrElse(Long.MaxValue)
+            if (seenTtlMs.isDefined && expiry <= state.getCurrentWatermarkMs()) {
+              // the whole group is so late its TTL has ALREADY lapsed in
+              // watermark time: emit it (it is a first-or-re-crawl sighting)
+              // but keep no state — setTimeoutTimestamp would reject a
+              // timestamp at/behind the watermark, and un-timed-out state
+              // for an already-expired key would pin it seen forever
+              if (state.exists) state.remove()
+            } else {
+              state.update(expiry)
+              seenTtlMs.foreach(_ => state.setTimeoutTimestamp(expiry))
+            }
             Iterator.single(best)
           }
           if (state.hasTimedOut) { // TTL expiry: forget, allow re-crawl
@@ -120,6 +130,9 @@ object StreamingFrontier {
     q.awaitTermination()
   }
 
+  /** Explicit schema: a sink dir that exists but holds no committed data
+    * files yet (killed before the first batch commit) must read as empty,
+    * not throw schema-inference AnalysisException — resume depends on it. */
   def readOutput(spark: SparkSession, outputDir: String): DataFrame =
-    spark.read.parquet(outputDir)
+    spark.read.schema(Encoders.product[Discovered].schema).parquet(outputDir)
 }

@@ -52,6 +52,7 @@ object StreamingScheduler {
   final case class Candidate(canonicalUrl: String, url: String, depth: Int,
                              parentUrl: String, host: String, pathDepth: Int,
                              urlHash: Long, discoveredAt: java.sql.Timestamp)
+    extends graft.model.LinkPriorityKey
 
   /** A released URL: the candidate plus the wave clock at release — the
     * crawl loop keys each fetch wave off `emittedAtMs`. */
@@ -69,16 +70,13 @@ object StreamingScheduler {
   def tick(atMs: Long): Candidate =
     Candidate("", "", Int.MaxValue, "", TickHost, 0, 0L, new java.sql.Timestamp(atMs))
 
-  /** Same total order as `Frontier.priorityOrdering`. */
+  /** THE batch total order and merge rule, not copies of them:
+    * `Frontier.priorityOrder` / `Frontier.merge` are generic over the shared
+    * key traits, so streaming/batch parity holds by construction. */
   private[streaming] val priority: Ordering[Candidate] =
-    Ordering.by((c: Candidate) => (c.depth, -c.pathDepth, c.urlHash, c.canonicalUrl))
-
-  /** `Frontier.dedupeWave`'s exact merge rule (min depth, then smallest url,
-    * then smallest parentUrl) — keeps streaming/batch frontier parity. */
+    graft.frontier.Frontier.priorityOrder[Candidate]
   private def merge(a: Candidate, b: Candidate): Candidate =
-    if (a.depth != b.depth) { if (a.depth < b.depth) a else b }
-    else if (a.url != b.url) { if (a.url < b.url) a else b }
-    else if (a.parentUrl <= b.parentUrl) a else b
+    graft.frontier.Frontier.merge(a, b)
 
   /** One frontier-scheduler stream pass: drains whatever is in `inputDir`
     * (each file = one wave's gated link discoveries + one tick row, all on
@@ -155,6 +153,10 @@ object StreamingScheduler {
     q.awaitTermination()
   }
 
+  /** Explicit schema: a sink dir that exists but holds no committed data
+    * files yet (killed before the first batch commit) must read as empty,
+    * not throw schema-inference AnalysisException — StreamingCrawl's resume
+    * reads this to find the prior wave clock. */
   def readOutput(spark: SparkSession, outputDir: String): DataFrame =
-    spark.read.parquet(outputDir)
+    spark.read.schema(Encoders.product[Scheduled].schema).parquet(outputDir)
 }

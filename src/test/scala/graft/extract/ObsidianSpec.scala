@@ -66,4 +66,28 @@ class ObsidianSpec extends AnyFunSuite {
     assert(n1.contains("wordCount: 60"))
     assert(n1.contains("contentType: \"documentation\""), "url with /docs → documentation")
   }
+
+  test("wiki-links are www-insensitive, matching the vault layout") {
+    // the vault puts www.ex.com and ex.com pages in the SAME directory
+    // (UrlPathKit.domainFromUrl strips www.), so cross-www same-site links
+    // must convert in both directions
+    val md = "[g](https://ex.com/docs/guide) [h](https://www.ex.com/docs/howto)"
+    val fromWww = Obsidian.convertWikiLinks(md, "www.ex.com")
+    assert(fromWww.contains("[[guide|g]]") && fromWww.contains("[[howto|h]]"),
+      s"www base converts both: $fromWww")
+    val fromBare = Obsidian.convertWikiLinks(md, "ex.com")
+    assert(fromBare.contains("[[guide|g]]") && fromBare.contains("[[howto|h]]"),
+      s"bare base converts both: $fromBare")
+    assert(Obsidian.wikiSlugFor("https://other.com/x", "ex.com").isEmpty,
+      "foreign hosts still excluded")
+  }
+
+  test("frontmatter escapes control characters as YAML escapes") {
+    val fm = Obsidian.frontmatter("T", "https://u", "2025-06-01",
+      excerpt = Some("line1\nline2\ttabbed" + 1.toChar + "ctl"))
+    assert(fm.contains("excerpt: \"line1\\nline2\\ttabbed\\u0001ctl\""),
+      s"raw newline/tab/control must not reach the YAML scalar: $fm")
+    assert(!fm.split("\n").exists(_.startsWith("line2")),
+      "a raw newline would break the frontmatter into a bogus YAML line")
+  }
 }

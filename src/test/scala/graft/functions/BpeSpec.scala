@@ -108,4 +108,19 @@ class BpeSpec extends AnyFunSuite {
     val text = "Short paragraph with a few sentences. It stays well under the cap. Nothing splits here plus padding words to clear the min chunk size threshold for the structural chunker."
     assert(TextKit.chunkTextByTokens(text) == TextKit.chunkText(text))
   }
+
+  test("parseMerges: a '#'-symbol merge is a merge, prose headers are comments") {
+    // a markdown-heavy corpus legitimately trains '# #'; only prose header
+    // lines (never exactly two tokens) are comments — dropping a real merge
+    // silently would desynchronize the loaded model from training
+    val m = Bpe.parseMerges(Iterator(
+      "# BPE merges trained by tooling on some corpus",
+      "",
+      "# #",
+      "a b</w>"))
+    assert(m.merges == Vector(("#", "#"), ("a", "b</w>")),
+      s"'# #' must load as a merge: ${m.merges}")
+    val bad = intercept[RuntimeException](Bpe.parseMerges(Iterator("a b c")))
+    assert(bad.getMessage.contains("malformed"))
+  }
 }

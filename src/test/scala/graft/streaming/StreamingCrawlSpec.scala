@@ -62,6 +62,10 @@ class StreamingCrawlSpec extends AnyFunSuite {
         s"wave $w: streaming released ${sWaves(w).size} vs batch ${bset.size}; " +
           s"only-streaming=${(sWaves(w) -- bset).take(3)} only-batch=${(bset -- sWaves(w)).take(3)}")
     }
+    val leftoverTmp = new java.io.File(sDir).listFiles()
+      .filter(_.getName.startsWith("wave-tmp"))
+    assert(leftoverTmp.isEmpty,
+      s"wave write temp dirs must be cleaned up: ${leftoverTmp.map(_.getName).toSeq}")
   }
 
   test("kill/restart mid-crawl: exactly-once release, identical final set") {

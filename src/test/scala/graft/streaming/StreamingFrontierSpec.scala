@@ -140,6 +140,43 @@ class StreamingFrontierSpec extends AnyFunSuite {
     assert(rows.length == 4)
   }
 
+  test("TTL anchors at the FIRST sighting: a same-batch duplicate does not extend it") {
+    // Wave 1 carries a@T0 AND a duplicate a@T0+30s in ONE file (one batch).
+    // The expiry must be firstSighting+TTL = T0+60s — anchoring at the max
+    // sighting (T0+90s) would let within-batch duplicates extend the
+    // staleness clock in a way cross-batch duplicates (test above) cannot.
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-anchor").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val ttl = Some(60000L)
+    writeWave(in, Seq(
+      d("https://s.com/a", atMs = T0),
+      d("https://s.com/a", depth = 5, atMs = T0 + 30000L),
+      d("https://s.com/b", atMs = T0)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    assert(StreamingFrontier.readOutput(spark, out).count() == 2)
+    // watermark → T0+75s: past the min-anchored expiry (T0+60s), NOT past a
+    // max-anchored one (T0+90s); the follow-up no-data batch must expire a
+    writeWave(in, Seq(d("https://s.com/z", atMs = T0 + 75000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    // a re-discovered at T0+80s: re-admitted iff the anchor was the FIRST sighting
+    writeWave(in, Seq(d("https://s.com/a", atMs = T0 + 80000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    val rows = StreamingFrontier.readOutput(spark, out).collect()
+    assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 2,
+      "expiry clock must start at the first sighting, not a same-batch duplicate")
+  }
+
+  test("readOutput of a sink dir with no committed data files reads as empty") {
+    // a run killed between sink init and the first batch commit leaves the
+    // output dir with only _spark_metadata — resume must see 'empty', not
+    // a schema-inference AnalysisException
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-empty").toString
+    val out = s"$root/out"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$out/_spark_metadata"))
+    assert(StreamingFrontier.readOutput(spark, out).count() == 0)
+    assert(StreamingScheduler.readOutput(spark, out).count() == 0)
+  }
+
   test("a discovery arriving right after the watermark passes the TTL re-admits immediately") {
     // hasTimedOut callbacks only fire for keys WITHOUT input in a batch; a
     // rediscovery can land in the very batch after the watermark advance,
