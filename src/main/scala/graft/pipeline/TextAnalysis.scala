@@ -309,6 +309,83 @@ object TextAnalysis {
        |FROM u LEFT JOIN t1 ON u.doc_id = t1.doc_id LEFT JOIN t2 ON u.doc_id = t2.doc_id
        |ORDER BY u.doc_id""".stripMargin
 
+  // ------------------------------------------------ composed export --------
+
+  /** The composed corpus-export pipeline — exact dedup → repetition /
+    * diversity quality gates — run as ONE dataflow, the end-to-end shape a
+    * training-data pipeline applies before tokenization. Stages:
+    * (1) exact dedup by content hash keeping the smallest doc_id;
+    * (2) per-doc signals (word count, distinct words, top word, top bigram)
+    *     from a single explode + two-level partial-agg groupBy;
+    * (3) gates tuned to discriminate on this corpus: n_words ≥ 30,
+    *     top-word < 200‰, distinct-words ≥ 350‰, top-bigram < 120‰.
+    * Plants make both removal stages demonstrable: exact copies of docs 0-9
+    * (ids +2×10^7) die in dedup; boilerplate-prefixed copies (ids +10^7)
+    * die at the bigram gate. Output = the surviving docs with their
+    * signals; the DuckDB oracle recomputes the whole pipeline. */
+  def corpusExport(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val repPlants = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + DedupQueries.PlantOffset).as("doc_id"),
+        concat(lit(RepPlantPhrase * RepPlantTimes), col("text")).as("text"))
+    val exactPlants = base.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 2 * DedupQueries.PlantOffset).as("doc_id"), col("text"))
+    val u = base.union(repPlants).union(exactPlants)
+    val deduped = u.groupBy(md5(col("text")).as("h"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    val withWords = deduped.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wordSig = withWords.select(col("doc_id"), explode(col("ws")).as("wd"))
+      .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_n"),
+        sum("c").as("n_words"), count(lit(1)).as("n_uniq"))
+    val bigramSig = withWords.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
+    wordSig.join(bigramSig, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("top_bigram_n"))
+      .filter(col("n_words") >= 30 &&
+        expr("(top_word_n * 1000) DIV n_words") < 200 &&
+        expr("(n_uniq * 1000) DIV n_words") >= 350 &&
+        expr("(top_bigram_n * 1000) DIV n_words") < 120)
+      .select(col("doc_id"), col("n_words"), col("n_uniq"),
+        col("top_word_n"), col("top_bigram_n"))
+      .orderBy("doc_id")
+  }
+
+  val corpusExportSql: String =
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |u AS (SELECT * FROM base
+       |      UNION ALL
+       |      SELECT doc_id + 10000000, concat(repeat('$RepPlantPhrase', $RepPlantTimes), text)
+       |      FROM base WHERE doc_id < 10
+       |      UNION ALL
+       |      SELECT doc_id + 20000000, text FROM base WHERE doc_id < 10),
+       |d AS (SELECT min(doc_id) AS doc_id, min(text) AS text FROM u GROUP BY md5(text)),
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+       |t1 AS (SELECT doc_id, max(c) AS top_word_n, CAST(sum(c) AS BIGINT) AS n_words,
+       |              count(*) AS n_uniq
+       |       FROM (SELECT doc_id, wd, count(*) AS c
+       |             FROM (SELECT doc_id, unnest(ws) AS wd FROM w) GROUP BY doc_id, wd)
+       |       GROUP BY doc_id),
+       |t2 AS (SELECT doc_id, max(c) AS top_bigram_n FROM (
+       |        SELECT doc_id, pair, count(*) AS c
+       |        FROM (SELECT doc_id, unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)])) AS pair
+       |              FROM w WHERE len(ws) > 1)
+       |        GROUP BY doc_id, pair)
+       |      GROUP BY doc_id)
+       |SELECT t1.doc_id, n_words, n_uniq, top_word_n,
+       |  coalesce(top_bigram_n, 0) AS top_bigram_n
+       |FROM t1 LEFT JOIN t2 ON t1.doc_id = t2.doc_id
+       |WHERE n_words >= 30 AND (top_word_n * 1000) // n_words < 200
+       |  AND (n_uniq * 1000) // n_words >= 350
+       |  AND (coalesce(top_bigram_n, 0) * 1000) // n_words < 120
+       |ORDER BY t1.doc_id""".stripMargin
+
   /** Language distribution of the corpus (stored labels). */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy("lang")

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the PII / repetition / composed-export family: the
+  * planted rows must demonstrably fire each stage (beyond the value-level
+  * DuckDB oracles, which pin the full outputs). */
+class TextAnalysisSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-textanalysis-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private val Plant = DedupQueries.PlantOffset
+
+  test("piiRedact: planted PII is counted and scrubbed; base corpus is clean") {
+    val rows = TextAnalysis.piiRedact(spark, sfDir).collect()
+    val (plants, base) = rows.partition(_.getAs[Long]("doc_id") >= Plant)
+    assert(plants.nonEmpty, "planted rows present")
+    plants.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 1L, s"one planted email: $r")
+      assert(r.getAs[Long]("n_phones") == 1L, s"one planted phone: $r")
+      assert(r.getAs[Long]("n_ips") == 1L, s"one planted IPv4: $r")
+    }
+    base.foreach { r =>
+      assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_phones") == 0L
+        && r.getAs[Long]("n_ips") == 0L, s"synthetic corpus is PII-free: $r")
+    }
+    // redaction changes the text: a plant's md5 differs from its base twin's
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("redacted_md5")).toMap
+    assert(byId(Plant) != byId(0L), "plant text (with PII redacted) differs from base text")
+  }
+
+  test("repetitionSignals: boilerplate plants dominate the bigram signal") {
+    val rows = TextAnalysis.repetitionSignals(spark, sfDir).collect()
+    val plants = rows.filter(_.getAs[Long]("doc_id") >= Plant)
+    assert(plants.length == 10)
+    plants.foreach { r =>
+      assert(r.getAs[Long]("top_bigram_n") >= 24L,
+        s"the repeated phrase must dominate the plant's top bigram: $r")
+    }
+    val base = rows.filter(_.getAs[Long]("doc_id") < Plant)
+    assert(base.forall(_.getAs[Long]("n_words") > 0))
+  }
+
+  test("corpusExport: exact plants die in dedup, boilerplate plants at the gates") {
+    val rows = TextAnalysis.corpusExport(spark, sfDir).collect()
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.nonEmpty, "some of the corpus survives the gates")
+    assert(!ids.exists(_ >= 2 * Plant),
+      "exact-copy plants must be removed by the dedup stage (base twin kept)")
+    assert(!ids.exists(id => id >= Plant && id < 2 * Plant),
+      "boilerplate plants must be dropped by the repetition gates")
+    val baseCount = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length < baseCount,
+      "the quality gates must also drop some naturally short/repetitive base docs")
+  }
+}
