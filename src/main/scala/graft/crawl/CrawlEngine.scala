@@ -62,25 +62,61 @@ object CrawlEngine {
   /** Canonical-keyed fetchable view of a Common-Crawl-style pages table.
     * Such a table holds MULTIPLE captures of one page (re-crawls,
     * www/non-www variants); one fetchable row per canonical URL: the latest
-    * warc_ts wins, ties broken by largest served url — without this the
-    * fetch join multiplies wave rows and corrupts error counts.
-    * max(struct(...)) compares lexicographically, so (warcTs, servedUrl)
-    * lead the struct; the aggregation exchange doubles as the canonical
-    * hash-partitioning the per-wave fetch join needs. The canonicalize is
-    * the native codegen Catalyst expression, not a ScalaUDF — it runs on the
-    * FULL pages table (100 TB at target scale) and must stay inside
-    * whole-stage codegen. Shared by the batch wave loop and the streaming
-    * crawl twin. */
+    * warc_ts wins, ties broken by largest served url, then by payload
+    * (length, xxhash64) order — without this the fetch join multiplies wave
+    * rows and corrupts error counts.
+    *
+    * Scale shape: the naive `groupBy(canonical).agg(max(struct(..html..)))`
+    * is a SortAggregate that SORTS the multi-KB payload bytes of the entire
+    * input — the same "html must never be sorted" rule the fetch join
+    * obeys, violated on the biggest table in the system (it OOM-thrashed a
+    * 360k-page corpus on an 8 GB heap). Instead the winner is chosen over
+    * SMALL columns only — (warcTs, servedUrl) plus payload length/xxhash64
+    * fingerprints as the deterministic deep tie-break — and joined back on
+    * canonical alone (SHUFFLE_HASH, so payloads are hashed, never sorted,
+    * and the join's exchange doubles as the canonical hash-partitioning the
+    * per-wave fetch join reuses). Byte-identical duplicate captures (equal
+    * pick incl. fingerprints) are detected with one small-column action and
+    * collapsed only when present — the typical no-tie table never touches a
+    * payload aggregation at all. The canonicalize is the native codegen
+    * Catalyst expression, not a ScalaUDF — it runs on the FULL pages table
+    * (100 TB at target scale) and must stay inside whole-stage codegen.
+    * Shared by the batch wave loop and the streaming crawl twin. */
   private[graft] def preparePages(pages: Dataset[PageRow]): DataFrame = {
     val canonCol = graft.functions.GraftExpressions.canonicalize_url(col("url"))
-    pages
+    val keyed = pages
       .withColumn("canonicalUrl", canonCol)
       .filter(col("canonicalUrl").isNotNull)
-      .groupBy(col("canonicalUrl"))
-      .agg(max(struct(col("warc_ts").as("warcTs"), col("url").as("servedUrl"),
-        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))).as("r"))
-      .select(col("canonicalUrl"), col("r.servedUrl"), col("r.warcTs"),
-        col("r.html"), col("r.storedText"), col("r.storedLang"))
+      .withColumn("pick", struct(
+        col("warc_ts").as("warcTs"), col("url").as("servedUrl"),
+        length(col("html")).as("lenHtml"), xxhash64(col("html")).as("hHtml"),
+        length(col("text")).as("lenText"), xxhash64(col("text")).as("hText"),
+        xxhash64(col("lang")).as("hLang")))
+    // winner + duplicate detection in one small-column pipeline: rows are
+    // (canonical, pick, count) — ~100 bytes each regardless of payload size
+    val picksAgg = keyed.groupBy(col("canonicalUrl"), col("pick"))
+      .agg(count(lit(1)).as("nDup"))
+    val winners = picksAgg.groupBy(col("canonicalUrl"))
+      .agg(max(struct(col("pick"), col("nDup"))).as("w"))
+      .select(col("canonicalUrl"), col("w.pick").as("winner"), col("w.nDup").as("nDup"))
+    val hasTies = !winners.filter(col("nDup") > 1).isEmpty
+    val joined = keyed
+      .join(winners.select("canonicalUrl", "winner").hint("shuffle_hash"), Seq("canonicalUrl"))
+      .filter(col("pick") === col("winner"))
+      .select(col("canonicalUrl"), col("pick.servedUrl").as("servedUrl"),
+        col("pick.warcTs").as("warcTs"),
+        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
+    if (!hasTies) joined
+    else
+      // duplicate captures with byte-identical pick (incl. payload
+      // fingerprints) survive the filter together; `first` is an arbitrary
+      // CHOICE but a deterministic VALUE — the candidates are equal. The
+      // groupBy rides the join's canonical partitioning (no new exchange)
+      // and only ever aggregates winner rows, not the full capture set.
+      joined.groupBy("canonicalUrl").agg(
+        first("servedUrl").as("servedUrl"), first("warcTs").as("warcTs"),
+        first("html").as("html"), first("storedText").as("storedText"),
+        first("storedLang").as("storedLang"))
   }
 
   /** The per-link admission chain (scheme filter → robots/sitemap-file skip

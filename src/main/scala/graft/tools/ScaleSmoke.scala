@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.Bench
+import graft.gen.CorpusGen
+
+/** Scale-headroom smoke: the saturated mega-wave (fetch-join + fused
+  * extract, byte-parity checked on every row) at a corpus several times the
+  * bench size — evidence that the dataflow's throughput holds as the input
+  * grows, i.e. the engine is input-bound, not structure-bound. Prints one
+  * JSON line.
+  *
+  * usage: runMain graft.tools.ScaleSmoke [hosts] [pagesPerHost] [cores]
+  * (default 1000×360 ≈ 4× the 90k-page bench wave, local[32])
+  */
+object ScaleSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val hosts = args.lift(0).map(_.toInt).getOrElse(1000)
+    val pagesPerHost = args.lift(1).map(_.toInt).getOrElse(360)
+    val cores = args.lift(2).map(_.toInt).getOrElse(32)
+    val spec = CorpusGen.Spec(hosts, pagesPerHost, richness = Bench.WaveRichness)
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-scale-smoke")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-smoke-corpus").toString + "/pages"
+    CorpusGen.writeParquet(spark, spec, corpusPath, partitions = cores * 2)
+
+    val seeds =
+      for {
+        h <- 0 until hosts
+        i <- 0 until pagesPerHost
+        if !CorpusGen.isPrivatePage(i)
+      } yield CorpusGen.servedBase(h) + CorpusGen.pathFor(i)
+    val config = Bench.waveConfig.copy(
+      seeds = seeds, maxPages = hosts.toLong * pagesPerHost, perHostBudget = pagesPerHost)
+
+    import spark.implicits._
+    val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-smoke-state").toString
+    val t0 = System.nanoTime()
+    val summary = graft.crawl.CrawlEngine.run(spark, pages, config, stateDir,
+      writeOutputs = false, prePartitionPages = false)
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(summary.parityFailures == 0, "scale smoke must keep byte parity")
+    println(f"""{"metric":"scale_smoke_pages_per_sec","value":${summary.fetchedTotal / secs}%.1f,"unit":"pages/sec","pages":${summary.fetchedTotal},"secs":$secs%.1f,"hosts":$hosts,"cores":$cores}""")
+    spark.stop()
+  }
+}
