@@ -122,6 +122,22 @@ object PlanCheck {
         !qrPlan.split("ReadSchema").last.split("\n").head.contains("lang"),
       "scan reads only doc_id + text")
 
+    // 8. pages prep: the winner-capture selection must NEVER sort payload
+    // bytes — the winner agg runs over the small pick struct (no html/text
+    // in any aggregate function), and payloads reach the output through one
+    // shuffled-hash join keyed by canonical (the partitioning the per-wave
+    // fetch join reuses)
+    val prepPages = graft.gen.CorpusGen.dataset(spark, graft.gen.CorpusGen.Spec(3, 12))
+    val prep = graft.crawl.CrawlEngine.preparePages(prepPages)
+    val prepPlan = prep.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("pages-prep/no-payload-in-agg",
+      !prepPlan.split("\n").exists(l =>
+        (l.contains("SortAggregate") || l.contains("HashAggregate")) && l.contains("html")),
+      "winner aggregation touches only the small pick columns, never html/text")
+    check("pages-prep/shuffled-hash-on-canonical",
+      prepPlan.contains("ShuffledHashJoin") && !prepPlan.contains("SortMergeJoin"),
+      "payloads join back by canonical hash — hashed once, never sorted")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
