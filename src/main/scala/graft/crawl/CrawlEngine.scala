@@ -93,12 +93,20 @@ object CrawlEngine {
         length(col("text")).as("lenText"), xxhash64(col("text")).as("hText"),
         xxhash64(col("lang")).as("hLang")))
     // winner + duplicate detection in one small-column pipeline: rows are
-    // (canonical, pick, count) — ~100 bytes each regardless of payload size
+    // (canonical, pick, count) — ~100 bytes each regardless of payload size.
+    // Eager localCheckpoint materializes the winner table ONCE: the ties
+    // check reads the checkpointed blocks (no second payload scan) and the
+    // join below reuses them, so the payload columns are read exactly twice
+    // per crawl (winner pass + fetch side) instead of three times. Blocks
+    // are ContextCleaner-managed (freed on GC — crawls run many-per-JVM);
+    // caveat: non-resilient to executor loss, same documented trade as
+    // winnowOverlaps — a 100-TB deployment writes winners to a table.
     val picksAgg = keyed.groupBy(col("canonicalUrl"), col("pick"))
       .agg(count(lit(1)).as("nDup"))
     val winners = picksAgg.groupBy(col("canonicalUrl"))
       .agg(max(struct(col("pick"), col("nDup"))).as("w"))
       .select(col("canonicalUrl"), col("w.pick").as("winner"), col("w.nDup").as("nDup"))
+      .localCheckpoint()
     val hasTies = !winners.filter(col("nDup") > 1).isEmpty
     val joined = keyed
       .join(winners.select("canonicalUrl", "winner").hint("shuffle_hash"), Seq("canonicalUrl"))
