@@ -116,15 +116,20 @@ object CrawlEngine {
         col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
     if (!hasTies) joined
     else
-      // duplicate captures with byte-identical pick (incl. payload
-      // fingerprints) survive the filter together; `first` is an arbitrary
-      // CHOICE but a deterministic VALUE — the candidates are equal. The
+      // duplicate captures with identical pick (incl. payload fingerprints)
+      // survive the filter together; collapse by lexicographic max over the
+      // ACTUAL payload bytes — byte-identical candidates (the norm) make
+      // this a no-op choice, and a 64-bit fingerprint collision between
+      // different payloads still resolves deterministically by content,
+      // preserving the old max(struct(.., html, ..)) semantics exactly. The
       // groupBy rides the join's canonical partitioning (no new exchange)
       // and only ever aggregates winner rows, not the full capture set.
-      joined.groupBy("canonicalUrl").agg(
-        first("servedUrl").as("servedUrl"), first("warcTs").as("warcTs"),
-        first("html").as("html"), first("storedText").as("storedText"),
-        first("storedLang").as("storedLang"))
+      joined.groupBy("canonicalUrl")
+        .agg(first("servedUrl").as("servedUrl"), first("warcTs").as("warcTs"),
+          max(struct(col("html"), col("storedText"), col("storedLang"))).as("p"))
+        .select(col("canonicalUrl"), col("servedUrl"), col("warcTs"),
+          col("p.html").as("html"), col("p.storedText").as("storedText"),
+          col("p.storedLang").as("storedLang"))
   }
 
   /** The per-link admission chain (scheme filter → robots/sitemap-file skip

@@ -93,14 +93,18 @@ object Obsidian {
       contentType: Option[String] = None): String = {
     // YAML double-quoted scalar escaping incl. control chars: a newline in a
     // crawled <meta content> would otherwise be line-folded (silently turned
-    // into a space) and a raw tab makes the frontmatter invalid YAML
+    // into a space) and a raw tab makes the frontmatter invalid YAML. The
+    // same folding applies to YAML 1.1's extra line breaks — NEL (U+0085,
+    // common in web text) and LS/PS (U+2028/29) — and C1 controls (with
+    // DEL) are non-printable under YAML 1.2, so all of those escape too.
     def q(s: String): String = "\"" + s.flatMap {
       case '\\' => "\\\\"
       case '"'  => "\\\""
       case '\n' => "\\n"
       case '\r' => "\\r"
       case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c if c < ' ' || (c >= 127.toChar && c <= 159.toChar) ||
+                c == 8232.toChar || c == 8233.toChar => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val lines = Vector.newBuilder[String]

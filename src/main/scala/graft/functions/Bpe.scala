@@ -127,17 +127,22 @@ object Bpe {
 
   /** Parse a merges table: one `left right` pair per line. Symbols never
     * contain spaces (pretokens are whitespace-split), so a merge line has
-    * EXACTLY two tokens — that, not a `#` prefix, is the discriminator:
-    * a trained merge whose left symbol is literally `#` (markdown-heavy
-    * corpora produce one) must not be silently dropped as a comment.
-    * Header/comment lines (`# ...` prose, >2 tokens) are skipped; anything
-    * else malformed fails loudly. */
+    * EXACTLY two tokens — that, not a `#` prefix, is the main
+    * discriminator: a trained merge whose left symbol starts with `#`
+    * (markdown-heavy corpora produce `# #`, then `#`-led products) must not
+    * be silently dropped as a comment. Comment lines are `#`-prefixed lines
+    * that are NOT two tokens (prose headers) plus the one two-token header
+    * real tokenizer files carry, `#version: N` — which no trained merge can
+    * collide with (":" never ends a first-position product of a
+    * whitespace-split alphabet followed by a bare version number).
+    * Anything else malformed fails loudly. */
   def parseMerges(lines: Iterator[String]): Model = {
     val merges = lines.map(_.trim).filter(_.nonEmpty).flatMap { l =>
       val parts = l.split(' ')
-      if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty)
+      val isVersionHeader = l.startsWith("#version")
+      if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty && !isVersionHeader)
         Some((parts(0), parts(1)))
-      else if (l.startsWith("#")) None // prose header — never exactly two tokens
+      else if (l.startsWith("#")) None // prose header or #version line
       else sys.error(s"malformed merge line: '$l'")
     }.toVector
     new Model(merges)

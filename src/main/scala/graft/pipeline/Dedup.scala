@@ -393,6 +393,11 @@ object Dedup {
       .union(pairsEdges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize edges NOW and release the raw pair cache — it is dead
+    // weight for the whole min-label loop otherwise, squeezing the cache
+    // exactly on the large graphs this path exists for
+    edges.count()
+    pairsEdges.unpersist()
     val labelSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("component", org.apache.spark.sql.types.LongType)))
@@ -429,7 +434,6 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    pairsEdges.unpersist()
     // explicit failure beats a silently-wrong keep-list: propagation needs
     // component-diameter rounds, so raise maxIter for corpora with very long
     // incremental-edit chains

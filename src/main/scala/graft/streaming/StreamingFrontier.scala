@@ -73,52 +73,53 @@ object StreamingFrontier {
       .flatMapGroupsWithState[Long, Discovered](
         OutputMode.Append(), timeout) {
         (key: String, rows: Iterator[Discovered], state: GroupState[Long]) =>
-          // deterministic representative (the engine's dedupeWave order — min
-          // depth, then lexicographically smallest url/parent) and the MIN
-          // discovery timestamp (the TTL anchor = the FIRST sighting; a
-          // same-batch duplicate must not extend the staleness clock any
-          // more than a cross-batch one does), in one pass
-          def pick(): (Discovered, Long) = {
+          if (state.hasTimedOut) { // TTL expiry: forget, allow re-crawl
+            state.remove()
+            Iterator.empty
+          } else {
+            // deterministic representative (the engine's dedupeWave order —
+            // min depth, then lexicographically smallest url/parent) and the
+            // MIN discovery timestamp (the TTL anchor = the FIRST sighting;
+            // a same-batch duplicate must not extend the staleness clock any
+            // more than a cross-batch one does), in one pass
             var minTs = Long.MaxValue
             val best = rows.reduceLeft { (a, b) =>
               minTs = math.min(minTs, math.min(a.discoveredAt.getTime, b.discoveredAt.getTime))
               graft.frontier.Frontier.merge(a, b) // THE batch merge rule
             }
-            (best, math.min(minTs, best.discoveredAt.getTime)) // single-row group
-          }
-          def admit(): Iterator[Discovered] = {
-            val (best, firstTs) = pick()
-            val expiry = seenTtlMs.map(firstTs + _).getOrElse(Long.MaxValue)
-            if (seenTtlMs.isDefined && expiry <= state.getCurrentWatermarkMs()) {
-              // the whole group is so late its TTL has ALREADY lapsed in
-              // watermark time: emit it (it is a first-or-re-crawl sighting)
-              // but keep no state — setTimeoutTimestamp would reject a
-              // timestamp at/behind the watermark, and un-timed-out state
-              // for an already-expired key would pin it seen forever
-              if (state.exists) state.remove()
-            } else {
-              state.update(expiry)
-              seenTtlMs.foreach(_ => state.setTimeoutTimestamp(expiry))
+            val firstTs = math.min(minTs, best.discoveredAt.getTime) // single-row group
+            // arm the cleanup timeout only when legal — a timestamp at or
+            // behind the watermark is rejected by Spark. An unarmable key
+            // keeps its state UNARMED: re-admission is governed by the
+            // EVENT-time comparison below, not by the timeout (which exists
+            // only to garbage-collect idle keys), so suppression still holds;
+            // the state is cleaned by a later sighting's re-arm or removal.
+            def arm(expiry: Long): Unit = seenTtlMs.foreach { _ =>
+              if (expiry > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(expiry)
             }
-            Iterator.single(best)
-          }
-          if (state.hasTimedOut) { // TTL expiry: forget, allow re-crawl
-            state.remove()
-            Iterator.empty
-          } else if (state.exists) {
-            val expiry = state.get
-            if (seenTtlMs.isDefined && expiry <= state.getCurrentWatermarkMs()) {
-              // the TTL already lapsed in watermark time but the hasTimedOut
-              // callback hasn't fired (it only fires for keys WITHOUT input
-              // in a batch): this sighting IS the re-crawl
+            def admit(): Iterator[Discovered] = {
+              val expiry = seenTtlMs.map(firstTs + _).getOrElse(Long.MaxValue)
+              state.update(expiry)
+              arm(expiry)
+              Iterator.single(best)
+            }
+            if (!state.exists) admit()
+            else if (seenTtlMs.isDefined && state.get <= firstTs) {
+              // the sighting lies at/after the previous fetch's TTL in EVENT
+              // time: it IS the re-crawl. (Watermark time is deliberately not
+              // consulted — a LATE duplicate inside the previous fetch's TTL
+              // window must stay suppressed even when the watermark has
+              // already passed the expiry, else every late sighting would
+              // re-fetch once per batch.)
               admit()
             } else {
-              // drop the duplicate, but RE-ARM the original expiry — the
-              // invocation itself cleared the key's timeout
-              seenTtlMs.foreach(_ => state.setTimeoutTimestamp(expiry))
+              // duplicate inside the TTL window (or exact forever mode):
+              // drop it, and re-arm the ORIGINAL expiry — the invocation
+              // itself cleared the key's timeout
+              arm(state.get)
               Iterator.empty
             }
-          } else admit()
+          }
       }
     val q = firsts.writeStream
       .format("parquet")

@@ -31,7 +31,8 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val corpusPath = java.nio.file.Files.createTempDirectory("graft-smoke-corpus").toString + "/pages"
+    val corpusRoot = java.nio.file.Files.createTempDirectory("graft-smoke-corpus").toString
+    val corpusPath = s"$corpusRoot/pages"
     CorpusGen.writeParquet(spark, spec, corpusPath, partitions = cores * 2)
 
     val seeds =
@@ -46,12 +47,19 @@ object ScaleSmoke {
     import spark.implicits._
     val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
     val stateDir = java.nio.file.Files.createTempDirectory("graft-smoke-state").toString
-    val t0 = System.nanoTime()
-    val summary = graft.crawl.CrawlEngine.run(spark, pages, config, stateDir,
-      writeOutputs = false, prePartitionPages = false)
-    val secs = (System.nanoTime() - t0) / 1e9
-    require(summary.parityFailures == 0, "scale smoke must keep byte parity")
-    println(f"""{"metric":"scale_smoke_pages_per_sec","value":${summary.fetchedTotal / secs}%.1f,"unit":"pages/sec","pages":${summary.fetchedTotal},"secs":$secs%.1f,"hosts":$hosts,"cores":$cores}""")
-    spark.stop()
+    try {
+      val t0 = System.nanoTime()
+      val summary = graft.crawl.CrawlEngine.run(spark, pages, config, stateDir,
+        writeOutputs = false, prePartitionPages = false)
+      val secs = (System.nanoTime() - t0) / 1e9
+      require(summary.parityFailures == 0, "scale smoke must keep byte parity")
+      println(f"""{"metric":"scale_smoke_pages_per_sec","value":${summary.fetchedTotal / secs}%.1f,"unit":"pages/sec","pages":${summary.fetchedTotal},"secs":$secs%.1f,"hosts":$hosts,"cores":$cores}""")
+    } finally {
+      spark.stop()
+      // the generated corpus is ~11 GB at the default spec — repeated smoke
+      // runs must not fill the shared host's disk
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(corpusRoot))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(stateDir))
+    }
   }
 }

@@ -89,5 +89,12 @@ class ObsidianSpec extends AnyFunSuite {
       s"raw newline/tab/control must not reach the YAML scalar: $fm")
     assert(!fm.split("\n").exists(_.startsWith("line2")),
       "a raw newline would break the frontmatter into a bogus YAML line")
+    // YAML-1.1 line breaks beyond \n: NEL (U+0085, common in web text) and
+    // LS/PS (U+2028/29) fold to a space in yaml parsers; C1 controls are
+    // unprintable in YAML 1.2 — all must escape
+    val fm2 = Obsidian.frontmatter("T", "https://u", "2025-06-01",
+      excerpt = Some("a" + 0x85.toChar + "b" + 0x2028.toChar + "c" + 0x7f.toChar + "d"))
+    assert(fm2.contains("excerpt: \"a\\u0085b\\u2028c\\u007fd\""),
+      s"NEL/LS/DEL must be escaped: $fm2")
   }
 }

@@ -122,5 +122,11 @@ class BpeSpec extends AnyFunSuite {
       s"'# #' must load as a merge: ${m.merges}")
     val bad = intercept[RuntimeException](Bpe.parseMerges(Iterator("a b c")))
     assert(bad.getMessage.contains("malformed"))
+    // the canonical tokenizer-file header is two tokens but NOT a merge —
+    // parsing it as one would inject bogus alphabet chars and shift every
+    // vocab id after it
+    val hv = Bpe.parseMerges(Iterator("#version: 0.2", "a b"))
+    assert(hv.merges == Vector(("a", "b")),
+      s"'#version: 0.2' must be skipped as a header: ${hv.merges}")
   }
 }

@@ -166,6 +166,25 @@ class StreamingFrontierSpec extends AnyFunSuite {
       "expiry clock must start at the first sighting, not a same-batch duplicate")
   }
 
+  test("a rediscovery past the TTL in EVENT time re-admits before the watermark catches up") {
+    // Re-admission is decided by comparing the sighting's event time against
+    // the stored expiry — NOT by waiting for the watermark to pass it. Here
+    // the rediscovery at T0+65s is past a's expiry (T0+60s) while the
+    // watermark still reads T0 (it lags one batch): the re-crawl must happen
+    // NOW, not after an extra watermark advance + timeout + third sighting.
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-event").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val ttl = Some(60000L)
+    writeWave(in, Seq(d("https://s.com/a"), d("https://s.com/b"))) // expiry T0+60s
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    writeWave(in, Seq(d("https://s.com/a", atMs = T0 + 65000L))) // watermark still T0
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    val rows = StreamingFrontier.readOutput(spark, out).collect()
+    assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 2,
+      "event-time TTL expiry re-admits without waiting for the watermark")
+    assert(rows.length == 3)
+  }
+
   test("readOutput of a sink dir with no committed data files reads as empty") {
     // a run killed between sink init and the first batch commit leaves the
     // output dir with only _spark_metadata — resume must see 'empty', not
