@@ -1,0 +1,6 @@
+SELECT CAST(c0 AS VARCHAR) AS url, CAST(c1 AS INTEGER) AS block_idx, CAST(c2 AS VARCHAR) AS lang, CAST(c3 AS BIGINT) AS code_chars, CAST(c4 AS VARCHAR) AS code_sha256 FROM (VALUES
+  ('plant://code/1', 0, 'scala', 10, '889209a4b69f971c3037e304161f25a4467160d1d7a5652d39f0eab85efbffdc'),
+  ('plant://code/1', 1, '', 12, '1c217e029ab9c6e3b21e62a2cfcd565a3968136ad8a805e24ccc70a8c629159d'),
+  ('plant://code/2', 0, 'rust', 13, '536e506bb90914c243a12b397b9a998f85ae2cbd9ba02dfd03a9e155ca5ca0f4'),
+  ('plant://code/2', 1, 'rust', 13, '536e506bb90914c243a12b397b9a998f85ae2cbd9ba02dfd03a9e155ca5ca0f4')
+) AS t(c0, c1, c2, c3, c4)

@@ -87,6 +87,7 @@ object SparkEntry {
     "q_crawl_assets" -> (graft.pipeline.Assets.crawlAssets _),
     "q_mime_detect" -> (graft.pipeline.Assets.mimeDetect _),
     "q_obsidian" -> (CrawlQueries.obsidian _),
+    "q_code_blocks" -> (CrawlQueries.codeBlocks _),
     "q_url_paths" -> (CrawlQueries.urlPaths _),
     "q_page_meta" -> (CrawlQueries.pageMeta _)
   )

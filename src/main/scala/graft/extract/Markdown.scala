@@ -48,7 +48,23 @@ object Markdown {
             val t = e.children.map(inline).mkString.trim
             if (t.nonEmpty) sb.append(t).append("\n\n")
           case "pre" =>
-            sb.append("```\n").append(e.children.map(inline).mkString.stripLineEnd).append("\n```\n\n")
+            // carry the code language through (`<code class="language-x">` →
+            // ```x), the fenced-code fidelity the reference's Backticks
+            // style preserves
+            val lang = e.children.collectFirst {
+              case c: Elem if c.tag == "code" =>
+                c.attr("class").toSeq.flatMap(_.split(' '))
+                  .collectFirst { case cl if cl.startsWith("language-") => cl.substring(9) }
+                  .getOrElse("")
+            }.getOrElse("")
+            // body is RAW text — a <code> child must not be inline-backticked
+            // inside its own fence
+            def rawText(n: Node): String = n match {
+              case TextNode(t) => t
+              case el: Elem => el.children.map(rawText).mkString
+            }
+            sb.append("```").append(lang).append('\n')
+              .append(e.children.map(rawText).mkString.stripLineEnd).append("\n```\n\n")
           case "blockquote" =>
             val t = e.children.map(inline).mkString.trim
             if (t.nonEmpty) sb.append("> ").append(t).append("\n\n")
@@ -68,6 +84,47 @@ object Markdown {
         }
     }
     root.children.foreach(c => block(c, 0))
+    sb.toString
+  }
+
+  // ------------------------------------------------ fenced code blocks -----
+
+  /** The reference's code-block pattern (syntax_highlight.rs:17-19):
+    * ```` ```language\ncode\n``` ```` with dot-all body. */
+  private val CodeBlockRe =
+    java.util.regex.Pattern.compile("(?s)```(\\w*)\\n(.*?)```")
+
+  /** Extract fenced code blocks as (language, code) pairs — the detection
+    * half of syntax_highlight.rs, and the code-corpus extraction a
+    * training-data pipeline runs over markdown documents. Single-pass,
+    * repeated identical blocks all returned (the reference fixed exactly
+    * that skip bug by moving to replace_all). */
+  def extractCodeBlocks(markdown: String): Vector[(String, String)] = {
+    val m = CodeBlockRe.matcher(markdown)
+    val out = Vector.newBuilder[(String, String)]
+    while (m.find()) out += ((m.group(1), m.group(2)))
+    out.result()
+  }
+
+  /** Data-free analogue of `highlight_code_blocks` (syntax_highlight.rs:53+):
+    * each fenced block becomes `<pre><code class="language-X">…</code></pre>`
+    * with the code HTML-escaped, in one replace_all pass. The reference's
+    * syntect THEME rendering (per-token color spans from the bundled
+    * base16 theme tables) is licensed model-like data and is out of scope —
+    * this keeps the structural contract (every block converted, repeats
+    * included, unknown language → bare class). */
+  def annotateCodeBlocks(markdown: String): String = {
+    def esc(s: String) =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val m = CodeBlockRe.matcher(markdown)
+    val sb = new StringBuffer(markdown.length)
+    while (m.find()) {
+      val lang = m.group(1)
+      val cls = if (lang.isEmpty) "" else s""" class="language-$lang""""
+      m.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(
+        s"<pre><code$cls>${esc(m.group(2))}</code></pre>"))
+    }
+    m.appendTail(sb)
     sb.toString
   }
 }

@@ -124,6 +124,35 @@ object Obsidian {
     "---\n" + lines.result().mkString("\n") + "\n---\n"
   }
 
+  // ---------------------------------------------------- obsidian:// URI ----
+
+  /** Minimal Obsidian URI-parameter encoding (uri.rs:16-38): unlike full URL
+    * encoding, forward slashes stay raw (Obsidian expects them unencoded);
+    * only `& = # ? % +`, space, and non-ASCII (as UTF-8 bytes) escape. */
+  def encodeObsidianParam(input: String): String = {
+    val sb = new StringBuilder(input.length)
+    input.foreach {
+      case c @ ('&' | '=' | '#' | '?' | '%' | '+') => sb.append(f"%%${c.toInt}%02X")
+      case ' ' => sb.append("%20")
+      case c if c < 128 => sb.append(c)
+      case c => c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+    }
+    sb.toString
+  }
+
+  /** `obsidian://open?vault=<name>&file=<path>` (uri.rs:47-54). */
+  def obsidianUri(vaultName: String, filePath: String): String =
+    s"obsidian://open?vault=${encodeObsidianParam(vaultName)}&file=${encodeObsidianParam(filePath)}"
+
+  /** Vault name = last path component; empty/root → "Unknown"
+    * (uri.rs:89-96). */
+  def extractVaultName(vaultPath: String): String = {
+    val name = java.nio.file.Paths.get(vaultPath).getFileName
+    val s = if (name == null) "" else name.toString
+    if (s.isEmpty) "Unknown" else s
+  }
+
   /** Full Obsidian note for an extracted page: frontmatter (with the rich
     * metadata block) + wiki-linked markdown body. */
   def note(url: String, title: String, markdown: String, text: String,

@@ -175,6 +175,32 @@ object CrawlQueries {
       .orderBy("url")
   }
 
+  /** Fenced-code-block extraction over page markdown — the detection half of
+    * syntax_highlight.rs as a corpus operation (code-corpus extraction from
+    * markdown documents). The synthetic corpus renders no <pre> blocks, so
+    * planted markdown rows (the DedupQueries convention) carry
+    * language-tagged, untagged, and REPEATED-identical fences — the exact
+    * shapes the reference's single-pass replace_all semantics pin. */
+  def codeBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = CorpusGen.dataset(spark, spec)
+      .filter(p => p.lang.nonEmpty)
+      .map(p => (p.url, graft.extract.Markdown.htmlToMarkdown(
+        new String(p.html, java.nio.charset.StandardCharsets.UTF_8))))
+    val plants = spark.createDataset(Seq(
+      ("plant://code/1", "Intro\n```scala\nval x = 1\n```\nmid\n```\nplain block\n```\ntail"),
+      ("plant://code/2", "Dup\n```rust\nfn main() {}\n```\ntext\n```rust\nfn main() {}\n```\n")))
+    pages.union(plants)
+      .flatMap { case (url, md) =>
+        graft.extract.Markdown.extractCodeBlocks(md).zipWithIndex.map {
+          case ((lang, code), i) =>
+            (url, i, lang, code.length.toLong, CrawlEngine.sha256Hex(code))
+        }
+      }
+      .toDF("url", "block_idx", "lang", "code_chars", "code_sha256")
+      .orderBy("url", "block_idx")
+  }
+
   /** Obsidian-flavored export: YAML frontmatter + wiki-linked markdown per
     * page (frontmatter.rs / wikilinks.rs / obsidian.rs). Dates come from the
     * stored warc_ts — deterministic. */

@@ -25,7 +25,8 @@ object OracleFixtureGen {
     "q_canonicalize_urls", "q_waf_entropy", "q_lang_detect", "q_sitemap_seeds",
     "q_extract_link_edges", "q_crawl_order", "q_crawl_pages", "q_crawl_metrics",
     "q_fetch_retry", "q_markdown", "q_crawl_assets", "q_obsidian", "q_url_paths",
-    "q_crawl_chunks", "q_chunk_validate", "q_warc_roundtrip", "q_crawl_sitemap_seeded")
+    "q_crawl_chunks", "q_chunk_validate", "q_warc_roundtrip", "q_crawl_sitemap_seeded",
+    "q_code_blocks")
 
   private def duckType(dt: DataType): String = dt match {
     case StringType => "VARCHAR"

@@ -92,4 +92,50 @@ class UrlValidatorSpec extends AnyFunSuite {
     assert(md.nonEmpty)
     assert(md.contains("plain tail text"))
   }
+
+  test("htmlToMarkdown carries the code language through the fence") {
+    val md = Markdown.htmlToMarkdown(
+      """<article><p>Paragraph first.</p><pre><code class="language-rust">fn main() {}</code></pre></article>""")
+    assert(md.contains("```rust\nfn main() {}\n```"), s"language-tagged fence: $md")
+  }
+
+  // --- fenced code blocks (syntax_highlight.rs detection + structural
+  // rendering; the syntect THEME tables are out-of-scope model-like data) ---
+  test("extractCodeBlocks: languages, bodies, and repeated identical blocks") {
+    val md = "a\n```rust\nfn main() {}\n```\nb\n```\nplain\n```\nc\n```rust\nfn main() {}\n```\n"
+    val blocks = Markdown.extractCodeBlocks(md)
+    assert(blocks == Vector(("rust", "fn main() {}\n"), ("", "plain\n"), ("rust", "fn main() {}\n")),
+      s"single-pass must not skip the repeated identical block: $blocks")
+  }
+
+  test("annotateCodeBlocks: every block converted, code escaped, class tagged") {
+    val md = "x\n```rust\nif a < b {}\n```\ny\n```\nno lang\n```\n"
+    val out = Markdown.annotateCodeBlocks(md)
+    assert(out.contains("""<pre><code class="language-rust">if a &lt; b {}"""), out)
+    assert(out.contains("<pre><code>no lang"), "unknown language → bare code tag")
+    assert(!out.contains("```"), "all fences consumed in one pass")
+  }
+
+  // --- obsidian:// URI (uri.rs — the reference's own test cases) ---
+  test("obsidianUri: reference cases — minimal encoding, slashes preserved") {
+    import graft.extract.Obsidian
+    assert(Obsidian.obsidianUri("MyVault", "Inbox/example") ==
+      "obsidian://open?vault=MyVault&file=Inbox/example")
+    val spaces = Obsidian.obsidianUri("My Vault", "Inbox/notes")
+    assert(spaces.contains("vault=My%20Vault") && spaces.contains("file=Inbox/notes"))
+    val slashes = Obsidian.obsidianUri("MyVault", "Folder/Subfolder/note")
+    assert(slashes.contains("file=Folder/Subfolder/note") && !slashes.contains("%2F"))
+    val special = Obsidian.obsidianUri("My&Vault", "note=1")
+    assert(special.contains("vault=My%26Vault") && special.contains("file=note%3D1"))
+    // non-ASCII percent-encodes as UTF-8 bytes
+    assert(Obsidian.encodeObsidianParam("é") == "%C3%A9")
+  }
+
+  test("extractVaultName: reference cases") {
+    import graft.extract.Obsidian
+    assert(Obsidian.extractVaultName("/home/user/Obsidian/MyVault") == "MyVault")
+    assert(Obsidian.extractVaultName("MyVault") == "MyVault")
+    assert(Obsidian.extractVaultName("") == "Unknown")
+    assert(Obsidian.extractVaultName("/") == "Unknown")
+  }
 }
