@@ -123,7 +123,12 @@ object CrawlEngine {
       // different payloads still resolves deterministically by content,
       // preserving the old max(struct(.., html, ..)) semantics exactly. The
       // groupBy rides the join's canonical partitioning (no new exchange)
-      // and only ever aggregates winner rows, not the full capture set.
+      // and only ever aggregates WINNER rows, not the full capture set —
+      // i.e. this branch pays a winner-row-sized payload SortAggregate
+      // (the pre-fix baseline's cost on an already-capture-deduped table,
+      // a bounded fraction of the old full-capture sort), and ONLY when
+      // byte-identical duplicate rows actually exist; typical tables take
+      // the no-ties path above and never sort payloads at all.
       joined.groupBy("canonicalUrl")
         .agg(first("servedUrl").as("servedUrl"), first("warcTs").as("warcTs"),
           max(struct(col("html"), col("storedText"), col("storedLang"))).as("p"))

@@ -50,17 +50,21 @@ object Markdown {
           case "pre" =>
             // carry the code language through (`<code class="language-x">` →
             // ```x), the fenced-code fidelity the reference's Backticks
-            // style preserves
+            // style preserves. The emitted language is restricted to the
+            // fence grammar CodeBlockRe parses (letters/digits/_+.#-), so
+            // the two halves of the pipeline can never disagree on what is
+            // a fence line.
             val lang = e.children.collectFirst {
               case c: Elem if c.tag == "code" =>
                 c.attr("class").toSeq.flatMap(_.split(' '))
                   .collectFirst { case cl if cl.startsWith("language-") => cl.substring(9) }
                   .getOrElse("")
-            }.getOrElse("")
+            }.getOrElse("").filter(FenceLangChar)
             // body is RAW text — a <code> child must not be inline-backticked
-            // inside its own fence
+            // inside its own fence; <br> is still a line break
             def rawText(n: Node): String = n match {
               case TextNode(t) => t
+              case el: Elem if el.tag == "br" => "\n"
               case el: Elem => el.children.map(rawText).mkString
             }
             sb.append("```").append(lang).append('\n')
@@ -89,10 +93,20 @@ object Markdown {
 
   // ------------------------------------------------ fenced code blocks -----
 
-  /** The reference's code-block pattern (syntax_highlight.rs:17-19):
-    * ```` ```language\ncode\n``` ```` with dot-all body. */
+  /** Characters allowed in a fence language tag. A SUPERSET of the
+    * reference's `\w*` (syntax_highlight.rs:17-19): real-world languages —
+    * c++, c#, objective-c, asp.net — carry `+ . # -`, and a parser that
+    * rejects them would misread the block's CLOSING fence as an opener and
+    * swallow following prose as phantom code. The emitter (htmlToMarkdown's
+    * pre case) filters to the same set, so emit and parse always agree. */
+  private[extract] val FenceLangChar: Char => Boolean =
+    c => c.isLetterOrDigit || c == '_' || c == '+' || c == '.' || c == '#' || c == '-'
+
+  /** The reference's code-block pattern shape (syntax_highlight.rs:17-19):
+    * ```` ```language\ncode\n``` ```` with dot-all body; language charset
+    * widened per [[FenceLangChar]]. */
   private val CodeBlockRe =
-    java.util.regex.Pattern.compile("(?s)```(\\w*)\\n(.*?)```")
+    java.util.regex.Pattern.compile("(?s)```([\\w+.#-]*)\\n(.*?)```")
 
   /** Extract fenced code blocks as (language, code) pairs — the detection
     * half of syntax_highlight.rs, and the code-corpus extraction a

@@ -131,12 +131,19 @@ object Obsidian {
     * only `& = # ? % +`, space, and non-ASCII (as UTF-8 bytes) escape. */
   def encodeObsidianParam(input: String): String = {
     val sb = new StringBuilder(input.length)
-    input.foreach {
-      case c @ ('&' | '=' | '#' | '?' | '%' | '+') => sb.append(f"%%${c.toInt}%02X")
-      case ' ' => sb.append("%20")
-      case c if c < 128 => sb.append(c)
-      case c => c.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // iterate CODE POINTS, not UTF-16 units — an emoji vault name is two
+    // surrogates, and encoding each alone yields replacement bytes (%3F)
+    var i = 0
+    while (i < input.length) {
+      val cp = input.codePointAt(i)
+      if (cp == '&' || cp == '=' || cp == '#' || cp == '?' || cp == '%' || cp == '+')
+        sb.append(f"%%$cp%02X")
+      else if (cp == ' ') sb.append("%20")
+      else if (cp < 128) sb.append(cp.toChar)
+      else new String(Character.toChars(cp))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
         .foreach(b => sb.append(f"%%${b & 0xff}%02X"))
+      i += Character.charCount(cp)
     }
     sb.toString
   }

@@ -139,7 +139,10 @@ object Bpe {
   def parseMerges(lines: Iterator[String]): Model = {
     val merges = lines.map(_.trim).filter(_.nonEmpty).flatMap { l =>
       val parts = l.split(' ')
-      val isVersionHeader = l.startsWith("#version")
+      // the colon is part of the discriminator: '#version: 0.2' is the HF
+      // header, while '#version ing' (a legitimate merge trained from GLSL
+      // '#version' directives) must parse as a merge
+      val isVersionHeader = l.startsWith("#version:")
       if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty && !isVersionHeader)
         Some((parts(0), parts(1)))
       else if (l.startsWith("#")) None // prose header or #version line

@@ -77,46 +77,64 @@ object StreamingFrontier {
             state.remove()
             Iterator.empty
           } else {
-            // deterministic representative (the engine's dedupeWave order —
-            // min depth, then lexicographically smallest url/parent) and the
-            // MIN discovery timestamp (the TTL anchor = the FIRST sighting;
-            // a same-batch duplicate must not extend the staleness clock any
-            // more than a cross-batch one does), in one pass
+            // One pass over the group: the deterministic representative (the
+            // engine's dedupeWave order — min depth, then lexicographically
+            // smallest url/parent) plus three timestamps — the MIN sighting
+            // (fresh-key TTL anchor: a same-batch duplicate must not extend
+            // the staleness clock), the MAX sighting (the re-admission
+            // decision: ANY sighting at/past the stored expiry is a
+            // re-crawl, even if a stale duplicate rides the same batch),
+            // and the MIN sighting at/past the stored expiry (the
+            // re-crawl's OWN anchor — its clock must not start at a stale
+            // duplicate from the previous window).
+            val prevExpiry = if (state.exists) state.get else Long.MaxValue
             var minTs = Long.MaxValue
+            var maxTs = Long.MinValue
+            var minPastTs = Long.MaxValue
+            def see(d: Discovered): Unit = {
+              val t = d.discoveredAt.getTime
+              minTs = math.min(minTs, t)
+              maxTs = math.max(maxTs, t)
+              if (t >= prevExpiry) minPastTs = math.min(minPastTs, t)
+            }
             val best = rows.reduceLeft { (a, b) =>
-              minTs = math.min(minTs, math.min(a.discoveredAt.getTime, b.discoveredAt.getTime))
+              see(a); see(b)
               graft.frontier.Frontier.merge(a, b) // THE batch merge rule
             }
-            val firstTs = math.min(minTs, best.discoveredAt.getTime) // single-row group
+            see(best) // single-row group: reduceLeft never called the lambda
             // arm the cleanup timeout only when legal — a timestamp at or
-            // behind the watermark is rejected by Spark. An unarmable key
-            // keeps its state UNARMED: re-admission is governed by the
-            // EVENT-time comparison below, not by the timeout (which exists
-            // only to garbage-collect idle keys), so suppression still holds;
-            // the state is cleaned by a later sighting's re-arm or removal.
+            // behind the watermark is rejected by Spark. (Unreachable in
+            // practice: the operator drops rows behind the watermark before
+            // this function, so every expiry derived from a delivered row is
+            // ahead of it — the guard is defense against Spark relaxing that
+            // filter.) The timeout exists only to garbage-collect idle keys;
+            // re-admission is governed by the EVENT-time comparison below.
             def arm(expiry: Long): Unit = seenTtlMs.foreach { _ =>
               if (expiry > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(expiry)
             }
-            def admit(): Iterator[Discovered] = {
-              val expiry = seenTtlMs.map(firstTs + _).getOrElse(Long.MaxValue)
+            def admit(anchorTs: Long): Iterator[Discovered] = {
+              val expiry = seenTtlMs.map(anchorTs + _).getOrElse(Long.MaxValue)
               state.update(expiry)
               arm(expiry)
               Iterator.single(best)
             }
-            if (!state.exists) admit()
-            else if (seenTtlMs.isDefined && state.get <= firstTs) {
-              // the sighting lies at/after the previous fetch's TTL in EVENT
-              // time: it IS the re-crawl. (Watermark time is deliberately not
-              // consulted — a LATE duplicate inside the previous fetch's TTL
-              // window must stay suppressed even when the watermark has
-              // already passed the expiry, else every late sighting would
-              // re-fetch once per batch.)
-              admit()
+            if (!state.exists) admit(minTs)
+            else if (seenTtlMs.isDefined && prevExpiry <= maxTs) {
+              // some sighting lies at/after the previous fetch's TTL in
+              // EVENT time: it IS the re-crawl, anchored at the earliest
+              // past-expiry sighting. (Watermark time is deliberately not
+              // consulted — a LATE duplicate inside the previous fetch's
+              // TTL window must stay suppressed even when the watermark has
+              // already passed the expiry. Caveat: once the idle-key timeout
+              // has GC'd the state, a later within-old-window duplicate is
+              // indistinguishable from a first sighting — the forget is
+              // authoritative, the standard TTL-state trade.)
+              admit(minPastTs)
             } else {
               // duplicate inside the TTL window (or exact forever mode):
               // drop it, and re-arm the ORIGINAL expiry — the invocation
               // itself cleared the key's timeout
-              arm(state.get)
+              arm(prevExpiry)
               Iterator.empty
             }
           }

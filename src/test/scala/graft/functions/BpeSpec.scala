@@ -128,5 +128,11 @@ class BpeSpec extends AnyFunSuite {
     val hv = Bpe.parseMerges(Iterator("#version: 0.2", "a b"))
     assert(hv.merges == Vector(("a", "b")),
       s"'#version: 0.2' must be skipped as a header: ${hv.merges}")
+    // ...but a trained merge whose left symbol merely STARTS with
+    // '#version' (GLSL '#version' directives pretokenize to that) is a
+    // merge — only the colon form is the header
+    val glsl = Bpe.parseMerges(Iterator("#version ing", "#versions x"))
+    assert(glsl.merges == Vector(("#version", "ing"), ("#versions", "x")),
+      s"colon-less '#version*' left symbols are merges: ${glsl.merges}")
   }
 }

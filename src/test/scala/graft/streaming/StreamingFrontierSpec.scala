@@ -185,6 +185,26 @@ class StreamingFrontierSpec extends AnyFunSuite {
     assert(rows.length == 3)
   }
 
+  test("a past-TTL rediscovery re-admits even when a stale duplicate rides the same batch") {
+    // the re-admission decision uses the group's MAX sighting (any sighting
+    // past the expiry is a re-crawl); anchoring still uses the earliest
+    // PAST-EXPIRY sighting, so the stale duplicate neither suppresses the
+    // re-crawl nor starts its clock early
+    val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-mixed").toString
+    val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
+    val ttl = Some(60000L)
+    writeWave(in, Seq(d("https://s.com/a"), d("https://s.com/b"))) // expiry T0+60s
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    writeWave(in, Seq( // ONE batch: stale dup (inside old window) + fresh rediscovery (past it)
+      d("https://s.com/a", depth = 5, atMs = T0 + 30000L),
+      d("https://s.com/a", depth = 6, atMs = T0 + 70000L)))
+    StreamingFrontier.firstSeenOnly(spark, in, out, cp, seenTtlMs = ttl)
+    val rows = StreamingFrontier.readOutput(spark, out).collect()
+    assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 2,
+      "the past-expiry sighting must re-admit despite the stale same-batch duplicate")
+    assert(rows.length == 3)
+  }
+
   test("readOutput of a sink dir with no committed data files reads as empty") {
     // a run killed between sink init and the first batch commit leaves the
     // output dir with only _spark_metadata — resume must see 'empty', not

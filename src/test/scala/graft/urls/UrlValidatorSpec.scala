@@ -108,6 +108,22 @@ class UrlValidatorSpec extends AnyFunSuite {
       s"single-pass must not skip the repeated identical block: $blocks")
   }
 
+  test("fence emit and parse agree on real-world language tags (c++, c#)") {
+    // the emitter and parser share one charset — a parser stuck at \w would
+    // misread a c++ block's CLOSING fence as an opener and swallow prose
+    val md = Markdown.htmlToMarkdown(
+      """<article><p>Before text.</p><pre><code class="language-c++">x++;</code></pre><p>After prose.</p></article>""")
+    assert(md.contains("```c++\nx++;\n```"), md)
+    val blocks = Markdown.extractCodeBlocks(md)
+    assert(blocks == Vector(("c++", "x++;\n")), s"prose must not become phantom code: $blocks")
+  }
+
+  test("pre body keeps <br> line breaks and raw code text") {
+    val md = Markdown.htmlToMarkdown(
+      """<article><p>Paragraph first here.</p><pre><code>line1<br>line2</code></pre></article>""")
+    assert(md.contains("```\nline1\nline2\n```"), s"<br> inside pre is a line break: $md")
+  }
+
   test("annotateCodeBlocks: every block converted, code escaped, class tagged") {
     val md = "x\n```rust\nif a < b {}\n```\ny\n```\nno lang\n```\n"
     val out = Markdown.annotateCodeBlocks(md)
@@ -127,8 +143,12 @@ class UrlValidatorSpec extends AnyFunSuite {
     assert(slashes.contains("file=Folder/Subfolder/note") && !slashes.contains("%2F"))
     val special = Obsidian.obsidianUri("My&Vault", "note=1")
     assert(special.contains("vault=My%26Vault") && special.contains("file=note%3D1"))
-    // non-ASCII percent-encodes as UTF-8 bytes
+    // non-ASCII percent-encodes as UTF-8 bytes — including non-BMP code
+    // points (an emoji vault name is a surrogate PAIR; encoding each half
+    // alone would yield replacement bytes %3F%3F)
     assert(Obsidian.encodeObsidianParam("é") == "%C3%A9")
+    assert(Obsidian.encodeObsidianParam(new String(Character.toChars(0x1F4D4))) ==
+      "%F0%9F%93%94")
   }
 
   test("extractVaultName: reference cases") {
