@@ -62,23 +62,23 @@ object CrawlEngine {
   /** Canonical-keyed fetchable view of a Common-Crawl-style pages table.
     * Such a table holds MULTIPLE captures of one page (re-crawls,
     * www/non-www variants); one fetchable row per canonical URL: the latest
-    * warc_ts wins, ties broken by largest served url, then by payload
-    * (length, xxhash64) order — without this the fetch join multiplies wave
-    * rows and corrupts error counts.
+    * warc_ts wins, ties broken by largest served url, then by lexicographic
+    * payload order — without this the fetch join multiplies wave rows and
+    * corrupts error counts.
     *
     * Scale shape: the naive `groupBy(canonical).agg(max(struct(..html..)))`
     * is a SortAggregate that SORTS the multi-KB payload bytes of the entire
     * input — the same "html must never be sorted" rule the fetch join
     * obeys, violated on the biggest table in the system (it OOM-thrashed a
     * 360k-page corpus on an 8 GB heap). Instead the winner is chosen over
-    * SMALL columns only — (warcTs, servedUrl) plus payload length/xxhash64
-    * fingerprints as the deterministic deep tie-break — and joined back on
+    * SMALL columns only — (warcTs, servedUrl), a pruned two-column read
+    * (~1% of the table's bytes at web html sizes) — and joined back on
     * canonical alone (SHUFFLE_HASH, so payloads are hashed, never sorted,
     * and the join's exchange doubles as the canonical hash-partitioning the
-    * per-wave fetch join reuses). Byte-identical duplicate captures (equal
-    * pick incl. fingerprints) are detected with one small-column action and
-    * collapsed only when present — the typical no-tie table never touches a
-    * payload aggregation at all. The canonicalize is the native codegen
+    * per-wave fetch join reuses). Captures tied on the full (canonical,
+    * warcTs, servedUrl) key are detected with one small-column action and
+    * deep-tie-collapsed by actual payload bytes only when present — the
+    * typical no-tie table never touches a payload aggregation at all. The canonicalize is the native codegen
     * Catalyst expression, not a ScalaUDF — it runs on the FULL pages table
     * (100 TB at target scale) and must stay inside whole-stage codegen.
     * Shared by the batch wave loop and the streaming crawl twin. */
@@ -87,18 +87,14 @@ object CrawlEngine {
     val keyed = pages
       .withColumn("canonicalUrl", canonCol)
       .filter(col("canonicalUrl").isNotNull)
-      .withColumn("pick", struct(
-        col("warc_ts").as("warcTs"), col("url").as("servedUrl"),
-        length(col("html")).as("lenHtml"), xxhash64(col("html")).as("hHtml"),
-        length(col("text")).as("lenText"), xxhash64(col("text")).as("hText"),
-        xxhash64(col("lang")).as("hLang")))
-    // winner + duplicate detection in one small-column pipeline: rows are
-    // (canonical, pick, count) — ~100 bytes each regardless of payload size.
-    // Eager localCheckpoint materializes the winner table ONCE: the ties
-    // check reads the checkpointed blocks (no second payload scan) and the
-    // join below reuses them, so the payload columns are read exactly twice
-    // per crawl (winner pass + fetch side) instead of three times. Blocks
-    // are ContextCleaner-managed (freed on GC — crawls run many-per-JVM);
+      .withColumn("pick", struct(col("warc_ts").as("warcTs"), col("url").as("servedUrl")))
+    // winner + duplicate detection over SMALL COLUMNS ONLY — the pick is
+    // (warcTs, servedUrl), so this whole pipeline reads just two scalar
+    // columns (a parquet scan prunes the payload bytes entirely: ~1% of the
+    // table's bytes at Common-Crawl html sizes). Eager localCheckpoint
+    // materializes the winner table ONCE: the ties check reads the
+    // checkpointed blocks and the join below reuses them. Blocks are
+    // ContextCleaner-managed (freed on GC — crawls run many-per-JVM);
     // caveat: non-resilient to executor loss, same documented trade as
     // winnowOverlaps — a 100-TB deployment writes winners to a table.
     val picksAgg = keyed.groupBy(col("canonicalUrl"), col("pick"))
@@ -116,19 +112,15 @@ object CrawlEngine {
         col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
     if (!hasTies) joined
     else
-      // duplicate captures with identical pick (incl. payload fingerprints)
-      // survive the filter together; collapse by lexicographic max over the
-      // ACTUAL payload bytes — byte-identical candidates (the norm) make
-      // this a no-op choice, and a 64-bit fingerprint collision between
-      // different payloads still resolves deterministically by content,
-      // preserving the old max(struct(.., html, ..)) semantics exactly. The
-      // groupBy rides the join's canonical partitioning (no new exchange)
-      // and only ever aggregates WINNER rows, not the full capture set —
-      // i.e. this branch pays a winner-row-sized payload SortAggregate
-      // (the pre-fix baseline's cost on an already-capture-deduped table,
-      // a bounded fraction of the old full-capture sort), and ONLY when
-      // byte-identical duplicate rows actually exist; typical tables take
-      // the no-ties path above and never sort payloads at all.
+      // somewhere in the table, multiple captures share (canonical, warcTs,
+      // servedUrl): collapse the survivors by lexicographic max over the
+      // ACTUAL payload bytes — exactly the deep tie-break the naive
+      // max(struct(.., html, ..)) implemented, fully deterministic by
+      // content. The groupBy rides the join's canonical partitioning (no
+      // new exchange) and only ever aggregates WINNER rows, not the full
+      // capture set — a bounded, output-sized payload aggregation paid ONLY
+      // when such ties exist; typical tables take the no-ties path above
+      // and never aggregate payloads at all.
       joined.groupBy("canonicalUrl")
         .agg(first("servedUrl").as("servedUrl"), first("warcTs").as("warcTs"),
           max(struct(col("html"), col("storedText"), col("storedLang"))).as("p"))

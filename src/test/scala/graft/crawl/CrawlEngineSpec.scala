@@ -167,6 +167,34 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("exact (canonical, warc_ts, url) tie: deep tie-break by payload bytes, one row, deterministic") {
+    withSpark("local[4]") { spark =>
+      import spark.implicits._
+      val ts = new java.sql.Timestamp(1700000000000L)
+      def row(html: String, text: String) = graft.model.PageRow(
+        "https://tie.com/page", ts, s"<html><body><p>$html</p></body></html>".getBytes("UTF-8"),
+        text, "eng")
+      // two captures IDENTICAL on the winner key but different payloads —
+      // the rare path: collapse must pick the lexicographically larger
+      // payload (the original max(struct(.., html, ..)) deep-tie spec),
+      // emit exactly one row, and stay order-independent
+      val pages = spark.createDataset(Seq(
+        row("bbb payload wins", "B"), row("aaa payload loses", "A"),
+        graft.model.PageRow("https://tie.com/other", ts,
+          "<html><body><p>other</p></body></html>".getBytes("UTF-8"), "O", "eng")))
+      val prepared = CrawlEngine.preparePages(pages).collect()
+      assert(prepared.length == 2, s"one row per canonical: ${prepared.toSeq}")
+      val tie = prepared.find(_.getAs[String]("canonicalUrl") == "https://tie.com/page").get
+      assert(new String(tie.getAs[Array[Byte]]("html"), "UTF-8").contains("bbb payload wins"),
+        "deep tie resolves to the lexicographically larger payload")
+      assert(tie.getAs[String]("storedText") == "B")
+      // reversed input order → same winner (deterministic by value)
+      val prepared2 = CrawlEngine.preparePages(spark.createDataset(Seq(
+        row("aaa payload loses", "A"), row("bbb payload wins", "B")))).collect()
+      assert(new String(prepared2.head.getAs[Array[Byte]]("html"), "UTF-8").contains("bbb payload wins"))
+    }
+  }
+
   test("adaptive politeness: error-serving host is throttled next wave, then recovers") {
     withSpark("local[4]") { spark =>
       import spark.implicits._
