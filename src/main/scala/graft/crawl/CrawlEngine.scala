@@ -104,29 +104,35 @@ object CrawlEngine {
       .select(col("canonicalUrl"), col("w.pick").as("winner"), col("w.nDup").as("nDup"))
       .localCheckpoint()
     val hasTies = !winners.filter(col("nDup") > 1).isEmpty
-    val joined = keyed
-      .join(winners.select("canonicalUrl", "winner").hint("shuffle_hash"), Seq("canonicalUrl"))
+    def winnerJoin(w: DataFrame): DataFrame = keyed
+      .join(w.select("canonicalUrl", "winner").hint("shuffle_hash"), Seq("canonicalUrl"))
       .filter(col("pick") === col("winner"))
       .select(col("canonicalUrl"), col("pick.servedUrl").as("servedUrl"),
         col("pick.warcTs").as("warcTs"),
         col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
-    if (!hasTies) joined
-    else
-      // somewhere in the table, multiple captures share (canonical, warcTs,
-      // servedUrl): collapse the survivors by lexicographic max over the
-      // ACTUAL payload bytes — exactly the deep tie-break the naive
-      // max(struct(.., html, ..)) implemented, fully deterministic by
-      // content. The groupBy rides the join's canonical partitioning (no
-      // new exchange) and only ever aggregates WINNER rows, not the full
-      // capture set — a bounded, output-sized payload aggregation paid ONLY
-      // when such ties exist; typical tables take the no-ties path above
-      // and never aggregate payloads at all.
-      joined.groupBy("canonicalUrl")
+    if (!hasTies) winnerJoin(winners)
+    else {
+      // somewhere in the table, multiple captures share the FULL (canonical,
+      // warcTs, servedUrl) key: collapse those survivors by lexicographic
+      // max over the ACTUAL payload bytes — exactly the deep tie-break the
+      // naive max(struct(.., html, ..)) implemented, fully deterministic by
+      // content. The collapse is scoped to the TIED GROUPS ONLY (winners
+      // split by nDup, both halves read the checkpointed winner blocks): one
+      // tie anywhere must not route every group through a payload
+      // aggregation. The untouched nDup == 1 rows flow through the plain
+      // winner join; the tied slice — almost always a handful of groups —
+      // pays a second pages pass plus a bounded, tied-output-sized payload
+      // aggregation riding its join's canonical partitioning.
+      val clean = winnerJoin(winners.filter(col("nDup") === 1))
+      val deep = winnerJoin(winners.filter(col("nDup") > 1))
+        .groupBy("canonicalUrl")
         .agg(first("servedUrl").as("servedUrl"), first("warcTs").as("warcTs"),
           max(struct(col("html"), col("storedText"), col("storedLang"))).as("p"))
         .select(col("canonicalUrl"), col("servedUrl"), col("warcTs"),
           col("p.html").as("html"), col("p.storedText").as("storedText"),
           col("p.storedLang").as("storedLang"))
+      clean.unionByName(deep)
+    }
   }
 
   /** The per-link admission chain (scheme filter → robots/sitemap-file skip

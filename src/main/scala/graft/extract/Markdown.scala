@@ -104,9 +104,13 @@ object Markdown {
 
   /** The reference's code-block pattern shape (syntax_highlight.rs:17-19):
     * ```` ```language\ncode\n``` ```` with dot-all body; language charset
-    * widened per [[FenceLangChar]]. */
+    * widened per [[FenceLangChar]]. The class is spelled as explicit Unicode
+    * categories (`\p{L}` = Character.isLetter, `\p{Nd}` = Character.isDigit)
+    * rather than Java's ASCII-only `\w`, so the parser accepts exactly the
+    * set [[FenceLangChar]] lets the emitter produce — a non-ASCII language
+    * tag (`язык`, `中文`) must not desynchronize fence pairing. */
   private val CodeBlockRe =
-    java.util.regex.Pattern.compile("(?s)```([\\w+.#-]*)\\n(.*?)```")
+    java.util.regex.Pattern.compile("(?s)```([\\p{L}\\p{Nd}_+.#-]*)\\n(.*?)```")
 
   /** Extract fenced code blocks as (language, code) pairs — the detection
     * half of syntax_highlight.rs, and the code-corpus extraction a

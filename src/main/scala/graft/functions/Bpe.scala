@@ -127,25 +127,36 @@ object Bpe {
 
   /** Parse a merges table: one `left right` pair per line. Symbols never
     * contain spaces (pretokens are whitespace-split), so a merge line has
-    * EXACTLY two tokens — that, not a `#` prefix, is the main
-    * discriminator: a trained merge whose left symbol starts with `#`
-    * (markdown-heavy corpora produce `# #`, then `#`-led products) must not
-    * be silently dropped as a comment. Comment lines are `#`-prefixed lines
-    * that are NOT two tokens (prose headers) plus the one two-token header
-    * real tokenizer files carry, `#version: N` — which no trained merge can
-    * collide with (":" never ends a first-position product of a
-    * whitespace-split alphabet followed by a bare version number).
-    * Anything else malformed fails loudly. */
+    * EXACTLY two tokens. A `#`-prefixed two-token line is ambiguous between
+    * a trained merge (markdown-heavy corpora produce `# #`, then `#`-led
+    * products — the case that motivated accepting them at all) and a prose
+    * header (`# merges`, `#generated tooling`); the discriminator is
+    * PRODUCIBILITY: merges are ordered, so a trained `#`-led left symbol is
+    * either all `#` chars or the product of an earlier merge — anything
+    * else is a comment. `#version: N` (the HF header) is always a comment:
+    * no trained first symbol ends with `:` followed by a bare version
+    * number. Non-`#` lines that aren't two tokens fail loudly. */
   def parseMerges(lines: Iterator[String]): Model = {
+    // BPE merges are ordered: each operand is a base symbol or the product of
+    // an EARLIER merge. For `#`-prefixed two-token lines this producibility
+    // test is the comment/merge discriminator — a left symbol that is all
+    // `#` chars (the `# #` → `##` ladder) or a prior product (`#version ing`
+    // after a `#version`-producing merge) is a trained merge; anything else
+    // (`# merges`, `#generated tooling`) is a prose header and is dropped.
+    val products = scala.collection.mutable.HashSet.empty[String]
+    def plausiblyTrained(sym: String): Boolean =
+      sym.stripSuffix(Eow).forall(_ == '#') || products.contains(sym)
     val merges = lines.map(_.trim).filter(_.nonEmpty).flatMap { l =>
       val parts = l.split(' ')
       // the colon is part of the discriminator: '#version: 0.2' is the HF
-      // header, while '#version ing' (a legitimate merge trained from GLSL
-      // '#version' directives) must parse as a merge
+      // header, and no trained first symbol ends with ':' followed by a bare
+      // version number
       val isVersionHeader = l.startsWith("#version:")
-      if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty && !isVersionHeader)
+      if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty && !isVersionHeader
+          && (!l.startsWith("#") || plausiblyTrained(parts(0)))) {
+        products += parts(0) + parts(1)
         Some((parts(0), parts(1)))
-      else if (l.startsWith("#")) None // prose header or #version line
+      } else if (l.startsWith("#")) None // prose header or #version line
       else sys.error(s"malformed merge line: '$l'")
     }.toVector
     new Model(merges)

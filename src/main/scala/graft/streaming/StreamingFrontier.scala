@@ -77,31 +77,39 @@ object StreamingFrontier {
             state.remove()
             Iterator.empty
           } else {
-            // One pass over the group: the deterministic representative (the
-            // engine's dedupeWave order — min depth, then lexicographically
-            // smallest url/parent) plus three timestamps — the MIN sighting
-            // (fresh-key TTL anchor: a same-batch duplicate must not extend
-            // the staleness clock), the MAX sighting (the re-admission
-            // decision: ANY sighting at/past the stored expiry is a
-            // re-crawl, even if a stale duplicate rides the same batch),
-            // and the MIN sighting at/past the stored expiry (the
-            // re-crawl's OWN anchor — its clock must not start at a stale
-            // duplicate from the previous window).
+            // One pass over the group: TWO deterministic representatives
+            // under the engine's dedupeWave order (min depth, then
+            // lexicographically smallest url/parent) — `bestAll` over every
+            // sighting (the fresh-key emission) and `bestPast` over only the
+            // sightings at/past the stored expiry (the re-admission
+            // emission: a mixed batch can carry stale duplicates from inside
+            // the previous TTL window that would be suppressed on their own,
+            // and they must not become the re-crawl's representative) —
+            // plus three timestamps: the MIN sighting (fresh-key TTL anchor:
+            // a same-batch duplicate must not extend the staleness clock),
+            // the MAX sighting (the re-admission decision: ANY sighting
+            // at/past the stored expiry is a re-crawl), and the MIN sighting
+            // at/past the stored expiry (the re-crawl's OWN anchor — its
+            // clock must not start at a stale duplicate from the previous
+            // window).
             val prevExpiry = if (state.exists) state.get else Long.MaxValue
             var minTs = Long.MaxValue
             var maxTs = Long.MinValue
             var minPastTs = Long.MaxValue
-            def see(d: Discovered): Unit = {
+            var bestAll: Discovered = null
+            var bestPast: Discovered = null
+            rows.foreach { d =>
               val t = d.discoveredAt.getTime
               minTs = math.min(minTs, t)
               maxTs = math.max(maxTs, t)
-              if (t >= prevExpiry) minPastTs = math.min(minPastTs, t)
+              bestAll = if (bestAll == null) d
+                        else graft.frontier.Frontier.merge(bestAll, d) // THE batch merge rule
+              if (t >= prevExpiry) {
+                minPastTs = math.min(minPastTs, t)
+                bestPast = if (bestPast == null) d
+                           else graft.frontier.Frontier.merge(bestPast, d)
+              }
             }
-            val best = rows.reduceLeft { (a, b) =>
-              see(a); see(b)
-              graft.frontier.Frontier.merge(a, b) // THE batch merge rule
-            }
-            see(best) // single-row group: reduceLeft never called the lambda
             // arm the cleanup timeout only when legal — a timestamp at or
             // behind the watermark is rejected by Spark. (Unreachable in
             // practice: the operator drops rows behind the watermark before
@@ -112,24 +120,24 @@ object StreamingFrontier {
             def arm(expiry: Long): Unit = seenTtlMs.foreach { _ =>
               if (expiry > state.getCurrentWatermarkMs()) state.setTimeoutTimestamp(expiry)
             }
-            def admit(anchorTs: Long): Iterator[Discovered] = {
+            def admit(anchorTs: Long, rep: Discovered): Iterator[Discovered] = {
               val expiry = seenTtlMs.map(anchorTs + _).getOrElse(Long.MaxValue)
               state.update(expiry)
               arm(expiry)
-              Iterator.single(best)
+              Iterator.single(rep)
             }
-            if (!state.exists) admit(minTs)
+            if (!state.exists) admit(minTs, bestAll)
             else if (seenTtlMs.isDefined && prevExpiry <= maxTs) {
               // some sighting lies at/after the previous fetch's TTL in
-              // EVENT time: it IS the re-crawl, anchored at the earliest
-              // past-expiry sighting. (Watermark time is deliberately not
+              // EVENT time: it IS the re-crawl — represented and anchored by
+              // the past-expiry sightings only. (Watermark time is deliberately not
               // consulted — a LATE duplicate inside the previous fetch's
               // TTL window must stay suppressed even when the watermark has
               // already passed the expiry. Caveat: once the idle-key timeout
               // has GC'd the state, a later within-old-window duplicate is
               // indistinguishable from a first sighting — the forget is
               // authoritative, the standard TTL-state trade.)
-              admit(minPastTs)
+              admit(minPastTs, bestPast)
             } else {
               // duplicate inside the TTL window (or exact forever mode):
               // drop it, and re-arm the ORIGINAL expiry — the invocation

@@ -128,11 +128,18 @@ class BpeSpec extends AnyFunSuite {
     val hv = Bpe.parseMerges(Iterator("#version: 0.2", "a b"))
     assert(hv.merges == Vector(("a", "b")),
       s"'#version: 0.2' must be skipped as a header: ${hv.merges}")
-    // ...but a trained merge whose left symbol merely STARTS with
-    // '#version' (GLSL '#version' directives pretokenize to that) is a
-    // merge — only the colon form is the header
-    val glsl = Bpe.parseMerges(Iterator("#version ing", "#versions x"))
-    assert(glsl.merges == Vector(("#version", "ing"), ("#versions", "x")),
-      s"colon-less '#version*' left symbols are merges: ${glsl.merges}")
+    // ...and a '#'-led left symbol that is NOT all-'#' chars counts as a
+    // merge only when an earlier merge PRODUCED it (BPE tables are ordered:
+    // every operand is a base symbol or a prior product). '#version ing' is
+    // a merge after a '# version' merge produced '#version'; the same line
+    // standing alone — indistinguishable from prose like
+    // '#generated tooling' — is a comment. Only '# #'-style all-'#' left
+    // symbols are unconditionally merges.
+    val glsl = Bpe.parseMerges(Iterator("# version", "#version ing"))
+    assert(glsl.merges == Vector(("#", "version"), ("#version", "ing")),
+      s"produced '#version' left symbol is a merge: ${glsl.merges}")
+    val prose = Bpe.parseMerges(Iterator("#version ing", "#generated tooling", "a b"))
+    assert(prose.merges == Vector(("a", "b")),
+      s"unproduced '#'-led left symbols are prose headers: ${prose.merges}")
   }
 }

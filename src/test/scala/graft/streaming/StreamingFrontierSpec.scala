@@ -187,9 +187,11 @@ class StreamingFrontierSpec extends AnyFunSuite {
 
   test("a past-TTL rediscovery re-admits even when a stale duplicate rides the same batch") {
     // the re-admission decision uses the group's MAX sighting (any sighting
-    // past the expiry is a re-crawl); anchoring still uses the earliest
-    // PAST-EXPIRY sighting, so the stale duplicate neither suppresses the
-    // re-crawl nor starts its clock early
+    // past the expiry is a re-crawl); anchoring AND the emitted
+    // representative use only the PAST-EXPIRY sightings, so the stale
+    // duplicate neither suppresses the re-crawl, nor starts its clock
+    // early, nor becomes the re-crawl's emitted row (its min depth would
+    // otherwise win the merge)
     val root = java.nio.file.Files.createTempDirectory("graft-sfrontier-mixed").toString
     val in = s"$root/in"; val out = s"$root/out"; val cp = s"$root/cp"
     val ttl = Some(60000L)
@@ -203,6 +205,11 @@ class StreamingFrontierSpec extends AnyFunSuite {
     assert(rows.count(_.getAs[String]("canonicalUrl") == "https://s.com/a") == 2,
       "the past-expiry sighting must re-admit despite the stale same-batch duplicate")
     assert(rows.length == 3)
+    val readmitted = rows.filter(_.getAs[String]("canonicalUrl") == "https://s.com/a")
+      .maxBy(_.getAs[java.sql.Timestamp]("discoveredAt").getTime)
+    assert(readmitted.getAs[Int]("depth") == 6 &&
+      readmitted.getAs[java.sql.Timestamp]("discoveredAt").getTime == T0 + 70000L,
+      s"the stale min-depth duplicate must not represent the re-crawl: $readmitted")
   }
 
   test("readOutput of a sink dir with no committed data files reads as empty") {

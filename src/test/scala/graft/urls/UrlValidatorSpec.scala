@@ -118,6 +118,19 @@ class UrlValidatorSpec extends AnyFunSuite {
     assert(blocks == Vector(("c++", "x++;\n")), s"prose must not become phantom code: $blocks")
   }
 
+  test("fence emit and parse agree on non-ASCII language tags") {
+    // FenceLangChar admits Unicode letters/digits; the parser's class must
+    // too (explicit \p{L}\p{Nd}, not Java's ASCII-only \w) — otherwise a
+    // crawled <code class="language-中文"> fence desynchronizes pairing and
+    // following prose becomes phantom code
+    val md = Markdown.htmlToMarkdown(
+      """<article><p>Before text.</p><pre><code class="language-中文版">代码;</code></pre><p>After prose stays prose.</p></article>""")
+    assert(md.contains("```中文版\n代码;\n```"), md)
+    val blocks = Markdown.extractCodeBlocks(md)
+    assert(blocks == Vector(("中文版", "代码;\n")),
+      s"non-ASCII tag round-trips without phantom blocks: $blocks")
+  }
+
   test("pre body keeps <br> line breaks and raw code text") {
     val md = Markdown.htmlToMarkdown(
       """<article><p>Paragraph first here.</p><pre><code>line1<br>line2</code></pre></article>""")
