@@ -200,22 +200,59 @@ object Dedup {
       .toDF()
   }
 
-  /** SimHash near-dup pairs: block on 16-bit segments, verify hamming ≤ maxDist. */
+  /** SimHash near-dup pairs: block on 16-bit segments, verify hamming ≤
+    * maxDist. Same quadratic-bucket discipline as the MinHash path
+    * ([[verifiedNearDups]]/[[candidatePairs]]): an md5 exact-dup pre-pass
+    * links identical texts as rep→member stars (hamming 0 — identical text
+    * means identical simhash) and feeds ONE representative per group into
+    * blocking, and a block group larger than `maxBucket` enumerates star +
+    * sorted-adjacent chain candidates (O(N)) instead of all pairs — N
+    * near-identical boilerplate docs share all 4 blocks and would otherwise
+    * cost ~4N² pairs. Capped buckets are lossy by construction (a
+    * member-member edge survives only through a verifying star/chain
+    * candidate); the accumulator counts them so a run can report the
+    * degradation instead of hiding it. Output components equal the full
+    * pairwise graph's for the exact-dup family; near-dup pairs are
+    * enumerated at representative level. */
   def simhashNearDups(spark: SparkSession, docs: DataFrame, maxDist: Int = 3,
-                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                      idCol: String = "doc_id", textCol: String = "text",
+                      maxBucket: Int = MaxBucket,
+                      cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = scala.None
+                     ): DataFrame = {
     import spark.implicits._
-    simhashIndex(spark, docs, idCol, textCol).as[SimHashRow]
+    // exact pre-pass on (md5, id) keys only — text never enters the shuffle
+    val keys = docs.select(col(idCol).cast("long").as("doc_id"), md5(col(textCol)).as("h"))
+    val reps = keys.groupBy("h").agg(min("doc_id").as("rep"))
+    val dupMembers = keys.join(reps, Seq("h")).filter(col("doc_id") =!= col("rep"))
+    val exactEdges = dupMembers
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"), lit(0).as("hamming_dist"))
+    val repDocs = docs.select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .join(dupMembers.select("doc_id"), Seq("doc_id"), "left_anti")
+    val nearEdges = simhashIndex(spark, repDocs, "doc_id", "text").as[SimHashRow]
       .groupByKey(_.prefix)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_.doc_id)
-        for {
-          i <- rows.indices.iterator
-          j <- (i + 1) until rows.length
-          if rows(i).doc_id != rows(j).doc_id && hamming(rows(i).simhash, rows(j).simhash) <= maxDist
-        } yield (rows(i).doc_id, rows(j).doc_id, hamming(rows(i).simhash, rows(j).simhash))
+        if (rows.length > maxBucket) {
+          cappedBuckets.foreach(_.add(1L))
+          val anchor = rows(0)
+          val cands = rows.iterator.drop(1).map(r => (anchor, r)) ++
+            rows.iterator.zip(rows.iterator.drop(1))
+          cands.flatMap { case (a, b) =>
+            val d = hamming(a.simhash, b.simhash)
+            if (a.doc_id != b.doc_id && d <= maxDist) Iterator.single((a.doc_id, b.doc_id, d))
+            else Iterator.empty
+          }
+        } else {
+          for {
+            i <- rows.indices.iterator
+            j <- (i + 1) until rows.length
+            if rows(i).doc_id != rows(j).doc_id && hamming(rows(i).simhash, rows(j).simhash) <= maxDist
+          } yield (rows(i).doc_id, rows(j).doc_id, hamming(rows(i).simhash, rows(j).simhash))
+        }
       }
       .distinct()
       .toDF("doc_a", "doc_b", "hamming_dist")
+    nearEdges.unionByName(exactEdges)
   }
 
   // ------------------------------------------------ winnowing fingerprint --

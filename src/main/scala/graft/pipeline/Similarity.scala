@@ -545,13 +545,25 @@ object Similarity {
     * sitting one hyperplane sign apart (a near-boundary pair flips exactly
     * one bit); the probe closes that recall gap deterministically, the same
     * trick [[lshTopK]] uses. Cost: (bits+1)× the blocking shuffle — still
-    * O(corpus), never all-pairs. */
+    * O(corpus), never all-pairs.
+    *
+    * Sketch space is FIXED (2^bits), so bucket population grows linearly
+    * with corpus size and one dense embedding cluster (boilerplate pages)
+    * concentrates in a handful of buckets: a bucket larger than `maxBucket`
+    * enumerates star + sorted-adjacent chain candidates (O(N)) instead of
+    * all pairs — the same counted-cap discipline as
+    * [[graft.pipeline.Dedup.candidatePairs]]. Capped buckets are lossy by
+    * construction (a pair survives only through a verifying star/chain
+    * candidate); the accumulator counts them so a run reports the
+    * degradation instead of hiding it. */
   def cosineNearDups(
       spark: SparkSession,
       corpus: Dataset[Embedded],
       threshold: Double,
       bits: Int = 16,
-      dims: Int = 64
+      dims: Int = 64,
+      maxBucket: Int = Dedup.MaxBucket,
+      cappedBuckets: Option[org.apache.spark.util.LongAccumulator] = scala.None
   ): DataFrame = {
     import spark.implicits._
     val planes = hyperplanes(dims, bits)
@@ -564,13 +576,26 @@ object Similarity {
       .groupByKey(_._3)
       .flatMapGroups { (_, it) =>
         val rows = it.toArray.sortBy(_._1)
-        for {
-          i <- rows.indices.iterator
-          j <- (i + 1) until rows.length
-          if rows(i)._4 || rows(j)._4 // at least one side is home here
-          c = cosine(rows(i)._2, rows(j)._2)
-          if c >= threshold
-        } yield (rows(i)._1, rows(j)._1, c)
+        def emit(a: (Long, Array[Float], Long, Boolean),
+                 b: (Long, Array[Float], Long, Boolean)): Iterator[(Long, Long, Double)] = {
+          if (a._1 != b._1 && (a._4 || b._4)) { // at least one side is home here
+            val c = cosine(a._2, b._2)
+            if (c >= threshold) Iterator.single((math.min(a._1, b._1), math.max(a._1, b._1), c))
+            else Iterator.empty
+          } else Iterator.empty
+        }
+        if (rows.length > maxBucket) {
+          cappedBuckets.foreach(_.add(1L))
+          val anchor = rows(0)
+          (rows.iterator.drop(1).map(r => (anchor, r)) ++
+            rows.iterator.zip(rows.iterator.drop(1))).flatMap { case (a, b) => emit(a, b) }
+        } else {
+          for {
+            i <- rows.indices.iterator
+            j <- (i + 1) until rows.length
+            p <- emit(rows(i), rows(j))
+          } yield p
+        }
       }
       .distinct() // a hamming-1 pair meets in both homes; enumerate once
       .toDF("vec_a", "vec_b", "cosine")

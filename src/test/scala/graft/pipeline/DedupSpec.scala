@@ -72,6 +72,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("simhashNearDups: 10k identical docs cost O(N) pairs (exact pre-pass), capped buckets O(N)") {
+    import spark.implicits._
+    // 10k byte-identical docs share all 4 blocks — all-pairs would be ~4·N²
+    // (2·10^8 pairs); the md5 pre-pass must collapse them to N-1 star edges
+    val n = 10000
+    val docs = (0 until n).map(i => (i.toLong, "identical boilerplate page body repeated verbatim across the whole mirror set"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(spark, docs, maxDist = 3).collect()
+    assert(pairs.length == n - 1, s"star edges only, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0),
+      "rep→member stars at hamming 0")
+    // DISTINCT texts with IDENTICAL simhash (rotations of one bag of words —
+    // simhash is order-free, md5 is not) defeat the pre-pass and share all 4
+    // blocks: the bucket cap must bound pair work to star+chain
+    val acc = spark.sparkContext.longAccumulator("capped-simhash")
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu".split(' ')
+    val nearDocs = (0 until 60).map { i =>
+      val rot = i % words.length
+      (i.toLong, (words.drop(rot) ++ words.take(rot)).mkString(" ") + " " + words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(spark, nearDocs, maxDist = 3, maxBucket = 10,
+      cappedBuckets = Some(acc)).collect()
+    assert(acc.value > 0L, "degenerate blocks must hit the cap")
+    assert(capped.length <= 2 * 60 * 4, s"O(N) candidates per block, got ${capped.length}")
+    assert(capped.nonEmpty, "star/chain candidates still verify")
+  }
+
   test("unigram jaccard exact") {
     assert(Dedup.unigramJaccard("a b c", "a b c") == 1.0)
     assert(Dedup.unigramJaccard("a b c d", "a b c e") == 3.0 / 5.0)
@@ -225,6 +252,25 @@ class DedupSpec extends AnyFunSuite {
     (0L until 10L).foreach { id =>
       assert(found.contains((id, id + 1000L)), s"planted copy $id not found")
     }
+  }
+
+  test("cosineNearDups: a dense bucket is capped to star+chain, counted, still connected") {
+    import spark.implicits._
+    // 3000 identical embeddings: every vector's HOME bucket is the same one
+    // (probes carry no home rows, so only that bucket emits) — all-pairs
+    // would be ~4.5M comparisons; the cap must bound it to star+chain
+    val dims = 16
+    val v = Similarity.hyperplanes(dims, 1, seed = 9000L)(0)
+    val corpus = spark.createDataset((0L until 3000L).map(i => Similarity.Embedded(i, v)))
+    val acc = spark.sparkContext.longAccumulator("capped-cosine")
+    val pairs = Similarity.cosineNearDups(spark, corpus, threshold = 0.999, bits = 8,
+      dims = dims, maxBucket = 500, cappedBuckets = Some(acc)).collect()
+    assert(acc.value >= 1L, "the dense home bucket must hit the cap")
+    assert(pairs.length <= 2 * 3000, s"O(N) pairs, got ${pairs.length}")
+    // star on the minimum keeps the cluster connected through vec 0
+    assert(pairs.count(_.getLong(0) == 0L) == 2999, "anchor reaches every member")
+    assert((1L until 2999L).forall(i => pairs.exists(r => r.getLong(0) == i && r.getLong(1) == i + 1)),
+      "chain adjacency present")
   }
 
   test("SQ8 quantization: error bound holds per dimension; top-k recall survives re-rank") {
