@@ -6,12 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, processed in batched per-partition passes.
   *
-  * The decode step is STUBBED with a deterministic fake codec (no
-  * image/audio libraries ship in this container — see the builder brief);
-  * everything Spark-side is real and tested: the schema, the partitioning,
-  * the batch shape (one decoder instance per partition, amortized setup —
-  * the same shape a Pandas-UDF/mapInPandas or JNI decoder slots into), and
-  * the feature pipeline downstream of decode.
+  * The IMAGE branch decodes for real: payloads are genuine PNGs (encoded by
+  * `javax.imageio`, which ships in every JDK — no external library) and
+  * `MediaDecoder` reads them back pixel-by-pixel. Audio/video decode stays
+  * STUBBED with a deterministic fake codec (no audio/video codec ships in
+  * this container); everything Spark-side is real and tested either way:
+  * the schema, the partitioning, the batch shape (one decoder instance per
+  * partition, amortized setup — the same shape a Pandas-UDF/mapInPandas or
+  * JNI decoder slots into), and the feature pipeline downstream of decode.
   */
 object Multimodal {
 
@@ -31,9 +33,10 @@ object Multimodal {
       n_bytes: Long,
       sha256: String,
       byteHistogram: Array[Float], // 16-bucket normalized histogram
-      thumbnailMean: Double) // stubbed decode output
+      thumbnailMean: Double) // real pixel mean for PNGs; stub mean for audio/video
 
-  /** Deterministic fake payload for media_id (stands in for real bytes). */
+  /** Deterministic fake payload for media_id (stands in for real audio/video
+    * bytes; image rows get a real PNG from [[imagePayload]]). */
   def fakePayload(id: Long, kind: String, len: Int = 256): Array[Byte] = {
     val out = new Array[Byte](len)
     var x = id * 0x9E3779B97F4A7C15L + kind.hashCode
@@ -46,18 +49,63 @@ object Multimodal {
     out
   }
 
-  /** STUB decoder: a real build replaces this with an image/audio codec
-    * (javax.imageio / ffmpeg JNI / a Pandas UDF via mapInPandas on PySpark).
-    * Deterministic: "decodes" the payload into a pseudo-pixel mean.
-    * `decodeMeanBatch` is the vectorized entry point — ONE call per batch —
-    * that an ONNX session or codec context would implement; per-element
-    * results must equal the scalar path (tested). */
-  final class StubDecoder {
-    def decodeMean(payload: Array[Byte]): Double = {
-      var s = 0L
-      payload.foreach(b => s += (b & 0xff))
-      if (payload.isEmpty) 0.0 else s.toDouble / payload.length / 255.0
+  /** Deterministic REAL PNG payload: a w×h RGB image whose pixels come from
+    * the same seeded xorshift stream as [[fakePayload]], encoded with the
+    * JDK's own `javax.imageio` PNG writer. PNG is lossless, so decode
+    * recovers the exact pixels at any JDK — the decoded-pixel mean is a
+    * frozen-fixture-safe value even if encoder byte output ever shifts. */
+  def imagePayload(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = id * 0x9E3779B97F4A7C15L + 0x1a9eL
+    var py = 0
+    while (py < h) {
+      var px = 0
+      while (px < w) {
+        x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+        img.setRGB(px, py, (x & 0xffffff).toInt)
+        px += 1
+      }
+      py += 1
     }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Per-partition media decoder. The IMAGE branch is REAL: PNG payloads
+    * (sniffed by magic bytes, same discipline as `extract.Mime`) are decoded
+    * with `javax.imageio` and reduced to their true pixel mean
+    * (mean of R,G,B over all pixels, normalized to [0,1]). Audio/video
+    * decode is STUBBED with a deterministic fake (no such codec ships in
+    * this container; an ffmpeg JNI or mapInPandas decoder slots into the
+    * same seam). `decodeMeanBatch` is the vectorized entry point — ONE call
+    * per batch — that an ONNX session or codec context would implement;
+    * per-element results must equal the scalar path (tested). */
+  final class MediaDecoder {
+    private def isPng(p: Array[Byte]): Boolean =
+      p.length > 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
+        p(2) == 'N'.toByte && p(3) == 'G'.toByte
+    def decodeMean(payload: Array[Byte]): Double =
+      if (isPng(payload)) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        require(img != null, "PNG-sniffed payload failed to decode")
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        s.toDouble / (3.0 * img.getWidth * img.getHeight) / 255.0
+      } else {
+        var s = 0L
+        payload.foreach(b => s += (b & 0xff))
+        if (payload.isEmpty) 0.0 else s.toDouble / payload.length / 255.0
+      }
     def decodeMeanBatch(payloads: Seq[Array[Byte]]): Seq[Double] =
       payloads.map(decodeMean) // real impl: one vectorized inference call
   }
@@ -81,7 +129,7 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      val decoder = new StubDecoder // per-partition init, NOT per-row
+      val decoder = new MediaDecoder // per-partition init, NOT per-row
       it.map(m => featuresOf(m, decoder.decodeMean(m.payload)))
     }
   }
@@ -115,7 +163,7 @@ object Multimodal {
     * fixed-size frames and every `stride`-th is emitted — the media→frames
     * EXPLODE dataflow (one input row fans out to N frame rows, downstream
     * ops repartition on media_id as needed). */
-  def sampleFrames(m: MediaRow, decoder: StubDecoder, frameBytes: Int = 64,
+  def sampleFrames(m: MediaRow, decoder: MediaDecoder, frameBytes: Int = 64,
                    stride: Int = 2): Seq[FrameRow] = {
     // ceil division: the trailing partial frame is a frame, not silent loss
     val nFrames = math.max((m.payload.length + frameBytes - 1) / frameBytes, 1)
@@ -136,7 +184,7 @@ object Multimodal {
                     batchSize: Int = 512): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
-      val decoder = new StubDecoder // per-partition init
+      val decoder = new MediaDecoder // per-partition init
       it.grouped(batchSize).flatMap { batch =>
         // ONE decoder call per batch — the vectorized entry point
         val means = decoder.decodeMeanBatch(batch.map(_.payload))
@@ -153,8 +201,12 @@ object Multimodal {
       .as[Long]
       .map { id =>
         val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
-        MediaRow(id, kind, fakePayload(id, kind), 64 + (id % 16).toInt * 8,
-          48 + (id % 12).toInt * 8, if (kind == "audio") 16000 else 0)
+        val w = 64 + (id % 16).toInt * 8
+        val h = 48 + (id % 12).toInt * 8
+        // image rows carry a REAL PNG whose dimensions match the metadata;
+        // audio/video payloads are opaque deterministic bytes
+        val payload = if (kind == "image") imagePayload(id, w, h) else fakePayload(id, kind)
+        MediaRow(id, kind, payload, w, h, if (kind == "audio") 16000 else 0)
       }
   }
 
@@ -175,7 +227,7 @@ object Multimodal {
     mediaTable(spark, dir)
       .filter(_.kind == "video")
       .mapPartitions { it =>
-        val decoder = new StubDecoder // per-partition, shared across rows
+        val decoder = new MediaDecoder // per-partition, shared across rows
         it.flatMap(m => sampleFrames(m, decoder))
       }
       .toDF()

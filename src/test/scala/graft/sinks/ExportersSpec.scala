@@ -152,9 +152,35 @@ class ExportersSpec extends AnyFunSuite {
     val b = graft.multimodal.Multimodal.mediaFeaturesQuery(spark, "/root/testdata/sf0.001").collect()
     assert(a.length == 500)
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
-    assert(a.forall(_.getLong(2) == 256)) // payload bytes
+    // audio/video payloads are the 256-byte opaque stub; image payloads are
+    // real PNGs (variable-size, well past the 8-byte signature)
+    assert(a.filter(r => r.getString(1) != "image").forall(_.getLong(2) == 256))
+    assert(a.filter(r => r.getString(1) == "image").forall(_.getLong(2) > 100))
     val kinds = a.map(_.getString(1)).toSet
     assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("image decode is real: PNG round-trips to the exact xorshift pixel mean") {
+    // recompute the expected mean straight from the generator stream —
+    // independent of ImageIO's decode path; equality proves the PNG was
+    // actually decoded back to the original pixels
+    val (id, w, h) = (42L, 24, 16)
+    val payload = graft.multimodal.Multimodal.imagePayload(id, w, h)
+    assert(payload.length > 8 && (payload(0) & 0xff) == 0x89 && payload(1) == 'P'.toByte, "real PNG signature")
+    var x = id * 0x9E3779B97F4A7C15L + 0x1a9eL
+    var s = 0L
+    for (_ <- 0 until w * h) {
+      x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+      val rgb = (x & 0xffffff).toInt
+      s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+    }
+    val want = s.toDouble / (3.0 * w * h) / 255.0
+    val got = (new graft.multimodal.Multimodal.MediaDecoder).decodeMean(payload)
+    assert(got == want, s"decoded pixel mean $got must equal generator mean $want")
+    // and a non-PNG payload takes the stub branch, not ImageIO
+    val stub = (new graft.multimodal.Multimodal.MediaDecoder)
+      .decodeMean(graft.multimodal.Multimodal.fakePayload(7L, "audio"))
+    assert(stub > 0.0 && stub < 1.0)
   }
 
   test("multimodal batch shape: results independent of batch size") {
@@ -184,7 +210,7 @@ class ExportersSpec extends AnyFunSuite {
   }
 
   test("multimodal frame sampling: every-2nd 64-byte frame, deterministic explode") {
-    val dec = new graft.multimodal.Multimodal.StubDecoder
+    val dec = new graft.multimodal.Multimodal.MediaDecoder
     val m = graft.multimodal.Multimodal.MediaRow(7L, "video",
       graft.multimodal.Multimodal.fakePayload(7L, "video", 256), 64, 48, 0)
     val frames = graft.multimodal.Multimodal.sampleFrames(m, dec) // 256/64 = 4 frames, stride 2
