@@ -4,10 +4,12 @@ import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Relational, Re
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * Queries with entries in `oracleSql` are verified value-for-value against
-  * DuckDB; the rest (crawl-surface and hash-signature ops, not expressible
-  * in portable SQL) are deterministic and gated by the ScalaTest golden
-  * suite instead (CrawlEngineSpec / DedupSpec).
+  * EVERY query has an `oracleSql` entry, verified value-for-value against
+  * DuckDB: recompute oracles where portable SQL can express the semantics,
+  * frozen VALUES fixtures (graft.tools.OracleFixtureGen) for the
+  * crawl-surface and hash-signature families; the ScalaTest golden suite
+  * (CrawlEngineSpec / DedupSpec) additionally gates semantics the value
+  * compare can't (recall, planted-duplicate discovery, parity).
   */
 object SparkEntry {
 
@@ -146,5 +148,6 @@ object SparkEntry {
     "q_cosine_neardup" -> DedupQueries.cosineNearDupSql,
     "q_relevance_filter" -> ExportQueries.relevanceFilterSql,
     "q_label_centroids" -> graft.pipeline.Similarity.labelCentroidsSql
-  ) ++ graft.tools.OracleFixtureGen.FixtureQueries.map(n => n -> fixtureSql(n)).toMap
+  ) ++ (graft.tools.OracleFixtureGen.FixtureQueries ++
+        graft.tools.OracleFixtureGen.SfFixtureQueries).map(n => n -> fixtureSql(n)).toMap
 }

@@ -4,10 +4,11 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-dup / similarity queries for the driver contract. Hash-based
-  * signatures cannot be reproduced in a DuckDB oracle, so these entries are
-  * rows-only checked by the driver; their semantic gates live in
-  * DedupSpec/SimilaritySpec (planted duplicates must be found, exact
-  * Jaccard/cosine verified).
+  * signatures cannot be RECOMPUTED by a DuckDB oracle, so these entries are
+  * value-compared against frozen VALUES fixtures
+  * (graft.tools.OracleFixtureGen, generated at the driver's sf0.01 verify
+  * scale); their semantic gates live in DedupSpec/SimilaritySpec (planted
+  * duplicates must be found, exact Jaccard/cosine verified, ANN recall).
   *
   * Where a query would legitimately return zero rows on the synthetic corpus
   * (truly near-dup-free random text), planted mutated copies are unioned in —

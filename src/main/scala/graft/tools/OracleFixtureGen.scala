@@ -28,6 +28,23 @@ object OracleFixtureGen {
     "q_crawl_chunks", "q_chunk_validate", "q_warc_roundtrip", "q_crawl_sitemap_seeded",
     "q_code_blocks")
 
+  /** The driver's correctness scale — sfDir-DEPENDENT fixtures are frozen
+    * against exactly this input (the contract's verify scale). */
+  val SfFixtureDir = "/root/testdata/sf0.01"
+
+  /** sfDir-DEPENDENT fixtures: the deterministic hash/signature families
+    * (xxhash minhash/simhash/winnow kernels, BPE, sha256 media payloads)
+    * plus the ANN paths, frozen at [[SfFixtureDir]]. All are
+    * parallelism-invariant: integer/hash kernels and PER-ROW float ops
+    * (sketches, cosines) have no aggregation-order dependence, and the IVF
+    * k-means merges partials in (cluster, partition) order; the freeze run
+    * is double-checked by executing Verify at two SPARK_GRAFT_CPUS levels
+    * before committing a regenerated fixture. */
+  val SfFixtureQueries: Seq[String] = Seq(
+    "q_minhash_lsh", "q_minhash_neardup", "q_simhash_index", "q_simhash_neardup",
+    "q_winnow_containment", "q_token_bpe", "q_dedup_keep",
+    "q_ann_lsh", "q_ann_ivf", "q_media_features", "q_media_frames")
+
   private def duckType(dt: DataType): String = dt match {
     case StringType => "VARCHAR"
     case LongType => "BIGINT"
@@ -76,8 +93,10 @@ object OracleFixtureGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    FixtureQueries.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    val jobs = FixtureQueries.map((_, "/root/testdata/sf0.001")) ++
+      SfFixtureQueries.map((_, SfFixtureDir))
+    jobs.foreach { case (name, dir) =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
       val sql = valuesSql(df)
       Files.write(Paths.get(outDir, s"$name.sql"), sql.getBytes(UTF_8))
       println(s"wrote $name.sql (${sql.length} bytes)")
