@@ -275,7 +275,11 @@ object CrawlEngine {
     // ---- adaptive politeness state (sparse host→budget table) -------------
     def loadBudgets(w: Int): Dataset[HostBudget] = {
       val p = s"$stateDir/budgets/wave=$w"
-      if (config.adaptivePoliteness && new java.io.File(p).exists())
+      // Hadoop FileSystem, not java.io.File: stateDir may live on
+      // hdfs://-style storage in a real deployment (file:// when schemeless)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fsExists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+      if (config.adaptivePoliteness && fsExists)
         spark.read.parquet(p).as[HostBudget]
       else spark.emptyDataset[HostBudget]
     }

@@ -1,7 +1,8 @@
 package graft.state
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.nio.charset.StandardCharsets
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -15,11 +16,55 @@ import org.apache.spark.sql.functions.col
   * per-domain JSON state store with file locks,
   * src/infrastructure/export/state_store.rs:28-200; job-level atomic commit
   * replaces the locks).
+  *
+  * ALL metadata I/O goes through the Hadoop FileSystem API resolved from the
+  * root's URI — a bare path or `file://` root behaves exactly as before
+  * (tests are bit-identical), while an `hdfs://`/`s3a://` root makes the
+  * checkpoint layer — the one piece that must be durable on a real cluster —
+  * actually deployable. The CURRENT pointer flip uses FileContext's
+  * overwrite rename (atomic on HDFS and on the local fs); directory swaps
+  * rename to non-existent destinations, which plain FileSystem.rename
+  * supports everywhere.
   */
 final class SnapshotStore(root: String) {
 
+  private val hadoopConf = new Configuration()
+  private val rootPath = new Path(root)
+  /** The store's filesystem, from the root URI (file:// when schemeless).
+    * A PRIVATE instance (not the JVM-wide cached one) with client-side
+    * checksums off: on the local fs that makes behavior byte-identical to
+    * java.nio — no .crc sidecars, and files other tools rewrite in place
+    * stay readable — without flipping checksum flags on the shared
+    * FileSystem Spark itself uses. HDFS integrity is block-level
+    * server-side and unaffected. */
+  private val fs: FileSystem = {
+    val f = FileSystem.newInstance(rootPath.toUri, hadoopConf)
+    f.setWriteChecksum(false)
+    f.setVerifyChecksum(false)
+    f
+  }
+
   private def snapDir(wave: Int) = s"$root/snap-$wave"
-  private val currentPath = Paths.get(root, "CURRENT")
+  private val currentPath = new Path(root, "CURRENT")
+
+  private def exists(p: String): Boolean = fs.exists(new Path(p))
+  private def writeBytes(p: Path, bytes: Array[Byte]): Unit = {
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+  private def readBytes(p: Path): Array[Byte] = {
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val buf = new Array[Byte](len)
+      in.readFully(0, buf)
+      buf
+    } finally in.close()
+  }
+  private def deleteRecursive(p: String): Unit = fs.delete(new Path(p), true)
+  /** Rename to a non-existent destination (dir swap steps). */
+  private def rename(src: String, dst: String): Unit =
+    require(fs.rename(new Path(src), new Path(dst)), s"rename $src -> $dst failed")
 
   final case class Manifest(wave: Int, fetchedTotal: Long, errorsTotal: Long,
                             parityFailures: Long, runId: String)
@@ -29,7 +74,7 @@ final class SnapshotStore(root: String) {
     * are tight because commit range-clusters the frontier on urlHash. */
   final case class FileStat(path: String, rows: Long, urlHashMin: Long, urlHashMax: Long)
 
-  def init(): Unit = Files.createDirectories(Paths.get(root))
+  def init(): Unit = fs.mkdirs(rootPath)
 
   /** Commit a wave: write the full frontier plus only the seen-set DELTA
     * (this wave's newly-visited canonical urls), then manifest, then
@@ -74,25 +119,28 @@ final class SnapshotStore(root: String) {
     seenDelta.write.mode("overwrite").parquet(s"$dir/seen-delta.parquet")
     val manifest =
       s"""{"wave": $wave, "fetchedTotal": $fetchedTotal, "errorsTotal": $errorsTotal, "parityFailures": $parityFailures, "runId": "$runId"}"""
-    Files.write(Paths.get(dir, "manifest.json"), manifest.getBytes(StandardCharsets.UTF_8))
-    val tmp = Paths.get(root, s".CURRENT.tmp-$wave")
-    Files.write(tmp, wave.toString.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, currentPath, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writeBytes(new Path(dir, "manifest.json"), manifest.getBytes(StandardCharsets.UTF_8))
+    val tmp = new Path(root, s".CURRENT.tmp-$wave")
+    writeBytes(tmp, wave.toString.getBytes(StandardCharsets.UTF_8))
+    // overwrite rename: atomic pointer flip (FileContext supports Rename
+    // .OVERWRITE on HDFS and the local fs; FileSystem.rename does not
+    // replace an existing destination on HDFS)
+    val fc = FileContext.getFileContext(currentPath.toUri, hadoopConf)
+    fc.rename(tmp, currentPath, Options.Rename.OVERWRITE)
   }
 
   /** Footer-only stats collection for every data file of a wave's frontier
     * (the Iceberg commit-time stats gather: row counts + column min/max come
     * from parquet metadata, never a data scan). */
   private def writeManifestList(wave: Int): Unit = {
-    val dataDir = new java.io.File(s"${snapDir(wave)}/frontier.parquet")
-    val files = Option(dataDir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    val dataDir = new Path(s"${snapDir(wave)}/frontier.parquet")
+    val files = (if (fs.exists(dataDir)) fs.listStatus(dataDir) else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       .sortBy(_.getName)
-    val conf = new org.apache.hadoop.conf.Configuration()
     val stats = files.map { f =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, hadoopConf))
       try {
         val blocks = reader.getFooter.getBlocks
         var rows = 0L
@@ -116,16 +164,16 @@ final class SnapshotStore(root: String) {
     val json = stats.map(s =>
       s"""{"path": "${s.path}", "rows": ${s.rows}, "urlHashMin": ${s.urlHashMin}, "urlHashMax": ${s.urlHashMax}}""")
       .mkString("[\n", ",\n", "\n]")
-    Files.write(Paths.get(snapDir(wave), "manifest-list.json"),
+    writeBytes(new Path(snapDir(wave), "manifest-list.json"),
       json.getBytes(StandardCharsets.UTF_8))
   }
 
   /** The committed frontier's per-file stats for `wave` (empty if the wave
     * predates manifest lists or holds no data files). */
   def manifestList(wave: Int): Seq[FileStat] = {
-    val p = Paths.get(snapDir(wave), "manifest-list.json")
-    if (!Files.exists(p)) return Seq.empty
-    val text = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+    val p = new Path(snapDir(wave), "manifest-list.json")
+    if (!fs.exists(p)) return Seq.empty
+    val text = new String(readBytes(p), StandardCharsets.UTF_8)
     val entry = ("\\{\"path\": \"([^\"]+)\", \"rows\": (-?\\d+), " +
       "\"urlHashMin\": (-?\\d+), \"urlHashMax\": (-?\\d+)\\}").r
     entry.findAllMatchIn(text).map(m =>
@@ -155,12 +203,12 @@ final class SnapshotStore(root: String) {
 
   /** Latest committed wave, if any. */
   def current(): Option[Int] =
-    if (Files.exists(currentPath))
-      Some(new String(Files.readAllBytes(currentPath), StandardCharsets.UTF_8).trim.toInt)
+    if (fs.exists(currentPath))
+      Some(new String(readBytes(currentPath), StandardCharsets.UTF_8).trim.toInt)
     else None
 
   def manifest(wave: Int): Manifest = {
-    val text = new String(Files.readAllBytes(Paths.get(snapDir(wave), "manifest.json")), StandardCharsets.UTF_8)
+    val text = new String(readBytes(new Path(snapDir(wave), "manifest.json")), StandardCharsets.UTF_8)
     def long(key: String): Long = {
       val m = ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(text)
       m.map(_.group(1).toLong).getOrElse(0L)
@@ -183,19 +231,17 @@ final class SnapshotStore(root: String) {
     // re-fetch pages) — fail loudly instead; compact() knows how to recover.
     (wave to 0 by -1).foreach { w =>
       val dir = snapDir(w)
-      val interrupted = Files.exists(Paths.get(s"$dir/.seen-full.tmp")) ||
-        Files.exists(Paths.get(s"$dir/seen-full.old"))
-      if (interrupted && !Files.exists(Paths.get(s"$dir/seen-full.parquet")))
+      val interrupted = exists(s"$dir/.seen-full.tmp") || exists(s"$dir/seen-full.old")
+      if (interrupted && !exists(s"$dir/seen-full.parquet"))
         throw new IllegalStateException(
           s"snap-$w holds an interrupted compaction (.seen-full.tmp/seen-full.old present, " +
             s"seen-full.parquet missing) — run compact(spark, $w) to recover before loading")
     }
-    val compactedAt = (wave to 0 by -1).find(w =>
-      Files.exists(Paths.get(s"${snapDir(w)}/seen-full.parquet")))
+    val compactedAt = (wave to 0 by -1).find(w => exists(s"${snapDir(w)}/seen-full.parquet"))
     val base = compactedAt.map(w => Seq(s"${snapDir(w)}/seen-full.parquet")).getOrElse(Seq.empty)
     val from = compactedAt.map(_ + 1).getOrElse(0)
     val deltas = (from to wave).map(w => s"${snapDir(w)}/seen-delta.parquet")
-      .filter(p => Files.exists(Paths.get(p)))
+      .filter(p => exists(p))
     spark.read.parquet((base ++ deltas): _*)
   }
 
@@ -214,21 +260,21 @@ final class SnapshotStore(root: String) {
     * .old copy / clears a stale tmp); loadSeen refuses to read through an
     * unrecovered state. */
   def compact(spark: SparkSession, wave: Int): Unit = {
-    val dest = Paths.get(s"${snapDir(wave)}/seen-full.parquet")
-    val old = Paths.get(s"${snapDir(wave)}/seen-full.old")
-    val tmp = Paths.get(s"${snapDir(wave)}/.seen-full.tmp")
+    val dest = s"${snapDir(wave)}/seen-full.parquet"
+    val old = s"${snapDir(wave)}/seen-full.old"
+    val tmp = s"${snapDir(wave)}/.seen-full.tmp"
     // ---- recovery from an interrupted previous compact at this wave -------
-    if (Files.exists(old) && !Files.exists(dest))
-      Files.move(old, dest) // crash was mid-swap: .old is the durable copy
-    else if (Files.exists(old))
-      org.apache.commons.io.FileUtils.deleteDirectory(old.toFile) // crash after swap: stale aside
-    if (Files.exists(tmp))
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile) // incomplete write; rebuilt below
+    if (exists(old) && !exists(dest))
+      rename(old, dest) // crash was mid-swap: .old is the durable copy
+    else if (exists(old))
+      deleteRecursive(old) // crash after swap: stale aside
+    if (exists(tmp))
+      deleteRecursive(tmp) // incomplete write; rebuilt below
     val full = loadSeen(spark, wave)
-    full.write.mode("overwrite").parquet(tmp.toString)
-    if (Files.exists(dest)) Files.move(dest, old) // aside, not delete
-    Files.move(tmp, dest)
-    if (Files.exists(old)) org.apache.commons.io.FileUtils.deleteDirectory(old.toFile)
+    full.write.mode("overwrite").parquet(tmp)
+    if (exists(dest)) rename(dest, old) // aside, not delete
+    rename(tmp, dest)
+    if (exists(old)) deleteRecursive(old)
   }
 
   /** Expire snapshots strictly before `keepFrom`. Refuses unless
@@ -236,15 +282,14 @@ final class SnapshotStore(root: String) {
     * an expire that strands live state is the unrecoverable failure mode,
     * so it is checked, not assumed. Returns the number of removed dirs. */
   def expire(keepFrom: Int): Int = {
-    require(Files.exists(Paths.get(s"${snapDir(keepFrom)}/seen-full.parquet")),
+    require(exists(s"${snapDir(keepFrom)}/seen-full.parquet"),
       s"snap-$keepFrom has no compacted seen-full table — compact($keepFrom) first")
     require(current().exists(_ >= keepFrom),
       s"CURRENT is before $keepFrom — expiring would delete the live snapshot")
     var removed = 0
     (0 until keepFrom).foreach { w =>
-      val dir = new java.io.File(snapDir(w))
-      if (dir.exists()) {
-        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+      if (exists(snapDir(w))) {
+        deleteRecursive(snapDir(w))
         removed += 1
       }
     }

@@ -189,6 +189,33 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(store.loadSeen(spark, 0).collect().map(_.getString(0)).sorted.toSeq == baseline)
   }
 
+  test("store works through an explicit file:// URI (Hadoop FileSystem path)") {
+    import spark.implicits._
+    // the whole metadata layer rides the Hadoop FileSystem API — an explicit
+    // scheme'd root must behave identically to a bare path (and an hdfs://
+    // or s3a:// root resolves through the same code path in deployment)
+    val bare = Files.createTempDirectory("graft-snap-uri").toString
+    val root = s"file://$bare"
+    val es = entries(300)
+    val store = new SnapshotStore(root)
+    store.init()
+    store.commit(spark, 0, spark.createDataset(es).toDF(),
+      spark.createDataset(es.map(_.canonicalUrl)).toDF("canonicalUrl"),
+      300L, 0L, 0L, "uri-run", targetFrontierFiles = Some(4))
+    assert(store.current().contains(0))
+    assert(store.manifest(0).runId == "uri-run")
+    assert(store.manifestList(0).map(_.rows).sum == 300L)
+    assert(store.loadSeen(spark, 0).count() == 300L)
+    // CURRENT overwrite-flip (FileContext rename) across a second commit
+    store.commit(spark, 1, spark.createDataset(es).toDF(),
+      spark.createDataset(Seq.empty[String]).toDF("canonicalUrl"), 300L, 0L, 0L, "uri-run")
+    assert(store.current().contains(1))
+    // compact + expire exercise rename/delete through the fs layer
+    store.compact(spark, 1)
+    assert(store.expire(1) == 1)
+    assert(store.loadSeen(spark, 1).count() == 300L)
+  }
+
   test("loadFrontier full read is unaffected by the clustered layout") {
     val (store, es) = committedStore(500)
     val got = store.loadFrontier(spark, 0).collect().map(_.getAs[String]("canonicalUrl")).sorted
