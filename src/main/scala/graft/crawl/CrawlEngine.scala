@@ -82,7 +82,8 @@ object CrawlEngine {
     * Catalyst expression, not a ScalaUDF — it runs on the FULL pages table
     * (100 TB at target scale) and must stay inside whole-stage codegen.
     * Shared by the batch wave loop and the streaming crawl twin. */
-  private[graft] def preparePages(pages: Dataset[PageRow]): DataFrame = {
+  private[graft] def preparePages(pages: Dataset[PageRow],
+                                  spillDir: Option[String] = scala.None): DataFrame = {
     val canonCol = graft.functions.GraftExpressions.canonicalize_url(col("url"))
     val keyed = pages
       .withColumn("canonicalUrl", canonCol)
@@ -91,18 +92,25 @@ object CrawlEngine {
     // winner + duplicate detection over SMALL COLUMNS ONLY — the pick is
     // (warcTs, servedUrl), so this whole pipeline reads just two scalar
     // columns (a parquet scan prunes the payload bytes entirely: ~1% of the
-    // table's bytes at Common-Crawl html sizes). Eager localCheckpoint
-    // materializes the winner table ONCE: the ties check reads the
-    // checkpointed blocks and the join below reuses them. Blocks are
-    // ContextCleaner-managed (freed on GC — crawls run many-per-JVM);
-    // caveat: non-resilient to executor loss, same documented trade as
-    // winnowOverlaps — a 100-TB deployment writes winners to a table.
+    // table's bytes at Common-Crawl html sizes). The winner table is
+    // materialized ONCE — the ties check and the join(s) below all read the
+    // materialized copy. Default: eager localCheckpoint (blocks are
+    // ContextCleaner-managed, freed on GC — crawls run many-per-JVM;
+    // caveat: non-resilient to executor loss). With `spillDir` set
+    // (config.spillIntermediates), winners are WRITTEN to that table and
+    // read back — the durable path a long crawl on a real cluster opts
+    // into; outputs are identical either way (tested).
     val picksAgg = keyed.groupBy(col("canonicalUrl"), col("pick"))
       .agg(count(lit(1)).as("nDup"))
-    val winners = picksAgg.groupBy(col("canonicalUrl"))
+    val winnersBase = picksAgg.groupBy(col("canonicalUrl"))
       .agg(max(struct(col("pick"), col("nDup"))).as("w"))
       .select(col("canonicalUrl"), col("w.pick").as("winner"), col("w.nDup").as("nDup"))
-      .localCheckpoint()
+    val winners = spillDir match {
+      case Some(dir) =>
+        winnersBase.write.mode("overwrite").parquet(dir)
+        pages.sparkSession.read.parquet(dir)
+      case scala.None => winnersBase.localCheckpoint()
+    }
     val hasTies = !winners.filter(col("nDup") > 1).isEmpty
     def winnerJoin(w: DataFrame): DataFrame = keyed
       .join(w.select("canonicalUrl", "winner").hint("shuffle_hash"), Seq("canonicalUrl"))
@@ -213,7 +221,8 @@ object CrawlEngine {
     // waves ≥ 1. For single-wave jobs — a saturated frontier — the
     // repartition+cache is pure overhead, so it's switchable: the join then
     // shuffles the pages side exactly once, inside the measured dataflow.)
-    val preparedBase = preparePages(pages)
+    val preparedBase = preparePages(pages,
+      if (config.spillIntermediates) Some(s"$stateDir/intermediates/pages-winners") else scala.None)
     val prepared =
       if (prePartitionPages)
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)

@@ -132,5 +132,11 @@ final case class CrawlConfig(
     // analogue) so manifest-list pruning can open a hash shard without
     // scanning the frontier. Costs a sampling pass + shuffle per wave; leave
     // unset for small politeness-bound crawls.
-    snapshotFileTarget: Option[Int] = None
+    snapshotFileTarget: Option[Int] = None,
+    // When on, pages-prep winner picks are WRITTEN to a table under
+    // stateDir/intermediates instead of localCheckpoint'd: the blocks of a
+    // localCheckpoint die with their executor, so a long crawl on a real
+    // cluster opts into the durable path; the default keeps the sandbox's
+    // cheaper in-memory trade. Outputs are identical either way (tested).
+    spillIntermediates: Boolean = false
 )

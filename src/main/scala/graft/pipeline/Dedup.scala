@@ -334,7 +334,8 @@ object Dedup {
     * first (stop-gram guard: one ubiquitous boilerplate gram must not turn
     * the self-join quadratic; real matches share many non-ubiquitous fps). */
   def winnowOverlaps(spark: SparkSession, docs: DataFrame, minShared: Int = 2,
-                     maxDocFreq: Int = 100): DataFrame = {
+                     maxDocFreq: Int = 100,
+                     spillDir: Option[String] = scala.None): DataFrame = {
     val idxAll = winnowIndex(spark, docs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rareFps = idxAll.groupBy("fp").agg(count(lit(1)).as("df"))
@@ -354,13 +355,20 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), col("shared"),
         (col("shared") / least(col("fp_a"), col("fp_b"))).as("containment"))
-    // eager localCheckpoint: materializes while idxAll is still cached (so
-    // the index is computed once), then the returned frame is backed by
-    // ContextCleaner-managed blocks — freed on GC, no caller-side unpersist
-    // contract to forget (repeated invocations must not accumulate executor
-    // storage). Caveat: non-resilient to executor loss; a 100-TB deployment
-    // writes this intermediate to a table instead.
-    val result = out.localCheckpoint()
+    // eager materialization while idxAll is still cached (so the index is
+    // computed once). Default: localCheckpoint — the returned frame is
+    // backed by ContextCleaner-managed blocks, freed on GC, no caller-side
+    // unpersist contract to forget (repeated invocations must not
+    // accumulate executor storage); caveat: non-resilient to executor loss.
+    // With `spillDir` set the overlaps are WRITTEN to that table and read
+    // back — the durable path a 100-TB deployment opts into; outputs are
+    // identical either way (tested).
+    val result = spillDir match {
+      case Some(dir) =>
+        out.write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir)
+      case scala.None => out.localCheckpoint()
+    }
     idxAll.unpersist()
     result
   }

@@ -65,6 +65,21 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("spillIntermediates: the durable winners-table path reproduces the golden crawl") {
+    withSpark("local[4]") { spark =>
+      val spec = CorpusGen.Spec(GoldenGen.Hosts, GoldenGen.PagesPerHost)
+      val pages = CorpusGen.dataset(spark, spec)
+      val dir = Files.createTempDirectory("graft-spill-run").toString
+      val cfg = GoldenGen.config(GoldenGen.Hosts).copy(spillIntermediates = true)
+      val summary = CrawlEngine.run(spark, pages, cfg, dir)
+      assert(summary.parityFailures == 0)
+      assert(orderLines(spark, dir).mkString("\n") == resource("crawl_order.txt").trim,
+        "spill-to-table run must match the frozen golden order exactly")
+      assert(Files.exists(Paths.get(s"$dir/intermediates/pages-winners")),
+        "winners must actually land in the stateDir table")
+    }
+  }
+
   test("robots gating: /private/ pages are never fetched; politeness budget holds; cap holds") {
     withSpark("local[4]") { spark =>
       val (summary, dir) = runCrawl(spark)
@@ -192,6 +207,16 @@ class CrawlEngineSpec extends AnyFunSuite {
       val prepared2 = CrawlEngine.preparePages(spark.createDataset(Seq(
         row("aaa payload loses", "A"), row("bbb payload wins", "B")))).collect()
       assert(new String(prepared2.head.getAs[Array[Byte]]("html"), "UTF-8").contains("bbb payload wins"))
+      // spill-to-table knob (spillIntermediates): winners written to a
+      // parquet table instead of localCheckpoint — identical output,
+      // including through the tied-group deep collapse
+      val spillDir = Files.createTempDirectory("graft-prep-spill").toString
+      val spilled = CrawlEngine.preparePages(pages, Some(s"$spillDir/winners")).collect()
+      def k(r: org.apache.spark.sql.Row) =
+        (r.getAs[String]("canonicalUrl"), new String(r.getAs[Array[Byte]]("html"), "UTF-8"),
+          r.getAs[String]("storedText"))
+      assert(spilled.map(k).sortBy(_._1).toSeq == prepared.map(k).sortBy(_._1).toSeq,
+        "table-spill path must produce identical prepared pages")
     }
   }
 

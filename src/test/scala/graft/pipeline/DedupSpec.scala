@@ -477,6 +477,22 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (x, y) => x == 3L || y == 3L })
   }
 
+  test("winnowOverlaps spill-to-table path equals the localCheckpoint default") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today with extra padding words here"),
+      (2L, "prefix words then the quick brown fox jumps over the lazy dog again and again today trailing"),
+      (3L, "completely different content sharing nothing with the others at all in any window")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-winnow-spill").toString
+    def k(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val default = Dedup.winnowOverlaps(spark, docs).collect().map(k).sortBy(x => (x._1, x._2))
+    val spilled = Dedup.winnowOverlaps(spark, docs, spillDir = Some(s"$dir/overlaps"))
+      .collect().map(k).sortBy(x => (x._1, x._2))
+    assert(spilled.toSeq == default.toSeq, "durable path must produce identical overlaps")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/overlaps")))
+  }
+
   test("winnowing guarantee property: random texts sharing a >= w+k-1 substring share a fingerprint") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed
