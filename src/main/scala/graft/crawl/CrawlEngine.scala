@@ -294,6 +294,26 @@ object CrawlEngine {
     }
     var hostBudgets: Dataset[HostBudget] = loadBudgets(wave - 1)
 
+    // Driver-side pool for the concurrent per-wave sink writes (4 jobs).
+    // Daemon threads: an engine failure must not pin the JVM.
+    val sinkPool = java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+      val t = new Thread(r, "graft-wave-sink")
+      t.setDaemon(true)
+      t
+    })
+    val sinkEc = scala.concurrent.ExecutionContext.fromExecutorService(sinkPool)
+
+    // Wave-sized output files: a politeness-bound wave of a few thousand
+    // KB-scale rows must not pay #partitions task-setup + commit-rename
+    // overhead per sink, nor leave 32 tiny files per wave for loadSeen to
+    // re-list every subsequent wave (the small-files problem — wrong at BOTH
+    // ends of scale). ~8k rows/file ≈ tens of MB at web-page row sizes; wide
+    // saturated waves keep full parallelism.
+    val OutRowsPerFile = 8192L
+    def outFiles(rows: Long): Int = math.min(
+      math.max(1L, (rows + OutRowsPerFile - 1) / OutRowsPerFile),
+      spark.sparkContext.defaultParallelism.toLong).toInt
+
     var done = false
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
       val frontierPersisted = frontier.persist(StorageLevel.MEMORY_AND_DISK)
@@ -331,26 +351,6 @@ object CrawlEngine {
       }
       else {
         {
-          // -- crawl order (wave-local ranks; wave is the major sort key) ---
-          // Distributed total-order rank: range-partitioned sort +
-          // zipWithIndex (partition-offset pass) — no single-partition
-          // window funnel, scales to arbitrarily wide waves.
-          // wave=N dir naming = Spark partition discovery supplies the wave
-          // column on read; data files must not repeat it.
-          if (writeOutputs) {
-            val sortedSel = selected
-              .orderBy(Frontier.priorityCols: _*)
-              .select(col("canonicalUrl"), col("url"), col("parentUrl"), col("depth"), col("host"))
-            val orderSchema = org.apache.spark.sql.types.StructType(
-              org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType) +:
-                sortedSel.schema.fields)
-            val rankedRdd = sortedSel.rdd.zipWithIndex().map { case (r, idx) =>
-              org.apache.spark.sql.Row.fromSeq(idx +: r.toSeq)
-            }
-            spark.createDataFrame(rankedRdd, orderSchema)
-              .write.mode("overwrite").parquet(s"$stateDir/out/crawl_order/wave=$wave")
-          }
-
           // -- simulated fetch: equi-join against the pre-partitioned table.
           // SHUFFLE_HASH beats the default sort-merge here: the pages side
           // carries multi-KB html payloads that must never be sorted; the
@@ -438,56 +438,16 @@ object CrawlEngine {
             (miss, agg)
           } else (null, null)
 
-          if (writeOutputs) {
-            extracted.map(_.page)
-              .withColumn("runId", lit(rid))
-              .withColumn("partitionId", spark_partition_id())
-              .drop("wave")
-              .write.mode("overwrite").parquet(s"$stateDir/out/pages/wave=$wave")
-            extracted.flatMap(_.chunks)
-              .write.mode("overwrite").parquet(s"$stateDir/out/chunks/wave=$wave")
-
-            // -- per-host metrics (metrics.rs:15-100 equivalents) -----------
-            hostAgg.join(missByHost, Seq("host"), "full_outer")
-              .na.fill(0L)
-              .withColumn("runId", lit(rid))
-              .write.mode("overwrite").parquet(s"$stateDir/out/metrics/wave=$wave")
-          }
-
-          // -- adaptive politeness: next wave's per-host budgets -------------
-          // Penalized hosts (errors or WAF this wave) halve; clean hosts
-          // recover by max(1, max/4). Hosts back at the max leave the table,
-          // so it stays proportional to the set of unhealthy hosts, not to
-          // all hosts ever crawled. Written per wave → resumable, and the
-          // read-back cuts the wave-over-wave lineage exactly like the
-          // frontier/seen snapshots.
-          if (config.adaptivePoliteness) {
-            val maxB = config.perHostBudget
-            val recover = math.max(1, maxB / 4)
-            val health = missByHost
-              .join(hostAgg.select(col("host"), col("wafBlocked").as("waf")), Seq("host"), "full_outer")
-              .na.fill(0L)
-            val updated = hostBudgets.toDF().join(health, Seq("host"), "full_outer")
-              .select(col("host"),
-                coalesce(col("budget"), lit(maxB)).as("cur"),
-                (coalesce(col("errors"), lit(0L)) + coalesce(col("waf"), lit(0L))).as("penalty"))
-              .select(col("host"),
-                when(col("penalty") > 0,
-                  greatest(lit(config.minHostBudget), floor(col("cur") / 2).cast("int")))
-                  .otherwise(least(lit(maxB), (col("cur") + recover).cast("int")))
-                  .as("budget"))
-              .filter(col("budget") < maxB)
-            updated.write.mode("overwrite").parquet(s"$stateDir/budgets/wave=$wave")
-            hostBudgets = loadBudgets(wave)
-          }
-          if (twoConsumers) { missByHost.unpersist(); hostAgg.unpersist() }
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: scala.concurrent.ExecutionContext = sinkEc
 
           // -- seen += selected --------------------------------------------
           val newSeen = seen.union(selected.select("canonicalUrl"))
           fetchedTotal += selCount
           seenCount += selCount
 
-          // -- link generation → next frontier ------------------------------
+          // -- link generation → next frontier (lazy plan) ------------------
           val newLinkEntries: Dataset[FrontierEntry] = if (!linkGenActive)
             spark.emptyDataset[FrontierEntry]
           else {
@@ -519,9 +479,104 @@ object CrawlEngine {
             else leftovers
           val nextFrontier = Frontier.newOnly(spark, combined, newSeen, seenCount)
 
-          // -- snapshot commit (frontier full, seen as delta) ---------------
-          store.commit(spark, wave, nextFrontier.toDF(), selected.select("canonicalUrl"),
-            fetchedTotal, errorsTotal, parityFailures, rid, config.snapshotFileTarget)
+          // -- parallel wave writes ----------------------------------------
+          // The output sinks (crawl_order / pages / chunks / metrics) and
+          // the snapshot DATA writes (frontier, seen-delta) are independent
+          // reads of already-materialized caches writing to separate dirs —
+          // their jobs run CONCURRENTLY from driver threads (the
+          // politeness-bound wave's wall time is small-job latency, and a
+          // cluster has idle slots during any single small write). Only
+          // finalizeCommit's CURRENT flip is the durability point, and it
+          // runs strictly AFTER every write returns: a committed wave has
+          // ALL its data on disk, exactly as with serial writes.
+          val sinkFutures: Seq[Future[Unit]] = if (!writeOutputs) Seq.empty else {
+            val fOrder = Future {
+              // wave-local ranks; wave is the major sort key. Distributed
+              // total-order rank: range-partitioned sort + zipWithIndex
+              // (partition-offset pass) — no single-partition window funnel,
+              // scales to arbitrarily wide waves. wave=N dir naming = Spark
+              // partition discovery supplies the wave column on read; data
+              // files must not repeat it.
+              val sortedSel = selected
+                .orderBy(Frontier.priorityCols: _*)
+                .select(col("canonicalUrl"), col("url"), col("parentUrl"), col("depth"), col("host"))
+              val orderSchema = org.apache.spark.sql.types.StructType(
+                org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType) +:
+                  sortedSel.schema.fields)
+              val rankedRdd = sortedSel.rdd.zipWithIndex().map { case (r, idx) =>
+                org.apache.spark.sql.Row.fromSeq(idx +: r.toSeq)
+              }
+              spark.createDataFrame(rankedRdd, orderSchema)
+                .write.mode("overwrite").parquet(s"$stateDir/out/crawl_order/wave=$wave")
+            }
+            val fPages = Future {
+              // partitionId = the WRITER task's partition (per-partition
+              // lineage: row → data file); under the wave-sized coalesce
+              // that is the coalesced id, deterministic for a fixed layout
+              extracted.map(_.page)
+                .withColumn("runId", lit(rid))
+                .withColumn("partitionId", spark_partition_id())
+                .drop("wave")
+                .coalesce(outFiles(selCount))
+                .write.mode("overwrite").parquet(s"$stateDir/out/pages/wave=$wave")
+            }
+            val fChunks = Future {
+              extracted.flatMap(_.chunks)
+                .coalesce(outFiles(selCount))
+                .write.mode("overwrite").parquet(s"$stateDir/out/chunks/wave=$wave")
+            }
+            val fMetrics = Future {
+              // per-host metrics (metrics.rs:15-100 equivalents)
+              hostAgg.join(missByHost, Seq("host"), "full_outer")
+                .na.fill(0L)
+                .withColumn("runId", lit(rid))
+                .write.mode("overwrite").parquet(s"$stateDir/out/metrics/wave=$wave")
+            }
+            Seq(fOrder, fPages, fChunks, fMetrics)
+          }
+          // seen-delta rides the wave-sized coalesce too: loadSeen re-lists
+          // every wave's delta dir on each subsequent wave, so tiny-file
+          // growth there is quadratic in crawl length
+          val fFrontier = Future {
+            store.writeFrontier(spark, wave, nextFrontier.toDF(), config.snapshotFileTarget)
+          }
+          val fSeenDelta = Future {
+            store.writeSeenDelta(spark, wave,
+              selected.select("canonicalUrl").coalesce(outFiles(selCount)))
+          }
+
+          // -- adaptive politeness: next wave's per-host budgets -------------
+          // (main thread, overlapping the write group above)
+          // Penalized hosts (errors or WAF this wave) halve; clean hosts
+          // recover by max(1, max/4). Hosts back at the max leave the table,
+          // so it stays proportional to the set of unhealthy hosts, not to
+          // all hosts ever crawled. Written per wave → resumable, and the
+          // read-back cuts the wave-over-wave lineage exactly like the
+          // frontier/seen snapshots.
+          if (config.adaptivePoliteness) {
+            val maxB = config.perHostBudget
+            val recover = math.max(1, maxB / 4)
+            val health = missByHost
+              .join(hostAgg.select(col("host"), col("wafBlocked").as("waf")), Seq("host"), "full_outer")
+              .na.fill(0L)
+            val updated = hostBudgets.toDF().join(health, Seq("host"), "full_outer")
+              .select(col("host"),
+                coalesce(col("budget"), lit(maxB)).as("cur"),
+                (coalesce(col("errors"), lit(0L)) + coalesce(col("waf"), lit(0L))).as("penalty"))
+              .select(col("host"),
+                when(col("penalty") > 0,
+                  greatest(lit(config.minHostBudget), floor(col("cur") / 2).cast("int")))
+                  .otherwise(least(lit(maxB), (col("cur") + recover).cast("int")))
+                  .as("budget"))
+              .filter(col("budget") < maxB)
+            updated.write.mode("overwrite").parquet(s"$stateDir/budgets/wave=$wave")
+            hostBudgets = loadBudgets(wave)
+          }
+
+          // -- barrier, then the commit point -------------------------------
+          Await.result(Future.sequence(sinkFutures ++ Seq(fFrontier, fSeenDelta)), Duration.Inf)
+          if (twoConsumers) { missByHost.unpersist(); hostAgg.unpersist() }
+          store.finalizeCommit(wave, fetchedTotal, errorsTotal, parityFailures, rid)
           log(f"wave=$wave%-3d selected=$selCount%-6d fetched=$fetchCount%-6d errors=$errCount%-4d " +
             f"seen=$seenCount%-7d parityFail=$parityFailWave $elapsed")
 
@@ -535,6 +590,7 @@ object CrawlEngine {
         }
       }
     }
+    sinkEc.shutdown()
     prepared.unpersist()
     if (robotsRulesBase != null) robotsRulesBase.unpersist()
     CrawlSummary(rid, wave, fetchedTotal, errorsTotal, parityFailures, stateDir)

@@ -102,6 +102,17 @@ final class SnapshotStore(root: String) {
       runId: String,
       targetFrontierFiles: Option[Int] = None
   ): Unit = {
+    writeFrontier(spark, wave, frontier, targetFrontierFiles)
+    writeSeenDelta(spark, wave, seenDelta)
+    finalizeCommit(wave, fetchedTotal, errorsTotal, parityFailures, runId)
+  }
+
+  /** Data half of [[commit]], step 1: the frontier table + its manifest
+    * list. Independent of [[writeSeenDelta]] — the engine runs the two (and
+    * its output sinks) concurrently; only [[finalizeCommit]]'s CURRENT flip
+    * is the durability point, so ordering between data writes is free. */
+  def writeFrontier(spark: SparkSession, wave: Int, frontier: DataFrame,
+                    targetFrontierFiles: Option[Int] = None): Unit = {
     val dir = snapDir(wave)
     // Clustering costs a sampling pass + range shuffle per commit — worth it
     // when frontier shards are re-read selectively (10^10-URL deployments set
@@ -116,7 +127,18 @@ final class SnapshotStore(root: String) {
     }
     clustered.write.mode("overwrite").parquet(s"$dir/frontier.parquet")
     writeManifestList(wave)
-    seenDelta.write.mode("overwrite").parquet(s"$dir/seen-delta.parquet")
+  }
+
+  /** Data half of [[commit]], step 2: this wave's seen-set delta. */
+  def writeSeenDelta(spark: SparkSession, wave: Int, seenDelta: DataFrame): Unit =
+    seenDelta.write.mode("overwrite").parquet(s"${snapDir(wave)}/seen-delta.parquet")
+
+  /** Commit point: manifest then the atomic CURRENT flip. Call ONLY after
+    * every data write of the wave (snapshot tables and engine output sinks)
+    * has returned — a flipped CURRENT asserts the whole wave is on disk. */
+  def finalizeCommit(wave: Int, fetchedTotal: Long, errorsTotal: Long,
+                     parityFailures: Long, runId: String): Unit = {
+    val dir = snapDir(wave)
     val manifest =
       s"""{"wave": $wave, "fetchedTotal": $fetchedTotal, "errorsTotal": $errorsTotal, "parityFailures": $parityFailures, "runId": "$runId"}"""
     writeBytes(new Path(dir, "manifest.json"), manifest.getBytes(StandardCharsets.UTF_8))

@@ -1,0 +1,32 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Per-wave phase profiler for the bench-scale BFS crawl: runs Bench's
+  * crawl_e2e shape with the engine's log callback wired to stdout, so each
+  * wave's politeness-select / fetch+extract / commit timestamps are visible
+  * — the tool for deciding which per-wave driver action to fold next. */
+object CrawlProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-profile-corpus").toString + "/pages"
+    graft.gen.CorpusGen.writeParquet(spark, graft.Bench.benchSpec, corpusPath, partitions = cpus.toInt * 2)
+    val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-profile-crawl").toString
+    val t0 = System.nanoTime()
+    val summary = graft.crawl.CrawlEngine.run(spark, pages, graft.Bench.benchConfig, stateDir,
+      log = s => println(f"[profile +${(System.nanoTime() - t0) / 1e9}%6.2fs] $s"))
+    println(f"[profile] total=${(System.nanoTime() - t0) / 1e9}%.2fs fetched=${summary.fetchedTotal} waves=${summary.waves}")
+    spark.stop()
+  }
+}
