@@ -144,11 +144,50 @@ object Bench {
       results += name -> (System.nanoTime() - t0) / 1e9
     }
 
+    // ANN recall@5 at bench scale: the approximate paths (LSH / IVF / SQ8)
+    // measured against the exact brute force on the same sf embeddings —
+    // the recall number the small-corpus spec gates can't provide.
+    // Recall alone hides the trade — each method also reports the fraction
+    // of (query, corpus-vector) pairs it actually compared ("scanned"):
+    // sq8 compares all pairs over 4x-smaller codes then exact-re-ranks,
+    // lsh/ivf cut candidates at the cost of recall (worst-case here: the
+    // synthetic embeddings are near-uniform, ANN's hardest distribution).
+    val annRecall: Map[String, (Double, Double)] = {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      import graft.pipeline.Similarity
+      val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").cast("long"), col("embedding")).as[Similarity.Embedded]
+      val n = corpus.count()
+      val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+      val allPairs = (n - 1).toDouble * queries.length
+      def topSet(ns: Array[Similarity.Neighbor]): Map[Long, Set[Long]] =
+        ns.groupBy(_.query_id).map { case (q, xs) => (q, xs.map(_.neighbor_id).toSet) }
+      val exact = topSet(Similarity.bruteForceTopK(spark, corpus, queries, k = 5).collect())
+      def recallOf(m: Map[Long, Set[Long]]): Double =
+        exact.map { case (q, t) => m.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
+          .sum / exact.size
+      val lshCands = spark.sparkContext.longAccumulator("lsh-cands")
+      val ivfCands = spark.sparkContext.longAccumulator("ivf-cands")
+      val lsh = recallOf(topSet(
+        Similarity.lshTopK(spark, corpus, queries, k = 5, candidateCount = Some(lshCands)).collect()))
+      val ivf = recallOf(topSet(
+        Similarity.ivfTopK(spark, corpus, queries, k = 5, candidateCount = Some(ivfCands)).collect()))
+      val sq8 = recallOf(topSet(Similarity.sq8TopK(spark, corpus, queries, k = 5).collect()))
+      Map(
+        "lsh" -> (lsh, lshCands.value / allPairs),
+        "ivf" -> (ivf, ivfCands.value / allPairs),
+        "sq8" -> (sq8, 1.0)) // full scan over int8 codes (4x smaller bytes) + exact re-rank
+    }
+    val recallJson = annRecall.toSeq.sortBy(_._1)
+      .map { case (k, (r, f)) => "\"" + k + f"""\":{"recall":$r%.3f,"scanned":$f%.3f}""" }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","crawl_pages":$crawledPages,"crawl_pages_per_sec":$pagesPerSec%.1f}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","crawl_pages":$crawledPages,"crawl_pages_per_sec":$pagesPerSec%.1f,"ann_recall_at_5":$recallJson}""")
     spark.stop()
   }
 }

@@ -116,14 +116,21 @@ object Similarity {
   }
 
   /** LSH-bucketed ANN: bucket = sign sketch; exact cosine only within
-    * buckets (multi-probe by also emitting 1-bit-flipped buckets keeps
-    * recall up while preserving determinism). */
-  /** Default sketch width / probe radius. On hard (near-uniform) embedding
-    * distributions the top-k neighbors sit at modest cosine, so recall needs
-    * a generous probe radius; on real clustered embeddings tighter settings
-    * (more bits, radius 1) give a far bigger candidate cut. */
+    * buckets. TWO recall levers, both deterministic: a hamming probe radius
+    * within a table, and `tables` INDEPENDENT hyperplane tables (candidate
+    * if close in ANY — the classic multi-table LSH construction: a neighbor
+    * missed by one table's planes survives with probability 1-(1-p)^L).
+    * Multi-table beats a wider radius on hard distributions: 3 tables at
+    * radius 1 compare ~10% of pairs where one table at radius 2 compares
+    * ~14% — with HIGHER recall (measured in Bench's ann_recall_at_5). */
+  /** Default sketch width / probe radius / table count. On hard
+    * (near-uniform) embedding distributions the top-k neighbors sit at
+    * modest cosine, so recall needs several tables; on real clustered
+    * embeddings tighter settings (more bits, 1 table) give a far bigger
+    * candidate cut. */
   val DefaultBits = 8
-  val DefaultProbeRadius = 2
+  val DefaultProbeRadius = 1
+  val DefaultTables = 3
 
   def lshTopK(
       spark: SparkSession,
@@ -132,20 +139,35 @@ object Similarity {
       k: Int,
       bits: Int = DefaultBits,
       dims: Int = 64,
-      probeRadius: Int = DefaultProbeRadius
+      probeRadius: Int = DefaultProbeRadius,
+      tables: Int = DefaultTables,
+      candidateCount: Option[org.apache.spark.util.LongAccumulator] = scala.None
   ): Dataset[Neighbor] = {
     import spark.implicits._
-    val planes = hyperplanes(dims, bits)
-    val bp = spark.sparkContext.broadcast(planes)
+    val planesT: Array[Array[Array[Float]]] =
+      Array.tabulate(tables)(t => hyperplanes(dims, bits, seed = 0x9e3779b9L + t * 7919L))
+    val bp = spark.sparkContext.broadcast(planesT)
     val bq = spark.sparkContext.broadcast(
-      queries.map(q => (q.vec_id, q.embedding, signSketch(q.embedding, planes))))
+      queries.map(q => (q.vec_id, q.embedding, planesT.map(p => signSketch(q.embedding, p)))))
     val candidates = corpus.mapPartitions { it =>
       val qs = bq.value
+      val ps = bp.value
       it.flatMap { e =>
-        val sk = signSketch(e.embedding, bp.value)
-        qs.iterator.filter { case (qid, _, qsk) =>
-          qid != e.vec_id && java.lang.Long.bitCount(sk ^ qsk) <= probeRadius
-        }.map { case (qid, qv, _) => (qid, cosine(qv, e.embedding), e.vec_id) }
+        val sks = ps.map(p => signSketch(e.embedding, p))
+        qs.iterator.filter { case (qid, _, qsks) =>
+          qid != e.vec_id && {
+            var t = 0
+            var hit = false
+            while (t < sks.length && !hit) {
+              hit = java.lang.Long.bitCount(sks(t) ^ qsks(t)) <= probeRadius
+              t += 1
+            }
+            hit
+          }
+        }.map { case (qid, qv, _) =>
+          candidateCount.foreach(_.add(1L))
+          (qid, cosine(qv, e.embedding), e.vec_id)
+        }
       }
     }
     candidates.toDF("query_id", "cosine", "neighbor_id")
@@ -368,7 +390,8 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      trainIters: Int = 5
+      trainIters: Int = 5,
+      candidateCount: Option[org.apache.spark.util.LongAccumulator] = scala.None
   ): Dataset[Neighbor] = {
     import spark.implicits._
     val centroids = trainCentroids(spark, corpus, nlist, trainIters)
@@ -391,7 +414,10 @@ object Similarity {
         val list = nearestCentroid(e.embedding, cs)
         pm.getOrElse(list, empty).iterator
           .filter { case (qid, _) => qid != e.vec_id }
-          .map { case (qid, qv) => (qid, cosine(qv, e.embedding), e.vec_id) }
+          .map { case (qid, qv) =>
+            candidateCount.foreach(_.add(1L))
+            (qid, cosine(qv, e.embedding), e.vec_id)
+          }
       }
     }
     candidates.toDF("query_id", "cosine", "neighbor_id")
