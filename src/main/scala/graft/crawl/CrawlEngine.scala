@@ -215,6 +215,36 @@ object CrawlEngine {
     val rid = runId(config)
     val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
 
+    // Driver-side pool for the concurrent per-wave sink writes and the prep
+    // overlap below. Daemon threads: an engine failure must not pin the JVM.
+    val sinkPool = java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+      val t = new Thread(r, "graft-wave-sink")
+      t.setDaemon(true)
+      t
+    })
+    val sinkEc = scala.concurrent.ExecutionContext.fromExecutorService(sinkPool)
+
+    // ---- robots rules: host-keyed Dataset, joined against new links --------
+    // Rules are parsed on EXECUTORS and kept as a (host, disallow) table —
+    // never collected to the driver: at Common-Crawl scale there are 10^7+
+    // hosts and a driver map would OOM. Only hosts that actually Disallow
+    // something are kept (the overwhelming majority of robots.txt files gate
+    // nothing for `*`), so the table is a small minority of hosts; it is
+    // persisted once (the parse scans the raw input, not `prepared`) and the
+    // per-wave gate is a left-anti-style join — broadcast-hash when the table
+    // is small, plain shuffle join otherwise. (Scans the raw input so
+    // single-wave runs never force the prepared pipeline twice.)
+    // The parse+count runs CONCURRENTLY with the pages-prep winner
+    // materialization below — independent scans of the same input.
+    val robotsActive = config.respectRobots && config.maxDepth > 0
+    var robotsRulesBase: DataFrame = null // persisted base (unpersisted at end)
+    val robotsFuture: scala.concurrent.Future[(DataFrame, Long)] =
+      if (!robotsActive) null
+      else scala.concurrent.Future {
+        val r = Robots.rulesTable(spark, pages.toDF()).persist(StorageLevel.MEMORY_AND_DISK)
+        (r, r.count())
+      }(sinkEc)
+
     // ---- pages table prep: canonical key + explicit co-partitioning --------
     // (SURVEY §4.1: frontier⋈pages repeats every wave; pre-hash-partitioning
     // + caching the big side means only the wave-sized side ever shuffles on
@@ -228,23 +258,11 @@ object CrawlEngine {
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
       else preparedBase
 
-    // ---- robots rules: host-keyed Dataset, joined against new links --------
-    // Rules are parsed on EXECUTORS and kept as a (host, disallow) table —
-    // never collected to the driver: at Common-Crawl scale there are 10^7+
-    // hosts and a driver map would OOM. Only hosts that actually Disallow
-    // something are kept (the overwhelming majority of robots.txt files gate
-    // nothing for `*`), so the table is a small minority of hosts; it is
-    // persisted once (the parse scans the raw input, not `prepared`) and the
-    // per-wave gate is a left-anti-style join — broadcast-hash when the table
-    // is small, plain shuffle join otherwise. (Scans the raw input so
-    // single-wave runs never force the prepared pipeline twice.)
-    val robotsActive = config.respectRobots && config.maxDepth > 0
-    var robotsRulesBase: DataFrame = null // persisted base (unpersisted at end)
     val robotsRules: DataFrame = if (!robotsActive) null
     else {
-      val r = Robots.rulesTable(spark, pages.toDF()).persist(StorageLevel.MEMORY_AND_DISK)
+      val (r, nRules) = scala.concurrent.Await.result(
+        robotsFuture, scala.concurrent.duration.Duration.Inf)
       robotsRulesBase = r
-      val nRules = r.count()
       // broadcast the gate join while the disallowing-host table is small;
       // a 10^7-host deployment falls back to a shuffle join automatically
       if (nRules < 200000L) broadcast(r) else r
@@ -293,15 +311,6 @@ object CrawlEngine {
       else spark.emptyDataset[HostBudget]
     }
     var hostBudgets: Dataset[HostBudget] = loadBudgets(wave - 1)
-
-    // Driver-side pool for the concurrent per-wave sink writes (4 jobs).
-    // Daemon threads: an engine failure must not pin the JVM.
-    val sinkPool = java.util.concurrent.Executors.newFixedThreadPool(6, r => {
-      val t = new Thread(r, "graft-wave-sink")
-      t.setDaemon(true)
-      t
-    })
-    val sinkEc = scala.concurrent.ExecutionContext.fromExecutorService(sinkPool)
 
     // Wave-sized output files: a politeness-bound wave of a few thousand
     // KB-scale rows must not pay #partitions task-setup + commit-rename
