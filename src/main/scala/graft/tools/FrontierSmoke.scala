@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.crawl.CrawlEngine
+import graft.frontier.Frontier
+import graft.model.FrontierEntry
+
+/** Frontier-machinery scale smoke: the politeness top-k (salted two-phase)
+  * and the seen-set anti-join (bloom pre-filter path) at 10^7 frontier
+  * entries — 1000× the bench wave, the direct sandbox evidence for the
+  * 10^10-frontier design claims. Every count is asserted EXACTLY against
+  * the deterministic construction (a wrong-but-fast frontier is worthless):
+  *
+  *  - 10^7 entries over 10^5 hosts, one adversarial host holding 10^6 of
+  *    them (the per-host-skew shape salting exists for: phase 1 bounds any
+  *    single task's group to the salt bucket);
+  *  - politeness budget 100/host → expected exactly 100 (skew host) +
+  *    90 × 10^5 (uniform hosts, under budget, all kept);
+  *  - seen set = the 5×10^6 even-id canonicals → newOnly must return
+  *    exactly the 5×10^6 odd-id entries through the bloom + exact
+  *    anti-join split (seenCount >> BloomThreshold).
+  *
+  * usage: runMain graft.tools.FrontierSmoke [entries] [cores]
+  */
+object FrontierSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val n = args.lift(0).map(_.toLong).getOrElse(10000000L)
+    val cores = args.lift(1).map(_.toInt).getOrElse(32)
+    val hosts = 100000L
+    val skewCount = n / 10 // first 10% of ids all land on one host
+    val budget = 100
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-frontier-smoke")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def entryOf(id: Long): FrontierEntry = {
+      val host = if (id < skewCount) "skew.example.com" else s"host${id % hosts}.example.com"
+      val c = s"https://$host/page/$id"
+      FrontierEntry(c, c, (id % 7).toInt, "", host, 2, CrawlEngine.urlHash(c))
+    }
+    val frontier = spark.range(n).as[Long].map(entryOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = frontier.count() // materialize outside the timed region
+    require(total == n)
+
+    // ---- politeness select over the skewed frontier -----------------------
+    val t0 = System.nanoTime()
+    val selected = Frontier.politenessSelect(spark, frontier, budget, salts = 8).count()
+    val selectSecs = (System.nanoTime() - t0) / 1e9
+    val uniformPerHost = (n - skewCount) / hosts // 90 at defaults, under budget
+    val wantSelected = budget + hosts * math.min(uniformPerHost, budget)
+    require(selected == wantSelected,
+      s"politeness select must be exact: got $selected want $wantSelected")
+
+    // ---- seen anti-join (bloom path) --------------------------------------
+    val seen = spark.range(0, n, 2).as[Long].map(id => entryOf(id).canonicalUrl)
+      .toDF("canonicalUrl")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seenCount = seen.count()
+    val t1 = System.nanoTime()
+    val fresh = Frontier.newOnly(spark, frontier, seen, seenCount).count()
+    val antiSecs = (System.nanoTime() - t1) / 1e9
+    require(fresh == n - seenCount,
+      s"seen anti-join must be exact: got $fresh want ${n - seenCount}")
+
+    println(f"""{"metric":"frontier_smoke","entries":$n,"hosts":$hosts,"skew_host_entries":$skewCount,"cores":$cores,"politeness_selected":$selected,"politeness_secs":$selectSecs%.1f,"politeness_entries_per_sec":${n / selectSecs}%.0f,"seen":$seenCount,"fresh":$fresh,"antijoin_secs":$antiSecs%.1f,"antijoin_entries_per_sec":${n / antiSecs}%.0f}""")
+    spark.stop()
+  }
+}
