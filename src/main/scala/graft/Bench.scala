@@ -62,9 +62,9 @@ object Bench {
     seeds = waveSeeds,
     maxDepth = 0, // single saturated wave; link-extraction still runs in-stage
     maxPages = WaveHosts.toLong * WavePages,
-    perHostBudget = WavePages,
+    perHostBudget = 0, // unlimited: saturated frontier, politeness shuffle skipped
     excludePatterns = Seq("external-data.org", "*.external-data.org"),
-    saltBuckets = 1) // budget is non-binding here; skip the salt pre-phase
+    saltBuckets = 1)
 
   /** @param preloadInput when true, the input table is pinned in Spark
     *   memory BEFORE the timed region — the single-node analogue of

@@ -327,9 +327,15 @@ object CrawlEngine {
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
       val frontierPersisted = frontier.persist(StorageLevel.MEMORY_AND_DISK)
       // -- politeness: deterministic per-host top-k (salted two-phase) ------
-      // (an empty frontier yields selCount == 0 below — no separate count job)
+      // (an empty frontier yields selCount == 0 below — no separate count
+      // job). perHostBudget <= 0 = UNLIMITED: politeness off, the whole
+      // frontier is the wave and the top-k cogroup shuffle is skipped
+      // entirely — the saturated-frontier regime (a budget set at or above
+      // every host's count selects the same rows; this takes that path
+      // without paying the shuffle to discover it).
       val selectedAll = (
-        if (config.adaptivePoliteness)
+        if (config.perHostBudget <= 0) frontierPersisted
+        else if (config.adaptivePoliteness)
           Frontier.politenessSelectBudgets(
             spark, frontierPersisted, hostBudgets, config.perHostBudget, config.saltBuckets)
         else

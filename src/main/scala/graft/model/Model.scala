@@ -114,7 +114,7 @@ final case class CrawlConfig(
     seeds: Seq[String],
     maxDepth: Int = 3,
     maxPages: Long = 100,
-    perHostBudget: Int = 3,
+    perHostBudget: Int = 3, // <= 0 = unlimited (politeness off; saturated-frontier jobs)
     includePatterns: Seq[String] = Seq.empty,
     excludePatterns: Seq[String] = Seq.empty,
     maxQueryParams: Int = 5, // batch_processor.rs:69-76

@@ -42,7 +42,7 @@ object ScaleSmoke {
         if !CorpusGen.isPrivatePage(i)
       } yield CorpusGen.servedBase(h) + CorpusGen.pathFor(i)
     val config = Bench.waveConfig.copy(
-      seeds = seeds, maxPages = hosts.toLong * pagesPerHost, perHostBudget = pagesPerHost)
+      seeds = seeds, maxPages = hosts.toLong * pagesPerHost)
 
     import spark.implicits._
     val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]

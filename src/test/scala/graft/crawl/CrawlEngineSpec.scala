@@ -65,6 +65,29 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("perHostBudget <= 0 (unlimited) equals a budget at/above every host's count") {
+    withSpark("local[4]") { spark =>
+      // saturated single wave: an explicit budget >= per-host page count and
+      // the unlimited fast path (no politeness shuffle) must produce the
+      // same fetched set, order file, and parity
+      val spec = CorpusGen.Spec(2, 12)
+      val pages = CorpusGen.dataset(spark, spec)
+      def run(budget: Int) = {
+        val dir = Files.createTempDirectory("graft-unlimited").toString
+        val cfg = CrawlConfig(
+          seeds = (0 until 2).map(h => s"https://${CorpusGen.hostName(h)}/"),
+          maxDepth = 3, maxPages = 100, perHostBudget = budget,
+          excludePatterns = Seq("external-data.org", "*.external-data.org"))
+        val s = CrawlEngine.run(spark, pages, cfg, dir)
+        (s, orderLines(spark, dir))
+      }
+      val (sCap, oCap) = run(1000) // far above any host's count: non-binding
+      val (sUnl, oUnl) = run(0)    // unlimited fast path
+      assert(sUnl.fetchedTotal == sCap.fetchedTotal && sUnl.parityFailures == 0)
+      assert(oUnl == oCap, "unlimited politeness must reproduce the non-binding-budget crawl")
+    }
+  }
+
   test("spillIntermediates: the durable winners-table path reproduces the golden crawl") {
     withSpark("local[4]") { spark =>
       val spec = CorpusGen.Spec(GoldenGen.Hosts, GoldenGen.PagesPerHost)
