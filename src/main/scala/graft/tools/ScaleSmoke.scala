@@ -50,7 +50,8 @@ object ScaleSmoke {
     try {
       val t0 = System.nanoTime()
       val summary = graft.crawl.CrawlEngine.run(spark, pages, config, stateDir,
-        writeOutputs = false, prePartitionPages = false)
+        writeOutputs = false, prePartitionPages = false,
+        log = s => println(f"[smoke +${(System.nanoTime() - t0) / 1e9}%6.2fs] $s"))
       val secs = (System.nanoTime() - t0) / 1e9
       require(summary.parityFailures == 0, "scale smoke must keep byte parity")
       println(f"""{"metric":"scale_smoke_pages_per_sec","value":${summary.fetchedTotal / secs}%.1f,"unit":"pages/sec","pages":${summary.fetchedTotal},"secs":$secs%.1f,"hosts":$hosts,"cores":$cores}""")
