@@ -1,0 +1,65 @@
+package graft.tools
+
+import java.nio.charset.StandardCharsets.UTF_8
+import graft.extract.{HtmlKit, TextKit}
+
+/** Single-thread micro-profile of the fused extract stage's kernels —
+  * parse / clean+text / links / lang / waf / chunk — over bench-richness
+  * pages. The mega-wave's wall time is ~80% this stage, so per-kernel
+  * milliseconds here are the real throughput levers. No Spark session:
+  * pure JVM timing, JIT-warmed, deterministic corpus pages.
+  *
+  * usage: runMain graft.tools.ExtractProfile [hosts] [pagesPerHost] [richness]
+  */
+object ExtractProfile {
+  def main(args: Array[String]): Unit = {
+    val hosts = args.lift(0).map(_.toInt).getOrElse(4)
+    val pagesPerHost = args.lift(1).map(_.toInt).getOrElse(60)
+    val richness = args.lift(2).map(_.toInt).getOrElse(20)
+    val pages = graft.gen.CorpusGen.localPages(
+      graft.gen.CorpusGen.Spec(hosts, pagesPerHost, richness = richness))
+    val htmls = pages.map(p => new String(p.html, UTF_8))
+    val bytes = htmls.map(_.length.toLong).sum
+    println(s"pages=${htmls.size} avg_html=${bytes / htmls.size} chars")
+
+    def time[T](name: String, reps: Int)(f: String => T): Unit = {
+      // warmup
+      htmls.foreach(f)
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) { htmls.foreach(f); r += 1 }
+      val secs = (System.nanoTime() - t0) / 1e9
+      val perPage = secs * 1000 / (htmls.size * reps)
+      println(f"$name%-22s ${perPage}%8.3f ms/page  ${htmls.size * reps / secs}%8.0f pages/s/core")
+    }
+
+    val reps = 3
+    time("parse", reps)(HtmlKit.parse)
+    time("parse+extractText", reps) { h => val d = HtmlKit.parse(h); HtmlKit.extractText(d, h) }
+    time("parse+links", reps) { h => val d = HtmlKit.parse(h); HtmlKit.extractLinks(d, "https://x.com/") }
+    time("waf", reps)(TextKit.detectWafChallenge)
+    time("spa(html,text)", reps) { h => HtmlKit.isSpa(h, h) }
+    val texts = htmls.map { h => HtmlKit.extractText(HtmlKit.parse(h), h).text }
+    def timeT[T](name: String, reps: Int)(f: String => T): Unit = {
+      texts.foreach(f)
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) { texts.foreach(f); r += 1 }
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"$name%-22s ${secs * 1000 / (texts.size * reps)}%8.3f ms/page  ${texts.size * reps / secs}%8.0f pages/s/core")
+    }
+    timeT("lang", reps)(TextKit.detectLanguage)
+    timeT("chunk", reps)(t => TextKit.chunkText(t))
+    // the full fused stage, as the engine composes it
+    time("FULL fused extract", reps) { h =>
+      val dom = HtmlKit.parse(h)
+      val ex = HtmlKit.extractText(dom, h)
+      val waf = TextKit.detectWafChallenge(h).getOrElse("")
+      val spa = HtmlKit.isSpa(h, ex.text)
+      val lang = TextKit.detectLanguage(ex.text).getOrElse("")
+      val links = if (waf.isEmpty) HtmlKit.extractLinks(dom, "https://x.com/") else Vector.empty
+      val chunks = if (waf.isEmpty && !ex.failed) TextKit.chunkText(ex.text) else Vector.empty
+      (ex, spa, lang, links, chunks)
+    }
+  }
+}
