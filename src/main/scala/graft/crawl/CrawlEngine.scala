@@ -83,7 +83,8 @@ object CrawlEngine {
     * (100 TB at target scale) and must stay inside whole-stage codegen.
     * Shared by the batch wave loop and the streaming crawl twin. */
   private[graft] def preparePages(pages: Dataset[PageRow],
-                                  spillDir: Option[String] = scala.None): DataFrame = {
+                                  spillDir: Option[String] = scala.None,
+                                  broadcastWinnersMaxRows: Long = 500000L): DataFrame = {
     val canonCol = graft.functions.GraftExpressions.canonicalize_url(col("url"))
     val keyed = pages
       .withColumn("canonicalUrl", canonCol)
@@ -111,13 +112,28 @@ object CrawlEngine {
         pages.sparkSession.read.parquet(dir)
       case scala.None => winnersBase.localCheckpoint()
     }
-    val hasTies = !winners.filter(col("nDup") > 1).isEmpty
-    def winnerJoin(w: DataFrame): DataFrame = keyed
-      .join(w.select("canonicalUrl", "winner").hint("shuffle_hash"), Seq("canonicalUrl"))
-      .filter(col("pick") === col("winner"))
-      .select(col("canonicalUrl"), col("pick.servedUrl").as("servedUrl"),
-        col("pick.warcTs").as("warcTs"),
-        col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
+    // One small job over the materialized winners (checkpointed blocks /
+    // spilled table) yields BOTH the tie detection and the join-strategy
+    // count: a winner table at or under the broadcast cap joins back as a
+    // BROADCAST build, so the multi-KB html side never enters an exchange
+    // at all; above the cap (10^10-canonical deployments) the SHUFFLE_HASH
+    // co-partitioned join takes over — html hashed, never sorted, and its
+    // exchange doubles as the canonical partitioning the per-wave fetch
+    // join reuses.
+    val wStats = winners.agg(count(lit(1)), sum(when(col("nDup") > 1, 1L).otherwise(0L))).head()
+    val nWinners = wStats.getLong(0)
+    val hasTies = !wStats.isNullAt(1) && wStats.getLong(1) > 0L
+    def winnerJoin(w: DataFrame): DataFrame = {
+      val small = w.select("canonicalUrl", "winner")
+      val build = if (nWinners <= broadcastWinnersMaxRows) broadcast(small)
+                  else small.hint("shuffle_hash")
+      keyed
+        .join(build, Seq("canonicalUrl"))
+        .filter(col("pick") === col("winner"))
+        .select(col("canonicalUrl"), col("pick.servedUrl").as("servedUrl"),
+          col("pick.warcTs").as("warcTs"),
+          col("html"), col("text").as("storedText"), col("lang").as("storedLang"))
+    }
     if (!hasTies) winnerJoin(winners)
     else {
       // somewhere in the table, multiple captures share the FULL (canonical,
@@ -252,7 +268,8 @@ object CrawlEngine {
     // repartition+cache is pure overhead, so it's switchable: the join then
     // shuffles the pages side exactly once, inside the measured dataflow.)
     val preparedBase = preparePages(pages,
-      if (config.spillIntermediates) Some(s"$stateDir/intermediates/pages-winners") else scala.None)
+      if (config.spillIntermediates) Some(s"$stateDir/intermediates/pages-winners") else scala.None,
+      config.broadcastWaveMaxRows)
     val prepared =
       if (prePartitionPages)
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
@@ -366,13 +383,17 @@ object CrawlEngine {
       }
       else {
         {
-          // -- simulated fetch: equi-join against the pre-partitioned table.
-          // SHUFFLE_HASH beats the default sort-merge here: the pages side
-          // carries multi-KB html payloads that must never be sorted; the
-          // wave side is the small build side. (At cluster scale the same
-          // holds — sorting 100 TB of html to join a wave is wrong.)
+          // -- simulated fetch: equi-join against the prepared table. The
+          // html side must never be sorted OR needlessly shuffled: a wave at
+          // or under the broadcast cap (selCount is already known) joins as
+          // a BROADCAST build — the pages side streams straight from its
+          // scan/cache with zero exchange; a wider wave falls back to
+          // SHUFFLE_HASH against the pre-partitioned table (html hashed,
+          // never sorted — sorting 100 TB of html to join a wave is wrong).
+          val selCols = selected.select("canonicalUrl", "url", "depth", "parentUrl", "host")
           val fetched = prepared.join(
-            selected.select("canonicalUrl", "url", "depth", "parentUrl", "host").hint("shuffle_hash"),
+            if (selCount <= config.broadcastWaveMaxRows) broadcast(selCols)
+            else selCols.hint("shuffle_hash"),
             Seq("canonicalUrl"), "inner")
           val fetchedDs = fetched.select(
             col("canonicalUrl"), col("url"), col("depth"), col("parentUrl"), col("host"),

@@ -133,6 +133,12 @@ final case class CrawlConfig(
     // scanning the frontier. Costs a sampling pass + shuffle per wave; leave
     // unset for small politeness-bound crawls.
     snapshotFileTarget: Option[Int] = None,
+    // Fetch-join strategy: a wave (and the pages-prep winner table) at or
+    // under this many rows is BROADCAST to the pages side, so the multi-KB
+    // html payloads never enter an exchange at all — on a cluster a ~100 MB
+    // broadcast beats shuffling terabytes of html. Larger waves fall back
+    // to the co-partitioned SHUFFLE_HASH join (html hashed, never sorted).
+    broadcastWaveMaxRows: Long = 500000L,
     // When on, pages-prep winner picks are WRITTEN to a table under
     // stateDir/intermediates instead of localCheckpoint'd: the blocks of a
     // localCheckpoint die with their executor, so a long crawl on a real

@@ -124,9 +124,10 @@ object PlanCheck {
 
     // 8. pages prep: the winner-capture selection must NEVER sort payload
     // bytes — the winner agg runs over the small pick struct (no html/text
-    // in any aggregate function), and payloads reach the output through one
-    // shuffled-hash join keyed by canonical (the partitioning the per-wave
-    // fetch join reuses)
+    // in any aggregate function). Winner join-back is strategy-selected:
+    // a small winner table is a BROADCAST build (html never enters an
+    // exchange at all); above the broadcast cap the SHUFFLED-HASH
+    // co-partitioned join takes over (html hashed, never sorted).
     val prepPages = graft.gen.CorpusGen.dataset(spark, graft.gen.CorpusGen.Spec(3, 12))
     val prep = graft.crawl.CrawlEngine.preparePages(prepPages)
     val prepPlan = prep.queryExecution.executedPlan.toString.split("Initial Plan").head
@@ -134,9 +135,15 @@ object PlanCheck {
       !prepPlan.split("\n").exists(l =>
         (l.contains("SortAggregate") || l.contains("HashAggregate")) && l.contains("html")),
       "winner aggregation touches only the small pick columns, never html/text")
-    check("pages-prep/shuffled-hash-on-canonical",
-      prepPlan.contains("ShuffledHashJoin") && !prepPlan.contains("SortMergeJoin"),
-      "payloads join back by canonical hash — hashed once, never sorted")
+    check("pages-prep/broadcast-small-winners",
+      prepPlan.contains("BroadcastHashJoin") && !prepPlan.contains("SortMergeJoin"),
+      "a small winner table broadcasts — html payloads never enter an exchange")
+    val prepShuffle = graft.crawl.CrawlEngine.preparePages(prepPages,
+      broadcastWinnersMaxRows = 0L)
+    val prepShufflePlan = prepShuffle.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("pages-prep/shuffled-hash-above-broadcast-cap",
+      prepShufflePlan.contains("ShuffledHashJoin") && !prepShufflePlan.contains("SortMergeJoin"),
+      "above the broadcast cap payloads join by canonical hash — hashed once, never sorted")
 
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
