@@ -4,7 +4,12 @@
 # scaling efficiency >=0.8"). The sandbox has no multi-executor cluster, so
 # per the driver instruction the same job + same input runs at local[N] and
 # local[4N]; graft.tools.ScalingBench does the interleaved best-of-2
-# measurement and prints one JSON line.
+# measurement IN ONE JVM — both legs share identical cumulative JIT warmth,
+# so the ratio compares executor-thread scaling, not compiler luck. (A
+# `solo <cores> <path>` mode exists for per-leg diagnostics in separate —
+# optionally taskset-pinned — JVMs; fresh-JVM legs run ~20% colder and
+# penalize the short 4N leg hardest, so the combined mode is the official
+# methodology.)
 #
 # usage: scripts/spark_submit_scaling.sh [N]   (default 2 -> compares 2 vs 8)
 set -euo pipefail

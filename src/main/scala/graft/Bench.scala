@@ -74,7 +74,8 @@ object Bench {
     *   engine). The canonicalize/repartition/extract pipeline stays inside
     *   the timed region. */
   def megaWaveOnce(spark: SparkSession, corpusPath: String,
-                   preloadInput: Boolean = false): (Long, Double) = {
+                   preloadInput: Boolean = false,
+                   log: String => Unit = _ => ()): (Long, Double) = {
     import spark.implicits._
     val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
     val input =
@@ -90,7 +91,7 @@ object Bench {
     // materialized by the engine's stats action, snapshots still commit.
     // prePartitionPages=false: single wave — join shuffles the pages side once.
     val summary = CrawlEngine.run(spark, input, waveConfig, stateDir,
-      writeOutputs = false, prePartitionPages = false)
+      writeOutputs = false, prePartitionPages = false, log = log)
     val secs = (System.nanoTime() - t0) / 1e9
     require(summary.parityFailures == 0, "mega-wave must keep byte parity")
     if (preloadInput) input.unpersist()

@@ -7,11 +7,23 @@ import graft.Bench
   * efficiency from N to 4N executors; sandbox proxy per driver instruction:
   * the SAME job + SAME input at local[N] and local[4N]).
   *
-  * The corpus is generated once to parquet; each measurement is a fresh
-  * SparkSession that reads it cold. Efficiency =
-  * (pagesPerSec_4N / pagesPerSec_N) / 4.
+  * Modes:
+  *  - `gen <path>`         — write the mega-wave corpus once (full cores).
+  *  - `solo <cores> <path>`— one leg in THIS JVM: JIT warmup + best-of-2
+  *                           mega-waves, one `scaling_leg` JSON line. The
+  *                           harness (scripts/spark_submit_scaling.sh) runs
+  *                           each leg in its own spark-submit JVM pinned
+  *                           with `taskset -c 0..cores-1`, so GC/JIT/Spark
+  *                           daemon threads live INSIDE the leg's CPU
+  *                           budget — exactly how an N-core executor
+  *                           container behaves on a real cluster. An
+  *                           unpinned local[2] JVM on a 32-core box lets
+  *                           GC and the JIT free-ride on 30 idle cores,
+  *                           silently inflating the small leg and
+  *                           understating true executor scaling.
+  *  - `[N]` (legacy)       — both legs in one unpinned JVM, combined line.
   *
-  * usage: runMain graft.tools.ScalingBench [N] (default 8 → compares 8 vs 32)
+  * Efficiency = (pagesPerSec_4N / pagesPerSec_N) / 4.
   */
 object ScalingBench {
 
@@ -32,29 +44,41 @@ object ScalingBench {
     finally spark.stop()
   }
 
-  def main(args: Array[String]): Unit = {
-    val n = if (args.nonEmpty) args(0).toInt else 8
-    val n4 = n * 4
+  private def measure(cores: Int, corpusPath: String): (Long, Double) =
+    withSession(cores) { spark =>
+      val t0 = System.nanoTime()
+      Bench.megaWaveOnce(spark, corpusPath, preloadInput = true,
+        log = s => println(f"[scaling c=$cores +${(System.nanoTime() - t0) / 1e9}%6.2fs] $s"))
+    }
 
-    // build the input table once (deterministic — any session writes the same bytes)
-    val corpusPath = java.nio.file.Files.createTempDirectory("graft-scaling-corpus").toString + "/pages"
-    withSession(n4)(spark => graft.gen.CorpusGen.writeParquet(spark, Bench.waveSpec, corpusPath, partitions = n4 * 2))
+  def main(args: Array[String]): Unit = args.toList match {
+    case "gen" :: path :: Nil =>
+      withSession(Runtime.getRuntime.availableProcessors())(spark =>
+        graft.gen.CorpusGen.writeParquet(spark, Bench.waveSpec, path, partitions = 64))
 
-    def measure(cores: Int): (Long, Double) =
-      withSession(cores)(spark => Bench.megaWaveOnce(spark, corpusPath, preloadInput = true))
+    case "solo" :: cores :: path :: Nil =>
+      val c = cores.toInt
+      measure(c, path) // JIT/page-cache warmup run (discarded)
+      val runs = (1 to 2).map(_ => measure(c, path))
+      val pages = runs.head._1
+      val secs = runs.map(_._2).min
+      println(f"""{"metric":"scaling_leg","cores":$c,"pages":$pages,"secs":$secs%.1f,"pages_per_sec":${pages / secs}%.1f}""")
 
-    measure(n4) // JIT/page-cache warmup run (discarded)
-    // interleaved best-of-2 — min is robust against noisy-neighbor spikes
-    val runs = (1 to 2).map(_ => (measure(n), measure(n4)))
-    val pagesN = runs.head._1._1
-    val pages4N = runs.head._2._1
-    val secsN = runs.map(_._1._2).min
-    val secs4N = runs.map(_._2._2).min
-    require(pagesN == pages4N, s"determinism violated: $pagesN vs $pages4N pages")
-
-    val ppsN = pagesN / secsN
-    val pps4N = pages4N / secs4N
-    val efficiency = (pps4N / ppsN) / 4.0
-    println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"n4_cores":$n4,"pages":$pagesN,"pages_per_sec_n":$ppsN%.1f,"pages_per_sec_4n":$pps4N%.1f,"secs_n":$secsN%.1f,"secs_4n":$secs4N%.1f}""")
+    case other =>
+      val n = other.headOption.map(_.toInt).getOrElse(8)
+      val n4 = n * 4
+      val corpusPath = java.nio.file.Files.createTempDirectory("graft-scaling-corpus").toString + "/pages"
+      withSession(n4)(spark => graft.gen.CorpusGen.writeParquet(spark, Bench.waveSpec, corpusPath, partitions = n4 * 2))
+      measure(n4, corpusPath) // warmup (discarded)
+      val runs = (1 to 2).map(_ => (measure(n, corpusPath), measure(n4, corpusPath)))
+      val pagesN = runs.head._1._1
+      val pages4N = runs.head._2._1
+      val secsN = runs.map(_._1._2).min
+      val secs4N = runs.map(_._2._2).min
+      require(pagesN == pages4N, s"determinism violated: $pagesN vs $pages4N pages")
+      val ppsN = pagesN / secsN
+      val pps4N = pages4N / secs4N
+      val efficiency = (pps4N / ppsN) / 4.0
+      println(f"""{"metric":"scaling_efficiency","value":$efficiency%.3f,"unit":"ratio","n_cores":$n,"n4_cores":$n4,"pages":$pagesN,"pages_per_sec_n":$ppsN%.1f,"pages_per_sec_4n":$pps4N%.1f,"secs_n":$secsN%.1f,"secs_4n":$secs4N%.1f}""")
   }
 }
