@@ -288,8 +288,20 @@ object CrawlEngine {
 
     // ---- seed frontier (canonicalized on executors — seed lists can be
     // sitemap-scale, SURVEY §2.1) --------------------------------------------
-    val seedDs = Frontier.dedupeWave(spark,
-      spark.createDataset(config.seeds).flatMap(s => seedEntry(s)))
+    // Seed lists up to ~1M entries dedupe ON THE DRIVER (they already live
+    // there as config.seeds — pure canonicalize + the same Frontier.merge
+    // rule, deterministic layout): no shuffle job to dedupe a list we hold
+    // in memory. Sitemap-scale lists beyond that go through the
+    // distributed dedupe as before.
+    val seedDs =
+      if (config.seeds.size <= 1000000) {
+        val entries = config.seeds.iterator.flatMap(s => seedEntry(s)).toVector
+          .groupBy(_.canonicalUrl).valuesIterator
+          .map(_.reduce(Frontier.merge[FrontierEntry] _))
+          .toVector.sortBy(_.canonicalUrl)
+        spark.createDataset(entries)
+      } else Frontier.dedupeWave(spark,
+        spark.createDataset(config.seeds).flatMap(s => seedEntry(s)))
     val seedHosts = config.seeds
       .flatMap(s => UrlKernel.canonicalize(s).flatMap(UrlKernel.extractDomain)).toSet
     val bcSeedHosts = spark.sparkContext.broadcast(seedHosts)
@@ -610,7 +622,8 @@ object CrawlEngine {
           }
 
           // -- barrier, then the commit point -------------------------------
-          Await.result(Future.sequence(sinkFutures ++ Seq(fFrontier, fSeenDelta)), Duration.Inf)
+          (sinkFutures :+ fSeenDelta).foreach(f => Await.result(f, Duration.Inf))
+          val frontierRows = Await.result(fFrontier, Duration.Inf)
           if (twoConsumers) { missByHost.unpersist(); hostAgg.unpersist() }
           store.finalizeCommit(wave, fetchedTotal, errorsTotal, parityFailures, rid)
           log(f"wave=$wave%-3d selected=$selCount%-6d fetched=$fetchCount%-6d errors=$errCount%-4d " +
@@ -620,8 +633,15 @@ object CrawlEngine {
           selected.unpersist()
           selectedAll.unpersist()
           frontierPersisted.unpersist()
-          seen = store.loadSeen(spark, wave)
-          frontier = store.loadFrontier(spark, wave).as[FrontierEntry]
+          // footer stats said the committed frontier is empty: the next
+          // iteration's select over it could only yield zero rows — exit
+          // without that job (identical summary: the empty-wave path never
+          // committed anything either)
+          if (frontierRows == 0L) done = true
+          else {
+            seen = store.loadSeen(spark, wave)
+            frontier = store.loadFrontier(spark, wave).as[FrontierEntry]
+          }
           wave += 1
         }
       }

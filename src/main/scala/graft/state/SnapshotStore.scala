@@ -110,9 +110,13 @@ final class SnapshotStore(root: String) {
   /** Data half of [[commit]], step 1: the frontier table + its manifest
     * list. Independent of [[writeSeenDelta]] — the engine runs the two (and
     * its output sinks) concurrently; only [[finalizeCommit]]'s CURRENT flip
-    * is the durability point, so ordering between data writes is free. */
+    * is the durability point, so ordering between data writes is free.
+    * Returns the committed frontier's row count, read from the manifest
+    * list's parquet FOOTER stats — free to the caller (no Spark job), and
+    * what lets the wave loop exit without running a select over a frontier
+    * it can already see is empty. */
   def writeFrontier(spark: SparkSession, wave: Int, frontier: DataFrame,
-                    targetFrontierFiles: Option[Int] = None): Unit = {
+                    targetFrontierFiles: Option[Int] = None): Long = {
     val dir = snapDir(wave)
     // Clustering costs a sampling pass + range shuffle per commit — worth it
     // when frontier shards are re-read selectively (10^10-URL deployments set
@@ -127,6 +131,7 @@ final class SnapshotStore(root: String) {
     }
     clustered.write.mode("overwrite").parquet(s"$dir/frontier.parquet")
     writeManifestList(wave)
+    manifestList(wave).map(_.rows).sum
   }
 
   /** Data half of [[commit]], step 2: this wave's seen-set delta. */
