@@ -65,6 +65,22 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("shuffle-hash fetch fallback (broadcast cap 0) reproduces the golden crawl") {
+    withSpark("local[4]") { spark =>
+      // the join-strategy selection must be a pure plan choice: forcing the
+      // above-cap SHUFFLE_HASH path (what a 10^10-row wave takes) must give
+      // the exact golden order, parity, and seen set
+      val spec = CorpusGen.Spec(GoldenGen.Hosts, GoldenGen.PagesPerHost)
+      val pages = CorpusGen.dataset(spark, spec)
+      val dir = Files.createTempDirectory("graft-shuffle-fallback").toString
+      val cfg = GoldenGen.config(GoldenGen.Hosts).copy(broadcastWaveMaxRows = 0L)
+      val summary = CrawlEngine.run(spark, pages, cfg, dir)
+      assert(summary.parityFailures == 0)
+      assert(orderLines(spark, dir).mkString("\n") == resource("crawl_order.txt").trim,
+        "shuffle-path run must match the frozen golden order exactly")
+    }
+  }
+
   test("perHostBudget <= 0 (unlimited) equals a budget at/above every host's count") {
     withSpark("local[4]") { spark =>
       // saturated single wave: an explicit budget >= per-host page count and
