@@ -150,10 +150,14 @@ object StreamingCrawl {
         released.unpersist()
         done = true
       } else {
-        // -- fetch: equi-join vs the canonical-keyed pages table (same
-        // SHUFFLE_HASH shape as the batch engine — html must never sort)
+        // -- fetch: equi-join vs the canonical-keyed pages table, the same
+        // strategy selection as the batch engine (relCount is known):
+        // small released waves broadcast so html never enters an exchange;
+        // wide waves fall back to SHUFFLE_HASH — html must never sort
+        val relCols = released.select("canonicalUrl", "url", "depth", "parentUrl", "host")
         val fetched = prepared.join(
-          released.select("canonicalUrl", "url", "depth", "parentUrl", "host").hint("shuffle_hash"),
+          if (relCount <= config.broadcastWaveMaxRows) broadcast(relCols)
+          else relCols.hint("shuffle_hash"),
           Seq("canonicalUrl"), "inner")
           .select(col("canonicalUrl"), col("url"), col("depth"),
             col("servedUrl"), col("html"), col("storedText"))
