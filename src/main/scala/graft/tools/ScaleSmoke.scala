@@ -26,7 +26,8 @@ object ScaleSmoke {
       .appName("graft-scale-smoke")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "256"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -36,7 +36,8 @@ object ScalingBench {
       .config("spark.sql.adaptive.enabled", "true")
       // multi-KB binary html rows: default 4096-row reader batches are
       // ~128 MB per task — scale the batch to the row width
-      .config("spark.sql.parquet.columnarReaderBatchSize", "256")
+      .config("spark.sql.parquet.columnarReaderBatchSize",
+        sys.env.getOrElse("SPARK_GRAFT_READER_BATCH", "256"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
