@@ -54,6 +54,7 @@ object SparkEntry {
     "q_pii_redact" -> (TextAnalysis.piiRedact _),
     "q_repetition" -> (TextAnalysis.repetitionSignals _),
     "q_corpus_export" -> (TextAnalysis.corpusExport _),
+    "q_decontaminate" -> (TextAnalysis.decontaminate _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_pii_redact" -> TextAnalysis.piiRedactSql,
     "q_repetition" -> TextAnalysis.repetitionSignalsSql,
     "q_corpus_export" -> TextAnalysis.corpusExportSql,
+    "q_decontaminate" -> TextAnalysis.decontaminateSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

@@ -409,4 +409,100 @@ object TextAnalysis {
     """SELECT vec_id, label, len(embedding) AS dims,
       |  len(list_filter(embedding, x -> x > 0)) AS n_pos
       |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ------------------------------------------------------ decontamination --
+
+  /** Contamination plants for [[decontaminate]]: benchmark texts embedded in
+    * unrelated padding (the realistic leak shape — a benchmark item quoted
+    * inside a crawled page). Shared verbatim with the SQL twin. */
+  private val DecontamPadLeft = "Unrelated preamble padding sentence words here. "
+  private val DecontamPadRight = " Trailing unrelated padding words appended."
+  val DecontamBenchDocs = 8
+
+  /** Distinct word-3-gram shingles as a pure Column expression (codegen, no
+    * UDF) — the exact-match shape DuckDB recomputes independently. */
+  private def shingleCol: org.apache.spark.sql.Column = {
+    val ws = split(col("text"), " ")
+    array_distinct(
+      when(size(ws) >= 3,
+        transform(sequence(lit(1), size(ws) - lit(2)), i =>
+          concat_ws(" ", element_at(ws, i), element_at(ws, i + lit(1)), element_at(ws, i + lit(2)))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** Benchmark decontamination — the training-data op that removes corpus
+    * documents overlapping an evaluation set (the test-set-leak guard every
+    * serious pipeline runs before training). A document is CONTAMINATED
+    * when it covers ≥ 80% of ANY benchmark document's distinct word-3-gram
+    * shingles (coverage ratio, not an absolute count: short benchmark items
+    * must not slip under a fixed threshold). Exact n-grams, no hashing —
+    * the DuckDB oracle recomputes the whole thing independently.
+    *
+    * Scale shape: the benchmark set is small by nature (thousands of eval
+    * items) → its shingle index BROADCASTS; the corpus side explodes
+    * shingles once and only (doc, bench) hit pairs — pre-aggregated
+    * map-side — enter the shuffle. 100 TB of corpus scans once; nothing
+    * quadratic, nothing driver-side. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val plants = base.filter(col("doc_id") < DecontamBenchDocs)
+      .select((col("doc_id") + DedupQueries.PlantOffset).as("doc_id"),
+        concat(lit(DecontamPadLeft), col("text"), lit(DecontamPadRight)).as("text"))
+    val corpus = base.unionByName(plants)
+    val bench = base.filter(col("doc_id") < DecontamBenchDocs)
+      .select(col("doc_id").as("bench_id"), col("text"))
+    val corpusSh = corpus.select(col("doc_id"), explode(shingleCol).as("sh"))
+    val benchSh = bench.select(col("bench_id"), explode(shingleCol).as("sh")).distinct()
+    val benchSizes = benchSh.groupBy("bench_id").agg(count(lit(1)).as("bench_n"))
+    val hits = corpusSh.join(broadcast(benchSh), Seq("sh"))
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+    val agg = hits.groupBy("doc_id").agg(
+      max(col("shared")).as("mx"),
+      max(when(col("shared") * 10 >= col("bench_n") * 8, 1).otherwise(0)).as("cf"))
+    corpus.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("mx"), lit(0L)).as("max_shared_shingles"),
+        (coalesce(col("cf"), lit(0)) === 1).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Independent DuckDB recompute of [[decontaminate]] — same plants, same
+    * shingling, same 80%-coverage rule, shared engine code: none. */
+  val decontaminateSql: String =
+    """WITH corpus AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT CAST(doc_id + 10000000 AS BIGINT),
+      |         'Unrelated preamble padding sentence words here. ' || text || ' Trailing unrelated padding words appended.'
+      |  FROM documents WHERE doc_id < 8
+      |),
+      |bench AS (SELECT CAST(doc_id AS BIGINT) AS bench_id, text FROM documents WHERE doc_id < 8),
+      |csh AS (
+      |  SELECT doc_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+      |),
+      |bsh AS (
+      |  SELECT DISTINCT bench_id, unnest(list_distinct(CASE WHEN len(ws) >= 3
+      |    THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+      |    ELSE CAST([] AS VARCHAR[]) END)) AS sh
+      |  FROM (SELECT bench_id, string_split(text, ' ') AS ws FROM bench)
+      |),
+      |bn AS (SELECT bench_id, count(*) AS bench_n FROM bsh GROUP BY 1),
+      |hits AS (
+      |  SELECT c.doc_id, b.bench_id, count(*) AS shared
+      |  FROM csh c JOIN bsh b USING (sh) GROUP BY 1, 2
+      |),
+      |agg AS (
+      |  SELECT h.doc_id, max(h.shared) AS mx,
+      |         max(CASE WHEN h.shared * 10 >= bn.bench_n * 8 THEN 1 ELSE 0 END) AS cf
+      |  FROM hits h JOIN bn USING (bench_id) GROUP BY 1
+      |)
+      |SELECT corpus.doc_id,
+      |  CAST(coalesce(agg.mx, 0) AS BIGINT) AS max_shared_shingles,
+      |  coalesce(agg.cf, 0) = 1 AS contaminated
+      |FROM corpus LEFT JOIN agg ON corpus.doc_id = agg.doc_id
+      |ORDER BY corpus.doc_id""".stripMargin
 }

@@ -52,6 +52,45 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(base.forall(_.getAs[Long]("n_words") > 0))
   }
 
+  test("decontaminate: planted benchmark leaks flagged, clean corpus docs pass") {
+    val rows = TextAnalysis.decontaminate(spark, sfDir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("max_shared_shingles"), r.getAs[Boolean]("contaminated"))).toMap
+    // every planted doc (benchmark text inside unrelated padding) is flagged
+    (0L until TextAnalysis.DecontamBenchDocs.toLong).foreach { i =>
+      assert(byId(Plant + i)._2, s"plant $i must be contaminated: ${byId(Plant + i)}")
+      assert(byId(i)._2, s"benchmark doc $i itself is in-corpus and must flag")
+      // the plant covers the benchmark fully: shared == the bench doc's own count
+      assert(byId(Plant + i)._1 == byId(i)._1, s"plant $i must cover bench $i fully")
+    }
+    // in the non-plant range the flag must equal an INDEPENDENT scalar-side
+    // recompute of the 80%-coverage rule (graft shingle kernel, not the
+    // Column expression): exact/near duplicates of benchmark texts — which
+    // the synthetic corpus plants — flag; incidental template-sentence
+    // overlap never does
+    val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val benchSets = (0L until TextAnalysis.DecontamBenchDocs.toLong)
+      .map(i => Dedup.shingles(docsDf(i)))
+    def covered(text: String): Boolean = {
+      val sh = Dedup.shingles(text)
+      benchSets.exists(b => b.nonEmpty && sh.intersect(b).size * 10 >= b.size * 8)
+    }
+    val cleanRange = rows.filter { r =>
+      val id = r.getAs[Long]("doc_id")
+      id >= TextAnalysis.DecontamBenchDocs && id < Plant
+    }
+    cleanRange.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("contaminated") == covered(docsDf(id)),
+        s"doc $id flag must match the independent coverage recompute: $r")
+    }
+    assert(cleanRange.exists(_.getAs[Boolean]("contaminated")),
+      "the corpus's planted benchmark near-duplicates must be caught")
+    assert(cleanRange.exists(!_.getAs[Boolean]("contaminated")))
+  }
+
   test("corpusExport: exact plants die in dedup, boilerplate plants at the gates") {
     val rows = TextAnalysis.corpusExport(spark, sfDir).collect()
     val ids = rows.map(_.getAs[Long]("doc_id")).toSet
