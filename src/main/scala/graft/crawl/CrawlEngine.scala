@@ -525,7 +525,10 @@ object CrawlEngine {
           val combined =
             if (linkGenActive) Frontier.dedupeWave(spark, leftovers.union(gatedLinkEntries))
             else leftovers
-          val nextFrontier = Frontier.newOnly(spark, combined, newSeen, seenCount)
+          val nextFrontier =
+            if (config.seenSketch == "cuckoo")
+              Frontier.newOnlyCuckoo(spark, combined, newSeen, seenCount)
+            else Frontier.newOnly(spark, combined, newSeen, seenCount)
 
           // -- parallel wave writes ----------------------------------------
           // The output sinks (crawl_order / pages / chunks / metrics) and

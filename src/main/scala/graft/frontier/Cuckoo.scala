@@ -1,0 +1,197 @@
+package graft.frontier
+
+/** Cuckoo filter (Fan, Andersen, Kaminsky, Mitzenmacher 2014 — public
+  * algorithm): the north rule's alternative to the bloom seen-sketch, with
+  * the one capability bloom lacks — DELETION. A production recrawl policy
+  * evicts expired URLs from the seen sketch without rebuilding it over
+  * 10^10 rows; a bloom must be rebuilt, a cuckoo filter just deletes.
+  *
+  * Layout: 2^log2Buckets buckets × 4 slots × 16-bit fingerprints, packed
+  * one bucket per Long. Partial-key cuckoo hashing: an item's two candidate
+  * buckets are i1 = h mod m and i2 = i1 XOR hash(fp), so EITHER bucket
+  * index plus the fingerprint recovers the other — which is what makes the
+  * filter mergeable (re-insert every (bucket, fp) slot of one table into
+  * the other) and therefore buildable as a distributed treeAggregate.
+  *
+  * Guarantees: no false negatives for inserted-and-not-deleted items;
+  * false-positive rate ~ 2·4/2^16 per probe at full load; deletes are safe
+  * only for items actually inserted (the standard cuckoo-filter contract).
+  * Insertion can fail at high load (relocation chain exceeds MaxKicks) —
+  * the filter then reports itself SATURATED and the caller falls back to
+  * the exact anti-join, the same graceful-degrade discipline as the
+  * budget-capped bloom ([[Frontier.newOnly]]).
+  *
+  * Deterministic: all hashing is splitmix/xxhash-style arithmetic on the
+  * item hash; no RNG state — the relocation victim slot rotates with the
+  * kick counter.
+  */
+final class CuckooFilter(val log2Buckets: Int) extends Serializable {
+  require(log2Buckets >= 1 && log2Buckets <= 30, s"log2Buckets out of range: $log2Buckets")
+  private val numBuckets = 1 << log2Buckets
+  private val mask = numBuckets - 1
+  private val table = new Array[Long](numBuckets)
+  private var count = 0L
+  private var saturatedFlag = false
+
+  val MaxKicks = 500
+
+  def size: Long = count
+  def capacity: Long = numBuckets.toLong * 4L
+  def saturated: Boolean = saturatedFlag
+
+  private def mix(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** 16-bit nonzero fingerprint of an item hash. */
+  private def fingerprintOf(h: Long): Int = {
+    val f = ((mix(h) >>> 48) & 0xffffL).toInt
+    if (f == 0) 1 else f
+  }
+  private def bucket1(h: Long): Int = (mix(h) & mask).toInt
+  private def altBucket(i: Int, fp: Int): Int = (i ^ (mix(fp.toLong) & mask).toInt) & mask
+
+  private def slot(b: Long, s: Int): Int = ((b >>> (s * 16)) & 0xffffL).toInt
+  private def setSlot(b: Long, s: Int, fp: Int): Long =
+    (b & ~(0xffffL << (s * 16))) | (fp.toLong << (s * 16))
+
+  private def tryInsertAt(i: Int, fp: Int): Boolean = {
+    val b = table(i)
+    var s = 0
+    while (s < 4) {
+      if (slot(b, s) == 0) { table(i) = setSlot(b, s, fp); return true }
+      s += 1
+    }
+    false
+  }
+
+  /** Insert an item hash. False = table saturated (filter stays correct for
+    * everything already inserted; the caller should stop inserting and
+    * treat the sketch as unusable for NEW filtering decisions). */
+  def insert(h: Long): Boolean = {
+    if (saturatedFlag) return false
+    val fp0 = fingerprintOf(h)
+    val i1 = bucket1(h)
+    if (tryInsertAt(i1, fp0) || tryInsertAt(altBucket(i1, fp0), fp0)) { count += 1; return true }
+    // relocate: deterministic victim slot rotates with the kick counter
+    var i = i1
+    var fp = fp0
+    var kick = 0
+    while (kick < MaxKicks) {
+      val s = kick & 3
+      val b = table(i)
+      val victim = slot(b, s)
+      table(i) = setSlot(b, s, fp)
+      fp = victim
+      i = altBucket(i, fp)
+      if (tryInsertAt(i, fp)) { count += 1; return true }
+      kick += 1
+    }
+    // the relocation chain ends holding one HOMELESS fingerprint — its item
+    // just lost membership, so a negative answer can no longer be trusted.
+    // Fail SAFE: mark saturated, and from here mightContain answers true
+    // for everything (false positives only cost exact-anti-join traffic;
+    // a false negative would double-fetch a seen URL).
+    saturatedFlag = true
+    false
+  }
+
+  /** Membership probe: false ⇒ definitely not inserted. A saturated filter
+    * answers true unconditionally (fail-safe — see [[insert]]). */
+  def mightContain(h: Long): Boolean = {
+    if (saturatedFlag) return true
+    val fp = fingerprintOf(h)
+    val i1 = bucket1(h)
+    val i2 = altBucket(i1, fp)
+    val b1 = table(i1); val b2 = table(i2)
+    var s = 0
+    while (s < 4) {
+      if (slot(b1, s) == fp || slot(b2, s) == fp) return true
+      s += 1
+    }
+    false
+  }
+
+  /** Delete one copy of an item's fingerprint (recrawl eviction). True iff
+    * a copy was found and removed. Only call for items actually inserted —
+    * deleting a never-inserted item can remove another item's colliding
+    * fingerprint (the standard cuckoo-filter contract). */
+  def delete(h: Long): Boolean = {
+    val fp = fingerprintOf(h)
+    val i1 = bucket1(h)
+    var i = i1
+    var pass = 0
+    while (pass < 2) {
+      val b = table(i)
+      var s = 0
+      while (s < 4) {
+        if (slot(b, s) == fp) { table(i) = setSlot(b, s, 0); count -= 1; return true }
+        s += 1
+      }
+      i = altBucket(i1, fp)
+      pass += 1
+    }
+    false
+  }
+
+  /** Merge another filter's contents (same log2Buckets) by re-inserting
+    * every stored (bucket, fingerprint) slot — sound because either bucket
+    * index plus the fingerprint determines the pair. False if saturation
+    * was hit (merged filter unusable for new filtering decisions). */
+  def merge(other: CuckooFilter): Boolean = {
+    require(other.log2Buckets == log2Buckets, "cuckoo merge requires equal sizing")
+    if (other.saturatedFlag) { saturatedFlag = true; return false }
+    var i = 0
+    while (i < numBuckets) {
+      val b = other.table(i)
+      var s = 0
+      while (s < 4) {
+        val fp = slot(b, s)
+        if (fp != 0) {
+          if (!insertFingerprint(i, fp)) { saturatedFlag = true; return false }
+        }
+        s += 1
+      }
+      i += 1
+    }
+    !saturatedFlag
+  }
+
+  /** Insert a raw (bucket, fingerprint) pair — the merge path. */
+  private def insertFingerprint(i0: Int, fp0: Int): Boolean = {
+    if (tryInsertAt(i0, fp0) || tryInsertAt(altBucket(i0, fp0), fp0)) { count += 1; return true }
+    var i = i0
+    var fp = fp0
+    var kick = 0
+    while (kick < MaxKicks) {
+      val s = kick & 3
+      val b = table(i)
+      val victim = slot(b, s)
+      table(i) = setSlot(b, s, fp)
+      fp = victim
+      i = altBucket(i, fp)
+      if (tryInsertAt(i, fp)) { count += 1; return true }
+      kick += 1
+    }
+    false
+  }
+}
+
+object CuckooFilter {
+  /** Size for n items at ≤ ~84% load (the b=4 cuckoo sweet spot), capped at
+    * `maxBytes` of table (2^30 buckets = 8 GiB is far past any driver
+    * budget — callers cap much lower and fall back to the exact anti-join
+    * when saturation or the cap bites, exactly like the bloom path). */
+  def forItems(n: Long, maxBytes: Long = 1L << 31): CuckooFilter = {
+    val wantBuckets = math.max(2L, math.ceil(n / 0.84 / 4.0).toLong)
+    val log2 = math.min(30, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(wantBuckets - 1)))
+    val capped = math.min(log2.toLong, {
+      val maxBuckets = math.max(2L, maxBytes / 8L)
+      (63 - java.lang.Long.numberOfLeadingZeros(maxBuckets)).toLong
+    }).toInt
+    new CuckooFilter(capped)
+  }
+}

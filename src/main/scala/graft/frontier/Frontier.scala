@@ -68,6 +68,42 @@ object Frontier extends Serializable {
     }
   }
 
+  /** [[newOnly]]'s cuckoo-sketch twin — the north rule names "bloom/cuckoo
+    * URL-seen filter", and cuckoo is the one that supports DELETION (a
+    * recrawl policy evicts expired URLs without rebuilding the sketch over
+    * 10^10 rows — see [[CuckooFilter.delete]]). Same split discipline:
+    * definite-new rows (sketch negative) skip the shuffle; sketch-positive
+    * rows take the exact anti-join, so false positives cost traffic, never
+    * correctness. The sketch is built with a treeAggregate over the seen
+    * table's xxhash64 keys (cuckoo tables MERGE by re-inserting slots);
+    * a budget-capped or saturated build falls back to the pure exact
+    * anti-join — saturation also fails safe at probe time (a saturated
+    * filter answers mightContain = true for everything). */
+  def newOnlyCuckoo(
+      spark: SparkSession,
+      candidates: Dataset[FrontierEntry],
+      seen: DataFrame,
+      seenCount: Long,
+      maxSketchBytes: Long = 1L << 31
+  ): Dataset[FrontierEntry] = {
+    import spark.implicits._
+    if (seenCount == 0) return candidates
+    def exact = candidates.join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+    if (seenCount < BloomThreshold) return exact
+    val zero = CuckooFilter.forItems(seenCount, maxSketchBytes)
+    // budget-capped below the b=4 load point: the build would saturate —
+    // skip straight to the exact plan
+    if (zero.capacity.toDouble * 0.95 < seenCount) return exact
+    val filter = seen.select(xxhash64(col("canonicalUrl")).as("h")).as[Long].rdd
+      .treeAggregate(zero)((f, h) => { f.insert(h); f }, (a, b) => { a.merge(b); a })
+    if (filter.saturated) return exact
+    val bc = spark.sparkContext.broadcast(filter)
+    val definitelyNew = candidates.filter(e => !bc.value.mightContain(e.urlHash))
+    val maybeSeen = candidates.filter(e => bc.value.mightContain(e.urlHash))
+      .join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+    definitelyNew.union(maybeSeen)
+  }
+
   /** The dedup MERGE rule: which representative survives when two
     * discoveries share a canonical URL — min depth, then lexicographically
     * smallest url, then smallest parentUrl. A total, order-independent

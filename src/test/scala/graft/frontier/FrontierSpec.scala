@@ -131,6 +131,55 @@ class FrontierSpec extends AnyFunSuite {
     }
   }
 
+  test("cuckoo filter: no false negatives, deletion works, saturation fails safe") {
+    val f = CuckooFilter.forItems(100000)
+    val items = (0L until 100000L).map(i => CrawlEngine.urlHash(s"https://h${i % 997}.com/p$i"))
+    items.foreach(h => assert(f.insert(h), "sized-for-n filter must accept n items"))
+    assert(items.forall(f.mightContain), "no false negatives")
+    // false positives exist but are rare at 16-bit fingerprints
+    val probes = (0L until 100000L).map(i => CrawlEngine.urlHash(s"https://other$i.net/"))
+    val fpr = probes.count(f.mightContain).toDouble / probes.size
+    assert(fpr < 0.01, s"false-positive rate too high: $fpr")
+    // DELETION — the capability bloom lacks (recrawl eviction): delete half,
+    // the other half keeps membership, deleted ones mostly clear
+    val (del, keep) = items.splitAt(50000)
+    del.foreach(h => assert(f.delete(h), "inserted items must delete"))
+    assert(keep.forall(f.mightContain), "deletes must not disturb other members")
+    val residual = del.count(f.mightContain).toDouble / del.size
+    assert(residual < 0.01, s"deleted items must clear (residual collisions only): $residual")
+    // re-insert after delete round-trips
+    del.take(100).foreach(h => assert(f.insert(h)))
+    assert(del.take(100).forall(f.mightContain))
+    // saturation: overfill a tiny filter → it must answer true for
+    // EVERYTHING (fail-safe: a false negative would double-fetch)
+    val tiny = new CuckooFilter(2) // 4 buckets x 4 slots = 16 capacity
+    (0L until 200L).foreach(i => tiny.insert(CrawlEngine.urlHash(s"https://x$i.com/")))
+    assert(tiny.saturated)
+    assert((0L until 50L).forall(i => tiny.mightContain(CrawlEngine.urlHash(s"https://never$i.org/"))),
+      "a saturated filter must answer true unconditionally")
+  }
+
+  test("newOnlyCuckoo equals the exact anti-join (and the bloom path)") {
+    import spark.implicits._
+    val n = 30000 // past BloomThreshold so the sketch path engages
+    val entries = (0 until n).map { i =>
+      val c = s"https://s${i % 53}.com/page$i"
+      FrontierEntry(c, c, 1, "", s"s${i % 53}.com", 2, CrawlEngine.urlHash(c))
+    }
+    val candidates = spark.createDataset(entries)
+    val seen = spark.createDataset(entries.indices.collect { case i if i % 3 == 0 => entries(i).canonicalUrl })
+      .toDF("canonicalUrl")
+    val seenCount = seen.count()
+    val exact = candidates.join(seen, Seq("canonicalUrl"), "left_anti")
+      .collect().map(_.getAs[String]("canonicalUrl")).sorted
+    val viaCuckoo = Frontier.newOnlyCuckoo(spark, candidates, seen, seenCount)
+      .collect().map(_.canonicalUrl).sorted
+    val viaBloom = Frontier.newOnly(spark, candidates, seen, seenCount)
+      .collect().map(_.canonicalUrl).sorted
+    assert(viaCuckoo.toSeq == exact.toSeq, "cuckoo split must be exact")
+    assert(viaBloom.toSeq == exact.toSeq)
+  }
+
   test("politenessSelect: exact global per-host top-k under salting") {
     import spark.implicits._
     // 3 hosts × 40 urls with varying priorities
