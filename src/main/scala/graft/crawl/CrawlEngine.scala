@@ -240,6 +240,19 @@ object CrawlEngine {
     })
     val sinkEc = scala.concurrent.ExecutionContext.fromExecutorService(sinkPool)
 
+    // Best-effort resource release on ANY exit: a failed concurrent sink
+    // write (Await rethrows) must not leak executor storage, the sink pool,
+    // or the store's FileSystem — crawls run many-per-JVM (CrawlQueries).
+    // Every persisted frame registers an idempotent unpersist here; the
+    // normal path's targeted unpersists still run eagerly per wave.
+    val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    def cleanupAll(): Unit = {
+      liveCaches.foreach(f => try f() catch { case _: Throwable => () })
+      try sinkEc.shutdown() catch { case _: Throwable => () }
+      store.close()
+    }
+    try {
+
     // ---- robots rules: host-keyed Dataset, joined against new links --------
     // Rules are parsed on EXECUTORS and kept as a (host, disallow) table —
     // never collected to the driver: at Common-Crawl scale there are 10^7+
@@ -274,12 +287,14 @@ object CrawlEngine {
       if (prePartitionPages)
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
       else preparedBase
+    if (prePartitionPages) liveCaches += (() => prepared.unpersist())
 
     val robotsRules: DataFrame = if (!robotsActive) null
     else {
       val (r, nRules) = scala.concurrent.Await.result(
         robotsFuture, scala.concurrent.duration.Duration.Inf)
       robotsRulesBase = r
+      liveCaches += (() => r.unpersist())
       // broadcast the gate join while the disallowing-host table is small;
       // a 10^7-host deployment falls back to a shuffle join automatically
       if (nRules < 200000L) broadcast(r) else r
@@ -329,13 +344,18 @@ object CrawlEngine {
     var parityFailures = parityFailures0
 
     // ---- adaptive politeness state (sparse host→budget table) -------------
+    // Adaptive politeness is meaningless under an unlimited budget
+    // (perHostBudget <= 0 skips selection entirely): gate ALL of its
+    // machinery — budget load, health join, per-wave budgets write — off,
+    // not just the selection.
+    val adaptiveActive = config.adaptivePoliteness && config.perHostBudget > 0
     def loadBudgets(w: Int): Dataset[HostBudget] = {
       val p = s"$stateDir/budgets/wave=$w"
       // Hadoop FileSystem, not java.io.File: stateDir may live on
       // hdfs://-style storage in a real deployment (file:// when schemeless)
       val hp = new org.apache.hadoop.fs.Path(p)
-      val fsExists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
-      if (config.adaptivePoliteness && fsExists)
+      lazy val fsExists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+      if (adaptiveActive && fsExists)
         spark.read.parquet(p).as[HostBudget]
       else spark.emptyDataset[HostBudget]
     }
@@ -355,6 +375,7 @@ object CrawlEngine {
     var done = false
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
       val frontierPersisted = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+      liveCaches += (() => frontierPersisted.unpersist())
       // -- politeness: deterministic per-host top-k (salted two-phase) ------
       // (an empty frontier yields selCount == 0 below — no separate count
       // job). perHostBudget <= 0 = UNLIMITED: politeness off, the whole
@@ -364,13 +385,14 @@ object CrawlEngine {
       // without paying the shuffle to discover it).
       val selectedAll = (
         if (config.perHostBudget <= 0) frontierPersisted
-        else if (config.adaptivePoliteness)
+        else if (adaptiveActive)
           Frontier.politenessSelectBudgets(
             spark, frontierPersisted, hostBudgets, config.perHostBudget, config.saltBuckets)
         else
           Frontier.politenessSelect(
             spark, frontierPersisted, config.perHostBudget, config.saltBuckets)
       ).persist(StorageLevel.MEMORY_AND_DISK)
+      liveCaches += (() => selectedAll.unpersist())
       val rawCount = selectedAll.count()
       log(s"wave=$wave politeness-select done ($rawCount rows) $elapsed")
       val remaining = (config.maxPages - fetchedTotal).min(Int.MaxValue.toLong).toInt
@@ -383,6 +405,7 @@ object CrawlEngine {
             .orderBy(Frontier.priorityCols: _*)
             .limit(remaining)
             .persist(StorageLevel.MEMORY_AND_DISK)
+          liveCaches += (() => s.unpersist())
           (s, s.count())
         } else (selectedAll, rawCount)
       if (selCount == 0) {
@@ -443,8 +466,10 @@ object CrawlEngine {
           // link-generation pass, or the adaptive-politeness health agg);
           // a single-consumer wave streams it once
           val linkGenActive = config.maxDepth > 0
-          if (writeOutputs || linkGenActive || config.adaptivePoliteness)
+          if (writeOutputs || linkGenActive || adaptiveActive) {
             extracted.persist(StorageLevel.MEMORY_AND_DISK)
+            liveCaches += (() => extracted.unpersist())
+          }
 
           // one action for count + parity (avoids a second pass)
           val stats = extracted.toDF()
@@ -461,10 +486,10 @@ object CrawlEngine {
           // -- per-host health aggregates, shared by the metrics sink and the
           // adaptive-politeness update (tiny per-host tables; persisted so
           // the two sinks don't re-run the anti-join / extract agg) ---------
-          val needHealth = writeOutputs || config.adaptivePoliteness
+          val needHealth = writeOutputs || adaptiveActive
           // persist only when BOTH consumers run (metrics sink + budget
           // update); single-consumer waves stream the aggregates once
-          val twoConsumers = writeOutputs && config.adaptivePoliteness
+          val twoConsumers = writeOutputs && adaptiveActive
           val (missByHost, hostAgg) = if (needHealth) {
             val miss = selected
               .join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
@@ -482,6 +507,7 @@ object CrawlEngine {
             if (twoConsumers) {
               miss.persist(StorageLevel.MEMORY_AND_DISK)
               agg.persist(StorageLevel.MEMORY_AND_DISK)
+              liveCaches += (() => { miss.unpersist(); agg.unpersist() })
             }
             (miss, agg)
           } else (null, null)
@@ -558,6 +584,7 @@ object CrawlEngine {
                 org.apache.spark.sql.Row.fromSeq(idx +: r.toSeq)
               }
               spark.createDataFrame(rankedRdd, orderSchema)
+                .coalesce(outFiles(selCount)) // wave-sized files, like the other sinks
                 .write.mode("overwrite").parquet(s"$stateDir/out/crawl_order/wave=$wave")
             }
             val fPages = Future {
@@ -604,7 +631,7 @@ object CrawlEngine {
           // all hosts ever crawled. Written per wave → resumable, and the
           // read-back cuts the wave-over-wave lineage exactly like the
           // frontier/seen snapshots.
-          if (config.adaptivePoliteness) {
+          if (adaptiveActive) {
             val maxB = config.perHostBudget
             val recover = math.max(1, maxB / 4)
             val health = missByHost
@@ -649,9 +676,7 @@ object CrawlEngine {
         }
       }
     }
-    sinkEc.shutdown()
-    prepared.unpersist()
-    if (robotsRulesBase != null) robotsRulesBase.unpersist()
     CrawlSummary(rid, wave, fetchedTotal, errorsTotal, parityFailures, stateDir)
+    } finally cleanupAll()
   }
 }

@@ -181,17 +181,28 @@ final class CuckooFilter(val log2Buckets: Int) extends Serializable {
 }
 
 object CuckooFilter {
-  /** Size for n items at ≤ ~84% load (the b=4 cuckoo sweet spot), capped at
-    * `maxBytes` of table (2^30 buckets = 8 GiB is far past any driver
-    * budget — callers cap much lower and fall back to the exact anti-join
-    * when saturation or the cap bites, exactly like the bloom path). */
-  def forItems(n: Long, maxBytes: Long = 1L << 31): CuckooFilter = {
+  /** Driver budget for the seen sketch — the same deliberate ceiling as the
+    * bloom path's [[Frontier.DefaultMaxBloomBits]] (512 MiB): the sketch is
+    * built on and broadcast from the driver every wave, so it must NOT
+    * scale with a 10^10-row seen set. */
+  val DefaultMaxBytes: Long = 1L << 29
+
+  /** Bucket sizing for n items at ≤ ~84% load (the b=4 cuckoo sweet spot)
+    * under the byte budget — WITHOUT allocating: None means the budgeted
+    * table would sit above the safe load point (the build would saturate),
+    * so the caller should go straight to the exact anti-join. */
+  def log2For(n: Long, maxBytes: Long = DefaultMaxBytes): Option[Int] = {
     val wantBuckets = math.max(2L, math.ceil(n / 0.84 / 4.0).toLong)
     val log2 = math.min(30, math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(wantBuckets - 1)))
-    val capped = math.min(log2.toLong, {
-      val maxBuckets = math.max(2L, maxBytes / 8L)
-      (63 - java.lang.Long.numberOfLeadingZeros(maxBuckets)).toLong
-    }).toInt
-    new CuckooFilter(capped)
+    val maxBuckets = math.max(2L, maxBytes / 8L)
+    val capLog2 = math.min(log2.toLong, (63 - java.lang.Long.numberOfLeadingZeros(maxBuckets)).toLong).toInt
+    val capacity = (1L << capLog2) * 4L
+    if (capacity.toDouble * 0.95 < n) None else Some(capLog2)
   }
+
+  /** Allocate a filter sized for n items (see [[log2For]]); callers that
+    * must not allocate an unusable table check log2For first. */
+  def forItems(n: Long, maxBytes: Long = DefaultMaxBytes): CuckooFilter =
+    new CuckooFilter(log2For(n, maxBytes).getOrElse(
+      sys.error(s"cuckoo budget $maxBytes B cannot hold $n items — use the exact anti-join")))
 }

@@ -84,16 +84,19 @@ object Frontier extends Serializable {
       candidates: Dataset[FrontierEntry],
       seen: DataFrame,
       seenCount: Long,
-      maxSketchBytes: Long = 1L << 31
+      maxSketchBytes: Long = CuckooFilter.DefaultMaxBytes
   ): Dataset[FrontierEntry] = {
     import spark.implicits._
     if (seenCount == 0) return candidates
     def exact = candidates.join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
     if (seenCount < BloomThreshold) return exact
-    val zero = CuckooFilter.forItems(seenCount, maxSketchBytes)
-    // budget-capped below the b=4 load point: the build would saturate —
-    // skip straight to the exact plan
-    if (zero.capacity.toDouble * 0.95 < seenCount) return exact
+    // budget check BEFORE any allocation: a table capped below the b=4 load
+    // point would saturate during the build — go straight to the exact plan
+    val log2 = CuckooFilter.log2For(seenCount, maxSketchBytes) match {
+      case Some(l) => l
+      case scala.None => return exact
+    }
+    val zero = new CuckooFilter(log2)
     val filter = seen.select(xxhash64(col("canonicalUrl")).as("h")).as[Long].rdd
       .treeAggregate(zero)((f, h) => { f.insert(h); f }, (a, b) => { a.merge(b); a })
     if (filter.saturated) return exact

@@ -131,21 +131,20 @@ object Bpe {
     * a trained merge (markdown-heavy corpora produce `# #`, then `#`-led
     * products — the case that motivated accepting them at all) and a prose
     * header (`# merges`, `#generated tooling`); the discriminator is
-    * PRODUCIBILITY: merges are ordered, so a trained `#`-led left symbol is
-    * either all `#` chars or the product of an earlier merge — anything
-    * else is a comment. `#version: N` (the HF header) is always a comment:
-    * no trained first symbol ends with `:` followed by a bare version
-    * number. Non-`#` lines that aren't two tokens fail loudly. */
+    * PRODUCIBILITY of BOTH operands: merges are ordered, so each operand of
+    * a trained merge is a base symbol (single char, optionally `</w>`) or
+    * the product of an earlier merge — a `#`-led line failing that for
+    * either side is a comment (`# merges` fails on the right: "merges" is
+    * multi-char and never produced). `#version: N` (the HF header) is
+    * always a comment: no trained first symbol ends with `:` followed by a
+    * bare version number. Non-`#` lines that aren't two tokens fail
+    * loudly. */
   def parseMerges(lines: Iterator[String]): Model = {
-    // BPE merges are ordered: each operand is a base symbol or the product of
-    // an EARLIER merge. For `#`-prefixed two-token lines this producibility
-    // test is the comment/merge discriminator — a left symbol that is all
-    // `#` chars (the `# #` → `##` ladder) or a prior product (`#version ing`
-    // after a `#version`-producing merge) is a trained merge; anything else
-    // (`# merges`, `#generated tooling`) is a prose header and is dropped.
     val products = scala.collection.mutable.HashSet.empty[String]
-    def plausiblyTrained(sym: String): Boolean =
-      sym.stripSuffix(Eow).forall(_ == '#') || products.contains(sym)
+    def plausiblyTrained(sym: String): Boolean = {
+      val core = sym.stripSuffix(Eow)
+      core.length == 1 || core.forall(_ == '#') || products.contains(sym)
+    }
     val merges = lines.map(_.trim).filter(_.nonEmpty).flatMap { l =>
       val parts = l.split(' ')
       // the colon is part of the discriminator: '#version: 0.2' is the HF
@@ -153,7 +152,7 @@ object Bpe {
       // version number
       val isVersionHeader = l.startsWith("#version:")
       if (parts.length == 2 && parts(0).nonEmpty && parts(1).nonEmpty && !isVersionHeader
-          && (!l.startsWith("#") || plausiblyTrained(parts(0)))) {
+          && (!l.startsWith("#") || (plausiblyTrained(parts(0)) && plausiblyTrained(parts(1))))) {
         products += parts(0) + parts(1)
         Some((parts(0), parts(1)))
       } else if (l.startsWith("#")) None // prose header or #version line

@@ -27,13 +27,18 @@ object Multimodal {
       height: Int,
       sampleRate: Int)
 
+  /** Features are computed over the DECODED content — pixel RGB bytes for
+    * images, the raw payload for (stub-decoded) audio/video. Decoded space
+    * is encoder-independent: PNG is lossless, so these values survive any
+    * JDK's ImageIO writer byte-for-byte, which is what lets them live in a
+    * frozen fixture oracle; container bytes would not. */
   final case class MediaFeatures(
       media_id: Long,
       kind: String,
-      n_bytes: Long,
-      sha256: String,
-      byteHistogram: Array[Float], // 16-bucket normalized histogram
-      thumbnailMean: Double) // real pixel mean for PNGs; stub mean for audio/video
+      n_bytes: Long, // decoded content length (w*h*3 for images)
+      sha256: String, // sha-256 of the decoded content
+      byteHistogram: Array[Float], // 16-bucket normalized histogram of decoded content
+      thumbnailMean: Double) // decoded-content mean in [0,1]
 
   /** Deterministic fake payload for media_id (stands in for real audio/video
     * bytes; image rows get a real PNG from [[imagePayload]]). */
@@ -85,42 +90,57 @@ object Multimodal {
     private def isPng(p: Array[Byte]): Boolean =
       p.length > 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
         p(2) == 'N'.toByte && p(3) == 'G'.toByte
-    def decodeMean(payload: Array[Byte]): Double =
+    /** Decoded content: the pixel RGB byte stream (row-major, R,G,B per
+      * pixel) for PNG payloads, the payload itself for stub kinds. */
+    def decodedBytes(payload: Array[Byte]): Array[Byte] =
       if (isPng(payload)) {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         require(img != null, "PNG-sniffed payload failed to decode")
-        var s = 0L
+        val (w, h) = (img.getWidth, img.getHeight)
+        val out = new Array[Byte](w * h * 3)
         var y = 0
-        while (y < img.getHeight) {
+        var o = 0
+        while (y < h) {
           var x = 0
-          while (x < img.getWidth) {
+          while (x < w) {
             val rgb = img.getRGB(x, y)
-            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            out(o) = ((rgb >> 16) & 0xff).toByte
+            out(o + 1) = ((rgb >> 8) & 0xff).toByte
+            out(o + 2) = (rgb & 0xff).toByte
+            o += 3
             x += 1
           }
           y += 1
         }
-        s.toDouble / (3.0 * img.getWidth * img.getHeight) / 255.0
-      } else {
-        var s = 0L
-        payload.foreach(b => s += (b & 0xff))
-        if (payload.isEmpty) 0.0 else s.toDouble / payload.length / 255.0
-      }
+        out
+      } else payload
+    def decodeMean(payload: Array[Byte]): Double = {
+      val c = decodedBytes(payload)
+      var s = 0L
+      c.foreach(b => s += (b & 0xff))
+      if (c.isEmpty) 0.0 else s.toDouble / c.length / 255.0
+    }
+    /** Vectorized entry point — ONE call per batch (the seam an ONNX
+      * session or codec context implements); per-element results must equal
+      * the scalar path (tested). */
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] =
+      payloads.map(decodedBytes)
     def decodeMeanBatch(payloads: Seq[Array[Byte]]): Seq[Double] =
-      payloads.map(decodeMean) // real impl: one vectorized inference call
+      payloads.map(decodeMean)
   }
 
-  /** Shared per-row feature computation (single source of truth for the
-    * row-wise and batch paths). */
-  private def featuresOf(m: MediaRow, decodeMean: Double): MediaFeatures = {
+  /** Shared per-row feature computation over DECODED content (single source
+    * of truth for the row-wise and batch paths). */
+  private def featuresOf(m: MediaRow, content: Array[Byte]): MediaFeatures = {
     val hist = new Array[Float](16)
-    m.payload.foreach(b => hist((b & 0xff) >> 4) += 1f)
-    val n = math.max(m.payload.length, 1)
+    var s = 0L
+    content.foreach { b => hist((b & 0xff) >> 4) += 1f; s += (b & 0xff) }
+    val n = math.max(content.length, 1)
     var i = 0
     while (i < 16) { hist(i) /= n; i += 1 }
-    MediaFeatures(m.media_id, m.kind, m.payload.length.toLong,
-      graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(m.payload)),
-      hist, decodeMean)
+    MediaFeatures(m.media_id, m.kind, content.length.toLong,
+      graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(content)),
+      hist, if (content.isEmpty) 0.0 else s.toDouble / content.length / 255.0)
   }
 
   /** Batched feature extraction: ONE decoder per partition (amortized init —
@@ -130,7 +150,7 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       val decoder = new MediaDecoder // per-partition init, NOT per-row
-      it.map(m => featuresOf(m, decoder.decodeMean(m.payload)))
+      it.map(m => featuresOf(m, decoder.decodedBytes(m.payload)))
     }
   }
 
@@ -187,8 +207,8 @@ object Multimodal {
       val decoder = new MediaDecoder // per-partition init
       it.grouped(batchSize).flatMap { batch =>
         // ONE decoder call per batch — the vectorized entry point
-        val means = decoder.decodeMeanBatch(batch.map(_.payload))
-        batch.lazyZip(means).map((m, mean) => featuresOf(m, mean))
+        val contents = decoder.decodeBatch(batch.map(_.payload))
+        batch.lazyZip(contents).map((m, content) => featuresOf(m, content))
       }
     }
   }
@@ -210,13 +230,15 @@ object Multimodal {
       }
   }
 
-  /** The media-features query (deterministic; rows-only driver check). */
+  /** The media-features query (deterministic; fixture-oracle checked). All
+    * values are DECODED-content space, so the frozen fixture survives any
+    * JDK's PNG encoder byte output. */
   def mediaFeaturesQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     extractFeatures(spark, mediaTable(spark, dir))
       .map(f => (f.media_id, f.kind, f.n_bytes, f.sha256,
         math.round(f.thumbnailMean * 1000000))) // exact long output
-      .toDF("media_id", "kind", "n_bytes", "payload_sha256", "decode_mean_micro")
+      .toDF("media_id", "kind", "content_bytes", "content_sha256", "decode_mean_micro")
       .orderBy("media_id")
   }
 

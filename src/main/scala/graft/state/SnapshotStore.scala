@@ -76,6 +76,12 @@ final class SnapshotStore(root: String) {
 
   def init(): Unit = fs.mkdirs(rootPath)
 
+  /** Release the private FileSystem instance (newInstance bypasses the JVM
+    * cache, so the OWNER must close it — on s3a/hdfs each instance pins
+    * connection/thread pools). The engine closes its store in its cleanup
+    * path; ad-hoc local readers may rely on process exit. */
+  def close(): Unit = try fs.close() catch { case _: java.io.IOException => () }
+
   /** Commit a wave: write the full frontier plus only the seen-set DELTA
     * (this wave's newly-visited canonical urls), then manifest, then
     * atomically flip CURRENT. Deltas keep the per-wave write O(wave) instead

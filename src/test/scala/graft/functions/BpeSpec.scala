@@ -128,18 +128,17 @@ class BpeSpec extends AnyFunSuite {
     val hv = Bpe.parseMerges(Iterator("#version: 0.2", "a b"))
     assert(hv.merges == Vector(("a", "b")),
       s"'#version: 0.2' must be skipped as a header: ${hv.merges}")
-    // ...and a '#'-led left symbol that is NOT all-'#' chars counts as a
-    // merge only when an earlier merge PRODUCED it (BPE tables are ordered:
-    // every operand is a base symbol or a prior product). '#version ing' is
-    // a merge after a '# version' merge produced '#version'; the same line
-    // standing alone — indistinguishable from prose like
-    // '#generated tooling' — is a comment. Only '# #'-style all-'#' left
-    // symbols are unconditionally merges.
-    val glsl = Bpe.parseMerges(Iterator("# version", "#version ing"))
-    assert(glsl.merges == Vector(("#", "version"), ("#version", "ing")),
-      s"produced '#version' left symbol is a merge: ${glsl.merges}")
-    val prose = Bpe.parseMerges(Iterator("#version ing", "#generated tooling", "a b"))
+    // ...and a '#'-prefixed line is a merge only when BOTH operands are
+    // plausibly trained (single char / all-'#' / prior product — BPE tables
+    // are ordered, so every operand of a real merge satisfies this).
+    // '# v' then '#v x' build a producible ladder; '# merges',
+    // '#generated tooling', and a standalone '#version ing' all fail the
+    // rule on a multi-char never-produced operand and are prose headers.
+    val ladder = Bpe.parseMerges(Iterator("# v", "#v x"))
+    assert(ladder.merges == Vector(("#", "v"), ("#v", "x")),
+      s"producible '#'-led operands are merges: ${ladder.merges}")
+    val prose = Bpe.parseMerges(Iterator("#version ing", "# merges", "#generated tooling", "a b"))
     assert(prose.merges == Vector(("a", "b")),
-      s"unproduced '#'-led left symbols are prose headers: ${prose.merges}")
+      s"'#'-led lines with unproduced multi-char operands are prose headers: ${prose.merges}")
   }
 }
