@@ -55,6 +55,8 @@ object SparkEntry {
     "q_repetition" -> (TextAnalysis.repetitionSignals _),
     "q_corpus_export" -> (TextAnalysis.corpusExport _),
     "q_decontaminate" -> (TextAnalysis.decontaminate _),
+    "q_sample_split" -> (TextAnalysis.sampleSplit _),
+    "q_term_stats" -> (TextAnalysis.termStats _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -128,6 +130,8 @@ object SparkEntry {
     "q_repetition" -> TextAnalysis.repetitionSignalsSql,
     "q_corpus_export" -> TextAnalysis.corpusExportSql,
     "q_decontaminate" -> TextAnalysis.decontaminateSql,
+    "q_sample_split" -> TextAnalysis.sampleSplitSql,
+    "q_term_stats" -> TextAnalysis.termStatsSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

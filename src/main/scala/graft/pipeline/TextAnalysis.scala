@@ -386,6 +386,82 @@ object TextAnalysis {
        |  AND (coalesce(top_bigram_n, 0) * 1000) // n_words < 120
        |ORDER BY t1.doc_id""".stripMargin
 
+  // ------------------------------------------- deterministic split ---------
+
+  /** Salt for the hash split — versioned so a pipeline can re-split by
+    * bumping it without touching doc ids. Shared with the SQL twin. */
+  val SplitSalt = ":graft-split-v1"
+
+  /** Deterministic train/val/test split — the dataset-assembly op every
+    * training pipeline needs: assignment must be (a) stable across runs and
+    * cluster sizes, (b) uncorrelated with ingest order, (c) computable
+    * per-row with zero shuffle. Bucket = first two hex chars of
+    * md5(doc_id || salt) → 256 buckets compared lexicographically:
+    * buckets < '0d' (13/256 ≈ 5.1%) are test, < '1a' the next ≈5.1% val,
+    * the rest train. Pure projection — at 100 TB this is a map over the
+    * scan with no exchange; the split is reproducible from (doc_id, salt)
+    * alone, so resuming or re-sharding the corpus never migrates a document
+    * across splits. `source` rides along so stratification is auditable
+    * (hash splits are stratified in expectation per source). */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("long").cast("string"), lit(SplitSalt))), 1, 2)
+    docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), col("source"),
+        bucket.as("bucket"),
+        when(bucket < "0d", "test").when(bucket < "1a", "val")
+          .otherwise("train").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val sampleSplitSql: String =
+    s"""SELECT CAST(doc_id AS BIGINT) AS doc_id, source, bucket,
+       |  CASE WHEN bucket < '0d' THEN 'test'
+       |       WHEN bucket < '1a' THEN 'val'
+       |       ELSE 'train' END AS split
+       |FROM (SELECT doc_id, source,
+       |        substring(md5(CAST(doc_id AS BIGINT) || '$SplitSalt'), 1, 2) AS bucket
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ term statistics --------
+
+  /** Corpus term statistics — document frequency and collection frequency
+    * for the top word-bigram terms, the building block of an inverted
+    * index / BM25 ranker and of boilerplate/contamination blocklists.
+    * Dataflow: explode bigrams → per-(doc, term) partial counts (map-side
+    * combine collapses each document's repeats BEFORE the shuffle, so
+    * shuffle volume is bounded by distinct terms per doc, not word count)
+    * → per-term (df, cf) → global top-100 by (df DESC, term ASC) — a total
+    * order, so the LIMIT boundary is deterministic. At 100 TB the only
+    * wide exchange is keyed by term with partial aggregation on both
+    * levels; the top-k is a TakeOrdered, not a full sort. */
+  def termStats(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val perDocTerm = docs(spark, dir)
+      .select(col("doc_id"),
+        explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    perDocTerm.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
+      .orderBy(desc("df"), asc("term"))
+      .limit(100)
+  }
+
+  val termStatsSql: String =
+    """WITH dt AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id,
+      |          unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS term
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))
+      |  GROUP BY doc_id, term)
+      |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf
+      |FROM dt GROUP BY term
+      |ORDER BY df DESC, term LIMIT 100""".stripMargin
+
   /** Language distribution of the corpus (stored labels). */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy("lang")

@@ -103,4 +103,40 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rows.length < baseCount,
       "the quality gates must also drop some naturally short/repetitive base docs")
   }
+
+  test("sampleSplit: deterministic, total, and within binomial bounds per split") {
+    val rows = TextAnalysis.sampleSplit(spark, sfDir).collect()
+    val again = TextAnalysis.sampleSplit(spark, sfDir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "assignment is a pure function of (doc_id, salt)")
+    val n = rows.length
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.values.sum == n, "every document lands in exactly one split")
+    // 13/256 expected for test and val; allow a generous ±4σ binomial band
+    val p = 13.0 / 256.0
+    val tol = 4 * math.sqrt(n * p * (1 - p))
+    Seq("test", "val").foreach { s =>
+      val c = bySplit.getOrElse(s, 0)
+      assert(math.abs(c - n * p) <= tol, s"split $s count $c outside ${n * p} ± $tol")
+    }
+    // bucket is the md5 prefix the split was derived from — spot-check one row
+    val r0 = rows.find(_.getAs[Long]("doc_id") == 0L).get
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(("0" + TextAnalysis.SplitSalt).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(2)
+    assert(r0.getAs[String]("bucket") == h)
+  }
+
+  test("termStats: df bounded by corpus size, cf >= df, deterministic top-k order") {
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    val rows = TextAnalysis.termStats(spark, sfDir).collect()
+    assert(rows.length == 100, "the bigram vocabulary exceeds the top-k, so LIMIT binds")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df") <= nDocs, s"df cannot exceed corpus size: $r")
+      assert(r.getAs[Long]("cf") >= r.getAs[Long]("df"),
+        s"collection frequency >= document frequency: $r")
+    }
+    val keys = rows.map(r => (-r.getAs[Long]("df"), r.getAs[String]("term"))).toSeq
+    assert(keys == keys.sorted, "output is ordered by (df DESC, term ASC)")
+  }
 }
