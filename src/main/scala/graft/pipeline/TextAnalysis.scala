@@ -462,6 +462,59 @@ object TextAnalysis {
       |FROM dt GROUP BY term
       |ORDER BY df DESC, term LIMIT 100""".stripMargin
 
+  // ---------------------------------------------- sequence packing ---------
+
+  /** Token budget per packed training sequence (shared with the SQL twin). */
+  val PackBudget = 2048
+  /** Independent packing streams. Part of the dataset recipe: the (bucket,
+    * bin) ids depend on it, so it is fixed per corpus — at 100 TB you pick
+    * it once so each bucket's running sum fits one task (e.g. 2^12-2^16),
+    * here 32 matches the test scale. It bounds packing parallelism, NOT
+    * correctness: outputs are identical at any cluster size. */
+  val PackBuckets = 32
+
+  /** Sequence packing — the dataset-assembly step that turns a cleaned
+    * corpus into fixed-length training sequences: documents are
+    * concatenated in a deterministic order and chunked every `PackBudget`
+    * tokens; each document reports the sequence (`bin`) and token offset
+    * (`off`) where it starts. A single global running sum would be one
+    * window over one partition — a scale-killer — so docs are dealt into
+    * `PackBuckets` independent packing streams (`bucket = doc_id % B`) and
+    * the running sum is per bucket. Only three longs per doc cross the
+    * exchange (text is dropped before the shuffle); within a bucket the
+    * window sorts tiny rows. The assignment is a pure function of
+    * (doc_id, n_tokens, B, budget): stable across runs and cluster sizes.
+    * Docs longer than the budget legitimately span sequences (`bin` is
+    * where they start), exactly like packed-pretraining data loaders. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bucket").orderBy("doc_id")
+    docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        pmod(col("doc_id").cast("long"), lit(PackBuckets.toLong)).as("bucket"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("bucket"),
+        // integer division, not double `/`: exact at any cumulative size
+        expr(s"cum_before div $PackBudget").as("bin"),
+        pmod(col("cum_before"), lit(PackBudget.toLong)).as("off"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val packSequencesSql: String =
+    s"""SELECT doc_id, bucket,
+       |  cum_before // $PackBudget AS bin,
+       |  cum_before % $PackBudget AS off, n_tokens
+       |FROM (SELECT doc_id, bucket, n_tokens,
+       |        CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
+       |          - n_tokens AS BIGINT) AS cum_before
+       |      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |              CAST(doc_id AS BIGINT) % $PackBuckets AS bucket,
+       |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   /** Language distribution of the corpus (stored labels). */
   def langDistribution(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir).groupBy("lang")

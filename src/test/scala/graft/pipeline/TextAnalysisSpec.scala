@@ -127,6 +127,29 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r0.getAs[String]("bucket") == h)
   }
 
+  test("packSequences: exact greedy packing per bucket, invariant to parallelism") {
+    val rows = TextAnalysis.packSequences(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs, "every document is packed exactly once")
+    // replay the packing rule driver-side: within each bucket, in doc_id
+    // order, cum_before advances by n_tokens; bin/off derive from it
+    rows.groupBy(_.getAs[Long]("bucket")).foreach { case (_, bs) =>
+      var cum = 0L
+      bs.sortBy(_.getAs[Long]("doc_id")).foreach { r =>
+        assert(r.getAs[Long]("bin") == cum / TextAnalysis.PackBudget, s"bin mismatch at $r")
+        assert(r.getAs[Long]("off") == cum % TextAnalysis.PackBudget, s"off mismatch at $r")
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // parallelism invariance: same output at a different shuffle width
+    val spark2Parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "3")
+      val again = TextAnalysis.packSequences(spark, sfDir).collect()
+      assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", spark2Parts)
+  }
+
   test("termStats: df bounded by corpus size, cf >= df, deterministic top-k order") {
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val rows = TextAnalysis.termStats(spark, sfDir).collect()
