@@ -15,6 +15,15 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Adjacent-word bigrams of a split-words array column — the one shared
+    * definition of "bigram" for repetitionSignals / corpusExport /
+    * termStats, so a tokenization change cannot desynchronize them. */
+  private def bigramCol(ws: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    zip_with(
+      slice(ws, lit(1), size(ws) - 1),
+      slice(ws, lit(2), size(ws) - 1),
+      (a, b) => concat_ws(" ", a, b))
+
   /** Exact dedup by content hash (the dedup family's baseline:
     * hash-groupBy; reference analogue: seen-set membership SURVEY §2.4). */
   def exactDedup(spark: SparkSession, dir: String): DataFrame =
@@ -267,11 +276,7 @@ object TextAnalysis {
       .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_word_n"))
     val top2 = withWords
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .select(col("doc_id"), explode(bigramCol(col("ws"))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
     u.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_words"))
@@ -339,11 +344,8 @@ object TextAnalysis {
       .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_word_n"),
         sum("c").as("n_words"), count(lit(1)).as("n_uniq"))
-    val bigramSig = withWords.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("ws"), lit(1), size(col("ws")) - 1),
-          slice(col("ws"), lit(2), size(col("ws")) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("bg"))
+    val bigramSig = withWords
+      .select(col("doc_id"), explode(bigramCol(col("ws"))).as("bg"))
       .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_bigram_n"))
     wordSig.join(bigramSig, Seq("doc_id"), "left")
@@ -398,11 +400,13 @@ object TextAnalysis {
     * per-row with zero shuffle. Bucket = first two hex chars of
     * md5(doc_id || salt) → 256 buckets compared lexicographically:
     * buckets < '0d' (13/256 ≈ 5.1%) are test, < '1a' the next ≈5.1% val,
-    * the rest train. Pure projection — at 100 TB this is a map over the
-    * scan with no exchange; the split is reproducible from (doc_id, salt)
-    * alone, so resuming or re-sharding the corpus never migrates a document
-    * across splits. `source` rides along so stratification is auditable
-    * (hash splits are stratified in expectation per source). */
+    * the rest train. The ASSIGNMENT is a pure projection — at 100 TB a map
+    * over the scan with no exchange (drop the trailing orderBy, which
+    * exists only so the oracle compare sees a canonical row order); the
+    * split is reproducible from (doc_id, salt) alone, so resuming or
+    * re-sharding the corpus never migrates a document across splits.
+    * `source` rides along so stratification is auditable (hash splits are
+    * stratified in expectation per source). */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
     val bucket = substring(
       md5(concat(col("doc_id").cast("long").cast("string"), lit(SplitSalt))), 1, 2)
@@ -433,17 +437,15 @@ object TextAnalysis {
     * combine collapses each document's repeats BEFORE the shuffle, so
     * shuffle volume is bounded by distinct terms per doc, not word count)
     * → per-term (df, cf) → global top-100 by (df DESC, term ASC) — a total
-    * order, so the LIMIT boundary is deterministic. At 100 TB the only
-    * wide exchange is keyed by term with partial aggregation on both
-    * levels; the top-k is a TakeOrdered, not a full sort. */
+    * order, so the LIMIT boundary is deterministic. At 100 TB there are two
+    * keyed exchanges — (doc_id, term) then term — each preceded by map-side
+    * partial aggregation, so both shuffle pre-collapsed counts (bounded by
+    * distinct terms per doc, then distinct terms per partition), never raw
+    * word instances; the top-k is a TakeOrdered, not a full sort. */
   def termStats(spark: SparkSession, dir: String): DataFrame = {
     val ws = split(col("text"), " ")
     val perDocTerm = docs(spark, dir)
-      .select(col("doc_id"),
-        explode(zip_with(
-          slice(ws, lit(1), size(ws) - 1),
-          slice(ws, lit(2), size(ws) - 1),
-          (a, b) => concat_ws(" ", a, b))).as("term"))
+      .select(col("doc_id"), explode(bigramCol(ws)).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     perDocTerm.groupBy("term")
       .agg(count(lit(1)).as("df"), sum("tf").as("cf"))
@@ -479,7 +481,9 @@ object TextAnalysis {
     * tokens; each document reports the sequence (`bin`) and token offset
     * (`off`) where it starts. A single global running sum would be one
     * window over one partition — a scale-killer — so docs are dealt into
-    * `PackBuckets` independent packing streams (`bucket = doc_id % B`) and
+    * `PackBuckets` independent packing streams (`bucket = pmod(doc_id, B)`,
+    * nonnegative also for negative ids — the SQL twin spells it
+    * `((id % B) + B) % B` so the engines agree on any input) and
     * the running sum is per bucket. Only three longs per doc cross the
     * exchange (text is dropped before the shuffle); within a bucket the
     * window sorts tiny rows. The assignment is a pure function of
@@ -510,7 +514,8 @@ object TextAnalysis {
        |        CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id)
        |          - n_tokens AS BIGINT) AS cum_before
        |      FROM (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-       |              CAST(doc_id AS BIGINT) % $PackBuckets AS bucket,
+       |              ((CAST(doc_id AS BIGINT) % $PackBuckets) + $PackBuckets)
+       |                % $PackBuckets AS bucket,
        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
        |            FROM documents))
        |ORDER BY doc_id""".stripMargin
