@@ -171,14 +171,27 @@ object Bench {
           .sum / exact.size
       val lshCands = spark.sparkContext.longAccumulator("lsh-cands")
       val ivfCands = spark.sparkContext.longAccumulator("ivf-cands")
+      val lshHiCands = spark.sparkContext.longAccumulator("lsh-hi-cands")
+      val ivfHiCands = spark.sparkContext.longAccumulator("ivf-hi-cands")
       val lsh = recallOf(topSet(
         Similarity.lshTopK(spark, corpus, queries, k = 5, candidateCount = Some(lshCands)).collect()))
       val ivf = recallOf(topSet(
         Similarity.ivfTopK(spark, corpus, queries, k = 5, candidateCount = Some(ivfCands)).collect()))
+      // second, accuracy-leaning operating point per approximate path —
+      // the recall/scan trade is a dial, and one point can't show a dial:
+      // lsh widens the probe (radius 2, 5 tables), ivf doubles nprobe
+      val lshHi = recallOf(topSet(
+        Similarity.lshTopK(spark, corpus, queries, k = 5, probeRadius = 2, tables = 5,
+          candidateCount = Some(lshHiCands)).collect()))
+      val ivfHi = recallOf(topSet(
+        Similarity.ivfTopK(spark, corpus, queries, k = 5, nprobe = 8,
+          candidateCount = Some(ivfHiCands)).collect()))
       val sq8 = recallOf(topSet(Similarity.sq8TopK(spark, corpus, queries, k = 5).collect()))
       Map(
         "lsh" -> (lsh, lshCands.value / allPairs),
+        "lsh_hi" -> (lshHi, lshHiCands.value / allPairs),
         "ivf" -> (ivf, ivfCands.value / allPairs),
+        "ivf_hi" -> (ivfHi, ivfHiCands.value / allPairs),
         "sq8" -> (sq8, 1.0)) // full scan over int8 codes (4x smaller bytes) + exact re-rank
     }
     val recallJson = annRecall.toSeq.sortBy(_._1)
