@@ -95,7 +95,8 @@ object SparkEntry {
     "q_obsidian" -> (CrawlQueries.obsidian _),
     "q_code_blocks" -> (CrawlQueries.codeBlocks _),
     "q_url_paths" -> (CrawlQueries.urlPaths _),
-    "q_page_meta" -> (CrawlQueries.pageMeta _)
+    "q_page_meta" -> (CrawlQueries.pageMeta _),
+    "q_pagerank" -> (CrawlQueries.pageRank _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -146,6 +147,9 @@ object SparkEntry {
     "q_grouping_sets" -> Relational3.groupingSetsLineitemSql,
     "q_mime_detect" -> graft.pipeline.Assets.mimeDetectSql,
     "q_page_meta" -> CrawlQueries.pageMetaSql,
+    // independent recompute: DuckDB re-executes all PageRank rounds (integer
+    // recurrence, unrolled CTEs) over the frozen edge fixture
+    "q_pagerank" -> CrawlQueries.pageRankSql(fixtureSql("q_extract_link_edges")),
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

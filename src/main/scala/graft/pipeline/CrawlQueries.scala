@@ -91,6 +91,90 @@ object CrawlQueries {
       .orderBy("src", "dst")
   }
 
+  /** Power-iteration rounds for [[pageRank]] (shared with the SQL twin). */
+  val PageRankIters = 10
+  /** Rank unit: every node starts at 1_000_000 micro-rank. */
+  val PageRankUnitMicro = 1000000L
+
+  /** Link-graph PageRank — the structural crawl-prioritization signal that
+    * complements the reference's content-based relevance scorer
+    * (relevance_scorer.rs): pages many crawled pages point at are worth
+    * fetching first. Classic damped power iteration (d = 0.85, fixed
+    * [[PageRankIters]] rounds, dangling mass leaks — the standard
+    * simplification), but in MICRO-UNIT INTEGER arithmetic throughout:
+    * contributions are `rank div out_deg` longs, so every sum is
+    * order-independent and the result is bit-identical on any engine and
+    * at any parallelism — which is what lets an independent DuckDB replay
+    * of the same recurrence serve as a hard oracle (floating-point
+    * PageRank could not be value-compared across engines). Dataflow per
+    * round: edges ⋈ ranks (keyed by src) → groupBy dst with map-side
+    * partial sums — the textbook Pregel shape; ranks are
+    * localCheckpoint'ed each round so the plan stays constant-size over
+    * any iteration count (the same lineage-truncation discipline as
+    * `Dedup.connectedComponents`; at deployment scale the
+    * spillIntermediates table path applies). */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    // rank only fetchable targets: javascript:/mailto:/tel: links are real
+    // edges in the extraction output but noise for crawl prioritization
+    val edges = extractLinkEdges(spark, dir).select("src", "dst")
+      .filter(col("dst").startsWith("http")).localCheckpoint()
+    val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+    val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
+    val nodes = edges.select(col("src").as("url"))
+      .union(edges.select(col("dst").as("url"))).distinct().localCheckpoint()
+    var ranks = nodes.select(col("url"), lit(PageRankUnitMicro).as("rank_micro"))
+    for (_ <- 1 to PageRankIters) {
+      val contribs = edges
+        .join(outDeg, "src")
+        .join(ranks.withColumnRenamed("url", "src"), "src")
+        .select(col("dst").as("url"), expr("rank_micro div out_deg").as("c"))
+        .groupBy("url").agg(sum("c").as("s"))
+      ranks = nodes.join(contribs, Seq("url"), "left")
+        .select(col("url"),
+          expr("150000 + (85 * coalesce(s, cast(0 as bigint))) div 100")
+            .as("rank_micro"))
+        .localCheckpoint()
+    }
+    ranks
+      .join(inDeg.withColumnRenamed("dst", "url"), Seq("url"), "left")
+      .join(outDeg.withColumnRenamed("src", "url"), Seq("url"), "left")
+      .na.fill(0L, Seq("in_deg", "out_deg"))
+      .select(col("url"), col("rank_micro"), col("in_deg"), col("out_deg"))
+      .orderBy(desc("rank_micro"), asc("url"))
+  }
+
+  /** DuckDB twin of [[pageRank]]: the SAME integer recurrence, unrolled as
+    * chained CTEs (standard SQL forbids aggregation in a recursive CTE
+    * term), over the frozen edge fixture — an independent re-execution of
+    * all [[PageRankIters]] rounds, not a frozen output. */
+  def pageRankSql(edgesSelect: String): String = {
+    val rounds = (1 to PageRankIters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.url,
+         |    CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank_micro
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS url,
+         |      CAST(sum(r.rank_micro // o.out_deg) AS BIGINT) AS s
+         |    FROM edges e
+         |    JOIN outdeg o ON e.src = o.src
+         |    JOIN r${i - 1} r ON r.url = e.src
+         |    GROUP BY e.dst) c ON n.url = c.url)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect) WHERE dst LIKE 'http%'),
+       |nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+       |indeg AS (SELECT dst AS url, count(*) AS in_deg FROM edges GROUP BY dst),
+       |r0 AS (SELECT url, CAST($PageRankUnitMicro AS BIGINT) AS rank_micro FROM nodes),
+       |$rounds
+       |SELECT r.url, r.rank_micro,
+       |  CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       |  CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg
+       |FROM r$PageRankIters r
+       |LEFT JOIN indeg i ON r.url = i.url
+       |LEFT JOIN outdeg o ON r.url = o.src
+       |ORDER BY r.rank_micro DESC, r.url""".stripMargin
+  }
+
   /** WAF + entropy + SPA flags per page (waf.rs / scraper_service.rs). */
   def wafEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

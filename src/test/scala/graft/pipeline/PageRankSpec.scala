@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gates for the link-graph PageRank operator: an independent driver-side
+  * replay of the integer recurrence (the same discipline as the DuckDB
+  * oracle, but in plain Scala collections — three implementations must
+  * agree), plus structural sanity and parallelism invariance. */
+class PageRankSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-pagerank-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("pageRank matches an independent driver-side replay of the integer recurrence") {
+    val edges = CrawlQueries.extractLinkEdges(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.startsWith("http"))
+    // plain-Scala replay: same recurrence, no Spark
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val inDeg = edges.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(_ -> CrawlQueries.PageRankUnitMicro).toMap
+    for (_ <- 1 to CrawlQueries.PageRankIters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outDeg(s) }.sum).toMap
+      rank = nodes.map(n => n -> (150000L + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = CrawlQueries.pageRank(spark, "").collect()
+    assert(got.length == nodes.length, "one row per node")
+    got.foreach { r =>
+      val u = r.getAs[String]("url")
+      assert(r.getAs[Long]("rank_micro") == rank(u), s"rank mismatch for $u")
+      assert(r.getAs[Long]("in_deg") == inDeg.getOrElse(u, 0L), s"in_deg mismatch for $u")
+      assert(r.getAs[Long]("out_deg") == outDeg.getOrElse(u, 0L), s"out_deg mismatch for $u")
+    }
+    // output order is the crawl-priority total order
+    val keys = got.map(r => (-r.getAs[Long]("rank_micro"), r.getAs[String]("url"))).toSeq
+    assert(keys == keys.sorted, "ordered by (rank DESC, url ASC)")
+    // structure: every node keeps at least the damping floor, and a
+    // well-linked page outranks an unreferenced one
+    assert(got.forall(_.getAs[Long]("rank_micro") >= 150000L))
+    val unreferenced = got.filter(_.getAs[Long]("in_deg") == 0L).map(_.getAs[Long]("rank_micro"))
+    val top = got.head
+    assert(unreferenced.nonEmpty && top.getAs[Long]("in_deg") > 0L &&
+      top.getAs[Long]("rank_micro") > unreferenced.max,
+      "link structure, not the floor, must determine the top rank")
+  }
+
+  test("pageRank is invariant to shuffle width") {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = CrawlQueries.pageRank(spark, "").collect().map(_.toString).toSeq
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = CrawlQueries.pageRank(spark, "").collect().map(_.toString).toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+}
