@@ -58,6 +58,7 @@ object SparkEntry {
     "q_sample_split" -> (TextAnalysis.sampleSplit _),
     "q_term_stats" -> (TextAnalysis.termStats _),
     "q_pack_sequences" -> (TextAnalysis.packSequences _),
+    "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -135,6 +136,7 @@ object SparkEntry {
     "q_sample_split" -> TextAnalysis.sampleSplitSql,
     "q_term_stats" -> TextAnalysis.termStatsSql,
     "q_pack_sequences" -> TextAnalysis.packSequencesSql,
+    "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

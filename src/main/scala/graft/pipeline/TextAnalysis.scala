@@ -464,6 +464,68 @@ object TextAnalysis {
       |FROM dt GROUP BY term
       |ORDER BY df DESC, term LIMIT 100""".stripMargin
 
+  // -------------------------------------------- mixture rebalancing --------
+
+  /** Salt for the rebalance keep-decision — independent of [[SplitSalt]] so
+    * the two subsamplings are uncorrelated. */
+  val MixSalt = ":graft-mix-v1"
+
+  /** Mixture rebalancing — deterministic per-group downsampling toward a
+    * uniform target share, the dataset-assembly step that keeps one
+    * over-represented slice (here: language; same shape for source or
+    * domain) from dominating the training mixture. Per group:
+    * `keep_buckets = min(256, (256·total) div (groups·n_docs))` — groups at
+    * or under their uniform share keep everything, over-represented groups
+    * keep the fraction of docs whose salted-md5 bucket (256 buckets, the
+    * [[sampleSplit]] mechanism under an independent salt) falls below the
+    * rate. The keep decision is a pure function of (doc_id, salt, rate):
+    * stable across runs, cluster sizes, and ingest order. Scale shape: one
+    * corpus-wide exchange (the groupBy(lang) count, map-side combined);
+    * the rates table is #groups rows — the windows computing total/groups
+    * run over THAT aggregate, not the corpus — and joins back as a
+    * broadcast; the keep decision is then a per-row projection. Output is
+    * the per-group audit (exact integer counts). */
+  def mixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bucket = substring(
+      md5(concat(col("doc_id").cast("long").cast("string"), lit(MixSalt))), 1, 2)
+    val perDoc = docs(spark, dir).select(col("lang"), bucket.as("bucket"))
+    val perLang = perDoc.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val all = Window.partitionBy() // over the per-group aggregate: #groups rows
+    val rates = perLang
+      .withColumn("total", sum("n_docs").over(all))
+      .withColumn("n_groups", count(lit(1)).over(all))
+      .withColumn("keep_buckets",
+        least(lit(256L), expr("(256 * total) div (n_groups * n_docs)")))
+      .select("lang", "n_docs", "keep_buckets")
+    perDoc.join(broadcast(rates), Seq("lang"))
+      .withColumn("kept", col("keep_buckets") >= 256 ||
+        col("bucket") < format_string("%02x", col("keep_buckets")))
+      .groupBy("lang").agg(
+        max("n_docs").as("n_docs"),
+        max("keep_buckets").as("keep_buckets"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .orderBy("lang")
+  }
+
+  val mixtureRebalanceSql: String =
+    s"""WITH per_doc AS (
+       |  SELECT lang,
+       |    substring(md5(CAST(doc_id AS BIGINT) || '$MixSalt'), 1, 2) AS bucket
+       |  FROM documents),
+       |rates AS (
+       |  SELECT lang, n_docs,
+       |    least(256, (256 * sum(n_docs) OVER ())
+       |      // (count(*) OVER () * n_docs)) AS keep_buckets
+       |  FROM (SELECT lang, count(*) AS n_docs FROM per_doc GROUP BY lang))
+       |SELECT d.lang, CAST(max(r.n_docs) AS BIGINT) AS n_docs,
+       |  CAST(max(r.keep_buckets) AS BIGINT) AS keep_buckets,
+       |  CAST(sum(CASE WHEN r.keep_buckets >= 256
+       |    OR d.bucket < printf('%02x', CAST(r.keep_buckets AS INTEGER))
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+       |FROM per_doc d JOIN rates r USING (lang)
+       |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   // ---------------------------------------------- sequence packing ---------
 
   /** Token budget per packed training sequence (shared with the SQL twin). */

@@ -127,6 +127,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r0.getAs[String]("bucket") == h)
   }
 
+  test("mixtureRebalance: exact driver-side replay; the skewed group is downsampled") {
+    val docRows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue(), r.getAs[String]("lang")))
+    // plain-Scala replay of the whole operator
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(id: Long): String = md.digest((id.toString + TextAnalysis.MixSalt)
+      .getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+    val byLang = docRows.groupBy(_._2)
+    val total = docRows.length.toLong
+    val groups = byLang.size.toLong
+    val expected = byLang.toSeq.sortBy(_._1).map { case (lang, ds) =>
+      val n = ds.length.toLong
+      val kb = math.min(256L, (256L * total) / (groups * n))
+      val kept =
+        if (kb >= 256L) n
+        else ds.count(d => bucket(d._1) < "%02x".format(kb)).toLong
+      (lang, n, kb, kept)
+    }
+    val got = TextAnalysis.mixtureRebalance(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("keep_buckets"), r.getAs[Long]("n_kept"))).toSeq
+    assert(got == expected)
+    // the fixture's lang skew must make the rate bind somewhere and not everywhere
+    assert(got.exists(g => g._3 < 256 && g._4 < g._2), "over-represented group downsampled")
+    assert(got.exists(_._3 == 256), "at-or-under-share groups keep everything")
+  }
+
   test("packSequences: exact greedy packing per bucket, invariant to parallelism") {
     val rows = TextAnalysis.packSequences(spark, sfDir).collect()
     val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
