@@ -95,6 +95,12 @@ object CrawlQueries {
   val PageRankIters = 10
   /** Rank unit: every node starts at 1_000_000 micro-rank. */
   val PageRankUnitMicro = 1000000L
+  /** Damping factor d = [[PageRankDampPct]]/100; the per-round floor is the
+    * (1-d) share of the unit, DERIVED so retuning the unit cannot silently
+    * break the damping (all three implementations — Spark, DuckDB twin,
+    * spec replay — interpolate these constants). */
+  val PageRankDampPct = 85L
+  val PageRankFloorMicro: Long = (100L - PageRankDampPct) * PageRankUnitMicro / 100L
 
   /** Link-graph PageRank — the structural crawl-prioritization signal that
     * complements the reference's content-based relevance scorer
@@ -122,16 +128,18 @@ object CrawlQueries {
     val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
     val nodes = edges.select(col("src").as("url"))
       .union(edges.select(col("dst").as("url"))).distinct().localCheckpoint()
+    // loop-invariant: edges ⋈ out-degree is identical every round —
+    // checkpoint it once instead of re-shuffling the aggregation 10×
+    val weighted = edges.join(outDeg, "src").localCheckpoint()
     var ranks = nodes.select(col("url"), lit(PageRankUnitMicro).as("rank_micro"))
     for (_ <- 1 to PageRankIters) {
-      val contribs = edges
-        .join(outDeg, "src")
+      val contribs = weighted
         .join(ranks.withColumnRenamed("url", "src"), "src")
         .select(col("dst").as("url"), expr("rank_micro div out_deg").as("c"))
         .groupBy("url").agg(sum("c").as("s"))
       ranks = nodes.join(contribs, Seq("url"), "left")
         .select(col("url"),
-          expr("150000 + (85 * coalesce(s, cast(0 as bigint))) div 100")
+          expr(s"$PageRankFloorMicro + ($PageRankDampPct * coalesce(s, cast(0 as bigint))) div 100")
             .as("rank_micro"))
         .localCheckpoint()
     }
@@ -151,7 +159,7 @@ object CrawlQueries {
     val rounds = (1 to PageRankIters).map { i =>
       s"""r$i AS (
          |  SELECT n.url,
-         |    CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank_micro
+         |    CAST($PageRankFloorMicro + ($PageRankDampPct * coalesce(c.s, 0)) // 100 AS BIGINT) AS rank_micro
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS url,
          |      CAST(sum(r.rank_micro // o.out_deg) AS BIGINT) AS s

@@ -15,6 +15,13 @@ object TextAnalysis {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/documents.parquet")
 
+  /** Salted 256-bucket assignment of a document id — the one shared hashing
+    * mechanism behind [[sampleSplit]] and [[mixtureRebalance]] (distinct
+    * salts keep their decisions uncorrelated): first two hex chars of
+    * md5(doc_id || salt), compared lexicographically. */
+  private def bucketCol(salt: String): org.apache.spark.sql.Column =
+    substring(md5(concat(col("doc_id").cast("long").cast("string"), lit(salt))), 1, 2)
+
   /** Adjacent-word bigrams of a split-words array column — the one shared
     * definition of "bigram" for repetitionSignals / corpusExport /
     * termStats, so a tokenization change cannot desynchronize them. */
@@ -408,8 +415,7 @@ object TextAnalysis {
     * `source` rides along so stratification is auditable (hash splits are
     * stratified in expectation per source). */
   def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
-    val bucket = substring(
-      md5(concat(col("doc_id").cast("long").cast("string"), lit(SplitSalt))), 1, 2)
+    val bucket = bucketCol(SplitSalt)
     docs(spark, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
         bucket.as("bucket"),
@@ -474,8 +480,10 @@ object TextAnalysis {
     * uniform target share, the dataset-assembly step that keeps one
     * over-represented slice (here: language; same shape for source or
     * domain) from dominating the training mixture. Per group:
-    * `keep_buckets = min(256, (256·total) div (groups·n_docs))` — groups at
-    * or under their uniform share keep everything, over-represented groups
+    * `keep_buckets = max(1, min(256, (256·total) div (groups·n_docs)))` —
+    * groups at or under their uniform share keep everything (the floor of 1
+    * means a >256×-over-share group is still sampled, never deleted),
+    * over-represented groups
     * keep the fraction of docs whose salted-md5 bucket (256 buckets, the
     * [[sampleSplit]] mechanism under an independent salt) falls below the
     * rate. The keep decision is a pure function of (doc_id, salt, rate):
@@ -487,16 +495,17 @@ object TextAnalysis {
     * the per-group audit (exact integer counts). */
   def mixtureRebalance(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bucket = substring(
-      md5(concat(col("doc_id").cast("long").cast("string"), lit(MixSalt))), 1, 2)
-    val perDoc = docs(spark, dir).select(col("lang"), bucket.as("bucket"))
+    val perDoc = docs(spark, dir).select(col("lang"), bucketCol(MixSalt).as("bucket"))
     val perLang = perDoc.groupBy("lang").agg(count(lit(1)).as("n_docs"))
     val all = Window.partitionBy() // over the per-group aggregate: #groups rows
     val rates = perLang
       .withColumn("total", sum("n_docs").over(all))
       .withColumn("n_groups", count(lit(1)).over(all))
+      // floor of 1: a group more than 256× over its share must still be
+      // SAMPLED (≥1/256 of it kept), never silently deleted outright
       .withColumn("keep_buckets",
-        least(lit(256L), expr("(256 * total) div (n_groups * n_docs)")))
+        greatest(lit(1L),
+          least(lit(256L), expr("(256 * total) div (n_groups * n_docs)"))))
       .select("lang", "n_docs", "keep_buckets")
     perDoc.join(broadcast(rates), Seq("lang"))
       .withColumn("kept", col("keep_buckets") >= 256 ||
@@ -515,8 +524,8 @@ object TextAnalysis {
        |  FROM documents),
        |rates AS (
        |  SELECT lang, n_docs,
-       |    least(256, (256 * sum(n_docs) OVER ())
-       |      // (count(*) OVER () * n_docs)) AS keep_buckets
+       |    greatest(1, least(256, (256 * sum(n_docs) OVER ())
+       |      // (count(*) OVER () * n_docs))) AS keep_buckets
        |  FROM (SELECT lang, count(*) AS n_docs FROM per_doc GROUP BY lang))
        |SELECT d.lang, CAST(max(r.n_docs) AS BIGINT) AS n_docs,
        |  CAST(max(r.keep_buckets) AS BIGINT) AS keep_buckets,

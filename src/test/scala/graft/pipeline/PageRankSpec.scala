@@ -32,7 +32,8 @@ class PageRankSpec extends AnyFunSuite {
     for (_ <- 1 to CrawlQueries.PageRankIters) {
       val contrib = edges.groupBy(_._2).view.mapValues(
         _.map { case (s, _) => rank(s) / outDeg(s) }.sum).toMap
-      rank = nodes.map(n => n -> (150000L + 85L * contrib.getOrElse(n, 0L) / 100L)).toMap
+      rank = nodes.map(n => n -> (CrawlQueries.PageRankFloorMicro +
+        CrawlQueries.PageRankDampPct * contrib.getOrElse(n, 0L) / 100L)).toMap
     }
     val got = CrawlQueries.pageRank(spark, "").collect()
     assert(got.length == nodes.length, "one row per node")
@@ -47,7 +48,7 @@ class PageRankSpec extends AnyFunSuite {
     assert(keys == keys.sorted, "ordered by (rank DESC, url ASC)")
     // structure: every node keeps at least the damping floor, and a
     // well-linked page outranks an unreferenced one
-    assert(got.forall(_.getAs[Long]("rank_micro") >= 150000L))
+    assert(got.forall(_.getAs[Long]("rank_micro") >= CrawlQueries.PageRankFloorMicro))
     val unreferenced = got.filter(_.getAs[Long]("in_deg") == 0L).map(_.getAs[Long]("rank_micro"))
     val top = got.head
     assert(unreferenced.nonEmpty && top.getAs[Long]("in_deg") > 0L &&

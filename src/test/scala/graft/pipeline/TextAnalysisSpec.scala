@@ -140,7 +140,7 @@ class TextAnalysisSpec extends AnyFunSuite {
     val groups = byLang.size.toLong
     val expected = byLang.toSeq.sortBy(_._1).map { case (lang, ds) =>
       val n = ds.length.toLong
-      val kb = math.min(256L, (256L * total) / (groups * n))
+      val kb = math.max(1L, math.min(256L, (256L * total) / (groups * n)))
       val kept =
         if (kb >= 256L) n
         else ds.count(d => bucket(d._1) < "%02x".format(kb)).toLong
