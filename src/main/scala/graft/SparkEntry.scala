@@ -59,6 +59,8 @@ object SparkEntry {
     "q_term_stats" -> (TextAnalysis.termStats _),
     "q_pack_sequences" -> (TextAnalysis.packSequences _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
+    "q_paragraph_dedup" -> (TextAnalysis.paragraphDedup _),
+    "q_lm_score" -> (TextAnalysis.lmScore _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -137,6 +139,8 @@ object SparkEntry {
     "q_term_stats" -> TextAnalysis.termStatsSql,
     "q_pack_sequences" -> TextAnalysis.packSequencesSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
+    "q_paragraph_dedup" -> TextAnalysis.paragraphDedupSql,
+    "q_lm_score" -> TextAnalysis.lmScoreSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

@@ -710,4 +710,143 @@ object TextAnalysis {
       |  coalesce(agg.cf, 0) = 1 AS contaminated
       |FROM corpus LEFT JOIN agg ON corpus.doc_id = agg.doc_id
       |ORDER BY corpus.doc_id""".stripMargin
+
+  // --------------------------------------------- paragraph-level dedup -----
+
+  /** Words per paragraph chunk (shared with the SQL twin). The synthetic
+    * corpus has no newline structure, so "paragraph" is a fixed-width word
+    * chunk; on crawled pages the same dataflow runs over newline-split
+    * paragraphs — only this chunking projection changes. */
+  val ParaWords = 8
+
+  /** Paragraph-granularity corpus dedup — the CCNet/RefinedWeb step that
+    * removes paragraphs duplicated ACROSS documents (headers, footers,
+    * cookie banners, syndicated boilerplate) while keeping each paragraph's
+    * first occurrence, where "first" is the total order (doc_id, idx). Doc-
+    * level dedup (exact/MinHash/SimHash) cannot catch these: two documents
+    * sharing one banner are nowhere near whole-document duplicates.
+    *
+    * Output is the per-document audit: paragraph count, kept count, and the
+    * md5 of the rebuilt (kept-paragraphs-only, original-order) text — the
+    * rebuilt text itself is one `concat_ws` away; hashing it keeps the
+    * oracle row narrow and bit-exact.
+    *
+    * Scale shape (100 TB): paragraphs are keyed by md5(para) — a 32-char
+    * key, so shuffle width is bounded regardless of paragraph length. First
+    * occurrence is computed by AGGREGATION (`min(struct(doc_id, idx))` with
+    * map-side partial combine), not a window: a boilerplate paragraph
+    * repeated 10^8 times collapses to one row per map task and never forms
+    * a single sorted window group. The join back is keyed by the same hash
+    * (one row per distinct paragraph on the build side; AQE splits the
+    * probe-side hot hash if one paragraph dominates), and the final per-doc
+    * regroup is bounded by document length. Three keyed exchanges, all
+    * pre-collapsed map-side; nothing quadratic, nothing driver-side. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nChunks = ceil(size(ws) / lit(ParaWords.toDouble)).cast("int")
+    val parasArr = when(nChunks > 0,
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(ws, i * ParaWords + 1, lit(ParaWords)))))
+      .otherwise(array().cast("array<string>"))
+    val paras = docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), posexplode(parasArr))
+      .toDF("doc_id", "idx", "para")
+      .withColumn("h", md5(col("para")))
+    val firsts = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    paras.join(firsts, Seq("h"))
+      .withColumn("kept",
+        col("first.doc_id") === col("doc_id") && col("first.idx") === col("idx"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("idx"), col("para"))))),
+            x => x.getField("para")))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Independent DuckDB recompute of [[paragraphDedup]] — same chunking,
+    * same (doc_id, idx) first-occurrence rule (spelled as a window here;
+    * the engine uses an order-free aggregation), same rebuilt-text hash. */
+  val paragraphDedupSql: String =
+    s"""WITH p AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    generate_subscripts(ps, 1) - 1 AS idx, unnest(ps) AS para
+       |  FROM (SELECT doc_id,
+       |          list_transform(range(0, CAST(ceil(len(ws) / $ParaWords.0) AS INT)),
+       |            i -> array_to_string(ws[i*$ParaWords+1:i*$ParaWords+$ParaWords], ' ')) AS ps
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+       |m AS (
+       |  SELECT doc_id, idx, para,
+       |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, idx) = 1 AS kept
+       |  FROM p)
+       |SELECT doc_id, count(*) AS n_paras,
+       |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  md5(coalesce(string_agg(para, ' ' ORDER BY idx) FILTER (WHERE kept), '')) AS clean_md5
+       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------- bigram-LM fit -------
+
+  /** Corpus-LM fit statistics — the CCNet/FineWeb perplexity-filter shape:
+    * train an n-gram table on the corpus, score every document against it,
+    * filter on the score. The trained table here is the corpus's own bigram
+    * counts (`cf2`) and bigram-head unigram counts (`cf1`); per document the
+    * operator emits the EXACT-INTEGER sufficient statistics of the smoothed
+    * bigram log-likelihood — Σtf, Σtf·cf2, Σtf·cf1, and the singleton count
+    * (bigrams occurring nowhere else in the corpus, the "novel content"
+    * mass). The float score itself (−Σ ln((cf2+1)/(cf1+V)) / n) is a
+    * consumer map over these and the house rule keeps floats out of the
+    * oracle contract; high Σtf·cf2 ≈ boilerplate-like, high singleton
+    * fraction ≈ unique (or garbled) content — the two tails CCNet cuts.
+    *
+    * Scale shape (100 TB): the train pass is the same explode the corpus
+    * already pays for termStats — per-bigram counts with map-side combine.
+    * The score pass joins per-(doc, bigram) tf rows (pre-collapsed, bounded
+    * by distinct bigrams per doc) against the count tables keyed by the
+    * bigram string: the LM table is corpus-sized so it shuffles rather than
+    * broadcasts (a deployment would prune it to top-K + a default row and
+    * broadcast — the standard KenLM-style trade; the dataflow is unchanged).
+    * cf1 derives from the ALREADY-AGGREGATED cf2 table (one tiny exchange),
+    * not from a second corpus scan. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val db = docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), explode(bigramCol(ws)).as("bg"))
+    val docBg = db.groupBy("doc_id", "bg").agg(count(lit(1)).as("tf"))
+    val cf2 = db.groupBy("bg").agg(count(lit(1)).as("cf2"))
+    val cf1 = cf2.groupBy(substring_index(col("bg"), " ", 1).as("w"))
+      .agg(sum("cf2").as("cf1"))
+    docBg.join(cf2, Seq("bg"))
+      .withColumn("w", substring_index(col("bg"), " ", 1))
+      .join(cf1, Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_bigrams"),
+        sum(col("tf") * col("cf2")).as("sum_bigram_cf"),
+        sum(col("tf") * col("cf1")).as("sum_head_cf"),
+        sum(when(col("cf2") === 1, col("tf")).otherwise(0L)).as("n_singletons"))
+      .orderBy("doc_id")
+  }
+
+  /** Independent DuckDB recompute of [[lmScore]] — same bigrams, same
+    * self-trained count tables, same per-document sufficient statistics. */
+  val lmScoreSql: String =
+    """WITH db AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |dbt AS (SELECT doc_id, bg, count(*) AS tf FROM db GROUP BY 1, 2),
+      |c2 AS (SELECT bg, count(*) AS cf2 FROM db GROUP BY 1),
+      |c1 AS (SELECT split_part(bg, ' ', 1) AS w, sum(cf2) AS cf1 FROM c2 GROUP BY 1)
+      |SELECT doc_id,
+      |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(tf * cf2) AS BIGINT) AS sum_bigram_cf,
+      |  CAST(sum(tf * cf1) AS BIGINT) AS sum_head_cf,
+      |  CAST(sum(CASE WHEN cf2 = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_singletons
+      |FROM dbt JOIN c2 USING (bg)
+      |JOIN c1 ON split_part(dbt.bg, ' ', 1) = c1.w
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

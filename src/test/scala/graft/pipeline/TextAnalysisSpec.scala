@@ -190,4 +190,65 @@ class TextAnalysisSpec extends AnyFunSuite {
     val keys = rows.map(r => (-r.getAs[Long]("df"), r.getAs[String]("term"))).toSeq
     assert(keys == keys.sorted, "output is ordered by (df DESC, term ASC)")
   }
+
+  test("paragraphDedup: exact driver-side replay; cross-doc duplicates drop") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue(), r.getAs[String]("text")))
+      .sortBy(_._1)
+    val W = TextAnalysis.ParaWords
+    // plain-Scala replay: chunk, first-occurrence by (doc_id, idx), rebuild
+    val paras = texts.flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(W).zipWithIndex.map { case (ws, i) => (id, i, ws.mkString(" ")) }
+    }
+    val firstOf = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    paras.foreach { case (id, i, p) =>
+      if (!firstOf.contains(p) || Ordering[(Long, Int)].lt((id, i), firstOf(p)))
+        firstOf(p) = (id, i)
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = paras.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ps) =>
+      val kept = ps.sortBy(_._2).filter { case (d, i, p) => firstOf(p) == ((d, i)) }
+      (id, ps.length.toLong, kept.length.toLong, md5hex(kept.map(_._3).mkString(" ")))
+    }
+    val got = TextAnalysis.paragraphDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_md5"))).toSeq
+    assert(got == expected)
+    // the small-vocabulary corpus repeats word runs across documents
+    assert(got.map(_._3).sum < got.map(_._2).sum, "some duplicated paragraphs drop")
+    assert(got.exists(g => g._3 == g._2), "unique-content docs keep everything")
+  }
+
+  test("lmScore: exact driver-side replay of the self-trained bigram tables") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue(), r.getAs[String]("text")))
+    def bigrams(t: String): Seq[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Seq.empty else ws.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    val cf2 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    texts.foreach { case (_, t) => bigrams(t).foreach(b => cf2(b) += 1L) }
+    val cf1 = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    cf2.foreach { case (b, c) => cf1(b.split(" ", 2)(0)) += c }
+    val expected = texts.filter(t => bigrams(t._2).nonEmpty).sortBy(_._1).map { case (id, t) =>
+      val bs = bigrams(t)
+      (id, bs.length.toLong,
+        bs.map(cf2).sum,
+        bs.map(b => cf1(b.split(" ", 2)(0))).sum,
+        bs.count(cf2(_) == 1L).toLong)
+    }.toSeq
+    val got = TextAnalysis.lmScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Long]("sum_bigram_cf"), r.getAs[Long]("sum_head_cf"),
+        r.getAs[Long]("n_singletons"))).toSeq
+    assert(got == expected)
+    // the statistics separate documents: novel-content mass exists somewhere
+    // and the boilerplate-mass score is not constant across the corpus
+    assert(got.exists(_._5 > 0), "singleton (corpus-unique) bigrams exist")
+    val means = got.map(g => g._3.toDouble / g._2)
+    assert(means.max > means.min, "per-doc boilerplate mass varies")
+  }
 }
