@@ -61,6 +61,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_paragraph_dedup" -> (TextAnalysis.paragraphDedup _),
     "q_lm_score" -> (TextAnalysis.lmScore _),
+    "q_span_dedup" -> (TextAnalysis.spanDedup _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_paragraph_dedup" -> TextAnalysis.paragraphDedupSql,
     "q_lm_score" -> TextAnalysis.lmScoreSql,
+    "q_span_dedup" -> TextAnalysis.spanDedupSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

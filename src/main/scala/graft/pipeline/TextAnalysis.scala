@@ -849,4 +849,98 @@ object TextAnalysis {
       |FROM dbt JOIN c2 USING (bg)
       |JOIN c1 ON split_part(dbt.bg, ' ', 1) = c1.w
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------ repeated-span removal -------
+
+  /** Minimum duplicated-run length in words for [[spanDedup]] (shared with
+    * the SQL twin). Any corpus-repeated run of ≥ SpanWords words is
+    * detected through its length-SpanWords sliding windows. */
+  val SpanWords = 6
+
+  /** Exact repeated-span removal — the ExactSubstr dedup step (Lee et al.
+    * 2022, "Deduplicating Training Data Makes Language Models Better"):
+    * when a run of ≥ [[SpanWords]] words occurs more than once in the
+    * corpus, every occurrence EXCEPT the global first (total order
+    * (doc_id, pos)) is cut out of its document, words outside the run
+    * survive. Complements [[paragraphDedup]] (fixed chunk boundaries — a
+    * duplicated run straddling a chunk edge slips through) and winnowing
+    * (which only SCORES containment, never rewrites): this operator
+    * removes the duplicated text itself at any alignment.
+    *
+    * Per document it emits the audit row: word count, words removed, md5
+    * of the surviving (original-order) words.
+    *
+    * Scale shape (100 TB): sliding windows are keyed by md5(gram) — fixed
+    * 32-char shuffle key. First occurrence is an order-free AGGREGATION
+    * (`min(struct(doc_id, pos))`, map-side combined: a 10^8-copy license
+    * header collapses to one row per map task — no windowed sort over a
+    * hot key). Only duplicated occurrences explode into covered word
+    * indices (×SpanWords on the minority), deduped per doc before the
+    * word-level anti-mark join, which is keyed (doc_id, widx) and bounded
+    * by document length. Nothing quadratic, nothing driver-side; AQE
+    * splits the probe side of a hot gram hash. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = SpanWords
+    val base = docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        split(col("text"), " ").as("ws"))
+    val gramsArr = when(size(col("ws")) >= L,
+        transform(sequence(lit(0), size(col("ws")) - L),
+          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(L))))))
+      .otherwise(array().cast("array<string>"))
+    val grams = base.select(col("doc_id"), posexplode(gramsArr))
+      .toDF("doc_id", "pos", "h")
+    val firsts = grams.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val covered = grams.join(firsts, Seq("h"))
+      .filter(!(col("first.doc_id") === col("doc_id") &&
+        col("first.pos") === col("pos")))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + (L - 1))).as("widx"))
+      .distinct()
+      .withColumn("cov", lit(true))
+    base.select(col("doc_id"), posexplode(col("ws")))
+      .toDF("doc_id", "widx", "word")
+      .join(covered, Seq("doc_id", "widx"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("cov"), 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("cov").isNull, struct(col("widx"), col("word"))))),
+            x => x.getField("word")))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Independent DuckDB recompute of [[spanDedup]] — same md5'd sliding
+    * windows, same (doc_id, pos) first-occurrence rule (window rank here,
+    * order-free aggregation in the engine), same surviving-text hash. */
+  val spanDedupSql: String =
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, generate_subscripts(hs, 1) - 1 AS pos, unnest(hs) AS h
+       |  FROM (SELECT doc_id,
+       |          list_transform(range(1, len(ws) - $SpanWords + 2),
+       |            i -> md5(array_to_string(ws[i:i+${SpanWords - 1}], ' '))) AS hs
+       |        FROM d)),
+       |f AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) = 1 AS fst
+       |  FROM g),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, widx FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(range(0, $SpanWords), o -> pos + o)) AS widx
+       |    FROM f WHERE NOT fst)),
+       |w AS (
+       |  SELECT doc_id, generate_subscripts(ws, 1) - 1 AS widx, unnest(ws) AS word
+       |  FROM d)
+       |SELECT w.doc_id, count(*) AS n_words,
+       |  CAST(sum(CASE WHEN cov.widx IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  md5(coalesce(string_agg(word, ' ' ORDER BY w.widx) FILTER (WHERE cov.widx IS NULL), '')) AS clean_md5
+       |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.widx = cov.widx
+       |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 }

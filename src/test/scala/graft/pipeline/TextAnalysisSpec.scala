@@ -221,6 +221,44 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got.exists(g => g._3 == g._2), "unique-content docs keep everything")
   }
 
+  test("spanDedup: exact driver-side replay; repeated runs cut at any alignment") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Number]("doc_id").longValue(), r.getAs[String]("text")))
+      .sortBy(_._1)
+    val L = TextAnalysis.SpanWords
+    // plain-Scala replay: sliding L-gram first-occurrence, covered-word cut
+    val grams = texts.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < L) Seq.empty
+      else ws.sliding(L).zipWithIndex.map { case (g, i) => (id, i, g.mkString(" ")) }.toSeq
+    }
+    val firstOf = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    grams.foreach { case (id, i, g) =>
+      if (!firstOf.contains(g) || Ordering[(Long, Int)].lt((id, i), firstOf(g)))
+        firstOf(g) = (id, i)
+    }
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val coveredByDoc = grams.filter { case (id, i, g) => firstOf(g) != ((id, i)) }
+      .groupBy(_._1)
+      .map { case (id, gs) => id -> gs.flatMap { case (_, i, _) => i until (i + L) }.toSet }
+    val expected = texts.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val cov = coveredByDoc.getOrElse(id, Set.empty[Int])
+      val kept = ws.zipWithIndex.collect { case (w, i) if !cov.contains(i) => w }
+      (id, ws.length.toLong, cov.size.toLong, md5hex(kept.mkString(" ")))
+    }.toSeq
+    val got = TextAnalysis.spanDedup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_md5"))).toSeq
+    assert(got == expected)
+    // the small-vocab corpus repeats >= L-word runs across docs; cuts exist
+    // but never wipe the corpus
+    assert(got.map(_._3).sum > 0, "some repeated spans are removed")
+    assert(got.map(_._3).sum < got.map(_._2).sum, "surviving words remain")
+  }
+
   test("lmScore: exact driver-side replay of the self-trained bigram tables") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
