@@ -128,7 +128,7 @@ object Bench {
       "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk",
       "q_ann_ivf", "q_ann_sq8", "q_quality_ratios", "q_token_bpe",
       "q_pii_redact", "q_repetition", "q_term_stats", "q_pack_sequences",
-      "q_paragraph_dedup", "q_lm_score",
+      "q_paragraph_dedup", "q_lm_score", "q_span_dedup",
       "q_dedup_keep", "q_rollup_nation", "q_grouping_sets")
     // a crashing query must surface in the JSON, never masquerade as a
     // normal timing — failed queries are timed but listed under "failed"

@@ -145,6 +145,40 @@ object PlanCheck {
       prepShufflePlan.contains("ShuffledHashJoin") && !prepShufflePlan.contains("SortMergeJoin"),
       "above the broadcast cap payloads join by canonical hash — hashed once, never sorted")
 
+    // 9. corpus-dedup family (paragraph / span): first occurrence must be an
+    // order-free aggregation with a MAP-SIDE PARTIAL min before the one
+    // hash exchange — never a window sort over the hash key — and the
+    // candidate/word joins must be equi hash joins (no all-pairs anywhere)
+    for ((name, q) <- Seq(
+        "q_paragraph_dedup" -> graft.pipeline.TextAnalysis.paragraphDedup(spark, sfDir),
+        "q_span_dedup" -> graft.pipeline.TextAnalysis.spanDedup(spark, sfDir))) {
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString.split("Initial Plan").head
+      check(s"$name/partial-first-occurrence",
+        p.contains("partial_min"),
+        "first-occurrence min(struct) combines map-side before the exchange")
+      check(s"$name/hash-joins-only",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "hash-keyed equi joins only — no all-pairs")
+      check(s"$name/ReadSchema-pruned",
+        p.contains("ReadSchema") &&
+          !p.split("ReadSchema").last.split("\n").head.contains("lang"),
+        "scan reads only doc_id + text")
+    }
+
+    // 10. lm fit: both count tables aggregate with map-side partials and the
+    // score pass joins them by equi hash join — no sort-merge on the
+    // corpus-sized bigram table, no nested loop
+    val lm = graft.pipeline.TextAnalysis.lmScore(spark, sfDir)
+    lm.collect()
+    val lmPlan = lm.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_lm_score/partial-counts",
+      lmPlan.contains("partial_count"),
+      "tf/cf tables combine map-side before their exchanges")
+    check("q_lm_score/no-all-pairs",
+      !lmPlan.contains("CartesianProduct") && !lmPlan.contains("BroadcastNestedLoopJoin"),
+      "count-table joins are hash-keyed")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
