@@ -118,18 +118,30 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    val (crawledPages, crawlSecs) = crawlOnce(spark, corpusPath)
-    results += "crawl_e2e" -> crawlSecs
-    val pagesPerSec = crawledPages / crawlSecs
+    // SPARK_GRAFT_QUERIES=q_a,q_b restricts the run to those queries (and
+    // skips the crawl + recall stages) — a profiling knob, not the official
+    // bench shape; the one-line JSON stays well-formed either way.
+    val onlyQueries: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+
+    val (crawledPages, crawlSecs) =
+      if (onlyQueries.isEmpty) crawlOnce(spark, corpusPath) else (0L, 0.0)
+    if (onlyQueries.isEmpty) results += "crawl_e2e" -> crawlSecs
+    val pagesPerSec = if (crawlSecs > 0) crawledPages / crawlSecs else 0.0
 
     // oracle-backed query mix on the sf tables
-    val queryNames = Seq("q_agg_pricing", "q_filter_pushdown", "q_join_multi",
+    val allQueryNames = Seq("q_agg_pricing", "q_filter_pushdown", "q_join_multi",
       "q_window_rank", "q_exact_dedup", "q_doc_quality", "q_token_count",
       "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk",
       "q_ann_ivf", "q_ann_sq8", "q_quality_ratios", "q_token_bpe",
       "q_pii_redact", "q_repetition", "q_term_stats", "q_pack_sequences",
       "q_paragraph_dedup", "q_lm_score", "q_span_dedup",
       "q_dedup_keep", "q_rollup_nation", "q_grouping_sets")
+    val queryNames = onlyQueries match {
+      case Some(sel) => allQueryNames.filter(sel) ++
+        sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)
+      case None => allQueryNames
+    }
     // a crashing query must surface in the JSON, never masquerade as a
     // normal timing — failed queries are timed but listed under "failed"
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -155,7 +167,7 @@ object Bench {
     // sq8 compares all pairs over 4x-smaller codes then exact-re-ranks,
     // lsh/ivf cut candidates at the cost of recall (worst-case here: the
     // synthetic embeddings are near-uniform, ANN's hardest distribution).
-    val annRecall: Map[String, (Double, Double)] = {
+    val annRecall: Map[String, (Double, Double)] = if (onlyQueries.isDefined) Map.empty else {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       import graft.pipeline.Similarity
