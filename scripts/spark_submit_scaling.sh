@@ -17,9 +17,15 @@ cd "$(dirname "$0")/.."
 N="${1:-2}"
 sbt -batch package > /dev/null
 JAR=$(ls target/scala-2.13/rustscraperspark_2.13-*.jar | head -1)
+# GC threads sized to the LARGER leg's core count, not the host's 32: an
+# N-core executor container gets N GC threads on a real cluster; the JVM
+# default (sized for every visible core) lets the small leg's GC free-ride
+# on idle cores, inflating its throughput and deflating the ratio. One JVM
+# serves both legs, so the bound is the 4N leg's entitlement.
 exec /opt/spark/bin/spark-submit \
   --class graft.tools.ScalingBench \
   --master "local[$((N * 4))]" \
   --driver-memory 24g \
   --conf spark.ui.enabled=false \
+  --conf "spark.driver.extraJavaOptions=-XX:ParallelGCThreads=$((N * 4)) -XX:ConcGCThreads=$(( (N * 4 + 3) / 4 ))" \
   "$JAR" "$N"

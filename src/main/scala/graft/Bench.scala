@@ -101,7 +101,11 @@ object Bench {
       writeOutputs = false, prePartitionPages = false, log = log)
     val secs = (System.nanoTime() - t0) / 1e9
     require(summary.parityFailures == 0, "mega-wave must keep byte parity")
-    if (preloadInput) input.unpersist()
+    // blocking: back-to-back legs in one JVM must not inherit this leg's
+    // dead cache blocks in their timed region (the async default leaves
+    // ~2x the input size for the NEXT leg's GC to reclaim — at the 180k
+    // wave that reads as monotonic leg slowdown, 49s -> 91s -> 138s)
+    if (preloadInput) input.unpersist(blocking = true)
     (summary.fetchedTotal, secs)
   }
 

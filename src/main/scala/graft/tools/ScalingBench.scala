@@ -42,7 +42,15 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     try f(spark)
-    finally spark.stop()
+    finally {
+      spark.stop()
+      // fresh-JVM analogue between legs: the stopped session's block-store
+      // and shuffle buffers are unreachable but not yet reclaimed; without
+      // an explicit collection the NEXT leg pays the full-GC debt inside
+      // its timed region (observed as monotonic leg slowdown at the 180k
+      // wave: identical work at 49s warmup -> 138s third leg)
+      System.gc()
+    }
   }
 
   private def measure(cores: Int, corpusPath: String): (Long, Double) =
