@@ -100,7 +100,9 @@ object SparkEntry {
     "q_code_blocks" -> (CrawlQueries.codeBlocks _),
     "q_url_paths" -> (CrawlQueries.urlPaths _),
     "q_page_meta" -> (CrawlQueries.pageMeta _),
-    "q_pagerank" -> (CrawlQueries.pageRank _)
+    "q_pagerank" -> (CrawlQueries.pageRank _),
+    "q_link_anchors" -> (CrawlQueries.linkAnchors _),
+    "q_anchor_text" -> (CrawlQueries.anchorTexts _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -158,6 +160,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-executes all PageRank rounds (integer
     // recurrence, unrolled CTEs) over the frozen edge fixture
     "q_pagerank" -> CrawlQueries.pageRankSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives the anchor consensus (window
+    // rank) over the frozen sightings fixture
+    "q_anchor_text" -> CrawlQueries.anchorTextsSql(fixtureSql("q_link_anchors")),
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

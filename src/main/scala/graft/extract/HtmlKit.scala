@@ -250,6 +250,43 @@ object HtmlKit {
     out.result()
   }
 
+  /** Link extraction WITH the anchor's visible text — (target, anchor)
+    * sightings for anchor-text aggregation, the classic query-independent
+    * relevance / crawl-prioritization signal a web corpus derives from its
+    * own link graph (beyond-reference: link_extractor.rs:42-76 keeps only
+    * the href). One pair per `a[href]` occurrence in document order — NO
+    * per-page dedup, every sighting is a vote; anchor text is the
+    * concatenation of the element's descendant text nodes (entities already
+    * decoded by the parser), whitespace-normalized. Same resolve+normalize
+    * kernel as [[extractLinks]], so the sightings join the link graph on
+    * identical keys. */
+  def extractLinkAnchors(html: String, baseUrl: String): Vector[(String, String)] =
+    extractLinkAnchors(parse(html), baseUrl)
+
+  def extractLinkAnchors(dom: Elem, baseUrl: String): Vector[(String, String)] = {
+    val base = UrlKernel.parse(baseUrl)
+    if (base.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[(String, String)]
+    def collectText(e: Elem, sb: java.lang.StringBuilder): Unit =
+      e.children.foreach {
+        case TextNode(t) => sb.append(' ').append(t)
+        case c: Elem => collectText(c, sb)
+      }
+    def walk(e: Elem): Unit = {
+      if (e.tag == "a") e.attr("href").foreach { href =>
+        UrlKernel.resolve(base.get, href).foreach { abs =>
+          val sb = new java.lang.StringBuilder
+          collectText(e, sb)
+          out += ((UrlKernel.linkNormalize(abs),
+            sb.toString.trim.replaceAll("\\s+", " ")))
+        }
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    out.result()
+  }
+
   /** Asset URL extraction: img[src], img[srcset], source[srcset], plus
     * document links from a[href] by extension; skips data:/javascript:/#.
     * Reference: src/extractor/mod.rs:49-158. */

@@ -91,6 +91,76 @@ object CrawlQueries {
       .orderBy("src", "dst")
   }
 
+  /** (src, dst, anchor) link SIGHTINGS — every `a[href]` occurrence with its
+    * visible text, one row per occurrence (no per-page dedup: each sighting
+    * is a vote in [[anchorTexts]]). Frozen as a fixture oracle so the DuckDB
+    * twin can recompute the aggregation independently (the [[pageRank]]
+    * discipline). */
+  def linkAnchors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    CorpusGen.dataset(spark, spec)
+      .filter(p => !p.url.endsWith("robots.txt") && !p.url.endsWith("sitemap.xml"))
+      .flatMap { p =>
+        val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+        HtmlKit.extractLinkAnchors(html, p.url).map { case (dst, a) => (p.url, dst, a) }
+      }
+      .toDF("src", "dst", "anchor")
+      .orderBy("src", "dst", "anchor")
+  }
+
+  /** Anchor-text aggregation per target URL — the query-independent
+    * relevance signal web pipelines mine from their own link graph: what the
+    * REST of the corpus calls a page (in-link anchors) labels it better than
+    * the page labels itself. Per fetchable target: total in-link sightings,
+    * distinct anchor strings, and the consensus anchor (most sightings,
+    * ties to the lexicographically smallest — a total order, so the result
+    * is deterministic at any parallelism). 100-TB shape: two keys-only
+    * two-level aggregations with map-side partial combine — anchors travel
+    * once as (dst, anchor) pairs, never as per-page lists; the consensus
+    * pick is a min(struct) aggregate, not a window sort. */
+  def anchorTexts(spark: SparkSession, dir: String): DataFrame =
+    anchorAgg(linkAnchors(spark, dir))
+
+  /** The aggregation half of [[anchorTexts]], factored over any
+    * (src, dst, anchor) frame for direct testing. */
+  def anchorAgg(sightings: DataFrame): DataFrame = {
+    val pairs = sightings
+      .filter(col("dst").startsWith("http") && col("anchor") =!= "")
+      .groupBy(col("dst").as("url"), col("anchor"))
+      .agg(count(lit(1)).as("cnt"))
+    pairs.groupBy("url")
+      .agg(
+        sum("cnt").as("in_links"),
+        count(lit(1)).as("distinct_anchors"),
+        // (-cnt, anchor) min = (max count, then lexicographically smallest)
+        min(struct((-col("cnt")).as("neg_cnt"), col("anchor").as("anchor"))).as("top"))
+      .select(col("url"), col("in_links"), col("distinct_anchors"),
+        col("top.anchor").as("top_anchor"), (-col("top.neg_cnt")).as("top_anchor_count"))
+      .orderBy("url")
+  }
+
+  /** DuckDB twin of [[anchorTexts]]: independent recompute (window-ranked
+    * consensus pick, not a frozen output) over the frozen sightings
+    * fixture. */
+  def anchorTextsSql(anchorsSelect: String): String =
+    s"""WITH sightings AS (
+       |  SELECT dst, anchor FROM ($anchorsSelect)
+       |  WHERE dst LIKE 'http%' AND anchor <> ''),
+       |pairs AS (
+       |  SELECT dst, anchor, count(*) AS cnt FROM sightings GROUP BY dst, anchor),
+       |tops AS (
+       |  SELECT dst, anchor, cnt,
+       |    row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn
+       |  FROM pairs)
+       |SELECT p.dst AS url,
+       |  CAST(sum(p.cnt) AS BIGINT) AS in_links,
+       |  CAST(count(*) AS BIGINT) AS distinct_anchors,
+       |  t.anchor AS top_anchor,
+       |  CAST(t.cnt AS BIGINT) AS top_anchor_count
+       |FROM pairs p JOIN tops t ON p.dst = t.dst AND t.rn = 1
+       |GROUP BY p.dst, t.anchor, t.cnt
+       |ORDER BY url""".stripMargin
+
   /** Power-iteration rounds for [[pageRank]] (shared with the SQL twin). */
   val PageRankIters = 10
   /** Rank unit: every node starts at 1_000_000 micro-rank. */
