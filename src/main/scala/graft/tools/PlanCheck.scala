@@ -179,6 +179,21 @@ object PlanCheck {
       !lmPlan.contains("CartesianProduct") && !lmPlan.contains("BroadcastNestedLoopJoin"),
       "count-table joins are hash-keyed")
 
+    // 11. anchor-text aggregation: both levels (per-(dst,anchor) counts and
+    // the per-url consensus) must combine MAP-SIDE before their one exchange
+    // each, and the consensus must be a min(struct) aggregate — never a
+    // window sort over the url key
+    val at = graft.pipeline.CrawlQueries.anchorTexts(spark, sfDir)
+    at.collect()
+    val atPlan = at.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_anchor_text/partial-aggs",
+      atPlan.contains("partial_count") && atPlan.contains("partial_min"),
+      "sighting counts and consensus pick combine map-side before the exchanges")
+    check("q_anchor_text/no-window-sort",
+      !atPlan.contains("Window") &&
+        !atPlan.contains("CartesianProduct") && !atPlan.contains("BroadcastNestedLoopJoin"),
+      "consensus is an aggregate, not a window rank; no all-pairs anywhere")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
