@@ -8,9 +8,12 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE branch decodes for real: payloads are genuine PNGs (encoded by
   * `javax.imageio`, which ships in every JDK — no external library) and
-  * `MediaDecoder` reads them back pixel-by-pixel. Audio/video decode stays
-  * STUBBED with a deterministic fake codec (no audio/video codec ships in
-  * this container); everything Spark-side is real and tested either way:
+  * `MediaDecoder` reads them back pixel-by-pixel. The AUDIO branch decodes
+  * for real too: payloads are genuine 16-bit PCM mono WAV files (encoded by
+  * `javax.sound.sampled`, also pure JDK) and the decoder recovers the exact
+  * sample bytes. VIDEO decode stays STUBBED with a deterministic fake codec
+  * (no video codec ships in any JDK or this container); everything
+  * Spark-side is real and tested either way:
   * the schema, the partitioning, the batch shape (one decoder instance per
   * partition, amortized setup — the same shape a Pandas-UDF/mapInPandas or
   * JNI decoder slots into), and the feature pipeline downstream of decode.
@@ -28,9 +31,10 @@ object Multimodal {
       sampleRate: Int)
 
   /** Features are computed over the DECODED content — pixel RGB bytes for
-    * images, the raw payload for (stub-decoded) audio/video. Decoded space
-    * is encoder-independent: PNG is lossless, so these values survive any
-    * JDK's ImageIO writer byte-for-byte, which is what lets them live in a
+    * images, raw PCM sample bytes for audio, the raw payload for
+    * (stub-decoded) video. Decoded space is encoder-independent: PNG and
+    * PCM-in-WAV are lossless, so these values survive any JDK's ImageIO /
+    * AudioSystem writer byte-for-byte, which is what lets them live in a
     * frozen fixture oracle; container bytes would not. */
   final case class MediaFeatures(
       media_id: Long,
@@ -40,8 +44,9 @@ object Multimodal {
       byteHistogram: Array[Float], // 16-bucket normalized histogram of decoded content
       thumbnailMean: Double) // decoded-content mean in [0,1]
 
-  /** Deterministic fake payload for media_id (stands in for real audio/video
-    * bytes; image rows get a real PNG from [[imagePayload]]). */
+  /** Deterministic fake payload for media_id (stands in for real video
+    * bytes; image rows get a real PNG from [[imagePayload]], audio rows a
+    * real WAV from [[audioPayload]]). */
   def fakePayload(id: Long, kind: String, len: Int = 256): Array[Byte] = {
     val out = new Array[Byte](len)
     var x = id * 0x9E3779B97F4A7C15L + kind.hashCode
@@ -77,21 +82,53 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic REAL WAV payload: `nSamples` of 16-bit PCM mono at
+    * `sampleRate`, sample words from the same seeded xorshift family as
+    * [[fakePayload]], containerized by the JDK's own `javax.sound.sampled`
+    * WAVE writer. PCM is lossless, so decode recovers the exact sample
+    * bytes at any JDK — decoded-content values are frozen-fixture-safe
+    * even if the writer's header layout ever shifts. */
+  def audioPayload(id: Long, sampleRate: Int = 16000, nSamples: Int = 128): Array[Byte] = {
+    val pcm = new Array[Byte](nSamples * 2)
+    var x = id * 0x9E3779B97F4A7C15L + 0xa0d10L
+    var i = 0
+    while (i < nSamples) {
+      x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+      pcm(2 * i) = (x & 0xff).toByte // little-endian sample word
+      pcm(2 * i + 1) = ((x >>> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
   /** Per-partition media decoder. The IMAGE branch is REAL: PNG payloads
     * (sniffed by magic bytes, same discipline as `extract.Mime`) are decoded
     * with `javax.imageio` and reduced to their true pixel mean
-    * (mean of R,G,B over all pixels, normalized to [0,1]). Audio/video
-    * decode is STUBBED with a deterministic fake (no such codec ships in
-    * this container; an ffmpeg JNI or mapInPandas decoder slots into the
-    * same seam). `decodeMeanBatch` is the vectorized entry point — ONE call
+    * (mean of R,G,B over all pixels, normalized to [0,1]). The AUDIO branch
+    * is REAL: RIFF/WAVE payloads decode through `javax.sound.sampled` to
+    * their raw PCM sample bytes. Video decode is STUBBED with a
+    * deterministic fake (no video codec ships in any JDK or this container;
+    * an ffmpeg JNI or mapInPandas decoder slots into the same seam).
+    * `decodeMeanBatch` is the vectorized entry point — ONE call
     * per batch — that an ONNX session or codec context would implement;
     * per-element results must equal the scalar path (tested). */
   final class MediaDecoder {
     private def isPng(p: Array[Byte]): Boolean =
       p.length > 8 && p(0) == 0x89.toByte && p(1) == 'P'.toByte &&
         p(2) == 'N'.toByte && p(3) == 'G'.toByte
+    private def isWav(p: Array[Byte]): Boolean =
+      p.length > 12 && p(0) == 'R'.toByte && p(1) == 'I'.toByte &&
+        p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
+        p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
+        p(10) == 'V'.toByte && p(11) == 'E'.toByte
     /** Decoded content: the pixel RGB byte stream (row-major, R,G,B per
-      * pixel) for PNG payloads, the payload itself for stub kinds. */
+      * pixel) for PNG payloads, the raw PCM sample bytes for WAV payloads,
+      * the payload itself for stub kinds. */
     def decodedBytes(payload: Array[Byte]): Array[Byte] =
       if (isPng(payload)) {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -113,6 +150,10 @@ object Multimodal {
           y += 1
         }
         out
+      } else if (isWav(payload)) {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try ais.readAllBytes() finally ais.close()
       } else payload
     def decodeMean(payload: Array[Byte]): Double = {
       val c = decodedBytes(payload)
@@ -223,9 +264,14 @@ object Multimodal {
         val kind = (id % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" }
         val w = 64 + (id % 16).toInt * 8
         val h = 48 + (id % 12).toInt * 8
-        // image rows carry a REAL PNG whose dimensions match the metadata;
-        // audio/video payloads are opaque deterministic bytes
-        val payload = if (kind == "image") imagePayload(id, w, h) else fakePayload(id, kind)
+        // image rows carry a REAL PNG whose dimensions match the metadata,
+        // audio rows a REAL 16 kHz WAV of id-varied length; video payloads
+        // are opaque deterministic bytes (the one stub left)
+        val payload = kind match {
+          case "image" => imagePayload(id, w, h)
+          case "audio" => audioPayload(id, 16000, 128 + (id % 32).toInt * 8)
+          case _ => fakePayload(id, kind)
+        }
         MediaRow(id, kind, payload, w, h, if (kind == "audio") 16000 else 0)
       }
   }

@@ -152,10 +152,15 @@ class ExportersSpec extends AnyFunSuite {
     val b = graft.multimodal.Multimodal.mediaFeaturesQuery(spark, "/root/testdata/sf0.001").collect()
     assert(a.length == 500)
     assert(a.map(_.toString).sameElements(b.map(_.toString)))
-    // audio/video payloads are the 256-byte opaque stub; image payloads are
-    // real PNGs (variable-size, well past the 8-byte signature)
-    assert(a.filter(r => r.getString(1) != "image").forall(_.getLong(2) == 256))
+    // video payloads are the 256-byte opaque stub; image payloads are real
+    // PNGs (decoded content = w*h*3 pixel bytes); audio payloads are real
+    // WAVs whose decoded content is the id-varied PCM byte count
+    assert(a.filter(r => r.getString(1) == "video").forall(_.getLong(2) == 256))
     assert(a.filter(r => r.getString(1) == "image").forall(_.getLong(2) > 100))
+    assert(a.filter(r => r.getString(1) == "audio").forall { r =>
+      val id = r.getLong(0)
+      r.getLong(2) == 2L * (128 + (id % 32) * 8)
+    })
     val kinds = a.map(_.getString(1)).toSet
     assert(kinds == Set("image", "audio", "video"))
   }
@@ -177,10 +182,29 @@ class ExportersSpec extends AnyFunSuite {
     val want = s.toDouble / (3.0 * w * h) / 255.0
     val got = (new graft.multimodal.Multimodal.MediaDecoder).decodeMean(payload)
     assert(got == want, s"decoded pixel mean $got must equal generator mean $want")
-    // and a non-PNG payload takes the stub branch, not ImageIO
+    // and a non-PNG, non-WAV payload takes the stub branch, not a codec
     val stub = (new graft.multimodal.Multimodal.MediaDecoder)
-      .decodeMean(graft.multimodal.Multimodal.fakePayload(7L, "audio"))
+      .decodeMean(graft.multimodal.Multimodal.fakePayload(7L, "video"))
     assert(stub > 0.0 && stub < 1.0)
+  }
+
+  test("audio decode is real: WAV round-trips to the exact xorshift PCM bytes") {
+    // recompute the expected PCM straight from the generator stream —
+    // independent of AudioSystem's decode path; byte equality proves the
+    // WAV container was actually parsed back to the original samples
+    val (id, n) = (42L, 96)
+    val payload = graft.multimodal.Multimodal.audioPayload(id, 16000, n)
+    assert(payload.length > 44, "real WAV container (header + PCM)")
+    assert(payload(0) == 'R'.toByte && payload(8) == 'W'.toByte, "RIFF/WAVE signature")
+    val want = new Array[Byte](n * 2)
+    var x = id * 0x9E3779B97F4A7C15L + 0xa0d10L
+    for (i <- 0 until n) {
+      x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
+      want(2 * i) = (x & 0xff).toByte
+      want(2 * i + 1) = ((x >>> 8) & 0xff).toByte
+    }
+    val got = (new graft.multimodal.Multimodal.MediaDecoder).decodedBytes(payload)
+    assert(got.sameElements(want), "decoded PCM must equal generated samples byte-for-byte")
   }
 
   test("multimodal batch shape: results independent of batch size") {
