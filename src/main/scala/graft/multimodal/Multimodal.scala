@@ -42,7 +42,8 @@ object Multimodal {
       n_bytes: Long, // decoded content length (w*h*3 for images)
       sha256: String, // sha-256 of the decoded content
       byteHistogram: Array[Float], // 16-bucket normalized histogram of decoded content
-      thumbnailMean: Double) // decoded-content mean in [0,1]
+      thumbnailMean: Double, // decoded-content mean in [0,1]
+      decodeOk: Boolean) // false = corrupt container, features over raw payload
 
   /** Deterministic fake payload for media_id (stands in for real video
     * bytes; image rows get a real PNG from [[imagePayload]], audio rows a
@@ -126,9 +127,14 @@ object Multimodal {
         p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
         p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
         p(10) == 'V'.toByte && p(11) == 'E'.toByte
+    /** Decode failures seen by THIS decoder instance (per partition) —
+      * surfaced so callers can count quarantined rows. */
+    var decodeFailures: Long = 0L
+
     /** Decoded content: the pixel RGB byte stream (row-major, R,G,B per
       * pixel) for PNG payloads, the raw PCM sample bytes for WAV payloads,
-      * the payload itself for stub kinds. */
+      * the payload itself for stub kinds. Throws on a corrupt container —
+      * use [[decodedBytesSafe]] in job code. */
     def decodedBytes(payload: Array[Byte]): Array[Byte] =
       if (isPng(payload)) {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
@@ -155,6 +161,18 @@ object Multimodal {
           new java.io.ByteArrayInputStream(payload))
         try ais.readAllBytes() finally ais.close()
       } else payload
+
+    /** QUARANTINE decode: a corrupt container (truncated PNG, RIFF header
+      * on garbage, bad WAV chunk) falls back to the raw payload bytes and
+      * reports decodeOk=false instead of throwing — at archive scale a
+      * damaged file is a certainty and one bad row must not kill a
+      * 100-TB job. Failures are counted on the instance. */
+    def decodedBytesSafe(payload: Array[Byte]): (Array[Byte], Boolean) =
+      try (decodedBytes(payload), true)
+      catch { case scala.util.control.NonFatal(_) =>
+        decodeFailures += 1
+        (payload, false)
+      }
     def decodeMean(payload: Array[Byte]): Double = {
       val c = decodedBytes(payload)
       var s = 0L
@@ -164,15 +182,15 @@ object Multimodal {
     /** Vectorized entry point — ONE call per batch (the seam an ONNX
       * session or codec context implements); per-element results must equal
       * the scalar path (tested). */
-    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Byte]] =
-      payloads.map(decodedBytes)
+    def decodeBatch(payloads: Seq[Array[Byte]]): Seq[(Array[Byte], Boolean)] =
+      payloads.map(decodedBytesSafe)
     def decodeMeanBatch(payloads: Seq[Array[Byte]]): Seq[Double] =
       payloads.map(decodeMean)
   }
 
   /** Shared per-row feature computation over DECODED content (single source
     * of truth for the row-wise and batch paths). */
-  private def featuresOf(m: MediaRow, content: Array[Byte]): MediaFeatures = {
+  private def featuresOf(m: MediaRow, content: Array[Byte], decodeOk: Boolean): MediaFeatures = {
     val hist = new Array[Float](16)
     var s = 0L
     content.foreach { b => hist((b & 0xff) >> 4) += 1f; s += (b & 0xff) }
@@ -181,7 +199,8 @@ object Multimodal {
     while (i < 16) { hist(i) /= n; i += 1 }
     MediaFeatures(m.media_id, m.kind, content.length.toLong,
       graft.crawl.CrawlEngine.sha256Hex(java.util.Base64.getEncoder.encodeToString(content)),
-      hist, if (content.isEmpty) 0.0 else s.toDouble / content.length / 255.0)
+      hist, if (content.isEmpty) 0.0 else s.toDouble / content.length / 255.0,
+      decodeOk)
   }
 
   /** Batched feature extraction: ONE decoder per partition (amortized init —
@@ -191,7 +210,10 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       val decoder = new MediaDecoder // per-partition init, NOT per-row
-      it.map(m => featuresOf(m, decoder.decodedBytes(m.payload)))
+      it.map { m =>
+        val (content, ok) = decoder.decodedBytesSafe(m.payload)
+        featuresOf(m, content, ok)
+      }
     }
   }
 
@@ -249,7 +271,7 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // ONE decoder call per batch — the vectorized entry point
         val contents = decoder.decodeBatch(batch.map(_.payload))
-        batch.lazyZip(contents).map((m, content) => featuresOf(m, content))
+        batch.lazyZip(contents).map((m, c) => featuresOf(m, c._1, c._2))
       }
     }
   }
@@ -283,8 +305,8 @@ object Multimodal {
     import spark.implicits._
     extractFeatures(spark, mediaTable(spark, dir))
       .map(f => (f.media_id, f.kind, f.n_bytes, f.sha256,
-        math.round(f.thumbnailMean * 1000000))) // exact long output
-      .toDF("media_id", "kind", "content_bytes", "content_sha256", "decode_mean_micro")
+        math.round(f.thumbnailMean * 1000000), f.decodeOk)) // exact long output
+      .toDF("media_id", "kind", "content_bytes", "content_sha256", "decode_mean_micro", "decode_ok")
       .orderBy("media_id")
   }
 

@@ -207,6 +207,34 @@ class ExportersSpec extends AnyFunSuite {
     assert(got.sameElements(want), "decoded PCM must equal generated samples byte-for-byte")
   }
 
+  test("corrupt media containers are quarantined, not fatal") {
+    val dec = new graft.multimodal.Multimodal.MediaDecoder
+    // truncated PNG: sniffs as PNG, cannot decode
+    val png = graft.multimodal.Multimodal.imagePayload(5L, 16, 16)
+    val truncated = png.take(20)
+    val (c1, ok1) = dec.decodedBytesSafe(truncated)
+    assert(!ok1 && c1.sameElements(truncated), "fallback = raw payload, flagged")
+    // RIFF/WAVE magic on garbage: sniffs as WAV, cannot parse chunks
+    val fakeWav = ("RIFF" + "    " + "WAVE" + "garbage-no-fmt-chunk")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (c2, ok2) = dec.decodedBytesSafe(fakeWav)
+    assert(!ok2 && c2.sameElements(fakeWav))
+    assert(dec.decodeFailures == 2L, "failures counted per decoder instance")
+    // a valid payload through the same safe path stays ok
+    val (c3, ok3) = dec.decodedBytesSafe(png)
+    assert(ok3 && c3.length == 16 * 16 * 3)
+    assert(dec.decodeFailures == 2L)
+    // and a whole job over a table WITH corrupt rows completes, flagging them
+    import spark.implicits._
+    val rows = Seq(
+      graft.multimodal.Multimodal.MediaRow(1L, "image", truncated, 16, 16, 0),
+      graft.multimodal.Multimodal.MediaRow(2L, "image", png, 16, 16, 0)).toDS()
+    val feats = graft.multimodal.Multimodal.extractFeatures(spark, rows)
+      .collect().sortBy(_.media_id)
+    assert(!feats(0).decodeOk && feats(0).n_bytes == truncated.length.toLong)
+    assert(feats(1).decodeOk && feats(1).n_bytes == 16L * 16L * 3L)
+  }
+
   test("multimodal batch shape: results independent of batch size") {
     import spark.implicits._
     val media = graft.multimodal.Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
