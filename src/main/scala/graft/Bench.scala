@@ -50,8 +50,11 @@ object Bench {
   // closer to the saturated 10^10-URL regime — fixed per-job costs
   // amortize — at the cost of longer legs. Scale runs at >1 are reported
   // as their own data points, never mixed with the 90k series.
-  val WaveScale: Int =
-    sys.env.get("SPARK_GRAFT_WAVE_SCALE").map(_.toInt).filter(_ > 0).getOrElse(1)
+  val WaveScale: Int = sys.env.get("SPARK_GRAFT_WAVE_SCALE") match {
+    case scala.None => 1
+    case Some(s) => s.toIntOption.filter(_ > 0).getOrElse(
+      sys.error(s"SPARK_GRAFT_WAVE_SCALE must be a positive integer, got '$s'"))
+  }
   val WaveHosts = 500 * WaveScale
   val WavePages = 200
   val WaveRichness = 20

@@ -233,21 +233,27 @@ object HtmlKit {
     * each page exactly once and feeds the same tree to text + link + asset
     * extraction. */
   def extractLinks(dom: Elem, baseUrl: String): Vector[String] = {
-    val base = UrlKernel.parse(baseUrl)
-    if (base.isEmpty) return Vector.empty
     val out = Vector.newBuilder[String]
     val seen = scala.collection.mutable.HashSet.empty[String]
+    foreachLinkSighting(dom, baseUrl)((norm, _) => if (seen.add(norm)) out += norm)
+    out.result()
+  }
+
+  /** The single `a[href]` walker behind [[extractLinks]] (order-preserving
+    * dedup) and [[extractLinkAnchors]] (every sighting): resolves and
+    * link-normalizes each href against `baseUrl` and invokes `f` once per
+    * occurrence in document order. ONE kernel, so the link graph and the
+    * anchor sightings can never diverge on what counts as a link. */
+  private def foreachLinkSighting(dom: Elem, baseUrl: String)(f: (String, Elem) => Unit): Unit = {
+    val base = UrlKernel.parse(baseUrl)
+    if (base.isEmpty) return
     def walk(e: Elem): Unit = {
       if (e.tag == "a") e.attr("href").foreach { href =>
-        UrlKernel.resolve(base.get, href).foreach { abs =>
-          val norm = UrlKernel.linkNormalize(abs)
-          if (seen.add(norm)) out += norm
-        }
+        UrlKernel.resolve(base.get, href).foreach(abs => f(UrlKernel.linkNormalize(abs), e))
       }
       e.children.foreach { case c: Elem => walk(c); case _ => }
     }
     walk(dom)
-    out.result()
   }
 
   /** Link extraction WITH the anchor's visible text — (target, anchor)
@@ -264,26 +270,17 @@ object HtmlKit {
     extractLinkAnchors(parse(html), baseUrl)
 
   def extractLinkAnchors(dom: Elem, baseUrl: String): Vector[(String, String)] = {
-    val base = UrlKernel.parse(baseUrl)
-    if (base.isEmpty) return Vector.empty
     val out = Vector.newBuilder[(String, String)]
     def collectText(e: Elem, sb: java.lang.StringBuilder): Unit =
       e.children.foreach {
         case TextNode(t) => sb.append(' ').append(t)
         case c: Elem => collectText(c, sb)
       }
-    def walk(e: Elem): Unit = {
-      if (e.tag == "a") e.attr("href").foreach { href =>
-        UrlKernel.resolve(base.get, href).foreach { abs =>
-          val sb = new java.lang.StringBuilder
-          collectText(e, sb)
-          out += ((UrlKernel.linkNormalize(abs),
-            sb.toString.trim.replaceAll("\\s+", " ")))
-        }
-      }
-      e.children.foreach { case c: Elem => walk(c); case _ => }
+    foreachLinkSighting(dom, baseUrl) { (norm, e) =>
+      val sb = new java.lang.StringBuilder
+      collectText(e, sb)
+      out += ((norm, WsSplit.matcher(sb.toString.trim).replaceAll(" ")))
     }
-    walk(dom)
     out.result()
   }
 

@@ -127,10 +127,6 @@ object Multimodal {
         p(2) == 'F'.toByte && p(3) == 'F'.toByte &&
         p(8) == 'W'.toByte && p(9) == 'A'.toByte &&
         p(10) == 'V'.toByte && p(11) == 'E'.toByte
-    /** Decode failures seen by THIS decoder instance (per partition) —
-      * surfaced so callers can count quarantined rows. */
-    var decodeFailures: Long = 0L
-
     /** Decoded content: the pixel RGB byte stream (row-major, R,G,B per
       * pixel) for PNG payloads, the raw PCM sample bytes for WAV payloads,
       * the payload itself for stub kinds. Throws on a corrupt container —
@@ -159,22 +155,29 @@ object Multimodal {
       } else if (isWav(payload)) {
         val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
           new java.io.ByteArrayInputStream(payload))
-        try ais.readAllBytes() finally ais.close()
+        val (bytes, frames, frameSize) =
+          try (ais.readAllBytes(), ais.getFrameLength, ais.getFormat.getFrameSize)
+          finally ais.close()
+        // a WAV cut after its header parses fine and reads short with no
+        // exception — compare against the header's declared frame count so
+        // truncation is flagged like a truncated PNG, not silently partial
+        require(frames < 0 || bytes.length.toLong == frames * frameSize,
+          s"truncated WAV: ${bytes.length} of ${frames * frameSize} PCM bytes")
+        bytes
       } else payload
 
-    /** QUARANTINE decode: a corrupt container (truncated PNG, RIFF header
-      * on garbage, bad WAV chunk) falls back to the raw payload bytes and
-      * reports decodeOk=false instead of throwing — at archive scale a
-      * damaged file is a certainty and one bad row must not kill a
-      * 100-TB job. Failures are counted on the instance. */
+    /** QUARANTINE decode: a corrupt container (truncated PNG or WAV, RIFF
+      * header on garbage, bad WAV chunk) falls back to the raw payload
+      * bytes and reports decodeOk=false instead of throwing — at archive
+      * scale a damaged file is a certainty and one bad row must not kill a
+      * 100-TB job. */
     def decodedBytesSafe(payload: Array[Byte]): (Array[Byte], Boolean) =
       try (decodedBytes(payload), true)
-      catch { case scala.util.control.NonFatal(_) =>
-        decodeFailures += 1
-        (payload, false)
-      }
+      catch { case scala.util.control.NonFatal(_) => (payload, false) }
     def decodeMean(payload: Array[Byte]): Double = {
-      val c = decodedBytes(payload)
+      // safe path: frame slices and job code must never throw on a payload
+      // that happens to start with container magic
+      val c = decodedBytesSafe(payload)._1
       var s = 0L
       c.foreach(b => s += (b & 0xff))
       if (c.isEmpty) 0.0 else s.toDouble / c.length / 255.0
@@ -206,12 +209,18 @@ object Multimodal {
   /** Batched feature extraction: ONE decoder per partition (amortized init —
     * the property that matters when the decoder is an ONNX session or codec
     * context), streaming rows through it. */
-  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** @param failures optional driver-visible count of quarantined rows (an
+    *   accumulator, the same mechanism the bench uses for ANN candidate
+    *   counts) — the per-row truth is the decodeOk column. */
+  def extractFeatures(spark: SparkSession, media: Dataset[MediaRow],
+                      failures: Option[org.apache.spark.util.LongAccumulator] = None
+                     ): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
       val decoder = new MediaDecoder // per-partition init, NOT per-row
       it.map { m =>
         val (content, ok) = decoder.decodedBytesSafe(m.payload)
+        if (!ok) failures.foreach(_.add(1L))
         featuresOf(m, content, ok)
       }
     }
@@ -264,14 +273,19 @@ object Multimodal {
     * amortize per-call overhead. Results must be independent of how rows
     * fall into batches (tested). */
   def decodeBatches(spark: SparkSession, media: Dataset[MediaRow],
-                    batchSize: Int = 512): Dataset[MediaFeatures] = {
+                    batchSize: Int = 512,
+                    failures: Option[org.apache.spark.util.LongAccumulator] = None
+                   ): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.mapPartitions { it =>
       val decoder = new MediaDecoder // per-partition init
       it.grouped(batchSize).flatMap { batch =>
         // ONE decoder call per batch — the vectorized entry point
         val contents = decoder.decodeBatch(batch.map(_.payload))
-        batch.lazyZip(contents).map((m, c) => featuresOf(m, c._1, c._2))
+        batch.lazyZip(contents).map { (m, c) =>
+          if (!c._2) failures.foreach(_.add(1L))
+          featuresOf(m, c._1, c._2)
+        }
       }
     }
   }

@@ -219,20 +219,30 @@ class ExportersSpec extends AnyFunSuite {
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     val (c2, ok2) = dec.decodedBytesSafe(fakeWav)
     assert(!ok2 && c2.sameElements(fakeWav))
-    assert(dec.decodeFailures == 2L, "failures counted per decoder instance")
-    // a valid payload through the same safe path stays ok
+    // TRUNCATED WAV: header parses, PCM reads short with no exception —
+    // must still be flagged (compared against the declared frame count)
+    val wav = graft.multimodal.Multimodal.audioPayload(9L, 16000, 64)
+    val cutWav = wav.take(wav.length - 50)
+    val (c4, ok4) = dec.decodedBytesSafe(cutWav)
+    assert(!ok4 && c4.sameElements(cutWav), "short PCM read must be quarantined")
+    // valid payloads through the same safe path stay ok
     val (c3, ok3) = dec.decodedBytesSafe(png)
     assert(ok3 && c3.length == 16 * 16 * 3)
-    assert(dec.decodeFailures == 2L)
-    // and a whole job over a table WITH corrupt rows completes, flagging them
+    assert(dec.decodedBytesSafe(wav)._2)
+    // and a whole job over a table WITH corrupt rows completes, flagging
+    // them per-row and counting them into the driver-visible accumulator
     import spark.implicits._
     val rows = Seq(
       graft.multimodal.Multimodal.MediaRow(1L, "image", truncated, 16, 16, 0),
-      graft.multimodal.Multimodal.MediaRow(2L, "image", png, 16, 16, 0)).toDS()
-    val feats = graft.multimodal.Multimodal.extractFeatures(spark, rows)
+      graft.multimodal.Multimodal.MediaRow(2L, "image", png, 16, 16, 0),
+      graft.multimodal.Multimodal.MediaRow(3L, "audio", cutWav, 0, 0, 16000)).toDS()
+    val acc = spark.sparkContext.longAccumulator("media-decode-failures")
+    val feats = graft.multimodal.Multimodal.extractFeatures(spark, rows, Some(acc))
       .collect().sortBy(_.media_id)
     assert(!feats(0).decodeOk && feats(0).n_bytes == truncated.length.toLong)
     assert(feats(1).decodeOk && feats(1).n_bytes == 16L * 16L * 3L)
+    assert(!feats(2).decodeOk && feats(2).n_bytes == cutWav.length.toLong)
+    assert(acc.value == 2L, "quarantined rows counted on the driver")
   }
 
   test("multimodal batch shape: results independent of batch size") {
