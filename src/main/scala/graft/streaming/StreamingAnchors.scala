@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.extract.HtmlKit
+import graft.model.PageRow
+
+/** Structured Streaming twin of the anchor-text pipeline: a continuous
+  * crawl maintains the link graph's anchor signal incrementally as pages
+  * land, instead of re-reading the archive.
+  *
+  * Parity by construction (the same discipline as the frontier twins): the
+  * per-page sighting extraction is the SAME `HtmlKit.extractLinkAnchors`
+  * kernel the batch query uses, and the consensus aggregation is the SAME
+  * `CrawlQueries.anchorAgg` — the streaming layer owns only delivery
+  * (exactly-once file micro-batches via checkpoint). Sightings append as
+  * an immutable log (one row per `a[href]` occurrence — an occurrence is a
+  * fact, so the log never needs updates); the consensus view is recomputed
+  * from the log on demand, which at deployment scale is the standard
+  * log + periodic-rollup shape.
+  */
+object StreamingAnchors {
+
+  final case class Sighting(src: String, dst: String, anchor: String,
+                            warc_ts: java.sql.Timestamp)
+
+  /** Per-page sightings — the streaming map side (shared batch kernel). */
+  def sightingsOf(p: PageRow): Seq[Sighting] = {
+    val html = new String(p.html, java.nio.charset.StandardCharsets.UTF_8)
+    HtmlKit.extractLinkAnchors(html, p.url).map { case (dst, a) =>
+      Sighting(p.url, dst, a, p.warc_ts)
+    }
+  }
+
+  /** Drain all currently-available page files into the sightings log,
+    * exactly once (checkpointed file source, AvailableNow trigger). */
+  def runAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String
+  ): Unit = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.Encoders.product[PageRow].schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "8") // bounded micro-batches
+      .parquet(inputDir)
+      .as[PageRow]
+      .flatMap(sightingsOf _)
+    val query = stream.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+  }
+
+  /** The consensus view over the accumulated sightings log — the SAME
+    * aggregation as the batch `q_anchor_text` (shared definition, so the
+    * two can never disagree). Reads empty-as-empty before first commit
+    * (the streaming-sink discipline used across the twins). */
+  def consensus(spark: SparkSession, outputDir: String): DataFrame = {
+    val files = new java.io.File(outputDir)
+    if (!files.exists()) return graft.pipeline.CrawlQueries.anchorAgg(
+      spark.emptyDataFrame
+        .withColumn("dst", org.apache.spark.sql.functions.lit(""))
+        .withColumn("anchor", org.apache.spark.sql.functions.lit("")))
+    graft.pipeline.CrawlQueries.anchorAgg(spark.read.parquet(outputDir))
+  }
+}
