@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Relational, Relational2, Relational3, TextAnalysis}
+import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Freshness, Relational, Relational2, Relational3, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,8 @@ object SparkEntry {
     "q_decontaminate" -> (TextAnalysis.decontaminate _),
     "q_sample_split" -> (TextAnalysis.sampleSplit _),
     "q_term_stats" -> (TextAnalysis.termStats _),
+    "q_tfidf_keywords" -> (TextAnalysis.tfidfKeywords _),
+    "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),
     "q_pack_sequences" -> (TextAnalysis.packSequences _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_paragraph_dedup" -> (TextAnalysis.paragraphDedup _),
@@ -140,6 +142,8 @@ object SparkEntry {
     "q_decontaminate" -> TextAnalysis.decontaminateSql,
     "q_sample_split" -> TextAnalysis.sampleSplitSql,
     "q_term_stats" -> TextAnalysis.termStatsSql,
+    "q_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
+    "q_recrawl_schedule" -> Freshness.recrawlScheduleSql,
     "q_pack_sequences" -> TextAnalysis.packSequencesSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_paragraph_dedup" -> TextAnalysis.paragraphDedupSql,

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Freshness-driven recrawl scheduling — the revisit-policy component of a
+  * production crawler (Cho & Garcia-Molina's change-rate estimators, here in
+  * the exact-integer form every oracle-checked operator in this repo uses).
+  * The reference crawls each site once per run (crawler_service.rs BFS); a
+  * 10^10-URL frontier that is RE-crawled continuously needs the opposite
+  * decision: given each URL's capture history (how many times fetched, how
+  * often the content hash changed between consecutive captures), derive a
+  * per-URL revisit interval and a change-rate priority so the frontier's
+  * priority column can interleave discovery with freshness maintenance.
+  *
+  * The capture history is derived deterministically from the document id by
+  * the same salted-md5 mechanism as [[TextAnalysis.sampleSplit]] (distinct
+  * salts, so it is uncorrelated with the split/mixture decisions): the
+  * number of captures (2-5) from one hex digit, each inter-capture change
+  * flag from another. Both engines re-derive the history independently —
+  * the DuckDB oracle is a true recompute, not a fixture.
+  *
+  * Scale shape: one explode (≤ 4 rows per URL), one map-side-combined
+  * groupBy(url) aggregation, then pure per-row integer projections — no
+  * global window, no driver state, nothing that grows with corpus size
+  * except the keyed shuffle itself. The trailing orderBy exists only for
+  * oracle row-order canonicalization.
+  *
+  * Integer semantics (all non-negative, so Spark `div` == DuckDB `//`):
+  *  - change_milli   = (n_changes * 1000) div (n_caps - 1)   — change rate
+  *  - interval_hours = clamp((24 * (n_caps-1)) div (n_changes + 1), 6, 168)
+  *    — a stable page (0 changes over k intervals) backs off toward weekly;
+  *    a page that changed every interval is revisited at the 6 h floor.
+  */
+object Freshness {
+
+  private val CapsSalt = ":graft-caps-v1"
+  private val ChgSalt = ":graft-chg-v1:"
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def recrawlSchedule(spark: SparkSession, dir: String): DataFrame = {
+    val ids = docs(spark, dir).select(
+      col("doc_id").cast("long").as("url_id"),
+      col("doc_id").cast("long").cast("string").as("ids"))
+    // captures 2..n_caps each carry a changed-vs-previous flag (n_caps - 1
+    // inter-capture intervals); ascii of a hex digit is 48-57/97-102, always
+    // non-negative, so pmod here == DuckDB's %
+    val caps = ids.withColumn("n_caps",
+      lit(2) + pmod(ascii(substring(md5(concat(col("ids"), lit(CapsSalt))), 1, 1)), lit(4)))
+    val log = caps
+      .withColumn("i", explode(sequence(lit(2), col("n_caps"))))
+      .withColumn("chg",
+        when(substring(md5(concat(col("ids"), lit(ChgSalt), col("i").cast("string"))), 1, 1)
+          < "8", 1L).otherwise(0L))
+    log.groupBy("url_id", "n_caps")
+      .agg(sum("chg").as("n_changes"))
+      .select(
+        col("url_id"),
+        col("n_caps").cast("long").as("n_caps"),
+        col("n_changes"),
+        expr("CAST((n_changes * 1000) div (n_caps - 1) AS BIGINT)").as("change_milli"),
+        expr("CAST(least(greatest((24 * (n_caps - 1)) div (n_changes + 1), 6), 168) AS BIGINT)")
+          .as("interval_hours"))
+      .orderBy(desc("change_milli"), asc("url_id"))
+  }
+
+  /** Independent DuckDB recompute: re-derives the capture history from the
+    * same salted md5 digits and re-applies the integer schedule rules. */
+  val recrawlScheduleSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS url_id,
+      |         CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS ids
+      |  FROM documents),
+      |caps AS (
+      |  SELECT url_id, ids,
+      |         2 + (ascii(substring(md5(ids || ':graft-caps-v1'), 1, 1)) % 4) AS n_caps
+      |  FROM ids),
+      |log AS (
+      |  SELECT url_id, n_caps,
+      |         CASE WHEN substring(md5(ids || ':graft-chg-v1:' || i), 1, 1) < '8'
+      |              THEN 1 ELSE 0 END AS chg
+      |  FROM caps, unnest(generate_series(2, n_caps)) AS t(i)),
+      |agg AS (
+      |  SELECT url_id, n_caps, CAST(sum(chg) AS BIGINT) AS n_changes
+      |  FROM log GROUP BY url_id, n_caps)
+      |SELECT url_id, CAST(n_caps AS BIGINT) AS n_caps, n_changes,
+      |  CAST((n_changes * 1000) // (n_caps - 1) AS BIGINT) AS change_milli,
+      |  CAST(least(greatest((24 * (n_caps - 1)) // (n_changes + 1), 6), 168) AS BIGINT)
+      |    AS interval_hours
+      |FROM agg
+      |ORDER BY change_milli DESC, url_id""".stripMargin
+}

@@ -470,6 +470,56 @@ object TextAnalysis {
       |FROM dt GROUP BY term
       |ORDER BY df DESC, term LIMIT 100""".stripMargin
 
+  // -------------------------------------------- tf-idf keyword extraction --
+
+  /** Per-document keyword extraction — top-3 unigrams by a tf-idf-shaped
+    * integer score, the topic/tag signal a training-data pipeline attaches
+    * to every document (and the crawler's relevance scorer consumes,
+    * relevance_scorer.rs analogue at the corpus level). The score is the
+    * exact-integer monotone core of tf-idf: `(tf * 10^6) div df` — within a
+    * document, ranking by tf/df is ranking by tf·idf for ANY monotone idf
+    * (the constant N and the log cancel under a per-document ORDER BY), so
+    * no transcendental log has to agree bit-for-bit across engines. Ties
+    * break by term ascending — a total order, so the top-3 is unique.
+    *
+    * Scale shape: tf is one map-side-combined (doc, term) aggregation; df
+    * is a second keyed aggregation over tf's output (one row per distinct
+    * (doc, term) — already deduped, so no corpus-sized skew); the join back
+    * is keyed by term (AQE handles stop-word skew; each tf row matches
+    * exactly one df row); the rank window is PARTITIONED by doc_id — never
+    * global. The trailing orderBy is oracle canonicalization only. */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_micro"), asc("term"))
+    tf.join(df, "term")
+      .withColumn("score_micro", expr("CAST((tf * 1000000) div df AS BIGINT)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_micro"), col("rk").cast("long").as("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
+  val tfidfKeywordsSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |s AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |         CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_micro
+      |  FROM tf JOIN df ON tf.term = df.term),
+      |r AS (
+      |  SELECT *, row_number() OVER
+      |    (PARTITION BY doc_id ORDER BY score_micro DESC, term ASC) AS rk
+      |  FROM s)
+      |SELECT doc_id, term, tf, df, score_micro, CAST(rk AS BIGINT) AS rk
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
+
   // -------------------------------------------- mixture rebalancing --------
 
   /** Salt for the rebalance keep-decision — independent of [[SplitSalt]] so

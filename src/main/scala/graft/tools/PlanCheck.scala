@@ -194,6 +194,31 @@ object PlanCheck {
         !atPlan.contains("CartesianProduct") && !atPlan.contains("BroadcastNestedLoopJoin"),
       "consensus is an aggregate, not a window rank; no all-pairs anywhere")
 
+    // 12. tf-idf keywords: tf and df both combine map-side; the df join back
+    // is a hash equi join; the only Window is the doc-partitioned rank
+    // (its sort key starts with doc_id — never a global sort)
+    val tk = graft.pipeline.TextAnalysis.tfidfKeywords(spark, sfDir)
+    tk.collect()
+    val tkPlan = tk.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_tfidf_keywords/partial-counts",
+      tkPlan.contains("partial_count"),
+      "tf and df aggregations combine map-side before their exchanges")
+    check("q_tfidf_keywords/doc-partitioned-window",
+      tkPlan.contains("Window") &&
+        "hashpartitioning\\(doc_id".r.findFirstIn(tkPlan).nonEmpty &&
+        !tkPlan.contains("CartesianProduct") && !tkPlan.contains("BroadcastNestedLoopJoin"),
+      "rank window partitions by doc_id; joins are hash-keyed")
+
+    // 13. recrawl schedule: pure projections around one map-side-combined
+    // groupBy(url) — no window, no join, no all-pairs at all
+    val rs = graft.pipeline.Freshness.recrawlSchedule(spark, sfDir)
+    rs.collect()
+    val rsPlan = rs.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_recrawl_schedule/partial-agg-no-window",
+      rsPlan.contains("partial_sum") && !rsPlan.contains("Window") &&
+        !rsPlan.contains("CartesianProduct") && !rsPlan.contains("BroadcastNestedLoopJoin"),
+      "one keyed aggregation with map-side partials; schedule rules are projections")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")

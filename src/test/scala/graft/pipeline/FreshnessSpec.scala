@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic gates for the recrawl scheduler: an independent JVM-side
+  * re-derivation of the salted-md5 capture history (MessageDigest, not
+  * Spark functions) must reproduce every row, and the schedule rules must
+  * hold pointwise. The DuckDB oracle pins the same values a third way. */
+class FreshnessSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-freshness-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The spec'd derivation, written independently of the Spark/SQL code. */
+  private def expected(urlId: Long): (Long, Long, Long, Long) = {
+    val ids = urlId.toString
+    val nCaps = 2 + (md5hex(ids + ":graft-caps-v1").charAt(0).toInt % 4)
+    val nChanges = (2 to nCaps).count { i =>
+      md5hex(ids + ":graft-chg-v1:" + i).charAt(0) < '8'
+    }.toLong
+    val changeMilli = (nChanges * 1000) / (nCaps - 1)
+    val interval = math.min(math.max((24L * (nCaps - 1)) / (nChanges + 1), 6L), 168L)
+    (nCaps.toLong, nChanges, changeMilli, interval)
+  }
+
+  test("recrawlSchedule: every row matches an independent JVM re-derivation") {
+    val rows = Freshness.recrawlSchedule(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.length == nDocs, "one schedule row per url")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("url_id")
+      val (caps, chg, milli, hours) = expected(id)
+      assert(r.getAs[Long]("n_caps") == caps, s"n_caps for $id")
+      assert(r.getAs[Long]("n_changes") == chg, s"n_changes for $id")
+      assert(r.getAs[Long]("change_milli") == milli, s"change_milli for $id")
+      assert(r.getAs[Long]("interval_hours") == hours, s"interval_hours for $id")
+    }
+  }
+
+  test("recrawlSchedule: schedule invariants and ordering") {
+    val rows = Freshness.recrawlSchedule(spark, sfDir).collect()
+    rows.foreach { r =>
+      val caps = r.getAs[Long]("n_caps")
+      val chg = r.getAs[Long]("n_changes")
+      val hours = r.getAs[Long]("interval_hours")
+      assert(caps >= 2 && caps <= 5, s"caps in [2,5]: $r")
+      assert(chg >= 0 && chg <= caps - 1, s"changes bounded by intervals: $r")
+      assert(hours >= 6 && hours <= 168, s"interval clamped to [6h, 168h]: $r")
+      // a page that changed every interval sits at the revisit floor
+      if (chg == caps - 1 && caps - 1 >= 2) assert(hours <= 24, s"hot page revisits fast: $r")
+      // a page that never changed backs off to at least daily
+      if (chg == 0) assert(hours >= 24, s"stable page backs off: $r")
+    }
+    val keys = rows.map(r => (-r.getAs[Long]("change_milli"), r.getAs[Long]("url_id")))
+    assert(keys.sameElements(keys.sorted), "hot-first, id-tiebroken order")
+    // the derivation must actually vary across the corpus
+    assert(rows.map(_.getAs[Long]("n_caps")).distinct.length >= 3, "caps vary")
+    assert(rows.map(_.getAs[Long]("n_changes")).distinct.length >= 3, "changes vary")
+  }
+}

@@ -289,4 +289,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     val means = got.map(g => g._3.toDouble / g._2)
     assert(means.max > means.min, "per-doc boilerplate mass varies")
   }
+
+  test("tfidfKeywords: exact top-3 per doc vs an independent recompute") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    // independent recompute: plain Scala collections, same split semantics
+    val tf = texts.map { case (id, t) =>
+      id -> t.split(" ", -1).groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    }.toMap
+    val df = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    tf.values.foreach(_.keys.foreach(w => df(w) += 1))
+    val expected = tf.toSeq.sortBy(_._1).flatMap { case (id, m) =>
+      m.toSeq.map { case (w, f) => (w, f, df(w), (f * 1000000L) / df(w)) }
+        .sortBy { case (w, _, _, s) => (-s, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, f, d, s), i) => (id, w, f, d, s, (i + 1).toLong) }
+    }
+    val got = TextAnalysis.tfidfKeywords(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"), r.getAs[Long]("tf"),
+        r.getAs[Long]("df"), r.getAs[Long]("score_micro"), r.getAs[Long]("rk"))).toSeq
+    assert(got == expected)
+    // keywords must discriminate: not every document picks the same terms
+    assert(got.map(_._2).distinct.length >= 5, "keyword vocabulary varies across docs")
+  }
 }
