@@ -150,7 +150,7 @@ object Bench {
       "q_ann_ivf", "q_ann_sq8", "q_quality_ratios", "q_token_bpe",
       "q_pii_redact", "q_repetition", "q_term_stats", "q_pack_sequences",
       "q_paragraph_dedup", "q_lm_score", "q_span_dedup", "q_pagerank",
-      "q_tfidf_keywords", "q_recrawl_schedule",
+      "q_tfidf_keywords", "q_recrawl_schedule", "q_bm25_rank", "q_crawl_delta",
       "q_anchor_text", "q_dedup_keep", "q_rollup_nation", "q_grouping_sets")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++

@@ -58,7 +58,9 @@ object SparkEntry {
     "q_sample_split" -> (TextAnalysis.sampleSplit _),
     "q_term_stats" -> (TextAnalysis.termStats _),
     "q_tfidf_keywords" -> (TextAnalysis.tfidfKeywords _),
+    "q_bm25_rank" -> (TextAnalysis.bm25Rank _),
     "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),
+    "q_crawl_delta" -> (Freshness.crawlDelta _),
     "q_pack_sequences" -> (TextAnalysis.packSequences _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_paragraph_dedup" -> (TextAnalysis.paragraphDedup _),
@@ -143,7 +145,9 @@ object SparkEntry {
     "q_sample_split" -> TextAnalysis.sampleSplitSql,
     "q_term_stats" -> TextAnalysis.termStatsSql,
     "q_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
+    "q_bm25_rank" -> TextAnalysis.bm25RankSql,
     "q_recrawl_schedule" -> Freshness.recrawlScheduleSql,
+    "q_crawl_delta" -> Freshness.crawlDeltaSql,
     "q_pack_sequences" -> TextAnalysis.packSequencesSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_paragraph_dedup" -> TextAnalysis.paragraphDedupSql,

@@ -66,6 +66,81 @@ object Freshness {
       .orderBy(desc("change_milli"), asc("url_id"))
   }
 
+  // ------------------------------------------------ crawl snapshot delta ---
+
+  private val SnapASalt = ":graft-snapA-v1"
+  private val SnapBSalt = ":graft-snapB-v1"
+  private val DeltaChgSalt = ":graft-delta-chg-v1"
+
+  /** Crawl snapshot delta — the diff a continuously-running crawler computes
+    * between two consecutive captures of the web: which URLs appeared,
+    * disappeared, changed content, or held steady. Downstream, `added` and
+    * `changed` rows are the incremental work list (re-extract, re-dedup,
+    * re-embed only those), `removed` rows tombstone the corpus, and the
+    * per-URL change outcomes are exactly the inter-capture flags
+    * [[recrawlSchedule]] aggregates into revisit intervals. The reference's
+    * single-shot state resume (state_store.rs seen-set) answers "was this
+    * URL fetched"; the delta answers the continuous-crawl question "what is
+    * DIFFERENT since last time".
+    *
+    * The two snapshots are derived deterministically from the documents
+    * table (salted-md5 membership: 14/16 of URLs in each capture, an
+    * independent salt per side; a 4/16 subset of B re-hashes its content as
+    * "#v2"), so both engines re-derive them independently — the DuckDB
+    * oracle is a true recompute, not a fixture.
+    *
+    * Scale shape: two pruned scans (url key + content hash only — payloads
+    * never enter the join), one key-partitioned full-outer equi join, then
+    * pure projections; no window, no driver state. Output hashes are
+    * coalesced to '' so the contract row carries no NULLs. */
+  def crawlDelta(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(
+      col("doc_id").cast("long").as("url_id"),
+      col("doc_id").cast("long").cast("string").as("ids"),
+      col("text"))
+    val snapA = base
+      .filter(substring(md5(concat(col("ids"), lit(SnapASalt))), 1, 1) < "e")
+      .select(col("url_id"), md5(col("text")).as("hash_a"))
+    val snapB = base
+      .filter(substring(md5(concat(col("ids"), lit(SnapBSalt))), 1, 1) < "e")
+      .select(col("url_id"),
+        when(substring(md5(concat(col("ids"), lit(DeltaChgSalt))), 1, 1) < "4",
+          md5(concat(col("text"), lit("#v2")))).otherwise(md5(col("text"))).as("hash_b"))
+    snapA.join(snapB, Seq("url_id"), "full_outer")
+      .select(col("url_id"),
+        coalesce(col("hash_a"), lit("")).as("hash_a"),
+        coalesce(col("hash_b"), lit("")).as("hash_b"),
+        when(col("hash_a").isNull, "added")
+          .when(col("hash_b").isNull, "removed")
+          .when(col("hash_a") =!= col("hash_b"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("url_id")
+  }
+
+  /** Independent DuckDB recompute: re-derives both snapshots from the same
+    * salted md5 membership/content rules and re-classifies every URL. */
+  val crawlDeltaSql: String =
+    """WITH base AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS url_id,
+      |         CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS ids, text
+      |  FROM documents),
+      |a AS (SELECT url_id, md5(text) AS hash_a FROM base
+      |      WHERE substring(md5(ids || ':graft-snapA-v1'), 1, 1) < 'e'),
+      |b AS (SELECT url_id,
+      |        CASE WHEN substring(md5(ids || ':graft-delta-chg-v1'), 1, 1) < '4'
+      |             THEN md5(text || '#v2') ELSE md5(text) END AS hash_b
+      |      FROM base
+      |      WHERE substring(md5(ids || ':graft-snapB-v1'), 1, 1) < 'e')
+      |SELECT coalesce(a.url_id, b.url_id) AS url_id,
+      |       coalesce(hash_a, '') AS hash_a,
+      |       coalesce(hash_b, '') AS hash_b,
+      |       CASE WHEN hash_a IS NULL THEN 'added'
+      |            WHEN hash_b IS NULL THEN 'removed'
+      |            WHEN hash_a <> hash_b THEN 'changed'
+      |            ELSE 'unchanged' END AS status
+      |FROM a FULL OUTER JOIN b ON a.url_id = b.url_id
+      |ORDER BY url_id""".stripMargin
+
   /** Independent DuckDB recompute: re-derives the capture history from the
     * same salted md5 digits and re-applies the integer schedule rules. */
   val recrawlScheduleSql: String =

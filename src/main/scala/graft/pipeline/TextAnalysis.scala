@@ -520,6 +520,94 @@ object TextAnalysis {
       |SELECT doc_id, term, tf, df, score_micro, CAST(rk AS BIGINT) AS rk
       |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
 
+  // ------------------------------------------------ BM25 ranked retrieval --
+
+  /** BM25 ranked retrieval — the search half of the inverted index whose
+    * statistics [[termStats]] builds (and the corpus-level successor of the
+    * reference's keyword relevance scorer, relevance_scorer.rs:1-80): for
+    * each query term, the top-10 documents by the Okapi BM25 within-term
+    * score (k1 = 1.2, b = 0.75). Within a single term the idf factor is a
+    * constant, so ranking needs only the tf/length part — computed here in
+    * overflow-safe fixed point so both engines agree bit-for-bit:
+    *
+    *   avg_milli   = (corpus_words * 1000) div n_docs          — avgdl·10^3
+    *   ratio_milli = (dl * 1000000) div avg_milli              — (dl/avgdl)·10^3
+    *   den_milli   = 1000·tf + 300 + (9·ratio_milli) div 10    — BM25 denom·10^3
+    *   score_micro = (2200·tf·1000000) div den_milli           — tf·(k1+1)/den·10^6
+    *
+    * (0.3 = k1·(1−b), 0.9 = k1·b, 2.2 = k1+1.) The fixed-point score IS the
+    * contract — every `div` is replayed identically by the oracle, and the
+    * reduced avg_milli keeps all intermediates ≤ ~10^16 even at 10^13
+    * corpus words, where the naive cross-multiplied form overflows 64 bits.
+    * `df` and `n_docs`-derived idf are the consumer's float map, exactly as
+    * [[lmScore]] leaves the smoothed log to the consumer. Query terms are
+    * the df-rank-11..30 unigrams (skipping the stop-word head) — a total
+    * (df DESC, term ASC) order, so the slice is deterministic.
+    *
+    * Scale shape: tf and dl are map-side-combined aggregations; df
+    * aggregates tf's already-deduped output; the 20-term query table and
+    * the 1-row totals broadcast; the doc-length join is hash-keyed by
+    * doc_id; the rank window is PARTITIONED by term (20 partitions of
+    * bounded postings), never global. The trailing orderBy is oracle
+    * canonicalization only. */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+    val tf = base.select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ≤ 30 rows after the TakeOrdered limit, so the global rank window is a
+    // 30-row single partition — not a corpus-sized sort
+    val topTerms = df.orderBy(desc("df"), asc("term")).limit(30)
+      .withColumn("trk", row_number().over(Window.orderBy(desc("df"), asc("term"))))
+      .filter(col("trk") > 10).drop("trk")
+    val totals = dl.agg(sum("dl").as("corpus_words"), count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("term").orderBy(desc("score_micro"), asc("doc_id"))
+    tf.join(broadcast(topTerms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avg_milli", expr("CAST((corpus_words * 1000) div n_docs AS BIGINT)"))
+      .withColumn("ratio_milli", expr("CAST((dl * 1000000) div avg_milli AS BIGINT)"))
+      .withColumn("den_milli",
+        expr("CAST(1000 * tf + 300 + (9 * ratio_milli) div 10 AS BIGINT)"))
+      .withColumn("score_micro", expr("CAST((2200 * tf * 1000000) div den_milli AS BIGINT)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select(col("term"), col("rk").cast("long").as("rk"), col("doc_id"),
+        col("tf"), col("dl"), col("df"), col("score_micro"))
+      .orderBy("term", "rk")
+  }
+
+  val bm25RankSql: String =
+    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM base),
+      |tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(ws) AS term FROM base)
+      |       GROUP BY doc_id, term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |qt AS (SELECT term, df FROM (
+      |         SELECT term, df,
+      |                row_number() OVER (ORDER BY df DESC, term ASC) AS trk
+      |         FROM df)
+      |       WHERE trk > 10 AND trk <= 30),
+      |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS corpus_words,
+      |               count(*) AS n_docs FROM dl),
+      |s AS (
+      |  SELECT tf.term, tf.doc_id, tf.tf, dl.dl, qt.df,
+      |         CAST((2200 * tf.tf * 1000000) //
+      |              (1000 * tf.tf + 300 +
+      |               (9 * ((dl.dl * 1000000) //
+      |                     ((tot.corpus_words * 1000) // tot.n_docs))) // 10)
+      |              AS BIGINT) AS score_micro
+      |  FROM tf JOIN qt ON tf.term = qt.term
+      |          JOIN dl ON tf.doc_id = dl.doc_id, tot),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY term ORDER BY score_micro DESC, doc_id ASC) AS rk
+      |      FROM s)
+      |SELECT term, CAST(rk AS BIGINT) AS rk, doc_id, tf, dl, df, score_micro
+      |FROM r WHERE rk <= 10 ORDER BY term, rk""".stripMargin
+
   // -------------------------------------------- mixture rebalancing --------
 
   /** Salt for the rebalance keep-decision — independent of [[SplitSalt]] so

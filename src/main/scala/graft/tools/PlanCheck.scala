@@ -219,6 +219,30 @@ object PlanCheck {
         !rsPlan.contains("CartesianProduct") && !rsPlan.contains("BroadcastNestedLoopJoin"),
       "one keyed aggregation with map-side partials; schedule rules are projections")
 
+    // 14. BM25: the query-term and totals tables broadcast (the only
+    // nested-loop join is the 1-row totals cross join — a scalar broadcast,
+    // not an all-pairs); the rank window partitions by term
+    val bm = graft.pipeline.TextAnalysis.bm25Rank(spark, sfDir)
+    bm.collect()
+    val bmPlan = bm.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_bm25_rank/broadcast-dims",
+      bmPlan.contains("BroadcastHashJoin") && bmPlan.contains("partial_count") &&
+        !bmPlan.contains("CartesianProduct"),
+      "query terms broadcast; tf/dl/df combine map-side; no cartesian")
+    check("q_bm25_rank/term-partitioned-window",
+      "hashpartitioning\\(term".r.findFirstIn(bmPlan).nonEmpty,
+      "rank window partitions by term — never a global sort of postings")
+
+    // 15. crawl delta: one key-partitioned full-outer equi join over pruned
+    // (url, hash) rows; no window, no all-pairs
+    val cd = graft.pipeline.Freshness.crawlDelta(spark, sfDir)
+    cd.collect()
+    val cdPlan = cd.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_crawl_delta/equi-full-outer",
+      cdPlan.contains("FullOuter") && !cdPlan.contains("CartesianProduct") &&
+        !cdPlan.contains("BroadcastNestedLoopJoin") && !cdPlan.contains("Window"),
+      "snapshot diff is a key-partitioned full-outer equi join, no window")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")

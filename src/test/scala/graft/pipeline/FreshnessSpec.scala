@@ -72,4 +72,35 @@ class FreshnessSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_caps")).distinct.length >= 3, "caps vary")
     assert(rows.map(_.getAs[Long]("n_changes")).distinct.length >= 3, "changes vary")
   }
+
+  test("crawlDelta: every row matches an independent JVM re-derivation") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val expected = texts.flatMap { case (id, t) =>
+      val ids = id.toString
+      val inA = md5hex(ids + ":graft-snapA-v1").charAt(0) < 'e'
+      val inB = md5hex(ids + ":graft-snapB-v1").charAt(0) < 'e'
+      val hashA = if (inA) md5hex(t) else ""
+      val hashB =
+        if (!inB) ""
+        else if (md5hex(ids + ":graft-delta-chg-v1").charAt(0) < '4') md5hex(t + "#v2")
+        else md5hex(t)
+      (inA, inB) match {
+        case (false, false) => None
+        case (false, true)  => Some((id, hashA, hashB, "added"))
+        case (true, false)  => Some((id, hashA, hashB, "removed"))
+        case (true, true)   =>
+          Some((id, hashA, hashB, if (hashA != hashB) "changed" else "unchanged"))
+      }
+    }.sortBy(_._1).toSeq
+    val got = Freshness.crawlDelta(spark, sfDir).collect().map(r =>
+      (r.getAs[Long]("url_id"), r.getAs[String]("hash_a"),
+        r.getAs[String]("hash_b"), r.getAs[String]("status"))).toSeq
+    assert(got == expected)
+    // all four outcomes occur, and the diff really is sparse vs the corpus
+    assert(got.map(_._4).toSet == Set("added", "removed", "changed", "unchanged"))
+    assert(got.count(_._4 == "unchanged") > got.length / 2,
+      "most URLs hold steady between captures")
+  }
 }

@@ -313,4 +313,42 @@ class TextAnalysisSpec extends AnyFunSuite {
     // keywords must discriminate: not every document picks the same terms
     assert(got.map(_._2).distinct.length >= 5, "keyword vocabulary varies across docs")
   }
+
+  test("bm25Rank: exact fixed-point replay of the Okapi formula per query term") {
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val words = texts.map { case (id, t) => id -> t.split(" ", -1) }
+    val dl = words.map { case (id, ws) => id -> ws.length.toLong }.toMap
+    val tf = words.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, a) => w -> a.length.toLong }
+    }.toMap
+    val dfm = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    tf.values.foreach(_.keys.foreach(w => dfm(w) += 1))
+    val qTerms = dfm.toSeq.sortBy { case (t, d) => (-d, t) }.slice(10, 30)
+    assert(qTerms.length == 20, "corpus vocabulary supports the rank-11..30 slice")
+    val avgMilli = dl.values.sum * 1000 / dl.size
+    val expected = qTerms.flatMap { case (term, d) =>
+      tf.toSeq.collect { case (id, m) if m.contains(term) =>
+        val f = m(term)
+        val ratioMilli = dl(id) * 1000000 / avgMilli
+        val denMilli = 1000 * f + 300 + (9 * ratioMilli) / 10
+        (id, f, dl(id), (2200 * f * 1000000) / denMilli)
+      }.sortBy { case (id, _, _, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, f, l, s), i) => (term, (i + 1).toLong, id, f, l, d, s) }
+    }.sortBy { case (t, rk, _, _, _, _, _) => (t, rk) }
+    val got = TextAnalysis.bm25Rank(spark, sfDir).collect().map(r =>
+      (r.getAs[String]("term"), r.getAs[Long]("rk"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("tf"), r.getAs[Long]("dl"), r.getAs[Long]("df"),
+        r.getAs[Long]("score_micro"))).toSeq
+    assert(got == expected)
+    // BM25 semantics: within a term, higher tf at equal length never ranks lower
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.groupBy(_._5).values.foreach { sameLen =>
+        val byRank = sameLen.sortBy(_._2)
+        assert(byRank.map(-_._4).sameElements(byRank.map(-_._4).sorted),
+          "tf monotone within equal doc length")
+      }
+    }
+  }
 }
