@@ -98,22 +98,25 @@ object Freshness {
       col("doc_id").cast("long").as("url_id"),
       col("doc_id").cast("long").cast("string").as("ids"),
       col("text"))
+    // presence is a flag per side, NOT hash nullability — a NULL payload in
+    // a present row must not masquerade as an absent row
     val snapA = base
       .filter(substring(md5(concat(col("ids"), lit(SnapASalt))), 1, 1) < "e")
-      .select(col("url_id"), md5(col("text")).as("hash_a"))
+      .select(col("url_id"), md5(col("text")).as("hash_a"), lit(true).as("in_a"))
     val snapB = base
       .filter(substring(md5(concat(col("ids"), lit(SnapBSalt))), 1, 1) < "e")
       .select(col("url_id"),
         when(substring(md5(concat(col("ids"), lit(DeltaChgSalt))), 1, 1) < "4",
-          md5(concat(col("text"), lit("#v2")))).otherwise(md5(col("text"))).as("hash_b"))
+          md5(concat(col("text"), lit("#v2")))).otherwise(md5(col("text"))).as("hash_b"),
+        lit(true).as("in_b"))
     snapA.join(snapB, Seq("url_id"), "full_outer")
       .select(col("url_id"),
         coalesce(col("hash_a"), lit("")).as("hash_a"),
         coalesce(col("hash_b"), lit("")).as("hash_b"),
-        when(col("hash_a").isNull, "added")
-          .when(col("hash_b").isNull, "removed")
-          .when(col("hash_a") =!= col("hash_b"), "changed")
-          .otherwise("unchanged").as("status"))
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(col("hash_a").eqNullSafe(col("hash_b")), "unchanged")
+          .otherwise("changed").as("status"))
       .orderBy("url_id")
   }
 
@@ -134,10 +137,10 @@ object Freshness {
       |SELECT coalesce(a.url_id, b.url_id) AS url_id,
       |       coalesce(hash_a, '') AS hash_a,
       |       coalesce(hash_b, '') AS hash_b,
-      |       CASE WHEN hash_a IS NULL THEN 'added'
-      |            WHEN hash_b IS NULL THEN 'removed'
-      |            WHEN hash_a <> hash_b THEN 'changed'
-      |            ELSE 'unchanged' END AS status
+      |       CASE WHEN a.url_id IS NULL THEN 'added'
+      |            WHEN b.url_id IS NULL THEN 'removed'
+      |            WHEN hash_a IS NOT DISTINCT FROM hash_b THEN 'unchanged'
+      |            ELSE 'changed' END AS status
       |FROM a FULL OUTER JOIN b ON a.url_id = b.url_id
       |ORDER BY url_id""".stripMargin
 

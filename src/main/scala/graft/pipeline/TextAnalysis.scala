@@ -472,15 +472,26 @@ object TextAnalysis {
 
   // -------------------------------------------- tf-idf keyword extraction --
 
-  /** Per-document keyword extraction — top-3 unigrams by a tf-idf-shaped
-    * integer score, the topic/tag signal a training-data pipeline attaches
+  /** Minimum document frequency for a term to qualify as a keyword —
+    * the standard min-df floor: a term seen in fewer documents is far more
+    * likely a typo/hapax artifact than a topic signal, and any idf-family
+    * weighting otherwise hands exactly those terms the top scores. */
+  private val KeywordMinDf = 3
+
+  /** Per-document keyword extraction — top-3 unigrams by an integer
+    * tf-idf score, the topic/tag signal a training-data pipeline attaches
     * to every document (and the crawler's relevance scorer consumes,
-    * relevance_scorer.rs analogue at the corpus level). The score is the
-    * exact-integer monotone core of tf-idf: `(tf * 10^6) div df` — within a
-    * document, ranking by tf/df is ranking by tf·idf for ANY monotone idf
-    * (the constant N and the log cancel under a per-document ORDER BY), so
-    * no transcendental log has to agree bit-for-bit across engines. Ties
-    * break by term ascending — a total order, so the top-3 is unique.
+    * relevance_scorer.rs analogue at the corpus level). The score is
+    * `(tf * 10^6) div df` — tf-idf with the LINEAR idf `1/df` (equivalently
+    * `N/df`; the constant N cancels under a per-document ORDER BY). The
+    * linear member of the idf family is chosen because it is exactly
+    * representable in integers, so both engines replay the identical rule;
+    * it is NOT rank-equivalent to the log-idf variant when tf varies
+    * (linear idf discounts common terms more aggressively), and this score
+    * — not log tf-idf — is the documented contract. The [[KeywordMinDf]]
+    * floor keeps rare-junk terms (which any idf variant over-rewards) out
+    * of the candidate set. Ties break by term ascending — a total order,
+    * so the top-3 is unique.
     *
     * Scale shape: tf is one map-side-combined (doc, term) aggregation; df
     * is a second keyed aggregation over tf's output (one row per distinct
@@ -494,6 +505,7 @@ object TextAnalysis {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= KeywordMinDf)
     val w = Window.partitionBy("doc_id").orderBy(desc("score_micro"), asc("term"))
     tf.join(df, "term")
       .withColumn("score_micro", expr("CAST((tf * 1000000) div df AS BIGINT)"))
@@ -508,7 +520,7 @@ object TextAnalysis {
     """WITH w AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
       |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY doc_id, term),
-      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 3),
       |s AS (
       |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
       |         CAST((tf.tf * 1000000) // df.df AS BIGINT) AS score_micro
@@ -544,18 +556,21 @@ object TextAnalysis {
     * the df-rank-11..30 unigrams (skipping the stop-word head) — a total
     * (df DESC, term ASC) order, so the slice is deterministic.
     *
-    * Scale shape: tf and dl are map-side-combined aggregations; df
-    * aggregates tf's already-deduped output; the 20-term query table and
-    * the 1-row totals broadcast; the doc-length join is hash-keyed by
-    * doc_id; the rank window is PARTITIONED by term (20 partitions of
-    * bounded postings), never global. The trailing orderBy is oracle
+    * Scale shape: ONE corpus scan — tf is the only aggregation that reads
+    * the parquet; dl (`sum(tf)` per doc — split keeps empty tokens, so the
+    * token count IS the tf mass), df, and the 1-row totals all derive from
+    * tf's already-collapsed output, the same derive-from-the-aggregate
+    * pattern as [[lmScore]]'s cf1-from-cf2. The 20-term query table and
+    * the totals broadcast; the doc-length join is hash-keyed by doc_id;
+    * the rank window is PARTITIONED by term (20 partitions of bounded
+    * postings), never global. The trailing orderBy is oracle
     * canonicalization only. */
   def bm25Rank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = docs(spark, dir).select(col("doc_id"), split(col("text"), " ").as("ws"))
-    val dl = base.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
-    val tf = base.select(col("doc_id"), explode(col("ws")).as("term"))
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // ≤ 30 rows after the TakeOrdered limit, so the global rank window is a
     // 30-row single partition — not a corpus-sized sort
@@ -580,11 +595,11 @@ object TextAnalysis {
   }
 
   val bm25RankSql: String =
-    """WITH base AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM base),
-      |tf AS (SELECT doc_id, term, count(*) AS tf
-      |       FROM (SELECT doc_id, unnest(ws) AS term FROM base)
+    """WITH tf AS (SELECT doc_id, term, count(*) AS tf
+      |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |             FROM documents)
       |       GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |qt AS (SELECT term, df FROM (
       |         SELECT term, df,

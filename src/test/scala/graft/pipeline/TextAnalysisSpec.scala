@@ -301,7 +301,8 @@ class TextAnalysisSpec extends AnyFunSuite {
     val df = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
     tf.values.foreach(_.keys.foreach(w => df(w) += 1))
     val expected = tf.toSeq.sortBy(_._1).flatMap { case (id, m) =>
-      m.toSeq.map { case (w, f) => (w, f, df(w), (f * 1000000L) / df(w)) }
+      m.toSeq.filter { case (w, _) => df(w) >= 3 } // the KeywordMinDf floor
+        .map { case (w, f) => (w, f, df(w), (f * 1000000L) / df(w)) }
         .sortBy { case (w, _, _, s) => (-s, w) }
         .take(3).zipWithIndex
         .map { case ((w, f, d, s), i) => (id, w, f, d, s, (i + 1).toLong) }
@@ -342,12 +343,17 @@ class TextAnalysisSpec extends AnyFunSuite {
         r.getAs[Long]("tf"), r.getAs[Long]("dl"), r.getAs[Long]("df"),
         r.getAs[Long]("score_micro"))).toSeq
     assert(got == expected)
-    // BM25 semantics: within a term, higher tf at equal length never ranks lower
+    // BM25 semantics: within a term at equal doc length, a strictly higher
+    // fixed-point score must come from strictly higher tf (score ties — only
+    // possible at tf large enough for the div rounding to collapse — break
+    // by doc_id and carry no tf constraint)
     got.groupBy(_._1).values.foreach { rows =>
       rows.groupBy(_._5).values.foreach { sameLen =>
-        val byRank = sameLen.sortBy(_._2)
-        assert(byRank.map(-_._4).sameElements(byRank.map(-_._4).sorted),
-          "tf monotone within equal doc length")
+        sameLen.sortBy(_._2).sliding(2).foreach {
+          case Seq(hi, lo) if hi._7 > lo._7 =>
+            assert(hi._4 > lo._4, s"higher score needs higher tf: $hi vs $lo")
+          case _ => ()
+        }
       }
     }
   }
