@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Freshness, Relational, Relational2, Relational3, TextAnalysis}
+import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Freshness, Relational, Relational2, Relational3, Reputation, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -61,6 +61,7 @@ object SparkEntry {
     "q_bm25_rank" -> (TextAnalysis.bm25Rank _),
     "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),
     "q_crawl_delta" -> (Freshness.crawlDelta _),
+    "q_host_reputation" -> (Reputation.hostReputation _),
     "q_pack_sequences" -> (TextAnalysis.packSequences _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_paragraph_dedup" -> (TextAnalysis.paragraphDedup _),
@@ -148,6 +149,7 @@ object SparkEntry {
     "q_bm25_rank" -> TextAnalysis.bm25RankSql,
     "q_recrawl_schedule" -> Freshness.recrawlScheduleSql,
     "q_crawl_delta" -> Freshness.crawlDeltaSql,
+    "q_host_reputation" -> Reputation.hostReputationSql,
     "q_pack_sequences" -> TextAnalysis.packSequencesSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_paragraph_dedup" -> TextAnalysis.paragraphDedupSql,

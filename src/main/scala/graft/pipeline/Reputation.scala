@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Host/source reputation — the domain-level quality prior a production
+  * crawler feeds back into its frontier: hosts whose pages are mostly
+  * duplicates or near-empty get crawled less, independent of any per-URL
+  * signal. (The reference scores relevance per page, relevance_scorer.rs;
+  * C4/CCNet-style corpus pipelines apply exactly this aggregation one
+  * level up, per registrable domain.) The output's `reputation_milli` is
+  * the priority multiplier `Frontier.politenessSelect` can join in by
+  * host, alongside [[Freshness.recrawlSchedule]]'s per-URL interval.
+  *
+  * A document is "bad" when it is an exact-duplicate COPY (not the
+  * canonical keeper — `min(doc_id)` per corpus-wide text md5, the same
+  * keeper rule as [[TextAnalysis.exactDedup]]) or when it is shorter than
+  * [[Reputation.ShortDocTokens]] tokens. The reputation is the good-doc
+  * fraction in exact integer milli-units: `(1000·(n_docs − n_bad)) div
+  * n_docs` — non-negative `div`, replayed identically by the oracle.
+  *
+  * Scale shape: one corpus scan projecting (source, lang, md5, token
+  * count) — payloads reduce to a 32-char hash before any exchange; the
+  * keeper table is a map-side-combined md5-keyed aggregation; the join
+  * back is hash-keyed (equi); the final per-source aggregation combines
+  * map-side (counts and 0/1 sums) with `count(distinct lang)` expanding to
+  * a two-level partial aggregation. No window, no all-pairs, no driver
+  * state; skew is bounded by docs-per-host, which AQE splits if a single
+  * host dominates a partition.
+  */
+object Reputation {
+
+  /** Min token count for a page to count toward host quality — below this
+    * a capture is boilerplate/stub mass, not content. */
+  val ShortDocTokens = 30
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def hostReputation(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      md5(col("text")).as("h"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val keep = d.groupBy("h").agg(min("doc_id").as("keep_id"))
+    d.join(keep, "h")
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+      .withColumn("is_short", (col("n_tokens") < ShortDocTokens).cast("long"))
+      .withColumn("is_bad", greatest(col("is_dup"), col("is_short")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_dup").as("n_dup_copies"),
+        sum("is_short").as("n_short"),
+        sum("is_bad").as("n_bad"),
+        countDistinct("lang").as("n_langs"))
+      .withColumn("reputation_milli",
+        expr("CAST((1000 * (n_docs - n_bad)) div n_docs AS BIGINT)"))
+      .orderBy(desc("reputation_milli"), asc("source"))
+  }
+
+  /** Independent DuckDB recompute of the keeper rule, the per-doc flags,
+    * and the per-source integer reputation. */
+  val hostReputationSql: String =
+    s"""WITH d AS (SELECT doc_id, source, lang, md5(text) AS h,
+      |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
+      |f AS (SELECT d.source, d.lang,
+      |             CASE WHEN d.doc_id <> keep.keep_id THEN 1 ELSE 0 END AS is_dup,
+      |             CASE WHEN d.n_tokens < $ShortDocTokens THEN 1 ELSE 0 END AS is_short
+      |      FROM d JOIN keep ON d.h = keep.h),
+      |a AS (SELECT source, count(*) AS n_docs,
+      |             CAST(sum(is_dup) AS BIGINT) AS n_dup_copies,
+      |             CAST(sum(is_short) AS BIGINT) AS n_short,
+      |             CAST(sum(CASE WHEN is_dup = 1 OR is_short = 1 THEN 1 ELSE 0 END)
+      |                  AS BIGINT) AS n_bad,
+      |             count(DISTINCT lang) AS n_langs
+      |      FROM f GROUP BY source)
+      |SELECT source, n_docs, n_dup_copies, n_short, n_bad, n_langs,
+      |       CAST((1000 * (n_docs - n_bad)) // n_docs AS BIGINT) AS reputation_milli
+      |FROM a ORDER BY reputation_milli DESC, source ASC""".stripMargin
+}

@@ -243,6 +243,18 @@ object PlanCheck {
         !cdPlan.contains("BroadcastNestedLoopJoin") && !cdPlan.contains("Window"),
       "snapshot diff is a key-partitioned full-outer equi join, no window")
 
+    // 16. host reputation: payloads reduce to md5 before any exchange; the
+    // keeper agg and both sums combine map-side; the join back is an equi
+    // hash join; no window
+    val hr = graft.pipeline.Reputation.hostReputation(spark, sfDir)
+    hr.collect()
+    val hrPlan = hr.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_host_reputation/hash-keyed-no-window",
+      hrPlan.contains("partial_min") && hrPlan.contains("partial_sum") &&
+        !hrPlan.contains("Window") && !hrPlan.contains("CartesianProduct") &&
+        !hrPlan.contains("BroadcastNestedLoopJoin"),
+      "keeper + source aggs combine map-side; equi joins only; no window")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
