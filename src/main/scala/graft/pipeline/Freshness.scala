@@ -54,17 +54,25 @@ object Freshness {
       .withColumn("chg",
         when(substring(md5(concat(col("ids"), lit(ChgSalt), col("i").cast("string"))), 1, 1)
           < "8", 1L).otherwise(0L))
-    log.groupBy("url_id", "n_caps")
-      .agg(sum("chg").as("n_changes"))
-      .select(
-        col("url_id"),
-        col("n_caps").cast("long").as("n_caps"),
-        col("n_changes"),
-        expr("CAST((n_changes * 1000) div (n_caps - 1) AS BIGINT)").as("change_milli"),
-        expr("CAST(least(greatest((24 * (n_caps - 1)) div (n_changes + 1), 6), 168) AS BIGINT)")
-          .as("interval_hours"))
+    scheduleProjection(
+      log.groupBy("url_id", "n_caps")
+        .agg(sum("chg").as("n_changes"))
+        .select(col("url_id"), col("n_caps").cast("long").as("n_caps"), col("n_changes")))
       .orderBy(desc("change_milli"), asc("url_id"))
   }
+
+  /** The integer schedule rules over an aggregated capture history
+    * (url_id, n_caps ≥ 2, n_changes) — THE shared definition, so the
+    * synthetic-history batch query and [[graft.streaming.StreamingDelta]]'s
+    * rollup of real observed change events can never disagree. */
+  def scheduleProjection(history: DataFrame): DataFrame =
+    history.select(
+      col("url_id"),
+      col("n_caps"),
+      col("n_changes"),
+      expr("CAST((n_changes * 1000) div (n_caps - 1) AS BIGINT)").as("change_milli"),
+      expr("CAST(least(greatest((24 * (n_caps - 1)) div (n_changes + 1), 6), 168) AS BIGINT)")
+        .as("interval_hours"))
 
   // ------------------------------------------------ crawl snapshot delta ---
 
@@ -93,22 +101,37 @@ object Freshness {
     * never enter the join), one key-partitioned full-outer equi join, then
     * pure projections; no window, no driver state. Output hashes are
     * coalesced to '' so the contract row carries no NULLs. */
-  def crawlDelta(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir).select(
+  private def deltaBase(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
       col("doc_id").cast("long").as("url_id"),
       col("doc_id").cast("long").cast("string").as("ids"),
       col("text"))
-    // presence is a flag per side, NOT hash nullability — a NULL payload in
-    // a present row must not masquerade as an absent row
-    val snapA = base
+
+  /** The first derived capture: (url_id, content_hash) for the 14/16 of
+    * URLs present. Shared by [[crawlDelta]] and the streaming twin's
+    * parity tests — one derivation, two consumers. */
+  def snapshotA(spark: SparkSession, dir: String): DataFrame =
+    deltaBase(spark, dir)
       .filter(substring(md5(concat(col("ids"), lit(SnapASalt))), 1, 1) < "e")
-      .select(col("url_id"), md5(col("text")).as("hash_a"), lit(true).as("in_a"))
-    val snapB = base
+      .select(col("url_id"), md5(col("text")).as("content_hash"))
+
+  /** The second derived capture: independent membership salt; a 4/16
+    * subset re-hashes its content as "#v2" (the changed pages). */
+  def snapshotB(spark: SparkSession, dir: String): DataFrame =
+    deltaBase(spark, dir)
       .filter(substring(md5(concat(col("ids"), lit(SnapBSalt))), 1, 1) < "e")
       .select(col("url_id"),
         when(substring(md5(concat(col("ids"), lit(DeltaChgSalt))), 1, 1) < "4",
-          md5(concat(col("text"), lit("#v2")))).otherwise(md5(col("text"))).as("hash_b"),
-        lit(true).as("in_b"))
+          md5(concat(col("text"), lit("#v2")))).otherwise(md5(col("text")))
+          .as("content_hash"))
+
+  def crawlDelta(spark: SparkSession, dir: String): DataFrame = {
+    // presence is a flag per side, NOT hash nullability — a NULL payload in
+    // a present row must not masquerade as an absent row
+    val snapA = snapshotA(spark, dir)
+      .select(col("url_id"), col("content_hash").as("hash_a"), lit(true).as("in_a"))
+    val snapB = snapshotB(spark, dir)
+      .select(col("url_id"), col("content_hash").as("hash_b"), lit(true).as("in_b"))
     snapA.join(snapB, Seq("url_id"), "full_outer")
       .select(col("url_id"),
         coalesce(col("hash_a"), lit("")).as("hash_a"),

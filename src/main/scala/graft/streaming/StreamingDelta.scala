@@ -1,0 +1,114 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming twin of the snapshot-delta family
+  * ([[graft.pipeline.Freshness.crawlDelta]]): continuous change detection.
+  * Captures arrive as a stream (each micro-batch = one crawl wave's
+  * fetches, one row per (url, capture time, content hash)); keyed state
+  * per URL holds the last observed hash, and every capture emits exactly
+  * one change event — `added` on first sight, `changed`/`unchanged` after.
+  *
+  * What the stream CAN'T see is `removed`: absence is not an event. The
+  * batch `crawlDelta` full-outer join owns removal detection (the standard
+  * split — streaming handles transitions, a periodic batch diff handles
+  * tombstones); the parity test pins exactly this contract: for URLs
+  * present in both captures the stream's B-wave events reproduce the batch
+  * changed/unchanged classification, B-only URLs emit `added`, and the
+  * batch `removed` set is precisely the URLs with an A event and no B
+  * event.
+  *
+  * The rolled-up event log feeds [[graft.pipeline.Freshness
+  * .scheduleProjection]] — the SAME integer schedule rules as the batch
+  * recrawl query, so observed change rates and synthetic ones can never
+  * disagree on policy.
+  *
+  * Scale notes: state is one 32-char hash per distinct URL, sharded by
+  * group key and checkpointed — a restart resumes change detection with no
+  * duplicate and no missed transition (exactly-once file micro-batches).
+  * Unbounded keyed state is the honest cost of exact per-URL memory at
+  * 10^10 URLs; the bound, where needed, is the event-time TTL pattern of
+  * [[StreamingFrontier.firstSeenOnly]] (expiry = forget = next sighting
+  * reads `added`), intentionally not duplicated here.
+  */
+object StreamingDelta {
+
+  final case class Capture(url_id: Long, capture_ts: java.sql.Timestamp,
+                           content_hash: String)
+
+  final case class ChangeEvent(url_id: Long, capture_ts: java.sql.Timestamp,
+                               content_hash: String, prev_hash: String,
+                               status: String)
+
+  /** Drain all currently-available capture files into the change-event
+    * log, exactly once. Within a micro-batch a URL's captures replay in
+    * (capture_ts, content_hash) order — a total order, so output is
+    * deterministic even if one batch carries several captures of a URL. */
+  def changeEvents(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String
+  ): Unit = {
+    import spark.implicits._
+    val schema = Encoders.product[Capture].schema
+    val events = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // one capture wave per micro-batch
+      .parquet(inputDir)
+      .as[Capture]
+      .groupByKey(_.url_id)
+      .flatMapGroupsWithState[String, ChangeEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[Capture], state: GroupState[String]) =>
+          // captures per (url, micro-batch) are bounded by waves-per-file ×
+          // maxFilesPerTrigger — a handful, so the sort is O(1) per key
+          val ordered = rows.toArray.sortBy(c => (c.capture_ts.getTime, c.content_hash))
+          val out = Vector.newBuilder[ChangeEvent]
+          var prev = if (state.exists) state.get else null
+          ordered.foreach { c =>
+            val status =
+              if (prev == null) "added"
+              else if (prev == c.content_hash) "unchanged"
+              else "changed"
+            out += ChangeEvent(c.url_id, c.capture_ts, c.content_hash,
+              if (prev == null) "" else prev, status)
+            prev = c.content_hash
+          }
+          if (prev != null) state.update(prev)
+          out.result().iterator
+      }
+    val q = events.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Explicit schema so a sink dir killed before its first commit — or not
+    * yet created at all — reads as empty instead of throwing, the resume
+    * discipline shared across the streaming twins. */
+  def readEvents(spark: SparkSession, outputDir: String): DataFrame = {
+    val schema = Encoders.product[ChangeEvent].schema
+    if (!new java.io.File(outputDir).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(outputDir)
+  }
+
+  /** Recrawl schedule over the OBSERVED event log: n_caps = captures seen,
+    * n_changes = observed changed-events, then the shared integer schedule
+    * projection. URLs with a single capture have no rate yet and are
+    * excluded — the same n_caps ≥ 2 domain as the batch query. */
+  def scheduleView(events: DataFrame): DataFrame =
+    graft.pipeline.Freshness.scheduleProjection(
+      events.groupBy("url_id")
+        .agg(count(lit(1)).as("n_caps"),
+          sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changes"))
+        .filter(col("n_caps") >= 2))
+      .orderBy(desc("change_milli"), asc("url_id"))
+}
