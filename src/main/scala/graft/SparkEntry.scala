@@ -62,6 +62,7 @@ object SparkEntry {
     "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),
     "q_crawl_delta" -> (Freshness.crawlDelta _),
     "q_host_reputation" -> (Reputation.hostReputation _),
+    "q_crawl_priority" -> (Freshness.crawlPriority _),
     "q_pack_sequences" -> (TextAnalysis.packSequences _),
     "q_mixture_rebalance" -> (TextAnalysis.mixtureRebalance _),
     "q_paragraph_dedup" -> (TextAnalysis.paragraphDedup _),
@@ -150,6 +151,7 @@ object SparkEntry {
     "q_recrawl_schedule" -> Freshness.recrawlScheduleSql,
     "q_crawl_delta" -> Freshness.crawlDeltaSql,
     "q_host_reputation" -> Reputation.hostReputationSql,
+    "q_crawl_priority" -> Freshness.crawlPrioritySql,
     "q_pack_sequences" -> TextAnalysis.packSequencesSql,
     "q_mixture_rebalance" -> TextAnalysis.mixtureRebalanceSql,
     "q_paragraph_dedup" -> TextAnalysis.paragraphDedupSql,

@@ -167,6 +167,50 @@ object Freshness {
       |FROM a FULL OUTER JOIN b ON a.url_id = b.url_id
       |ORDER BY url_id""".stripMargin
 
+  // ------------------------------------------------ frontier revisit priority
+
+  /** Frontier revisit priority — the composition a continuously-running
+    * crawler actually enqueues: per-URL change rate ([[recrawlSchedule]])
+    * weighted by the host's quality prior ([[Reputation.hostReputation]]).
+    * A hot page on a junk host must not outrank a steady page on a good
+    * one; `priority_micro = change_milli · reputation_milli` (both ≤ 1000,
+    * so the product is ≤ 10^6 — exact, no rounding at all) expresses
+    * exactly that trade, and `interval_hours` rides along so the frontier
+    * can also honor the revisit clock.
+    *
+    * Scale shape: the URL-keyed schedule joins the (url → host) projection
+    * by url_id (equi, key-partitioned); the per-host reputation table is
+    * tiny relative to the URL space and BROADCASTS — the canonical
+    * big-fact-small-dim shape. Pure projections after; the orderBy is
+    * oracle canonicalization. */
+  def crawlPriority(spark: SparkSession, dir: String): DataFrame = {
+    val sched = recrawlSchedule(spark, dir)
+    val srcs = docs(spark, dir)
+      .select(col("doc_id").cast("long").as("url_id"), col("source"))
+    val rep = Reputation.hostReputation(spark, dir)
+      .select(col("source"), col("reputation_milli"))
+    sched.join(srcs, "url_id").join(broadcast(rep), "source")
+      .withColumn("priority_micro",
+        expr("CAST(change_milli * reputation_milli AS BIGINT)"))
+      .select(col("url_id"), col("source"), col("change_milli"),
+        col("reputation_milli"), col("interval_hours"), col("priority_micro"))
+      .orderBy(desc("priority_micro"), asc("url_id"))
+  }
+
+  /** Independent DuckDB recompute: both component queries re-derived as
+    * CTEs (their published oracle SQL verbatim), then the same join and
+    * exact product. */
+  lazy val crawlPrioritySql: String =
+    s"""WITH sched AS ($recrawlScheduleSql),
+      |rep AS (${Reputation.hostReputationSql}),
+      |src AS (SELECT CAST(doc_id AS BIGINT) AS url_id, source FROM documents)
+      |SELECT s.url_id, src.source, s.change_milli, rep.reputation_milli,
+      |       s.interval_hours,
+      |       CAST(s.change_milli * rep.reputation_milli AS BIGINT) AS priority_micro
+      |FROM sched s JOIN src ON s.url_id = src.url_id
+      |             JOIN rep ON src.source = rep.source
+      |ORDER BY priority_micro DESC, s.url_id""".stripMargin
+
   /** Independent DuckDB recompute: re-derives the capture history from the
     * same salted md5 digits and re-applies the integer schedule rules. */
   val recrawlScheduleSql: String =

@@ -255,6 +255,17 @@ object PlanCheck {
         !hrPlan.contains("BroadcastNestedLoopJoin"),
       "keeper + source aggs combine map-side; equi joins only; no window")
 
+    // 17. crawl priority: the tiny per-host reputation table broadcasts
+    // into the URL-keyed schedule join — big-fact-small-dim, no cartesian,
+    // no extra window beyond the components' own shapes
+    val cp = graft.pipeline.Freshness.crawlPriority(spark, sfDir)
+    cp.collect()
+    val cpPlan = cp.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_crawl_priority/broadcast-reputation",
+      cpPlan.contains("BroadcastHashJoin") && !cpPlan.contains("CartesianProduct") &&
+        !cpPlan.contains("BroadcastNestedLoopJoin"),
+      "host reputation broadcasts; url-keyed joins are equi hash joins")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")

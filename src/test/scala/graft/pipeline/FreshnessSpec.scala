@@ -73,6 +73,32 @@ class FreshnessSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_changes")).distinct.length >= 3, "changes vary")
   }
 
+  test("crawlPriority: exact product of the two verified components") {
+    val sched = Freshness.recrawlSchedule(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("url_id") ->
+        (r.getAs[Long]("change_milli"), r.getAs[Long]("interval_hours"))).toMap
+    val rep = Reputation.hostReputation(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("reputation_milli")).toMap
+    val src = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val expected = sched.toSeq.map { case (id, (chg, hrs)) =>
+      val s = src(id)
+      (id, s, chg, rep(s), hrs, chg * rep(s))
+    }.sortBy { case (id, _, _, _, _, p) => (-p, id) }
+    val got = Freshness.crawlPriority(spark, sfDir).collect().map(r =>
+      (r.getAs[Long]("url_id"), r.getAs[String]("source"),
+        r.getAs[Long]("change_milli"), r.getAs[Long]("reputation_milli"),
+        r.getAs[Long]("interval_hours"), r.getAs[Long]("priority_micro"))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._6).distinct.length >= 3, "priority discriminates")
+    // a page on a better host outranks the same change rate on a worse one
+    got.groupBy(_._3).values.filter(_.map(_._4).distinct.length >= 2).take(1).foreach { g =>
+      val byRep = g.sortBy(-_._4)
+      assert(byRep.head._6 >= byRep.last._6)
+    }
+  }
+
   test("crawlDelta: every row matches an independent JVM re-derivation") {
     val texts = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text").collect()
