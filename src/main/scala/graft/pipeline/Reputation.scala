@@ -19,14 +19,15 @@ import org.apache.spark.sql.functions._
   * fraction in exact integer milli-units: `(1000·(n_docs − n_bad)) div
   * n_docs` — non-negative `div`, replayed identically by the oracle.
   *
-  * Scale shape: one corpus scan projecting (source, lang, md5, token
-  * count) — payloads reduce to a 32-char hash before any exchange; the
-  * keeper table is a map-side-combined md5-keyed aggregation; the join
-  * back is hash-keyed (equi); the final per-source aggregation combines
-  * map-side (counts and 0/1 sums) with `count(distinct lang)` expanding to
-  * a two-level partial aggregation. No window, no all-pairs, no driver
-  * state; skew is bounded by docs-per-host, which AQE splits if a single
-  * host dominates a partition.
+  * Scale shape: ONE corpus scan (a keeper groupBy + self-join would scan
+  * and md5 the payloads twice — the window form provably cannot), pruned
+  * to (ids, source, lang, 32-char hash, token count) before the single
+  * md5-partitioned exchange; the keeper rule is `min(doc_id)` over the
+  * hash-partitioned window (never global); the final per-source
+  * aggregation combines map-side (counts and 0/1 sums) with
+  * `count(distinct lang)` expanding to a two-level partial aggregation.
+  * No all-pairs, no driver state; skew is bounded by copies-per-hash and
+  * docs-per-host.
   */
 object Reputation {
 
@@ -38,12 +39,12 @@ object Reputation {
     spark.read.parquet(s"$dir/documents.parquet")
 
   def hostReputation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val d = docs(spark, dir).select(
       col("doc_id"), col("source"), col("lang"),
       md5(col("text")).as("h"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val keep = d.groupBy("h").agg(min("doc_id").as("keep_id"))
-    d.join(keep, "h")
+    d.withColumn("keep_id", min("doc_id").over(Window.partitionBy("h")))
       .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("long"))
       .withColumn("is_short", (col("n_tokens") < ShortDocTokens).cast("long"))
       .withColumn("is_bad", greatest(col("is_dup"), col("is_short")))
@@ -64,11 +65,11 @@ object Reputation {
     s"""WITH d AS (SELECT doc_id, source, lang, md5(text) AS h,
       |                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
       |           FROM documents),
-      |keep AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h),
-      |f AS (SELECT d.source, d.lang,
-      |             CASE WHEN d.doc_id <> keep.keep_id THEN 1 ELSE 0 END AS is_dup,
-      |             CASE WHEN d.n_tokens < $ShortDocTokens THEN 1 ELSE 0 END AS is_short
-      |      FROM d JOIN keep ON d.h = keep.h),
+      |f AS (SELECT source, lang,
+      |             CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY h)
+      |                  THEN 1 ELSE 0 END AS is_dup,
+      |             CASE WHEN n_tokens < $ShortDocTokens THEN 1 ELSE 0 END AS is_short
+      |      FROM d),
       |a AS (SELECT source, count(*) AS n_docs,
       |             CAST(sum(is_dup) AS BIGINT) AS n_dup_copies,
       |             CAST(sum(is_short) AS BIGINT) AS n_short,

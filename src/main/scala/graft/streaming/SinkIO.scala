@@ -1,0 +1,24 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** The one shared "read a streaming sink that may not exist yet" helper.
+  * Every twin's resume discipline needs the same two properties: (a) a
+  * sink dir that does not exist, or exists with no committed data files
+  * (killed before the first batch commit), reads as EMPTY with the
+  * declared schema — never a schema-inference or path error; (b) the
+  * existence probe goes through the Hadoop FileSystem resolved from the
+  * path's own URI, so `hdfs://`-style sinks work identically to local
+  * dirs (a `java.io.File` probe silently reads any remote sink as empty —
+  * the exact failure the probe exists to prevent). */
+object SinkIO {
+
+  def readSink(spark: SparkSession, dir: String, schema: StructType): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dir)
+  }
+}

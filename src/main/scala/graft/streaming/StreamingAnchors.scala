@@ -61,14 +61,11 @@ object StreamingAnchors {
 
   /** The consensus view over the accumulated sightings log — the SAME
     * aggregation as the batch `q_anchor_text` (shared definition, so the
-    * two can never disagree). Reads empty-as-empty before first commit
-    * (the streaming-sink discipline used across the twins). */
-  def consensus(spark: SparkSession, outputDir: String): DataFrame = {
-    val files = new java.io.File(outputDir)
-    if (!files.exists()) return graft.pipeline.CrawlQueries.anchorAgg(
-      spark.emptyDataFrame
-        .withColumn("dst", org.apache.spark.sql.functions.lit(""))
-        .withColumn("anchor", org.apache.spark.sql.functions.lit("")))
-    graft.pipeline.CrawlQueries.anchorAgg(spark.read.parquet(outputDir))
-  }
+    * two can never disagree), over the shared sink-resume read
+    * ([[SinkIO.readSink]]: explicit schema, Hadoop-FS probe,
+    * empty-before-first-commit). */
+  def consensus(spark: SparkSession, outputDir: String): DataFrame =
+    graft.pipeline.CrawlQueries.anchorAgg(
+      SinkIO.readSink(spark, outputDir,
+        org.apache.spark.sql.Encoders.product[Sighting].schema))
 }

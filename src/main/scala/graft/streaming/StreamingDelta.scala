@@ -42,10 +42,24 @@ object StreamingDelta {
                                content_hash: String, prev_hash: String,
                                status: String)
 
+  /** Per-URL state: the latest classified capture. Carrying the timestamp
+    * (not just the hash) is what makes cross-batch stragglers detectable —
+    * FileStreamSource orders FILES by modification time, so a wave-1 file
+    * landing after a wave-2 file replays old captures against newer state. */
+  final case class LastSeen(ts: Long, hash: String)
+
   /** Drain all currently-available capture files into the change-event
     * log, exactly once. Within a micro-batch a URL's captures replay in
     * (capture_ts, content_hash) order — a total order, so output is
-    * deterministic even if one batch carries several captures of a URL. */
+    * deterministic even if one batch carries several captures of a URL.
+    * Across batches, a capture OLDER than the state's latest classified
+    * capture is a straggler: it cannot be classified (its true predecessor
+    * is gone) and must not regress the state, so it emits `status=late`
+    * with an empty prev_hash — one event per capture always, and consumers
+    * ([[scheduleView]]) count only real transitions. A NULL content hash
+    * (fetch produced no payload digest) is folded to "" and classified
+    * like any other value — `status`, never prev_hash's emptiness, is the
+    * authoritative first-sight signal. */
   def changeEvents(
       spark: SparkSession,
       inputDir: String,
@@ -60,24 +74,32 @@ object StreamingDelta {
       .parquet(inputDir)
       .as[Capture]
       .groupByKey(_.url_id)
-      .flatMapGroupsWithState[String, ChangeEvent](
+      .flatMapGroupsWithState[LastSeen, ChangeEvent](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (_: Long, rows: Iterator[Capture], state: GroupState[String]) =>
+        (_: Long, rows: Iterator[Capture], state: GroupState[LastSeen]) =>
           // captures per (url, micro-batch) are bounded by waves-per-file ×
           // maxFilesPerTrigger — a handful, so the sort is O(1) per key
-          val ordered = rows.toArray.sortBy(c => (c.capture_ts.getTime, c.content_hash))
+          val ordered = rows.toArray.sortBy(c =>
+            (c.capture_ts.getTime, Option(c.content_hash).getOrElse("")))
           val out = Vector.newBuilder[ChangeEvent]
-          var prev = if (state.exists) state.get else null
+          var last = state.getOption.orNull
           ordered.foreach { c =>
-            val status =
-              if (prev == null) "added"
-              else if (prev == c.content_hash) "unchanged"
-              else "changed"
-            out += ChangeEvent(c.url_id, c.capture_ts, c.content_hash,
-              if (prev == null) "" else prev, status)
-            prev = c.content_hash
+            val h = Option(c.content_hash).getOrElse("")
+            val t = c.capture_ts.getTime
+            if (last != null && t < last.ts) {
+              // cross-batch straggler: older than what's already classified
+              out += ChangeEvent(c.url_id, c.capture_ts, h, "", "late")
+            } else {
+              val status =
+                if (last == null) "added"
+                else if (last.hash == h) "unchanged"
+                else "changed"
+              out += ChangeEvent(c.url_id, c.capture_ts, h,
+                if (last == null) "" else last.hash, status)
+              last = LastSeen(t, h)
+            }
           }
-          if (prev != null) state.update(prev)
+          if (last != null) state.update(last)
           out.result().iterator
       }
     val q = events.writeStream
@@ -90,23 +112,20 @@ object StreamingDelta {
     q.awaitTermination()
   }
 
-  /** Explicit schema so a sink dir killed before its first commit — or not
-    * yet created at all — reads as empty instead of throwing, the resume
-    * discipline shared across the streaming twins. */
-  def readEvents(spark: SparkSession, outputDir: String): DataFrame = {
-    val schema = Encoders.product[ChangeEvent].schema
-    if (!new java.io.File(outputDir).exists())
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(outputDir)
-  }
+  /** The shared sink-resume discipline ([[SinkIO.readSink]]): explicit
+    * schema, Hadoop-FS existence probe, empty-before-first-commit. */
+  def readEvents(spark: SparkSession, outputDir: String): DataFrame =
+    SinkIO.readSink(spark, outputDir, Encoders.product[ChangeEvent].schema)
 
-  /** Recrawl schedule over the OBSERVED event log: n_caps = captures seen,
+  /** Recrawl schedule over the OBSERVED event log: n_caps = classified
+    * captures (`late` stragglers carry no transition and are excluded),
     * n_changes = observed changed-events, then the shared integer schedule
     * projection. URLs with a single capture have no rate yet and are
     * excluded — the same n_caps ≥ 2 domain as the batch query. */
   def scheduleView(events: DataFrame): DataFrame =
     graft.pipeline.Freshness.scheduleProjection(
-      events.groupBy("url_id")
+      events.filter(col("status") =!= "late")
+        .groupBy("url_id")
         .agg(count(lit(1)).as("n_caps"),
           sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changes"))
         .filter(col("n_caps") >= 2))

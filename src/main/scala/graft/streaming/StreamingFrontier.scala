@@ -157,9 +157,9 @@ object StreamingFrontier {
     q.awaitTermination()
   }
 
-  /** Explicit schema: a sink dir that exists but holds no committed data
-    * files yet (killed before the first batch commit) must read as empty,
-    * not throw schema-inference AnalysisException — resume depends on it. */
+  /** The shared sink-resume discipline ([[SinkIO.readSink]]): explicit
+    * schema so a killed-before-first-commit (or not-yet-created) sink reads
+    * as empty, with a Hadoop-FS existence probe so remote sinks work. */
   def readOutput(spark: SparkSession, outputDir: String): DataFrame =
-    spark.read.schema(Encoders.product[Discovered].schema).parquet(outputDir)
+    SinkIO.readSink(spark, outputDir, Encoders.product[Discovered].schema)
 }

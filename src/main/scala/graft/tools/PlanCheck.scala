@@ -243,17 +243,20 @@ object PlanCheck {
         !cdPlan.contains("BroadcastNestedLoopJoin") && !cdPlan.contains("Window"),
       "snapshot diff is a key-partitioned full-outer equi join, no window")
 
-    // 16. host reputation: payloads reduce to md5 before any exchange; the
-    // keeper agg and both sums combine map-side; the join back is an equi
-    // hash join; no window
+    // 16. host reputation: ONE corpus scan — payloads reduce to md5 before
+    // the single hash-partitioned exchange; the keeper rule is a window min
+    // over that key (no self-join, hence no second scan); the source agg
+    // combines map-side
     val hr = graft.pipeline.Reputation.hostReputation(spark, sfDir)
     hr.collect()
     val hrPlan = hr.queryExecution.executedPlan.toString.split("Initial Plan").head
-    check("q_host_reputation/hash-keyed-no-window",
-      hrPlan.contains("partial_min") && hrPlan.contains("partial_sum") &&
-        !hrPlan.contains("Window") && !hrPlan.contains("CartesianProduct") &&
-        !hrPlan.contains("BroadcastNestedLoopJoin"),
-      "keeper + source aggs combine map-side; equi joins only; no window")
+    check("q_host_reputation/one-scan-window-keeper",
+      hrPlan.contains("Window") && "hashpartitioning\\(h".r.findFirstIn(hrPlan).nonEmpty &&
+        hrPlan.contains("partial_sum") &&
+        !hrPlan.contains("SortMergeJoin") && !hrPlan.contains("ShuffledHashJoin") &&
+        !hrPlan.contains("CartesianProduct") && !hrPlan.contains("BroadcastNestedLoopJoin") &&
+        hrPlan.split("Scan parquet").length == 2,
+      "keeper is a hash-partitioned window min; exactly one parquet scan; source agg map-side")
 
     // 17. crawl priority: the tiny per-host reputation table broadcasts
     // into the URL-keyed schedule join — big-fact-small-dim, no cartesian,

@@ -92,6 +92,24 @@ class StreamingDeltaSpec extends AnyFunSuite {
     val ev3 = afterC.find(_.getAs[java.sql.Timestamp]("capture_ts").getTime == 3000 * 1000L).get
     assert(ev3.getAs[String]("status") == "changed" &&
       ev3.getAs[String]("prev_hash") == one.content_hash)
+
+    // a cross-batch straggler (older than the classified state) reads
+    // 'late' and must NOT regress the state
+    val stale = StreamingDelta.Capture(one.url_id, ts(1500L), "stalehash")
+    spark.createDataset(Seq(stale)).write.mode("append").parquet(in)
+    StreamingDelta.changeEvents(spark, in, out, cp)
+    val afterD = StreamingDelta.readEvents(spark, out).collect()
+    assert(afterD.length == afterC.length + 1)
+    val evLate = afterD.find(_.getAs[java.sql.Timestamp]("capture_ts").getTime == 1500 * 1000L).get
+    assert(evLate.getAs[String]("status") == "late" &&
+      evLate.getAs[String]("prev_hash") == "")
+    val fifth = StreamingDelta.Capture(one.url_id, ts(4000L), one.content_hash + "x")
+    spark.createDataset(Seq(fifth)).write.mode("append").parquet(in)
+    StreamingDelta.changeEvents(spark, in, out, cp)
+    val ev5 = StreamingDelta.readEvents(spark, out).collect()
+      .find(_.getAs[java.sql.Timestamp]("capture_ts").getTime == 4000 * 1000L).get
+    assert(ev5.getAs[String]("status") == "unchanged",
+      "the straggler did not become the comparison baseline")
   }
 
   test("streaming delta: observed schedule view shares the batch integer rules") {
