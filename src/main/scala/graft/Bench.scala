@@ -147,7 +147,7 @@ object Bench {
     val allQueryNames = Seq("q_agg_pricing", "q_filter_pushdown", "q_join_multi",
       "q_window_rank", "q_exact_dedup", "q_doc_quality", "q_token_count",
       "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk",
-      "q_ann_ivf", "q_ann_sq8", "q_quality_ratios", "q_token_bpe",
+      "q_ann_ivf", "q_ann_sq8", "q_ann_pq", "q_quality_ratios", "q_token_bpe",
       "q_pii_redact", "q_repetition", "q_term_stats", "q_pack_sequences",
       "q_paragraph_dedup", "q_lm_score", "q_span_dedup", "q_pagerank",
       "q_tfidf_keywords", "q_recrawl_schedule", "q_bm25_rank", "q_crawl_delta",
@@ -216,12 +216,14 @@ object Bench {
         Similarity.ivfTopK(spark, corpus, queries, k = 5, nprobe = 8,
           candidateCount = Some(ivfHiCands)).collect()))
       val sq8 = recallOf(topSet(Similarity.sq8TopK(spark, corpus, queries, k = 5).collect()))
+      val pq = recallOf(topSet(Similarity.pqTopK(spark, corpus, queries, k = 5).collect()))
       Map(
         "lsh" -> (lsh, lshCands.value / allPairs),
         "lsh_hi" -> (lshHi, lshHiCands.value / allPairs),
         "ivf" -> (ivf, ivfCands.value / allPairs),
         "ivf_hi" -> (ivfHi, ivfHiCands.value / allPairs),
-        "sq8" -> (sq8, 1.0)) // full scan over int8 codes (4x smaller bytes) + exact re-rank
+        "sq8" -> (sq8, 1.0), // full scan over int8 codes (4x smaller bytes) + exact re-rank
+        "pq" -> (pq, 1.0)) // full scan over 8-byte ADC codes (32x smaller) + exact re-rank
     }
     val recallJson = annRecall.toSeq.sortBy(_._1)
       .map { case (k, (r, f)) => "\"" + k + f"""\":{"recall":$r%.3f,"scanned":$f%.3f}""" }

@@ -77,6 +77,7 @@ object SparkEntry {
     "q_ann_lsh" -> (DedupQueries.annLsh _),
     "q_ann_ivf" -> (DedupQueries.annIvf _),
     "q_ann_sq8" -> (DedupQueries.annSq8 _),
+    "q_ann_pq" -> (DedupQueries.annPq _),
     "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),
     "q_dedup_keep" -> (DedupQueries.dedupKeep _),
     "q_winnow_containment" -> (DedupQueries.winnowContainment _),
@@ -108,7 +109,8 @@ object SparkEntry {
     "q_page_meta" -> (CrawlQueries.pageMeta _),
     "q_pagerank" -> (CrawlQueries.pageRank _),
     "q_link_anchors" -> (CrawlQueries.linkAnchors _),
-    "q_anchor_text" -> (CrawlQueries.anchorTexts _)
+    "q_anchor_text" -> (CrawlQueries.anchorTexts _),
+    "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -175,6 +177,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the anchor consensus (window
     // rank) over the frozen sightings fixture
     "q_anchor_text" -> CrawlQueries.anchorTextsSql(fixtureSql("q_link_anchors")),
+    // independent recompute: DuckDB re-mines the templates (regex rule +
+    // planted trap generator) over the frozen edge fixture
+    "q_url_templates" ->
+      graft.pipeline.UrlTemplates.urlTemplatesSql(fixtureSql("q_extract_link_edges")),
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)
@@ -182,6 +188,9 @@ object SparkEntry {
     // sq8's exact re-rank (32 candidates for k=5) reproduces the exact
     // top-k on this corpus — same brute-force oracle pins that property
     "q_ann_sq8" -> DedupQueries.annTopKSql,
+    // pq's exact re-rank (64 ADC candidates for k=5) reproduces the exact
+    // top-k on this corpus — pinned by the same brute-force oracle
+    "q_ann_pq" -> DedupQueries.annTopKSql,
     "q_cosine_neardup" -> DedupQueries.cosineNearDupSql,
     "q_relevance_filter" -> ExportQueries.relevanceFilterSql,
     "q_label_centroids" -> graft.pipeline.Similarity.labelCentroidsSql

@@ -158,6 +158,19 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ-quantized ANN with exact re-rank over the same queries (the
+    * 32×-smaller-scan storage path: 8 one-byte codes per 64-dim vector;
+    * ADC lookup-table candidates, final order from true vectors). */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = embeddings(spark, dir)
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    Similarity.pqTopK(spark, corpus, queries, k = 5).toDF()
+      .withColumn("cosine_micro", round(col("cosine") * 1000000).cast("long"))
+      .drop("cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB twin of [[cosineNearDup]]: ALL-PAIRS cosine ≥ 0.95 over the same
     * union (base + planted copies of vec_id < 20), same double kernel. The
     * Spark side is sketch-blocked with 1-bit multi-probe — this oracle

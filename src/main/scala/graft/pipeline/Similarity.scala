@@ -537,7 +537,22 @@ object Similarity {
         h.iterator.map { case (c, id) => (qs(qi).vec_id, c, id) }
       }
     }.toDF("query_id", "approx_cosine", "neighbor_id")
-    // keep the global approx top-`rerank` per query, then re-rank EXACTLY
+    exactRerank(spark, corpus, approx, queries, k, take)
+  }
+
+  /** Shared exact-re-rank tail for the quantized ANN paths ([[sq8TopK]],
+    * [[pqTopK]]): keep the global approx top-`take` per query, join back to
+    * the TRUE vectors (queries broadcast — the join touches only
+    * queries×take corpus rows), exact cosine, window top-k. */
+  private def exactRerank(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      approx: DataFrame,
+      queries: Array[Embedded],
+      k: Int,
+      take: Int
+  ): Dataset[Neighbor] = {
+    import spark.implicits._
     val candidates = approx
       .withColumn("arank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("query_id")
@@ -559,6 +574,196 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
       .as[Neighbor]
+  }
+
+  // ----------------------------------------------- product quantization ----
+
+  /** PQ codebook: the embedding is split into `m` contiguous subspaces of
+    * `dsub` dims each; every subspace has its own `ksub`-centroid k-means
+    * codebook (the classic Jégou/Douze/Schmid PQ layout — public knowledge).
+    * A vector is stored as `m` one-byte codes: at dims=64, m=8 that is an
+    * 8-byte row vs 256 bytes of float32 — a 32× smaller scan, the step past
+    * [[Sq8Codebook]]'s 4×. `centroids(s)(j)` is subspace s's centroid j. */
+  final case class PqCodebook(m: Int, dsub: Int, centroids: Array[Array[Array[Float]]]) {
+    /** Nearest centroid of subspace `s` for v[s*dsub ..< (s+1)*dsub] by
+      * squared L2 (ties → lowest index, the [[nearestCentroid]] rule). */
+    def assign(v: Array[Float], s: Int): Int = {
+      val cs = centroids(s)
+      val off = s * dsub
+      var best = 0
+      var bestD = Double.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        val c = cs(j)
+        var d = 0.0
+        var i = 0
+        while (i < dsub) { val t = v(off + i) - c(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+    def encode(v: Array[Float]): Array[Byte] = {
+      val out = new Array[Byte](m)
+      var s = 0
+      while (s < m) { out(s) = (assign(v, s) & 0xff).toByte; s += 1 }
+      out
+    }
+  }
+
+  /** Train all `m` subspace codebooks with Lloyd's in ONE corpus pass per
+    * iteration (every subspace's assignment is independent, so one
+    * mapPartitions accumulates all m×ksub partial sums at once — m× fewer
+    * jobs than training each subspace separately). Determinism contract is
+    * [[trainCentroids]]'s: seeds are the `ksub` vectors with the smallest
+    * xxhash64(vec_id) (each contributes its slice to every subspace),
+    * assignment ties break to the lowest index, partials merge in
+    * partition-id order, empty clusters keep their previous centroid. Scale
+    * shape: ≤ m×ksub rows reach the driver per iteration — training a
+    * 10^10-row corpus moves m×ksub×dsub doubles, not data. */
+  def trainPq(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      dims: Int,
+      m: Int = 8,
+      ksub: Int = 256,
+      iters: Int = 5
+  ): PqCodebook = {
+    import spark.implicits._
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val seeds = corpus.toDF()
+      .withColumn("h", xxhash64(col("vec_id")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(ksub)
+      .select(col("vec_id"), col("embedding")).as[Embedded]
+      .collect().sortBy(_.vec_id).map(_.embedding)
+    var cb = PqCodebook(m, dsub,
+      Array.tabulate(m, seeds.length)((s, j) => seeds(j).slice(s * dsub, (s + 1) * dsub)))
+    var iter = 0
+    while (iter < iters) {
+      val bc = spark.sparkContext.broadcast(cb)
+      val partials = corpus.mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val c = bc.value
+        val k = c.centroids(0).length
+        val sums = Array.fill(c.m * k)(new Array[Double](c.dsub))
+        val counts = new Array[Long](c.m * k)
+        it.foreach { e =>
+          var s = 0
+          while (s < c.m) {
+            val j = c.assign(e.embedding, s)
+            val acc = sums(s * k + j)
+            val off = s * c.dsub
+            var i = 0
+            while (i < c.dsub) { acc(i) += e.embedding(off + i); i += 1 }
+            counts(s * k + j) += 1L
+            s += 1
+          }
+        }
+        Iterator.range(0, c.m * k).filter(counts(_) > 0L)
+          .map(i => (i, pid, sums(i), counts(i)))
+      }
+      val totals = partials
+        .groupByKey(_._1)
+        .mapGroups { (cell, it) =>
+          // partition-id order: same layout → same FP addition order
+          val parts = it.toArray.sortBy(_._2)
+          val s = parts.head._3.clone()
+          var n = parts.head._4
+          parts.tail.foreach { p =>
+            var d = 0
+            while (d < s.length) { s(d) += p._3(d); d += 1 }
+            n += p._4
+          }
+          (cell, s, n)
+        }
+        .collect() // ≤ m×ksub rows
+      val k = cb.centroids(0).length
+      val next = cb.centroids.map(_.map(identity))
+      totals.foreach { case (cell, sum, n) =>
+        next(cell / k)(cell % k) = sum.map(v => (v / n).toFloat)
+      }
+      cb = PqCodebook(m, dsub, next)
+      bc.destroy()
+      iter += 1
+    }
+    cb
+  }
+
+  /** PQ-compressed ANN with exact re-rank: asymmetric distance computation
+    * (ADC) over m-byte codes selects `rerank` candidates, exact cosine on
+    * the true vectors orders the final top-k — [[sq8TopK]]'s shape at an
+    * 8×-smaller scan (m bytes vs dims bytes). Per query the scan does table
+    * lookups only: dot(q, decode(code)) = Σ_s dotTab(s)(code_s) and
+    * ‖decode(code)‖² = Σ_s cnorm2(s)(code_s), both precomputed per
+    * (subspace, centroid) — no float decode in the hot loop, the property
+    * that makes PQ the 100-TB scan shape. */
+  def pqTopK(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      queries: Array[Embedded],
+      k: Int,
+      dims: Int = 64,
+      m: Int = 8,
+      ksub: Int = 256,
+      rerank: Int = 64,
+      trainIters: Int = 5
+  ): Dataset[Neighbor] = {
+    import spark.implicits._
+    val cb = trainPq(spark, corpus, dims, m, ksub, trainIters)
+    val bcb = spark.sparkContext.broadcast(cb)
+    // the compressed table a deployment would persist instead of float32
+    val codes = corpus.map(e => (e.vec_id, bcb.value.encode(e.embedding)))
+    // per-(subspace, centroid) norm² — query-independent
+    val cnorm2: Array[Array[Double]] = cb.centroids.map(_.map(c => dot(c, c)))
+    // per-query ADC lookup tables: dotTab(q)(s)(j) = dot(q_s, centroid_sj)
+    val dotTabs: Array[Array[Array[Double]]] = queries.map { q =>
+      Array.tabulate(cb.m, ksub) { (s, j) =>
+        val c = cb.centroids(s)(j)
+        val off = s * cb.dsub
+        var d = 0.0
+        var i = 0
+        while (i < cb.dsub) { d += q.embedding(off + i).toDouble * c(i); i += 1 }
+        d
+      }
+    }
+    val qnorms = queries.map(q => norm(q.embedding))
+    val bq = spark.sparkContext.broadcast((queries.map(_.vec_id), dotTabs, qnorms, cnorm2))
+    val take = math.max(k, rerank)
+    val approx = codes.mapPartitions { it =>
+      val (qids, tabs, qn, cn2) = bq.value
+      val heaps = qids.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+      it.foreach { case (id, code) =>
+        var nrm2 = 0.0
+        var s = 0
+        while (s < code.length) { nrm2 += cn2(s)(code(s) & 0xff); s += 1 }
+        val nrm = math.sqrt(nrm2)
+        var qi = 0
+        while (qi < qids.length) {
+          if (id != qids(qi)) {
+            val tab = tabs(qi)
+            var d = 0.0
+            var t = 0
+            while (t < code.length) { d += tab(t)(code(t) & 0xff); t += 1 }
+            val denom = qn(qi) * nrm
+            val c = if (denom == 0.0) 0.0 else d / denom
+            val h = heaps(qi)
+            if (h.size < take) h.enqueue((c, id))
+            else {
+              val (wc, wid) = h.head
+              if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, id) => (qids(qi), c, id) }
+      }
+    }.toDF("query_id", "approx_cosine", "neighbor_id")
+    exactRerank(spark, corpus, approx, queries, k, take)
   }
 
   /** Embedding-cosine near-duplicate pairs: sign-sketch blocking with 1-bit

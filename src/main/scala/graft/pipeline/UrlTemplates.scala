@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** URL-template mining + crawler-trap detection — the frontier-hygiene
+  * operator a 10^10-URL crawl cannot run without. Infinite URL spaces
+  * (calendars, session ids, faceted search, tracking params) generate
+  * unbounded DISTINCT urls from a bounded set of page TEMPLATES; a frontier
+  * that cannot see the template explosion crawls the trap forever (the
+  * reference bounds this bluntly via max_pages + the query-param cap,
+  * url_validator.rs — this operator is the scale-path replacement: detect
+  * the exploding template, then a policy layer caps per-template admission).
+  *
+  * Template rule (deterministic, engine-portable — plain regex, no UDF):
+  * strip scheme+host, then in the path+query replace every ≥8-char hex run
+  * with `{h}` (session ids, content hashes) and then every digit run with
+  * `{n}` (ids, dates, pagination). An all-digit run of ≥8 chars IS a hex
+  * run and collapses to `{h}` — deliberate: distinguishing "digits that
+  * happen to be hex" needs lookahead, which RE2 (the DuckDB twin's engine)
+  * does not support, and either token collapses the variance. Both engines
+  * replace with the same RE2 ∩ java.util.regex semantics (character
+  * classes only, no backslash escapes, global flag).
+  *
+  * The corpus link graph is organically trap-free (CorpusGen emits bounded
+  * product/article spaces), so a deterministic calendar trap — 180 distinct
+  * `/events/2024/{m}/{d}?sid={12-hex}` urls, one per (month, day) with an
+  * md5-derived session id — is PLANTED (the [[DedupQueries]] planted-dup
+  * discipline: the operator must demonstrably fire). Both engines generate
+  * the plant independently from range(180) — the DuckDB twin is a full
+  * recompute over the frozen edge fixture plus its own plant, not a frozen
+  * output.
+  *
+  * 100-TB shape: one distinct over (host, template, url) — keys-only, map-
+  * side combined — then two keyed aggregations; nothing driver-side, no
+  * window over the full url set, cardinality bounded by distinct templates
+  * (the point of templating). `is_trap` is an integer flag (n_urls ≥
+  * [[TrapThreshold]]) so the row is oracle-comparable in exact arithmetic.
+  */
+object UrlTemplates {
+
+  /** Distinct urls per (host, template) at/above which the template is
+    * flagged as a probable crawler trap. */
+  val TrapThreshold = 64L
+
+  val TrapHost = "calendar.trap-example.com"
+
+  /** Planted calendar-trap urls: 180 rows, i ∈ [0, 180) →
+    * month i div 30 + 1, day i mod 30 + 1, sid = first 12 hex of md5(i). */
+  private def plantedTrap(spark: SparkSession): DataFrame =
+    spark.range(180).select(
+      concat(
+        lit(s"https://$TrapHost/events/2024/"),
+        expr("id div 30 + 1").cast("string"), lit("/"),
+        expr("id % 30 + 1").cast("string"),
+        lit("?sid="), substring(md5(col("id").cast("string")), 1, 12)).as("url"))
+
+  /** Template mining over any single-column `url` frame (factored for
+    * direct testing). */
+  def templates(urls: DataFrame): DataFrame = {
+    val t = urls
+      .filter(col("url").startsWith("http"))
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("pathq",
+        when(length(regexp_replace(col("url"), "^https?://[^/]+", "")) === 0, lit("/"))
+          .otherwise(regexp_replace(col("url"), "^https?://[^/]+", "")))
+      .withColumn("template",
+        regexp_replace(regexp_replace(col("pathq"), "[0-9a-f]{8,}", "{h}"), "[0-9]+", "{n}"))
+    val perTemplate = t.select("host", "template", "url").distinct()
+      .groupBy("host", "template")
+      .agg(countDistinct("url").as("n_urls"))
+    val perHost = perTemplate.groupBy("host")
+      .agg(count(lit(1)).as("host_templates"))
+    perTemplate.join(perHost, "host")
+      .select(col("host"), col("template"), col("n_urls"), col("host_templates"),
+        when(col("n_urls") >= TrapThreshold, lit(1L)).otherwise(lit(0L)).as("is_trap"))
+      .orderBy("host", "template")
+  }
+
+  /** Driver-contract query: templates over the corpus link graph's node set
+    * (src ∪ dst, fetchable only) plus the planted trap. */
+  def urlTemplates(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CrawlQueries.extractLinkEdges(spark, dir)
+    val urls = edges.select(col("src").as("url"))
+      .union(edges.select(col("dst").as("url")))
+      .union(plantedTrap(spark))
+    templates(urls)
+  }
+
+  /** DuckDB twin of [[urlTemplates]]: the same template rule, plant
+    * generator, and aggregation recomputed independently over the frozen
+    * edge fixture. */
+  def urlTemplatesSql(edgesSelect: String): String =
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+       |plant AS (
+       |  SELECT 'https://$TrapHost/events/2024/' || CAST(i // 30 + 1 AS VARCHAR)
+       |    || '/' || CAST(i % 30 + 1 AS VARCHAR)
+       |    || '?sid=' || substr(md5(CAST(i AS VARCHAR)), 1, 12) AS url
+       |  FROM range(180) t(i)),
+       |urls AS (
+       |  SELECT src AS url FROM edges UNION ALL
+       |  SELECT dst FROM edges UNION ALL
+       |  SELECT url FROM plant),
+       |t AS (
+       |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       |    regexp_replace(regexp_replace(
+       |      CASE WHEN length(regexp_replace(url, '^https?://[^/]+', '')) = 0 THEN '/'
+       |           ELSE regexp_replace(url, '^https?://[^/]+', '') END,
+       |      '[0-9a-f]{8,}', '{h}', 'g'), '[0-9]+', '{n}', 'g') AS template,
+       |    url
+       |  FROM urls WHERE url LIKE 'http%'),
+       |per_template AS (
+       |  SELECT host, template, CAST(count(DISTINCT url) AS BIGINT) AS n_urls
+       |  FROM t GROUP BY host, template),
+       |per_host AS (
+       |  SELECT host, CAST(count(*) AS BIGINT) AS host_templates
+       |  FROM per_template GROUP BY host)
+       |SELECT p.host, p.template, p.n_urls, h.host_templates,
+       |  CAST(CASE WHEN p.n_urls >= $TrapThreshold THEN 1 ELSE 0 END AS BIGINT) AS is_trap
+       |FROM per_template p JOIN per_host h ON p.host = h.host
+       |ORDER BY p.host, p.template""".stripMargin
+}

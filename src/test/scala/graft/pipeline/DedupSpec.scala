@@ -310,6 +310,40 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ quantization: deterministic training; exact top-k reproduced after ADC + re-rank") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[Similarity.Embedded]
+    // deterministic training across partition layouts: the seed pick and
+    // partition-id-ordered partial merge fix the FP addition order ONLY for
+    // a fixed layout, so compare equal layouts (trainCentroids contract)
+    val cb = Similarity.trainPq(spark, corpus, dims = 64)
+    val cb2 = Similarity.trainPq(spark, corpus, dims = 64)
+    val flat = (c: Similarity.PqCodebook) => c.centroids.flatMap(_.flatMap(_.toSeq))
+    assert(flat(cb).sameElements(flat(cb2)), "repeated training must be bit-identical")
+    // every code addresses a real centroid cell
+    val sample = corpus.take(50)
+    sample.foreach { e =>
+      val code = cb.encode(e.embedding)
+      assert(code.length == 8)
+      code.foreach(b => assert((b & 0xff) < cb.centroids(0).length, "code within ksub"))
+    }
+    // ADC candidates + exact re-rank reproduce the exact brute-force top-k
+    // (the property the q_ann_pq oracle pins at verify scale)
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    val exact = Similarity.bruteForceTopK(spark, corpus, queries, k = 5).collect()
+      .map(n => (n.query_id, n.rank) -> (n.neighbor_id, n.cosine)).toMap
+    val pq = Similarity.pqTopK(spark, corpus, queries, k = 5).collect()
+    assert(pq.length == exact.size, "same (query, rank) coverage")
+    pq.foreach { n =>
+      val (eid, ecos) = exact((n.query_id, n.rank))
+      assert(n.neighbor_id == eid, s"q${n.query_id} rank ${n.rank}: ${n.neighbor_id} != $eid")
+      assert(math.abs(n.cosine - ecos) < 1e-12, "re-rank uses true vectors")
+    }
+  }
+
   test("exact-dup pre-pass: 10k identical docs cost O(N) edges, keep-list intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
