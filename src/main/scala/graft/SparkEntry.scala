@@ -110,7 +110,8 @@ object SparkEntry {
     "q_pagerank" -> (CrawlQueries.pageRank _),
     "q_link_anchors" -> (CrawlQueries.linkAnchors _),
     "q_anchor_text" -> (CrawlQueries.anchorTexts _),
-    "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _)
+    "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _),
+    "q_host_cardinality" -> (graft.pipeline.Cardinality.hostCardinalityQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -181,6 +182,10 @@ object SparkEntry {
     // planted trap generator) over the frozen edge fixture
     "q_url_templates" ->
       graft.pipeline.UrlTemplates.urlTemplatesSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB replays the KMV sketch (same 44-bit
+    // md5 hash, window top-K, integer estimator) over the frozen edges
+    "q_host_cardinality" ->
+      graft.pipeline.Cardinality.hostCardinalitySql(fixtureSql("q_extract_link_edges")),
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

@@ -46,8 +46,10 @@ object UrlTemplates {
   val TrapHost = "calendar.trap-example.com"
 
   /** Planted calendar-trap urls: 180 rows, i ∈ [0, 180) →
-    * month i div 30 + 1, day i mod 30 + 1, sid = first 12 hex of md5(i). */
-  private def plantedTrap(spark: SparkSession): DataFrame =
+    * month i div 30 + 1, day i mod 30 + 1, sid = first 12 hex of md5(i).
+    * Shared with [[Cardinality]] (the one host whose distinct-url count
+    * exceeds the KMV sketch size). */
+  private[pipeline] def plantedTrap(spark: SparkSession): DataFrame =
     spark.range(180).select(
       concat(
         lit(s"https://$TrapHost/events/2024/"),
@@ -90,13 +92,18 @@ object UrlTemplates {
   /** DuckDB twin of [[urlTemplates]]: the same template rule, plant
     * generator, and aggregation recomputed independently over the frozen
     * edge fixture. */
+  /** DuckDB replay of [[plantedTrap]] (shared with [[Cardinality]]'s twin).
+    * Single-line on purpose: it is interpolated into stripMargin templates,
+    * where an embedded line starting with `||` would lose a pipe. */
+  private[pipeline] val plantedTrapSql: String =
+    s"SELECT 'https://$TrapHost/events/2024/' || CAST(i // 30 + 1 AS VARCHAR) || '/' || " +
+      "CAST(i % 30 + 1 AS VARCHAR) || '?sid=' || substr(md5(CAST(i AS VARCHAR)), 1, 12) AS url " +
+      "FROM range(180) t(i)"
+
   def urlTemplatesSql(edgesSelect: String): String =
     s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
        |plant AS (
-       |  SELECT 'https://$TrapHost/events/2024/' || CAST(i // 30 + 1 AS VARCHAR)
-       |    || '/' || CAST(i % 30 + 1 AS VARCHAR)
-       |    || '?sid=' || substr(md5(CAST(i AS VARCHAR)), 1, 12) AS url
-       |  FROM range(180) t(i)),
+       |  $plantedTrapSql),
        |urls AS (
        |  SELECT src AS url FROM edges UNION ALL
        |  SELECT dst FROM edges UNION ALL
