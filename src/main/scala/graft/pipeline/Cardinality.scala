@@ -86,6 +86,16 @@ object Cardinality {
     if (mins.length < k) mins.length.toLong
     else (k - 1).toLong * HashSpace / mins(k - 1)
 
+  /** The sketch's 44-bit hash as a Column — ONE definition shared by the
+    * batch query and [[graft.streaming.StreamingCardinality]], so their
+    * sketches are mergeable/comparable by construction. */
+  def urlHashCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(url), 1, 11), 16, 10).cast("long")
+
+  /** Host-of-url as a Column (same rule as the DuckDB twin). */
+  def hostCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(url, "^https?://([^/]+)", 1)
+
   /** Sketch + score over any single-column `url` frame (factored for
     * direct testing). */
   def hostCardinality(urls: DataFrame): DataFrame = {
@@ -93,10 +103,10 @@ object Cardinality {
     import spark.implicits._
     val u = urls
       .filter(col("url").startsWith("http"))
-      .select(regexp_extract(col("url"), "^https?://([^/]+)", 1).as("host"), col("url"))
+      .select(hostCol(col("url")).as("host"), col("url"))
       .distinct()
     val hashed = u
-      .select(col("host"), conv(substring(md5(col("url")), 1, 11), 16, 10).cast("long").as("h"))
+      .select(col("host"), urlHashCol(col("url")).as("h"))
       .as[(String, Long)]
     val kmv = new KmvAgg(K)
     val sketch = hashed
