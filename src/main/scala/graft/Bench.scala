@@ -152,7 +152,8 @@ object Bench {
       "q_paragraph_dedup", "q_lm_score", "q_span_dedup", "q_pagerank",
       "q_tfidf_keywords", "q_recrawl_schedule", "q_bm25_rank", "q_crawl_delta",
       "q_host_reputation", "q_crawl_priority",
-      "q_anchor_text", "q_dedup_keep", "q_rollup_nation", "q_grouping_sets")
+      "q_anchor_text", "q_dedup_keep", "q_rollup_nation", "q_grouping_sets",
+      "q_url_templates", "q_host_cardinality", "q_hostrank")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++
         sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)

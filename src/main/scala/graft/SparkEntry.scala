@@ -108,6 +108,7 @@ object SparkEntry {
     "q_url_paths" -> (CrawlQueries.urlPaths _),
     "q_page_meta" -> (CrawlQueries.pageMeta _),
     "q_pagerank" -> (CrawlQueries.pageRank _),
+    "q_hostrank" -> (CrawlQueries.hostRank _),
     "q_link_anchors" -> (CrawlQueries.linkAnchors _),
     "q_anchor_text" -> (CrawlQueries.anchorTexts _),
     "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _),
@@ -175,6 +176,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-executes all PageRank rounds (integer
     // recurrence, unrolled CTEs) over the frozen edge fixture
     "q_pagerank" -> CrawlQueries.pageRankSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: the same unrolled recurrence over the
+    // host-collapsed edge set (http filter before mapping, no self-loops)
+    "q_hostrank" -> CrawlQueries.hostRankSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-derives the anchor consensus (window
     // rank) over the frozen sightings fixture
     "q_anchor_text" -> CrawlQueries.anchorTextsSql(fixtureSql("q_link_anchors")),

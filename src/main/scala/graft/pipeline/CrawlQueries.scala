@@ -193,7 +193,34 @@ object CrawlQueries {
     // rank only fetchable targets: javascript:/mailto:/tel: links are real
     // edges in the extraction output but noise for crawl prioritization
     val edges = extractLinkEdges(spark, dir).select("src", "dst")
-      .filter(col("dst").startsWith("http")).localCheckpoint()
+      .filter(col("dst").startsWith("http"))
+    pageRankKernel(edges, "url")
+  }
+
+  /** Host-level PageRank — the domain-authority signal host-granular
+    * frontier policy consumes (per-host budgets, [[graft.pipeline
+    * .Reputation]] composition): the page graph collapsed to its host
+    * graph, SAME integer recurrence as [[pageRank]]. Intra-host edges are
+    * dropped (navigation chrome would drown the signal — rank should flow
+    * only where one SITE endorses another); parallel inter-host edges keep
+    * their multiplicity (each link is a vote). The host graph is orders of
+    * magnitude smaller than the page graph, which is the production point:
+    * host rank is recomputable every few waves where page rank is a batch
+    * job. */
+  def hostRank(spark: SparkSession, dir: String): DataFrame = {
+    val edges = extractLinkEdges(spark, dir).select("src", "dst")
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("src"),
+        Cardinality.hostCol(col("dst")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    pageRankKernel(edges, "host")
+  }
+
+  /** The damped integer power iteration over any (src, dst) edge frame,
+    * output keyed as `keyName` — shared by [[pageRank]] (url granularity)
+    * and [[hostRank]] (host granularity). */
+  def pageRankKernel(edgesIn: DataFrame, keyName: String): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
     val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val inDeg = edges.groupBy("dst").agg(count(lit(1)).as("in_deg"))
     val nodes = edges.select(col("src").as("url"))
@@ -217,15 +244,16 @@ object CrawlQueries {
       .join(inDeg.withColumnRenamed("dst", "url"), Seq("url"), "left")
       .join(outDeg.withColumnRenamed("src", "url"), Seq("url"), "left")
       .na.fill(0L, Seq("in_deg", "out_deg"))
-      .select(col("url"), col("rank_micro"), col("in_deg"), col("out_deg"))
-      .orderBy(desc("rank_micro"), asc("url"))
+      .select(col("url").as(keyName), col("rank_micro"), col("in_deg"), col("out_deg"))
+      .orderBy(desc("rank_micro"), asc(keyName))
   }
 
   /** DuckDB twin of [[pageRank]]: the SAME integer recurrence, unrolled as
     * chained CTEs (standard SQL forbids aggregation in a recursive CTE
     * term), over the frozen edge fixture — an independent re-execution of
     * all [[PageRankIters]] rounds, not a frozen output. */
-  def pageRankSql(edgesSelect: String): String = {
+  def pageRankSql(edgesSelect: String, key: String = "url",
+                  edgeFilter: String = "WHERE dst LIKE 'http%'"): String = {
     val rounds = (1 to PageRankIters).map { i =>
       s"""r$i AS (
          |  SELECT n.url,
@@ -238,13 +266,13 @@ object CrawlQueries {
          |    JOIN r${i - 1} r ON r.url = e.src
          |    GROUP BY e.dst) c ON n.url = c.url)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect) WHERE dst LIKE 'http%'),
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect) $edgeFilter),
        |nodes AS (SELECT src AS url FROM edges UNION SELECT dst FROM edges),
        |outdeg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
        |indeg AS (SELECT dst AS url, count(*) AS in_deg FROM edges GROUP BY dst),
        |r0 AS (SELECT url, CAST($PageRankUnitMicro AS BIGINT) AS rank_micro FROM nodes),
        |$rounds
-       |SELECT r.url, r.rank_micro,
+       |SELECT r.url AS $key, r.rank_micro,
        |  CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
        |  CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg
        |FROM r$PageRankIters r
@@ -252,6 +280,18 @@ object CrawlQueries {
        |LEFT JOIN outdeg o ON r.url = o.src
        |ORDER BY r.rank_micro DESC, r.url""".stripMargin
   }
+
+  /** DuckDB twin of [[hostRank]]: the page edges host-mapped (http filter
+    * BEFORE the mapping, self-loops dropped) then the identical unrolled
+    * recurrence via [[pageRankSql]]. */
+  def hostRankSql(edgesSelect: String): String =
+    pageRankSql(
+      s"""SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src,
+         |       regexp_extract(dst, '^https?://([^/]+)', 1) AS dst
+         |FROM ($edgesSelect) WHERE dst LIKE 'http%'
+         |  AND regexp_extract(src, '^https?://([^/]+)', 1)
+         |   <> regexp_extract(dst, '^https?://([^/]+)', 1)""".stripMargin,
+      key = "host", edgeFilter = "")
 
   /** WAF + entropy + SPA flags per page (waf.rs / scraper_service.rs). */
   def wafEntropy(spark: SparkSession, dir: String): DataFrame = {

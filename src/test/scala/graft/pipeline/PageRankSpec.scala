@@ -56,6 +56,31 @@ class PageRankSpec extends AnyFunSuite {
       "link structure, not the floor, must determine the top rank")
   }
 
+  test("hostRank matches the replay over host-collapsed edges; self-loops excluded") {
+    val host = (u: String) => "^https?://([^/]+)".r.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    val edges = CrawlQueries.extractLinkEdges(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.startsWith("http"))
+      .map { case (s, d) => (host(s), host(d)) }
+      .filter { case (s, d) => s != d }
+    assert(edges.nonEmpty, "the corpus must have inter-host links")
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var rank = nodes.map(_ -> CrawlQueries.PageRankUnitMicro).toMap
+    for (_ <- 1 to CrawlQueries.PageRankIters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => rank(s) / outDeg(s) }.sum).toMap
+      rank = nodes.map(n => n -> (CrawlQueries.PageRankFloorMicro +
+        CrawlQueries.PageRankDampPct * contrib.getOrElse(n, 0L) / 100L)).toMap
+    }
+    val got = CrawlQueries.hostRank(spark, "").collect()
+    assert(got.length == nodes.length, "one row per host, never per url")
+    got.foreach { r =>
+      assert(r.getAs[Long]("rank_micro") == rank(r.getAs[String]("host")),
+        s"rank mismatch for ${r.getAs[String]("host")}")
+    }
+  }
+
   test("pageRank is invariant to shuffle width") {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     val a = CrawlQueries.pageRank(spark, "").collect().map(_.toString).toSeq
