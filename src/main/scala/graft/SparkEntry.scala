@@ -109,6 +109,7 @@ object SparkEntry {
     "q_page_meta" -> (CrawlQueries.pageMeta _),
     "q_pagerank" -> (CrawlQueries.pageRank _),
     "q_hostrank" -> (CrawlQueries.hostRank _),
+    "q_sitemap_gap" -> (CrawlQueries.sitemapGap _),
     "q_link_anchors" -> (CrawlQueries.linkAnchors _),
     "q_anchor_text" -> (CrawlQueries.anchorTexts _),
     "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _),
@@ -179,6 +180,10 @@ object SparkEntry {
     // independent recompute: the same unrolled recurrence over the
     // host-collapsed edge set (http filter before mapping, no self-loops)
     "q_hostrank" -> CrawlQueries.hostRankSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: the same normalization + membership join +
+    // rollup over the frozen sitemap-seeds and crawl-order fixtures
+    "q_sitemap_gap" -> CrawlQueries.sitemapGapSql(
+      fixtureSql("q_sitemap_seeds"), fixtureSql("q_crawl_order")),
     // independent recompute: DuckDB re-derives the anchor consensus (window
     // rank) over the frozen sightings fixture
     "q_anchor_text" -> CrawlQueries.anchorTextsSql(fixtureSql("q_link_anchors")),

@@ -293,6 +293,63 @@ object CrawlQueries {
          |   <> regexp_extract(dst, '^https?://([^/]+)', 1)""".stripMargin,
       key = "host", edgeFilter = "")
 
+  /** Sitemap-coverage gap — the crawl-completeness monitor: which
+    * sitemap-DECLARED urls has the link crawl actually reached, per host?
+    * The reference treats sitemaps as a seed source (crawler_service.rs
+    * sitemap branch); a continuously-operated crawl also needs the inverse
+    * read — declared-but-never-fetched urls are the backlog the frontier
+    * should requeue (and on this corpus the link crawl genuinely cannot
+    * reach the sitemap-only query-param product pages, so the gap is
+    * non-trivial by construction).
+    *
+    * The membership join normalizes both sides with a PORTABLE projection
+    * of the canonicalizer — trailing-slash strip only (`/+$`, a regex both
+    * engines run identically). The full [[graft.urls.UrlKernel]]
+    * canonicalization is deliberately NOT applied here: the DuckDB twin
+    * must replay the join rule, and slash-trim is the only part of the
+    * kernel this corpus's sitemap/crawl url spellings actually differ by.
+    *
+    * Scale shape: two distinct keys-only sets, one hash anti/left join on
+    * the normalized url, one map-side-combined per-host aggregation. */
+  def sitemapGap(spark: SparkSession, dir: String): DataFrame = {
+    val norm = (c: org.apache.spark.sql.Column) => regexp_replace(c, "/+$", "")
+    val declared = sitemapSeeds(spark, dir)
+      .select(norm(col("loc")).as("u")).distinct()
+      .select(Cardinality.hostCol(col("u")).as("host"), col("u"))
+    val crawled = crawlOrder(spark, dir)
+      .select(norm(col("url")).as("u")).distinct()
+      .withColumn("hit", lit(1L))
+    declared.join(crawled, Seq("u"), "left")
+      .groupBy("host")
+      .agg(count(lit(1)).as("declared"),
+        sum(coalesce(col("hit"), lit(0L))).as("crawled"))
+      .select(col("host"), col("declared"), col("crawled"),
+        (col("declared") - col("crawled")).as("missing"),
+        expr("crawled * 1000 div declared").as("coverage_permille"))
+      .orderBy("host")
+  }
+
+  /** DuckDB twin of [[sitemapGap]]: the same normalization, membership
+    * join and per-host rollup recomputed over the frozen sitemap-seeds and
+    * crawl-order fixtures. */
+  def sitemapGapSql(seedsSelect: String, crawlSelect: String): String =
+    s"""WITH declared AS (
+       |  SELECT DISTINCT regexp_replace(loc, '/+$$', '') AS u
+       |  FROM ($seedsSelect)),
+       |crawled AS (
+       |  SELECT DISTINCT regexp_replace(url, '/+$$', '') AS u
+       |  FROM ($crawlSelect)),
+       |j AS (
+       |  SELECT regexp_extract(d.u, '^https?://([^/]+)', 1) AS host,
+       |    CASE WHEN c.u IS NULL THEN 0 ELSE 1 END AS hit
+       |  FROM declared d LEFT JOIN crawled c ON d.u = c.u)
+       |SELECT host,
+       |  CAST(count(*) AS BIGINT) AS declared,
+       |  CAST(sum(hit) AS BIGINT) AS crawled,
+       |  CAST(count(*) - sum(hit) AS BIGINT) AS missing,
+       |  CAST(sum(hit) * 1000 // count(*) AS BIGINT) AS coverage_permille
+       |FROM j GROUP BY host ORDER BY host""".stripMargin
+
   /** WAF + entropy + SPA flags per page (waf.rs / scraper_service.rs). */
   def wafEntropy(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
