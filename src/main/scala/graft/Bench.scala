@@ -153,7 +153,11 @@ object Bench {
       "q_tfidf_keywords", "q_recrawl_schedule", "q_bm25_rank", "q_crawl_delta",
       "q_host_reputation", "q_crawl_priority",
       "q_anchor_text", "q_dedup_keep", "q_rollup_nation", "q_grouping_sets",
-      "q_url_templates", "q_host_cardinality", "q_hostrank")
+      "q_url_templates", "q_host_cardinality", "q_hostrank",
+      // q_sitemap_gap is deliberately NOT in the mix: it reruns the
+      // (memoized) BFS crawl as an input, so its first call measures the
+      // crawl, not the gap join — the verify gate covers it instead
+      "q_frontier_reshard")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++
         sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)

@@ -110,6 +110,7 @@ object SparkEntry {
     "q_pagerank" -> (CrawlQueries.pageRank _),
     "q_hostrank" -> (CrawlQueries.hostRank _),
     "q_sitemap_gap" -> (CrawlQueries.sitemapGap _),
+    "q_frontier_reshard" -> (graft.pipeline.Resharding.reshardQuery _),
     "q_link_anchors" -> (CrawlQueries.linkAnchors _),
     "q_anchor_text" -> (CrawlQueries.anchorTexts _),
     "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _),
@@ -184,6 +185,10 @@ object SparkEntry {
     // rollup over the frozen sitemap-seeds and crawl-order fixtures
     "q_sitemap_gap" -> CrawlQueries.sitemapGapSql(
       fixtureSql("q_sitemap_seeds"), fixtureSql("q_crawl_order")),
+    // independent recompute: DuckDB replays both shard-assignment policies
+    // (same 44-bit hash) and the fan-in rollup over the frozen edges
+    "q_frontier_reshard" ->
+      graft.pipeline.Resharding.reshardSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-derives the anchor consensus (window
     // rank) over the frozen sightings fixture
     "q_anchor_text" -> CrawlQueries.anchorTextsSql(fixtureSql("q_link_anchors")),

@@ -1,0 +1,120 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frontier reshard planning — what happens to hash-sharded checkpointed
+  * state (frontier + seen-set snapshots) when the executor count changes.
+  * Two assignment policies over the SAME canonical-url hash, measured
+  * across two growth transitions:
+  *
+  *  - `mod`:    shard = h mod P.
+  *  - `prefix`: shard = h div (S div P) — range-by-hash-prefix.
+  *
+  * The transitions make the trade visible instead of asserting it:
+  *
+  *  - 8 → 32 (exact multiple, the north rule's N → 4N): BOTH policies
+  *    have new-shard fan-in 1 (mod because h mod 8 is a function of
+  *    h mod 32; prefix because each old range splits into 4 children) —
+  *    growing by an exact multiple is cheap under either layout.
+  *  - 8 → 13 (arbitrary growth — add 5 executors): mod fan-in is
+  *    p_from / gcd(p_from, p_to) = 8, an all-to-all shuffle (every new
+  *    shard reads from every old shard — re-keying the ENTIRE
+  *    checkpoint), while prefix stays bounded at fan-in ≤ 2 (two sorted
+  *    partitions of the same space: each new range overlaps at most two
+  *    old ranges) — the consistent-hashing-style locality that makes
+  *    state reshard a sub-range scan per new shard at ANY target count,
+  *    which is the property consistent hashing exists for.
+  *
+  * Per (policy, transition): distinct (old → new) traffic edges and
+  * max/min fan-in per new shard. All arithmetic is exact integer over the
+  * shared 44-bit hash ([[Cardinality.urlHashCol]]), so the DuckDB twin
+  * replays the whole plan. This is why a 10^10-url frontier keys its
+  * state by hash RANGE: the scaling criterion is not just throughput at
+  * 4N, it is getting the state to 4N — or to 1.5N — without rewriting it.
+  */
+object Resharding {
+
+  /** (p_from, p_to): the exact-multiple and the coprime growth. */
+  val Transitions: Seq[(Int, Int)] = Seq((8, 32), (8, 13))
+
+  /** Reshard plan over any single-column `url` frame. One row per
+    * (policy, transition). */
+  def reshardPlan(urls: DataFrame): DataFrame = {
+    val h = urls
+      .filter(col("url").startsWith("http"))
+      .select(col("url")).distinct()
+      .select(Cardinality.urlHashCol(col("url")).as("h"))
+      .localCheckpoint() // tiny; reused 4×
+    val plans = for {
+      (pFrom, pTo) <- Transitions
+      policy <- Seq("mod", "prefix")
+    } yield {
+      val (oldCol, newCol) = policy match {
+        case "mod" => (pmod(col("h"), lit(pFrom)), pmod(col("h"), lit(pTo)))
+        case _ =>
+          val sliceF = Cardinality.HashSpace / pFrom
+          val sliceT = Cardinality.HashSpace / pTo
+          (expr(s"h div $sliceF"), expr(s"h div $sliceT"))
+      }
+      h.select(oldCol.as("old_shard"), newCol.as("new_shard"))
+        .groupBy("new_shard")
+        .agg(countDistinct("old_shard").as("fanin"), count(lit(1)).as("n"))
+        .agg(sum("n").as("n_urls"), sum("fanin").as("fanin_edges"),
+          max("fanin").as("max_fanin"), min("fanin").as("min_fanin"))
+        .select(lit(policy).as("policy"), lit(pFrom.toLong).as("p_from"),
+          lit(pTo.toLong).as("p_to"), col("n_urls"), col("fanin_edges"),
+          col("max_fanin"), col("min_fanin"))
+    }
+    plans.reduce(_.union(_)).orderBy("policy", "p_to")
+  }
+
+  /** Driver-contract query over the corpus link graph's node set plus the
+    * planted trap urls (the same population as the other url operators). */
+  def reshardQuery(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CrawlQueries.extractLinkEdges(spark, dir)
+    reshardPlan(
+      edges.select(col("src").as("url"))
+        .union(edges.select(col("dst").as("url")))
+        .union(UrlTemplates.plantedTrap(spark)))
+  }
+
+  /** DuckDB twin of [[reshardQuery]]: same hash, assignments and rollup
+    * over the frozen edge fixture plus its own plant. */
+  def reshardSql(edgesSelect: String): String = {
+    val legs = (for {
+      (pFrom, pTo) <- Transitions
+      policy <- Seq("mod", "prefix")
+    } yield {
+      val (oldExpr, newExpr) = policy match {
+        case "mod" => (s"h % $pFrom", s"h % $pTo")
+        case _ =>
+          val sliceF = Cardinality.HashSpace / pFrom
+          val sliceT = Cardinality.HashSpace / pTo
+          (s"h // $sliceF", s"h // $sliceT")
+      }
+      s"""SELECT '$policy' AS policy, CAST($pFrom AS BIGINT) AS p_from,
+         |  CAST($pTo AS BIGINT) AS p_to,
+         |  CAST(sum(n) AS BIGINT) AS n_urls,
+         |  CAST(sum(fanin) AS BIGINT) AS fanin_edges,
+         |  CAST(max(fanin) AS BIGINT) AS max_fanin,
+         |  CAST(min(fanin) AS BIGINT) AS min_fanin
+         |FROM (
+         |  SELECT $newExpr AS new_shard, count(DISTINCT $oldExpr) AS fanin, count(*) AS n
+         |  FROM a GROUP BY 1)""".stripMargin
+    }).mkString("\nUNION ALL\n")
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+       |plant AS (
+       |  ${UrlTemplates.plantedTrapSql}),
+       |urls AS (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT src AS url FROM edges UNION ALL
+       |    SELECT dst FROM edges UNION ALL
+       |    SELECT url FROM plant)
+       |  WHERE url LIKE 'http%'),
+       |a AS (
+       |  SELECT CAST(('0x' || substr(md5(url), 1, 11)) AS BIGINT) AS h FROM urls)
+       |$legs
+       |ORDER BY policy, p_to""".stripMargin
+  }
+}
