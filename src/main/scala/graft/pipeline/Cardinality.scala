@@ -115,7 +115,8 @@ object Cardinality {
       .agg(kmv.toColumn.name("mins"))
       .map { case (host, mins) => (host, estimate(mins, K)) }
       .toDF("host", "kmv_estimate")
-    val exact = u.groupBy("host").agg(countDistinct("url").as("n_urls"))
+    // u is already distinct on (host, url) — a plain count suffices
+    val exact = u.groupBy("host").agg(count(lit(1)).as("n_urls"))
     sketch.join(exact, "host")
       .select(col("host"), col("n_urls"), col("kmv_estimate"),
         expr("abs(kmv_estimate - n_urls) * 1000 div n_urls").as("err_permille"))
@@ -125,26 +126,15 @@ object Cardinality {
   /** Driver-contract query: sketch the corpus link graph's node set plus
     * the planted 180-url trap host (the one host big enough to leave the
     * exact branch and exercise the estimator). */
-  def hostCardinalityQuery(spark: SparkSession, dir: String): DataFrame = {
-    val edges = CrawlQueries.extractLinkEdges(spark, dir)
-    hostCardinality(
-      edges.select(col("src").as("url"))
-        .union(edges.select(col("dst").as("url")))
-        .union(UrlTemplates.plantedTrap(spark)))
-  }
+  def hostCardinalityQuery(spark: SparkSession, dir: String): DataFrame =
+    hostCardinality(UrlTemplates.corpusUrlsWithPlant(spark, dir))
 
   /** DuckDB twin of [[hostCardinalityQuery]]: the SAME hash, sketch (window
     * top-K per host) and integer estimator recomputed independently over
     * the frozen edge fixture plus its own plant — a replay, not a frozen
     * output. */
   def hostCardinalitySql(edgesSelect: String): String =
-    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
-       |plant AS (
-       |  ${UrlTemplates.plantedTrapSql}),
-       |urls AS (
-       |  SELECT src AS url FROM edges UNION ALL
-       |  SELECT dst FROM edges UNION ALL
-       |  SELECT url FROM plant),
+    s"""WITH ${UrlTemplates.corpusUrlsSqlCtes(edgesSelect)},
        |u AS (
        |  SELECT DISTINCT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url
        |  FROM urls WHERE url LIKE 'http%'),

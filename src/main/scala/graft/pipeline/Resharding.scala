@@ -53,9 +53,12 @@ object Resharding {
       val (oldCol, newCol) = policy match {
         case "mod" => (pmod(col("h"), lit(pFrom)), pmod(col("h"), lit(pTo)))
         case _ =>
+          // least(): when P does not divide 2^44 the last slice is short
+          // and h div slice can reach P — clamp the sliver into shard P-1
           val sliceF = Cardinality.HashSpace / pFrom
           val sliceT = Cardinality.HashSpace / pTo
-          (expr(s"h div $sliceF"), expr(s"h div $sliceT"))
+          (expr(s"least(h div $sliceF, ${pFrom - 1})"),
+            expr(s"least(h div $sliceT, ${pTo - 1})"))
       }
       h.select(oldCol.as("old_shard"), newCol.as("new_shard"))
         .groupBy("new_shard")
@@ -71,13 +74,8 @@ object Resharding {
 
   /** Driver-contract query over the corpus link graph's node set plus the
     * planted trap urls (the same population as the other url operators). */
-  def reshardQuery(spark: SparkSession, dir: String): DataFrame = {
-    val edges = CrawlQueries.extractLinkEdges(spark, dir)
-    reshardPlan(
-      edges.select(col("src").as("url"))
-        .union(edges.select(col("dst").as("url")))
-        .union(UrlTemplates.plantedTrap(spark)))
-  }
+  def reshardQuery(spark: SparkSession, dir: String): DataFrame =
+    reshardPlan(UrlTemplates.corpusUrlsWithPlant(spark, dir))
 
   /** DuckDB twin of [[reshardQuery]]: same hash, assignments and rollup
     * over the frozen edge fixture plus its own plant. */
@@ -91,7 +89,7 @@ object Resharding {
         case _ =>
           val sliceF = Cardinality.HashSpace / pFrom
           val sliceT = Cardinality.HashSpace / pTo
-          (s"h // $sliceF", s"h // $sliceT")
+          (s"least(h // $sliceF, ${pFrom - 1})", s"least(h // $sliceT, ${pTo - 1})")
       }
       s"""SELECT '$policy' AS policy, CAST($pFrom AS BIGINT) AS p_from,
          |  CAST($pTo AS BIGINT) AS p_to,
@@ -103,17 +101,10 @@ object Resharding {
          |  SELECT $newExpr AS new_shard, count(DISTINCT $oldExpr) AS fanin, count(*) AS n
          |  FROM a GROUP BY 1)""".stripMargin
     }).mkString("\nUNION ALL\n")
-    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
-       |plant AS (
-       |  ${UrlTemplates.plantedTrapSql}),
-       |urls AS (
-       |  SELECT DISTINCT url FROM (
-       |    SELECT src AS url FROM edges UNION ALL
-       |    SELECT dst FROM edges UNION ALL
-       |    SELECT url FROM plant)
-       |  WHERE url LIKE 'http%'),
+    s"""WITH ${UrlTemplates.corpusUrlsSqlCtes(edgesSelect)},
        |a AS (
-       |  SELECT CAST(('0x' || substr(md5(url), 1, 11)) AS BIGINT) AS h FROM urls)
+       |  SELECT CAST(('0x' || substr(md5(url), 1, 11)) AS BIGINT) AS h
+       |  FROM (SELECT DISTINCT url FROM urls WHERE url LIKE 'http%'))
        |$legs
        |ORDER BY policy, p_to""".stripMargin
   }

@@ -62,15 +62,17 @@ object UrlTemplates {
   def templates(urls: DataFrame): DataFrame = {
     val t = urls
       .filter(col("url").startsWith("http"))
-      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("host", Cardinality.hostCol(col("url")))
       .withColumn("pathq",
         when(length(regexp_replace(col("url"), "^https?://[^/]+", "")) === 0, lit("/"))
           .otherwise(regexp_replace(col("url"), "^https?://[^/]+", "")))
       .withColumn("template",
         regexp_replace(regexp_replace(col("pathq"), "[0-9a-f]{8,}", "{h}"), "[0-9]+", "{n}"))
+    // rows are distinct'd on the full key first, so the count is a plain
+    // count — no second dedup aggregation
     val perTemplate = t.select("host", "template", "url").distinct()
       .groupBy("host", "template")
-      .agg(countDistinct("url").as("n_urls"))
+      .agg(count(lit(1)).as("n_urls"))
     val perHost = perTemplate.groupBy("host")
       .agg(count(lit(1)).as("host_templates"))
     perTemplate.join(perHost, "host")
@@ -79,19 +81,23 @@ object UrlTemplates {
       .orderBy("host", "template")
   }
 
-  /** Driver-contract query: templates over the corpus link graph's node set
-    * (src ∪ dst, fetchable only) plus the planted trap. */
-  def urlTemplates(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared url population for the frontier-hygiene operators
+    * ([[urlTemplates]], [[Cardinality.hostCardinalityQuery]],
+    * [[Resharding.reshardQuery]]): the corpus link graph's node set
+    * (src ∪ dst, duplicates preserved — consumers dedup to their own
+    * grain) plus the planted trap. ONE definition, so the three operators
+    * and their three oracles can never drift apart. */
+  private[pipeline] def corpusUrlsWithPlant(spark: SparkSession, dir: String): DataFrame = {
     val edges = CrawlQueries.extractLinkEdges(spark, dir)
-    val urls = edges.select(col("src").as("url"))
+    edges.select(col("src").as("url"))
       .union(edges.select(col("dst").as("url")))
       .union(plantedTrap(spark))
-    templates(urls)
   }
 
-  /** DuckDB twin of [[urlTemplates]]: the same template rule, plant
-    * generator, and aggregation recomputed independently over the frozen
-    * edge fixture. */
+  /** Driver-contract query: templates over the shared url population. */
+  def urlTemplates(spark: SparkSession, dir: String): DataFrame =
+    templates(corpusUrlsWithPlant(spark, dir))
+
   /** DuckDB replay of [[plantedTrap]] (shared with [[Cardinality]]'s twin).
     * Single-line on purpose: it is interpolated into stripMargin templates,
     * where an embedded line starting with `||` would lose a pipe. */
@@ -100,14 +106,22 @@ object UrlTemplates {
       "CAST(i % 30 + 1 AS VARCHAR) || '?sid=' || substr(md5(CAST(i AS VARCHAR)), 1, 12) AS url " +
       "FROM range(180) t(i)"
 
-  def urlTemplatesSql(edgesSelect: String): String =
-    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+  /** DuckDB replay of [[corpusUrlsWithPlant]] as WITH-clause text ending in
+    * a `urls(url)` CTE — the shared front half of the three twins. */
+  private[pipeline] def corpusUrlsSqlCtes(edgesSelect: String): String =
+    s"""edges AS (SELECT src, dst FROM ($edgesSelect)),
        |plant AS (
        |  $plantedTrapSql),
        |urls AS (
        |  SELECT src AS url FROM edges UNION ALL
        |  SELECT dst FROM edges UNION ALL
-       |  SELECT url FROM plant),
+       |  SELECT url FROM plant)""".stripMargin
+
+  /** DuckDB twin of [[urlTemplates]]: the same template rule, plant
+    * generator, and aggregation recomputed independently over the frozen
+    * edge fixture. */
+  def urlTemplatesSql(edgesSelect: String): String =
+    s"""WITH ${corpusUrlsSqlCtes(edgesSelect)},
        |t AS (
        |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
        |    regexp_replace(regexp_replace(

@@ -85,12 +85,10 @@ object StreamingCardinality {
 
   /** The current estimate per host from the accumulated event log: the
     * last (max cumulative sightings) event per host. Reads an uncommitted
-    * sink as empty. */
+    * sink as empty-with-schema via the shared [[SinkIO.readSink]]
+    * discipline (explicit schema, Hadoop-FS probe — never a broad catch). */
   def current(spark: SparkSession, outputDir: String): org.apache.spark.sql.DataFrame = {
-    val log =
-      try spark.read.parquet(outputDir)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        return spark.emptyDataFrame }
+    val log = SinkIO.readSink(spark, outputDir, Encoders.product[HostEstimate].schema)
     log.groupBy("host")
       .agg(max(struct(col("sightings"), col("sketch_size"), col("kmv_estimate"))).as("last"))
       .select(col("host"), col("last.sightings").as("sightings"),

@@ -64,7 +64,7 @@ class ReshardingSpec extends AnyFunSuite {
         case "mod" => fanin(_ % pF, _ % pT)
         case _ =>
           val (sF, sT) = (Cardinality.HashSpace / pF, Cardinality.HashSpace / pT)
-          fanin(_ / sF, _ / sT)
+          fanin(h => math.min(h / sF, pF - 1L), h => math.min(h / sT, pT - 1L))
       }
       val got = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
       assert(got == expect, s"${r.getString(0)} $pF->$pT mismatch")
