@@ -269,6 +269,27 @@ object PlanCheck {
         !cpPlan.contains("BroadcastNestedLoopJoin"),
       "host reputation broadcasts; url-keyed joins are equi hash joins")
 
+    // 18. KMV cardinality: the typed aggregator must combine map-side
+    // (partial_kmvagg before the host exchange) and the whole plan stays
+    // equi-join-only — the bounded-state claim depends on the partial
+    val hc = graft.pipeline.Cardinality.hostCardinalityQuery(spark, sfDir)
+    hc.collect()
+    val hcPlan = hc.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_host_cardinality/partial-kmv",
+      hcPlan.toLowerCase.contains("partial_kmvagg") &&
+        !hcPlan.contains("CartesianProduct") && !hcPlan.contains("BroadcastNestedLoopJoin"),
+      "KMV sketch combines map-side before the per-host exchange")
+
+    // 19. url templates: pure Column pipeline — regex templating runs in
+    // codegen, zero UDFs, no window over the url set
+    val ut = graft.pipeline.UrlTemplates.urlTemplates(spark, sfDir)
+    ut.collect()
+    val utPlan = ut.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_url_templates/codegen-no-udf",
+      utPlan.contains("*(") && !utPlan.toLowerCase.contains("scalaudf") &&
+        !utPlan.contains("Window") && utPlan.contains("partial_count"),
+      "template rewrite is codegen'd Columns; counts combine map-side")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
