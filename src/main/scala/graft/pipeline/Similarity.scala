@@ -707,7 +707,7 @@ object Similarity {
       dims: Int = 64,
       m: Int = 8,
       ksub: Int = 256,
-      rerank: Int = 64,
+      rerank: Int = 128,
       trainIters: Int = 5
   ): Dataset[Neighbor] = {
     import spark.implicits._
