@@ -39,6 +39,7 @@ object SparkEntry {
     "q_rollup_nation" -> (Relational3.rollupNation _),
     "q_cube_orders" -> (Relational3.cubeOrders _),
     "q_grouping_sets" -> (Relational3.groupingSetsLineitem _),
+    "q_event_percentiles" -> (Relational3.eventPercentiles _),
     // --- text analysis (oracle-backed) ---
     "q_exact_dedup" -> (TextAnalysis.exactDedup _),
     "q_doc_quality" -> (TextAnalysis.docQuality _),
@@ -173,6 +174,7 @@ object SparkEntry {
     "q_rollup_nation" -> Relational3.rollupNationSql,
     "q_cube_orders" -> Relational3.cubeOrdersSql,
     "q_grouping_sets" -> Relational3.groupingSetsLineitemSql,
+    "q_event_percentiles" -> Relational3.eventPercentilesSql,
     "q_mime_detect" -> graft.pipeline.Assets.mimeDetectSql,
     "q_page_meta" -> CrawlQueries.pageMetaSql,
     // independent recompute: DuckDB re-executes all PageRank rounds (integer

@@ -14,6 +14,61 @@ object Relational3 {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Exact discrete percentiles (p50/p95/p99/max) of the event value per
+    * event type — the latency-SLO rollup a crawl-ops dashboard runs over
+    * per-fetch timings, demonstrated on the events stream. The percentile
+    * rule is a SPEC both engines replay: values in exact milli-units
+    * (`round(value·1000)` — identical IEEE multiply + half-up round), rank
+    * `ceil(n·q/100)` as `(n·q + 99) div 100` over the (value, event_id)
+    * total order, so ties and duplicate values resolve identically at any
+    * parallelism. Exactness costs one per-key sort (the rank window) —
+    * the honest shape for EXACT percentiles; the documented scale path for
+    * a 10^10-row log is a mergeable quantile sketch (KLL/t-digest), which
+    * trades this sort away but is engine-specific and thus not
+    * oracle-replayable. */
+  def eventPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 1000).cast("long").as("v"))
+    val counts = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), max("v").as("max_milli"))
+    val ranked = e.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        .orderBy(col("v").asc, col("event_id").asc)))
+    ranked.join(counts, "event_type")
+      .groupBy(col("event_type"), col("n"), col("max_milli"))
+      .agg(
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("v"))).as("p50_milli"),
+        max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("v"))).as("p95_milli"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("v"))).as("p99_milli"))
+      .select(col("event_type"), col("n"), col("p50_milli"), col("p95_milli"),
+        col("p99_milli"), col("max_milli"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[eventPercentiles]]: the same milli conversion, rank
+    * rule and total order — an independent recompute (never quantile_disc,
+    * whose interpolation rule is the engine's, not the spec's). */
+  val eventPercentilesSql: String =
+    """WITH e AS (
+      |  SELECT event_type, event_id, CAST(round(value * 1000) AS BIGINT) AS v
+      |  FROM events),
+      |c AS (
+      |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(v) AS max_milli
+      |  FROM e GROUP BY event_type),
+      |r AS (
+      |  SELECT event_type, v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY v ASC, event_id ASC) AS rn
+      |  FROM e)
+      |SELECT r.event_type, c.n,
+      |  max(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS p50_milli,
+      |  max(CASE WHEN rn = (n * 95 + 99) // 100 THEN v END) AS p95_milli,
+      |  max(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS p99_milli,
+      |  c.max_milli
+      |FROM r JOIN c ON r.event_type = c.event_type
+      |GROUP BY r.event_type, c.n, c.max_milli
+      |ORDER BY r.event_type""".stripMargin
+
   /** Region → nation revenue rollup: per-nation rows, per-region subtotals,
     * grand total. The catalyst Expand under rollup keeps this one shuffle —
     * partial aggregation applies to every grouping set. */
