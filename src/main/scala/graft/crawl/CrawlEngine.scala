@@ -274,6 +274,35 @@ object CrawlEngine {
         (r, r.count())
       }(sinkEc)
 
+    // ---- robots Crawl-delay → per-wave budget caps --------------------------
+    // Same discipline as the Disallow table: parsed on executors, kept as a
+    // sparse host-keyed table (only hosts that declare a delay), never
+    // collected. delay d seconds → budget max(1, waveModelSeconds div d),
+    // capped at perHostBudget; both host spellings are emitted because the
+    // budget cogroup keys on the frontier's literal host while robots
+    // variants strip www. Runs concurrently with pages prep like the rules
+    // parse. Merged most-restrictive-wins with adaptive budgets per wave.
+    val delayConfigured = config.respectCrawlDelay && config.perHostBudget > 0 &&
+      config.respectRobots
+    val delayFuture: scala.concurrent.Future[(Dataset[HostBudget], Long)] =
+      if (!delayConfigured) null
+      else scala.concurrent.Future {
+        val d = Robots.delayTable(spark, pages.toDF())
+          .as[(String, Long)]
+          .flatMap { case (rhost, delay) =>
+            val b = math.min(
+              math.max(1L, config.waveModelSeconds.toLong / math.max(1L, delay)),
+              config.perHostBudget.toLong).toInt
+            // only BINDING caps get a row: a delay short enough to allow the
+            // full default budget needs no override, and an all-non-binding
+            // table keeps the cheaper budget-free selection path entirely
+            if (b >= config.perHostBudget) Seq.empty
+            else Seq(HostBudget(rhost, b), HostBudget(s"www.$rhost", b))
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        (d, d.count())
+      }(sinkEc)
+
     // ---- pages table prep: canonical key + explicit co-partitioning --------
     // (SURVEY §4.1: frontier⋈pages repeats every wave; pre-hash-partitioning
     // + caching the big side means only the wave-sized side ever shuffles on
@@ -299,6 +328,15 @@ object CrawlEngine {
       // a 10^7-host deployment falls back to a shuffle join automatically
       if (nRules < 200000L) broadcast(r) else r
     }
+    val (delayBudgets, nDelayHosts): (Dataset[HostBudget], Long) =
+      if (!delayConfigured) (spark.emptyDataset[HostBudget], 0L)
+      else {
+        val (d, n) = scala.concurrent.Await.result(
+          delayFuture, scala.concurrent.duration.Duration.Inf)
+        if (n > 0L) liveCaches += (() => d.unpersist()) else d.unpersist()
+        (d, n)
+      }
+    val delayActive = nDelayHosts > 0L
     log(s"prep done (pages cached + robots rules table) $elapsed")
 
     // ---- seed frontier (canonicalized on executors — seed lists can be
@@ -383,11 +421,19 @@ object CrawlEngine {
       // entirely — the saturated-frontier regime (a budget set at or above
       // every host's count selects the same rows; this takes that path
       // without paying the shuffle to discover it).
+      // Crawl-delay caps merge most-restrictive-wins with adaptive budgets;
+      // the budget cogroup reads ONE row per host, so the union must reduce
+      // to the per-host minimum before selection.
+      def effectiveBudgets: Dataset[HostBudget] =
+        if (!delayActive) hostBudgets
+        else if (!adaptiveActive) delayBudgets
+        else hostBudgets.union(delayBudgets).groupByKey(_.host)
+          .reduceGroups((a, b) => if (a.budget <= b.budget) a else b).map(_._2)
       val selectedAll = (
         if (config.perHostBudget <= 0) frontierPersisted
-        else if (adaptiveActive)
+        else if (adaptiveActive || delayActive)
           Frontier.politenessSelectBudgets(
-            spark, frontierPersisted, hostBudgets, config.perHostBudget, config.saltBuckets)
+            spark, frontierPersisted, effectiveBudgets, config.perHostBudget, config.saltBuckets)
         else
           Frontier.politenessSelect(
             spark, frontierPersisted, config.perHostBudget, config.saltBuckets)

@@ -119,6 +119,19 @@ final case class CrawlConfig(
     excludePatterns: Seq[String] = Seq.empty,
     maxQueryParams: Int = 5, // batch_processor.rs:69-76
     respectRobots: Boolean = true, // north-rule extension (reference parses Sitemap: only)
+    // Honor robots.txt `Crawl-delay` (the non-standard but ubiquitous
+    // seconds-between-requests directive): a declaring host's per-wave
+    // budget is capped at max(1, waveModelSeconds div delay), merged
+    // most-restrictive-wins with the adaptive budgets. No corpus host
+    // declares one, so the frozen goldens are unaffected by the default.
+    respectCrawlDelay: Boolean = true,
+    // How many seconds of politeness wall time one wave MODELS — the bridge
+    // between the wave-budget abstraction (k fetches/host/wave) and
+    // Crawl-delay's seconds-between-requests: k = waveModelSeconds/delay.
+    // 30 s at the default budget 3 reproduces the reference's token bucket
+    // (delay 500 ms × burst 3 ≈ 2 req/s sustained ≈ politeness-equivalent;
+    // SURVEY §2.9).
+    waveModelSeconds: Int = 30,
     internalOnly: Boolean = true,
     saltBuckets: Int = 8, // politeness-group salting for skewed hosts
     // Beyond-reference scale extension (off by default — the frozen goldens

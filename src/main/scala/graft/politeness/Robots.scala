@@ -17,7 +17,8 @@ import graft.urls.UrlKernel
   */
 object Robots {
 
-  final case class Rules(disallow: Vector[String], sitemaps: Vector[String]) {
+  final case class Rules(disallow: Vector[String], sitemaps: Vector[String],
+                         crawlDelaySec: Option[Long] = scala.None) {
     /** True when `path` is blocked. Empty-string Disallow means allow-all
       * (standard robots semantics). */
     def isDisallowed(path: String): Boolean =
@@ -37,6 +38,7 @@ object Robots {
     val sitemaps = Vector.newBuilder[String]
     var inStarGroup = false
     var lastLineWasAgent = false
+    var delay: Option[Long] = scala.None
     body.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
@@ -51,6 +53,17 @@ object Robots {
           case "disallow" =>
             if (inStarGroup) disallow += value
             lastLineWasAgent = false
+          case "crawl-delay" =>
+            // Non-standard but ubiquitous (Bing/Yandex semantics): seconds
+            // between requests. Decimal values round UP (politeness errs
+            // slow); non-positive/garbage is ignored; repeated declarations
+            // keep the most restrictive. Only the `*` group binds us.
+            if (inStarGroup)
+              scala.util.Try(BigDecimal(value)).toOption
+                .filter(_ > 0)
+                .map(d => d.setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+                .foreach(d => delay = Some(delay.fold(d)(math.max(_, d))))
+            lastLineWasAgent = false
           case "sitemap" =>
             sitemaps += value
             lastLineWasAgent = false
@@ -59,7 +72,7 @@ object Robots {
         }
       }
     }
-    Rules(disallow.result(), sitemaps.result())
+    Rules(disallow.result(), sitemaps.result(), delay)
   }
 
   /** True when `url`'s path is robots-blocked for its host per `rules`. */
@@ -99,6 +112,30 @@ object Robots {
       .toDF("rhost", "disallow")
       .groupBy("rhost")
       .agg(array_distinct(flatten(collect_list(col("disallow")))).as("disallow"))
+  }
+
+  /** Host-keyed Crawl-delay table from the raw pages input: one row per
+    * www-stripped host whose robots.txt declares a positive `Crawl-delay`
+    * in the `*` group, columns (rhost, delay_sec). Variants (www/re-capture)
+    * keep the MAX delay — most-restrictive-wins, the [[rulesTable]]
+    * discipline. The engine converts delays to per-wave budget caps
+    * (CrawlConfig.waveModelSeconds); kept sparse and distributed for the
+    * same reason as the Disallow table. */
+  def delayTable(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    import java.nio.charset.StandardCharsets.UTF_8
+    pages
+      .filter(col("url").endsWith("/robots.txt"))
+      .select(col("url"), col("html"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (url, body) =>
+        UrlKernel.extractDomain(url).flatMap { h =>
+          parse(new String(body, UTF_8)).crawlDelaySec.map(d => (stripWww(h), d))
+        }
+      }
+      .toDF("rhost", "delay_sec")
+      .groupBy("rhost")
+      .agg(max("delay_sec").as("delay_sec"))
   }
 
   /** Distributed Disallow gate: drop every entry whose path is robots-blocked

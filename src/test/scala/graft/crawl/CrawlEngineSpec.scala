@@ -209,6 +209,46 @@ class CrawlEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("robots crawl-delay: a binding delay caps the host's per-wave budget; others unaffected") {
+    withSpark("local[4]") { spark =>
+      import spark.implicits._
+      val spec = CorpusGen.Spec(3, 12)
+      val base = CorpusGen.localPages(spec)
+      // site0 declares Crawl-delay: 15 → budget min(3, 30 div 15) = 2; the
+      // corpus default (Crawl-delay: 1 → 30 ≥ 3) is non-binding and must
+      // leave the other hosts on the budget-free path value-for-value
+      val pages = spark.createDataset(base.map { p =>
+        if (p.url == "https://site0.com/robots.txt")
+          p.copy(html = ("User-agent: *\nDisallow: /private/\nCrawl-delay: 15\n\n" +
+            "Sitemap: https://site0.com/sitemap.xml\n").getBytes("UTF-8"))
+        else p
+      })
+      val cfg = GoldenGen.config(3).copy(maxPages = 1000)
+      val dir = Files.createTempDirectory("graft-delay-test").toString
+      CrawlEngine.run(spark, pages, cfg, dir)
+      val byWaveHost = CrawlEngine.readOrder(spark, dir).collect()
+        .groupBy(o => (o.wave, o.host)).view.mapValues(_.length).toMap
+      byWaveHost.foreach { case ((w, h), n) =>
+        if (h == "site0.com") assert(n <= 2, s"wave=$w site0 selected $n > delay budget 2")
+        else assert(n <= 3, s"wave=$w $h selected $n > default budget 3")
+      }
+      assert(byWaveHost.exists { case ((_, h), n) => h == "site0.com" && n == 2 },
+        "the delay cap must demonstrably bind")
+      assert(byWaveHost.exists { case ((_, h), n) => h != "site0.com" && n == 3 },
+        "non-declaring hosts keep the full default budget")
+      // the unmodified corpus (non-binding delays) is value-identical to the
+      // budget-free path: same order as a respectCrawlDelay=false run
+      val dirA = Files.createTempDirectory("graft-delay-a").toString
+      val dirB = Files.createTempDirectory("graft-delay-b").toString
+      val basePages = spark.createDataset(base)
+      CrawlEngine.run(spark, basePages, GoldenGen.config(3).copy(maxPages = 1000), dirA)
+      CrawlEngine.run(spark, basePages,
+        GoldenGen.config(3).copy(maxPages = 1000, respectCrawlDelay = false), dirB)
+      assert(orderLines(spark, dirA) == orderLines(spark, dirB),
+        "non-binding delays must not change the crawl")
+    }
+  }
+
   test("duplicate captures in the pages table: latest warc_ts wins, no row multiplication") {
     withSpark("local[4]") { spark =>
       import spark.implicits._

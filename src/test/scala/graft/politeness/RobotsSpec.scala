@@ -52,6 +52,18 @@ class RobotsSpec extends AnyFunSuite {
     assert(r2.disallow == Vector("/x"))
   }
 
+  test("crawl-delay: star group only; decimals ceil; garbage ignored; most restrictive wins") {
+    assert(Robots.parse(body).crawlDelaySec.contains(1L))
+    val r = Robots.parse(
+      "User-agent: *\nCrawl-delay: 2.3\nCrawl-delay: 10\n\nUser-agent: bad\nCrawl-delay: 99\n")
+    assert(r.crawlDelaySec.contains(10L), "max of the * group's declarations; bad's 99 ignored")
+    assert(Robots.parse("User-agent: *\nCrawl-delay: 2.3\n").crawlDelaySec.contains(3L),
+      "decimal seconds round UP")
+    assert(Robots.parse("User-agent: *\nCrawl-delay: oops\n").crawlDelaySec.isEmpty)
+    assert(Robots.parse("User-agent: *\nCrawl-delay: -5\n").crawlDelaySec.isEmpty)
+    assert(Robots.parse("User-agent: bad\nCrawl-delay: 7\n").crawlDelaySec.isEmpty)
+  }
+
   // --- sitemap seeding over the generated corpus ---
   test("sitemap parse: loc extraction, scheme filter, dedup, CDATA") {
     val xml =
