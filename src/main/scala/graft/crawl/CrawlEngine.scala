@@ -287,18 +287,8 @@ object CrawlEngine {
     val delayFuture: scala.concurrent.Future[(Dataset[HostBudget], Long)] =
       if (!delayConfigured) null
       else scala.concurrent.Future {
-        val d = Robots.delayTable(spark, pages.toDF())
-          .as[(String, Long)]
-          .flatMap { case (rhost, delay) =>
-            val b = math.min(
-              math.max(1L, config.waveModelSeconds.toLong / math.max(1L, delay)),
-              config.perHostBudget.toLong).toInt
-            // only BINDING caps get a row: a delay short enough to allow the
-            // full default budget needs no override, and an all-non-binding
-            // table keeps the cheaper budget-free selection path entirely
-            if (b >= config.perHostBudget) Seq.empty
-            else Seq(HostBudget(rhost, b), HostBudget(s"www.$rhost", b))
-          }
+        val d = Robots.delayBudgets(spark, pages.toDF(),
+            config.waveModelSeconds, config.perHostBudget)
           .persist(StorageLevel.MEMORY_AND_DISK)
         (d, d.count())
       }(sinkEc)

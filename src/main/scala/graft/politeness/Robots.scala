@@ -138,6 +138,31 @@ object Robots {
       .agg(max("delay_sec").as("delay_sec"))
   }
 
+  /** [[delayTable]] converted to per-wave budget caps — ONE definition
+    * shared by the batch engine and the streaming scheduler so the twins
+    * cannot disagree on what a delay means. delay d seconds → budget
+    * max(1, waveModelSeconds div d), capped at perHostBudget; only BINDING
+    * caps (below the default) emit rows, and both host spellings are
+    * emitted because budget lookups key on the frontier's literal host
+    * while robots variants strip www. */
+  def delayBudgets(
+      spark: SparkSession,
+      pages: DataFrame,
+      waveModelSeconds: Int,
+      perHostBudget: Int
+  ): Dataset[graft.model.HostBudget] = {
+    import spark.implicits._
+    delayTable(spark, pages)
+      .as[(String, Long)]
+      .flatMap { case (rhost, delay) =>
+        val b = math.min(
+          math.max(1L, waveModelSeconds.toLong / math.max(1L, delay)),
+          perHostBudget.toLong).toInt
+        if (b >= perHostBudget) Seq.empty
+        else Seq(graft.model.HostBudget(rhost, b), graft.model.HostBudget(s"www.$rhost", b))
+      }
+  }
+
   /** Distributed Disallow gate: drop every entry whose path is robots-blocked
     * for its host. `rules` is a (rhost, disallow array) table holding ONLY
     * hosts with non-empty Disallow lines (see CrawlEngine prep) — the gate is

@@ -75,6 +75,20 @@ object StreamingCrawl {
         if (r.count() < 200000L) broadcast(r) else r
       } else null
 
+    // robots Crawl-delay caps — the SAME Robots.delayBudgets table as the
+    // batch engine (binding caps only); rides into the scheduler's keyed
+    // state via a stream-static broadcast join, mirroring the batch
+    // politeness-cogroup merge so the twins release identical tranches
+    val delayCaps: Option[org.apache.spark.sql.DataFrame] =
+      if (!(config.respectCrawlDelay && config.perHostBudget > 0 && config.respectRobots))
+        scala.None
+      else {
+        val d = Robots.delayBudgets(spark, pages.toDF(),
+          config.waveModelSeconds, config.perHostBudget).toDF()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        if (d.count() > 0L) Some(d) else { d.unpersist(); scala.None }
+      }
+
     val seedHosts = config.seeds
       .flatMap(s => graft.urls.UrlKernel.canonicalize(s).flatMap(graft.urls.UrlKernel.extractDomain)).toSet
     val bcSeedHosts = spark.sparkContext.broadcast(seedHosts)
@@ -139,7 +153,8 @@ object StreamingCrawl {
       // release this wave's tranche (drains the file written above; on a
       // restart, already-drained files are skipped by the checkpoint and the
       // backlog resumes exactly where it stopped)
-      StreamingScheduler.schedule(spark, discDir, schedDir, cpDir, config.perHostBudget)
+      StreamingScheduler.schedule(spark, discDir, schedDir, cpDir, config.perHostBudget,
+        hostCaps = delayCaps)
 
       val released = StreamingScheduler.readOutput(spark, schedDir)
         .filter(col("emittedAtMs") === waveClock(wave))
@@ -216,6 +231,7 @@ object StreamingCrawl {
 
     prepared.unpersist()
     if (robotsRulesBase != null) robotsRulesBase.unpersist()
+    delayCaps.foreach(_.unpersist())
     StreamCrawlSummary(wave, fetchedTotal, errorsTotal, parityFailures, waveStats.toSeq)
   }
 }

@@ -60,8 +60,22 @@ object StreamingScheduler {
                              parentUrl: String, host: String, pathDepth: Int,
                              urlHash: Long, emittedAtMs: Long)
 
-  /** Per-host frontier shard: pending backlog + released (seen) canonicals. */
-  final case class HostState(backlog: Seq[Candidate], fetched: Seq[String])
+  /** Per-host frontier shard: pending backlog + released (seen) canonicals
+    * + the host's effective budget cap (remembered so timeout wake-ups —
+    * which carry no rows — release the same tranche size as data batches;
+    * Int.MaxValue = no override, the default budget applies). */
+  final case class HostState(backlog: Seq[Candidate], fetched: Seq[String],
+                             cap: Int = Int.MaxValue)
+
+  /** [[Candidate]] enriched with its host's budget cap by the stream-static
+    * join in [[schedule]] (internal — never written to disk). */
+  final case class CandidateCap(canonicalUrl: String, url: String, depth: Int,
+                                parentUrl: String, host: String, pathDepth: Int,
+                                urlHash: Long, discoveredAt: java.sql.Timestamp,
+                                cap: Int) {
+    def candidate: Candidate = Candidate(canonicalUrl, url, depth, parentUrl,
+      host, pathDepth, urlHash, discoveredAt)
+  }
 
   /** Sentinel host for wave-clock ticks: advances the watermark, never
     * scheduled, never stored. */
@@ -92,29 +106,51 @@ object StreamingScheduler {
       checkpointDir: String,
       budget: Int,
       maxBacklogPerHost: Int = Int.MaxValue,
-      droppedAcc: Option[LongAccumulator] = None
+      droppedAcc: Option[LongAccumulator] = None,
+      hostCaps: Option[DataFrame] = scala.None
   ): Unit = {
     import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
     require(budget > 0, s"budget must be positive, got $budget")
     val schema = Encoders.product[Candidate].schema
-    val scheduled = spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", "1") // one wave per micro-batch
       .parquet(inputDir)
+    // per-host budget caps (robots Crawl-delay) ride in on a STREAM-STATIC
+    // broadcast join — the cap table never collects to the driver and each
+    // candidate carries its own cap into the keyed state (tick rows and
+    // capless hosts coalesce to no-override). Column ops only, and the
+    // watermark is applied AFTER enrichment: a typed map would strip the
+    // event-time tag the EventTimeTimeout needs.
+    val enriched = (hostCaps match {
+      case Some(caps) => raw.join(
+          broadcast(caps.select(col("host"), col("budget").as("hostcap"))),
+          Seq("host"), "left")
+        .withColumn("cap", coalesce(col("hostcap"), lit(Int.MaxValue)))
+      case scala.None => raw.withColumn("cap", lit(Int.MaxValue))
+    })
+      .select(col("canonicalUrl"), col("url"), col("depth"), col("parentUrl"),
+        col("host"), col("pathDepth"), col("urlHash"), col("discoveredAt"), col("cap"))
       .withWatermark("discoveredAt", "0 seconds")
-      .as[Candidate]
+      .as[CandidateCap]
+    val scheduled = enriched
       .groupByKey(_.host)
       .flatMapGroupsWithState[HostState, Scheduled](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (host: String, rows: Iterator[Candidate], state: GroupState[HostState]) =>
+        (host: String, rows: Iterator[CandidateCap], state: GroupState[HostState]) =>
           if (host == TickHost) {
             Iterator.empty // wave-clock rows carry no work
           } else {
             // backlog ∪ this wave's arrivals (empty on a timeout wake-up),
             // one entry per canonical URL under the batch merge rule, minus
             // everything this host already released
-            val arrivals = rows.toSeq
+            val arrivalsCap = rows.toSeq
+            val arrivals = arrivalsCap.map(_.candidate)
             val prior = if (state.exists) state.get else HostState(Nil, Nil)
+            // the cap is a static property of the host: rows all carry the
+            // same value; remember it for row-less timeout wake-ups
+            val cap = arrivalsCap.headOption.map(_.cap).getOrElse(prior.cap)
             val fetched = prior.fetched.toSet
             val all = (prior.backlog ++ arrivals)
               .groupBy(_.canonicalUrl).valuesIterator.map(_.reduceLeft(merge))
@@ -124,7 +160,7 @@ object StreamingScheduler {
               droppedAcc.foreach(_.add(all.size - maxBacklogPerHost))
               all.take(maxBacklogPerHost)
             } else all
-            val (emit, rest) = kept.splitAt(budget)
+            val (emit, rest) = kept.splitAt(math.min(budget, cap))
             // this wave's clock: the max of the current watermark (timeout
             // wake-up) and this wave's row timestamps (data batch, where the
             // watermark still lags one batch behind)
@@ -132,7 +168,7 @@ object StreamingScheduler {
                          else arrivals.iterator.map(_.discoveredAt.getTime).max
             val waveClock = math.max(state.getCurrentWatermarkMs(), rowMax)
             if (emit.nonEmpty || rest.nonEmpty) {
-              state.update(HostState(rest, prior.fetched ++ emit.map(_.canonicalUrl)))
+              state.update(HostState(rest, prior.fetched ++ emit.map(_.canonicalUrl), cap))
               // wake on the NEXT wave's tick — arming any lower than
               // waveClock+1 would re-fire THIS drain's forced batch and
               // double the tranche. (No timeout when the backlog is empty:

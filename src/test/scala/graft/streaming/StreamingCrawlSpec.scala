@@ -68,6 +68,39 @@ class StreamingCrawlSpec extends AnyFunSuite {
       s"wave write temp dirs must be cleaned up: ${leftoverTmp.map(_.getName).toSeq}")
   }
 
+  test("crawl-delay parity: a binding Crawl-delay caps both twins identically, wave for wave") {
+    import spark.implicits._
+    // site0 declares Crawl-delay: 15 → budget min(3, 30 div 15) = 2 in BOTH
+    // engines (the shared Robots.delayBudgets table)
+    val base = CorpusGen.localPages(CorpusGen.Spec(GoldenGen.Hosts, GoldenGen.PagesPerHost))
+    val pages = spark.createDataset(base.map { p =>
+      if (p.url == "https://site0.com/robots.txt")
+        p.copy(html = ("User-agent: *\nDisallow: /private/\nCrawl-delay: 15\n\n" +
+          "Sitemap: https://site0.com/sitemap.xml\n").getBytes("UTF-8"))
+      else p
+    })
+    val batchDir = Files.createTempDirectory("graft-scrawl-delay-batch").toString
+    val batch = CrawlEngine.run(spark, pages, cfg, batchDir)
+    val batchWaves: Vector[Set[String]] = CrawlEngine.readOrder(spark, batchDir).collect()
+      .groupBy(_.wave).toVector.sortBy(_._1)
+      .map(_._2.map(_.canonicalUrl).toSet)
+    val sDir = Files.createTempDirectory("graft-scrawl-delay-stream").toString
+    val s = StreamingCrawl.run(spark, pages, cfg, sDir)
+    assert(s.waves == batch.waves && s.fetchedTotal == batch.fetchedTotal)
+    val sWaves = streamedWaveSets(s"$sDir/scheduled", s.waves)
+    batchWaves.zipWithIndex.foreach { case (bset, w) =>
+      assert(sWaves(w) == bset, s"wave $w release sets differ under a binding crawl-delay")
+    }
+    // the cap demonstrably binds in the streamed releases too
+    val site0PerWave = (0 until s.waves).map { w =>
+      StreamingScheduler.readOutput(spark, s"$sDir/scheduled")
+        .filter(col("emittedAtMs") === StreamingCrawl.waveClock(w) && col("host") === "site0.com")
+        .count()
+    }
+    assert(site0PerWave.forall(_ <= 2L), s"site0 releases $site0PerWave exceed the delay cap")
+    assert(site0PerWave.exists(_ == 2L), "the delay cap must demonstrably bind")
+  }
+
   test("kill/restart mid-crawl: exactly-once release, identical final set") {
     val pages = corpus
     val sDir = Files.createTempDirectory("graft-scrawl-restart").toString
