@@ -209,7 +209,7 @@ object SparkEntry {
     // sq8's exact re-rank (32 candidates for k=5) reproduces the exact
     // top-k on this corpus — same brute-force oracle pins that property
     "q_ann_sq8" -> DedupQueries.annTopKSql,
-    // pq's exact re-rank (64 ADC candidates for k=5) reproduces the exact
+    // pq's exact re-rank (128 ADC candidates for k=5) reproduces the exact
     // top-k on this corpus — pinned by the same brute-force oracle
     "q_ann_pq" -> DedupQueries.annTopKSql,
     "q_cosine_neardup" -> DedupQueries.cosineNearDupSql,

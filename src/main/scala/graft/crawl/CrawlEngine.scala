@@ -266,31 +266,39 @@ object CrawlEngine {
     // The parse+count runs CONCURRENTLY with the pages-prep winner
     // materialization below — independent scans of the same input.
     val robotsActive = config.respectRobots && config.maxDepth > 0
-    var robotsRulesBase: DataFrame = null // persisted base (unpersisted at end)
-    val robotsFuture: scala.concurrent.Future[(DataFrame, Long)] =
-      if (!robotsActive) null
-      else scala.concurrent.Future {
-        val r = Robots.rulesTable(spark, pages.toDF()).persist(StorageLevel.MEMORY_AND_DISK)
-        (r, r.count())
-      }(sinkEc)
-
-    // ---- robots Crawl-delay → per-wave budget caps --------------------------
-    // Same discipline as the Disallow table: parsed on executors, kept as a
-    // sparse host-keyed table (only hosts that declare a delay), never
-    // collected. delay d seconds → budget max(1, waveModelSeconds div d),
-    // capped at perHostBudget; both host spellings are emitted because the
-    // budget cogroup keys on the frontier's literal host while robots
-    // variants strip www. Runs concurrently with pages prep like the rules
-    // parse. Merged most-restrictive-wins with adaptive budgets per wave.
+    // robots Crawl-delay → per-wave budget caps: same discipline as the
+    // Disallow table — parsed on executors, sparse, never collected; only
+    // BINDING caps emit rows, merged most-restrictive-wins with adaptive
+    // budgets per wave (both host spellings ride along because the budget
+    // cogroup keys on the frontier's literal host).
     val delayConfigured = config.respectCrawlDelay && config.perHostBudget > 0 &&
       config.respectRobots
-    val delayFuture: scala.concurrent.Future[(Dataset[HostBudget], Long)] =
-      if (!delayConfigured) null
+    var robotsRulesBase: DataFrame = null // persisted base (unpersisted at end)
+    // ONE scan + parse serves both tables: the directives frame is cached
+    // for the duration of the future, both children materialize off it,
+    // then it is released. Runs concurrently with pages prep.
+    val robotsFuture: scala.concurrent.Future[(DataFrame, Long, Dataset[HostBudget], Long)] =
+      if (!robotsActive && !delayConfigured) null
       else scala.concurrent.Future {
-        val d = Robots.delayBudgets(spark, pages.toDF(),
-            config.waveModelSeconds, config.perHostBudget)
+        val dirs = Robots.directivesTable(spark, pages.toDF())
           .persist(StorageLevel.MEMORY_AND_DISK)
-        (d, d.count())
+        try {
+          val (r, nR) =
+            if (!robotsActive) (null: DataFrame, 0L)
+            else {
+              val t = Robots.rulesFromDirectives(dirs).persist(StorageLevel.MEMORY_AND_DISK)
+              (t, t.count())
+            }
+          val (d, nD) =
+            if (!delayConfigured) (spark.emptyDataset[HostBudget], 0L)
+            else {
+              val t = Robots.delayBudgetsFromDirectives(dirs,
+                config.waveModelSeconds, config.perHostBudget)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              (t, t.count())
+            }
+          (r, nR, d, nD)
+        } finally dirs.unpersist()
       }(sinkEc)
 
     // ---- pages table prep: canonical key + explicit co-partitioning --------
@@ -308,23 +316,20 @@ object CrawlEngine {
       else preparedBase
     if (prePartitionPages) liveCaches += (() => prepared.unpersist())
 
-    val robotsRules: DataFrame = if (!robotsActive) null
-    else {
-      val (r, nRules) = scala.concurrent.Await.result(
-        robotsFuture, scala.concurrent.duration.Duration.Inf)
-      robotsRulesBase = r
-      liveCaches += (() => r.unpersist())
-      // broadcast the gate join while the disallowing-host table is small;
-      // a 10^7-host deployment falls back to a shuffle join automatically
-      if (nRules < 200000L) broadcast(r) else r
-    }
-    val (delayBudgets, nDelayHosts): (Dataset[HostBudget], Long) =
-      if (!delayConfigured) (spark.emptyDataset[HostBudget], 0L)
+    val (robotsRules, delayBudgets, nDelayHosts): (DataFrame, Dataset[HostBudget], Long) =
+      if (robotsFuture == null) (null, spark.emptyDataset[HostBudget], 0L)
       else {
-        val (d, n) = scala.concurrent.Await.result(
-          delayFuture, scala.concurrent.duration.Duration.Inf)
-        if (n > 0L) liveCaches += (() => d.unpersist()) else d.unpersist()
-        (d, n)
+        val (r, nRules, d, nD) = scala.concurrent.Await.result(
+          robotsFuture, scala.concurrent.duration.Duration.Inf)
+        if (r != null) {
+          robotsRulesBase = r
+          liveCaches += (() => r.unpersist())
+        }
+        if (nD > 0L) liveCaches += (() => d.unpersist()) else d.unpersist()
+        // broadcast the gate join while the disallowing-host table is small;
+        // a 10^7-host deployment falls back to a shuffle join automatically
+        val rOut = if (r == null) null else if (nRules < 200000L) broadcast(r) else r
+        (rOut, d, nD)
       }
     val delayActive = nDelayHosts > 0L
     log(s"prep done (pages cached + robots rules table) $elapsed")

@@ -122,8 +122,11 @@ final case class CrawlConfig(
     // Honor robots.txt `Crawl-delay` (the non-standard but ubiquitous
     // seconds-between-requests directive): a declaring host's per-wave
     // budget is capped at max(1, waveModelSeconds div delay), merged
-    // most-restrictive-wins with the adaptive budgets. No corpus host
-    // declares one, so the frozen goldens are unaffected by the default.
+    // most-restrictive-wins with the adaptive budgets. NOTE: every corpus
+    // host declares `Crawl-delay: 1` — non-binding at the golden budget 3
+    // (cap 30 ≥ 3) but BINDING for any perHostBudget > waveModelSeconds,
+    // so throughput configs above 30 must either accept the cap or opt
+    // out explicitly (Bench does — see Bench.crawlOnce).
     respectCrawlDelay: Boolean = true,
     // How many seconds of politeness wall time one wave MODELS — the bridge
     // between the wave-budget abstraction (k fetches/host/wave) and

@@ -27,9 +27,13 @@ object Relational3 {
     * trades this sort away but is engine-specific and thus not
     * oracle-replayable. */
   def eventPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    // null values are EXCLUDED from the population (and from n) explicitly:
+    // Spark windows sort NULLS FIRST, DuckDB NULLS LAST — without the
+    // filter a single null would shift every rank in one engine only
     val e = t(spark, dir, "events")
       .select(col("event_type"), col("event_id"),
         round(col("value") * 1000).cast("long").as("v"))
+      .filter(col("v").isNotNull)
     val counts = e.groupBy("event_type")
       .agg(count(lit(1)).as("n"), max("v").as("max_milli"))
     val ranked = e.withColumn("rn", row_number().over(
@@ -52,7 +56,7 @@ object Relational3 {
   val eventPercentilesSql: String =
     """WITH e AS (
       |  SELECT event_type, event_id, CAST(round(value * 1000) AS BIGINT) AS v
-      |  FROM events),
+      |  FROM events WHERE value IS NOT NULL),
       |c AS (
       |  SELECT event_type, CAST(count(*) AS BIGINT) AS n, max(v) AS max_milli
       |  FROM e GROUP BY event_type),

@@ -61,7 +61,10 @@ object Robots {
             if (inStarGroup)
               scala.util.Try(BigDecimal(value)).toOption
                 .filter(_ > 0)
-                .map(d => d.setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
+                // clamp BEFORE toLong: a 2^64-scale delay must stay the most
+                // restrictive value, not overflow to 0/negative (= no delay)
+                .map(d => d.min(BigDecimal(Long.MaxValue))
+                  .setScale(0, BigDecimal.RoundingMode.CEILING).toLong)
                 .foreach(d => delay = Some(delay.fold(d)(math.max(_, d))))
             lastLineWasAgent = false
           case "sitemap" =>
@@ -94,7 +97,12 @@ object Robots {
     * entries AND let a URL blocked by one variant survive via the other.
     * Shared by the batch wave loop and the streaming crawl twin; the caller
     * decides persist/broadcast. */
-  def rulesTable(spark: SparkSession, pages: DataFrame): DataFrame = {
+  /** ONE scan + parse of every robots.txt body: (rhost, disallow,
+    * delay_sec) per www-stripped host that declares ANYTHING — both
+    * [[rulesTable]] and the Crawl-delay budgets derive from this, so a
+    * crawl parses each robots body exactly once (the one-scan discipline;
+    * delay_sec 0 = no declaration, variants keep the max). */
+  def directivesTable(spark: SparkSession, pages: DataFrame): DataFrame = {
     import spark.implicits._
     import java.nio.charset.StandardCharsets.UTF_8
     pages
@@ -104,55 +112,44 @@ object Robots {
       .flatMap { case (url, body) =>
         UrlKernel.extractDomain(url).flatMap { h =>
           val rules = parse(new String(body, UTF_8))
-          if (rules.disallow.exists(_.nonEmpty))
-            Some((stripWww(h), rules.disallow))
+          if (rules.disallow.exists(_.nonEmpty) || rules.crawlDelaySec.isDefined)
+            Some((stripWww(h), rules.disallow, rules.crawlDelaySec.getOrElse(0L)))
           else scala.None
         }
       }
-      .toDF("rhost", "disallow")
+      .toDF("rhost", "disallow", "delay_sec")
       .groupBy("rhost")
-      .agg(array_distinct(flatten(collect_list(col("disallow")))).as("disallow"))
+      .agg(array_distinct(flatten(collect_list(col("disallow")))).as("disallow"),
+        max("delay_sec").as("delay_sec"))
   }
 
-  /** Host-keyed Crawl-delay table from the raw pages input: one row per
-    * www-stripped host whose robots.txt declares a positive `Crawl-delay`
-    * in the `*` group, columns (rhost, delay_sec). Variants (www/re-capture)
-    * keep the MAX delay — most-restrictive-wins, the [[rulesTable]]
-    * discipline. The engine converts delays to per-wave budget caps
-    * (CrawlConfig.waveModelSeconds); kept sparse and distributed for the
-    * same reason as the Disallow table. */
-  def delayTable(spark: SparkSession, pages: DataFrame): DataFrame = {
-    import spark.implicits._
-    import java.nio.charset.StandardCharsets.UTF_8
-    pages
-      .filter(col("url").endsWith("/robots.txt"))
-      .select(col("url"), col("html"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (url, body) =>
-        UrlKernel.extractDomain(url).flatMap { h =>
-          parse(new String(body, UTF_8)).crawlDelaySec.map(d => (stripWww(h), d))
-        }
-      }
-      .toDF("rhost", "delay_sec")
-      .groupBy("rhost")
-      .agg(max("delay_sec").as("delay_sec"))
-  }
+  /** The Disallow-gate half of [[directivesTable]]: only hosts that block
+    * something, (rhost, disallow). */
+  def rulesFromDirectives(directives: DataFrame): DataFrame =
+    directives
+      .filter(exists(col("disallow"), d => length(d) > 0))
+      .select(col("rhost"), col("disallow"))
 
-  /** [[delayTable]] converted to per-wave budget caps — ONE definition
-    * shared by the batch engine and the streaming scheduler so the twins
-    * cannot disagree on what a delay means. delay d seconds → budget
-    * max(1, waveModelSeconds div d), capped at perHostBudget; only BINDING
-    * caps (below the default) emit rows, and both host spellings are
-    * emitted because budget lookups key on the frontier's literal host
+  def rulesTable(spark: SparkSession, pages: DataFrame): DataFrame =
+    rulesFromDirectives(directivesTable(spark, pages))
+
+  /** Crawl-delay per-wave budget caps from a [[directivesTable]] frame —
+    * ONE definition shared by the batch engine and the streaming scheduler
+    * so the twins cannot disagree on what a delay means. delay d seconds →
+    * budget max(1, waveModelSeconds div d), capped at perHostBudget; only
+    * BINDING caps (below the default) emit rows, and both host spellings
+    * are emitted because budget lookups key on the frontier's literal host
     * while robots variants strip www. */
-  def delayBudgets(
-      spark: SparkSession,
-      pages: DataFrame,
+  def delayBudgetsFromDirectives(
+      directives: DataFrame,
       waveModelSeconds: Int,
       perHostBudget: Int
   ): Dataset[graft.model.HostBudget] = {
+    val spark = directives.sparkSession
     import spark.implicits._
-    delayTable(spark, pages)
+    directives
+      .filter(col("delay_sec") > 0L)
+      .select(col("rhost"), col("delay_sec"))
       .as[(String, Long)]
       .flatMap { case (rhost, delay) =>
         val b = math.min(
@@ -162,6 +159,15 @@ object Robots {
         else Seq(graft.model.HostBudget(rhost, b), graft.model.HostBudget(s"www.$rhost", b))
       }
   }
+
+  /** Convenience over the raw pages input (tests; single-use callers). */
+  def delayBudgets(
+      spark: SparkSession,
+      pages: DataFrame,
+      waveModelSeconds: Int,
+      perHostBudget: Int
+  ): Dataset[graft.model.HostBudget] =
+    delayBudgetsFromDirectives(directivesTable(spark, pages), waveModelSeconds, perHostBudget)
 
   /** Distributed Disallow gate: drop every entry whose path is robots-blocked
     * for its host. `rules` is a (rhost, disallow array) table holding ONLY

@@ -67,26 +67,36 @@ object StreamingCrawl {
     val prepared = CrawlEngine.preparePages(pages).persist(StorageLevel.MEMORY_AND_DISK)
 
     val robotsActive = config.respectRobots && config.maxDepth > 0
+    val delayConfigured = config.respectCrawlDelay && config.perHostBudget > 0 &&
+      config.respectRobots
     var robotsRulesBase: org.apache.spark.sql.DataFrame = null
-    val robotsRules =
-      if (robotsActive) {
-        val r = Robots.rulesTable(spark, pages.toDF()).persist(StorageLevel.MEMORY_AND_DISK)
-        robotsRulesBase = r
-        if (r.count() < 200000L) broadcast(r) else r
-      } else null
-
-    // robots Crawl-delay caps — the SAME Robots.delayBudgets table as the
-    // batch engine (binding caps only); rides into the scheduler's keyed
-    // state via a stream-static broadcast join, mirroring the batch
-    // politeness-cogroup merge so the twins release identical tranches
-    val delayCaps: Option[org.apache.spark.sql.DataFrame] =
-      if (!(config.respectCrawlDelay && config.perHostBudget > 0 && config.respectRobots))
-        scala.None
+    // ONE robots scan serves the Disallow gate AND the Crawl-delay caps
+    // (the batch engine's shared Robots.directivesTable discipline); the
+    // caps ride into the scheduler's keyed state via a stream-static
+    // broadcast join so the twins release identical tranches.
+    val (robotsRules, delayCaps): (org.apache.spark.sql.DataFrame, Option[org.apache.spark.sql.DataFrame]) =
+      if (!robotsActive && !delayConfigured) (null, scala.None)
       else {
-        val d = Robots.delayBudgets(spark, pages.toDF(),
-          config.waveModelSeconds, config.perHostBudget).toDF()
+        val dirs = Robots.directivesTable(spark, pages.toDF())
           .persist(StorageLevel.MEMORY_AND_DISK)
-        if (d.count() > 0L) Some(d) else { d.unpersist(); scala.None }
+        try {
+          val r =
+            if (!robotsActive) null
+            else {
+              val t = Robots.rulesFromDirectives(dirs).persist(StorageLevel.MEMORY_AND_DISK)
+              robotsRulesBase = t
+              if (t.count() < 200000L) broadcast(t) else t
+            }
+          val d =
+            if (!delayConfigured) scala.None
+            else {
+              val t = Robots.delayBudgetsFromDirectives(dirs,
+                config.waveModelSeconds, config.perHostBudget).toDF()
+                .persist(StorageLevel.MEMORY_AND_DISK)
+              if (t.count() > 0L) Some(t) else { t.unpersist(); scala.None }
+            }
+          (r, d)
+        } finally dirs.unpersist()
       }
 
     val seedHosts = config.seeds

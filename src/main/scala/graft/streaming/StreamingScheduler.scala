@@ -63,7 +63,14 @@ object StreamingScheduler {
   /** Per-host frontier shard: pending backlog + released (seen) canonicals
     * + the host's effective budget cap (remembered so timeout wake-ups —
     * which carry no rows — release the same tranche size as data batches;
-    * Int.MaxValue = no override, the default budget applies). */
+    * Int.MaxValue = no override, the default budget applies).
+    *
+    * STATE SCHEMA v2: the `cap` field was added for Crawl-delay support.
+    * Spark's state-store schema check rejects a resume from a checkpoint
+    * written by the 2-field v1 state — restart such a crawl with a fresh
+    * checkpoint dir (discovery/scheduled sinks are unaffected), or set
+    * spark.sql.streaming.stateStore.stateSchemaCheck=false at your own
+    * risk. */
   final case class HostState(backlog: Seq[Candidate], fetched: Seq[String],
                              cap: Int = Int.MaxValue)
 

@@ -110,7 +110,11 @@ class CrawlEngineSpec extends AnyFunSuite {
         val cfg = CrawlConfig(
           seeds = (0 until 2).map(h => s"https://${CorpusGen.hostName(h)}/"),
           maxDepth = 3, maxPages = 100, perHostBudget = budget,
-          excludePatterns = Seq("external-data.org", "*.external-data.org"))
+          excludePatterns = Seq("external-data.org", "*.external-data.org"),
+          // the corpus's Crawl-delay: 1 would cap the budget=1000 leg at 30
+          // and make "non-binding" depend on wave sizes — this test compares
+          // the budget machinery itself, so the delay stays out of it
+          respectCrawlDelay = false)
         val s = CrawlEngine.run(spark, pages, cfg, dir)
         (s, orderLines(spark, dir))
       }

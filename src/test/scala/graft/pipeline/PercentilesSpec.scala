@@ -25,7 +25,11 @@ class PercentilesSpec extends AnyFunSuite {
   test("eventPercentiles matches a driver-side replay of the rank spec") {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
       .select("event_type", "event_id", "value").collect()
-      .map(r => (r.getString(0), r.getLong(1), math.round(r.getDouble(2) * 1000)))
+      .filter(!_.isNullAt(2))
+      // HALF_UP like Spark's round() — math.round is half-toward-+inf and
+      // diverges on negative exact halves
+      .map(r => (r.getString(0), r.getLong(1),
+        BigDecimal(r.getDouble(2) * 1000).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
     val expect = events.groupBy(_._1).map { case (t, rows) =>
       val vs = rows.sortBy(r => (r._3, r._2)).map(_._3)
       val n = vs.length.toLong
