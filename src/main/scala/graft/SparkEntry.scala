@@ -69,6 +69,7 @@ object SparkEntry {
     "q_paragraph_dedup" -> (TextAnalysis.paragraphDedup _),
     "q_lm_score" -> (TextAnalysis.lmScore _),
     "q_span_dedup" -> (TextAnalysis.spanDedup _),
+    "q_unicode_normalize" -> (TextAnalysis.unicodeNormalize _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -164,6 +165,7 @@ object SparkEntry {
     "q_paragraph_dedup" -> TextAnalysis.paragraphDedupSql,
     "q_lm_score" -> TextAnalysis.lmScoreSql,
     "q_span_dedup" -> TextAnalysis.spanDedupSql,
+    "q_unicode_normalize" -> TextAnalysis.unicodeNormalizeSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

@@ -29,6 +29,16 @@ object GraftExpressions {
 
   def simhash64Eval(t: UTF8String): Long = Dedup.simhash64(t.toString)
 
+  def nfcEval(t: UTF8String): UTF8String = {
+    val s = t.toString
+    // fast path: java.text.Normalizer.isNormalized is a cheap scan and web
+    // text is overwhelmingly already NFC — skip the rebuild (and the
+    // allocation) for the common case.
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) t
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
   /** `canonicalize_url(url)` — dedup-canonical URL or NULL when the input is
     * not a canonicalizable http(s) URL (deduplicator.rs:109-151 semantics,
     * same kernel the crawl engine applies Scala-side to links). */
@@ -70,6 +80,26 @@ object GraftExpressions {
       copy(child = newChild)
   }
 
+  /** `nfc_normalize(text)` — Unicode NFC canonical composition (the
+    * cleanup step every web-text training pipeline runs before hashing or
+    * tokenizing: decomposed `e`+U+0301 and composed `é` must dedup/token-
+    * count identically). Spark ships no normalization function, so this is
+    * the native-Expression path from the build brief; DuckDB's
+    * `nfc_normalize` is the oracle twin (both implement UAX #15). */
+  case class NfcNormalize(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "nfc_normalize"
+
+    override protected def nullSafeEval(input: Any): Any =
+      nfcEval(input.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"graft.functions.GraftExpressions.nfcEval($c)")
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ------------------------------------------------------------ Column API --
 
   def canonicalize_url(c: Column): Column =
@@ -77,6 +107,9 @@ object GraftExpressions {
 
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(SimHash64(GraftColumnBridge.expression(c)))
+
+  def nfc_normalize(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
 
   /** Register both as SQL functions on this session (idempotent) so
     * `spark.sql("SELECT canonicalize_url(url) ...")` works too. */
@@ -90,5 +123,7 @@ object GraftExpressions {
       unary("canonicalize_url", CanonicalizeUrl.apply) _, "built-in")
     registry.createOrReplaceTempFunction("simhash64",
       unary("simhash64", SimHash64.apply) _, "built-in")
+    registry.createOrReplaceTempFunction("nfc_normalize",
+      unary("nfc_normalize", NfcNormalize.apply) _, "built-in")
   }
 }

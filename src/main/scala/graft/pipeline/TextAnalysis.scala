@@ -1096,4 +1096,74 @@ object TextAnalysis {
        |  md5(coalesce(string_agg(word, ' ' ORDER BY w.widx) FILTER (WHERE cov.widx IS NULL), '')) AS clean_md5
        |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.widx = cov.widx
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
+
+  // --------------------------------------------- unicode normalization -----
+
+  /** Everything the cleanup pipeline must fix at least once: a decomposed
+    * `e`+U+0301 (NFC recomposition), a zero-width space, a C0 control, a
+    * CRLF, a double space, a BOM, and a trailing tab. Planted onto docs
+    * 0-11 (ids offset) so the sf corpus — which is clean ASCII — carries
+    * real work for the oracle to check, not just the identity path. */
+  private[pipeline] val NormPlantSuffix: String =
+    " cafe\u0301\u200Bx\u0001y\r\nrow  scan\uFEFF\t"
+
+  /** Characters normalization strips outright: C0 controls except \t and
+    * \n (\r included, so CRLF collapses to \n), DEL, zero-width
+    * space/non-joiner/joiner, BOM. One `\x{...}` class string that is
+    * valid Java regex AND RE2, so the engine and the oracle compile the
+    * same pattern. */
+  private[pipeline] val CtrlClassRe: String =
+    "[\\x{0}-\\x{8}\\x{B}-\\x{1F}\\x{7F}\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** Space/tab runs collapse to one space (newlines preserved — paragraph
+    * structure is signal for downstream quality filters). */
+  private[pipeline] val SpaceRunRe: String = "[ \\t]+"
+
+  /** Unicode text normalization — the cleanup pass every web-text training
+    * pipeline runs before hashing, deduping, or tokenizing (decomposed and
+    * composed accents must collide; zero-width chars defeat exact-dedup and
+    * inflate token counts). NFC via the native codegen'd
+    * [[graft.functions.GraftExpressions.NfcNormalize]] expression (Spark
+    * ships no normalizer; a UDF would break the codegen span), then
+    * control/zero-width strip and space-run collapse as plain
+    * `regexp_replace` Columns. Emits md5 + byte length of the normalized
+    * text (not the text itself) plus a changed flag — the md5 keeps the
+    * oracle compare exact without shipping megabytes of text through it. */
+  def unicodeNormalize(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val plants = base.filter(col("doc_id") < 12)
+      .select((col("doc_id") + DedupQueries.PlantOffset).as("doc_id"),
+        concat(col("text"), lit(NormPlantSuffix)).as("text"))
+    val norm = trim(regexp_replace(regexp_replace(
+        graft.functions.GraftExpressions.nfc_normalize(col("text")),
+        CtrlClassRe, ""), SpaceRunRe, " "))
+    base.union(plants)
+      .select(col("doc_id"),
+        when(norm =!= col("text"), 1).otherwise(0).as("changed"),
+        octet_length(norm).as("norm_bytes"),
+        md5(norm).as("norm_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** Independent DuckDB recompute of [[unicodeNormalize]]: `nfc_normalize`
+    * is DuckDB's own UAX #15 implementation (utf8proc) vs the JDK's — two
+    * independent NFC engines agreeing on every row, same shared regex
+    * strings, plant replayed via `chr()` codepoints (byte-exact by
+    * construction). */
+  val unicodeNormalizeSql: String = {
+    val chrs = NormPlantSuffix.codePoints.toArray.map(cp => s"chr($cp)").mkString(" || ")
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |u AS (SELECT * FROM base
+       |      UNION ALL
+       |      SELECT doc_id + ${DedupQueries.PlantOffset}, text || $chrs FROM base WHERE doc_id < 12),
+       |n AS (SELECT doc_id, text,
+       |        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+       |          '$CtrlClassRe', '', 'g'), '$SpaceRunRe', ' ', 'g')) AS norm
+       |      FROM u)
+       |SELECT doc_id,
+       |  CASE WHEN norm <> text THEN 1 ELSE 0 END AS changed,
+       |  strlen(norm) AS norm_bytes,
+       |  md5(norm) AS norm_md5
+       |FROM n ORDER BY doc_id""".stripMargin
+  }
 }

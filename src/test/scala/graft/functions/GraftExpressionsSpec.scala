@@ -89,4 +89,35 @@ class GraftExpressionsSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), s"must not fall back to a UDF:\n$plan")
     assert(plan.contains("*("), s"must run inside WholeStageCodegen:\n$plan")
   }
+
+  test("nfc_normalize: recomposes decomposed text, identity fast path, codegen parity") {
+    import spark.implicits._
+    val texts = Seq(
+      "cafe\u0301 au lait",        // decomposed e + combining acute
+      "caf\u00E9 au lait",         // already composed - fast path
+      "\u1100\u1161\u11A8",      // Hangul jamo -> syllable U+AC01
+      "plain ascii", "")
+    val want = texts.map(java.text.Normalizer.normalize(_, java.text.Normalizer.Form.NFC))
+    // interpreted path (LocalRelation folds at optimize time)
+    val got = texts.toDF("t")
+      .select(GraftExpressions.nfc_normalize(col("t")).as("n"))
+      .collect().map(_.getString(0))
+    assert(got.toSeq == want, "interpreted eval must match java.text.Normalizer")
+    assert(got(0) == got(1), "decomposed and composed forms must collide after NFC")
+    // codegen path via a parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-nfc-parquet").toString
+    texts.toDF("t").repartition(2).write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .select(col("t"), GraftExpressions.nfc_normalize(col("t")).as("n"))
+    val byIn = q.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    texts.zip(want).foreach { case (i, w) =>
+      assert(byIn(i) == w, s"codegen NFC mismatch for ${i.codePoints.toArray.mkString(",")}")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && plan.contains("*("), s"codegen span required:\n$plan")
+    // null propagation + SQL registration
+    GraftExpressions.register(spark)
+    val n = spark.sql("SELECT nfc_normalize(CAST(NULL AS STRING))").collect()
+    assert(n.head.isNullAt(0))
+  }
 }

@@ -357,4 +357,39 @@ class TextAnalysisSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("unicodeNormalize: every rule fires on the plant; rows match a JVM re-derivation") {
+    def jvmNorm(s: String): String = {
+      val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+      val stripped = nfc.replaceAll(TextAnalysis.CtrlClassRe, "")
+      val collapsed = stripped.replaceAll(TextAnalysis.SpaceRunRe, " ")
+      collapsed.replaceAll("^ +| +$", "") // space-only trim, like SQL trim
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the suffix alone exercises NFC recomposition, zero-width strip, C0
+    // strip, CRLF -> LF, space-run collapse, and trailing-whitespace trim
+    assert(jvmNorm(TextAnalysis.NormPlantSuffix) == "caf\u00E9xy\nrow scan",
+      "each cleanup rule must fire on the planted suffix")
+    val baseText = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = TextAnalysis.unicodeNormalize(spark, sfDir).collect()
+    assert(rows.count(_.getAs[Long]("doc_id") >= Plant) == 12, "12 planted rows")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val input = if (id >= Plant) baseText(id - Plant) + TextAnalysis.NormPlantSuffix
+                  else baseText(id)
+      val want = jvmNorm(input)
+      assert(r.getAs[String]("norm_md5") == md5hex(want), s"norm text mismatch, doc $id")
+      assert(r.getAs[Int]("norm_bytes") == want.getBytes("UTF-8").length,
+        s"norm byte length mismatch, doc $id")
+      assert(r.getAs[Int]("changed") == (if (want != input) 1 else 0),
+        s"changed flag mismatch, doc $id")
+    }
+    // every plant demonstrably changed; the base corpus may or may not
+    rows.filter(_.getAs[Long]("doc_id") >= Plant)
+      .foreach(r => assert(r.getAs[Int]("changed") == 1, s"plant must change: $r"))
+  }
 }
