@@ -111,6 +111,7 @@ object SparkEntry {
     "q_page_meta" -> (CrawlQueries.pageMeta _),
     "q_pagerank" -> (CrawlQueries.pageRank _),
     "q_hostrank" -> (CrawlQueries.hostRank _),
+    "q_wave_plan" -> (CrawlQueries.wavePlan _),
     "q_sitemap_gap" -> (CrawlQueries.sitemapGap _),
     "q_frontier_reshard" -> (graft.pipeline.Resharding.reshardQuery _),
     "q_link_anchors" -> (CrawlQueries.linkAnchors _),
@@ -185,6 +186,9 @@ object SparkEntry {
     // independent recompute: the same unrolled recurrence over the
     // host-collapsed edge set (http filter before mapping, no self-loops)
     "q_hostrank" -> CrawlQueries.hostRankSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: hostRank's unrolled recurrence as a CTE, then
+    // the same integer Hamilton apportionment over the frozen edges
+    "q_wave_plan" -> CrawlQueries.wavePlanSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: the same normalization + membership join +
     // rollup over the frozen sitemap-seeds and crawl-order fixtures
     "q_sitemap_gap" -> CrawlQueries.sitemapGapSql(

@@ -563,4 +563,83 @@ object CrawlQueries {
       .toDF("url", "warc_ts", "html_bytes", "html_sha256")
       .orderBy("url")
   }
+
+  // ------------------------------------------------- wave budget planning --
+
+  /** Global fetch slots apportioned per wave — sized so on this corpus some
+    * hosts bind on their share and some on their backlog (both planner
+    * branches exercised). */
+  val WaveBudget = 200L
+
+  /** Per-wave fetch-slot apportionment — the planning step between "which
+    * hosts have pending urls" and "fetch this wave": a global budget of
+    * [[WaveBudget]] slots is divided across hosts PROPORTIONALLY TO HOST
+    * AUTHORITY ([[hostRank]]'s integer rank) by the Hamilton largest-
+    * remainder method — `base = (G·r) div R` slots per host plus one bonus
+    * slot to the hosts with the largest remainders until the budget is
+    * exact. All-integer, so the apportionment is bit-identical at any
+    * parallelism and independently replayable by the oracle. The quota is
+    * then capped by the host's actual backlog (`least(pending, ...)`) —
+    * a single-pass planner: slots stranded by the cap roll to the next
+    * wave rather than triggering an iterative redistribution.
+    *
+    * Scale shape: pending is one map-side-combined aggregation over the
+    * frontier; everything after runs on the HOST table — orders of
+    * magnitude smaller than the frontier (10^6-10^7 hosts at a 10^10-url
+    * frontier), which is what makes the two global windows (total rank,
+    * remainder ranking) acceptable; at extreme host counts the remainder
+    * ranking shards hierarchically (per-shard apportionment of per-shard
+    * sub-budgets). Hosts absent from the inter-host link graph take the
+    * damping floor [[PageRankFloorMicro]] — exactly the rank an edgeless
+    * node converges to under the recurrence. */
+  def wavePlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = extractLinkEdges(spark, dir).select("src", "dst")
+      .filter(col("dst").startsWith("http"))
+    val pending = edges.select(Cardinality.hostCol(col("dst")).as("host"), col("dst"))
+      .distinct()
+      .groupBy("host").agg(count(lit(1)).as("pending"))
+    val ranks = hostRank(spark, dir).select(col("host"), col("rank_micro"))
+    val global = Window.partitionBy(lit(1))
+    val planned = pending.join(ranks, Seq("host"), "left")
+      .select(col("host"), col("pending"),
+        coalesce(col("rank_micro"), lit(PageRankFloorMicro)).as("rank_micro"))
+      .withColumn("r_tot", sum("rank_micro").over(global))
+      .withColumn("base_q", expr(s"($WaveBudget * rank_micro) div r_tot"))
+      .withColumn("rem", expr(s"($WaveBudget * rank_micro) % r_tot"))
+      .withColumn("leftover", lit(WaveBudget) - sum("base_q").over(global))
+      .withColumn("rn", row_number().over(Window.orderBy(desc("rem"), asc("host"))))
+      .withColumn("bonus", when(col("rn") <= col("leftover"), 1L).otherwise(0L))
+    planned.select(col("host"), col("pending"), col("rank_micro"),
+        col("base_q"), col("bonus"),
+        least(col("pending"), col("base_q") + col("bonus")).as("quota"))
+      .orderBy("host")
+  }
+
+  /** DuckDB twin of [[wavePlan]]: [[hostRankSql]]'s full unrolled
+    * recurrence as a CTE, then the identical integer Hamilton
+    * apportionment (div/mod on non-negative longs — the exact-portability
+    * subset) over the frozen edge fixture. */
+  def wavePlanSql(edgesSelect: String): String =
+    s"""WITH hr AS (${hostRankSql(edgesSelect)}),
+       |e AS (SELECT dst FROM ($edgesSelect) WHERE dst LIKE 'http%'),
+       |pending AS (
+       |  SELECT regexp_extract(dst, '^https?://([^/]+)', 1) AS host,
+       |    CAST(count(DISTINCT dst) AS BIGINT) AS pending
+       |  FROM e GROUP BY 1),
+       |b AS (
+       |  SELECT p.host, p.pending,
+       |    coalesce(hr.rank_micro, $PageRankFloorMicro) AS rank_micro
+       |  FROM pending p LEFT JOIN hr ON p.host = hr.host),
+       |t AS (SELECT *, CAST(sum(rank_micro) OVER () AS BIGINT) AS r_tot FROM b),
+       |q AS (SELECT *,
+       |    CAST(($WaveBudget * rank_micro) // r_tot AS BIGINT) AS base_q,
+       |    CAST(($WaveBudget * rank_micro) % r_tot AS BIGINT) AS rem FROM t),
+       |l AS (SELECT *,
+       |    CAST($WaveBudget - sum(base_q) OVER () AS BIGINT) AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, host ASC) AS rn FROM q)
+       |SELECT host, pending, rank_micro, base_q,
+       |  CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS bonus,
+       |  least(pending, base_q + CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS quota
+       |FROM l ORDER BY host""".stripMargin
 }

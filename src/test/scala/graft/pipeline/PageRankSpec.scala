@@ -90,4 +90,39 @@ class PageRankSpec extends AnyFunSuite {
       assert(a == b)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
+
+  test("wavePlan: exact Hamilton apportionment replay; both binding branches occur") {
+    def host(u: String): String = u.replaceFirst("^https?://", "").takeWhile(_ != '/')
+    val G = CrawlQueries.WaveBudget
+    // independent driver-side replay: pending from the raw edges, ranks
+    // from the hostRank OUTPUT (itself gated by its own replay test above)
+    val pending = CrawlQueries.extractLinkEdges(spark, "")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .filter(_._2.startsWith("http"))
+      .map(_._2).distinct.groupBy(host).view.mapValues(_.length.toLong).toMap
+    val rank = CrawlQueries.hostRank(spark, "").collect()
+      .map(r => r.getAs[String]("host") -> r.getAs[Long]("rank_micro")).toMap
+    val hosts = pending.keys.toSeq.sorted
+    val r = hosts.map(h => h -> rank.getOrElse(h, CrawlQueries.PageRankFloorMicro)).toMap
+    val rTot = hosts.map(r).sum
+    val base = hosts.map(h => h -> (G * r(h)) / rTot).toMap
+    val rem = hosts.map(h => h -> (G * r(h)) % rTot).toMap
+    val leftover = G - base.values.sum
+    val bonusHosts = hosts.sortBy(h => (-rem(h), h)).take(leftover.toInt).toSet
+    val expected = hosts.map { h =>
+      val bonus = if (bonusHosts(h)) 1L else 0L
+      (h, pending(h), r(h), base(h), bonus, math.min(pending(h), base(h) + bonus))
+    }
+    val got = CrawlQueries.wavePlan(spark, "").collect().map(x =>
+      (x.getAs[String]("host"), x.getAs[Long]("pending"), x.getAs[Long]("rank_micro"),
+        x.getAs[Long]("base_q"), x.getAs[Long]("bonus"), x.getAs[Long]("quota"))).toSeq
+    assert(got == expected, "every planned row must match the driver-side Hamilton replay")
+    // apportionment exactness: base + bonus slots account for the whole budget
+    assert(got.map(g => g._4 + g._5).sum == G, "Hamilton apportionment is exact")
+    // both planner branches must bind on this corpus: some host's quota is
+    // its backlog (cap binds), some host's is its share (budget binds)
+    assert(got.exists(g => g._6 == g._2 && g._4 + g._5 > g._2), "backlog-capped host exists")
+    assert(got.exists(g => g._6 < g._2), "share-limited host exists")
+    assert(got.forall(g => g._6 <= g._2 && g._6 >= 0), "quota within [0, pending]")
+  }
 }
