@@ -82,6 +82,7 @@ object SparkEntry {
     "q_ann_pq" -> (DedupQueries.annPq _),
     "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),
     "q_dedup_keep" -> (DedupQueries.dedupKeep _),
+    "q_incremental_dedup" -> (DedupQueries.incrementalDedup _),
     "q_winnow_containment" -> (DedupQueries.winnowContainment _),
     // --- export validation / relevance / multimodal ---
     "q_vector_validate" -> (ExportQueries.vectorValidate _),

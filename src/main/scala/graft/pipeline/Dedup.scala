@@ -162,6 +162,112 @@ object Dedup {
     verified.union(exactEdges)
   }
 
+  /** Corpus-side candidates considered per LSH bucket in
+    * [[incrementalAdmit]] — a hot bucket (boilerplate cluster in the
+    * admitted corpus) contributes at most this many candidate matches per
+    * batch document instead of its full population. Deterministic: the K
+    * smallest corpus ids win. */
+  val MaxProbePerBucket = 64
+
+  /** Incremental near-dup ADMISSION — the production shape of dedup for a
+    * continuously-operating crawl at 10^10-url scale: the day's batch is
+    * checked against the already-admitted corpus WITHOUT recomputing
+    * corpus×corpus (the global [[verifiedNearDups]]/[[dedupKeepList]] pass
+    * is a backfill job; this is the per-wave admission gate). Stages:
+    *
+    *  1. batch-internal exact dedup (md5 keys; min id survives onward),
+    *  2. exact-vs-corpus rejection (hash join on md5 keys — text bytes
+    *     never enter the exchange),
+    *  3. near-vs-corpus: batch band signatures cogrouped against the
+    *     corpus LSH index on (band, bucket) — in deployment the corpus
+    *     side IS the persisted index table ([[lshBuckets]] output), built
+    *     incrementally as batches admit; recomputed from the corpus table
+    *     here. Hot buckets are capped corpus-side to the
+    *     [[MaxProbePerBucket]] smallest ids (the same counted-cap
+    *     discipline as [[candidatePairs]]; bounded memory via a K-heap,
+    *     never a full-bucket array),
+    *  4. shingle-Jaccard verification of candidates; a batch doc REJECTS
+    *     iff its best-Jaccard corpus match ≥ threshold.
+    *
+    * One row per batch doc: (doc_id, admitted 0/1, reason
+    * new|exact|near|batch_exact, match_doc_id, jaccard_milli). Batch-
+    * internal NEAR duplicates are deliberately out of scope — both members
+    * admit, and the periodic global keep-list collapses them; the
+    * admission gate's contract is vs-corpus growth control. */
+  def incrementalAdmit(spark: SparkSession, corpus: DataFrame, batch: DataFrame,
+                       threshold: Double,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       maxProbe: Int = MaxProbePerBucket): DataFrame = {
+    import spark.implicits._
+    val cT = corpus.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val bT = batch.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val nullLong = lit(null).cast("long")
+
+    // 1. batch-internal exact dedup on md5 keys
+    val bKeys = bT.select(col("id"), md5(col("text")).as("h"))
+    val bReps = bKeys.groupBy("h").agg(min("id").as("rep"))
+    val batchExact = bKeys.join(bReps, Seq("h")).filter(col("id") =!= col("rep"))
+      .select(col("id"), lit(0).as("admitted"), lit("batch_exact").as("reason"),
+        col("rep").as("match_doc_id"), lit(1000L).as("jaccard_milli"))
+    val bLead = bT.join(batchExact.select("id"), Seq("id"), "left_anti")
+
+    // 2. exact vs corpus (min corpus id per hash is the reported match)
+    val cKeys = cT.select(col("id").as("c_id"), md5(col("text")).as("h"))
+    val exactHits = bLead.select(col("id"), md5(col("text")).as("h"))
+      .join(cKeys, Seq("h"))
+      .groupBy("id").agg(min("c_id").as("match_doc_id"))
+    val exactRejects = exactHits.select(col("id"), lit(0).as("admitted"),
+      lit("exact").as("reason"), col("match_doc_id"), lit(1000L).as("jaccard_milli"))
+    val bRemain = bLead.join(exactHits.select("id"), Seq("id"), "left_anti")
+      .localCheckpoint() // consumed twice (bands + the final anti-join)
+
+    // 3. candidate matches: batch bands × capped corpus index per bucket
+    val bBands = lshBuckets(spark, bRemain, "id", "text")
+    val cBands = lshBuckets(spark, cT, "id", "text")
+    val cands = bBands.groupByKey(x => (x.band, x.bucket))
+      .cogroup(cBands.groupByKey(x => (x.band, x.bucket))) { case (_, bIt, cIt) =>
+        val bs = bIt.map(_.doc_id).toArray
+        if (bs.isEmpty) Iterator.empty
+        else {
+          // K smallest corpus ids, bounded memory (max-heap of size K)
+          val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+          cIt.foreach { c =>
+            if (heap.size < maxProbe) heap.enqueue(c.doc_id)
+            else if (c.doc_id < heap.head) { heap.dequeue(); heap.enqueue(c.doc_id) }
+          }
+          val cs = heap.toArray
+          for { b <- bs.iterator; c <- cs.iterator } yield (b, c)
+        }
+      }.toDF("id", "c_id").distinct()
+
+    // 4. Jaccard verification; best corpus match per batch doc
+    val verified = cands
+      .join(bRemain.withColumnRenamed("text", "b_text"), "id")
+      .join(cT.select(col("id").as("c_id"), col("text").as("c_text")), "c_id")
+      .select(col("id"), col("c_id"), col("b_text"), col("c_text"))
+      .as[(Long, Long, String, String)]
+      .map { case (id, cId, bt, ct) =>
+        val sa = shingles(bt); val sb = shingles(ct)
+        val inter = sa.intersect(sb).size.toDouble
+        val union = sa.size + sb.size - inter
+        (id, cId, if (union == 0) 0.0 else inter / union)
+      }.toDF("id", "c_id", "j")
+    val best = verified.groupBy("id")
+      .agg(max(struct(col("j"), (-col("c_id")).as("neg"))).as("w"))
+      .select(col("id"), (-col("w.neg")).as("match_doc_id"), col("w.j").as("j"))
+    val nearRejects = best.filter(col("j") >= threshold)
+      .select(col("id"), lit(0).as("admitted"), lit("near").as("reason"),
+        col("match_doc_id"), round(col("j") * 1000).cast("long").as("jaccard_milli"))
+
+    val admitted = bRemain.select("id")
+      .join(nearRejects.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), lit(1).as("admitted"), lit("new").as("reason"),
+        nullLong.as("match_doc_id"), nullLong.as("jaccard_milli"))
+
+    batchExact.union(exactRejects).union(nearRejects).union(admitted)
+      .withColumnRenamed("id", "doc_id")
+  }
+
   /** 64-bit SimHash over word unigrams (counts weighted). */
   def simhash64(text: String): Long = {
     val counts = scala.collection.mutable.HashMap.empty[String, Int]

@@ -185,6 +185,34 @@ object DedupQueries {
       |SELECT vec_a, vec_b, CAST(round(cos * 1000000) AS BIGINT) AS cosine_micro
       |FROM p WHERE cos >= 0.95 ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Incremental admission of a synthetic "day's batch" against the corpus
+    * ([[Dedup.incrementalAdmit]]): near-dup plants of docs 0-24 (one novel
+    * word APPENDED, +10^7 — appended rather than dropped because the corpus
+    * already contains drop-last-word near-copies of its head docs, which
+    * would make a dropped-word plant an EXACT corpus hit) must reject
+    * `near` against their originals (strictly best match: the original's
+    * shingles are a superset-intersection); exact copies of docs 25-34
+    * (+2·10^7) reject `exact`; word-reversed docs 35-44 (+3·10^7) are
+    * genuinely new and admit; one reversed doc planted TWICE (4·10^7 and
+    * 4·10^7+1) exercises the batch-internal exact stage — the min id
+    * admits `new`, its twin rejects `batch_exact`. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select("doc_id", "text")
+    val reversed = expr("array_join(reverse(split(text, ' ')), ' ')")
+    val nearPlants = base.filter(col("doc_id") < 25)
+      .select((col("doc_id") + PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" zzzbatchmut")).as("text"))
+    val exactPlants = base.filter(col("doc_id") >= 25 && col("doc_id") < 35)
+      .select((col("doc_id") + 2 * PlantOffset).as("doc_id"), col("text"))
+    val newDocs = base.filter(col("doc_id") >= 35 && col("doc_id") < 45)
+      .select((col("doc_id") + 3 * PlantOffset).as("doc_id"), reversed.as("text"))
+    val twinA = base.filter(col("doc_id") === 45)
+      .select(lit(4 * PlantOffset).as("doc_id"), reversed.as("text"))
+    val twinB = twinA.select((col("doc_id") + 1).as("doc_id"), col("text"))
+    val batch = nearPlants.union(exactPlants).union(newDocs).union(twinA).union(twinB)
+    Dedup.incrementalAdmit(spark, base, batch, 0.5).orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs over embeddings + planted exact copies. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

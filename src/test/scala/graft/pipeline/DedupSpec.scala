@@ -551,6 +551,49 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("incrementalAdmit: every planted batch doc meets its fate; mirror-farm batch is O(N)") {
+    import org.apache.spark.sql.functions._
+    val P = DedupQueries.PlantOffset
+    val rows = DedupQueries.incrementalDedup(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("admitted"), r.getAs[String]("reason"),
+          Option(r.getAs[java.lang.Long]("match_doc_id")).map(_.longValue),
+          Option(r.getAs[java.lang.Long]("jaccard_milli")).map(_.longValue))).toMap
+    assert(rows.size == 47, s"25 near + 10 exact + 10 new + 2 twins, got ${rows.size}")
+    (0L until 25L).foreach { i =>
+      val (adm, reason, m, j) = rows(P + i)
+      assert(adm == 0 && reason == "near", s"near plant $i: ${rows(P + i)}")
+      assert(m.contains(i), s"near plant $i must match its original, got $m")
+      assert(j.exists(_ >= 500L), s"near plant $i jaccard above threshold: $j")
+    }
+    (25L until 35L).foreach { i =>
+      val (adm, reason, m, j) = rows(2 * P + i)
+      assert(adm == 0 && reason == "exact" && m.contains(i) && j.contains(1000L),
+        s"exact plant $i: ${rows(2 * P + i)}")
+    }
+    (35L until 45L).foreach { i =>
+      val (adm, reason, m, j) = rows(3 * P + i)
+      assert(adm == 1 && reason == "new" && m.isEmpty && j.isEmpty,
+        s"reversed doc $i is genuinely new: ${rows(3 * P + i)}")
+    }
+    assert(rows(4 * P) == ((1, "new", None, None)), "twin min id admits")
+    assert(rows(4 * P + 1) == ((0, "batch_exact", Some(4 * P), Some(1000L))),
+      "twin rejects against its in-batch representative")
+    // mirror-farm batch: 10k identical docs against a small corpus must
+    // resolve via the batch-internal md5 stage (one survivor reaches LSH),
+    // never 10k² candidate work — completing at all IS the gate here, plus
+    // exactly one admitted survivor
+    import spark.implicits._
+    val farm = spark.range(10000).select((col("id") + 5 * P).as("doc_id"),
+      lit("the same boilerplate page text repeated across the whole mirror farm cluster today").as("text"))
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val admitted = Dedup.incrementalAdmit(spark, corpus, farm, 0.5)
+      .groupBy("reason").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(admitted("batch_exact") == 9999L && admitted.getOrElse("new", 0L) == 1L,
+      s"one farm survivor admits, the rest reject in-batch: $admitted")
+  }
+
   test("DedupQueries are deterministic across two runs") {
     val a = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
     val b = DedupQueries.minhashLsh(spark, sfDir).collect().map(_.toString)
