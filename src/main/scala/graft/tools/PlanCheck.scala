@@ -290,6 +290,43 @@ object PlanCheck {
         !utPlan.contains("Window") && utPlan.contains("partial_count"),
       "template rewrite is codegen'd Columns; counts combine map-side")
 
+    // 20. unicode normalization: the whole pass (native NFC expression +
+    // regex strip/collapse) is a pure per-row projection inside codegen —
+    // zero UDFs, zero shuffles beyond the contract orderBy, pruned scan
+    val un = graft.pipeline.TextAnalysis.unicodeNormalize(spark, sfDir)
+    un.collect()
+    val unPlan = un.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_unicode_normalize/codegen-no-udf",
+      unPlan.contains("*(") && !unPlan.toLowerCase.contains("scalaudf") &&
+        !unPlan.contains("Window") && !unPlan.contains("CartesianProduct"),
+      "NFC + strip + collapse run inside whole-stage codegen, zero UDFs")
+    check("q_unicode_normalize/ReadSchema-pruned",
+      unPlan.contains("ReadSchema") &&
+        !unPlan.split("ReadSchema").last.split("\n").head.contains("lang"),
+      "scan reads only doc_id + text")
+
+    // 21. wave plan: pending combines map-side before its one exchange; the
+    // rank join and the apportionment are equi/broadcast joins + windows on
+    // the small HOST table — never a cartesian or nested loop
+    val wp = graft.pipeline.CrawlQueries.wavePlan(spark, sfDir)
+    wp.collect()
+    val wpPlan = wp.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_wave_plan/partial-pending-no-all-pairs",
+      wpPlan.contains("partial_count") && wpPlan.contains("Window") &&
+        !wpPlan.contains("CartesianProduct") && !wpPlan.contains("BroadcastNestedLoopJoin"),
+      "pending aggregates map-side; apportionment windows run on the host table")
+
+    // 22. incremental admission: every join is hash-keyed (md5 keys, band
+    // buckets, id joins) — no cartesian/nested-loop anywhere, and the exact
+    // pre-passes combine map-side before their exchanges
+    val ia = graft.pipeline.DedupQueries.incrementalDedup(spark, sfDir)
+    ia.collect()
+    val iaPlan = ia.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_incremental_dedup/hash-keyed-only",
+      iaPlan.contains("partial_min") &&
+        !iaPlan.contains("CartesianProduct") && !iaPlan.contains("BroadcastNestedLoopJoin"),
+      "md5 pre-passes combine map-side; candidate/verify joins are equi hash joins")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
