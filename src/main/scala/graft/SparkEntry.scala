@@ -70,6 +70,7 @@ object SparkEntry {
     "q_lm_score" -> (TextAnalysis.lmScore _),
     "q_span_dedup" -> (TextAnalysis.spanDedup _),
     "q_unicode_normalize" -> (TextAnalysis.unicodeNormalize _),
+    "q_dsir_select" -> (TextAnalysis.dsirSelect _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -168,6 +169,7 @@ object SparkEntry {
     "q_lm_score" -> TextAnalysis.lmScoreSql,
     "q_span_dedup" -> TextAnalysis.spanDedupSql,
     "q_unicode_normalize" -> TextAnalysis.unicodeNormalizeSql,
+    "q_dsir_select" -> TextAnalysis.dsirSelectSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

@@ -1097,6 +1097,137 @@ object TextAnalysis {
        |FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id AND w.widx = cov.widx
        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin
 
+  // --------------------------------------------- targeted data selection ---
+
+  /** Synthesized target-corpus size (DSIR takes a curated target set as
+    * INPUT; the demo query synthesizes one arithmetically so the oracle
+    * can regenerate it). */
+  val DsirTargetCount = 20
+  /** Selected corpus size. */
+  val DsirSelectK = 50
+
+  /** The synthesized target corpus: [[DsirTargetCount]] docs over a
+    * vocabulary DISJOINT from the documents table (telemetry domain), with
+    * modular tokens giving the set internal bigram variety. Built from
+    * pure arithmetic so Spark and DuckDB generate it identically. */
+  private def dsirTargetTextCol(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat_ws(" ",
+      lit("telemetry"), lit("packet"), concat(lit("k"), pmod(idCol, lit(7L))),
+      lit("sensor"), lit("calibration"), concat(lit("v"), pmod(idCol, lit(5L))),
+      lit("drift"), lit("gauge"), concat(lit("g"), pmod(idCol, lit(3L))),
+      lit("telemetry"), lit("sensor"), lit("frame"))
+
+  private val dsirTargetTextSql: String =
+    "'telemetry packet k' || (i % 7) || ' sensor calibration v' || (i % 5) || " +
+      "' drift gauge g' || (i % 3) || ' telemetry sensor frame'"
+
+  /** DSIR-style targeted data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every candidate
+    * document by how much of its BIGRAM mass the TARGET corpus distribution
+    * covers, keep the top [[DsirSelectK]]. This is the LINEAR-RATIO variant,
+    * documented as its own contract exactly like tfidfKeywords' linear idf:
+    * per bigram, `r = (c_target·10^6) div c_ref` with the reference counts
+    * taken over base ∪ target (target ⊆ reference, so r ∈ [0, 10^6] — no
+    * overflow at any corpus size); per doc `target_mass_micro =
+    * (Σ tf·r) div n_bigrams`. All-integer, so both engines and the spec
+    * replay it bit-for-bit (true DSIR's log-likelihood-ratio weights are
+    * transcendental and could not be value-compared across engines).
+    *
+    * Near-copies of the target docs (+10^7 ids, one appended novel word)
+    * are the candidates that MUST win: every target bigram they carry has
+    * r = 10^6 (base shares none of the telemetry vocabulary), so they rank
+    * strictly above every base doc; the zero-mass tail of the top-K fills
+    * deterministically by doc_id (the flag is a budget, not a threshold —
+    * real DSIR selects a fixed token budget).
+    *
+    * Scale shape: two map-side-combined bigram aggregations, one
+    * bigram-keyed ratio join (AQE splits hot-bigram skew), one per-doc
+    * aggregation. The final top-K is a global rank window here (contract
+    * output: every candidate + its flag); at 10^10-doc deployment scale
+    * selection is threshold-based — score is a pure per-doc value, so the
+    * operator computes a sampled score quantile and filters, never a
+    * global sort. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs(spark, dir).select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val target = spark.range(DsirTargetCount.toLong)
+      .select((col("id") + 5 * DedupQueries.PlantOffset).as("doc_id"),
+        dsirTargetTextCol(col("id")).as("text"))
+    val plants = target
+      .select((col("doc_id") - 4 * DedupQueries.PlantOffset).as("doc_id"),
+        concat(col("text"), lit(" zzznovelword")).as("text"))
+    val candidates = base.union(plants)
+    def bigramCounts(df: DataFrame, as: String): DataFrame =
+      df.select(explode(bigramCol(split(col("text"), " "))).as("b"))
+        .groupBy("b").agg(count(lit(1)).as(as))
+    val ratio = bigramCounts(base.union(target), "c_ref")
+      .join(bigramCounts(target, "c_t"), Seq("b"), "left")
+      .select(col("b"),
+        expr("(coalesce(c_t, cast(0 as bigint)) * 1000000) div c_ref").as("r"))
+    val scored = candidates
+      .select(col("doc_id"), explode(bigramCol(split(col("text"), " "))).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+      .join(ratio, Seq("b"), "left")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_bigrams"),
+        sum(col("tf") * coalesce(col("r"), lit(0L))).as("mass"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("mass div n_bigrams").as("target_mass_micro"))
+    scored
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("target_mass_micro"), asc("doc_id"))))
+      .select(col("doc_id"), col("n_bigrams"), col("target_mass_micro"),
+        when(col("rn") <= DsirSelectK, 1).otherwise(0).as("selected"))
+      .orderBy("doc_id")
+  }
+
+  /** Independent DuckDB recompute of [[dsirSelect]] — same synthesized
+    * target (range arithmetic), same plants, same integer ratio/mass/rank
+    * rules over the same bigrams. */
+  val dsirSelectSql: String = {
+    val P = DedupQueries.PlantOffset
+    s"""WITH base AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents),
+       |target AS (
+       |  SELECT CAST(i + ${5L * P} AS BIGINT) AS doc_id,
+       |    $dsirTargetTextSql AS text
+       |  FROM (SELECT unnest(range(0, $DsirTargetCount)) AS i)),
+       |cand AS (
+       |  SELECT * FROM base
+       |  UNION ALL
+       |  SELECT doc_id - ${4L * P}, text || ' zzznovelword' FROM target),
+       |ref AS (SELECT * FROM base UNION ALL SELECT * FROM target),
+       |bg_ref AS (
+       |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM ref)),
+       |c_ref AS (SELECT b, count(*) AS c_ref FROM bg_ref GROUP BY 1),
+       |bg_t AS (
+       |  SELECT unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+       |  FROM (SELECT string_split(text, ' ') AS ws FROM target)),
+       |c_t AS (SELECT b, count(*) AS c_t FROM bg_t GROUP BY 1),
+       |ratio AS (
+       |  SELECT c_ref.b,
+       |    CAST((coalesce(c_t.c_t, 0) * 1000000) // c_ref.c_ref AS BIGINT) AS r
+       |  FROM c_ref LEFT JOIN c_t ON c_ref.b = c_t.b),
+       |bg_c AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS b
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM cand)),
+       |dtf AS (SELECT doc_id, b, count(*) AS tf FROM bg_c GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT doc_id,
+       |    CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(tf * coalesce(r, 0)) // sum(tf) AS BIGINT) AS target_mass_micro
+       |  FROM dtf LEFT JOIN ratio ON dtf.b = ratio.b
+       |  GROUP BY doc_id),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |    ORDER BY target_mass_micro DESC, doc_id ASC) AS rn
+       |  FROM scored)
+       |SELECT doc_id, n_bigrams, target_mass_micro,
+       |  CAST(CASE WHEN rn <= $DsirSelectK THEN 1 ELSE 0 END AS INTEGER) AS selected
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
   // --------------------------------------------- unicode normalization -----
 
   /** Everything the cleanup pipeline must fix at least once: a decomposed

@@ -327,6 +327,17 @@ object PlanCheck {
         !iaPlan.contains("CartesianProduct") && !iaPlan.contains("BroadcastNestedLoopJoin"),
       "md5 pre-passes combine map-side; candidate/verify joins are equi hash joins")
 
+    // 23. DSIR selection: both bigram count tables combine map-side, the
+    // ratio join is bigram-keyed (no all-pairs), and the only global window
+    // is the final K-budget rank over per-doc scores
+    val ds = graft.pipeline.TextAnalysis.dsirSelect(spark, sfDir)
+    ds.collect()
+    val dsPlan = ds.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_dsir_select/partial-counts-hash-joins",
+      dsPlan.contains("partial_count") && dsPlan.contains("Window") &&
+        !dsPlan.contains("CartesianProduct") && !dsPlan.contains("BroadcastNestedLoopJoin"),
+      "count tables combine map-side; ratio join is bigram-keyed; one rank window")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")

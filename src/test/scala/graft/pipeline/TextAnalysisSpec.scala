@@ -358,6 +358,58 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("dsirSelect: exact driver-side replay; target-like plants occupy the top ranks") {
+    val baseText = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // plain-Scala replay of the whole operator, target synthesis included
+    def targetText(i: Long): String =
+      s"telemetry packet k${i % 7} sensor calibration v${i % 5} " +
+        s"drift gauge g${i % 3} telemetry sensor frame"
+    val targetTexts = (0L until TextAnalysis.DsirTargetCount.toLong)
+      .map(i => (i + 5 * Plant) -> targetText(i)).toMap
+    val candTexts: Map[Long, String] =
+      baseText ++ targetTexts.map { case (id, t) => (id - 4 * Plant, t + " zzznovelword") }
+    def bigrams(t: String): Seq[String] =
+      t.split(" ").sliding(2).map(_.mkString(" ")).toSeq
+    def counts(texts: Iterable[String]): Map[String, Long] =
+      texts.flatMap(bigrams).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cRef = counts(baseText.values ++ targetTexts.values)
+    val cTgt = counts(targetTexts.values)
+    val ratio = cRef.map { case (b, cr) => b -> (cTgt.getOrElse(b, 0L) * 1000000L) / cr }
+    val expectedScore = candTexts.map { case (id, t) =>
+      val bs = bigrams(t)
+      id -> (bs.length.toLong, bs.map(b => ratio.getOrElse(b, 0L)).sum / bs.length)
+    }
+    val topK = expectedScore.toSeq.sortBy { case (id, (_, s)) => (-s, id) }
+      .take(TextAnalysis.DsirSelectK).map(_._1).toSet
+    val got = TextAnalysis.dsirSelect(spark, sfDir).collect()
+    assert(got.length == candTexts.size)
+    got.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (nb, score) = expectedScore(id)
+      assert(r.getAs[Long]("n_bigrams") == nb, s"n_bigrams mismatch, doc $id")
+      assert(r.getAs[Long]("target_mass_micro") == score, s"score mismatch, doc $id")
+      assert(r.getAs[Int]("selected") == (if (topK(id)) 1 else 0), s"selection mismatch, doc $id")
+    }
+    val byId = got.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("target_mass_micro"), r.getAs[Int]("selected"))).toMap
+    // every target-like plant is selected with 11/12 of its bigram mass
+    // covered at full ratio (the appended word's bigram is unknown)
+    (0L until TextAnalysis.DsirTargetCount.toLong).foreach { i =>
+      assert(byId(Plant + i) == ((916666L, 1)), s"plant $i: ${byId(Plant + i)}")
+    }
+    // base docs share no telemetry bigrams: exactly zero mass everywhere
+    assert(got.filter(_.getAs[Long]("doc_id") < Plant)
+      .forall(_.getAs[Long]("target_mass_micro") == 0L), "base corpus mass is 0")
+    // the K-budget tail fills deterministically by doc_id
+    val selectedBase = got.filter(r => r.getAs[Long]("doc_id") < Plant
+      && r.getAs[Int]("selected") == 1).map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(selectedBase ==
+      (0L until (TextAnalysis.DsirSelectK - TextAnalysis.DsirTargetCount).toLong),
+      s"zero-mass tail fills by doc_id: $selectedBase")
+  }
+
   test("unicodeNormalize: every rule fires on the plant; rows match a JVM re-derivation") {
     def jvmNorm(s: String): String = {
       val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
