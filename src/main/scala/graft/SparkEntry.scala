@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Freshness, Relational, Relational2, Relational3, Reputation, TextAnalysis}
+import graft.pipeline.{CrawlQueries, DedupQueries, ExportQueries, Freshness, Relational, Relational2, Relational3, Reputation, TemporalJoins, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -71,6 +71,8 @@ object SparkEntry {
     "q_span_dedup" -> (TextAnalysis.spanDedup _),
     "q_unicode_normalize" -> (TextAnalysis.unicodeNormalize _),
     "q_dsir_select" -> (TextAnalysis.dsirSelect _),
+    "q_asof_join" -> (TemporalJoins.asofJoin _),
+    "q_range_join" -> (TemporalJoins.rangeJoin _),
     // --- dedup / similarity (deterministic; ScalaTest-gated) ---
     "q_minhash_lsh" -> (DedupQueries.minhashLsh _),
     "q_minhash_neardup" -> (DedupQueries.minhashNearDup _),
@@ -170,6 +172,8 @@ object SparkEntry {
     "q_span_dedup" -> TextAnalysis.spanDedupSql,
     "q_unicode_normalize" -> TextAnalysis.unicodeNormalizeSql,
     "q_dsir_select" -> TextAnalysis.dsirSelectSql,
+    "q_asof_join" -> TemporalJoins.asofJoinSql,
+    "q_range_join" -> TemporalJoins.rangeJoinSql,
     "q_vector_validate" -> ExportQueries.vectorValidateSql,
     "q_sessionize" -> Relational2.sessionizeSql,
     "q_having_filter" -> Relational2.havingFilterSql,

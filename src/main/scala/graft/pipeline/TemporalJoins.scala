@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators Spark's DataFrame API has no primitive for:
+  * the AS-OF join (each event gets the most recent dimension snapshot at
+  * or before its timestamp) and the RANGE/interval join (each event joins
+  * every window containing its timestamp). Both are expressed per the
+  * composition-first rule — existing operators compose into the exact
+  * semantics with the join shape a 100-TB plan needs:
+  *
+  *  - as-of: union-tag + fill-forward window. ZERO join operators in the
+  *    physical plan; one hash exchange on the entity key; the dimension
+  *    rides along as tagged rows. This beats the textbook
+  *    window-function-over-join because the big side never multiplies.
+  *  - range: bucketed equi join. Intervals explode into fixed-width time
+  *    buckets, events map to exactly one bucket, the join is a hash equi
+  *    join on the bucket with the containment predicate as a residual —
+  *    never a BroadcastNestedLoop/Cartesian (plan-asserted), which is what
+  *    Spark plans for a naive `a.join(b, $"t" >= $"lo" && $"t" < $"hi")`.
+  *
+  * The dimension tables (per-user snapshot grid, maintenance windows) are
+  * synthesized from pure range arithmetic so DuckDB regenerates them and
+  * checks the Spark result with its NATIVE `ASOF LEFT JOIN` / inequality
+  * join — a genuinely independent second implementation of the semantics.
+  *
+  * All timestamps are epoch MICROSECONDS as longs (`unix_micros` ==
+  * DuckDB `epoch_us`); events.ts is TIMESTAMP_NTZ, routed through
+  * `cast("timestamp")` with the session tz pinned UTC, exactly like
+  * [[Relational2.sessionize]]. */
+object TemporalJoins {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/events.parquet")
+
+  /** 2024-01-03 00:00:00 UTC in epoch micros — the first snapshot. Events
+    * in the two days before it exercise the left-join null branch. */
+  val SnapBaseUs: Long = 1704240000000000L
+  /** Snapshot grid stride: 3 days. */
+  val SnapStrideUs: Long = 259200000000L
+  /** Snapshots per user (grid covers Jan 3 .. Jan 30). */
+  val SnapCount = 10
+
+  private def eventTimes(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts").cast("timestamp")).as("t"))
+
+  /** AS-OF join: every event paired with the latest per-user snapshot at
+    * or before the event time (ties take the snapshot first), plus the
+    * staleness of that snapshot; events before the first snapshot keep
+    * NULLs (left semantics).
+    *
+    * Shape: tag snapshots `is_snap=1` and events `is_snap=0`, union, one
+    * window partitioned by user ordered by (t, is_snap DESC), fill the
+    * snapshot columns forward with `last(_, ignoreNulls)`, keep event
+    * rows. One exchange, no join operator at all — the snapshot table
+    * (tiny next to the fact side) is carried inside the same partitions.
+    * At 100 TB a hot entity skews its window partition: the fix is the
+    * same union with a coarse time bucket added to the partition key and
+    * per-(entity, bucket) seed snapshots unioned in (one extra keys-only
+    * aggregation) — the operator's contract is unchanged, so it is a
+    * deployment dial, not a rewrite. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = eventTimes(spark, dir)
+    // the synthesized dimension: a snapshot grid per observed user
+    val snaps = ev.select("user_id").distinct()
+      .select(col("user_id"), explode(sequence(lit(0L), lit(SnapCount - 1L))).as("k"))
+      .select(col("user_id"), col("k"),
+        (lit(SnapBaseUs) + col("k") * lit(SnapStrideUs)).as("t"))
+    val nullL = lit(null).cast("long")
+    val tagged = snaps
+      .select(col("user_id"), col("t"), lit(1).as("is_snap"),
+        col("k").as("snap_k"), col("t").as("snap_t"), nullL.as("event_id"))
+      .unionByName(ev.select(col("user_id"), col("t"), lit(0).as("is_snap"),
+        nullL.as("snap_k"), nullL.as("snap_t"), col("event_id")))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("is_snap").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("fill_k", last("snap_k", ignoreNulls = true).over(w))
+      .withColumn("fill_t", last("snap_t", ignoreNulls = true).over(w))
+      .filter(col("is_snap") === 0)
+      .select(col("event_id"), col("user_id"), col("fill_k").as("snap_k"),
+        (col("t") - col("fill_t")).as("staleness_us"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB's native ASOF LEFT JOIN over the regenerated snapshot grid —
+    * an independent engine implementation of the same semantics. */
+  val asofJoinSql: String =
+    s"""WITH snaps AS (
+       |  SELECT u.user_id, k.k, $SnapBaseUs + k.k*$SnapStrideUs AS t
+       |  FROM (SELECT DISTINCT user_id FROM events) u,
+       |       (SELECT unnest(range(0, $SnapCount)) AS k) k)
+       |SELECT e.event_id, e.user_id, s.k AS snap_k,
+       |  epoch_us(e.ts) - s.t AS staleness_us
+       |FROM events e ASOF LEFT JOIN snaps s
+       |  ON e.user_id = s.user_id AND epoch_us(e.ts) >= s.t
+       |ORDER BY e.event_id""".stripMargin
+
+  /** 2024-01-01 00:00:00 UTC in epoch micros — the window grid origin. */
+  val WinBaseUs: Long = 1704067200000000L
+  /** Number of synthesized maintenance windows. */
+  val WinCount = 60
+  /** Bucket width for the binned join: 6 h. The dial that trades explode
+    * fan-out (interval width / bucket) against per-bucket join width. */
+  val BucketUs: Long = 21600000000L
+
+  private val HourUs = 3600000000L
+
+  /** start/end micros of window w — 12 h stride, a (w mod 7) hour stagger,
+    * 2-6 h widths, and every 10th window stretched past 22 h so it
+    * overlaps its successors (multiplicities 0, 1 and 2 all occur). */
+  private def winCols(w: Column): (Column, Column) = {
+    val start = lit(WinBaseUs) + w * lit(12 * HourUs) + (w % 7) * lit(HourUs)
+    val width = (lit(2L) + w % 5 +
+      when(w % 10 === 0, 20L).otherwise(0L)) * lit(HourUs)
+    (start, start + width)
+  }
+
+  /** RANGE (interval containment) join: per event, how many maintenance
+    * windows contain its timestamp and the first such window id; events
+    * outside every window report 0/NULL (left semantics).
+    *
+    * Shape: each interval explodes into the fixed-width time buckets it
+    * covers (bounded fan-out: width/bucket + 1), each event computes its
+    * single bucket, and the join is a LEFT equi join on the bucket with
+    * containment as a residual predicate — a hash join at any scale. An
+    * event lives in exactly one bucket, so a multi-bucket interval can
+    * never double-match. At 100 TB bucket width is the skew dial, and AQE
+    * splits a hot bucket (a load spike concentrates events, not windows). */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (start, end) = winCols(col("id"))
+    val windows = spark.range(WinCount.toLong)
+      .select(col("id").as("w_id"), start.as("start_us"), end.as("end_us"))
+      .select(col("w_id"), col("start_us"), col("end_us"),
+        explode(sequence(expr(s"start_us div $BucketUs"),
+          expr(s"(end_us - 1) div $BucketUs"))).as("bucket"))
+    val ev = eventTimes(spark, dir)
+      .select(col("event_id"), col("t"), expr(s"t div $BucketUs").as("bucket"))
+    ev.join(windows,
+        ev("bucket") === windows("bucket") &&
+          col("t") >= col("start_us") && col("t") < col("end_us"), "left")
+      .groupBy("event_id")
+      .agg(count(col("w_id")).as("n_windows"), min(col("w_id")).as("first_window"))
+      .orderBy("event_id")
+  }
+
+  /** DuckDB inequality-join recompute (its optimizer plans an IEJoin) —
+    * the same semantics with none of the bucketing machinery. */
+  val rangeJoinSql: String =
+    s"""WITH windows AS (
+       |  SELECT w AS w_id,
+       |    $WinBaseUs + w*${12 * HourUs} + (w%7)*$HourUs AS start_us,
+       |    $WinBaseUs + w*${12 * HourUs} + (w%7)*$HourUs
+       |      + (2 + w%5 + CASE WHEN w%10=0 THEN 20 ELSE 0 END)*$HourUs AS end_us
+       |  FROM (SELECT unnest(range(0, $WinCount)) AS w))
+       |SELECT e.event_id, count(w.w_id) AS n_windows,
+       |  CAST(min(w.w_id) AS BIGINT) AS first_window
+       |FROM events e LEFT JOIN windows w
+       |  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+       |GROUP BY e.event_id ORDER BY e.event_id""".stripMargin
+}
