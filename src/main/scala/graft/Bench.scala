@@ -163,7 +163,8 @@ object Bench {
       // (memoized) BFS crawl as an input, so its first call measures the
       // crawl, not the gap join — the verify gate covers it instead
       "q_frontier_reshard", "q_event_percentiles",
-      "q_unicode_normalize", "q_wave_plan", "q_incremental_dedup", "q_dsir_select")
+      "q_unicode_normalize", "q_wave_plan", "q_incremental_dedup", "q_dsir_select",
+      "q_asof_join", "q_range_join")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++
         sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)
