@@ -121,7 +121,9 @@ object SparkEntry {
     "q_link_anchors" -> (CrawlQueries.linkAnchors _),
     "q_anchor_text" -> (CrawlQueries.anchorTexts _),
     "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _),
-    "q_host_cardinality" -> (graft.pipeline.Cardinality.hostCardinalityQuery _)
+    "q_host_cardinality" -> (graft.pipeline.Cardinality.hostCardinalityQuery _),
+    "q_cdx_index" -> (graft.pipeline.WebIndex.cdxIndex _),
+    "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -215,6 +217,13 @@ object SparkEntry {
     // md5 hash, window top-K, integer estimator) over the frozen edges
     "q_host_cardinality" ->
       graft.pipeline.Cardinality.hostCardinalitySql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives the SURT keys (its own
+    // list/regex vocabulary) and the reciprocity counts over the frozen
+    // edge fixture plus the shared plants
+    "q_cdx_index" ->
+      graft.pipeline.WebIndex.cdxIndexSql(fixtureSql("q_extract_link_edges")),
+    "q_reciprocal_links" ->
+      graft.pipeline.WebIndex.reciprocalLinksSql(fixtureSql("q_extract_link_edges")),
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

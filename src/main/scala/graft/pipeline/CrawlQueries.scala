@@ -78,8 +78,12 @@ object CrawlQueries {
       .orderBy("url")
   }
 
-  /** Link-graph edges from raw HTML (the crawl's edge generator). */
-  def extractLinkEdges(spark: SparkSession, dir: String): DataFrame = {
+  /** Link-graph edges from raw HTML (the crawl's edge generator) WITHOUT
+    * the contract dump's deterministic ORDER BY — the form every internal
+    * consumer (rank kernels, hygiene operators, web index) uses: a range
+    * sort feeding an aggregation or join is pure wasted shuffle, and
+    * Catalyst does not eliminate a subquery sort on its own. */
+  private[pipeline] def linkEdgesRaw(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     CorpusGen.dataset(spark, spec)
       .filter(p => !p.url.endsWith("robots.txt") && !p.url.endsWith("sitemap.xml"))
@@ -88,8 +92,11 @@ object CrawlQueries {
         HtmlKit.extractLinks(html, p.url).map(l => (p.url, l))
       }
       .toDF("src", "dst")
-      .orderBy("src", "dst")
   }
+
+  /** Link-graph edges, deterministically ordered (the driver contract). */
+  def extractLinkEdges(spark: SparkSession, dir: String): DataFrame =
+    linkEdgesRaw(spark, dir).orderBy("src", "dst")
 
   /** (src, dst, anchor) link SIGHTINGS — every `a[href]` occurrence with its
     * visible text, one row per occurrence (no per-page dedup: each sighting
@@ -192,7 +199,7 @@ object CrawlQueries {
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     // rank only fetchable targets: javascript:/mailto:/tel: links are real
     // edges in the extraction output but noise for crawl prioritization
-    val edges = extractLinkEdges(spark, dir).select("src", "dst")
+    val edges = linkEdgesRaw(spark, dir).select("src", "dst")
       .filter(col("dst").startsWith("http"))
     pageRankKernel(edges, "url")
   }
@@ -208,7 +215,7 @@ object CrawlQueries {
     * host rank is recomputable every few waves where page rank is a batch
     * job. */
   def hostRank(spark: SparkSession, dir: String): DataFrame = {
-    val edges = extractLinkEdges(spark, dir).select("src", "dst")
+    val edges = linkEdgesRaw(spark, dir).select("src", "dst")
       .filter(col("dst").startsWith("http"))
       .select(Cardinality.hostCol(col("src")).as("src"),
         Cardinality.hostCol(col("dst")).as("dst"))
@@ -594,7 +601,7 @@ object CrawlQueries {
     * node converges to under the recurrence. */
   def wavePlan(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val edges = extractLinkEdges(spark, dir).select("src", "dst")
+    val edges = linkEdgesRaw(spark, dir).select("src", "dst")
       .filter(col("dst").startsWith("http"))
     val pending = edges.select(Cardinality.hostCol(col("dst")).as("host"), col("dst"))
       .distinct()

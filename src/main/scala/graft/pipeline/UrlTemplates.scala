@@ -88,7 +88,7 @@ object UrlTemplates {
     * grain) plus the planted trap. ONE definition, so the three operators
     * and their three oracles can never drift apart. */
   private[pipeline] def corpusUrlsWithPlant(spark: SparkSession, dir: String): DataFrame = {
-    val edges = CrawlQueries.extractLinkEdges(spark, dir)
+    val edges = CrawlQueries.linkEdgesRaw(spark, dir)
     edges.select(col("src").as("url"))
       .union(edges.select(col("dst").as("url")))
       .union(plantedTrap(spark))

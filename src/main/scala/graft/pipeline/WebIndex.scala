@@ -1,0 +1,191 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Web-archive index operators over the crawl's url/link surface:
+  *
+  *  - [[cdxIndex]] — the SURT-keyed CDX-style url index every web-scale
+  *    crawl ships alongside its page store (the reference keeps a flat
+  *    visited set + per-page files, url_queue.rs / file_exporter.rs; at
+  *    10^10 urls the lookup structure is a SORTED index keyed by a
+  *    canonical sort-friendly form of the url, the convention web archives
+  *    settled on: reversed host + ')' + path + sorted query).
+  *  - [[reciprocalLinks]] — per-host reciprocal-outlink ratio, the classic
+  *    link-farm signal (organic endorsement is largely one-way; spam rings
+  *    link each other back), feeding the same policy layer as
+  *    [[graft.pipeline.Reputation]] / hostRank.
+  *
+  * Both are engine-portable by construction — plain regex (character
+  * classes only, valid java.util.regex AND RE2), split/sort/reverse array
+  * ops, and non-negative integer arithmetic — so the DuckDB twins are full
+  * independent recomputes over the frozen edge fixture, not frozen outputs.
+  *
+  * 100-TB shape: the SURT key is a pure codegen projection; the index
+  * build is `repartitionByRange(urlkey)` + sort-within-partitions — the
+  * one global sort a 100-TB index genuinely needs, with AQE balancing the
+  * range splits (the contract query's ORDER BY is that same range-sort
+  * shape at driver-collect scale). Reciprocal links is a distinct over
+  * host pairs (keys-only, map-side combined) + one self-join on the
+  * reversed key — hash exchanges on (a, b) only, never url-sized rows.
+  */
+object WebIndex {
+
+  /** Planted urls exercising every SURT rule the organic corpus does not
+    * reach (mixed case, default ports, www-strip, multi-param sort,
+    * valueless params, fragments, host-only paths). ONE definition feeds
+    * both engines: [[surtPlant]] (Spark) and [[surtPlantSql]] (DuckDB). */
+  private[pipeline] val SurtPlantUrls: Seq[String] = Seq(
+    "https://WWW.Example.COM:443/A/B?b=2&a=1&z",
+    "http://example.com:80",
+    "https://sub.api.example.com/v1/items?id=9&fmt=json#frag",
+    "http://example.com/path/only/",
+    "https://example.com/?z=1&y=2&x=3")
+
+  private def surtPlant(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    SurtPlantUrls.toDF("url")
+  }
+
+  /** Single-line on purpose (interpolated into stripMargin templates). */
+  private def surtPlantSql: String =
+    "SELECT url FROM (VALUES " +
+      SurtPlantUrls.map(u => s"('$u')").mkString(", ") + ") v(url)"
+
+  /** SURT (Sort-friendly URI Reordering Transform) key of a url column:
+    * lowercase; host with default ports (:80/:443) and a leading `www.`
+    * stripped, labels reversed and comma-joined; `)`; path (`/` when
+    * empty); query params byte-sorted (a bare or empty `?` drops). The
+    * fragment never participates. Session/tracking-param stripping is a
+    * deployment policy layered on top, deliberately not baked into the
+    * key. Pure codegen'd Columns — no UDF. */
+  def surtKeyCol(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = lower(url)
+    val host = regexp_replace(
+      regexp_replace(regexp_extract(u, "^https?://([^/?#]+)", 1), ":(80|443)$", ""),
+      "^www[.]", "")
+    val rev = array_join(reverse(split(host, "[.]")), ",")
+    val path0 = regexp_extract(u, "^https?://[^/?#]+([^?#]*)", 1)
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val q = regexp_extract(u, "[?]([^#]*)", 1)
+    val sortedQ = array_join(array_sort(split(q, "&")), "&")
+    concat(rev, lit(")"), path,
+      when(q === "", lit("")).otherwise(concat(lit("?"), sortedQ)))
+  }
+
+  /** CDX-style index over any single-column `url` frame (factored for
+    * direct testing): (url, urlkey, digest), sorted by urlkey — the
+    * archive lookup order. */
+  def cdx(urls: DataFrame): DataFrame =
+    urls.filter(col("url").startsWith("http"))
+      .distinct()
+      .select(col("url"), surtKeyCol(col("url")).as("urlkey"),
+        md5(col("url")).as("digest"))
+      .orderBy("urlkey", "url")
+
+  /** Driver-contract query: the CDX index over the corpus link graph's
+    * node set plus the SURT plant. */
+  def cdxIndex(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CrawlQueries.linkEdgesRaw(spark, dir)
+    cdx(edges.select(col("src").as("url"))
+      .union(edges.select(col("dst").as("url")))
+      .union(surtPlant(spark)))
+  }
+
+  /** DuckDB twin of [[cdxIndex]]: the SURT rule re-spelled in DuckDB's
+    * list/regex vocabulary (string_split is literal where Spark's split is
+    * regex — `[.]` vs `.` — list_reverse/list_sort mirror reverse/
+    * array_sort; both regexp engines run the identical character-class
+    * patterns) over the frozen edge fixture plus the same plant. */
+  def cdxIndexSql(edgesSelect: String): String =
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+       |urls AS (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT src AS url FROM edges UNION ALL
+       |    SELECT dst FROM edges UNION ALL
+       |    $surtPlantSql)
+       |  WHERE url LIKE 'http%'),
+       |parts AS (
+       |  SELECT url,
+       |    regexp_replace(regexp_replace(
+       |      regexp_extract(lower(url), '^https?://([^/?#]+)', 1),
+       |      ':(80|443)$$', ''), '^www[.]', '') AS host,
+       |    regexp_extract(lower(url), '^https?://[^/?#]+([^?#]*)', 1) AS path0,
+       |    regexp_extract(lower(url), '[?]([^#]*)', 1) AS q
+       |  FROM urls)
+       |SELECT url,
+       |  array_to_string(list_reverse(string_split(host, '.')), ',') || ')' ||
+       |    (CASE WHEN path0 = '' THEN '/' ELSE path0 END) ||
+       |    (CASE WHEN q = '' THEN ''
+       |          ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&') END)
+       |    AS urlkey,
+       |  md5(url) AS digest
+       |FROM parts
+       |ORDER BY urlkey, url""".stripMargin
+
+  /** Planted host pairs guaranteeing both reciprocity outcomes exist
+    * regardless of the organic graph: a↔b is a reciprocal ring edge, a→c
+    * is unreciprocated (c has no outlinks so it emits no row at all). */
+  private[pipeline] val RecipPlantPairs: Seq[(String, String)] = Seq(
+    ("spam-farm-a.example", "spam-farm-b.example"),
+    ("spam-farm-b.example", "spam-farm-a.example"),
+    ("spam-farm-a.example", "independent.example"))
+
+  private def recipPlantSql: String =
+    "SELECT a, b FROM (VALUES " +
+      RecipPlantPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
+      ") v(a, b)"
+
+  /** Reciprocal-outlink ratio over any (a, b) host-pair frame: per host,
+    * distinct outlinked hosts, how many link back, and the ratio in
+    * exact permille (non-negative `div` — identical to DuckDB `//`). */
+  def reciprocal(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.filter(col("a") =!= col("b")).distinct()
+    val rev = pairs.select(col("b").as("a"), col("a").as("b"))
+    val out = pairs.groupBy("a").agg(count(lit(1)).as("out_hosts"))
+    val rec = pairs.join(rev, Seq("a", "b"), "left_semi")
+      .groupBy("a").agg(count(lit(1)).as("reciprocal_hosts"))
+    out.join(rec, Seq("a"), "left")
+      .na.fill(0L, Seq("reciprocal_hosts"))
+      .select(col("a").as("host"), col("out_hosts"), col("reciprocal_hosts"),
+        expr("(1000 * reciprocal_hosts) div out_hosts").as("recip_permille"))
+      .orderBy("host")
+  }
+
+  /** Driver-contract query: reciprocity over the corpus inter-host link
+    * graph plus the plant. */
+  def reciprocalLinks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hostPairs = CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("a"),
+        Cardinality.hostCol(col("dst")).as("b"))
+      .union(RecipPlantPairs.toDF("a", "b"))
+    reciprocal(hostPairs)
+  }
+
+  /** DuckDB twin of [[reciprocalLinks]]: same host mapping as the other
+    * hygiene twins, same plant, full recompute. */
+  def reciprocalLinksSql(edgesSelect: String): String =
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+       |pairs AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,
+       |           regexp_extract(dst, '^https?://([^/]+)', 1) AS b
+       |    FROM edges WHERE dst LIKE 'http%'
+       |    UNION ALL
+       |    $recipPlantSql)
+       |  WHERE a <> b),
+       |outd AS (
+       |  SELECT a, CAST(count(*) AS BIGINT) AS out_hosts FROM pairs GROUP BY a),
+       |recd AS (
+       |  SELECT p.a, CAST(count(*) AS BIGINT) AS reciprocal_hosts
+       |  FROM pairs p JOIN pairs r ON p.a = r.b AND p.b = r.a
+       |  GROUP BY p.a)
+       |SELECT o.a AS host, o.out_hosts,
+       |  CAST(coalesce(r.reciprocal_hosts, 0) AS BIGINT) AS reciprocal_hosts,
+       |  CAST((1000 * coalesce(r.reciprocal_hosts, 0)) // o.out_hosts AS BIGINT)
+       |    AS recip_permille
+       |FROM outd o LEFT JOIN recd r ON o.a = r.a
+       |ORDER BY host""".stripMargin
+}

@@ -338,6 +338,27 @@ object PlanCheck {
         !dsPlan.contains("CartesianProduct") && !dsPlan.contains("BroadcastNestedLoopJoin"),
       "count tables combine map-side; ratio join is bigram-keyed; one rank window")
 
+    // 24. CDX index: the SURT key is a pure codegen projection over the
+    // url set — no join, no UDF; the only wide op is the one range sort
+    // the sorted index genuinely needs
+    val cx = graft.pipeline.WebIndex.cdxIndex(spark, sfDir)
+    cx.collect()
+    val cxPlan = cx.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_cdx_index/projection-plus-one-sort",
+      cxPlan.contains("*(") && !cxPlan.toLowerCase.contains("scalaudf") &&
+        !cxPlan.contains("Join") && "Sort ".r.findAllIn(cxPlan).size <= 2,
+      "SURT key inside whole-stage codegen; join-free; one global sort")
+
+    // 25. reciprocal links: distinct pairs combine map-side, the reversal
+    // self-join and the degree join are hash-keyed — never all-pairs
+    val rl = graft.pipeline.WebIndex.reciprocalLinks(spark, sfDir)
+    rl.collect()
+    val rlPlan = rl.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_reciprocal_links/hash-keyed-only",
+      !rlPlan.contains("CartesianProduct") &&
+        !rlPlan.contains("BroadcastNestedLoopJoin"),
+      "pair distinct + reversed semi-join + degree join are all hash-keyed")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
