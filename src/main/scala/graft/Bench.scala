@@ -164,7 +164,8 @@ object Bench {
       // crawl, not the gap join — the verify gate covers it instead
       "q_frontier_reshard", "q_event_percentiles",
       "q_unicode_normalize", "q_wave_plan", "q_incremental_dedup", "q_dsir_select",
-      "q_asof_join", "q_range_join", "q_cdx_index", "q_reciprocal_links")
+      "q_asof_join", "q_range_join", "q_cdx_index", "q_reciprocal_links",
+      "q_host_components")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++
         sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)

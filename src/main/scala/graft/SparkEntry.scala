@@ -123,7 +123,8 @@ object SparkEntry {
     "q_url_templates" -> (graft.pipeline.UrlTemplates.urlTemplates _),
     "q_host_cardinality" -> (graft.pipeline.Cardinality.hostCardinalityQuery _),
     "q_cdx_index" -> (graft.pipeline.WebIndex.cdxIndex _),
-    "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _)
+    "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _),
+    "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -224,6 +225,10 @@ object SparkEntry {
       graft.pipeline.WebIndex.cdxIndexSql(fixtureSql("q_extract_link_edges")),
     "q_reciprocal_links" ->
       graft.pipeline.WebIndex.reciprocalLinksSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-executes all min-label propagation
+    // rounds as unrolled chained CTEs (the pageRank oracle discipline)
+    "q_host_components" ->
+      graft.pipeline.WebIndex.hostComponentsSql(fixtureSql("q_extract_link_edges")),
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

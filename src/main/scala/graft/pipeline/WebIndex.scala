@@ -164,6 +164,100 @@ object WebIndex {
     reciprocal(hostPairs)
   }
 
+  /** Label-propagation rounds for [[hostComponents]]. Exact when every
+    * component's diameter is ≤ this (WebIndexSpec proves it IS the fixpoint
+    * on this corpus by replaying to convergence); the 10^8-host scale path
+    * is the large-star/small-star alternation (O(log n) rounds), with this
+    * bounded propagation as its inner step. */
+  val CcRounds = 10
+
+  /** Planted 3-host ring connected to nothing else — the corpus graph is
+    * organically one giant component plus leaves, so a second non-trivial
+    * component must be planted for the operator to demonstrably separate
+    * anything. */
+  private[pipeline] val CcPlantPairs: Seq[(String, String)] = Seq(
+    ("ring-x.example", "ring-y.example"),
+    ("ring-y.example", "ring-z.example"))
+
+  private def ccPlantSql: String =
+    "SELECT a, b FROM (VALUES " +
+      CcPlantPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
+      ") v(a, b)"
+
+  /** Connected components over any (a, b) host-pair frame: symmetrize,
+    * then [[CcRounds]] rounds of min-label propagation (label = the
+    * lexicographically smallest reachable host — a total order both
+    * engines share, so the result is deterministic at any parallelism).
+    * Per round: one labels⋈edges hash join + one keyed min aggregation —
+    * keys-only shuffles, constant plan size via per-round lineage cuts
+    * (the [[CrawlQueries.pageRankKernel]] discipline). Site-cluster /
+    * mirror-farm grouping is the crawl-policy read: budget and reputation
+    * should attach to the CLUSTER, not the host alias. */
+  def components(pairsIn: DataFrame): DataFrame = {
+    val dir0 = pairsIn.filter(col("a") =!= col("b"))
+    val und = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val nodes = und.select(col("a").as("host")).distinct().localCheckpoint()
+    var labels = nodes.select(col("host"), col("host").as("label"))
+    for (_ <- 1 to CcRounds) {
+      val nbrMin = und.join(labels.withColumnRenamed("host", "b"), "b")
+        .groupBy(col("a").as("host")).agg(min("label").as("nmin"))
+      labels = nodes.join(labels, "host").join(nbrMin, Seq("host"), "left")
+        .select(col("host"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "label")
+      .select(col("host"), col("label").as("component"), col("component_size"))
+      .orderBy("host")
+  }
+
+  /** Driver-contract query: components over the corpus inter-host graph
+    * plus the planted ring. */
+  def hostComponents(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    components(CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("a"),
+        Cardinality.hostCol(col("dst")).as("b"))
+      .union(CcPlantPairs.toDF("a", "b")))
+  }
+
+  /** DuckDB twin of [[hostComponents]]: the identical min-label recurrence
+    * unrolled as chained CTEs (the pageRankSql discipline — an independent
+    * re-execution of all [[CcRounds]] rounds, not a frozen output). */
+  def hostComponentsSql(edgesSelect: String): String = {
+    val rounds = (1 to CcRounds).map { i =>
+      s"""l$i AS (
+         |  SELECT l.host, least(l.label, coalesce(m.nmin, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.a AS host, min(x.label) AS nmin
+         |    FROM und e JOIN l${i - 1} x ON x.host = e.b
+         |    GROUP BY e.a) m ON m.host = l.host)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+       |pairs0 AS (
+       |  SELECT a, b FROM (
+       |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,
+       |           regexp_extract(dst, '^https?://([^/]+)', 1) AS b
+       |    FROM edges WHERE dst LIKE 'http%'
+       |    UNION ALL
+       |    $ccPlantSql)
+       |  WHERE a <> b),
+       |und AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0)),
+       |l0 AS (SELECT DISTINCT a AS host, a AS label FROM und),
+       |$rounds,
+       |sizes AS (
+       |  SELECT label, CAST(count(*) AS BIGINT) AS component_size
+       |  FROM l$CcRounds GROUP BY label)
+       |SELECT l.host, l.label AS component, s.component_size
+       |FROM l$CcRounds l JOIN sizes s ON s.label = l.label
+       |ORDER BY l.host""".stripMargin
+  }
+
   /** DuckDB twin of [[reciprocalLinks]]: same host mapping as the other
     * hygiene twins, same plant, full recompute. */
   def reciprocalLinksSql(edgesSelect: String): String =

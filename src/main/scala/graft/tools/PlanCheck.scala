@@ -359,6 +359,19 @@ object PlanCheck {
         !rlPlan.contains("BroadcastNestedLoopJoin"),
       "pair distinct + reversed semi-join + degree join are all hash-keyed")
 
+    // 26. host components: per-round lineage cuts keep the executed plan
+    // CONSTANT-size (a scan of the final checkpoint + the size join — the
+    // 10-round loop must not accumulate), and every join is hash-keyed
+    val hcc = graft.pipeline.WebIndex.hostComponents(spark, sfDir)
+    hcc.collect()
+    val hccPlan = hcc.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_host_components/constant-plan-hash-joins",
+      hccPlan.contains("Scan ExistingRDD") &&
+        !hccPlan.contains("CartesianProduct") &&
+        !hccPlan.contains("BroadcastNestedLoopJoin") &&
+        hccPlan.linesIterator.size < 60,
+      "final plan reads the round-10 checkpoint; label joins are hash-keyed")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")

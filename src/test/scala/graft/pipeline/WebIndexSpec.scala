@@ -96,6 +96,43 @@ class WebIndexSpec extends AnyFunSuite {
     assert(!got.contains("independent.example"))
   }
 
+  test("hostComponents: matches the plain-Scala fixpoint replay — CcRounds provably suffices") {
+    val hostOf = (u: String) =>
+      "^https?://([^/]+)".r.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+    val organic = CrawlQueries.extractLinkEdges(spark, sfDir).collect()
+      .filter(_.getString(1).startsWith("http"))
+      .map(r => (hostOf(r.getString(0)), hostOf(r.getString(1))))
+    val dir0 = (organic ++ WebIndex.CcPlantPairs).filter(p => p._1 != p._2)
+    val und = (dir0 ++ dir0.map(_.swap)).toSet
+    val nbrs = und.groupBy(_._1).map { case (h, es) => h -> es.map(_._2) }
+    // replay to CONVERGENCE (not a fixed round count): proves the bounded
+    // CcRounds propagation already reached the fixpoint
+    var labels = nbrs.keys.map(h => h -> h).toMap
+    var changed = true
+    var rounds = 0
+    while (changed) {
+      changed = false
+      rounds += 1
+      labels = labels.map { case (h, l) =>
+        val nl = (nbrs(h).map(labels) + l).min
+        if (nl != l) changed = true
+        h -> nl
+      }
+    }
+    assert(rounds - 1 <= WebIndex.CcRounds,
+      s"graph needs ${rounds - 1} propagation rounds > CcRounds=${WebIndex.CcRounds}")
+    val sizes = labels.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
+    val expected = labels.map { case (h, l) => h -> ((l, sizes(l))) }
+    val got = WebIndex.hostComponents(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got == expected)
+    // the planted ring is its own 3-host component, labeled by its min host
+    assert(got("ring-z.example") == (("ring-x.example", 3L)))
+    assert(got("ring-y.example") == (("ring-x.example", 3L)))
+    // and the organic corpus hosts are NOT in the ring's component
+    assert(got.exists { case (h, (c, _)) => !h.contains("ring-") && c != "ring-x.example" })
+  }
+
   test("reciprocalLinks plan: hash joins only — no cartesian/nested-loop") {
     val plan = WebIndex.reciprocalLinks(spark, sfDir)
       .queryExecution.executedPlan.toString
