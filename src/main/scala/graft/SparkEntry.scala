@@ -124,7 +124,8 @@ object SparkEntry {
     "q_host_cardinality" -> (graft.pipeline.Cardinality.hostCardinalityQuery _),
     "q_cdx_index" -> (graft.pipeline.WebIndex.cdxIndex _),
     "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _),
-    "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _)
+    "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _),
+    "q_robots_decisions" -> (CrawlQueries.robotsDecisions _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -229,6 +230,9 @@ object SparkEntry {
     // rounds as unrolled chained CTEs (the pageRank oracle discipline)
     "q_host_components" ->
       graft.pipeline.WebIndex.hostComponentsSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-decides the RFC 9309 matrix through
+    // LIKE translation — a second, structurally different REP matcher
+    "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

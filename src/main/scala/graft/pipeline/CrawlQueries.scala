@@ -649,4 +649,113 @@ object CrawlQueries {
        |  CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS bonus,
        |  least(pending, base_q + CASE WHEN rn <= leftover THEN 1 ELSE 0 END) AS quota
        |FROM l ORDER BY host""".stripMargin
+
+  /** Planted (host, pattern, is_allow) robots rule sets exercising every
+    * RFC 9309 decision behavior the organic corpus (plain Disallow
+    * prefixes) never reaches. Patterns deliberately avoid `%`/`_`/quotes
+    * and non-trailing `$` so the DuckDB twin's LIKE translation is exact
+    * by construction. Shared verbatim with [[robotsDecisionsSql]]. */
+  private[pipeline] val RobotsMatrixRules: Seq[(String, String, Boolean)] = Seq(
+    // longer Allow carves a hole in a Disallow subtree
+    ("prefix.example", "/private", false),
+    ("prefix.example", "/private/public", true),
+    // $-anchored extension block
+    ("anchor.example", "/*.pdf$", false),
+    // exact length tie -> Allow (least restrictive) wins
+    ("tie.example", "/t", true),
+    ("tie.example", "/t", false),
+    // Google's canonical precedence example: /page.htm matches Allow /page
+    // (len 5) AND Disallow /*.htm (len 6) -> the longer Disallow wins
+    ("longest.example", "/page", true),
+    ("longest.example", "/*.htm", false),
+    // mid-pattern wildcard
+    ("star.example", "/dir/*/x", false))
+
+  /** Planted paths probing [[RobotsMatrixRules]] (plus a rule-less host —
+    * the no-rules default-allow branch). */
+  private[pipeline] val RobotsMatrixPaths: Seq[(String, String)] = Seq(
+    ("prefix.example", "/private/x"),
+    ("prefix.example", "/private/public/y"),
+    ("prefix.example", "/open"),
+    ("anchor.example", "/doc/file.pdf"),
+    ("anchor.example", "/doc/file.pdfx"),
+    ("anchor.example", "/.pdf"),
+    ("tie.example", "/t/anything"),
+    ("longest.example", "/page.htm"),
+    ("longest.example", "/pagex"),
+    ("longest.example", "/x.htm"),
+    ("star.example", "/dir/a/x"),
+    ("star.example", "/dir/a/y"),
+    ("star.example", "/dir/x"),
+    ("star.example", "/dir/a/b/xyz"),
+    ("norules.example", "/anything"))
+
+  /** RFC 9309 decision matrix — the [[graft.politeness.Robots.decision]]
+    * kernel exercised through the SAME join shape as the crawl gate
+    * (per-host rule arrays left-joined to candidate paths), over planted
+    * rules covering Allow-overrides-Disallow, `$` anchoring, length ties,
+    * Google's longest-match example, and mid-pattern `*`. `blocked` and
+    * the matching-rule count are exact integers; the DuckDB twin
+    * re-decides every row through LIKE translation — a structurally
+    * different second implementation of the REP matcher. */
+  def robotsDecisions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = RobotsMatrixRules.toDF("host", "pattern", "is_allow")
+    val grouped = rules.groupBy("host").agg(
+      collect_list(when(col("is_allow"), col("pattern"))).as("allow"),
+      collect_list(when(!col("is_allow"), col("pattern"))).as("disallow"))
+    RobotsMatrixPaths.toDF("host", "path")
+      .join(grouped, Seq("host"), "left")
+      .as[(String, String, Seq[String], Seq[String])]
+      .map { case (host, path, allow, disallow) =>
+        val al = Option(allow).getOrElse(Seq.empty)
+        val di = Option(disallow).getOrElse(Seq.empty)
+        val blocked = graft.politeness.Robots.decision(al, di, path)
+        val nMatch = (al ++ di)
+          .count(p => p.nonEmpty && graft.politeness.Robots.patternMatches(p, path))
+        (host, path, if (blocked) 1L else 0L, nMatch.toLong)
+      }
+      .toDF("host", "path", "blocked", "n_match")
+      .orderBy("host", "path")
+  }
+
+  /** DuckDB twin of [[robotsDecisions]]: pattern → LIKE (`*` → `%`;
+    * trailing `$` drops the appended prefix-`%`), longest-match via a
+    * window ordered (length DESC, is_allow DESC — the tie-to-Allow rule).
+    * Exact because the planted patterns avoid LIKE metacharacters. */
+  def robotsDecisionsSql: String = {
+    val rulesValues = RobotsMatrixRules
+      .map { case (h, p, a) => s"('$h', '$p', ${if (a) 1 else 0})" }.mkString(", ")
+    val pathsValues = RobotsMatrixPaths
+      .map { case (h, p) => s"('$h', '$p')" }.mkString(", ")
+    s"""WITH rules AS (
+       |  SELECT h AS host, p AS pattern, a = 1 AS is_allow
+       |  FROM (VALUES $rulesValues) v(h, p, a)),
+       |paths AS (SELECT h AS host, p AS path FROM (VALUES $pathsValues) v(h, p)),
+       |likes AS (
+       |  SELECT host, pattern, is_allow, length(pattern) AS plen,
+       |    CASE WHEN pattern LIKE '%$$'
+       |         THEN replace(substr(pattern, 1, length(pattern) - 1), '*', '%')
+       |         ELSE replace(pattern, '*', '%') || '%' END AS likepat
+       |  FROM rules),
+       |m AS (
+       |  SELECT p.host, p.path, l.is_allow, l.plen
+       |  FROM paths p JOIN likes l ON p.host = l.host AND p.path LIKE l.likepat),
+       |best AS (
+       |  SELECT host, path, is_allow,
+       |    row_number() OVER (PARTITION BY host, path
+       |                       ORDER BY plen DESC, is_allow DESC) AS rn
+       |  FROM m),
+       |agg AS (SELECT host, path, CAST(count(*) AS BIGINT) AS n_match
+       |        FROM m GROUP BY host, path)
+       |SELECT p.host, p.path,
+       |  CAST(CASE WHEN b.is_allow IS NULL OR b.is_allow THEN 0 ELSE 1 END AS BIGINT)
+       |    AS blocked,
+       |  CAST(coalesce(a.n_match, 0) AS BIGINT) AS n_match
+       |FROM paths p
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |  ON p.host = b.host AND p.path = b.path
+       |LEFT JOIN agg a ON p.host = a.host AND p.path = a.path
+       |ORDER BY p.host, p.path""".stripMargin
+  }
 }

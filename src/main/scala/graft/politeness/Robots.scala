@@ -11,20 +11,74 @@ import graft.urls.UrlKernel
   * (src/application/crawler_service.rs:958-1054 — discover_sitemap_url); it
   * never enforces Disallow. The north rule upgrades this to real robots
   * gating, so this parser reads both: `Sitemap:` lines (seed discovery) and
-  * `User-agent: *` group `Disallow:` prefixes (fetch gating). Rules are tiny
+  * `User-agent: *` group `Allow:`/`Disallow:` rules with full RFC 9309
+  * matching — `*`/`$` wildcards, longest-match precedence, ties to Allow
+  * (fetch gating). Rules are tiny
   * per host → parsed into a driver-side map and BROADCAST to executors
   * (SURVEY.md §4 physical design #3); gating is then a cheap filter, no join.
   */
 object Robots {
 
   final case class Rules(disallow: Vector[String], sitemaps: Vector[String],
-                         crawlDelaySec: Option[Long] = scala.None) {
-    /** True when `path` is blocked. Empty-string Disallow means allow-all
+                         crawlDelaySec: Option[Long] = scala.None,
+                         allow: Vector[String] = Vector.empty) {
+    /** True when `path` is blocked under the full RFC 9309 decision
+      * ([[decision]]): longest-match over Allow AND Disallow, `*`/`$`
+      * wildcards, ties to Allow. Empty-string rules never participate
       * (standard robots semantics). */
-    def isDisallowed(path: String): Boolean =
-      disallow.exists(p => p.nonEmpty && path.startsWith(p))
+    def isDisallowed(path: String): Boolean = decision(allow, disallow, path)
   }
   val empty: Rules = Rules(Vector.empty, Vector.empty)
+
+  /** RFC 9309 §2.2.3 path-pattern match: the pattern matches a PREFIX of
+    * `path`, `*` matches any character sequence (including empty), and a
+    * TRAILING `$` anchors the pattern to the end of the path (a `$`
+    * anywhere else is a literal). Greedy leftmost placement of each
+    * inter-`*` literal segment is exact for the match DECISION (taking the
+    * earliest occurrence always leaves maximal room for later segments);
+    * the `$`-anchored final segment is checked against the path END
+    * instead, with an overlap guard so it cannot reach back before the
+    * previously consumed prefix. */
+  def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.dropRight(1) else pattern
+    val parts = pat.split("\\*", -1)
+    if (!path.startsWith(parts(0))) return false
+    var idx = parts(0).length
+    if (parts.length == 1) return !anchored || path.length == idx
+    var i = 1
+    while (i < parts.length) {
+      val seg = parts(i)
+      if (i == parts.length - 1 && anchored)
+        return path.endsWith(seg) && path.length - seg.length >= idx
+      else if (seg.nonEmpty) {
+        val found = path.indexOf(seg, idx)
+        if (found < 0) return false
+        idx = found + seg.length
+      }
+      i += 1
+    }
+    true // last segment empty and unanchored: trailing '*' matches the rest
+  }
+
+  /** The RFC 9309 §2.2.2 access decision over one host's rule set: among
+    * ALL matching rules (Allow and Disallow), the longest pattern wins —
+    * "most specific" is byte length per Google's REP — and a length tie
+    * goes to Allow (least restrictive). No matching rule → allowed.
+    * Returns true when `path` is BLOCKED. */
+  def decision(allowP: Seq[String], disallowP: Seq[String], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = false
+    def consider(p: String, isAllow: Boolean): Unit =
+      if (p.nonEmpty && (p.length > bestLen || (p.length == bestLen && isAllow && !bestAllow))
+          && patternMatches(p, path)) {
+        bestLen = p.length
+        bestAllow = isAllow
+      }
+    allowP.foreach(consider(_, true))
+    disallowP.foreach(consider(_, false))
+    bestLen >= 0 && !bestAllow
+  }
 
   /** Parse a robots.txt body. Only `User-agent: *` groups contribute
     * Disallow rules; `Sitemap:` is global (per RFC 9309 + reference's
@@ -35,6 +89,7 @@ object Robots {
     * group (blank lines are not required to separate groups). */
   def parse(body: String): Rules = {
     val disallow = Vector.newBuilder[String]
+    val allow = Vector.newBuilder[String]
     val sitemaps = Vector.newBuilder[String]
     var inStarGroup = false
     var lastLineWasAgent = false
@@ -52,6 +107,9 @@ object Robots {
             lastLineWasAgent = true
           case "disallow" =>
             if (inStarGroup) disallow += value
+            lastLineWasAgent = false
+          case "allow" =>
+            if (inStarGroup) allow += value
             lastLineWasAgent = false
           case "crawl-delay" =>
             // Non-standard but ubiquitous (Bing/Yandex semantics): seconds
@@ -75,7 +133,7 @@ object Robots {
         }
       }
     }
-    Rules(disallow.result(), sitemaps.result(), delay)
+    Rules(disallow.result(), sitemaps.result(), delay, allow.result())
   }
 
   /** True when `url`'s path is robots-blocked for its host per `rules`. */
@@ -113,13 +171,14 @@ object Robots {
         UrlKernel.extractDomain(url).flatMap { h =>
           val rules = parse(new String(body, UTF_8))
           if (rules.disallow.exists(_.nonEmpty) || rules.crawlDelaySec.isDefined)
-            Some((stripWww(h), rules.disallow, rules.crawlDelaySec.getOrElse(0L)))
+            Some((stripWww(h), rules.disallow, rules.allow, rules.crawlDelaySec.getOrElse(0L)))
           else scala.None
         }
       }
-      .toDF("rhost", "disallow", "delay_sec")
+      .toDF("rhost", "disallow", "allow", "delay_sec")
       .groupBy("rhost")
       .agg(array_distinct(flatten(collect_list(col("disallow")))).as("disallow"),
+        array_distinct(flatten(collect_list(col("allow")))).as("allow"),
         max("delay_sec").as("delay_sec"))
   }
 
@@ -128,7 +187,7 @@ object Robots {
   def rulesFromDirectives(directives: DataFrame): DataFrame =
     directives
       .filter(exists(col("disallow"), d => length(d) > 0))
-      .select(col("rhost"), col("disallow"))
+      .select(col("rhost"), col("disallow"), col("allow"))
 
   def rulesTable(spark: SparkSession, pages: DataFrame): DataFrame =
     rulesFromDirectives(directivesTable(spark, pages))
@@ -172,8 +231,8 @@ object Robots {
   /** Distributed Disallow gate: drop every entry whose path is robots-blocked
     * for its host. `rules` is a (rhost, disallow array) table holding ONLY
     * hosts with non-empty Disallow lines (see CrawlEngine prep) — the gate is
-    * a left join on the www-stripped host plus the same prefix predicate as
-    * [[isBlocked]]. No driver-side map: at 10^7+ crawled hosts the rules stay
+    * a left join on the www-stripped host plus the same RFC 9309 [[decision]]
+    * as [[isBlocked]]. No driver-side map: at 10^7+ crawled hosts the rules stay
     * a table and the join planner picks broadcast vs shuffle. */
   def gate(spark: SparkSession, entries: Dataset[FrontierEntry], rules: DataFrame): Dataset[FrontierEntry] = {
     import spark.implicits._
@@ -182,12 +241,12 @@ object Robots {
         when(col("host").startsWith("www."), expr("substring(host, 5)")).otherwise(col("host")))
       .join(rules, Seq("rhost"), "left_outer")
       .select(col("canonicalUrl"), col("url"), col("depth"), col("parentUrl"),
-        col("host"), col("pathDepth"), col("urlHash"), col("disallow"))
-      .as[(String, String, Int, String, String, Int, Long, Seq[String])]
-      .flatMap { case (canonicalUrl, url, depth, parentUrl, host, pathDepth, urlHash, disallow) =>
+        col("host"), col("pathDepth"), col("urlHash"), col("disallow"), col("allow"))
+      .as[(String, String, Int, String, String, Int, Long, Seq[String], Seq[String])]
+      .flatMap { case (canonicalUrl, url, depth, parentUrl, host, pathDepth, urlHash, disallow, allow) =>
         val blocked = disallow != null &&
           UrlKernel.parse(canonicalUrl).exists(p =>
-            disallow.exists(d => d.nonEmpty && p.path.startsWith(d)))
+            decision(if (allow == null) Seq.empty else allow, disallow, p.path))
         if (blocked) scala.None
         else Some(FrontierEntry(canonicalUrl, url, depth, parentUrl, host, pathDepth, urlHash))
       }

@@ -33,6 +33,65 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.parse("User-agent: *\nDisallow:\n").isDisallowed("/anything"))
   }
 
+  test("patternMatches: RFC 9309 wildcard/anchor cases (Google REP examples)") {
+    import Robots.patternMatches
+    // plain patterns are prefix matches
+    assert(patternMatches("/fish", "/fish"))
+    assert(patternMatches("/fish", "/fishheads"))
+    assert(patternMatches("/fish", "/fish/salmon.html"))
+    assert(!patternMatches("/fish", "/Fish.asp"))
+    assert(!patternMatches("/fish", "/catfish"))
+    // trailing * is redundant with prefix semantics but legal
+    assert(patternMatches("/fish*", "/fishheads/yummy.html"))
+    // mid-pattern *
+    assert(patternMatches("/fish*.php", "/fishheads/catfish.php"))
+    assert(!patternMatches("/fish*.php", "/fishheads/catfish.htm"))
+    // $ anchor
+    assert(patternMatches("/*.php$", "/filename.php"))
+    assert(!patternMatches("/*.php$", "/filename.php5"))
+    assert(!patternMatches("/*.php$", "/windows.PHP"))
+    // anchored final segment cannot reach back before the consumed prefix
+    assert(!patternMatches("/abc*c$", "/abc"))
+    assert(patternMatches("/abc*c$", "/abcxc"))
+    // anchored exact (no wildcard)
+    assert(patternMatches("/exact$", "/exact"))
+    assert(!patternMatches("/exact$", "/exactly"))
+    // trailing * before $: anything at/after the prefix
+    assert(patternMatches("/p/*$", "/p/deep/leaf"))
+    // consecutive segments must appear IN ORDER
+    assert(patternMatches("/a*b*c", "/a-b-c"))
+    assert(!patternMatches("/a*b*c", "/a-c-b"))
+  }
+
+  test("decision: longest match wins, ties go to Allow, no match allows") {
+    import Robots.decision
+    // Google's canonical example: Allow /page (5) vs Disallow /*.htm (6)
+    assert(decision(Seq("/page"), Seq("/*.htm"), "/page.htm"))
+    assert(!decision(Seq("/page"), Seq("/*.htm"), "/pagex"))
+    // longer Allow carves a hole in a Disallow subtree
+    assert(decision(Seq("/private/public"), Seq("/private"), "/private/x"))
+    assert(!decision(Seq("/private/public"), Seq("/private"), "/private/public/y"))
+    // exact tie -> Allow
+    assert(!decision(Seq("/t"), Seq("/t"), "/t/z"))
+    // no matching rule -> allowed; empty patterns never participate
+    assert(!decision(Seq.empty, Seq.empty, "/x"))
+    assert(!decision(Seq(""), Seq(""), "/x"))
+  }
+
+  test("parse collects star-group Allow lines and the full decision flows through isDisallowed") {
+    val r = Robots.parse(
+      """User-agent: *
+        |Disallow: /private
+        |Allow: /private/public
+        |Disallow: /*.zip$
+        |""".stripMargin)
+    assert(r.allow == Vector("/private/public"))
+    assert(r.isDisallowed("/private/a"))
+    assert(!r.isDisallowed("/private/public/a"))
+    assert(r.isDisallowed("/downloads/big.zip"))
+    assert(!r.isDisallowed("/downloads/big.zip.txt"))
+  }
+
   test("isBlocked matches host with www stripped") {
     val rules = Map("site0.com" -> Robots.parse(body))
     assert(Robots.isBlocked("https://www.site0.com/private/a", rules))
