@@ -125,7 +125,8 @@ object SparkEntry {
     "q_cdx_index" -> (graft.pipeline.WebIndex.cdxIndex _),
     "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _),
     "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _),
-    "q_robots_decisions" -> (CrawlQueries.robotsDecisions _)
+    "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
+    "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -233,6 +234,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
+    // independent recompute: DuckDB re-derives the fetch log and re-runs
+    // the four pointer-doubling rounds as unrolled chained CTEs
+    "q_redirect_resolve" -> graft.pipeline.Redirects.redirectResolveSql,
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

@@ -372,6 +372,16 @@ object PlanCheck {
         hccPlan.linesIterator.size < 60,
       "final plan reads the round-10 checkpoint; label joins are hash-keyed")
 
+    // 27. redirect resolution: the pointer-doubling rounds and both
+    // membership checks are hash-keyed equi joins over keys-only triples —
+    // never a cartesian/nested-loop — and the edge filter reaches the log
+    val rr = graft.pipeline.Redirects.redirectResolve(spark, sfDir)
+    rr.collect()
+    val rrPlan = rr.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_redirect_resolve/hash-joins-only",
+      !rrPlan.contains("CartesianProduct") && !rrPlan.contains("BroadcastNestedLoopJoin"),
+      "4 doubling self-joins + src/known membership joins are all hash-keyed")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")

@@ -1,0 +1,41 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Single-query slice of [[graft.Verify]] for fast oracle iteration:
+  * dumps ONE named contract query's parquet + an oracle_sql.json holding
+  * just that query, so `scripts/check_oracle.py` validates it in seconds
+  * instead of re-running all of SparkEntry.queries.
+  *
+  * usage: runMain graft.tools.VerifyOne <q_name> [sfDir] [outDir]
+  */
+object VerifyOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 2) args(2) else "/tmp/verify_one"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    graft.SparkEntry.queries(name)(spark, sfDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sql = graft.SparkEntry.oracleSql(name)
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), s"{${q(name)}: ${q(sql)}}")
+    spark.stop()
+  }
+}
