@@ -126,7 +126,8 @@ object SparkEntry {
     "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _),
     "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
-    "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _)
+    "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
+    "q_robots_groups" -> (CrawlQueries.robotsGroups _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -237,6 +238,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the fetch log and re-runs
     // the four pointer-doubling rounds as unrolled chained CTEs
     "q_redirect_resolve" -> graft.pipeline.Redirects.redirectResolveSql,
+    // independent recompute: DuckDB re-selects the RFC 9309 group (prefix
+    // LIKE + length window) and re-decides within it
+    "q_robots_groups" -> CrawlQueries.robotsGroupsSql,
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

@@ -719,6 +719,126 @@ object CrawlQueries {
       .orderBy("host", "path")
   }
 
+  /** Planted multi-group rule sets exercising RFC 9309 §2.2.1 group
+    * selection: a host with `*` + two product-token groups (one a prefix
+    * of the other), a host with a named group and NO `*` fallback, and a
+    * star-only host. All agents/patterns lowercase and LIKE-metachar-free
+    * so the DuckDB twin's prefix-LIKE and pattern-LIKE translations are
+    * exact by construction; no empty patterns (an empty pattern never
+    * participates in [[graft.politeness.Robots.decision]] but would
+    * translate to a match-everything LIKE). Shared verbatim with
+    * [[robotsGroupsSql]]. */
+  private[pipeline] val GroupMatrixRules: Seq[(String, String, String, Boolean)] = Seq(
+    ("g1.example", "*", "/private", false),
+    ("g1.example", "graftbot", "/graft-only", false),
+    ("g1.example", "graftbot", "/graft-only/ok", true),
+    ("g1.example", "graftbot-news", "/news-block", false),
+    ("g2.example", "crawler", "/", false),
+    ("g3.example", "*", "/all-block", false))
+
+  /** Planted (host, product token, path) probes for [[GroupMatrixRules]]:
+    * longest-prefix selection, specific-replaces-star (the REP's classic
+    * gotcha), prefix-vs-shorter-token, and the no-match/no-star default. */
+  private[pipeline] val GroupMatrixProbes: Seq[(String, String, String)] = Seq(
+    ("g1.example", "graftbot-news", "/news-block/x"), // most specific group blocks
+    ("g1.example", "graftbot-news", "/graft-only/x"), // graftbot rules do NOT apply
+    ("g1.example", "graftbot", "/graft-only/x"),
+    ("g1.example", "graftbot", "/graft-only/ok/y"), // Allow carve within the group
+    ("g1.example", "graftbot", "/private/x"), // star rules replaced, NOT merged
+    ("g1.example", "otherbot", "/private/x"), // falls back to *
+    ("g2.example", "otherbot", "/anything"), // no match, no * → allowed
+    ("g2.example", "crawlerx", "/x"), // 'crawler' is a prefix of the token
+    ("g2.example", "crawl", "/x"), // token shorter than the agent → no match
+    ("g3.example", "anybot", "/all-block/x"),
+    ("g3.example", "anybot", "/open"))
+
+  /** RFC 9309 §2.2.1 group-selection matrix — for each (host, product
+    * token, path): the chosen group (longest case-insensitive agent prefix
+    * of the token, else `*`), whether that group's rules block the path
+    * ([[graft.politeness.Robots.decision]] within ONLY the chosen group —
+    * a named match replaces `*`), and the chosen group's rule count. The
+    * DuckDB twin re-selects via prefix-LIKE + a length window and
+    * re-decides via LIKE translation — a second implementation of both
+    * layers. */
+  def robotsGroups(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = GroupMatrixRules.toDF("host", "agent", "pattern", "is_allow")
+    val grouped = rules.groupBy("host")
+      .agg(collect_list(struct(col("agent"), col("pattern"), col("is_allow"))).as("rules"))
+    GroupMatrixProbes.toDF("host", "token", "path")
+      .join(grouped, Seq("host"), "left")
+      .as[(String, String, String, Seq[(String, String, Boolean)])]
+      .map { case (host, token, path, rs) =>
+        val all = Option(rs).getOrElse(Seq.empty)
+        val chosen = graft.politeness.Robots.groupAgentFor(all.map(_._1), token)
+        val sel = all.filter(_._1.equalsIgnoreCase(chosen))
+        val blocked = graft.politeness.Robots.decision(
+          sel.filter(_._3).map(_._2), sel.filterNot(_._3).map(_._2), path)
+        (host, token, path, chosen, if (blocked) 1L else 0L, sel.size.toLong)
+      }
+      .toDF("host", "token", "path", "group_agent", "blocked", "n_rules")
+      .orderBy("host", "token", "path")
+  }
+
+  /** DuckDB twin of [[robotsGroups]]: agent selection = prefix-LIKE join +
+    * a (length DESC) window with `*` fallback; decision = the same LIKE
+    * translation + longest-match window as [[robotsDecisionsSql]], scoped
+    * to the chosen group's rules. */
+  def robotsGroupsSql: String = {
+    val rulesValues = GroupMatrixRules
+      .map { case (h, a, p, al) => s"('$h', '$a', '$p', ${if (al) 1 else 0})" }.mkString(", ")
+    val probeValues = GroupMatrixProbes
+      .map { case (h, t, p) => s"('$h', '$t', '$p')" }.mkString(", ")
+    s"""WITH rules AS (
+       |  SELECT h AS host, a AS agent, p AS pattern, al = 1 AS is_allow
+       |  FROM (VALUES $rulesValues) v(h, a, p, al)),
+       |probes AS (SELECT h AS host, t AS token, p AS path
+       |           FROM (VALUES $probeValues) v(h, t, p)),
+       |cand AS (
+       |  SELECT p.host, p.token, p.path, r.agent,
+       |    row_number() OVER (PARTITION BY p.host, p.token, p.path
+       |                       ORDER BY length(r.agent) DESC) AS rn
+       |  FROM probes p
+       |  JOIN (SELECT DISTINCT host, agent FROM rules) r
+       |    ON p.host = r.host AND r.agent <> '*' AND p.token LIKE r.agent || '%'),
+       |chosen AS (
+       |  SELECT p.host, p.token, p.path, coalesce(c.agent, '*') AS group_agent
+       |  FROM probes p
+       |  LEFT JOIN (SELECT * FROM cand WHERE rn = 1) c
+       |    ON p.host = c.host AND p.token = c.token AND p.path = c.path),
+       |likes AS (
+       |  SELECT host, agent, pattern, is_allow, length(pattern) AS plen,
+       |    CASE WHEN pattern LIKE '%$$'
+       |         THEN replace(substr(pattern, 1, length(pattern) - 1), '*', '%')
+       |         ELSE replace(pattern, '*', '%') || '%' END AS likepat
+       |  FROM rules),
+       |m AS (
+       |  SELECT c.host, c.token, c.path, l.is_allow, l.plen
+       |  FROM chosen c
+       |  JOIN likes l ON c.host = l.host AND c.group_agent = l.agent
+       |              AND c.path LIKE l.likepat),
+       |best AS (
+       |  SELECT host, token, path, is_allow,
+       |    row_number() OVER (PARTITION BY host, token, path
+       |                       ORDER BY plen DESC, is_allow DESC) AS rn
+       |  FROM m),
+       |nr AS (
+       |  SELECT c.host, c.token, c.path,
+       |         CAST(count(r.pattern) AS BIGINT) AS n_rules
+       |  FROM chosen c
+       |  LEFT JOIN rules r ON c.host = r.host AND c.group_agent = r.agent
+       |  GROUP BY c.host, c.token, c.path)
+       |SELECT c.host, c.token, c.path, c.group_agent,
+       |  CAST(CASE WHEN b.is_allow IS NULL OR b.is_allow THEN 0 ELSE 1 END AS BIGINT)
+       |    AS blocked,
+       |  nr.n_rules
+       |FROM chosen c
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+       |  ON c.host = b.host AND c.token = b.token AND c.path = b.path
+       |JOIN nr ON c.host = nr.host AND c.token = nr.token AND c.path = nr.path
+       |ORDER BY c.host, c.token, c.path""".stripMargin
+  }
+
   /** DuckDB twin of [[robotsDecisions]]: pattern → LIKE (`*` → `%`;
     * trailing `$` drops the appended prefix-`%`), longest-match via a
     * window ordered (length DESC, is_allow DESC — the tie-to-Allow rule).

@@ -80,20 +80,33 @@ object Robots {
     bestLen >= 0 && !bestAllow
   }
 
-  /** Parse a robots.txt body. Only `User-agent: *` groups contribute
-    * Disallow rules; `Sitemap:` is global (per RFC 9309 + reference's
-    * line-scan at crawler_service.rs:976-999).
+  /** One robots.txt group: its stacked `User-agent` values and the rules
+    * that follow (RFC 9309 §2.1). */
+  final case class Group(agents: Vector[String], allow: Vector[String],
+                         disallow: Vector[String], crawlDelaySec: Option[Long])
+
+  /** Parse EVERY group in a robots.txt body plus the global `Sitemap:`
+    * lines (reference line-scan: crawler_service.rs:976-999).
     *
     * Group semantics (RFC 9309 §2.1): consecutive `User-agent` lines stack
     * onto one group; a `User-agent` line that follows RULES starts a NEW
-    * group (blank lines are not required to separate groups). */
-  def parse(body: String): Rules = {
-    val disallow = Vector.newBuilder[String]
-    val allow = Vector.newBuilder[String]
+    * group (blank lines are not required to separate groups); rule lines
+    * before any `User-agent` line belong to no group and are dropped. */
+  def parseAll(body: String): (Vector[Group], Vector[String]) = {
+    val groups = Vector.newBuilder[Group]
     val sitemaps = Vector.newBuilder[String]
-    var inStarGroup = false
-    var lastLineWasAgent = false
+    var agents = Vector.empty[String]
+    var disallow = Vector.newBuilder[String]
+    var allow = Vector.newBuilder[String]
     var delay: Option[Long] = scala.None
+    var lastLineWasAgent = false
+    def flush(): Unit = if (agents.nonEmpty) {
+      groups += Group(agents, allow.result(), disallow.result(), delay)
+      agents = Vector.empty
+      disallow = Vector.newBuilder[String]
+      allow = Vector.newBuilder[String]
+      delay = scala.None
+    }
     body.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val colon = line.indexOf(':')
@@ -102,21 +115,21 @@ object Robots {
         val value = line.substring(colon + 1).trim
         key match {
           case "user-agent" =>
-            if (lastLineWasAgent) inStarGroup ||= value == "*" // stacked agents, same group
-            else inStarGroup = value == "*" // rules (or start of file) precede → new group
+            if (!lastLineWasAgent) flush() // rules (or start of file) precede → new group
+            agents :+= value
             lastLineWasAgent = true
           case "disallow" =>
-            if (inStarGroup) disallow += value
+            if (agents.nonEmpty) disallow += value
             lastLineWasAgent = false
           case "allow" =>
-            if (inStarGroup) allow += value
+            if (agents.nonEmpty) allow += value
             lastLineWasAgent = false
           case "crawl-delay" =>
             // Non-standard but ubiquitous (Bing/Yandex semantics): seconds
             // between requests. Decimal values round UP (politeness errs
             // slow); non-positive/garbage is ignored; repeated declarations
-            // keep the most restrictive. Only the `*` group binds us.
-            if (inStarGroup)
+            // keep the most restrictive.
+            if (agents.nonEmpty)
               scala.util.Try(BigDecimal(value)).toOption
                 .filter(_ > 0)
                 // clamp BEFORE toLong: a 2^64-scale delay must stay the most
@@ -133,8 +146,44 @@ object Robots {
         }
       }
     }
-    Rules(disallow.result(), sitemaps.result(), delay, allow.result())
+    flush()
+    (groups.result(), sitemaps.result())
   }
+
+  /** RFC 9309 §2.2.1 group selection (google/robotstxt semantics): among
+    * the non-`*` agent values, the ones that are a case-insensitive PREFIX
+    * of the crawler's product token match; the LONGEST match is the chosen
+    * group identity; nothing matches → `*`. Empty agent values never
+    * match (an empty prefix would match every token). */
+  def groupAgentFor(agents: Seq[String], token: String): String = {
+    val t = token.trim.toLowerCase
+    agents.foldLeft("*") { (best, raw) =>
+      val a = raw.trim.toLowerCase
+      if (a.nonEmpty && a != "*" && t.startsWith(a) &&
+        (best == "*" || a.length > best.length)) a
+      else best
+    }
+  }
+
+  /** The effective rules for one crawler product token: select the chosen
+    * agent via [[groupAgentFor]], merge ALL groups that carry it (RFC 9309
+    * merges same-agent groups; Crawl-delay keeps the most restrictive).
+    * Per the REP's best-known gotcha, a specific group REPLACES `*` — the
+    * star rules are NOT merged in when a named group matches. */
+  def rulesFor(body: String, token: String): Rules = {
+    val (groups, sitemaps) = parseAll(body)
+    val chosen = groupAgentFor(groups.flatMap(_.agents), token)
+    val sel = groups.filter(_.agents.exists(_.trim.equalsIgnoreCase(chosen)))
+    Rules(sel.flatMap(_.disallow), sitemaps,
+      sel.flatMap(_.crawlDelaySec).reduceOption(math.max(_: Long, _: Long)),
+      sel.flatMap(_.allow))
+  }
+
+  /** The engine's own rules: it crawls as a generic agent (the reference
+    * sends browser User-Agents, not a product token — user_agent.rs), so
+    * only `User-agent: *` groups bind it. Equivalent to the pre-group
+    * parser: star groups merged in order, delay max, sitemaps global. */
+  def parse(body: String): Rules = rulesFor(body, "*")
 
   /** True when `url`'s path is robots-blocked for its host per `rules`. */
   def isBlocked(url: String, rules: Map[String, Rules]): Boolean =

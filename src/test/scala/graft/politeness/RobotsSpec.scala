@@ -92,6 +92,63 @@ class RobotsSpec extends AnyFunSuite {
     assert(!r.isDisallowed("/downloads/big.zip.txt"))
   }
 
+  test("parseAll: group boundaries, stacked agents, pre-group rules dropped") {
+    val (groups, sitemaps) = Robots.parseAll(
+      """Disallow: /orphan
+        |User-agent: a
+        |User-agent: b
+        |Disallow: /ab
+        |Crawl-delay: 2.5
+        |User-agent: c
+        |Allow: /c-ok
+        |Disallow: /c-no
+        |Sitemap: https://s.example/sm.xml
+        |User-agent: a
+        |Disallow: /a-more
+        |""".stripMargin)
+    assert(groups.size == 3)
+    assert(groups(0) == Robots.Group(Vector("a", "b"), Vector(), Vector("/ab"), Some(3L)))
+    assert(groups(1) == Robots.Group(Vector("c"), Vector("/c-ok"), Vector("/c-no"), None))
+    assert(groups(2) == Robots.Group(Vector("a"), Vector(), Vector("/a-more"), None))
+    assert(sitemaps == Vector("https://s.example/sm.xml"))
+  }
+
+  test("groupAgentFor: longest case-insensitive prefix wins; empty/star never match") {
+    import Robots.groupAgentFor
+    val agents = Seq("*", "graftbot", "graftbot-news", "", "crawler")
+    assert(groupAgentFor(agents, "graftbot-news") == "graftbot-news")
+    assert(groupAgentFor(agents, "graftbot-newsreader") == "graftbot-news")
+    assert(groupAgentFor(agents, "GraftBot") == "graftbot")
+    assert(groupAgentFor(agents, "crawlerx") == "crawler")
+    assert(groupAgentFor(agents, "crawl") == "*")
+    assert(groupAgentFor(agents, "unknown") == "*")
+    assert(groupAgentFor(Seq.empty, "anything") == "*")
+  }
+
+  test("rulesFor: named group REPLACES star; same-agent groups merge; delay per group") {
+    val body =
+      """User-agent: *
+        |Disallow: /private
+        |Crawl-delay: 9
+        |User-agent: graftbot
+        |Disallow: /graft-only
+        |Allow: /graft-only/ok
+        |Crawl-delay: 1
+        |User-agent: graftbot
+        |Disallow: /graft-more
+        |""".stripMargin
+    val g = Robots.rulesFor(body, "graftbot")
+    assert(g.disallow == Vector("/graft-only", "/graft-more"), "same-agent groups merge")
+    assert(!g.isDisallowed("/private/x"), "star rules are replaced, not merged")
+    assert(g.isDisallowed("/graft-only/x") && !g.isDisallowed("/graft-only/ok/y"))
+    assert(g.crawlDelaySec == Some(1L), "delay comes from the chosen group only")
+    val star = Robots.rulesFor(body, "otherbot")
+    assert(star.isDisallowed("/private/x") && !star.isDisallowed("/graft-only/x"))
+    assert(star.crawlDelaySec == Some(9L))
+    assert(Robots.rulesFor("User-agent: named\nDisallow: /\n", "unmatched")
+      .disallow.isEmpty, "no match and no star group → no rules")
+  }
+
   test("isBlocked matches host with www stripped") {
     val rules = Map("site0.com" -> Robots.parse(body))
     assert(Robots.isBlocked("https://www.site0.com/private/a", rules))
