@@ -127,7 +127,8 @@ object SparkEntry {
     "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
-    "q_robots_groups" -> (CrawlQueries.robotsGroups _)
+    "q_robots_groups" -> (CrawlQueries.robotsGroups _),
+    "q_param_mining" -> (graft.pipeline.ParamMining.paramMining _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -241,6 +242,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-selects the RFC 9309 group (prefix
     // LIKE + length window) and re-decides within it
     "q_robots_groups" -> CrawlQueries.robotsGroupsSql,
+    // independent recompute: DuckDB re-derives the variant log and
+    // re-mines neutrality with its own list vocabulary
+    "q_param_mining" -> graft.pipeline.ParamMining.paramMiningSql,
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tracking-parameter mining — learn, per host, which query parameters are
+  * CONTENT-NEUTRAL (DustBuster/IRLbot's "DUST rule" problem): a crawler
+  * that knows `utm` never changes a host's content can canonicalize it
+  * away in `normalize_url`, collapsing whole families of duplicate frontier
+  * entries before they are ever fetched. The reference hard-codes nothing
+  * of the sort (normalize_url keeps queries verbatim — adapters/url.rs);
+  * at 10^10 URLs the rules must be LEARNED from evidence.
+  *
+  * Evidence rule, per (host, param): group fetched URLs by everything
+  * EXCEPT the param (path + the sorted remaining query string). A group is
+  * INFORMATIVE when the param took >1 distinct value inside it; the param
+  * is neutral in that group when all those variants carry ONE distinct
+  * content digest. Verdict `is_tracking` = at least 2 informative groups
+  * and neutral in ALL of them (any counter-example kills the rule — a
+  * false positive here would merge genuinely different pages).
+  *
+  * Scale shape: one explode (≤ params-per-url rows), two keyed
+  * aggregations with map-side partials (the distinct counts expand to
+  * (group, value) keys — still keys-only; content digests enter as 32-char
+  * md5 strings, never payloads), pure codegen'd Column ops throughout (no
+  * UDFs — split/filter/sort_array/array_join are all native expressions).
+  *
+  * The fetch log is synthesized deterministically from the documents
+  * table: each base page emits 4 variants over `page` (content-affecting)
+  * × `utm` (content-neutral — except on every 4th source host, where the
+  * synthetic content deliberately depends on utm, so the miner provably
+  * reports per-host verdicts rather than a global one). Both engines
+  * re-derive the log; the DuckDB oracle re-mines it with its own list
+  * vocabulary (str_split/list_filter/list_sort) — an independent recompute.
+  */
+object ParamMining {
+
+  /** Synthesized fetch log: (url, content_hash). Variants j=0..3 per base
+    * give every (host, base) two informative groups for `utm` (page=0:
+    * u0 vs u2; page=1: u1 vs u0) and one for `page` (utm=u0: 0 vs 1). */
+  def paramLog(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").cast("string").as("ids"), col("source"))
+      .withColumn("srcnum", expr("CAST(substring(source, 4) AS INT)"))
+      .withColumn("base", concat(lit("http://"), col("source"), lit(".example/p/"), col("ids")))
+      .withColumn("j", explode(sequence(lit(0), lit(3))))
+      .withColumn("page", expr("CAST(CASE WHEN j = 0 OR j = 2 THEN 0 ELSE 1 END AS STRING)"))
+      .withColumn("utm", expr("CASE WHEN j = 3 THEN 'u0' ELSE 'u' || CAST(j AS STRING) END"))
+      .select(
+        concat(col("base"), lit("?page="), col("page"), lit("&utm="), col("utm")).as("url"),
+        md5(concat(col("base"), lit(":"), col("page"),
+          expr("CASE WHEN srcnum % 4 = 0 THEN ':' || utm ELSE '' END"))).as("content_hash"))
+  }
+
+  /** Mine per-(host, param) neutrality verdicts from a (url, content_hash)
+    * fetch log. Output: (host, param, n_groups, n_neutral, is_tracking). */
+  def mineParams(log: DataFrame): DataFrame = {
+    val parsed = log
+      .filter(instr(col("url"), "?") > 0)
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("pathpart", expr("element_at(split(url, '[?]'), 1)"))
+      .withColumn("params", expr("split(element_at(split(url, '[?]'), 2), '&')"))
+      .withColumn("p", explode(col("params")))
+      .withColumn("k", expr("substring_index(p, '=', 1)"))
+      .withColumn("v", expr("substring_index(p, '=', -1)"))
+      .withColumn("others", expr(
+        "array_join(sort_array(filter(params, x -> NOT startswith(x, k || '='))), '&')"))
+      .select(col("host"), col("k").as("param"),
+        concat(col("pathpart"), lit("|"), col("others")).as("grp"),
+        col("v"), col("content_hash"))
+    val groups = parsed
+      .groupBy("host", "param", "grp")
+      .agg(countDistinct("v").as("nv"), countDistinct("content_hash").as("nh"))
+    groups
+      .groupBy("host", "param")
+      .agg(
+        sum(when(col("nv") > 1, 1L).otherwise(0L)).as("n_groups"),
+        sum(when(col("nv") > 1 && col("nh") === 1, 1L).otherwise(0L)).as("n_neutral"))
+      .select(col("host"), col("param"),
+        col("n_groups").cast("long").as("n_groups"),
+        col("n_neutral").cast("long").as("n_neutral"),
+        when(col("n_groups") >= 2 && col("n_neutral") === col("n_groups"), 1L)
+          .otherwise(0L).as("is_tracking"))
+      .orderBy("host", "param")
+  }
+
+  /** Contract query: mine the synthesized log. */
+  def paramMining(spark: SparkSession, dir: String): DataFrame =
+    mineParams(paramLog(spark, dir))
+
+  /** Independent DuckDB recompute: re-derives the fetch log and re-mines
+    * it with DuckDB's own list vocabulary. */
+  val paramMiningSql: String =
+    """WITH ids AS (
+      |  SELECT CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS ids, source,
+      |         CAST(substring(source, 4) AS INT) AS srcnum,
+      |         'http://' || source || '.example/p/' ||
+      |           CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS base
+      |  FROM documents),
+      |log AS (
+      |  SELECT
+      |    base || '?page=' || page || '&utm=' || utm AS url,
+      |    md5(base || ':' || page ||
+      |        CASE WHEN srcnum % 4 = 0 THEN ':' || utm ELSE '' END) AS content_hash
+      |  FROM (
+      |    SELECT ids, source, srcnum, base, j,
+      |      CAST(CASE WHEN j = 0 OR j = 2 THEN 0 ELSE 1 END AS VARCHAR) AS page,
+      |      CASE WHEN j = 3 THEN 'u0' ELSE 'u' || CAST(j AS VARCHAR) END AS utm
+      |    FROM ids, unnest(generate_series(0, 3)) AS t(j))),
+      |parsed AS (
+      |  SELECT
+      |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |    str_split(p, '=')[1] AS param,
+      |    str_split(url, '?')[1] || '|' ||
+      |      array_to_string(list_sort(list_filter(
+      |        str_split(str_split(url, '?')[2], '&'),
+      |        x -> NOT starts_with(x, str_split(p, '=')[1] || '='))), '&') AS grp,
+      |    str_split(p, '=')[2] AS v,
+      |    content_hash
+      |  FROM log, unnest(str_split(str_split(url, '?')[2], '&')) AS u(p)
+      |  WHERE strpos(url, '?') > 0),
+      |groups AS (
+      |  SELECT host, param, grp,
+      |         count(DISTINCT v) AS nv, count(DISTINCT content_hash) AS nh
+      |  FROM parsed GROUP BY host, param, grp),
+      |verdicts AS (
+      |  SELECT host, param,
+      |    CAST(sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_groups,
+      |    CAST(sum(CASE WHEN nv > 1 AND nh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neutral
+      |  FROM groups GROUP BY host, param)
+      |SELECT host, param, n_groups, n_neutral,
+      |  CAST(CASE WHEN n_groups >= 2 AND n_neutral = n_groups
+      |            THEN 1 ELSE 0 END AS BIGINT) AS is_tracking
+      |FROM verdicts
+      |ORDER BY host, param""".stripMargin
+}

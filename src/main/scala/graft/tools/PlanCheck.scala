@@ -382,6 +382,17 @@ object PlanCheck {
       !rrPlan.contains("CartesianProduct") && !rrPlan.contains("BroadcastNestedLoopJoin"),
       "4 doubling self-joins + src/known membership joins are all hash-keyed")
 
+    // 28. param mining: parsing/grouping are native list expressions in
+    // codegen (no UDFs), both aggregation levels combine map-side, and
+    // nothing plans an all-pairs join
+    val pm = graft.pipeline.ParamMining.paramMining(spark, sfDir)
+    pm.collect()
+    val pmPlan = pm.queryExecution.executedPlan.toString.split("Initial Plan").head
+    check("q_param_mining/codegen-partials",
+      !pmPlan.toLowerCase.contains("scalaudf") && pmPlan.contains("partial_") &&
+        !pmPlan.contains("CartesianProduct") && !pmPlan.contains("BroadcastNestedLoopJoin"),
+      "list-expression parsing in codegen; distinct counts combine map-side")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
