@@ -128,7 +128,8 @@ object SparkEntry {
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
-    "q_param_mining" -> (graft.pipeline.ParamMining.paramMining _)
+    "q_param_mining" -> (graft.pipeline.ParamMining.paramMining _),
+    "q_param_strip" -> (graft.pipeline.ParamMining.paramStrip _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -245,6 +246,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the variant log and
     // re-mines neutrality with its own list vocabulary
     "q_param_mining" -> graft.pipeline.ParamMining.paramMiningSql,
+    // composition oracle: the full mining statement rides along as a CTE,
+    // then DuckDB replays the strip/canonicalize/collapse
+    "q_param_strip" -> graft.pipeline.ParamMining.paramStripSql,
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

@@ -88,6 +88,85 @@ object ParamMining {
   def paramMining(spark: SparkSession, dir: String): DataFrame =
     mineParams(paramLog(spark, dir))
 
+  /** Composition: APPLY the mined rules — strip each host's tracking
+    * params, re-sort the survivors into a canonical query string, and
+    * report per host how much of the URL population collapses (the
+    * frontier-dedup win the learned DUST rules buy before any fetch).
+    * The per-host rule table is tiny (hosts × params) → broadcast join;
+    * stripping is the same codegen list-expression family as the miner.
+    * Output: (host, n_urls, n_canonical, collapsed, collapse_permille). */
+  def paramStrip(spark: SparkSession, dir: String): DataFrame = {
+    val tracking = mineParams(paramLog(spark, dir))
+      .filter(col("is_tracking") === 1L)
+      .groupBy("host").agg(collect_list("param").as("tps"))
+    val parsed = paramLog(spark, dir)
+      .filter(instr(col("url"), "?") > 0)
+      .withColumn("host", regexp_extract(col("url"), "^https?://([^/]+)", 1))
+      .withColumn("pathpart", expr("element_at(split(url, '[?]'), 1)"))
+      .withColumn("params", expr("split(element_at(split(url, '[?]'), 2), '&')"))
+    parsed.join(broadcast(tracking), Seq("host"), "left")
+      .withColumn("kept", expr(
+        """sort_array(filter(params, x -> NOT array_contains(
+          |  coalesce(tps, CAST(array() AS ARRAY<STRING>)),
+          |  substring_index(x, '=', 1))))""".stripMargin))
+      .withColumn("canon", expr(
+        "pathpart || CASE WHEN size(kept) > 0 THEN '?' || array_join(kept, '&') ELSE '' END"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"), countDistinct("canon").as("n_canonical"))
+      .select(col("host"),
+        col("n_urls").cast("long").as("n_urls"),
+        col("n_canonical").cast("long").as("n_canonical"),
+        (col("n_urls") - col("n_canonical")).cast("long").as("collapsed"),
+        expr("CAST(((n_urls - n_canonical) * 1000) div n_urls AS BIGINT)")
+          .as("collapse_permille"))
+      .orderBy("host")
+  }
+
+  /** DuckDB twin of [[paramStrip]]: the full mining statement rides along
+    * as a CTE (nested WITH — the q_crawl_priority composition discipline),
+    * then the strip/canonicalize/collapse replay in list vocabulary. */
+  def paramStripSql: String =
+    s"""WITH mined AS (SELECT * FROM ($paramMiningSql)),
+      |tracking AS (
+      |  SELECT host, list(param) AS tps FROM mined
+      |  WHERE is_tracking = 1 GROUP BY host),
+      |ids2 AS (
+      |  SELECT CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS ids, source,
+      |         CAST(substring(source, 4) AS INT) AS srcnum,
+      |         'http://' || source || '.example/p/' ||
+      |           CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS base
+      |  FROM documents),
+      |log2 AS (
+      |  SELECT base || '?page=' || page || '&utm=' || utm AS url
+      |  FROM (
+      |    SELECT base, CAST(CASE WHEN j = 0 OR j = 2 THEN 0 ELSE 1 END AS VARCHAR) AS page,
+      |      CASE WHEN j = 3 THEN 'u0' ELSE 'u' || CAST(j AS VARCHAR) END AS utm
+      |    FROM ids2, unnest(generate_series(0, 3)) AS t(j))),
+      |canon AS (
+      |  SELECT
+      |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+      |    str_split(url, '?')[1] ||
+      |      CASE WHEN len(kept) > 0
+      |           THEN '?' || array_to_string(kept, '&') ELSE '' END AS canon
+      |  FROM (
+      |    SELECT l.url,
+      |      list_sort(list_filter(
+      |        str_split(str_split(l.url, '?')[2], '&'),
+      |        x -> NOT list_contains(
+      |          coalesce(t.tps, CAST([] AS VARCHAR[])),
+      |          str_split(x, '=')[1]))) AS kept
+      |    FROM log2 l
+      |    LEFT JOIN tracking t
+      |      ON regexp_extract(l.url, '^https?://([^/]+)', 1) = t.host))
+      |SELECT host,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical,
+      |  CAST(count(*) - count(DISTINCT canon) AS BIGINT) AS collapsed,
+      |  CAST(((count(*) - count(DISTINCT canon)) * 1000) // count(*) AS BIGINT)
+      |    AS collapse_permille
+      |FROM canon GROUP BY host
+      |ORDER BY host""".stripMargin
+
   /** Independent DuckDB recompute: re-derives the fetch log and re-mines
     * it with DuckDB's own list vocabulary. */
   val paramMiningSql: String =

@@ -66,6 +66,26 @@ class ParamMiningSpec extends AnyFunSuite {
     assert(got.values.count(_ == 1L) == 15, "15 of 20 hosts have neutral utm")
   }
 
+  test("paramStrip: rule application collapses exactly the utm families") {
+    val got = ParamMining.paramStrip(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.size == 20)
+    got.foreach { case (h, (n, nc, coll, pm)) =>
+      val srcnum = h.stripPrefix("src").stripSuffix(".example").toInt
+      assert(n == nc + coll && n % 4 == 0, s"arithmetic for $h")
+      if (srcnum % 4 == 0) { // utm affects content here → no rule, nothing collapses
+        assert(coll == 0L && pm == 0L, s"no collapse expected on $h")
+      } else { // 4 variants per base collapse to the 2 page values
+        assert(nc == n / 2 && pm == 500L, s"half the urls must collapse on $h")
+      }
+    }
+    // the rules join must broadcast the tiny per-host table
+    val plan = ParamMining.paramStrip(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "rule table broadcasts")
+  }
+
   test("plan: codegen'd list ops, map-side partials, no all-pairs") {
     val q = ParamMining.paramMining(spark, dir)
     q.collect()
