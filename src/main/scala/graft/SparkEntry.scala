@@ -129,7 +129,8 @@ object SparkEntry {
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
     "q_param_mining" -> (graft.pipeline.ParamMining.paramMining _),
-    "q_param_strip" -> (graft.pipeline.ParamMining.paramStrip _)
+    "q_param_strip" -> (graft.pipeline.ParamMining.paramStrip _),
+    "q_revalidate" -> (graft.pipeline.Revalidation.revalidate _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -249,6 +250,9 @@ object SparkEntry {
     // composition oracle: the full mining statement rides along as a CTE,
     // then DuckDB replays the strip/canonicalize/collapse
     "q_param_strip" -> graft.pipeline.ParamMining.paramStripSql,
+    // independent recompute: DuckDB re-derives headers and re-runs the
+    // RFC 9111 decision ladder row by row
+    "q_revalidate" -> graft.pipeline.Revalidation.revalidateSql,
     // independent recompute oracles over the embeddings table (DuckDB
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)

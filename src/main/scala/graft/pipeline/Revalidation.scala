@@ -1,0 +1,148 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** HTTP conditional-revalidation planning — the RFC 9111 bandwidth layer a
+  * continuous recrawler puts between [[Freshness.recrawlSchedule]] (WHEN to
+  * revisit) and the fetch wave (HOW to revisit): per URL, decide from the
+  * stored response headers whether the copy is still FRESH (skip the fetch
+  * entirely), stale-but-validatable (send a conditional GET — `If-None-
+  * Match` when an ETag was stored, else `If-Modified-Since` from
+  * `Last-Modified`), or unconditionally refetchable (`no-store`, or no
+  * validator survived). A conditional GET answered 304 transfers headers
+  * only — on a 10^10-URL recrawl where most content is unchanged, this is
+  * the difference between re-downloading the web and re-downloading the
+  * changed part. The reference's client keeps no cache at all (every fetch
+  * unconditional), so this is a north-rule-scale extension, not a port.
+  *
+  * Decision ladder (per stored capture, evaluated at revisit time):
+  *  1. `Cache-Control: no-store`            → `refetch` (no conditional)
+  *  2. `max-age` > age-at-revisit           → `fresh` (no request at all)
+  *  3. stale + stored ETag                  → `reval_etag`
+  *  4. stale + Last-Modified only           → `reval_lm`
+  *  5. stale + no validator                 → `refetch`
+  * Conditional requests are answered 304 when the content did not actually
+  * change, 200 otherwise; `fresh`/304 transfer no body, everything else
+  * transfers the document's n_chars.
+  *
+  * Headers and the changed-bit are derived deterministically from doc_id
+  * (salted md5 digits, the [[Freshness]] discipline); body size is the
+  * documents table's own n_chars. Everything is CASE/integer arithmetic —
+  * the DuckDB oracle independently re-derives and re-decides every row,
+  * then re-aggregates per host. Scale shape: pure per-row projections into
+  * ONE map-side-combined groupBy(host) — no joins, no windows.
+  */
+object Revalidation {
+
+  private val EtagSalt = ":graft-etag-v1"
+  private val LmSalt = ":graft-lm-v1"
+  private val CcSalt = ":graft-cc-v1"
+  private val AgeSalt = ":graft-age-v1"
+  private val ChgSalt = ":graft-rchg-v1"
+
+  /** Per-URL header/state synthesis + the decision ladder. Exposed for the
+    * spec's row-level replay. Columns: host, url_id, cache_control,
+    * has_etag, has_lm, max_age_sec, age_sec, changed, decision, response,
+    * bytes_fetched, bytes_saved. */
+  def decisions(spark: SparkSession, dir: String): DataFrame = {
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("url_id"),
+        col("doc_id").cast("long").cast("string").as("ids"),
+        col("source").as("host"), col("n_chars").cast("long").as("n_chars"))
+      .withColumn("has_etag", substring(md5(concat(col("ids"), lit(EtagSalt))), 1, 1) < "8")
+      .withColumn("has_lm", substring(md5(concat(col("ids"), lit(LmSalt))), 1, 1) < "c")
+      .withColumn("ccd", substring(md5(concat(col("ids"), lit(CcSalt))), 1, 1))
+      .withColumn("cache_control",
+        when(col("ccd") < "4", "no-store")
+          .when(col("ccd") < "8", "max-age=3600")
+          .when(col("ccd") < "c", "max-age=86400")
+          .otherwise("none"))
+      .withColumn("max_age_sec",
+        when(col("ccd") >= "4" && col("ccd") < "8", 3600L)
+          .when(col("ccd") >= "8" && col("ccd") < "c", 86400L)
+          .otherwise(0L))
+      .withColumn("age_sec",
+        (pmod(ascii(substring(md5(concat(col("ids"), lit(AgeSalt))), 1, 1)), lit(16)))
+          .cast("long") * 3600L)
+      .withColumn("changed", substring(md5(concat(col("ids"), lit(ChgSalt))), 1, 1) < "4")
+      .withColumn("decision",
+        when(col("cache_control") === "no-store", "refetch")
+          .when(col("max_age_sec") > col("age_sec"), "fresh")
+          .when(col("has_etag"), "reval_etag")
+          .when(col("has_lm"), "reval_lm")
+          .otherwise("refetch"))
+      .withColumn("response",
+        when(col("decision") === "fresh", "none")
+          .when(col("decision") === "refetch", "200")
+          .when(col("changed"), "200").otherwise("304"))
+      .withColumn("bytes_fetched", when(col("response") === "200", col("n_chars")).otherwise(0L))
+      .withColumn("bytes_saved",
+        when(col("response") === "200", 0L).otherwise(col("n_chars")))
+  }
+
+  /** Contract query: per-host revalidation plan rollup. */
+  def revalidate(spark: SparkSession, dir: String): DataFrame = {
+    val d = decisions(spark, dir)
+    d.groupBy("host")
+      .agg(
+        count(lit(1)).cast("long").as("n_urls"),
+        sum(when(col("decision") === "fresh", 1L).otherwise(0L)).as("n_fresh"),
+        sum(when(col("decision") === "reval_etag", 1L).otherwise(0L)).as("n_reval_etag"),
+        sum(when(col("decision") === "reval_lm", 1L).otherwise(0L)).as("n_reval_lm"),
+        sum(when(col("decision") === "refetch", 1L).otherwise(0L)).as("n_refetch"),
+        sum(when(col("response") === "304", 1L).otherwise(0L)).as("n_304"),
+        sum("bytes_fetched").cast("long").as("bytes_fetched"),
+        sum("bytes_saved").cast("long").as("bytes_saved"))
+      .orderBy("host")
+  }
+
+  /** Independent DuckDB recompute of header synthesis, decision ladder,
+    * and the per-host rollup. */
+  val revalidateSql: String =
+    s"""WITH ids AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS url_id,
+      |         CAST(CAST(doc_id AS BIGINT) AS VARCHAR) AS ids,
+      |         source AS host, CAST(n_chars AS BIGINT) AS n_chars
+      |  FROM documents),
+      |hdr AS (
+      |  SELECT url_id, host, n_chars,
+      |    substring(md5(ids || '$EtagSalt'), 1, 1) < '8' AS has_etag,
+      |    substring(md5(ids || '$LmSalt'), 1, 1) < 'c' AS has_lm,
+      |    substring(md5(ids || '$CcSalt'), 1, 1) AS ccd,
+      |    (ascii(substring(md5(ids || '$AgeSalt'), 1, 1)) % 16) * 3600 AS age_sec,
+      |    substring(md5(ids || '$ChgSalt'), 1, 1) < '4' AS changed
+      |  FROM ids),
+      |dec AS (
+      |  SELECT host, n_chars, changed,
+      |    CASE WHEN ccd < '4' THEN 'refetch'
+      |         WHEN (CASE WHEN ccd >= '4' AND ccd < '8' THEN 3600
+      |                    WHEN ccd >= '8' AND ccd < 'c' THEN 86400
+      |                    ELSE 0 END) > age_sec THEN 'fresh'
+      |         WHEN has_etag THEN 'reval_etag'
+      |         WHEN has_lm THEN 'reval_lm'
+      |         ELSE 'refetch' END AS decision
+      |  FROM hdr),
+      |resp AS (
+      |  SELECT host, n_chars, decision,
+      |    CASE WHEN decision = 'fresh' THEN 'none'
+      |         WHEN decision = 'refetch' THEN '200'
+      |         WHEN changed THEN '200' ELSE '304' END AS response
+      |  FROM dec)
+      |SELECT host,
+      |  CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(sum(CASE WHEN decision = 'fresh' THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+      |  CAST(sum(CASE WHEN decision = 'reval_etag' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_reval_etag,
+      |  CAST(sum(CASE WHEN decision = 'reval_lm' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_reval_lm,
+      |  CAST(sum(CASE WHEN decision = 'refetch' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_refetch,
+      |  CAST(sum(CASE WHEN response = '304' THEN 1 ELSE 0 END) AS BIGINT) AS n_304,
+      |  CAST(sum(CASE WHEN response = '200' THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS bytes_fetched,
+      |  CAST(sum(CASE WHEN response <> '200' THEN n_chars ELSE 0 END) AS BIGINT)
+      |    AS bytes_saved
+      |FROM resp GROUP BY host
+      |ORDER BY host""".stripMargin
+}
