@@ -130,7 +130,8 @@ object SparkEntry {
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
     "q_param_mining" -> (graft.pipeline.ParamMining.paramMining _),
     "q_param_strip" -> (graft.pipeline.ParamMining.paramStrip _),
-    "q_revalidate" -> (graft.pipeline.Revalidation.revalidate _)
+    "q_revalidate" -> (graft.pipeline.Revalidation.revalidate _),
+    "q_warc_revisit" -> (graft.pipeline.RevisitQueries.warcRevisit _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.CorpusGen
+import graft.model.PageRow
+import graft.sources.WarcKit
+
+/** WARC revisit-record dedup — the archive-side twin of conditional
+  * revalidation ([[Revalidation]]): when a recrawl refetches a page whose
+  * payload did not change, the archive stores a REVISIT record (IIPC WARC
+  * 1.1 §6.7.2 identical-payload-digest profile: digest + pointer to the
+  * original capture, NO body) instead of a second full response. Common
+  * Crawl and the Wayback Machine both lean on this — at week-over-week
+  * recrawl cadence the unchanged web dominates, and revisit records are
+  * what keep the archive from growing linearly in recrawls rather than in
+  * CHANGE. The reference archives nothing across runs (each crawl writes
+  * full exports, reference/src/infrastructure/adapters/file_exporter.rs),
+  * so this is a north-rule-scale extension, not a port.
+  *
+  * Scale shape: the classification is one url-keyed equi join between the
+  * previous capture's (url, digest) index and the new capture — both sides
+  * hash-partitioned on url, digests computed by the codegen'd built-in
+  * `md5` (no UDF). At 10^10 urls the prior index is a columnar table
+  * (url, digest, ts) a few percent the size of the archive itself; the
+  * join shuffles keys+digests only, never payload bytes, because the
+  * changed-ness decision needs just the digest and only CHANGED payloads
+  * flow onward to the writer.
+  */
+object RevisitQueries {
+
+  /** Salt for the deterministic changed-subset of the second capture. */
+  private val ChangeSalt = ":graft-warc-chg-v1"
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
+
+  /** Day-7 recrawl: same corpus, later timestamps, a salted-md5 subset of
+    * pages changed (one appended comment — enough to move the digest). */
+  def secondCapture(pages: Seq[PageRow]): Seq[PageRow] =
+    pages.map { p =>
+      val changed = md5Hex(p.url + ChangeSalt).charAt(0) < '6'
+      val html =
+        if (changed) new String(p.html, UTF_8) + "<!-- rev2 -->" else new String(p.html, UTF_8)
+      p.copy(
+        warc_ts = new java.sql.Timestamp(p.warc_ts.getTime + 7L * 24 * 3600 * 1000),
+        html = html.getBytes(UTF_8))
+    }
+
+  /** Distributed revisit classification: new capture LEFT-joined against
+    * the previous capture's (url, digest, ts) index on url; equal digests
+    * → `revisit`, everything else (changed or first-seen) → `response`.
+    * Columns: url, warc_ts, status, content_type, html, digest, warc_type,
+    * refers_to_url, refers_to_ts. */
+  def classifyCapture(prev: DataFrame, curr: DataFrame): DataFrame = {
+    val prevIdx = prev.select(
+      col("url").as("p_url"),
+      md5(col("html")).as("p_digest"),
+      col("warc_ts").as("p_ts"))
+    curr
+      .withColumn("digest", md5(col("html")))
+      .join(prevIdx, col("url") === col("p_url"), "left")
+      .withColumn("warc_type",
+        when(col("p_digest").isNotNull && col("p_digest") === col("digest"), "revisit")
+          .otherwise("response"))
+      .withColumn("refers_to_url",
+        when(col("warc_type") === "revisit", col("url")).otherwise(lit("")))
+      .withColumn("refers_to_ts",
+        when(col("warc_type") === "revisit", col("p_ts"))
+          .otherwise(lit(new java.sql.Timestamp(0L))))
+      .drop("p_url", "p_digest", "p_ts")
+  }
+
+  /** Contract query `q_warc_revisit`: capture day-0 as a plain WARC, run
+    * the day-7 recrawl through [[classifyCapture]], write the mixed
+    * response/revisit archive, read it back, and emit what the ARCHIVE now
+    * holds per record — warc_type, digest, stored payload bytes, and the
+    * refers-to pointer. Round-trips the revisit profile end to end: a row
+    * is only `revisit` here if the serialized record carried the profile
+    * headers back through the parser. Deterministic and sfDir-independent
+    * (committed synthetic corpus), frozen as a fixture oracle. */
+  def warcRevisit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val day0 = CorpusGen.localPages(CorpusGen.Spec(2, 15))
+    val day7 = secondCapture(day0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-revisit").toString
+    WarcKit.writeWarcFile(WarcKit.toRecords(day0), s"$tmp/day0.warc.gz", gzip = true)
+
+    val prev = WarcKit.readRecords(spark, s"$tmp/day0.warc.gz").toDF()
+    val curr = spark.createDataset(WarcKit.toRecords(day7)).toDF()
+    val classified = classifyCapture(prev, curr)
+
+    // Fixture-scale driver-side write (one segment); the production shape
+    // is foreachPartition with one archive file per partition, same bytes.
+    val records = classified
+      .select("warc_type", "url", "warc_ts", "status", "contentType", "html",
+        "digest", "refers_to_url", "refers_to_ts")
+      .as[(String, String, java.sql.Timestamp, Int, String, Array[Byte],
+        String, String, java.sql.Timestamp)]
+      .collect()
+      .sortBy(_._2)
+      .map { case (wt, url, ts, st, ct, html, dg, rUrl, rTs) =>
+        if (wt == "revisit")
+          WarcKit.ArchiveRecord("revisit", url, ts, st, ct, Array.emptyByteArray,
+            "md5:" + dg, rUrl, rTs)
+        else
+          WarcKit.ArchiveRecord("response", url, ts, st, ct, html, "md5:" + dg)
+      }
+    WarcKit.writeArchive(records, s"$tmp/day7.warc.gz", gzip = true)
+
+    WarcKit.readArchiveRecords(spark, s"$tmp/day7.warc.gz")
+      .map(a => (a.url, a.warcType, a.payloadDigest, a.html.length.toLong,
+        a.refersToUri, a.refersToTs))
+      .toDF("url", "warc_type", "payload_digest", "stored_bytes",
+        "refers_to_url", "refers_to_ts")
+      .orderBy("url")
+  }
+}

@@ -30,6 +30,26 @@ object WarcKit {
       url: String, warc_ts: java.sql.Timestamp, status: Int,
       contentType: String, html: Array[Byte])
 
+  /** A response OR revisit record (IIPC WARC 1.1 §6.7.2 identical-payload-
+    * digest profile — what Common Crawl writes for unchanged recaptures):
+    * revisit records carry the payload DIGEST plus a pointer to the
+    * original capture and NO body — the dedup that keeps week-over-week
+    * archives from re-storing the unchanged web. */
+  final case class ArchiveRecord(
+      warcType: String, url: String, warc_ts: java.sql.Timestamp, status: Int,
+      contentType: String, html: Array[Byte],
+      payloadDigest: String = "", refersToUri: String = "",
+      refersToTs: java.sql.Timestamp = new java.sql.Timestamp(0L))
+
+  val RevisitProfile = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+  /** WARC convention digest over the entity payload (we use md5 hex —
+    * self-consistent within archives this library writes). */
+  def payloadDigest(body: Array[Byte]): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(body)
+    "md5:" + d.map("%02x".format(_)).mkString
+  }
+
   private val WarcDate = DateTimeFormatter.ISO_INSTANT
 
   // ------------------------------------------------------------- writing --
@@ -48,6 +68,61 @@ object WarcKit {
         "Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n"
     warcHeader.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
+  /** Serialize one typed archive record. Response records embed the HTTP
+    * response + body; revisit records carry headers only (digest + the
+    * refers-to pointer), per the identical-payload-digest profile. */
+  private def archiveRecordBytes(r: ArchiveRecord): Array[Byte] = {
+    if (r.warcType == "revisit") {
+      val warcHeader =
+        "WARC/1.0\r\n" +
+          "WARC-Type: revisit\r\n" +
+          s"WARC-Target-URI: ${r.url}\r\n" +
+          s"WARC-Date: ${WarcDate.format(Instant.ofEpochMilli(r.warc_ts.getTime))}\r\n" +
+          s"WARC-Profile: $RevisitProfile\r\n" +
+          s"WARC-Payload-Digest: ${r.payloadDigest}\r\n" +
+          s"WARC-Refers-To-Target-URI: ${r.refersToUri}\r\n" +
+          s"WARC-Refers-To-Date: ${WarcDate.format(Instant.ofEpochMilli(r.refersToTs.getTime))}\r\n" +
+          "Content-Length: 0\r\n\r\n"
+      warcHeader.getBytes(UTF_8) ++ "\r\n\r\n".getBytes(UTF_8)
+    } else recordBytes(WarcRecord(r.url, r.warc_ts, r.status, r.contentType, r.html))
+  }
+
+  /** Write a mixed response/revisit archive (driver-side helper — the
+    * production shape is foreachPartition with one file per partition,
+    * same bytes per record). */
+  def writeArchive(records: Seq[ArchiveRecord], path: String, gzip: Boolean = false): Unit = {
+    val fos = new java.io.FileOutputStream(path)
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(fos))
+    try records.foreach { r =>
+      val bytes = archiveRecordBytes(r)
+      if (gzip) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new GZIPOutputStream(bos)
+        gz.write(bytes); gz.close()
+        out.write(bos.toByteArray)
+      } else out.write(bytes)
+    } finally out.close()
+  }
+
+  /** Digest-dedup a new capture against the previous one: unchanged
+    * payloads (same url, same digest) become revisit records pointing at
+    * the prior capture; everything else stays a full response record.
+    * Driver-side Seq shape for fixtures/tests; the distributed twin is a
+    * url-keyed equi join on (url, digest) — see RevisitQueries. */
+  def dedupCapture(prev: Seq[WarcRecord], curr: Seq[WarcRecord]): Seq[ArchiveRecord] = {
+    val prevDigest = prev.map(p => p.url -> ((payloadDigest(p.html), p.warc_ts))).toMap
+    curr.map { c =>
+      val dg = payloadDigest(c.html)
+      prevDigest.get(c.url) match {
+        case Some((pd, pts)) if pd == dg =>
+          ArchiveRecord("revisit", c.url, c.warc_ts, c.status, c.contentType,
+            Array.emptyByteArray, dg, c.url, pts)
+        case _ =>
+          ArchiveRecord("response", c.url, c.warc_ts, c.status, c.contentType, c.html, dg)
+      }
+    }
   }
 
   /** Write records as a single WARC file (driver-side fixture/export helper;
@@ -123,15 +198,23 @@ object WarcKit {
   /** [[parseWarcStream]] with an explicit codec: "gz" (multi-member gzip),
     * "zst" (multi-frame zstd — Common Crawl's newer layout), or "none". */
   def parseWarcStreamCodec(raw: InputStream, codec: String,
-                           maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] = {
+                           maxRecordBytes: Long = MaxRecordBytes): Iterator[WarcRecord] =
+    parseArchiveStreamCodec(raw, codec, maxRecordBytes)
+      .filter(_.warcType == "response")
+      .map(a => WarcRecord(a.url, a.warc_ts, a.status, a.contentType, a.html))
+
+  /** Stream-parse response AND revisit records (revisit = the
+    * identical-payload-digest dedup pointer — headers only, no body). */
+  def parseArchiveStreamCodec(raw: InputStream, codec: String,
+                              maxRecordBytes: Long = MaxRecordBytes): Iterator[ArchiveRecord] = {
     val decoded = codec match {
       case "gz" => new GZIPInputStream(raw)
       case "zst" => Compression.zstdStream(raw)
       case _ => raw
     }
     val in = new BufferedInputStream(decoded, 1 << 16)
-    new Iterator[WarcRecord] {
-      private var nextRec: WarcRecord = _
+    new Iterator[ArchiveRecord] {
+      private var nextRec: ArchiveRecord = _
       private var done = false
       private def advance(): Unit = try {
         nextRec = null
@@ -152,8 +235,19 @@ object WarcKit {
                 l = readLine(in)
               }
               val len = fields.getOrElse("content-length", "0").trim.toLongOption.getOrElse(0L)
-              val isResponse = fields.getOrElse("warc-type", "") == "response"
-              if (!isResponse || len > maxRecordBytes) {
+              val warcType = fields.getOrElse("warc-type", "")
+              def tsOf(key: String): java.sql.Timestamp = fields.get(key)
+                .map(d => new java.sql.Timestamp(Instant.parse(d).toEpochMilli))
+                .getOrElse(new java.sql.Timestamp(0L))
+              if (warcType == "revisit") {
+                skipFully(in, len) // revisit bodies are empty by our writer; tolerate others
+                nextRec = ArchiveRecord("revisit",
+                  fields.getOrElse("warc-target-uri", ""), tsOf("warc-date"), 0, "",
+                  Array.emptyByteArray,
+                  fields.getOrElse("warc-payload-digest", ""),
+                  fields.getOrElse("warc-refers-to-target-uri", ""),
+                  tsOf("warc-refers-to-date"))
+              } else if (warcType != "response" || len > maxRecordBytes) {
                 skipFully(in, len) // never buffer what we won't keep
               } else {
                 val body = readFully(in, len.toInt)
@@ -169,10 +263,9 @@ object WarcKit {
                       .map(_.substring("content-type:".length).trim).getOrElse("")
                     (statusCode, ct, body.slice(sep + 4, body.length))
                   }
-                val ts = fields.get("warc-date")
-                  .map(d => new java.sql.Timestamp(Instant.parse(d).toEpochMilli))
-                  .getOrElse(new java.sql.Timestamp(0L))
-                nextRec = WarcRecord(fields.getOrElse("warc-target-uri", ""), ts, status, ctype, entity)
+                nextRec = ArchiveRecord("response", fields.getOrElse("warc-target-uri", ""),
+                  tsOf("warc-date"), status, ctype, entity,
+                  fields.getOrElse("warc-payload-digest", ""))
               }
             case Some(_) => () // garbage line between records — keep scanning
           }
@@ -186,7 +279,7 @@ object WarcKit {
       }
       advance()
       override def hasNext: Boolean = nextRec != null
-      override def next(): WarcRecord = {
+      override def next(): ArchiveRecord = {
         val r = nextRec; advance(); r
       }
     }
@@ -214,6 +307,20 @@ object WarcKit {
           else if (name.endsWith(".zst")) "zst"
           else "none"
         parseWarcStreamCodec(pds.open(), codec)
+      }
+      .toDS()
+  }
+
+  /** All response + revisit records under `path` — the dedup-aware read. */
+  def readArchiveRecords(spark: SparkSession, path: String): Dataset[ArchiveRecord] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (name, pds) =>
+        val codec =
+          if (name.endsWith(".gz")) "gz"
+          else if (name.endsWith(".zst")) "zst"
+          else "none"
+        parseArchiveStreamCodec(pds.open(), codec)
       }
       .toDS()
   }
