@@ -131,7 +131,9 @@ object SparkEntry {
     "q_param_mining" -> (graft.pipeline.ParamMining.paramMining _),
     "q_param_strip" -> (graft.pipeline.ParamMining.paramStrip _),
     "q_revalidate" -> (graft.pipeline.Revalidation.revalidate _),
-    "q_warc_revisit" -> (graft.pipeline.RevisitQueries.warcRevisit _)
+    "q_warc_revisit" -> (graft.pipeline.RevisitQueries.warcRevisit _),
+    "q_boilerplate_mine" -> (graft.pipeline.Boilerplate.boilerplateMine _),
+    "q_boilerplate_strip" -> (graft.pipeline.Boilerplate.boilerplateStrip _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

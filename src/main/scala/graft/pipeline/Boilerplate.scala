@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.HtmlKit
+import graft.gen.CorpusGen
+import graft.model.PageRow
+import graft.urls.UrlKernel
+
+/** Corpus-frequency boilerplate removal — the CCNet-style SECOND line of
+  * defense behind DOM-rule extraction: a text line that recurs on most of a
+  * host's pages is site template (nav, footer, cookie banner, sidebar), not
+  * content, REGARDLESS of which tag it sat in. DOM rules need to know the
+  * site's markup; document frequency does not — which is why production
+  * webtext pipelines (CCNet's paragraph-frequency pass and its successors)
+  * run exactly this after a weak extraction. Input here is deliberately the
+  * WEAK extraction ([[HtmlKit.fallbackText]], the strip-tags path the
+  * reference falls back to, fallback.rs:20-29) so the detector has real
+  * template mass to find; BoilerplateSpec cross-checks that what frequency
+  * discovers is line-disjoint from what the DOM-rule cleaner keeps — two
+  * structurally different boilerplate detectors agreeing.
+  *
+  * Mining rule: within a host with n pages, a line is template when it
+  * occurs on ≥ [[TemplatePermille]]‰ of pages AND on ≥ 2 pages (one page
+  * can't witness a template; sub-threshold recurring lines — partner links
+  * on 20 % of pages — stay content). Per-page duplicate lines count once.
+  *
+  * Scale shape (100 TB): per-page line sets pre-collapse with
+  * `array_distinct` before exploding to (host, 64-bit line-hash) keys; the
+  * df count and the per-host page count are both map-side-combined
+  * aggregations (each distinct line ships once per page and collapses to
+  * once per task). The mined template table is BOUNDED BY SITE STRUCTURE
+  * (template lines × hosts) — not by corpus size — so the strip phase
+  * broadcasts it and rebuilds each page locally: no payload shuffle in
+  * either phase beyond the once-per-page distinct lines.
+  */
+object Boilerplate {
+
+  /** ‰ of a host's pages a line must appear on to be template (800 = 80%). */
+  val TemplatePermille = 800L
+
+  /** The committed mining corpus: its own spec (3 hosts × 16 pages), same
+    * determinism discipline as the other CorpusGen-backed contract queries;
+    * robots/sitemap rows are not html and stay out. */
+  def corpus(spark: SparkSession): Dataset[PageRow] =
+    CorpusGen.dataset(spark, CorpusGen.Spec(3, 16))
+      .filter(p => !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+
+  /** (host, url, lines[]) — the weak extraction's per-page line array.
+    * Typed map for the extraction kernel (the fused-map discipline of the
+    * engine's prepare stage); everything downstream is codegen. */
+  def hostLines(pages: Dataset[PageRow]): DataFrame = {
+    import pages.sparkSession.implicits._
+    pages
+      .map { p =>
+        val host = UrlKernel.extractDomain(p.url).getOrElse("")
+        val text = HtmlKit.fallbackText(
+          new String(p.html, java.nio.charset.StandardCharsets.UTF_8))
+        (host, p.url, text.split("\n").toSeq.filter(_.nonEmpty))
+      }
+      .toDF("host", "url", "lines")
+  }
+
+  /** Mined per-host template lines: host, line, df, n_pages, permille
+    * (integer ‰). Keyed by (host, xxhash64(line)) so the aggregation
+    * shuffles 64-bit keys; the line string rides as an agg value. */
+  def mineTemplates(pages: Dataset[PageRow]): DataFrame =
+    mineFromLines(hostLines(pages).localCheckpoint()) // consumed twice (df + page count)
+
+  /** [[mineTemplates]] over an already-materialized [[hostLines]] view. */
+  def mineFromLines(hl: DataFrame): DataFrame = {
+    val df = hl
+      .select(col("host"), explode(array_distinct(col("lines"))).as("line"))
+      .groupBy(col("host"), xxhash64(col("line")).as("lh"))
+      .agg(min(col("line")).as("line"), count(lit(1)).as("df"))
+    val hostPages = hl.groupBy("host").agg(count(lit(1)).as("n_pages"))
+    df.join(broadcast(hostPages), Seq("host"))
+      .filter(col("df") >= 2 && col("df") * 1000L >= lit(TemplatePermille) * col("n_pages"))
+      .withColumn("permille", expr("df * 1000 div n_pages"))
+      .select("host", "line", "df", "n_pages", "permille")
+  }
+
+  /** Contract query `q_boilerplate_mine`: the mined template table over the
+    * committed corpus (fixture oracle). */
+  def boilerplateMine(spark: SparkSession, dir: String): DataFrame =
+    mineTemplates(corpus(spark)).orderBy("host", "line")
+
+  /** Contract query `q_boilerplate_strip`: apply the mined rules — per page,
+    * template lines drop (ALL copies: template removal, not first-copy
+    * dedup), content lines keep their order; emits exact accounting plus
+    * the md5 of the rebuilt text. The mined table broadcasts; the rebuild
+    * groups by url (bounded by page size). */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val hl = hostLines(corpus(spark)).localCheckpoint() // consumed by mine + strip
+    val tpl = mineFromLines(hl).select(col("host"), col("line"), lit(true).as("is_tpl"))
+    val lines = hl
+      .select(col("host"), col("url"), posexplode(col("lines")).as(Seq("idx", "line")))
+    lines
+      .join(broadcast(tpl), Seq("host", "line"), "left")
+      .withColumn("kept", col("is_tpl").isNull)
+      .groupBy("url")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_template"),
+        sum(when(col("kept"), 0L).otherwise(length(col("line")).cast("long")))
+          .as("chars_removed"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("kept"), struct(col("idx"), col("line"))))),
+            x => x.getField("line")))).as("clean_md5"))
+      .orderBy("url")
+  }
+}
