@@ -1,0 +1,4 @@
+SELECT CAST(c0 AS VARCHAR) AS host_a, CAST(c1 AS VARCHAR) AS host_b, CAST(c2 AS BIGINT) AS shared, CAST(c3 AS BIGINT) AS n_a, CAST(c4 AS BIGINT) AS n_b, CAST(c5 AS BIGINT) AS containment_permille, CAST(c6 AS BIGINT) AS jaccard_permille, CAST(c7 AS BOOLEAN) AS is_mirror FROM (VALUES
+  ('partial1.com', 'site1.com', 7, 7, 14, 1000, 500, TRUE),
+  ('www.mirror0.com', 'www.site0.com', 14, 14, 14, 1000, 1000, TRUE)
+) AS t(c0, c1, c2, c3, c4, c5, c6, c7)

@@ -133,7 +133,8 @@ object SparkEntry {
     "q_revalidate" -> (graft.pipeline.Revalidation.revalidate _),
     "q_warc_revisit" -> (graft.pipeline.RevisitQueries.warcRevisit _),
     "q_boilerplate_mine" -> (graft.pipeline.Boilerplate.boilerplateMine _),
-    "q_boilerplate_strip" -> (graft.pipeline.Boilerplate.boilerplateStrip _)
+    "q_boilerplate_strip" -> (graft.pipeline.Boilerplate.boilerplateStrip _),
+    "q_mirror_hosts" -> (graft.pipeline.Mirrors.mirrorHosts _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.CorpusGen
+import graft.model.PageRow
+import graft.urls.UrlKernel
+
+/** Mirror-host detection by content overlap (Bharat & Broder, "Mirror,
+  * mirror on the Web", WWW 1999 — the host-pair containment formulation):
+  * two hosts are mirrors when most of one's page DIGESTS appear on the
+  * other. A crawler that detects mirrors stops paying fetch budget, and a
+  * corpus builder stops paying dedup work, for the second copy of an
+  * entire site — at archive scale mirror farms are host-count-sized, not
+  * page-count-sized, so this runs on the (host, digest) index rather than
+  * on payloads. The reference dedups single pages by content hash
+  * (InMemoryDeduplicator); host-level mirror structure is a north-rule-
+  * scale extension.
+  *
+  * Pipeline: distinct (host, digest) index → per-digest host lists (capped
+  * at [[MaxHostsPerDigest]] with a counted accumulator — one viral page on
+  * 10^5 hosts must not explode into 10^10 pairs; the cap drops PAIR
+  * EVIDENCE, never hosts) → ordered host pairs with shared-digest counts
+  * (map-side combined) → join against per-host index sizes (broadcast at
+  * this cardinality; at 10^7 hosts the host-size table still fits — it is
+  * hosts, not pages) → exact integer containment/Jaccard permille. A pair
+  * is a mirror when containment ≥ [[MirrorPermille]]‰ of the SMALLER side
+  * (so partial mirrors — a site that copies half of another — still bind)
+  * with ≥ [[MinShared]] shared pages of evidence.
+  *
+  * All-integer (permille by `div`), so bit-identical at any parallelism.
+  */
+object Mirrors {
+
+  /** Pair-generation cap per digest (the LSH MaxBucket discipline). */
+  val MaxHostsPerDigest = 64
+
+  /** Containment threshold (‰ of the smaller host's digest set). */
+  val MirrorPermille = 800L
+
+  /** Minimum shared-digest evidence for the mirror verdict. */
+  val MinShared = 5L
+
+  private def rehost(url: String, from: String, to: String): String =
+    url.replace(from, to)
+
+  /** Trailing page index encoded in the corpus url (pathFor embeds i in
+    * every branch; "/" is page 0). */
+  private def pageSlot(url: String): Int = {
+    val path = url.substring(url.indexOf('/', url.indexOf("//") + 2))
+    val digits = "\\d+".r.findAllIn(path).toSeq
+    if (digits.isEmpty) 0 else digits.last.toInt
+  }
+
+  /** The committed detection corpus: 4 organic hosts plus a FULL mirror of
+    * site0 (every page byte-identical under mirror0.com) and a PARTIAL
+    * mirror of site1 (the even page slots under partial1.com) — mirrors
+    * serve the same bytes at a different host, which is exactly what makes
+    * them invisible to url-keyed dedup and visible to content-keyed. */
+  def corpus(spark: SparkSession): Dataset[PageRow] = {
+    import spark.implicits._
+    val base = CorpusGen.localPages(CorpusGen.Spec(4, 14))
+      .filter(p => !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+    val full = base.filter(_.url.contains("site0.com"))
+      .map(p => p.copy(url = rehost(p.url, "site0.com", "mirror0.com")))
+    val partial = base.filter(_.url.contains("site1.com"))
+      .filter(p => pageSlot(p.url) % 2 == 0)
+      .map(p => p.copy(url = rehost(p.url, "site1.com", "partial1.com")))
+    spark.createDataset(base ++ full ++ partial)
+  }
+
+  /** Host-pair content overlap over any pages frame with (url, html).
+    * Columns: host_a, host_b, shared, n_a, n_b, containment_permille,
+    * jaccard_permille, is_mirror — pairs with ≥ 2 shared digests. */
+  def hostOverlap(spark: SparkSession, pages: DataFrame,
+                  cappedDigests: Option[org.apache.spark.util.LongAccumulator] = scala.None
+                 ): DataFrame = {
+    import spark.implicits._
+    val idx = pages
+      .select(
+        udfFreeHost(col("url")).as("host"),
+        md5(col("html")).as("digest"))
+      .distinct()
+    val hostSize = idx.groupBy("host").agg(count(lit(1)).as("n"))
+    val pairs = idx.as[(String, String)]
+      .groupByKey(_._2)
+      .flatMapGroups { (_, it) =>
+        val hosts = scala.collection.mutable.ArrayBuffer.empty[String]
+        var overflow = false
+        it.foreach { case (h, _) =>
+          if (hosts.length < MaxHostsPerDigest) hosts += h else overflow = true
+        }
+        if (overflow) cappedDigests.foreach(_.add(1L))
+        val sorted = hosts.sorted
+        for (i <- sorted.indices.iterator; j <- (i + 1 until sorted.length).iterator)
+          yield (sorted(i), sorted(j))
+      }
+      .toDF("host_a", "host_b")
+      .groupBy("host_a", "host_b").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    pairs
+      .join(broadcast(hostSize.withColumnRenamed("host", "host_a").withColumnRenamed("n", "n_a")), Seq("host_a"))
+      .join(broadcast(hostSize.withColumnRenamed("host", "host_b").withColumnRenamed("n", "n_b")), Seq("host_b"))
+      .withColumn("containment_permille", expr("shared * 1000 div least(n_a, n_b)"))
+      .withColumn("jaccard_permille", expr("shared * 1000 div (n_a + n_b - shared)"))
+      .withColumn("is_mirror",
+        col("containment_permille") >= MirrorPermille && col("shared") >= MinShared)
+      .select("host_a", "host_b", "shared", "n_a", "n_b",
+        "containment_permille", "jaccard_permille", "is_mirror")
+  }
+
+  /** RFC-compliant host as a codegen-free column twin of
+    * [[UrlKernel.extractDomain]] restricted to the corpus's https urls:
+    * strip scheme, cut at first '/', '?' or '#'. */
+  private def udfFreeHost(url: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_extract(url, "^https?://([^/?#]+)", 1)
+
+  /** Contract query `q_mirror_hosts` (fixture oracle). */
+  def mirrorHosts(spark: SparkSession, dir: String): DataFrame =
+    hostOverlap(spark, corpus(spark).toDF()).orderBy("host_a", "host_b")
+}
