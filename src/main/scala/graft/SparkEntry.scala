@@ -134,7 +134,8 @@ object SparkEntry {
     "q_warc_revisit" -> (graft.pipeline.RevisitQueries.warcRevisit _),
     "q_boilerplate_mine" -> (graft.pipeline.Boilerplate.boilerplateMine _),
     "q_boilerplate_strip" -> (graft.pipeline.Boilerplate.boilerplateStrip _),
-    "q_mirror_hosts" -> (graft.pipeline.Mirrors.mirrorHosts _)
+    "q_mirror_hosts" -> (graft.pipeline.Mirrors.mirrorHosts _),
+    "q_hits" -> (graft.pipeline.Hits.hits _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -206,6 +207,10 @@ object SparkEntry {
     // independent recompute: the same unrolled recurrence over the
     // host-collapsed edge set (http filter before mapping, no self-loops)
     "q_hostrank" -> CrawlQueries.hostRankSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-executes all 8 HITS rounds (both
+    // mutually-recursive vectors, window-sum L1 normalization) as
+    // unrolled chained CTEs over the frozen edge fixture
+    "q_hits" -> graft.pipeline.Hits.hitsSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: hostRank's unrolled recurrence as a CTE, then
     // the same integer Hamilton apportionment over the frozen edges
     "q_wave_plan" -> CrawlQueries.wavePlanSql(fixtureSql("q_extract_link_edges")),
