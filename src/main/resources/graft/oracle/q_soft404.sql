@@ -1,0 +1,6 @@
+SELECT CAST(c0 AS VARCHAR) AS host, CAST(c1 AS INTEGER) AS probe_status, CAST(c2 AS BIGINT) AS n_pages, CAST(c3 AS BIGINT) AS n_soft404 FROM (VALUES
+  ('site1.com', 404, 12, 0),
+  ('site2.com', 200, 15, 3),
+  ('www.site0.com', 200, 15, 3),
+  ('www.site3.com', -1, 12, 0)
+) AS t(c0, c1, c2, c3)

@@ -135,7 +135,8 @@ object SparkEntry {
     "q_boilerplate_mine" -> (graft.pipeline.Boilerplate.boilerplateMine _),
     "q_boilerplate_strip" -> (graft.pipeline.Boilerplate.boilerplateStrip _),
     "q_mirror_hosts" -> (graft.pipeline.Mirrors.mirrorHosts _),
-    "q_hits" -> (graft.pipeline.Hits.hits _)
+    "q_hits" -> (graft.pipeline.Hits.hits _),
+    "q_soft404" -> (graft.pipeline.Soft404.soft404 _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

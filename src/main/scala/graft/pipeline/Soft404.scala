@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.CorpusGen
+
+/** Soft-404 detection by probe-digest matching — the standard production
+  * technique (Bar-Yossef, Broder, Kumar, Tomkins, "Sic transit gloria
+  * telae", WWW 2004): fetch a DELIBERATELY NONEXISTENT path on each host;
+  * if the host answers 200, every other 200 page whose payload digest
+  * equals the probe's is an error page wearing a success status. Soft
+  * 404s poison a webtext corpus (thousands of "Page not found" documents
+  * per misconfigured host) and waste recrawl budget; the digest-match rule
+  * is exact, unsupervised, and needs one extra fetch per host. Hosts whose
+  * probe honestly returns 404 are classified `honest` and contribute no
+  * flags. The reference validates per-URL status codes only
+  * (url_validator.rs status arm) — host-behavior probing is a
+  * north-rule-scale extension.
+  *
+  * Scale shape: the probe table is ONE ROW PER HOST (it broadcasts at any
+  * corpus size — hosts, not pages); pages join it by host and compare
+  * md5 digests — codegen'd, payloads never shuffle. The rollup is one
+  * map-side-combined aggregation.
+  */
+object Soft404 {
+
+  /** The deliberately-nonexistent probe path (random-token style). */
+  val ProbePath = "/graft-probe-7f3a9c2e-nonexistent"
+
+  /** Deterministic "not found" page a misconfigured host serves with 200. */
+  def errorBody(host: String): String =
+    s"""<!DOCTYPE html><html><head><title>Page not found</title></head>
+       |<body><h1>Oops! We couldn't find that page.</h1>
+       |<p>Try our <a href="https://$host/">homepage</a>.</p></body></html>""".stripMargin
+
+  /** The committed detection corpus as a fetch log (url, status, html):
+    * 4 organic hosts; site0 and site2 are MISCONFIGURED (probe answers 200
+    * with the error body; 3 planted dead paths serve the same body with
+    * 200); site1 answers its probe with an honest 404; site3 gets no
+    * probe at all (unprobed hosts must not flag). */
+  def corpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val base = CorpusGen.localPages(CorpusGen.Spec(4, 12))
+      .filter(p => !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+      .map(p => (p.url, 200, p.html))
+    def hostOf(h: Int): String = CorpusGen.servedBase(h).substring("https://".length)
+    def err(h: Int): Array[Byte] = errorBody(hostOf(h)).getBytes(UTF_8)
+    val planted = Seq(0, 2).flatMap { h =>
+      val base = CorpusGen.servedBase(h)
+      (s"$base$ProbePath", 200, err(h)) +:
+        (1 to 3).map(k => (s"$base/archive/removed-$k", 200, err(h)))
+    }
+    val honest = Seq((CorpusGen.servedBase(1) + ProbePath, 404,
+      errorBody(hostOf(1)).getBytes(UTF_8)))
+    spark.createDataset(base ++ planted ++ honest).toDF("url", "status", "html")
+  }
+
+  /** Per-host soft-404 audit over any fetch-log frame (url, status, html).
+    * Columns: host, probe_status, n_pages, n_soft404 — `probe_status` is
+    * -1 for unprobed hosts (monitoring gap, not evidence of health). */
+  def audit(spark: SparkSession, fetched: DataFrame): DataFrame = {
+    val withHost = fetched.withColumn("host",
+      regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+    val probes = withHost.filter(col("url").endsWith(ProbePath))
+      .select(col("host"), col("status").as("probe_status"),
+        md5(col("html")).as("probe_digest"))
+    val pages = withHost.filter(!col("url").endsWith(ProbePath))
+    pages
+      .join(broadcast(probes), Seq("host"), "left")
+      .withColumn("soft404",
+        col("probe_status") === 200 && col("status") === 200 &&
+          md5(col("html")) === col("probe_digest"))
+      .groupBy("host")
+      .agg(
+        coalesce(first(col("probe_status")), lit(-1)).cast("int").as("probe_status"),
+        count(lit(1)).as("n_pages"),
+        sum(when(col("soft404"), 1L).otherwise(0L)).as("n_soft404"))
+  }
+
+  /** Contract query `q_soft404` (fixture oracle over the committed log). */
+  def soft404(spark: SparkSession, dir: String): DataFrame =
+    audit(spark, corpus(spark)).orderBy("host")
+}
