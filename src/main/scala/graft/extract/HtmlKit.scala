@@ -443,6 +443,26 @@ object HtmlKit {
     PageMeta(author, excerpt.orElse(ogExcerpt), published.orElse(timeTag))
   }
 
+  /** `<link rel="canonical" href=…>` — the page's own canonical-URL
+    * declaration (RFC 6596), document order, first non-empty href wins
+    * (the extractMeta discipline). Search engines treat it as a strong
+    * dedup hint; [[graft.pipeline.RelCanonical]] is the collapse. */
+  def extractCanonical(dom: Elem): Option[String] = {
+    var found: Option[String] = None
+    def walk(e: Elem): Unit = {
+      if (found.isEmpty) {
+        if (e.tag == "link" &&
+            e.attr("rel").exists(_.equalsIgnoreCase("canonical")))
+          found = e.attr("href").map(_.trim).filter(_.nonEmpty)
+        if (found.isEmpty) e.children.foreach { case c: Elem => walk(c); case _ => }
+      }
+    }
+    walk(dom)
+    found
+  }
+
+  def extractCanonical(html: String): Option[String] = extractCanonical(parse(html))
+
   final case class Extracted(title: String, text: String, usedFallback: Boolean, failed: Boolean)
 
   /** Minimum bytes below which the fallback result counts as extraction

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.HtmlKit
+import graft.gen.CorpusGen
+import graft.model.PageRow
+
+/** `rel=canonical` collapse (RFC 6596) — the page-DECLARED dedup signal
+  * next to the engine's syntactic canonicalizer ([[graft.urls.UrlKernel]])
+  * and the mined DUST rules ([[ParamMining]]): a page may declare that its
+  * content canonically lives at another URL (parameter-free product page,
+  * non-www site preference, cross-host syndication source). Search engines
+  * honor it as a strong hint; a corpus builder collapses declared groups
+  * before content dedup ever runs. Production semantics implemented:
+  *  - one hop only — chains are not followed (Google's documented rule);
+  *  - a MUTUAL declaration (a ⇄ b) is a misconfiguration: both stay
+  *    self-canonical (`cycle_self`);
+  *  - a declaration pointing OUTSIDE the fetched corpus keeps the page
+  *    self-canonical but flags the dangling target (`dangling_self`) —
+  *    the frontier wants those urls, the collapse must not invent rows.
+  *
+  * Scale shape: declarations extract in the same fused per-page map as
+  * everything else; the cycle check is ONE url-keyed self-join of the
+  * (src, dst) declaration edges (declared pages only — a tiny fraction of
+  * the corpus); existence is a left semi-style join against the fetched
+  * url set on the declaration key; group sizes are one map-side-combined
+  * aggregation. Payloads never shuffle.
+  */
+object RelCanonical {
+
+  /** The committed corpus: CorpusGen pages with canonical declarations
+    * INJECTED after <head> (the generator's goldens stay untouched):
+    *  - site2's /docs/ pages declare the same path on www.site3.com —
+    *    cross-host syndication whose targets ARE fetched (`declared`);
+    *  - query-param product pages declare their param-free path — the
+    *    classic pattern, but the clean url was never fetched
+    *    (`dangling_self`: the collapse must not invent rows; the frontier
+    *    wants those urls);
+    *  - site1's internal-7 and b8/deep pages declare EACH OTHER — the
+    *    mutual misconfiguration (`cycle_self`). */
+  def corpus(spark: SparkSession): Seq[PageRow] = {
+    val base = CorpusGen.localPages(CorpusGen.Spec(4, 12))
+      .filter(p => !p.url.endsWith("/robots.txt") && !p.url.endsWith("/sitemap.xml"))
+    base.map { p =>
+      val decl: Option[String] =
+        if (p.url.startsWith("https://site2.com/docs/"))
+          Some(p.url.replace("https://site2.com", "https://www.site3.com"))
+        else if (p.url.contains("?id=")) Some(p.url.takeWhile(_ != '?'))
+        else if (p.url == "https://site1.com/private/internal-7")
+          Some("https://site1.com/a/b8/deep/page-8")
+        else if (p.url == "https://site1.com/a/b8/deep/page-8")
+          Some("https://site1.com/private/internal-7")
+        else None
+      decl match {
+        case Some(target) =>
+          val html = new String(p.html, UTF_8)
+          val tag = s"""<link rel="canonical" href="$target">"""
+          val i = html.indexOf("<head>")
+          val injected =
+            if (i >= 0) html.substring(0, i + 6) + tag + html.substring(i + 6)
+            else tag + html
+          p.copy(html = injected.getBytes(UTF_8))
+        case scala.None => p
+      }
+    }
+  }
+
+  /** The collapse over any pages frame with (url, html): url,
+    * canonical_url, status (self | declared | cycle_self | dangling_self),
+    * group_size (members collapsing into this row's canonical_url). */
+  def collapse(spark: SparkSession, pages: DataFrame): DataFrame = {
+    import spark.implicits._
+    val decls = pages.select(col("url"), col("html")).as[(String, Array[Byte])]
+      .map { case (url, html) =>
+        (url, HtmlKit.extractCanonical(new String(html, UTF_8)).getOrElse(""))
+      }
+      .toDF("url", "decl")
+      .withColumn("decl", when(col("decl") === col("url"), lit("")).otherwise(col("decl")))
+      .localCheckpoint() // consumed three times (edges, cycle probe, existence)
+    val edges = decls.filter(col("decl") =!= "")
+    // mutual pair? one keyed self-join on the declared edge set
+    val mutual = edges.as("a")
+      .join(edges.as("b"),
+        col("a.decl") === col("b.url") && col("b.decl") === col("a.url"), "left_semi")
+      .select(col("url"), lit(true).as("is_cycle"))
+    // does the declared target exist in the fetched corpus?
+    val exists = edges.join(
+        decls.select(col("url").as("decl"), lit(true).as("target_exists")),
+        Seq("decl"), "left")
+      .select("url", "target_exists")
+    val resolved = decls
+      .join(mutual, Seq("url"), "left")
+      .join(exists, Seq("url"), "left")
+      .withColumn("status",
+        when(col("decl") === "", "self")
+          .when(col("is_cycle"), "cycle_self")
+          .when(col("target_exists").isNull, "dangling_self")
+          .otherwise("declared"))
+      .withColumn("canonical_url",
+        when(col("status") === "declared", col("decl")).otherwise(col("url")))
+      .select("url", "canonical_url", "status")
+    val sizes = resolved.groupBy(col("canonical_url")).agg(count(lit(1)).as("group_size"))
+    resolved.join(sizes, Seq("canonical_url"))
+      .select("url", "canonical_url", "status", "group_size")
+  }
+
+  /** Contract query `q_rel_canonical` (fixture oracle). */
+  def relCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    collapse(spark, spark.createDataset(corpus(spark)).toDF()).orderBy("url")
+  }
+}

@@ -119,4 +119,23 @@ object RevisitQueries {
         "refers_to_url", "refers_to_ts")
       .orderBy("url")
   }
+
+  /** Contract query `q_wet_export`: the WET sibling archive — pages →
+    * conversion records (extracted text, no HTTP envelope, refers-to
+    * pointer at the source capture) → member-per-record gzip → stream-
+    * parse back. What the parser returns IS what the archive holds, so
+    * the emitted md5/lengths pin the round trip byte-for-byte; WETs are
+    * how Common Crawl consumers read text without touching raw WARCs. */
+  def wetExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = CorpusGen.localPages(CorpusGen.Spec(2, 15))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q-wet").toString
+    WarcKit.writeArchive(WarcKit.wetFromPages(pages), s"$tmp/seg.warc.wet.gz", gzip = true)
+    WarcKit.readArchiveRecords(spark, s"$tmp/seg.warc.wet.gz")
+      .filter(_.warcType == "conversion")
+      .map(a => (a.url, a.warc_ts, new String(a.html, UTF_8).length.toLong,
+        WarcKit.payloadDigest(a.html), a.contentType, a.refersToUri))
+      .toDF("url", "warc_ts", "n_chars", "text_digest", "content_type", "refers_to_url")
+      .orderBy("url")
+  }
 }

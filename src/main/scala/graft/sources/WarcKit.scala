@@ -86,8 +86,32 @@ object WarcKit {
           s"WARC-Refers-To-Date: ${WarcDate.format(Instant.ofEpochMilli(r.refersToTs.getTime))}\r\n" +
           "Content-Length: 0\r\n\r\n"
       warcHeader.getBytes(UTF_8) ++ "\r\n\r\n".getBytes(UTF_8)
+    } else if (r.warcType == "conversion") {
+      // WET layout: the extracted-text sibling archive Common Crawl ships
+      // next to every WARC — conversion records carry the PLAIN TEXT (no
+      // HTTP envelope) plus a refers-to pointer at the source capture.
+      val warcHeader =
+        "WARC/1.0\r\n" +
+          "WARC-Type: conversion\r\n" +
+          s"WARC-Target-URI: ${r.url}\r\n" +
+          s"WARC-Date: ${WarcDate.format(Instant.ofEpochMilli(r.warc_ts.getTime))}\r\n" +
+          s"WARC-Refers-To-Target-URI: ${r.refersToUri}\r\n" +
+          s"Content-Type: ${if (r.contentType.nonEmpty) r.contentType else "text/plain"}\r\n" +
+          s"WARC-Payload-Digest: ${r.payloadDigest}\r\n" +
+          s"Content-Length: ${r.html.length}\r\n\r\n"
+      warcHeader.getBytes(UTF_8) ++ r.html ++ "\r\n\r\n".getBytes(UTF_8)
     } else recordBytes(WarcRecord(r.url, r.warc_ts, r.status, r.contentType, r.html))
   }
+
+  /** Pages table → WET conversion records (the extracted text the engine's
+    * own kernels produced — parity with the pages table holds by
+    * construction). */
+  def wetFromPages(pages: Seq[graft.model.PageRow]): Seq[ArchiveRecord] =
+    pages.map { p =>
+      val body = p.text.getBytes(UTF_8)
+      ArchiveRecord("conversion", p.url, p.warc_ts, 0, "text/plain", body,
+        payloadDigest(body), p.url, p.warc_ts)
+    }
 
   /** Write a mixed response/revisit archive (driver-side helper — the
     * production shape is foreachPartition with one file per partition,
@@ -247,6 +271,15 @@ object WarcKit {
                   fields.getOrElse("warc-payload-digest", ""),
                   fields.getOrElse("warc-refers-to-target-uri", ""),
                   tsOf("warc-refers-to-date"))
+              } else if (warcType == "conversion" && len <= maxRecordBytes) {
+                // WET extracted text: raw body, no HTTP envelope
+                nextRec = ArchiveRecord("conversion",
+                  fields.getOrElse("warc-target-uri", ""), tsOf("warc-date"), 0,
+                  fields.getOrElse("content-type", "text/plain"),
+                  readFully(in, len.toInt),
+                  fields.getOrElse("warc-payload-digest", ""),
+                  fields.getOrElse("warc-refers-to-target-uri", ""),
+                  tsOf("warc-date"))
               } else if (warcType != "response" || len > maxRecordBytes) {
                 skipFully(in, len) // never buffer what we won't keep
               } else {

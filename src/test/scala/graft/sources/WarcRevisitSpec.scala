@@ -107,6 +107,36 @@ class WarcRevisitSpec extends AnyFunSuite {
     assert(d < f, s"dedup archive ($d B) smaller than full re-store ($f B)")
   }
 
+  test("WET conversion records: byte-exact text round-trip; response readers skip them") {
+    val pages = corpus.filter(_.text.nonEmpty).take(6)
+    val dir = Files.createTempDirectory("graft-wet").toString
+    WarcKit.writeArchive(WarcKit.wetFromPages(pages), s"$dir/seg.warc.wet.gz", gzip = true)
+    val got = WarcKit.readArchiveRecords(spark, s"$dir/seg.warc.wet.gz")
+      .collect().sortBy(_.url)
+    assert(got.length == pages.length && got.forall(_.warcType == "conversion"))
+    got.zip(pages.sortBy(_.url)).foreach { case (g, p) =>
+      assert(g.url == p.url)
+      assert(new String(g.html, UTF_8) == p.text, s"byte-exact text for ${p.url}")
+      assert(g.payloadDigest == WarcKit.payloadDigest(p.text.getBytes(UTF_8)))
+      assert(g.refersToUri == p.url, "conversion points at its source capture")
+      assert(g.contentType == "text/plain")
+    }
+    // the crawl-ingest (response-only) reader must not surface WET records
+    assert(WarcKit.readRecords(spark, s"$dir/seg.warc.wet.gz").collect().isEmpty)
+  }
+
+  test("q_wet_export: parsed-archive digests pin the round trip") {
+    val df = graft.pipeline.RevisitQueries.wetExport(spark, "/root/testdata/sf0.001").collect()
+    val pages = graft.gen.CorpusGen.localPages(graft.gen.CorpusGen.Spec(2, 15))
+      .sortBy(_.url)
+    assert(df.length == pages.length)
+    df.toSeq.sortBy(_.getString(0)).zip(pages).foreach { case (r, p) =>
+      assert(r.getString(0) == p.url)
+      assert(r.getLong(2) == p.text.length.toLong)
+      assert(r.getString(3) == WarcKit.payloadDigest(p.text.getBytes(UTF_8)))
+    }
+  }
+
   test("q_warc_revisit: archive-held truth — zero stored bytes and pointers for revisits") {
     val df = RevisitQueries.warcRevisit(spark, "/root/testdata/sf0.001").collect()
     assert(df.nonEmpty)
