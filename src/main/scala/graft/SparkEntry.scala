@@ -137,7 +137,8 @@ object SparkEntry {
     "q_mirror_hosts" -> (graft.pipeline.Mirrors.mirrorHosts _),
     "q_hits" -> (graft.pipeline.Hits.hits _),
     "q_soft404" -> (graft.pipeline.Soft404.soft404 _),
-    "q_wet_export" -> (graft.pipeline.RevisitQueries.wetExport _)
+    "q_wet_export" -> (graft.pipeline.RevisitQueries.wetExport _),
+    "q_rel_canonical" -> (graft.pipeline.RelCanonical.relCanonical _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
