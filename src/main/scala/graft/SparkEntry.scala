@@ -138,7 +138,8 @@ object SparkEntry {
     "q_hits" -> (graft.pipeline.Hits.hits _),
     "q_soft404" -> (graft.pipeline.Soft404.soft404 _),
     "q_wet_export" -> (graft.pipeline.RevisitQueries.wetExport _),
-    "q_rel_canonical" -> (graft.pipeline.RelCanonical.relCanonical _)
+    "q_rel_canonical" -> (graft.pipeline.RelCanonical.relCanonical _),
+    "q_sitemap_budget" -> (graft.pipeline.SitemapBudget.sitemapBudget _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -37,6 +37,59 @@ object SitemapSeeder {
     seen.toVector
   }
 
+  /** One `<url>` entry with its optional metadata (sitemaps.org protocol:
+    * lastmod is W3C datetime — date-only or full timestamp; changefreq one
+    * of always/hourly/daily/weekly/monthly/yearly/never; priority 0.0-1.0,
+    * default 0.5). The reference's parser reads only `<loc>`; its batch
+    * processor DECLARES lastmod as the priority signal but never parses it
+    * (batch_processor.rs:42,56 "would integrate with lastmod if
+    * available") — [[parseEntries]] closes that gap. */
+  final case class SitemapEntry(loc: String, lastmod: Option[String],
+                                changefreq: Option[String], priority: Option[String])
+
+  private val UrlBlockRe = "(?s)<url>(.*?)</url>".r
+  private def fieldRe(tag: String) =
+    s"(?s)<$tag>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</$tag>".r
+
+  private val LastmodRe = fieldRe("lastmod")
+  private val ChangefreqRe = fieldRe("changefreq")
+  private val PriorityRe = fieldRe("priority")
+
+  /** Parse `<url>` entries with metadata; same resolution/filter/dedup
+    * rules as [[parseLocs]] (first spelling of a duplicate loc wins). */
+  def parseEntries(body: String, baseUrl: String): Vector[SitemapEntry] = {
+    if (body.length > MaxBodyBytes) return Vector.empty
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, SitemapEntry]
+    def field(re: scala.util.matching.Regex, block: String): Option[String] =
+      re.findFirstMatchIn(block)
+        .map(m => Option(m.group(1)).getOrElse(m.group(2)).trim).filter(_.nonEmpty)
+    UrlBlockRe.findAllMatchIn(body).foreach { b =>
+      val block = b.group(1)
+      field(LocRe, block).foreach { raw =>
+        UrlKernel.resolve(baseUrl, raw).foreach { abs =>
+          UrlKernel.parse(abs).foreach { p =>
+            if ((p.scheme == "http" || p.scheme == "https") && !seen.contains(p.fullString))
+              seen(p.fullString) = SitemapEntry(p.fullString,
+                field(LastmodRe, block), field(ChangefreqRe, block), field(PriorityRe, block))
+          }
+        }
+      }
+    }
+    seen.values.toVector
+  }
+
+  /** W3C datetime → epoch millis (date-only = UTC midnight), None when
+    * absent/unparseable — tolerant, the protocol's own recommendation. */
+  def lastmodMillis(lastmod: Option[String]): Option[Long] =
+    lastmod.flatMap { s =>
+      val full = if (s.length == 10) s + "T00:00:00Z" else s
+      try Some(java.time.Instant.parse(full).toEpochMilli)
+      catch { case _: Exception =>
+        try Some(java.time.OffsetDateTime.parse(full).toInstant.toEpochMilli)
+        catch { case _: Exception => scala.None }
+      }
+    }
+
   def isSitemapIndex(body: String): Boolean = body.contains("<sitemapindex")
 
   private def looksLikeSitemapUrl(u: String): Boolean = {
