@@ -139,7 +139,8 @@ object SparkEntry {
     "q_soft404" -> (graft.pipeline.Soft404.soft404 _),
     "q_wet_export" -> (graft.pipeline.RevisitQueries.wetExport _),
     "q_rel_canonical" -> (graft.pipeline.RelCanonical.relCanonical _),
-    "q_sitemap_budget" -> (graft.pipeline.SitemapBudget.sitemapBudget _)
+    "q_sitemap_budget" -> (graft.pipeline.SitemapBudget.sitemapBudget _),
+    "q_phrase_search" -> (graft.pipeline.PhraseSearch.phraseSearch _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -215,6 +216,9 @@ object SparkEntry {
     // mutually-recursive vectors, window-sum L1 normalization) as
     // unrolled chained CTEs over the frozen edge fixture
     "q_hits" -> graft.pipeline.Hits.hitsSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB rebuilds positional postings (unnest
+    // subscripts) and replays the anchor rule over the documents table
+    "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,
     // independent recompute: hostRank's unrolled recurrence as a CTE, then
     // the same integer Hamilton apportionment over the frozen edges
     "q_wave_plan" -> CrawlQueries.wavePlanSql(fixtureSql("q_extract_link_edges")),

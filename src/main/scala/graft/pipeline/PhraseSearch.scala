@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Positional phrase search over the corpus — the search-index workload
+  * next to [[TextAnalysis.bm25Rank]]'s bag-of-words ranking: exact
+  * multi-word phrase matching needs POSITIONS, the part of an inverted
+  * index bag-of-words scoring never touches. The reference's relevance
+  * layer is keyword/embedding-based (relevance_scorer.rs) with no phrase
+  * semantics; a corpus builder uses phrase search for targeted selection
+  * and decontamination ("find exact quote X").
+  *
+  * The plan shape is the point: NOT the textbook k-way positional
+  * self-join (k−1 joins for a k-word phrase). Each phrase explodes into
+  * (phrase, term_idx, word) rows; postings join that tiny broadcast table
+  * once; every candidate computes its ANCHOR = pos − term_idx; a phrase
+  * matches at an anchor exactly when all k term_idx values appear in the
+  * (doc, phrase, anchor) group — ONE map-side-combined aggregation
+  * replaces the join chain, any k, repeated words included ("the … the"
+  * alignments work because distinct term_idx, not word identity, is
+  * counted).
+  *
+  * Scale shape (100 TB): postings are pruned by the broadcast query
+  * vocabulary BEFORE any shuffle — only positions of words that occur in
+  * some query phrase ever leave the scan; anchor groups are (doc, phrase,
+  * anchor) keys with two-level partial aggregation; nothing quadratic,
+  * no self-joins. The DuckDB oracle recomputes the whole thing
+  * independently (unnest + the same anchor rule) on the same table.
+  */
+object PhraseSearch {
+
+  /** Fixed query phrases: multi-word hits, a repeated-word phrase, a
+    * single word, and a guaranteed miss (absent from the corpus vocab). */
+  val Phrases: Seq[String] = Seq(
+    "window fast query",
+    "stream table hash",
+    "big data merge",
+    "part the the",
+    "spark",
+    "quantum flux pelican")
+
+  /** Per-phrase hit statistics: phrase, n_docs, n_occurrences. Phrases
+    * with zero hits still emit a row (0, 0) — a search API never drops a
+    * query. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame =
+    search(spark, dir, Phrases)
+
+  /** The dataflow over an arbitrary phrase list. */
+  def search(spark: SparkSession, dir: String, phrases: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val terms = spark.createDataset(phrases)
+      .flatMap(p => p.split(" ").zipWithIndex.map { case (w, i) => (p, i, w) })
+      .toDF("phrase", "term_idx", "word")
+    val phraseLens = spark.createDataset(phrases.map(p => (p, p.split(" ").length)))
+      .toDF("phrase", "phrase_len")
+    val postings = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      // prune to the query vocabulary before anything shuffles
+      .join(broadcast(terms), Seq("word"))
+      .select(col("doc_id"), col("phrase"), col("term_idx"),
+        (col("pos") - col("term_idx")).as("anchor"))
+    val matches = postings
+      .groupBy("doc_id", "phrase", "anchor")
+      .agg(countDistinct("term_idx").as("n_idx"))
+      .join(broadcast(phraseLens), Seq("phrase"))
+      .filter(col("n_idx") === col("phrase_len"))
+    val hits = matches.groupBy("phrase")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occurrences"))
+    spark.createDataset(phrases).toDF("phrase")
+      .join(broadcast(hits), Seq("phrase"), "left") // ≤ |phrases| rows
+
+      .na.fill(0L, Seq("n_docs", "n_occurrences"))
+      .orderBy("phrase")
+  }
+
+  /** Independent DuckDB recompute: unnest with 1-based subscripts, the
+    * same anchor rule (offsets cancel), zero-hit phrases preserved. */
+  val phraseSearchSql: String = {
+    val phraseRows = Phrases.map(p => s"('${p}')").mkString(", ")
+    s"""WITH q(phrase) AS (VALUES $phraseRows),
+      |terms AS (
+      |  SELECT phrase, generate_subscripts(ws, 1) - 1 AS term_idx, unnest(ws) AS word
+      |  FROM (SELECT phrase, string_split(phrase, ' ') AS ws FROM q)),
+      |lens AS (SELECT phrase, len(string_split(phrase, ' ')) AS phrase_len FROM q),
+      |w AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |    generate_subscripts(ws, 1) AS pos, unnest(ws) AS word
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |cand AS (
+      |  SELECT w.doc_id, t.phrase, t.term_idx, w.pos - t.term_idx AS anchor
+      |  FROM w JOIN terms t ON w.word = t.word),
+      |m AS (
+      |  SELECT c.doc_id, c.phrase, c.anchor
+      |  FROM cand c
+      |  GROUP BY c.doc_id, c.phrase, c.anchor
+      |  HAVING count(DISTINCT c.term_idx) =
+      |    (SELECT phrase_len FROM lens l WHERE l.phrase = c.phrase))
+      |SELECT q.phrase,
+      |  CAST(coalesce(count(DISTINCT m.doc_id), 0) AS BIGINT) AS n_docs,
+      |  CAST(coalesce(count(m.anchor), 0) AS BIGINT) AS n_occurrences
+      |FROM q LEFT JOIN m ON q.phrase = m.phrase
+      |GROUP BY q.phrase
+      |ORDER BY q.phrase""".stripMargin
+  }
+}
