@@ -48,7 +48,9 @@ object Hits {
     val nodes = edges.select(col("src").as("url"))
       .union(edges.select(col("dst").as("url"))).distinct().localCheckpoint()
     var hub = nodes.select(col("url"), lit(HitsUnitMicro).as("hub_micro"))
-    var auth = nodes.select(col("url"), lit(HitsUnitMicro).as("auth_micro"))
+    // placeholder only — Kleinberg order computes auth from the PREVIOUS
+    // hub first, so round 1 overwrites this before any read
+    var auth: DataFrame = hub
     for (_ <- 1 to HitsIters) {
       val aRaw = nodes.join(
         edges.join(hub.withColumnRenamed("url", "src"), "src")

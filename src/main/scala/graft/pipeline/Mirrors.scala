@@ -21,7 +21,9 @@ import graft.urls.UrlKernel
   * Pipeline: distinct (host, digest) index → per-digest host lists (capped
   * at [[MaxHostsPerDigest]] with a counted accumulator — one viral page on
   * 10^5 hosts must not explode into 10^10 pairs; the cap drops PAIR
-  * EVIDENCE, never hosts) → ordered host pairs with shared-digest counts
+  * EVIDENCE, never hosts, and SELECTS the lexicographically smallest
+  * hosts rather than truncating arrival order, so capped output is
+  * identical at any parallelism) → ordered host pairs with shared-digest counts
   * (map-side combined) → join against per-host index sizes (broadcast at
   * this cardinality; at 10^7 hosts the host-size table still fits — it is
   * hosts, not pages) → exact integer containment/Jaccard permille. A pair
@@ -86,13 +88,25 @@ object Mirrors {
     val pairs = idx.as[(String, String)]
       .groupByKey(_._2)
       .flatMapGroups { (_, it) =>
-        val hosts = scala.collection.mutable.ArrayBuffer.empty[String]
+        // bounded SELECTION, not truncation: keep the lexicographically
+        // smallest MaxHostsPerDigest hosts whatever the shuffle-arrival
+        // order, so a capped digest yields the SAME surviving pairs at
+        // any parallelism (max-heap eviction, O(group · log cap) time,
+        // O(cap) memory)
+        val heap = new java.util.PriorityQueue[String](
+          MaxHostsPerDigest + 1, java.util.Comparator.reverseOrder[String]())
         var overflow = false
         it.foreach { case (h, _) =>
-          if (hosts.length < MaxHostsPerDigest) hosts += h else overflow = true
+          if (heap.size < MaxHostsPerDigest) heap.add(h)
+          else {
+            overflow = true
+            if (h < heap.peek()) { heap.poll(); heap.add(h) }
+          }
         }
         if (overflow) cappedDigests.foreach(_.add(1L))
-        val sorted = hosts.sorted
+        val sorted = new Array[String](heap.size)
+        var k = sorted.length - 1
+        while (k >= 0) { sorted(k) = heap.poll(); k -= 1 }
         for (i <- sorted.indices.iterator; j <- (i + 1 until sorted.length).iterator)
           yield (sorted(i), sorted(j))
       }

@@ -76,7 +76,12 @@ object RelCanonical {
     import spark.implicits._
     val decls = pages.select(col("url"), col("html")).as[(String, Array[Byte])]
       .map { case (url, html) =>
-        (url, HtmlKit.extractCanonical(new String(html, UTF_8)).getOrElse(""))
+        // declarations may be RELATIVE (RFC 6596 allows any valid href) —
+        // resolve against the page url like every other extracted link
+        val decl = HtmlKit.extractCanonical(new String(html, UTF_8))
+          .flatMap(d => graft.urls.UrlKernel.resolve(url, d))
+          .getOrElse("")
+        (url, decl)
       }
       .toDF("url", "decl")
       .withColumn("decl", when(col("decl") === col("url"), lit("")).otherwise(col("decl")))

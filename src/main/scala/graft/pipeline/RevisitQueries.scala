@@ -39,6 +39,16 @@ object RevisitQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(UTF_8)).map("%02x".format(_)).mkString
 
+  /** Temp dir whose named files are reclaimed at JVM exit (the returned
+    * DataFrames read lazily, so deletion can't happen earlier; register
+    * dir first — deleteOnExit runs in reverse order, files before dir). */
+  private def scratchDir(prefix: String, files: String*): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    dir.toFile.deleteOnExit()
+    files.foreach(f => dir.resolve(f).toFile.deleteOnExit())
+    dir.toString
+  }
+
   /** Day-7 recrawl: same corpus, later timestamps, a salted-md5 subset of
     * pages changed (one appended comment — enough to move the digest). */
   def secondCapture(pages: Seq[PageRow]): Seq[PageRow] =
@@ -87,7 +97,7 @@ object RevisitQueries {
     import spark.implicits._
     val day0 = CorpusGen.localPages(CorpusGen.Spec(2, 15))
     val day7 = secondCapture(day0)
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-revisit").toString
+    val tmp = scratchDir("graft-q-revisit", "day0.warc.gz", "day7.warc.gz")
     WarcKit.writeWarcFile(WarcKit.toRecords(day0), s"$tmp/day0.warc.gz", gzip = true)
 
     val prev = WarcKit.readRecords(spark, s"$tmp/day0.warc.gz").toDF()
@@ -129,7 +139,7 @@ object RevisitQueries {
   def wetExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pages = CorpusGen.localPages(CorpusGen.Spec(2, 15))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-q-wet").toString
+    val tmp = scratchDir("graft-q-wet", "seg.warc.wet.gz")
     WarcKit.writeArchive(WarcKit.wetFromPages(pages), s"$tmp/seg.warc.wet.gz", gzip = true)
     WarcKit.readArchiveRecords(spark, s"$tmp/seg.warc.wet.gz")
       .filter(_.warcType == "conversion")

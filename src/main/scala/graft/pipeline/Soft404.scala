@@ -64,9 +64,13 @@ object Soft404 {
   def audit(spark: SparkSession, fetched: DataFrame): DataFrame = {
     val withHost = fetched.withColumn("host",
       regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+    // exactly ONE probe row per host, deterministically, even when the
+    // log holds duplicate probe fetches (retries/recrawls): a duplicate
+    // on the build side would otherwise multiply every page row
     val probes = withHost.filter(col("url").endsWith(ProbePath))
-      .select(col("host"), col("status").as("probe_status"),
-        md5(col("html")).as("probe_digest"))
+      .groupBy("host")
+      .agg(min(struct(col("status").as("s"), md5(col("html")).as("d"))).as("p"))
+      .select(col("host"), col("p.s").as("probe_status"), col("p.d").as("probe_digest"))
     val pages = withHost.filter(!col("url").endsWith(ProbePath))
     pages
       .join(broadcast(probes), Seq("host"), "left")

@@ -54,17 +54,24 @@ object WarcKit {
 
   // ------------------------------------------------------------- writing --
 
-  /** Serialize one response record (WARC headers + HTTP response + body). */
-  private def recordBytes(r: WarcRecord): Array[Byte] = {
+  /** Serialize one response record (WARC headers + HTTP response + body);
+    * a non-empty `payloadDigest` round-trips as WARC-Payload-Digest, so a
+    * later recrawl can dedup against the archive without re-hashing every
+    * stored payload. (writeWarcFile's plain records pass "" — byte layout
+    * unchanged.) */
+  private def recordBytes(r: WarcRecord, payloadDigest: String = ""): Array[Byte] = {
     val httpHeader =
       s"HTTP/1.1 ${r.status} OK\r\nContent-Type: ${r.contentType}\r\n" +
         s"Content-Length: ${r.html.length}\r\n\r\n"
     val payload = httpHeader.getBytes(UTF_8) ++ r.html
+    val digestLine =
+      if (payloadDigest.nonEmpty) s"WARC-Payload-Digest: $payloadDigest\r\n" else ""
     val warcHeader =
       "WARC/1.0\r\n" +
         "WARC-Type: response\r\n" +
         s"WARC-Target-URI: ${r.url}\r\n" +
         s"WARC-Date: ${WarcDate.format(Instant.ofEpochMilli(r.warc_ts.getTime))}\r\n" +
+        digestLine +
         "Content-Type: application/http; msgtype=response\r\n" +
         s"Content-Length: ${payload.length}\r\n\r\n"
     warcHeader.getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
@@ -100,7 +107,9 @@ object WarcKit {
           s"WARC-Payload-Digest: ${r.payloadDigest}\r\n" +
           s"Content-Length: ${r.html.length}\r\n\r\n"
       warcHeader.getBytes(UTF_8) ++ r.html ++ "\r\n\r\n".getBytes(UTF_8)
-    } else recordBytes(WarcRecord(r.url, r.warc_ts, r.status, r.contentType, r.html))
+    } else recordBytes(
+      WarcRecord(r.url, r.warc_ts, r.status, r.contentType, r.html),
+      payloadDigest = r.payloadDigest)
   }
 
   /** Pages table → WET conversion records (the extracted text the engine's
@@ -116,7 +125,8 @@ object WarcKit {
   /** Write a mixed response/revisit archive (driver-side helper — the
     * production shape is foreachPartition with one file per partition,
     * same bytes per record). */
-  def writeArchive(records: Seq[ArchiveRecord], path: String, gzip: Boolean = false): Unit = {
+  def writeArchive(records: Seq[ArchiveRecord], path: String, gzip: Boolean = false,
+                   zstd: Boolean = false): Unit = {
     val fos = new java.io.FileOutputStream(path)
     val out = new DataOutputStream(new java.io.BufferedOutputStream(fos))
     try records.foreach { r =>
@@ -126,7 +136,8 @@ object WarcKit {
         val gz = new GZIPOutputStream(bos)
         gz.write(bytes); gz.close()
         out.write(bos.toByteArray)
-      } else out.write(bytes)
+      } else if (zstd) out.write(Compression.zstd(bytes))
+      else out.write(bytes)
     } finally out.close()
   }
 
@@ -155,20 +166,11 @@ object WarcKit {
     * per record, `zstd=true` one zstd frame per record — both the Common
     * Crawl member-per-record layouts. */
   def writeWarcFile(records: Seq[WarcRecord], path: String, gzip: Boolean = false,
-                    zstd: Boolean = false): Unit = {
-    val fos = new java.io.FileOutputStream(path)
-    val out = new DataOutputStream(new java.io.BufferedOutputStream(fos))
-    try records.foreach { r =>
-      val bytes = recordBytes(r)
-      if (gzip) {
-        val bos = new java.io.ByteArrayOutputStream()
-        val gz = new GZIPOutputStream(bos)
-        gz.write(bytes); gz.close()
-        out.write(bos.toByteArray)
-      } else if (zstd) out.write(Compression.zstd(bytes))
-      else out.write(bytes)
-    } finally out.close()
-  }
+                    zstd: Boolean = false): Unit =
+    writeArchive(
+      records.map(r => ArchiveRecord("response", r.url, r.warc_ts, r.status,
+        r.contentType, r.html)),
+      path, gzip = gzip, zstd = zstd)
 
   // ------------------------------------------------------------- parsing --
 
@@ -260,9 +262,16 @@ object WarcKit {
               }
               val len = fields.getOrElse("content-length", "0").trim.toLongOption.getOrElse(0L)
               val warcType = fields.getOrElse("warc-type", "")
-              def tsOf(key: String): java.sql.Timestamp = fields.get(key)
-                .map(d => new java.sql.Timestamp(Instant.parse(d).toEpochMilli))
-                .getOrElse(new java.sql.Timestamp(0L))
+              // tolerant like the rest of the parser: a malformed date in
+              // ONE third-party record must not abort the whole file
+              def tsOf(key: String): java.sql.Timestamp = new java.sql.Timestamp(
+                fields.get(key).flatMap { d =>
+                  try Some(Instant.parse(d).toEpochMilli)
+                  catch { case _: Exception =>
+                    try Some(java.time.OffsetDateTime.parse(d).toInstant.toEpochMilli)
+                    catch { case _: Exception => scala.None }
+                  }
+                }.getOrElse(0L))
               if (warcType == "revisit") {
                 skipFully(in, len) // revisit bodies are empty by our writer; tolerate others
                 nextRec = ArchiveRecord("revisit",

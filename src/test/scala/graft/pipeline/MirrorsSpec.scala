@@ -66,19 +66,30 @@ class MirrorsSpec extends AnyFunSuite {
     assert(got == expect, "Spark pairs equal the independent driver replay")
   }
 
-  test("per-digest cap bounds pair generation; cap events are counted") {
+  test("per-digest cap bounds pair generation deterministically; cap events counted") {
     import spark.implicits._
-    // one viral digest on 100 hosts + one normal shared digest on 2 hosts
-    val rows = (0 until 100).map(i => (f"https://h$i%03d.com/x", "VIRAL".getBytes(UTF_8))) ++
+    // TWO viral digests on the same 100 hosts (so capped pairs reach
+    // shared >= 2 and survive into the output) + a normal 2-host pair
+    val rows = (0 until 100).flatMap(i => Seq(
+        (f"https://h$i%03d.com/x", "VIRAL".getBytes(UTF_8)),
+        (f"https://h$i%03d.com/w", "VIRAL2".getBytes(UTF_8)))) ++
       Seq(("https://a.com/y", "OK".getBytes(UTF_8)), ("https://b.com/y", "OK".getBytes(UTF_8)),
         ("https://a.com/z", "OK2".getBytes(UTF_8)), ("https://b.com/z", "OK2".getBytes(UTF_8)))
     val acc = spark.sparkContext.longAccumulator("capped")
     val df = rows.toDF("url", "html")
     val out = Mirrors.hostOverlap(spark, df, Some(acc)).collect()
     val maxPairs = Mirrors.MaxHostsPerDigest.toLong * (Mirrors.MaxHostsPerDigest - 1) / 2
-    val viralPairs = out.filter(r => r.getString(0).startsWith("h")).map(_.getLong(2)).sum
-    assert(viralPairs <= maxPairs, s"viral digest capped: $viralPairs pairs")
-    assert(acc.value >= 1, "cap event counted")
+    val viral = out.filter(r => r.getString(0).startsWith("h"))
+    assert(viral.nonEmpty, "capped pairs survive the shared >= 2 filter")
+    assert(viral.length <= maxPairs, s"pair generation bounded: ${viral.length} pairs")
+    // deterministic SELECTION: the smallest 64 hosts survive the cap, so
+    // every surviving pair involves only h000..h063 and each digest
+    // contributes its full C(64,2) evidence
+    val surviving = viral.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(surviving == (0 until Mirrors.MaxHostsPerDigest).map(i => f"h$i%03d.com").toSet,
+      "cap keeps the lexicographically smallest hosts, not arrival order")
+    assert(viral.forall(_.getLong(2) == 2), "both viral digests count for kept pairs")
+    assert(acc.value >= 2, "cap events counted per digest")
     // the normal pair is unaffected by the viral cap
     val ab = out.find(r => Set(r.getString(0), r.getString(1)) == Set("a.com", "b.com"))
     assert(ab.exists(_.getLong(2) == 2), "a.com/b.com share both digests")

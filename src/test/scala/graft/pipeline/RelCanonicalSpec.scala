@@ -63,10 +63,30 @@ class RelCanonicalSpec extends AnyFunSuite {
     assert(plain == (("https://site1.com/docs/guide-1", "self", 1L)))
   }
 
+  test("relative declarations resolve against the page url (RFC 6596 allows any href)") {
+    import spark.implicits._
+    def page(url: String, canonHref: Option[String]): (String, Array[Byte]) = {
+      val tag = canonHref.map(h => s"""<link rel="canonical" href="$h">""").getOrElse("")
+      url -> s"<html><head>$tag</head><body>x</body></html>".getBytes(UTF_8)
+    }
+    val pages = Seq(
+      page("https://s.com/products/item?id=6", Some("/products/item")), // relative decl
+      page("https://s.com/products/item", None),                        // the target
+      page("https://s.com/about", Some("about")))                       // relative SELF
+    val out = RelCanonical.collapse(spark, pages.toDF("url", "html")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(out("https://s.com/products/item?id=6") ==
+      (("https://s.com/products/item", "declared")),
+      "relative href resolves and collapses into the fetched target")
+    assert(out("https://s.com/about")._2 == "self",
+      "a relative self-reference is recognized as self, not a dangling edge")
+  }
+
   test("driver replay of the full rule set") {
     val pages = RelCanonical.corpus(spark)
     val decl = pages.map { p =>
-      val d = HtmlKit.extractCanonical(new String(p.html, UTF_8)).getOrElse("")
+      val d = HtmlKit.extractCanonical(new String(p.html, UTF_8))
+        .flatMap(h => graft.urls.UrlKernel.resolve(p.url, h)).getOrElse("")
       p.url -> (if (d == p.url) "" else d)
     }.toMap
     val urls = decl.keySet

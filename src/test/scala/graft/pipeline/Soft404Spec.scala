@@ -66,6 +66,20 @@ class Soft404Spec extends AnyFunSuite {
       "host-keyed broadcast only")
   }
 
+  test("duplicate probe fetches (retries) do not multiply page rows") {
+    import spark.implicits._
+    val err = "not found page".getBytes(UTF_8)
+    val rows = Seq(
+      ("https://r.com" + Soft404.ProbePath, 200, err),
+      ("https://r.com" + Soft404.ProbePath, 200, err), // retried probe
+      ("https://r.com/dead", 200, err),
+      ("https://r.com/live", 200, "real".getBytes(UTF_8)))
+    val out = Soft404.audit(spark, rows.toDF("url", "status", "html")).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 2L, "n_pages counts pages once despite probe dup")
+    assert(out.head.getLong(3) == 1L, "n_soft404 not inflated by the duplicate probe")
+  }
+
   test("a 200-probe host with no matching pages flags nothing (digest gate, not status gate)") {
     import spark.implicits._
     val rows = Seq(

@@ -107,6 +107,28 @@ class WarcRevisitSpec extends AnyFunSuite {
     assert(d < f, s"dedup archive ($d B) smaller than full re-store ($f B)")
   }
 
+  test("response records round-trip their payload digest; malformed dates don't abort the file") {
+    val p = corpus.head
+    val rec = WarcKit.ArchiveRecord("response", p.url, p.warc_ts, 200, "text/html",
+      p.html, WarcKit.payloadDigest(p.html))
+    val dir = Files.createTempDirectory("graft-resp-digest").toString
+    WarcKit.writeArchive(Seq(rec), s"$dir/a.warc")
+    val got = WarcKit.readArchiveRecords(spark, s"$dir/a.warc").collect()
+    assert(got.length == 1)
+    assert(got.head.payloadDigest == WarcKit.payloadDigest(p.html),
+      "a recrawl can dedup against the archive without re-hashing payloads")
+    // a record with a garbage WARC-Date must not kill the rest of the file
+    val bad = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://bad.com/\r\n" +
+      "WARC-Date: not-a-date\r\nContent-Length: 4\r\n\r\nBODY\r\n\r\n").getBytes(UTF_8)
+    val goodBytes = Files.readAllBytes(java.nio.file.Paths.get(s"$dir/a.warc"))
+    Files.write(java.nio.file.Paths.get(s"$dir/mixed.warc"), bad ++ goodBytes)
+    val mixed = WarcKit.readArchiveRecords(spark, s"$dir/mixed.warc").collect().sortBy(_.url)
+    assert(mixed.length == 2, "both records parsed")
+    assert(mixed.head.url == "https://bad.com/" && mixed.head.warc_ts.getTime == 0L,
+      "malformed date tolerated as epoch 0, record kept")
+    assert(mixed(1).url == p.url && mixed(1).warc_ts.getTime == p.warc_ts.getTime)
+  }
+
   test("WET conversion records: byte-exact text round-trip; response readers skip them") {
     val pages = corpus.filter(_.text.nonEmpty).take(6)
     val dir = Files.createTempDirectory("graft-wet").toString
