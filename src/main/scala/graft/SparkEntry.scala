@@ -140,7 +140,8 @@ object SparkEntry {
     "q_wet_export" -> (graft.pipeline.RevisitQueries.wetExport _),
     "q_rel_canonical" -> (graft.pipeline.RelCanonical.relCanonical _),
     "q_sitemap_budget" -> (graft.pipeline.SitemapBudget.sitemapBudget _),
-    "q_phrase_search" -> (graft.pipeline.PhraseSearch.phraseSearch _)
+    "q_phrase_search" -> (graft.pipeline.PhraseSearch.phraseSearch _),
+    "q_ip_budget" -> (graft.pipeline.IpPoliteness.ipBudget _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -219,6 +220,9 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,
+    // independent recompute: DuckDB re-derives the 44-bit host->ip hash,
+    // the salted budgets, and the capped per-IP rollup
+    "q_ip_budget" -> graft.pipeline.IpPoliteness.ipBudgetSql,
     // independent recompute: hostRank's unrolled recurrence as a CTE, then
     // the same integer Hamilton apportionment over the frozen edges
     "q_wave_plan" -> CrawlQueries.wavePlanSql(fixtureSql("q_extract_link_edges")),

@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-IP politeness budgets (IRLbot, WWW 2008 §4: budget enforcement at
+  * the IP level, not just the host level) — virtual hosting means a
+  * thousand "different" hosts can resolve to one server; per-host rate
+  * limits then multiply into a de-facto DoS of that box, and spam farms
+  * exploit exactly this by minting hostnames. The fix every large crawler
+  * ships: resolve host → IP, roll host budgets up per IP, cap the
+  * aggregate, and throttle every co-hosted site proportionally. The
+  * reference rate-limits per DOMAIN only (rate_limiter.rs semantics); the
+  * IP layer is a north-rule-scale extension.
+  *
+  * Resolution is table-driven here (no DNS in the sandbox): host → ip_id
+  * and the per-host budget derive from salted md5 digits of the host —
+  * the [[Revalidation]]/[[Freshness]] discipline — using the 44-bit
+  * portable hash, so the DuckDB oracle independently re-derives the
+  * mapping, the budgets, and the rollup (no fixture). `IpSpace` is sized
+  * below the host count so co-hosting provably occurs.
+  *
+  * Scale shape: one per-row projection (hash, digits) into ONE
+  * map-side-combined groupBy(ip) — at 10^7 hosts the IP table is the
+  * same order as the host table; no joins, no windows (plan-checked).
+  * All-integer, bit-identical at any parallelism.
+  */
+object IpPoliteness {
+
+  /** Synthetic address space — smaller than the host population so
+    * virtual-host collisions provably occur. */
+  val IpSpace = 8L
+
+  /** Aggregate pages/s cap any single IP may receive. */
+  val IpCap = 20L
+
+  /** Hosts-per-IP threshold above which the IP is flagged crowded (the
+    * hostname-minting spam signal IRLbot budgets against). */
+  val CrowdedAt = 3L
+
+  private val IpSalt = ":graft-ip-v1"
+  private val BudgetSalt = ":graft-hostbudget-v1"
+
+  /** Per-host view: host, ip_id, host_budget. The 44-bit md5 prefix is the
+    * engines' shared portable hash (see q_host_cardinality). */
+  def hostView(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source").as("host")).distinct()
+      .withColumn("ip_id",
+        pmod(conv(substring(md5(concat(col("host"), lit(IpSalt))), 1, 11), 16, 10)
+          .cast("long"), lit(IpSpace)))
+      .withColumn("host_budget",
+        lit(4L) + pmod(ascii(substring(md5(concat(col("host"), lit(BudgetSalt))), 1, 1)),
+          lit(13)).cast("long"))
+
+  /** Contract query `q_ip_budget`: per-IP politeness plan — how many
+    * hosts share the address, their aggregate demand, the capped grant,
+    * and the throttle factor (‰ of demand each co-hosted site actually
+    * receives). */
+  def ipBudget(spark: SparkSession, dir: String): DataFrame =
+    hostView(spark, dir)
+      .groupBy("ip_id")
+      .agg(
+        count(lit(1)).as("n_hosts"),
+        min("host").as("first_host"),
+        sum("host_budget").as("sum_budget"))
+      .withColumn("ip_budget", least(col("sum_budget"), lit(IpCap)))
+      .withColumn("throttle_permille", expr("ip_budget * 1000 div sum_budget"))
+      .withColumn("crowded", col("n_hosts") >= CrowdedAt)
+      .select("ip_id", "n_hosts", "first_host", "sum_budget", "ip_budget",
+        "throttle_permille", "crowded")
+      .orderBy("ip_id")
+
+  /** Independent DuckDB recompute: same 44-bit hash, same salted digits,
+    * same rollup (Spark pmod == ((x % B) + B) % B; both operands
+    * non-negative here, and Spark `div` == DuckDB `//` on non-negatives). */
+  val ipBudgetSql: String =
+    s"""WITH hosts AS (SELECT DISTINCT source AS host FROM documents),
+      |hv AS (
+      |  SELECT host,
+      |    CAST(('0x' || substr(md5(host || '$IpSalt'), 1, 11)) AS BIGINT) % $IpSpace
+      |      AS ip_id,
+      |    4 + (ascii(substr(md5(host || '$BudgetSalt'), 1, 1)) % 13) AS host_budget
+      |  FROM hosts)
+      |SELECT ip_id,
+      |  CAST(count(*) AS BIGINT) AS n_hosts,
+      |  min(host) AS first_host,
+      |  CAST(sum(host_budget) AS BIGINT) AS sum_budget,
+      |  CAST(least(sum(host_budget), $IpCap) AS BIGINT) AS ip_budget,
+      |  CAST(least(sum(host_budget), $IpCap) * 1000 // sum(host_budget) AS BIGINT)
+      |    AS throttle_permille,
+      |  count(*) >= $CrowdedAt AS crowded
+      |FROM hv GROUP BY ip_id ORDER BY ip_id""".stripMargin
+}
