@@ -141,7 +141,8 @@ object SparkEntry {
     "q_rel_canonical" -> (graft.pipeline.RelCanonical.relCanonical _),
     "q_sitemap_budget" -> (graft.pipeline.SitemapBudget.sitemapBudget _),
     "q_phrase_search" -> (graft.pipeline.PhraseSearch.phraseSearch _),
-    "q_ip_budget" -> (graft.pipeline.IpPoliteness.ipBudget _)
+    "q_ip_budget" -> (graft.pipeline.IpPoliteness.ipBudget _),
+    "q_robots_meta" -> (graft.pipeline.RobotsMeta.robotsMeta _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -223,6 +224,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the 44-bit host->ip hash,
     // the salted budgets, and the capped per-IP rollup
     "q_ip_budget" -> graft.pipeline.IpPoliteness.ipBudgetSql,
+    // independent recompute: DuckDB re-derives the planted meta/rel
+    // semantics from the digits — Spark must PARSE its way to the same rows
+    "q_robots_meta" -> graft.pipeline.RobotsMeta.robotsMetaSql,
     // independent recompute: hostRank's unrolled recurrence as a CTE, then
     // the same integer Hamilton apportionment over the frozen edges
     "q_wave_plan" -> CrawlQueries.wavePlanSql(fixtureSql("q_extract_link_edges")),

@@ -463,6 +463,63 @@ object HtmlKit {
 
   def extractCanonical(html: String): Option[String] = extractCanonical(parse(html))
 
+  /** `<meta name="robots">` directive extraction (the Robots Exclusion
+    * Protocol's per-page half — REP meta tags, formalized alongside RFC
+    * 9309). Beyond-reference: the reference's extractor reads no robots
+    * metas (crawler_service.rs gates on robots.txt only), but every
+    * production crawler must honor page-level noindex/nofollow before
+    * indexing or expanding the frontier.
+    *
+    * Semantics: every `<meta>` whose `name` equals "robots"
+    * case-insensitively contributes; `content` splits on commas, tokens
+    * trim + lowercase; `none` expands to noindex+nofollow (its spec'd
+    * meaning); multiple metas UNION (the restrictive-union rule search
+    * engines document — a positive `index,follow` cannot cancel a
+    * restriction declared elsewhere, so positive tokens index/follow/all
+    * are dropped). Agent-specific metas (`name="googlebot"`) are NOT this
+    * crawler's directives and are ignored. */
+  def extractRobotsDirectives(dom: Elem): Set[String] = {
+    val out = Set.newBuilder[String]
+    def walk(e: Elem): Unit = {
+      if (e.tag == "meta" &&
+          e.attr("name").exists(_.equalsIgnoreCase("robots")))
+        e.attr("content").toList
+          .flatMap(_.split(','))
+          .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+          .filter(_.nonEmpty)
+          .foreach {
+            case "none"                    => out += "noindex"; out += "nofollow"
+            case "index" | "follow" | "all" => // defaults, never restrictions
+            case d                         => out += d
+          }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    out.result()
+  }
+
+  def extractRobotsDirectives(html: String): Set[String] =
+    extractRobotsDirectives(parse(html))
+
+  /** Link sightings WITH the per-link `rel="nofollow"` flag — the signal
+    * that gates frontier expansion and link-graph edges (a nofollow edge
+    * must not vote in PageRank/anchor-text aggregation). `rel` is a
+    * space-separated token list matched case-insensitively (HTML spec);
+    * same resolve+normalize kernel and no-dedup discipline as
+    * [[extractLinkAnchors]] — every sighting, document order. */
+  def extractLinkRels(dom: Elem, baseUrl: String): Vector[(String, Boolean)] = {
+    val out = Vector.newBuilder[(String, Boolean)]
+    foreachLinkSighting(dom, baseUrl) { (norm, e) =>
+      val nofollow = e.attr("rel").exists(
+        _.split("\\s+").exists(_.equalsIgnoreCase("nofollow")))
+      out += ((norm, nofollow))
+    }
+    out.result()
+  }
+
+  def extractLinkRels(html: String, baseUrl: String): Vector[(String, Boolean)] =
+    extractLinkRels(parse(html), baseUrl)
+
   final case class Extracted(title: String, text: String, usedFallback: Boolean, failed: Boolean)
 
   /** Minimum bytes below which the fallback result counts as extraction
