@@ -142,7 +142,8 @@ object SparkEntry {
     "q_sitemap_budget" -> (graft.pipeline.SitemapBudget.sitemapBudget _),
     "q_phrase_search" -> (graft.pipeline.PhraseSearch.phraseSearch _),
     "q_ip_budget" -> (graft.pipeline.IpPoliteness.ipBudget _),
-    "q_robots_meta" -> (graft.pipeline.RobotsMeta.robotsMeta _)
+    "q_robots_meta" -> (graft.pipeline.RobotsMeta.robotsMeta _),
+    "q_charset_detect" -> (graft.pipeline.CharsetDetect.charsetDetect _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -227,6 +228,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the planted meta/rel
     // semantics from the digits — Spark must PARSE its way to the same rows
     "q_robots_meta" -> graft.pipeline.RobotsMeta.robotsMetaSql,
+    // independent recompute: DuckDB rebuilds the exact decoded text (and
+    // its md5) from the digits — a wrong sniff/decode cannot hash-match
+    "q_charset_detect" -> graft.pipeline.CharsetDetect.charsetDetectSql,
     // independent recompute: hostRank's unrolled recurrence as a CTE, then
     // the same integer Hamilton apportionment over the frozen edges
     "q_wave_plan" -> CrawlQueries.wavePlanSql(fixtureSql("q_extract_link_edges")),

@@ -1,0 +1,128 @@
+package graft.extract
+
+import java.nio.charset.{Charset, CodingErrorAction, StandardCharsets}
+
+/** Byte→text encoding sniffing — the WHATWG encoding-sniffing algorithm's
+  * crawler core. Beyond-reference: the reference decodes every payload as
+  * UTF-8 (crawler_service.rs html handling); real web payloads declare
+  * their encoding three contradictory ways, and a corpus built by
+  * utf-8-decoding windows-1252 bytes is silently full of U+FFFD. The
+  * precedence every browser and Common Crawl's WET extractor implement:
+  *
+  *   1. BOM (authoritative, consumed): EF BB BF → utf-8, FF FE → utf-16le,
+  *      FE FF → utf-16be.
+  *   2. meta PRESCAN over the first 1024 bytes only (the WHATWG window —
+  *      a declaration beyond it is ignored by design): `<meta charset=X>`
+  *      or `<meta http-equiv="content-type" content="…charset=X…">`,
+  *      case-insensitive, quoted or bare; labels normalized per the
+  *      WHATWG registry (latin1/iso-8859-1/ascii → windows-1252, the
+  *      x-user-defined carve-outs excepted, utf8 → utf-8) — ISO-8859-1
+  *      MUST decode as windows-1252 on the web (0x80-0x9F are smart
+  *      quotes, not C1 controls).
+  *   3. Content heuristic: strictly valid UTF-8 → utf-8 (a multibyte
+  *      UTF-8 document is effectively never valid by accident).
+  *   4. Default: windows-1252 (the de-facto web fallback).
+  *
+  * Pure function of the payload bytes; used per-row inside the extract
+  * map stage — no shuffle, no state. */
+object CharsetKit {
+
+  /** (charset canonical name, method) — method ∈ bom|meta|utf8_valid|default. */
+  final case class Sniffed(charset: String, method: String)
+
+  /** WHATWG label → canonical decode charset (the subset a web corpus
+    * actually sees; unknown labels fall through to the content heuristic). */
+  private[extract] val Labels: Map[String, String] = Map(
+    "utf-8" -> "utf-8", "utf8" -> "utf-8", "unicode-1-1-utf-8" -> "utf-8",
+    "iso-8859-1" -> "windows-1252", "latin1" -> "windows-1252",
+    "latin-1" -> "windows-1252", "l1" -> "windows-1252",
+    "ascii" -> "windows-1252", "us-ascii" -> "windows-1252",
+    "windows-1252" -> "windows-1252", "cp1252" -> "windows-1252",
+    "x-cp1252" -> "windows-1252", "iso-8859-15" -> "iso-8859-15",
+    "utf-16" -> "utf-16le", "utf-16le" -> "utf-16le", "utf-16be" -> "utf-16be",
+    "windows-1251" -> "windows-1251", "koi8-r" -> "koi8-r",
+    "shift_jis" -> "shift_jis", "shift-jis" -> "shift_jis",
+    "sjis" -> "shift_jis", "euc-jp" -> "euc-jp", "gbk" -> "gbk",
+    "gb2312" -> "gbk", "big5" -> "big5", "euc-kr" -> "euc-kr")
+
+  /** The prescan window the WHATWG algorithm fixes. */
+  val PrescanBytes = 1024
+
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    """charset\s*=\s*["']?\s*([A-Za-z0-9._\-]+)""",
+    java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  def sniff(bytes: Array[Byte]): Sniffed = {
+    if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+        (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF)
+      return Sniffed("utf-8", "bom")
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xFE)
+      return Sniffed("utf-16le", "bom")
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      return Sniffed("utf-16be", "bom")
+    // prescan: ASCII-view of the window is safe for every ASCII-compatible
+    // encoding, and a utf-16 document without BOM won't match anyway
+    val window = new String(bytes, 0, math.min(bytes.length, PrescanBytes),
+      StandardCharsets.ISO_8859_1)
+    val lower = window.toLowerCase(java.util.Locale.ROOT)
+    // scoped to each <meta …> tag's own attributes (up to its '>') — a
+    // `charset=` in prose or another tag must not be read as a declaration;
+    // first meta with a RECOGNIZED label wins, unknown labels keep scanning
+    var found: String = null
+    var at = lower.indexOf("<meta")
+    while (at >= 0 && found == null) {
+      val end = window.indexOf('>', at)
+      val seg = window.substring(at, if (end < 0) window.length else end)
+      val m = MetaCharsetRe.matcher(seg)
+      if (m.find())
+        found = Labels.getOrElse(m.group(1).toLowerCase(java.util.Locale.ROOT), null)
+      at = lower.indexOf("<meta", at + 1)
+    }
+    if (found != null) return Sniffed(found, "meta")
+    if (isValidUtf8(bytes)) Sniffed("utf-8", "utf8_valid")
+    else Sniffed("windows-1252", "default")
+  }
+
+  /** Strict UTF-8 validation — no decode allocation, one pass. */
+  private[graft] def isValidUtf8(b: Array[Byte]): Boolean = {
+    var i = 0
+    val n = b.length
+    while (i < n) {
+      val c = b(i) & 0xFF
+      val len =
+        if (c < 0x80) 1
+        else if (c >= 0xC2 && c <= 0xDF) 2
+        else if (c >= 0xE0 && c <= 0xEF) 3
+        else if (c >= 0xF0 && c <= 0xF4) 4
+        else return false
+      if (i + len > n) return false
+      var j = 1
+      while (j < len) {
+        val t = b(i + j) & 0xFF
+        if (t < 0x80 || t > 0xBF) return false
+        // overlong / surrogate / out-of-range second-byte restrictions
+        if (j == 1 && ((c == 0xE0 && t < 0xA0) || (c == 0xED && t > 0x9F) ||
+          (c == 0xF0 && t < 0x90) || (c == 0xF4 && t > 0x8F))) return false
+        j += 1
+      }
+      i += len
+    }
+    true
+  }
+
+  /** Sniff + decode: BOM bytes are consumed (WHATWG — the BOM is a
+    * signature, not content); malformed sequences replace (never throw —
+    * a crawler must not die on one mojibake page). */
+  def decode(bytes: Array[Byte]): (Sniffed, String) = {
+    val s = sniff(bytes)
+    val skip = s.method match {
+      case "bom" if s.charset == "utf-8" => 3
+      case "bom"                         => 2
+      case _                             => 0
+    }
+    val dec = Charset.forName(s.charset).newDecoder()
+      .onMalformedInput(CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(CodingErrorAction.REPLACE)
+    (s, dec.decode(java.nio.ByteBuffer.wrap(bytes, skip, bytes.length - skip)).toString)
+  }
+}
