@@ -143,7 +143,8 @@ object SparkEntry {
     "q_phrase_search" -> (graft.pipeline.PhraseSearch.phraseSearch _),
     "q_ip_budget" -> (graft.pipeline.IpPoliteness.ipBudget _),
     "q_robots_meta" -> (graft.pipeline.RobotsMeta.robotsMeta _),
-    "q_charset_detect" -> (graft.pipeline.CharsetDetect.charsetDetect _)
+    "q_charset_detect" -> (graft.pipeline.CharsetDetect.charsetDetect _),
+    "q_trustrank" -> (graft.pipeline.TrustRank.trustRank _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -231,6 +232,9 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds the exact decoded text (and
     // its md5) from the digits — a wrong sniff/decode cannot hash-match
     "q_charset_detect" -> graft.pipeline.CharsetDetect.charsetDetectSql,
+    // independent recompute: DuckDB re-executes BOTH unrolled integer
+    // recurrences (PageRank + seeded trust) and the spam-mass arithmetic
+    "q_trustrank" -> graft.pipeline.TrustRank.trustRankSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: hostRank's unrolled recurrence as a CTE, then
     // the same integer Hamilton apportionment over the frozen edges
     "q_wave_plan" -> CrawlQueries.wavePlanSql(fixtureSql("q_extract_link_edges")),
