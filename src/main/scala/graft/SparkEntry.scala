@@ -144,7 +144,8 @@ object SparkEntry {
     "q_ip_budget" -> (graft.pipeline.IpPoliteness.ipBudget _),
     "q_robots_meta" -> (graft.pipeline.RobotsMeta.robotsMeta _),
     "q_charset_detect" -> (graft.pipeline.CharsetDetect.charsetDetect _),
-    "q_trustrank" -> (graft.pipeline.TrustRank.trustRank _)
+    "q_trustrank" -> (graft.pipeline.TrustRank.trustRank _),
+    "q_wat_export" -> (graft.pipeline.RevisitQueries.watExport _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -148,4 +148,48 @@ object RevisitQueries {
       .toDF("url", "warc_ts", "n_chars", "text_digest", "content_type", "refers_to_url")
       .orderBy("url")
   }
+
+  /** Schema of the WAT Envelope fields this engine reads back — declared
+    * DDL so `from_json` is a codegen'd columnar parse, not a UDF. */
+  private val WatSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "Envelope STRUCT<" +
+      "`WARC-Header-Metadata` STRUCT<`WARC-Target-URI`: STRING, `WARC-Type`: STRING, `WARC-Date`: STRING>, " +
+      "`Payload-Metadata` STRUCT<`HTTP-Response-Metadata`: STRUCT<" +
+      "`HTML-Metadata`: STRUCT<Head: STRUCT<Title: STRING>, " +
+      "Links: ARRAY<STRUCT<path: STRING, url: STRING>>>>>>")
+
+  /** Contract query `q_wat_export` — the THIRD Common Crawl format
+    * (WARC=capture ✓, WET=text ✓, WAT=metadata): per capture, a JSON
+    * Envelope carrying the WARC header metadata plus the extracted HTML
+    * metadata (title + every A@/href link sighting). Round-trip: pages →
+    * WAT metadata records ([[WarcKit.watFromPages]], built from the SAME
+    * HtmlKit kernels as the link graph) → gzip archive → streamed parse →
+    * `from_json` over the declared schema (codegen'd, no UDF) → per-page
+    * metadata profile. At archive scale the read side is the production
+    * path: WATs are how link graphs get built WITHOUT re-parsing payload
+    * HTML — the n_links/links_digest columns here are derivable from the
+    * json alone. */
+  def watExport(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = CorpusGen.localPages(CorpusGen.Spec(2, 15))
+    val tmp = scratchDir("graft-q-wat", "seg.warc.wat.gz")
+    WarcKit.writeArchive(WarcKit.watFromPages(pages), s"$tmp/seg.warc.wat.gz", gzip = true)
+    val html = "Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`"
+    WarcKit.readArchiveRecords(spark, s"$tmp/seg.warc.wat.gz")
+      .filter(_.warcType == "metadata")
+      .map(a => (a.url, a.warc_ts, WarcKit.payloadDigest(a.html),
+        a.refersToUri, new String(a.html, UTF_8)))
+      .toDF("url", "warc_ts", "payload_digest", "refers_to_url", "json")
+      .withColumn("env", from_json(col("json"), WatSchema))
+      .select(
+        col("url"), col("warc_ts"), col("payload_digest"), col("refers_to_url"),
+        col(s"env.$html.Head.Title").as("title"),
+        coalesce(size(col(s"env.$html.Links")), lit(0)).as("n_links"),
+        md5(concat_ws("|",
+          transform(coalesce(col(s"env.$html.Links"),
+            array().cast("array<struct<path:string,url:string>>")),
+            x => x.getField("url")))).as("links_digest"),
+        col(s"env.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").as("header_uri"))
+      .orderBy("url")
+  }
 }

@@ -107,10 +107,63 @@ object WarcKit {
           s"WARC-Payload-Digest: ${r.payloadDigest}\r\n" +
           s"Content-Length: ${r.html.length}\r\n\r\n"
       warcHeader.getBytes(UTF_8) ++ r.html ++ "\r\n\r\n".getBytes(UTF_8)
+    } else if (r.warcType == "metadata") {
+      // WAT layout: the metadata sibling archive (Common Crawl's third
+      // format) — metadata records carry a JSON Envelope (WARC header
+      // metadata + extracted HTML metadata), no HTTP envelope, and a
+      // refers-to pointer at the source capture.
+      val warcHeader =
+        "WARC/1.0\r\n" +
+          "WARC-Type: metadata\r\n" +
+          s"WARC-Target-URI: ${r.url}\r\n" +
+          s"WARC-Date: ${WarcDate.format(Instant.ofEpochMilli(r.warc_ts.getTime))}\r\n" +
+          s"WARC-Refers-To-Target-URI: ${r.refersToUri}\r\n" +
+          "Content-Type: application/json\r\n" +
+          s"WARC-Payload-Digest: ${r.payloadDigest}\r\n" +
+          s"Content-Length: ${r.html.length}\r\n\r\n"
+      warcHeader.getBytes(UTF_8) ++ r.html ++ "\r\n\r\n".getBytes(UTF_8)
     } else recordBytes(
       WarcRecord(r.url, r.warc_ts, r.status, r.contentType, r.html),
       payloadDigest = r.payloadDigest)
   }
+
+  /** Minimal JSON string escaper for WAT envelopes (quote, backslash,
+    * control chars — everything else passes through as UTF-8). */
+  private def jsonStr(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case c if c < ' '  => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Pages table → WAT metadata records: per capture, a canonical JSON
+    * Envelope with the WARC header metadata and the HTML metadata the
+    * extractor derived (title + every `A@/href` link sighting) — the
+    * Common Crawl WAT shape, built from the SAME HtmlKit kernels the
+    * extract stage runs, so the WAT can never disagree with the engine's
+    * own link graph. */
+  def watFromPages(pages: Seq[graft.model.PageRow]): Seq[ArchiveRecord] =
+    pages.map { p =>
+      val html = new String(p.html, UTF_8)
+      val dom = graft.extract.HtmlKit.parse(html)
+      val title = graft.extract.HtmlKit.extractText(dom, html).title
+      val links = graft.extract.HtmlKit.extractLinkAnchors(dom, p.url)
+      val linksJson = links
+        .map { case (u, _) => s"""{"path":"A@/href","url":"${jsonStr(u)}"}""" }
+        .mkString("[", ",", "]")
+      val json =
+        s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"${jsonStr(p.url)}",""" +
+          s""""WARC-Type":"response","WARC-Date":"${WarcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}"},""" +
+          s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
+          s"""{"Head":{"Title":"${jsonStr(title)}"},"Links":$linksJson}}}}}"""
+      val body = json.getBytes(UTF_8)
+      ArchiveRecord("metadata", p.url, p.warc_ts, 0, "application/json", body,
+        payloadDigest(body), p.url, p.warc_ts)
+    }
 
   /** Pages table → WET conversion records (the extracted text the engine's
     * own kernels produced — parity with the pages table holds by
@@ -280,11 +333,14 @@ object WarcKit {
                   fields.getOrElse("warc-payload-digest", ""),
                   fields.getOrElse("warc-refers-to-target-uri", ""),
                   tsOf("warc-refers-to-date"))
-              } else if (warcType == "conversion" && len <= maxRecordBytes) {
-                // WET extracted text: raw body, no HTTP envelope
-                nextRec = ArchiveRecord("conversion",
+              } else if ((warcType == "conversion" || warcType == "metadata") &&
+                  len <= maxRecordBytes) {
+                // WET extracted text / WAT json envelope: raw body, no
+                // HTTP envelope
+                nextRec = ArchiveRecord(warcType,
                   fields.getOrElse("warc-target-uri", ""), tsOf("warc-date"), 0,
-                  fields.getOrElse("content-type", "text/plain"),
+                  fields.getOrElse("content-type",
+                    if (warcType == "metadata") "application/json" else "text/plain"),
                   readFully(in, len.toInt),
                   fields.getOrElse("warc-payload-digest", ""),
                   fields.getOrElse("warc-refers-to-target-uri", ""),
