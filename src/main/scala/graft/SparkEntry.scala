@@ -145,7 +145,8 @@ object SparkEntry {
     "q_robots_meta" -> (graft.pipeline.RobotsMeta.robotsMeta _),
     "q_charset_detect" -> (graft.pipeline.CharsetDetect.charsetDetect _),
     "q_trustrank" -> (graft.pipeline.TrustRank.trustRank _),
-    "q_wat_export" -> (graft.pipeline.RevisitQueries.watExport _)
+    "q_wat_export" -> (graft.pipeline.RevisitQueries.watExport _),
+    "q_semdedup" -> (graft.pipeline.SemDeDup.semDeDup _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

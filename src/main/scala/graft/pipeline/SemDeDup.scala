@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.Similarity.{cosine, nearestCentroid, trainCentroids, Embedded}
+
+/** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+  * deduplication for training corpora: exact/MinHash dedup removes
+  * copies of the same TEXT, but web corpora are full of semantically
+  * identical re-writes (syndicated re-phrasings, templated product blurbs,
+  * boilerplate translations) that token-level methods cannot see. The
+  * method: k-means-cluster the embedding space, call items within a
+  * cluster whose pairwise cosine exceeds a threshold semantic duplicates,
+  * and from every duplicate group KEEP THE ITEM FARTHEST FROM THE
+  * CENTROID (lowest centroid cosine) — pruning toward diverse "edge"
+  * examples, the paper's selection rule (§3: "keep examples with low
+  * similarity to the centroid").
+  *
+  * Spark shape: centroid training reuses the IVF coarse quantizer
+  * ([[Similarity.trainCentroids]] — one pass per iteration, ≤ nlist rows
+  * to the driver); assignment is a broadcast map; the within-cluster
+  * stage is ONE groupByKey(cluster) whose pair enumeration follows the
+  * capped-bucket discipline ([[Dedup.MaxBucket]] star+chain): clusters
+  * beyond [[MaxCluster]] degrade to O(N) anchor+adjacent candidate pairs
+  * (flagged `capped`) instead of N² — at production scale nlist is sized
+  * so E[cluster] ≪ cap and the cap is the skew guardrail, exactly as in
+  * the MinHash path. Union-find runs per cluster over the surviving
+  * edges; groups never cross clusters by construction (the paper's
+  * approximation, and what keeps the stage shuffle-local).
+  *
+  * Determinism: centroids follow trainCentroids' fixed merge order;
+  * within-cluster ids sort before pairing; keep rule ties break on
+  * vec_id. FP caveat identical to q_ann_ivf (fixture-frozen at the
+  * verify scale, validated at two parallelism levels). */
+object SemDeDup {
+
+  /** Coarse clusters at the verify scale (production: ~N/10k). */
+  val NList = 8
+
+  /** Semantic-duplicate threshold: cosine ≥ 1 − eps with eps = 0.05. */
+  val SimThreshold = 0.95
+
+  /** Star+chain cap per cluster — the [[Dedup.MaxBucket]] discipline. */
+  val MaxCluster = 2000
+
+  /** Planted-twin id offset (the DedupQueries planted-rows convention). */
+  val PlantBase = 1000000L
+
+  /** Vectors 0-9 get a semantic twin: one coordinate nudged by 5% of the
+    * norm → cosine ≈ 0.9988 at any norm — a REAL semantic duplicate the
+    * synthetic corpus otherwise lacks (its random embeddings top out at
+    * pairwise cosine ≈ 0.51, measured), so the grouping/keep machinery is
+    * provably exercised. Deterministic float arithmetic, same everywhere. */
+  def corpusWithPlants(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Embedded] = {
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[Embedded]
+    val plants = base.filter(_.vec_id < 10L).map { e =>
+      val v = e.embedding.clone()
+      val k = (e.vec_id % v.length).toInt
+      val nrm = math.sqrt(Similarity.dot(v, v)).toFloat
+      v(k) = v(k) + 0.05f * nrm
+      Embedded(PlantBase + e.vec_id, v)
+    }
+    base.union(plants)
+  }
+
+  /** Contract query `q_semdedup`: per vector — its cluster, its semantic
+    * group (min vec_id), group size, centroid similarity (milli), whether
+    * the SemDeDup rule keeps it, and whether its cluster was capped. */
+  def semDeDup(spark: SparkSession, dir: String): DataFrame =
+    semDeDupCore(spark, corpusWithPlants(spark, dir), NList, MaxCluster)
+
+  /** The pipeline over any embedded corpus (spec entry point). */
+  def semDeDupCore(spark: SparkSession, corpus: org.apache.spark.sql.Dataset[Embedded],
+                   nlist: Int, maxCluster: Int): DataFrame = {
+    import spark.implicits._
+    val centroids = trainCentroids(spark, corpus, nlist)
+    val bc = spark.sparkContext.broadcast(centroids)
+    corpus
+      .map { e =>
+        val cs = bc.value
+        val c = nearestCentroid(e.embedding, cs)
+        (c, e.vec_id, e.embedding, cosine(e.embedding, cs(c)))
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (cluster, it) =>
+        val arr = it.toArray.sortBy(_._2)
+        val n = arr.length
+        val capped = n > maxCluster
+        val pairs: Iterator[(Int, Int)] =
+          if (capped)
+            Iterator.range(1, n).map(j => (0, j)) ++
+              Iterator.range(0, n - 1).map(i => (i, i + 1))
+          else
+            for { i <- Iterator.range(0, n); j <- Iterator.range(i + 1, n) } yield (i, j)
+        // union-find over semantic-duplicate edges
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+          r
+        }
+        pairs.foreach { case (i, j) =>
+          if (cosine(arr(i)._3, arr(j)._3) >= SimThreshold) {
+            val (ri, rj) = (find(i), find(j))
+            if (ri != rj) parent(math.max(ri, rj)) = math.min(ri, rj)
+          }
+        }
+        val members = Array.range(0, n).groupBy(find)
+        members.iterator.flatMap { case (_, idx) =>
+          // the SemDeDup keep rule: lowest centroid cosine survives
+          val keeper = idx.minBy(i => (arr(i)._4, arr(i)._2))
+          val group = idx.iterator.map(arr(_)._2).min
+          idx.iterator.map { i =>
+            (arr(i)._2, cluster, group, idx.length.toLong,
+              math.round(arr(i)._4 * 1000).toLong, i == keeper, capped)
+          }
+        }
+      }
+      .toDF("vec_id", "cluster", "group_id", "n_group", "centroid_sim_milli",
+        "keep", "capped")
+      .orderBy("vec_id")
+  }
+}
