@@ -146,7 +146,8 @@ object SparkEntry {
     "q_charset_detect" -> (graft.pipeline.CharsetDetect.charsetDetect _),
     "q_trustrank" -> (graft.pipeline.TrustRank.trustRank _),
     "q_wat_export" -> (graft.pipeline.RevisitQueries.watExport _),
-    "q_semdedup" -> (graft.pipeline.SemDeDup.semDeDup _)
+    "q_semdedup" -> (graft.pipeline.SemDeDup.semDeDup _),
+    "q_robots_availability" -> (graft.pipeline.RobotsAvailability.robotsAvailability _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -234,6 +235,9 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds the exact decoded text (and
     // its md5) from the digits — a wrong sniff/decode cannot hash-match
     "q_charset_detect" -> graft.pipeline.CharsetDetect.charsetDetectSql,
+    // independent recompute: DuckDB re-derives the RFC 9309 availability
+    // ladder from the digits; Spark reaches the same probes via the parser
+    "q_robots_availability" -> graft.pipeline.RobotsAvailability.robotsAvailabilitySql,
     // independent recompute: DuckDB re-executes BOTH unrolled integer
     // recurrences (PageRank + seeded trust) and the spam-mass arithmetic
     "q_trustrank" -> graft.pipeline.TrustRank.trustRankSql(fixtureSql("q_extract_link_edges")),

@@ -185,6 +185,30 @@ object Robots {
     * parser: star groups merged in order, delay max, sitemaps global. */
   def parse(body: String): Rules = rulesFor(body, "*")
 
+  /** RFC 9309 §2.3.1 robots.txt AVAILABILITY policy — what a crawler may
+    * do when the rules file itself cannot be read. The RFC's three arms:
+    * 2xx → parse and apply the rules; "unavailable" (4xx, incl. 401/403)
+    * → the crawler MAY access any resource (allow all); "unreachable"
+    * (5xx, network failure — modeled as status 0) → MUST assume complete
+    * disallow, EXCEPT that after more than 30 days of unreachability the
+    * crawler MAY fall back to the unavailable treatment. Redirects are
+    * resolved by the caller first (the RFC requires following at least
+    * five hops); `status` is the final one. The reference fetches
+    * robots.txt but applies no failure policy (crawler_service.rs treats
+    * any non-200 as "no rules" — an RFC violation on 5xx that this
+    * kernel corrects). */
+  def fetchPolicy(status: Int, unreachableDays: Int): String =
+    if (status >= 200 && status < 300) "rules"
+    else if (status >= 400 && status < 500) "allow_all"
+    else if (unreachableDays > 30) "allow_all" // §2.3.1.4 long-unreachable relaxation
+    else "disallow_all"
+
+  /** RFC 9309 §2.4 caching: a cached robots.txt MAY be used for up to 24
+    * hours — longer only while the file is unreachable (the `disallow_all`
+    * arm, where a refetch attempt is what ends the outage). */
+  def refetchDue(ageHours: Int, policy: String): Boolean =
+    ageHours >= 24 && policy != "disallow_all"
+
   /** True when `url`'s path is robots-blocked for its host per `rules`. */
   def isBlocked(url: String, rules: Map[String, Rules]): Boolean =
     UrlKernel.parse(url).exists { p =>
