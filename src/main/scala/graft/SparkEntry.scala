@@ -147,7 +147,8 @@ object SparkEntry {
     "q_trustrank" -> (graft.pipeline.TrustRank.trustRank _),
     "q_wat_export" -> (graft.pipeline.RevisitQueries.watExport _),
     "q_semdedup" -> (graft.pipeline.SemDeDup.semDeDup _),
-    "q_robots_availability" -> (graft.pipeline.RobotsAvailability.robotsAvailability _)
+    "q_robots_availability" -> (graft.pipeline.RobotsAvailability.robotsAvailability _),
+    "q_cdc_chunks" -> (graft.pipeline.Cdc.cdcChunks _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

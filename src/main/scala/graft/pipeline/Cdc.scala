@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.gen.CorpusGen
+import graft.model.PageRow
+
+/** Content-defined chunking (gear-hash CDC — the rolling-hash family of
+  * LBFS/FastCDC, USENIX ATC'16) for sub-page archive dedup. The revisit
+  * layer ([[RevisitQueries]]) dedups captures whose payload digest is
+  * IDENTICAL; real recrawls mostly produce pages that changed a little —
+  * a new comment, a rotated timestamp — and whole-page digests see those
+  * as 100% new bytes. CDC cuts payloads at positions determined by the
+  * CONTENT (a rolling gear hash hitting a mask), so an edit only
+  * perturbs chunks up to the next content-determined boundary and every
+  * later chunk re-aligns byte-for-byte — the property fixed-size blocks
+  * fundamentally lack. Chunk-store dedup on (hash, len) then stores only
+  * the changed spans: the archive grows in EDIT VOLUME, not recrawl
+  * volume.
+  *
+  * Kernel: classic gear CDC — `h = (h << 1) + GEAR(byte)`; cut when
+  * `(h & Mask) == 0` once `MinChunk` bytes are in, forced at `MaxChunk`.
+  * The gear table derives from splitmix64 (deterministic, seed-pinned).
+  * All integer/bit ops — bit-identical anywhere.
+  *
+  * Scale shape: chunking is a per-row map (the extract-stage cost
+  * profile); the dedup stat is ONE anti-join of capture-2 chunk KEYS
+  * (url-agnostic (hash, len) pairs — a global chunk store, the point of
+  * CDC) against capture-1's, followed by a map-side-combined rollup per
+  * url. Payload bytes never shuffle; chunk keys are 12 bytes each. */
+object Cdc {
+
+  /** Expected chunk ≈ 2 KiB (mask of 11 one-bits), bounded [256 B, 8 KiB]
+    * — sized for ~5-40 KiB web pages (a few to a few dozen chunks each). */
+  val Mask = 0x7FFL
+  val MinChunk = 256
+  val MaxChunk = 8192
+
+  /** splitmix64 — the standard 64-bit mix; seeds the gear table. */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private[pipeline] val Gear: Array[Long] =
+    Array.tabulate(256)(b => splitmix64(0x67726166742d6364L + b)) // "graft-cd"
+
+  final case class Chunk(offset: Int, len: Int, hash: Long)
+
+  /** Gear-CDC boundaries + per-chunk content hash (xxh-style fold of the
+    * chunk's bytes through the same gear table — deterministic, and a
+    * 64-bit content key when paired with the length). */
+  def chunks(bytes: Array[Byte]): Vector[Chunk] = {
+    val out = Vector.newBuilder[Chunk]
+    val n = bytes.length
+    var start = 0
+    while (start < n) {
+      var h = 0L
+      var i = start
+      var cut = -1
+      val hardEnd = math.min(n, start + MaxChunk)
+      while (cut < 0 && i < hardEnd) {
+        h = (h << 1) + Gear(bytes(i) & 0xFF)
+        i += 1
+        if (i - start >= MinChunk && (h & Mask) == 0L) cut = i
+      }
+      val end = if (cut > 0) cut else hardEnd
+      // content hash: seeded fold over the chunk's own bytes
+      var ch = 0x9E3779B97F4A7C15L
+      var j = start
+      while (j < end) {
+        ch = java.lang.Long.rotateLeft(ch ^ Gear(bytes(j) & 0xFF), 13) * 0x100000001B3L
+        j += 1
+      }
+      out += Chunk(start, end - start, ch)
+      start = end
+    }
+    out.result()
+  }
+
+  /** Contract query `q_cdc_chunks`: run CDC over capture 1 and the
+    * day-7 recrawl ([[RevisitQueries.secondCapture]] — a salted subset of
+    * pages changed by one appended comment), dedup capture-2 chunks
+    * against the capture-1 chunk store on (hash, len), and report per
+    * url: chunk counts, total vs NEW bytes, and the whole-page verdict.
+    * Changed pages must show bytes_new ≪ bytes_total — the sub-page
+    * dedup whole-page digests cannot express. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages1 = CorpusGen.localPages(CorpusGen.Spec(2, 15))
+    val pages2 = RevisitQueries.secondCapture(pages1)
+    def chunkTable(pages: Seq[PageRow]): DataFrame =
+      spark.createDataset(pages).flatMap { p =>
+        chunks(p.html).map(c => (p.url, c.offset, c.len, c.hash))
+      }.toDF("url", "offset", "len", "hash")
+    val store1 = chunkTable(pages1).select("hash", "len").distinct()
+    val c2 = chunkTable(pages2)
+    val fresh = c2.join(store1, Seq("hash", "len"), "left_anti")
+      .groupBy("url").agg(
+        count(lit(1)).as("n_chunks_new"),
+        sum("len").as("bytes_new"))
+    c2.groupBy("url").agg(
+        count(lit(1)).as("n_chunks"),
+        sum("len").as("bytes_total"))
+      .join(fresh, Seq("url"), "left")
+      .na.fill(0L, Seq("n_chunks_new", "bytes_new"))
+      .withColumn("changed", col("bytes_new") > 0L)
+      .select("url", "n_chunks", "bytes_total", "n_chunks_new", "bytes_new", "changed")
+      .orderBy("url")
+  }
+}
