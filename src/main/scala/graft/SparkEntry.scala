@@ -148,7 +148,8 @@ object SparkEntry {
     "q_wat_export" -> (graft.pipeline.RevisitQueries.watExport _),
     "q_semdedup" -> (graft.pipeline.SemDeDup.semDeDup _),
     "q_robots_availability" -> (graft.pipeline.RobotsAvailability.robotsAvailability _),
-    "q_cdc_chunks" -> (graft.pipeline.Cdc.cdcChunks _)
+    "q_cdc_chunks" -> (graft.pipeline.Cdc.cdcChunks _),
+    "q_index_merge" -> (graft.pipeline.IndexMerge.indexMerge _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
