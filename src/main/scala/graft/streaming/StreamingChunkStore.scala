@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming chunk-store admission — the exactly-once streaming twin of
+  * [[graft.pipeline.Cdc.cdcChunks]]'s batch anti-join: captures arrive
+  * continuously (a live recrawl), their CDC chunks stream in, and only
+  * chunks whose url-agnostic content key `(hash, len)` was never stored
+  * before are admitted to the store. The archive-side state the batch
+  * query derives per run becomes OPERATOR STATE here: one boolean per
+  * stored chunk key, sharded by key across executors, checkpointed with
+  * the query — a restart resumes the store exactly; re-delivered waves
+  * admit nothing twice (exactly-once growth, the property object-storage
+  * chunk stores must have or they leak space forever).
+  *
+  * Emission is deterministic under any wave slicing of the same sightings
+  * WITHIN a batch (the representative is the (url, offset)-minimum of the
+  * batch's sightings); across slicings the admitted KEY SET — the store —
+  * is identical, which is the contract (specs pin both).
+  *
+  * Scale note: state is one entry per DISTINCT chunk (the store's own
+  * cardinality — unavoidable; it IS the store's index), keyed exactly how
+  * a production store shards. Chunk payloads never enter the stream: the
+  * sighting rows are 20-byte keys + provenance, and admitted keys drive
+  * payload uploads elsewhere. */
+object StreamingChunkStore {
+
+  final case class ChunkSighting(url: String, offset: Int, len: Int, hash: Long)
+
+  final case class Admitted(hash: Long, len: Int, url: String, offset: Int)
+
+  /** Drain all available input waves through the first-seen filter. */
+  def runAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String
+  ): Unit = {
+    import spark.implicits._
+    val schema = Encoders.product[ChunkSighting].schema
+    val admitted = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // one capture wave per micro-batch
+      .parquet(inputDir)
+      .as[ChunkSighting]
+      .groupByKey(c => (c.hash, c.len))
+      .flatMapGroupsWithState[Boolean, Admitted](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, Int), rows: Iterator[ChunkSighting], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty // already stored — drop every sighting
+          else {
+            // deterministic representative of this batch's sightings
+            var best: ChunkSighting = null
+            rows.foreach { c =>
+              if (best == null || c.url < best.url ||
+                  (c.url == best.url && c.offset < best.offset)) best = c
+            }
+            state.update(true)
+            Iterator.single(Admitted(key._1, key._2, best.url, best.offset))
+          }
+      }
+    val q = admitted.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The store so far (empty-safe before the first commit). */
+  def stored(spark: SparkSession, outputDir: String): DataFrame =
+    SinkIO.readSink(spark, outputDir,
+      org.apache.spark.sql.Encoders.product[Admitted].schema)
+}
