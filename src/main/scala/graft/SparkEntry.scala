@@ -149,7 +149,8 @@ object SparkEntry {
     "q_semdedup" -> (graft.pipeline.SemDeDup.semDeDup _),
     "q_robots_availability" -> (graft.pipeline.RobotsAvailability.robotsAvailability _),
     "q_cdc_chunks" -> (graft.pipeline.Cdc.cdcChunks _),
-    "q_index_merge" -> (graft.pipeline.IndexMerge.indexMerge _)
+    "q_index_merge" -> (graft.pipeline.IndexMerge.indexMerge _),
+    "q_canonical_cascade" -> (graft.pipeline.CanonicalCascade.canonicalCascade _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -240,6 +241,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the RFC 9309 availability
     // ladder from the digits; Spark reaches the same probes via the parser
     "q_robots_availability" -> graft.pipeline.RobotsAvailability.robotsAvailabilitySql,
+    // independent recompute: DuckDB re-derives the full 4-signal cascade
+    // from digits — Spark reaches it via the real resolver + parser
+    "q_canonical_cascade" -> graft.pipeline.CanonicalCascade.canonicalCascadeSql,
     // independent recompute: DuckDB re-executes BOTH unrolled integer
     // recurrences (PageRank + seeded trust) and the spam-mass arithmetic
     "q_trustrank" -> graft.pipeline.TrustRank.trustRankSql(fixtureSql("q_extract_link_edges")),
