@@ -150,7 +150,8 @@ object SparkEntry {
     "q_robots_availability" -> (graft.pipeline.RobotsAvailability.robotsAvailability _),
     "q_cdc_chunks" -> (graft.pipeline.Cdc.cdcChunks _),
     "q_index_merge" -> (graft.pipeline.IndexMerge.indexMerge _),
-    "q_canonical_cascade" -> (graft.pipeline.CanonicalCascade.canonicalCascade _)
+    "q_canonical_cascade" -> (graft.pipeline.CanonicalCascade.canonicalCascade _),
+    "q_sitemap_cross" -> (graft.pipeline.SitemapCross.sitemapCross _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -244,6 +245,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the full 4-signal cascade
     // from digits — Spark reaches it via the real resolver + parser
     "q_canonical_cascade" -> graft.pipeline.CanonicalCascade.canonicalCascadeSql,
+    // independent recompute: DuckDB regenerates the entries and re-derives
+    // the scope/cross-submission ladder — xml and robots text never exist there
+    "q_sitemap_cross" -> graft.pipeline.SitemapCross.sitemapCrossSql,
     // independent recompute: DuckDB re-executes BOTH unrolled integer
     // recurrences (PageRank + seeded trust) and the spam-mass arithmetic
     "q_trustrank" -> graft.pipeline.TrustRank.trustRankSql(fixtureSql("q_extract_link_edges")),
