@@ -151,7 +151,8 @@ object SparkEntry {
     "q_cdc_chunks" -> (graft.pipeline.Cdc.cdcChunks _),
     "q_index_merge" -> (graft.pipeline.IndexMerge.indexMerge _),
     "q_canonical_cascade" -> (graft.pipeline.CanonicalCascade.canonicalCascade _),
-    "q_sitemap_cross" -> (graft.pipeline.SitemapCross.sitemapCross _)
+    "q_sitemap_cross" -> (graft.pipeline.SitemapCross.sitemapCross _),
+    "q_hreflang" -> (graft.pipeline.Hreflang.hreflang _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -248,6 +249,9 @@ object SparkEntry {
     // independent recompute: DuckDB regenerates the entries and re-derives
     // the scope/cross-submission ladder — xml and robots text never exist there
     "q_sitemap_cross" -> graft.pipeline.SitemapCross.sitemapCrossSql,
+    // independent recompute via the universe's closed form — no edge join,
+    // which checks the Spark join machinery against a different formulation
+    "q_hreflang" -> graft.pipeline.Hreflang.hreflangSql,
     // independent recompute: DuckDB re-executes BOTH unrolled integer
     // recurrences (PageRank + seeded trust) and the spam-mass arithmetic
     "q_trustrank" -> graft.pipeline.TrustRank.trustRankSql(fixtureSql("q_extract_link_edges")),

@@ -501,6 +501,35 @@ object HtmlKit {
   def extractRobotsDirectives(html: String): Set[String] =
     extractRobotsDirectives(parse(html))
 
+  /** `<link rel="alternate" hreflang="…" href="…">` extraction — the
+    * page's declared language-variant family (Google's hreflang
+    * contract). One pair per declaration in document order, hreflang
+    * token lowercased (BCP 47 matching is case-insensitive), href
+    * resolved against the page url (relative hrefs are legal), rel token
+    * list matched case-insensitively like [[extractLinkRels]]. Dedup is
+    * NOT applied — conflicting duplicate declarations are a validation
+    * signal the caller wants to see. */
+  def extractHreflang(dom: Elem, baseUrl: String): Vector[(String, String)] = {
+    val base = graft.urls.UrlKernel.parse(baseUrl)
+    if (base.isEmpty) return Vector.empty
+    val out = Vector.newBuilder[(String, String)]
+    def walk(e: Elem): Unit = {
+      if (e.tag == "link" &&
+          e.attr("rel").exists(_.split("\\s+").exists(_.equalsIgnoreCase("alternate"))))
+        for {
+          lang <- e.attr("hreflang").map(_.trim).filter(_.nonEmpty)
+          href <- e.attr("href").map(_.trim).filter(_.nonEmpty)
+          abs <- graft.urls.UrlKernel.resolve(base.get, href)
+        } out += ((lang.toLowerCase(java.util.Locale.ROOT), abs))
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    out.result()
+  }
+
+  def extractHreflang(html: String, baseUrl: String): Vector[(String, String)] =
+    extractHreflang(parse(html), baseUrl)
+
   /** Link sightings WITH the per-link `rel="nofollow"` flag — the signal
     * that gates frontier expansion and link-graph edges (a nofollow edge
     * must not vote in PageRank/anchor-text aggregation). `rel` is a
