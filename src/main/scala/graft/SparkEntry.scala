@@ -152,7 +152,9 @@ object SparkEntry {
     "q_index_merge" -> (graft.pipeline.IndexMerge.indexMerge _),
     "q_canonical_cascade" -> (graft.pipeline.CanonicalCascade.canonicalCascade _),
     "q_sitemap_cross" -> (graft.pipeline.SitemapCross.sitemapCross _),
-    "q_hreflang" -> (graft.pipeline.Hreflang.hreflang _)
+    "q_hreflang" -> (graft.pipeline.Hreflang.hreflang _),
+    "q_harmonic" -> (graft.pipeline.Centrality.harmonic _),
+    "q_harmonic_hll" -> (graft.pipeline.Centrality.harmonicHll _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -228,6 +230,7 @@ object SparkEntry {
     // mutually-recursive vectors, window-sum L1 normalization) as
     // unrolled chained CTEs over the frozen edge fixture
     "q_hits" -> graft.pipeline.Hits.hitsSql(fixtureSql("q_extract_link_edges")),
+    "q_harmonic" -> graft.pipeline.Centrality.harmonicSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,
