@@ -154,7 +154,8 @@ object SparkEntry {
     "q_sitemap_cross" -> (graft.pipeline.SitemapCross.sitemapCross _),
     "q_hreflang" -> (graft.pipeline.Hreflang.hreflang _),
     "q_harmonic" -> (graft.pipeline.Centrality.harmonic _),
-    "q_harmonic_hll" -> (graft.pipeline.Centrality.harmonicHll _)
+    "q_harmonic_hll" -> (graft.pipeline.Centrality.harmonicHll _),
+    "q_blocklist" -> (graft.pipeline.Blocklist.blocklist _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -231,6 +232,8 @@ object SparkEntry {
     // unrolled chained CTEs over the frozen edge fixture
     "q_hits" -> graft.pipeline.Hits.hitsSql(fixtureSql("q_extract_link_edges")),
     "q_harmonic" -> graft.pipeline.Centrality.harmonicSql(fixtureSql("q_extract_link_edges")),
+    // closed-form digit ladder — no suffix matching on the oracle side
+    "q_blocklist" -> graft.pipeline.Blocklist.blocklistSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -1,0 +1,147 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Domain-blocklist URL filtering — the UT1/FineWeb curation step: a list
+  * of domains (adult/malware/tracker categories) blocks a URL when its
+  * host IS a listed domain or is a subdomain of one on a DOT BOUNDARY
+  * (`www.site0.com` matches `site0.com`; `notsite0.com` does NOT, though
+  * it string-endsWith it), plus an exact-URL list that is more specific
+  * than any domain rule. The reference's exclude patterns are per-config
+  * globs (pattern_matching.rs:42-82, already implemented in
+  * [[graft.urls.UrlKernel]]); this is the corpus-curation-scale sibling:
+  * millions of third-party entries, categories, most-specific-wins.
+  *
+  * Matching mechanism (the general one, not the oracle's closed form):
+  * each host explodes into its ≤ L dot-suffixes with ≥ 2 labels — a
+  * BOUNDED explode (hosts have few labels) producing fixed-width keys —
+  * and the suffixes equi-join the blocklist on the domain string. The
+  * most specific rule wins via one map-side-combinable
+  * `max(struct(n_labels, …))` per url; the exact-URL list joins on the
+  * full url key; `coalesce(exact, domain)` is the precedence. 100-TB
+  * shape: keys-only shuffles, explode factor ≤ 4, no regex scan of the
+  * list, no broadcast REQUIREMENT (AQE broadcasts a small list, a
+  * 10^7-entry list shuffle-joins) — contrast a `LIKE ANY` scan, which is
+  * O(urls × entries).
+  *
+  * The contract universe is digit-synthesized (the [[SitemapCross]]
+  * discipline): 600 urls over site/notsite apexes × 3 tlds × subdomain
+  * depths 0-2, a blocklist derived from apex digits (apex%7==0 → apex
+  * entry 'adult' AND `www.` entry 'tracker', so depth≥1 hosts pin
+  * longest-match precedence; apex%7==1 → apex entry 'malware'), and an
+  * exact-URL list at i%101==0 (i=0 also domain-matches — pins
+  * exact-beats-domain). `notsite` apexes pin the dot boundary. The
+  * DuckDB oracle re-derives every verdict as a closed-form digit ladder
+  * — no suffix matching on the oracle side. */
+object Blocklist {
+
+  val N = 600
+  val Apexes = 50
+  private val Tlds = Seq("com", "org", "net")
+
+  /** The deterministic URL universe: host = [sub.]apex.tld from digits. */
+  private[pipeline] def urlUniverse(spark: SparkSession): DataFrame =
+    urlUniverseIds(spark).drop("id")
+
+  private def urlUniverseIds(spark: SparkSession): DataFrame = {
+    val a = col("id") % Apexes
+    val d = expr(s"(id div $Apexes) % 3")
+    val tld = element_at(
+      array(Tlds.map(lit): _*), (col("id") % 3 + 1).cast("int"))
+    val apex = concat(
+      when(col("id") % 11 === 9, lit("notsite")).otherwise(lit("site")), a)
+    val host = concat(
+      when(d === 1, lit("www.")).when(d === 2, lit("a.www.")).otherwise(lit("")),
+      apex, lit("."), tld)
+    spark.range(N).select(col("id"),
+      concat(lit("https://"), host, lit("/p"), col("id")).as("url"),
+      host.as("host"))
+  }
+
+  /** Domain entries: apex%7==0 → apex 'adult' + www 'tracker';
+    * apex%7==1 → apex 'malware'. One row per (entry, tld). */
+  private[pipeline] def domainEntries(spark: SparkSession): DataFrame = {
+    val base = spark.range(Apexes).select(col("id").as("a"),
+      explode(array(Tlds.map(lit): _*)).as("tld"))
+    val apexE = base.filter(col("a") % 7 <= 1).select(
+      concat(lit("site"), col("a"), lit("."), col("tld")).as("domain"),
+      when(col("a") % 7 === 0, lit("adult")).otherwise(lit("malware")).as("category"))
+    val wwwE = base.filter(col("a") % 7 === 0).select(
+      concat(lit("www.site"), col("a"), lit("."), col("tld")).as("domain"),
+      lit("tracker").as("category"))
+    apexE.union(wwwE)
+  }
+
+  /** Exact-URL entries (most specific of all). */
+  private[pipeline] def exactEntries(spark: SparkSession): DataFrame =
+    urlUniverseIds(spark).filter(col("id") % 101 === 0)
+      .select(col("url"), lit("exacturl").as("ecategory"))
+
+  /** The general suffix-match kernel over any (url, host) frame and any
+    * (domain, category) blocklist: per url the most specific matched
+    * rule, or none. */
+  def matchDomains(urls: DataFrame, entries: DataFrame): DataFrame = {
+    val suffixes = urls
+      .withColumn("l", split(col("host"), "\\."))
+      .select(col("url"),
+        explode(expr(
+          "transform(sequence(0, size(l) - 2), k -> array_join(slice(l, k + 1, size(l) - k), '.'))"))
+          .as("domain"))
+      .withColumn("n_labels", size(split(col("domain"), "\\.")))
+    suffixes.join(entries, "domain")
+      .groupBy("url")
+      .agg(max(struct(col("n_labels"), col("domain"), col("category"))).as("m"))
+      .select(col("url"), col("m.domain").as("d_rule"),
+        col("m.category").as("d_category"))
+  }
+
+  /** Contract query `q_blocklist`: every universe url with its verdict —
+    * blocked, the matched rule (exact url > longest domain), category. */
+  def blocklist(spark: SparkSession, dir: String): DataFrame = {
+    val urls = urlUniverse(spark)
+    val dom = matchDomains(urls, domainEntries(spark))
+    urls.join(dom, Seq("url"), "left")
+      .join(exactEntries(spark).withColumnRenamed("url", "eurl"),
+        col("url") === col("eurl"), "left")
+      .select(col("url"), col("host"),
+        (col("ecategory").isNotNull || col("d_category").isNotNull).as("blocked"),
+        coalesce(when(col("ecategory").isNotNull, col("url")), col("d_rule")).as("matched_rule"),
+        coalesce(col("ecategory"), col("d_category")).as("category"))
+      .orderBy("url")
+  }
+
+  /** DuckDB twin: the whole verdict as a closed-form digit ladder over
+    * `range(0, N)` — structurally independent of the suffix-join engine. */
+  val blocklistSql: String =
+    s"""WITH u AS (
+       |  SELECT i, i % $Apexes AS a, (i // $Apexes) % 3 AS d,
+       |    CASE i % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END AS tld,
+       |    (i % 11 = 9) AS isnot
+       |  FROM range(0, $N) t(i)),
+       |v AS (
+       |  SELECT i, a, d, tld, isnot,
+       |    (CASE d WHEN 1 THEN 'www.' WHEN 2 THEN 'a.www.' ELSE '' END)
+       |      || (CASE WHEN isnot THEN 'notsite' ELSE 'site' END) || a
+       |      || '.' || tld AS host,
+       |    (i % 101 = 0) AS is_exact
+       |  FROM u),
+       |w AS (
+       |  SELECT 'https://' || host || '/p' || i AS url, host,
+       |    CASE
+       |      WHEN is_exact THEN 'exacturl'
+       |      WHEN isnot THEN NULL
+       |      WHEN a % 7 = 0 AND d >= 1 THEN 'tracker'
+       |      WHEN a % 7 = 0 THEN 'adult'
+       |      WHEN a % 7 = 1 THEN 'malware'
+       |      ELSE NULL END AS category,
+       |    CASE
+       |      WHEN is_exact THEN 'https://' || host || '/p' || i
+       |      WHEN isnot THEN NULL
+       |      WHEN a % 7 = 0 AND d >= 1 THEN 'www.site' || a || '.' || tld
+       |      WHEN a % 7 <= 1 THEN 'site' || a || '.' || tld
+       |      ELSE NULL END AS matched_rule
+       |  FROM v)
+       |SELECT url, host, category IS NOT NULL AS blocked, matched_rule, category
+       |FROM w ORDER BY url""".stripMargin
+}
