@@ -155,7 +155,8 @@ object SparkEntry {
     "q_hreflang" -> (graft.pipeline.Hreflang.hreflang _),
     "q_harmonic" -> (graft.pipeline.Centrality.harmonic _),
     "q_harmonic_hll" -> (graft.pipeline.Centrality.harmonicHll _),
-    "q_blocklist" -> (graft.pipeline.Blocklist.blocklist _)
+    "q_blocklist" -> (graft.pipeline.Blocklist.blocklist _),
+    "q_feed_discovery" -> (graft.pipeline.Feeds.feedDiscovery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -234,6 +235,7 @@ object SparkEntry {
     "q_harmonic" -> graft.pipeline.Centrality.harmonicSql(fixtureSql("q_extract_link_edges")),
     // closed-form digit ladder — no suffix matching on the oracle side
     "q_blocklist" -> graft.pipeline.Blocklist.blocklistSql,
+    "q_feed_discovery" -> graft.pipeline.Feeds.feedDiscoverySql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -530,6 +530,43 @@ object HtmlKit {
   def extractHreflang(html: String, baseUrl: String): Vector[(String, String)] =
     extractHreflang(parse(html), baseUrl)
 
+  /** RSS/Atom feed autodiscovery (the RSS Advisory Board / Atom RFC 4287
+    * convention): `<link>` tags whose `rel` token list contains
+    * `alternate` (case-insensitive, like [[extractHreflang]]) and whose
+    * `type` is `application/rss+xml` or `application/atom+xml`. Returns
+    * (absolute feed url, "rss"|"atom") in document order, first spelling
+    * of a duplicate url wins; href resolved against the page url. A
+    * `rel=stylesheet type=application/rss+xml` decoy or an `<a>` to a
+    * feed path never matches — only link-tag alternates are
+    * autodiscovery per the convention. */
+  def extractFeedLinks(dom: Elem, baseUrl: String): Vector[(String, String)] = {
+    val base = graft.urls.UrlKernel.parse(baseUrl)
+    if (base.isEmpty) return Vector.empty
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def walk(e: Elem): Unit = {
+      if (e.tag == "link" &&
+          e.attr("rel").exists(_.split("\\s+").exists(_.equalsIgnoreCase("alternate")))) {
+        val fmt = e.attr("type").map(_.trim.toLowerCase(java.util.Locale.ROOT)) match {
+          case Some("application/rss+xml") => Some("rss")
+          case Some("application/atom+xml") => Some("atom")
+          case _ => scala.None
+        }
+        for {
+          f <- fmt
+          href <- e.attr("href").map(_.trim).filter(_.nonEmpty)
+          abs <- graft.urls.UrlKernel.resolve(base.get, href)
+          if !seen.contains(abs)
+        } seen(abs) = f
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    seen.iterator.map { case (u, f) => (u, f) }.toVector
+  }
+
+  def extractFeedLinks(html: String, baseUrl: String): Vector[(String, String)] =
+    extractFeedLinks(parse(html), baseUrl)
+
   /** Link sightings WITH the per-link `rel="nofollow"` flag — the signal
     * that gates frontier expansion and link-graph edges (a nofollow edge
     * must not vote in PageRank/anchor-text aggregation). `rel` is a

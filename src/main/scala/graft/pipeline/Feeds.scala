@@ -1,0 +1,158 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.HtmlKit
+import graft.sources.FeedKit
+
+/** RSS/Atom feed discovery — the freshness-aware seed channel next to
+  * sitemaps ([[graft.sources.SitemapSeeder]]): autodiscover feed
+  * declarations from page HTML (`<link rel=alternate type=application/
+  * (rss|atom)+xml>`), fetch-join the feed bodies, parse entries with
+  * publish timestamps, and rank each feed's entries newest-first — the
+  * recrawl-priority input a feed poller feeds the frontier. The reference
+  * discovers only sitemaps (crawler_service.rs:958-1054); feeds are the
+  * standard second discovery channel and carry the freshness signal
+  * sitemaps only promise via optional lastmod.
+  *
+  * Contract universe (the [[SitemapCross]] digit discipline): 40 hosts,
+  * host h declares rss (h%4∈{0,2}), atom (h%4∈{1,2}, relative href +
+  * case/multi-token rel), or nothing (h%4==3, decoys only); every page
+  * carries decoys (`rel=stylesheet` with a feed MIME, `rel=alternate
+  * type=text/html`, an `<a>` to a feed path). Feed bodies: 2+h%3 rss
+  * items (CDATA first link, alternating absolute/relative links, RFC-1123
+  * pubDate, (h+j)%5==0 malformed → entry kept, timestamp dropped) and
+  * 2+(h+1)%3 atom entries (rel=self decoy before the real link, odd
+  * entries rel-less per RFC 4287 §4.2.7.2, ISO updated, (h+j)%7==0
+  * malformed). Spark derives every row through the REAL
+  * [[HtmlKit.extractFeedLinks]] + [[FeedKit.parseFeed]]; the DuckDB
+  * oracle re-derives everything as a closed-form digit ladder (no
+  * parsing on the oracle side).
+  *
+  * Scale shape: per-row parse (embarrassingly parallel, no payload
+  * shuffle), declarations⋈bodies is one keyed equi-join, the ranking
+  * window partitions by feed_url (bounded partitions — a feed has tens
+  * of entries), nothing global. */
+object Feeds {
+
+  val Hosts = 40
+  val BaseSec = 1704067200L // 2024-01-01T00:00:00Z
+
+  private def rfc1123(sec: Long): String =
+    java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.ZonedDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(sec), java.time.ZoneOffset.UTC))
+
+  private def iso(sec: Long): String =
+    java.time.Instant.ofEpochSecond(sec).toString
+
+  /** Page HTML for host h — declarations per h%4 plus constant decoys. */
+  private[pipeline] def pageHtml(h: Int): String = {
+    val k = h % 4
+    val rss =
+      if (k == 0 || k == 2)
+        s"""<link rel="alternate" type="application/rss+xml" href="https://feed$h.com/feed.rss">"""
+      else ""
+    val atom =
+      if (k == 1 || k == 2)
+        s"""<link rel="ALTERNATE me" type="application/atom+xml" href="/feed.atom">"""
+      else ""
+    s"""<html><head><title>h$h</title>
+       |<link rel="stylesheet" type="application/rss+xml" href="/decoy.css">
+       |<link rel="alternate" type="text/html" href="/mobile">
+       |$rss
+       |$atom
+       |</head><body><a href="/feed.rss">subscribe</a><p>page $h</p></body></html>""".stripMargin
+  }
+
+  private[pipeline] def rssBody(h: Int): String = {
+    val n = 2 + h % 3
+    val items = (0 until n).map { j =>
+      val link =
+        if (j == 0) s"<link><![CDATA[ https://feed$h.com/post/rss$j ]]></link>"
+        else if (j % 2 == 1) s"<link>/post/rss$j</link>"
+        else s"<link>https://feed$h.com/post/rss$j</link>"
+      val date = if ((h + j) % 5 == 0) "not-a-date"
+        else rfc1123(BaseSec + h * 86400L + j * 3600L)
+      s"<item><title>r$j</title>$link<pubDate>$date</pubDate></item>"
+    }.mkString("\n")
+    s"""<rss version="2.0"><channel><title>feed$h</title>
+       |<link>https://feed$h.com/</link>
+       |$items
+       |</channel></rss>""".stripMargin
+  }
+
+  private[pipeline] def atomBody(h: Int): String = {
+    val n = 2 + (h + 1) % 3
+    val entries = (0 until n).map { j =>
+      val link =
+        if (j % 2 == 1) s"""<link rel="self" href="/decoyself$j"/><link href="/post/atom$j"/>"""
+        else s"""<link rel="self" href="/decoyself$j"/><link rel="alternate" href="/post/atom$j"/>"""
+      val date = if ((h + j) % 7 == 0) "garbage"
+        else iso(BaseSec + h * 86400L + j * 3600L + 1800L)
+      s"<entry><title>a$j</title>$link<updated>$date</updated></entry>"
+    }.mkString("\n")
+    s"""<feed xmlns="http://www.w3.org/2005/Atom"><title>feed$h</title>
+       |$entries
+       |</feed>""".stripMargin
+  }
+
+  /** Contract query `q_feed_discovery`: every (declared feed, entry) with
+    * its publish timestamp and newest-first rank within the feed. */
+  def feedDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hosts = spark.range(Hosts).as[Long]
+    // declarations through the REAL autodiscovery extractor
+    val declared = hosts.flatMap { h =>
+      val page = s"https://feed$h.com/"
+      HtmlKit.extractFeedLinks(pageHtml(h.toInt), page)
+        .map { case (feedUrl, fmt) => (page, feedUrl, fmt) }
+    }.toDF("page_url", "feed_url", "format")
+    // feed bodies exist for every host; the equi-join keeps declared ones
+    val bodies = hosts.flatMap { h =>
+      Seq((s"https://feed$h.com/feed.rss", rssBody(h.toInt)),
+        (s"https://feed$h.com/feed.atom", atomBody(h.toInt)))
+    }.toDF("feed_url", "body")
+    val entries = declared.join(bodies, "feed_url")
+      .as[(String, String, String, String)]
+      .flatMap { case (feedUrl, pageUrl, fmt, body) =>
+        FeedKit.parseFeed(body, feedUrl).map(e =>
+          (pageUrl, feedUrl, fmt, e.url, e.tsSec))
+      }
+      .toDF("page_url", "feed_url", "format", "entry_url", "ts_s")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("feed_url")
+      .orderBy(desc_nulls_last("ts_s"), asc("entry_url"))
+    entries.withColumn("rank_in_feed", row_number().over(w).cast("long"))
+      .orderBy("feed_url", "rank_in_feed")
+  }
+
+  /** DuckDB twin: the whole output as a closed-form digit ladder over
+    * range(hosts) × range(max entries) — no HTML/XML parsing at all. */
+  val feedDiscoverySql: String =
+    s"""WITH decl AS (
+       |  SELECT i AS h, 'rss' AS format FROM range(0, $Hosts) t(i) WHERE i % 4 IN (0, 2)
+       |  UNION ALL
+       |  SELECT i, 'atom' FROM range(0, $Hosts) t(i) WHERE i % 4 IN (1, 2)),
+       |entries AS (
+       |  SELECT d.h, d.format,
+       |    'https://feed' || d.h || '.com/' AS page_url,
+       |    'https://feed' || d.h || '.com/feed.' || d.format AS feed_url,
+       |    'https://feed' || d.h || '.com/post/' || d.format || r.j AS entry_url,
+       |    CASE WHEN d.format = 'rss' THEN
+       |      CASE WHEN (d.h + r.j) % 5 = 0 THEN NULL
+       |           ELSE $BaseSec + d.h * 86400 + r.j * 3600 END
+       |    ELSE
+       |      CASE WHEN (d.h + r.j) % 7 = 0 THEN NULL
+       |           ELSE $BaseSec + d.h * 86400 + r.j * 3600 + 1800 END
+       |    END AS ts_s
+       |  FROM decl d JOIN range(0, 4) r(j)
+       |    ON r.j < CASE WHEN d.format = 'rss' THEN 2 + d.h % 3
+       |                  ELSE 2 + (d.h + 1) % 3 END)
+       |SELECT page_url, feed_url, format, entry_url, CAST(ts_s AS BIGINT) AS ts_s,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY feed_url ORDER BY ts_s DESC NULLS LAST, entry_url) AS BIGINT)
+       |    AS rank_in_feed
+       |FROM entries ORDER BY feed_url, rank_in_feed""".stripMargin
+}

@@ -1,0 +1,100 @@
+package graft.sources
+
+import graft.urls.UrlKernel
+
+/** RSS 2.0 / Atom (RFC 4287) feed-body parsing — the seed-discovery
+  * sibling of [[SitemapSeeder]]: where sitemaps enumerate a site's pages,
+  * feeds enumerate its RECENT pages with timestamps, so a crawler that
+  * polls feeds gets freshness signal sitemaps only promise via lastmod
+  * (the reference never reads feeds at all; its only discovery inputs are
+  * sitemaps + page links, crawler_service.rs:958-1054). Same parsing
+  * discipline as [[SitemapSeeder.parseLocs]]: regex block scan (works on
+  * real-world non-well-formed XML an XML parser rejects), CDATA-or-text
+  * fields, resolve against the feed url, http(s) filter, first spelling
+  * of a duplicate wins, 50 MB cap, tolerant timestamp parsing (a bad date
+  * keeps the entry, drops the timestamp). */
+object FeedKit {
+
+  /** One feed entry: absolute url + optional publish epoch-seconds. */
+  final case class FeedEntry(url: String, tsSec: Option[Long])
+
+  private val ItemRe = "(?s)<item[\\s>](.*?)</item>".r
+  private val EntryRe = "(?s)<entry[\\s>](.*?)</entry>".r
+  private def textFieldRe(tag: String) =
+    s"(?s)<$tag>\\s*(?:<!\\[CDATA\\[(.*?)\\]\\]>|(.*?))\\s*</$tag>".r
+  private val LinkTextRe = textFieldRe("link")
+  private val PubDateRe = textFieldRe("pubDate")
+  private val UpdatedRe = textFieldRe("updated")
+  private val PublishedRe = textFieldRe("published")
+  private val AtomLinkRe =
+    "(?s)<link\\b([^>]*?)/?>".r
+  private val HrefRe = "href\\s*=\\s*\"([^\"]*)\"".r
+  private val RelRe = "rel\\s*=\\s*\"([^\"]*)\"".r
+
+  /** "rss" for `<rss>`/`<channel>` documents, "atom" for `<feed>`,
+    * None otherwise. */
+  def detectFormat(body: String): Option[String] =
+    if (body.contains("<feed")) Some("atom")
+    else if (body.contains("<rss") || body.contains("<channel")) Some("rss")
+    else scala.None
+
+  /** RFC-1123 (RSS pubDate) → epoch seconds; tolerant. */
+  def rfc1123Sec(s: String): Option[Long] =
+    try Some(java.time.ZonedDateTime
+      .parse(s.trim, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+      .toEpochSecond)
+    catch { case _: Exception => scala.None }
+
+  /** ISO-8601 (Atom updated/published) → epoch seconds; tolerant. */
+  def isoSec(s: String): Option[Long] =
+    try Some(java.time.Instant.parse(s.trim).getEpochSecond)
+    catch { case _: Exception =>
+      try Some(java.time.OffsetDateTime.parse(s.trim).toInstant.getEpochSecond)
+      catch { case _: Exception => scala.None }
+    }
+
+  private def field(re: scala.util.matching.Regex, block: String): Option[String] =
+    re.findFirstMatchIn(block)
+      .map(m => Option(m.group(1)).getOrElse(m.group(2)).trim).filter(_.nonEmpty)
+
+  /** Atom entry link: prefer rel="alternate", else the first rel-less
+    * link (RFC 4287 §4.2.7.2: no rel means alternate). */
+  private def atomHref(block: String): Option[String] = {
+    val links = AtomLinkRe.findAllMatchIn(block).map(_.group(1)).toVector
+    def href(attrs: String) = HrefRe.findFirstMatchIn(attrs).map(_.group(1).trim)
+    def rel(attrs: String) = RelRe.findFirstMatchIn(attrs).map(_.group(1).trim.toLowerCase)
+    links.find(a => rel(a).contains("alternate")).flatMap(href)
+      .orElse(links.find(a => rel(a).isEmpty).flatMap(href))
+  }
+
+  /** Parse a feed body into entries (format auto-detected). */
+  def parseFeed(body: String, feedUrl: String): Vector[FeedEntry] = {
+    if (body.length > SitemapSeeder.MaxBodyBytes) return Vector.empty
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, FeedEntry]
+    def admit(rawUrl: String, ts: Option[Long]): Unit =
+      UrlKernel.resolve(feedUrl, rawUrl).foreach { abs =>
+        UrlKernel.parse(abs).foreach { p =>
+          if ((p.scheme == "http" || p.scheme == "https") && !seen.contains(p.fullString))
+            seen(p.fullString) = FeedEntry(p.fullString, ts)
+        }
+      }
+    detectFormat(body) match {
+      case Some("rss") =>
+        ItemRe.findAllMatchIn(body).foreach { m =>
+          val block = m.group(1)
+          field(LinkTextRe, block).foreach { raw =>
+            admit(raw, field(PubDateRe, block).flatMap(rfc1123Sec))
+          }
+        }
+      case Some("atom") =>
+        EntryRe.findAllMatchIn(body).foreach { m =>
+          val block = m.group(1)
+          atomHref(block).foreach { raw =>
+            admit(raw, field(UpdatedRe, block).orElse(field(PublishedRe, block)).flatMap(isoSec))
+          }
+        }
+      case _ => ()
+    }
+    seen.values.toVector
+  }
+}
