@@ -167,7 +167,8 @@ object Bench {
       "q_asof_join", "q_range_join", "q_cdx_index", "q_reciprocal_links",
       "q_host_components", "q_redirect_resolve", "q_revalidate",
       "q_phrase_search", "q_trustrank", "q_charset_detect",
-      "q_harmonic", "q_harmonic_hll", "q_blocklist", "q_feed_discovery")
+      "q_harmonic", "q_harmonic_hll", "q_blocklist", "q_feed_discovery",
+      "q_snippet")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++
         sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)

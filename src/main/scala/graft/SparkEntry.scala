@@ -156,7 +156,8 @@ object SparkEntry {
     "q_harmonic" -> (graft.pipeline.Centrality.harmonic _),
     "q_harmonic_hll" -> (graft.pipeline.Centrality.harmonicHll _),
     "q_blocklist" -> (graft.pipeline.Blocklist.blocklist _),
-    "q_feed_discovery" -> (graft.pipeline.Feeds.feedDiscovery _)
+    "q_feed_discovery" -> (graft.pipeline.Feeds.feedDiscovery _),
+    "q_snippet" -> (graft.pipeline.Snippets.snippet _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -236,6 +237,8 @@ object SparkEntry {
     // closed-form digit ladder — no suffix matching on the oracle side
     "q_blocklist" -> graft.pipeline.Blocklist.blocklistSql,
     "q_feed_discovery" -> graft.pipeline.Feeds.feedDiscoverySql,
+    // full independent recompute: anchor×member range join + same md5 slice
+    "q_snippet" -> graft.pipeline.Snippets.snippetSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

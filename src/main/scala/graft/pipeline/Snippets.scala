@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Query-biased snippet (KWIC/teaser) generation — the result-page side
+  * of the search stack next to [[TextAnalysis.bm25Rank]] (scores) and
+  * [[PhraseSearch]] (positions): per (query, document) the best
+  * fixed-width word window, where best = most DISTINCT query terms in a
+  * window anchored at a matched position, ties to the leftmost anchor
+  * (the deterministic form of Luhn's significant-word clustering /
+  * Turpin et al.'s fast teaser generation). Top 5 documents per query by
+  * (terms-in-window, doc_id); the snippet ships as md5 of the window
+  * words (value-comparable, payload-free).
+  *
+  * Scale shape (100 TB): postings are pruned by the broadcast query
+  * vocabulary BEFORE any shuffle (only positions of words occurring in
+  * some query leave the scan — the [[PhraseSearch]] discipline); per
+  * (query, doc) the matched positions collect into ONE bounded group
+  * (|matches|, not |doc|) and the best window is a linear two-pointer
+  * scan inside the group — no positional self-join, nothing quadratic
+  * (an anchor's window holds ≤ [[WindowWords]] positions by
+  * construction). The final top-k is a per-query window over ≤ |docs|
+  * candidate rows, and the snippet text is reconstructed by ONE keyed
+  * join back to the documents table (payload touched once, for winners
+  * only). The DuckDB oracle recomputes everything independently — the
+  * textbook anchor×member range join it can afford at oracle scale. */
+object Snippets {
+
+  /** Snippet width in words. */
+  val WindowWords = 15
+  /** Results per query. */
+  val TopK = 5
+
+  /** Fixed query set: multi-term hits, a partial-miss (one real term +
+    * one absent term — the window can only ever hold the real one), and
+    * a full miss (emits nothing: no matched anchor exists). */
+  val Queries: Seq[String] = Seq(
+    "spark stream merge",
+    "fast query window table",
+    "spark pelican",
+    "quantum flux pelican")
+
+  /** Contract query `q_snippet`: per query the top-[[TopK]] documents
+    * with best-window stats and the window's md5. */
+  def snippet(spark: SparkSession, dir: String): DataFrame =
+    snippetFor(spark, dir, Queries)
+
+  /** The dataflow over an arbitrary query list. */
+  def snippetFor(spark: SparkSession, dir: String, queries: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val W = WindowWords
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val terms = spark.createDataset(queries)
+      .flatMap(q => q.split(" ").distinct.map(w => (q, w)))
+      .toDF("query", "word")
+    // postings pruned by the broadcast query vocabulary before any shuffle
+    val matched = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .join(broadcast(terms), "word")
+      .select(col("query"), col("doc_id"), col("pos"), col("word"))
+    // one bounded group per (query, doc): |matches| rows, not |doc| words
+    val best = matched
+      .groupBy("query", "doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("word")))).as("ms"))
+      .as[(String, Long, Seq[(Int, String)])]
+      .map { case (q, d, ms) =>
+        // two-pointer over sorted matches: window = [anchor, anchor+W-1]
+        var bestCnt = 0; var bestStart = 0
+        var j = 0
+        val inWin = scala.collection.mutable.Map.empty[String, Int]
+        var distinct = 0
+        var i = 0
+        while (i < ms.length) {
+          val anchor = ms(i)._1
+          if (i > 0) { // evict the previous anchor from the window
+            val w0 = ms(i - 1)._2
+            val c = inWin(w0) - 1
+            if (c == 0) { inWin.remove(w0); distinct -= 1 } else inWin(w0) = c
+          }
+          if (j < i) { j = i; inWin.clear(); distinct = 0 }
+          while (j < ms.length && ms(j)._1 <= anchor + W - 1) {
+            val w = ms(j)._2
+            val c = inWin.getOrElse(w, 0)
+            if (c == 0) distinct += 1
+            inWin(w) = c + 1
+            j += 1
+          }
+          if (distinct > bestCnt) { bestCnt = distinct; bestStart = anchor }
+          i += 1
+        }
+        (q, d, bestCnt.toLong, bestStart.toLong)
+      }
+      .toDF("query", "doc_id", "n_matched", "win_start")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query").orderBy(desc("n_matched"), asc("doc_id"))
+    best.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .join(docs, "doc_id") // payload touched once, winners only
+      .select(col("query"), col("rank"), col("doc_id"), col("n_matched"),
+        col("win_start"),
+        md5(array_join(slice(split(col("text"), " "),
+          col("win_start").cast("int") + 1, lit(W)), " ")).as("snippet_md5"))
+      .orderBy("query", "rank")
+  }
+
+  /** DuckDB twin: full independent recompute — matched postings from
+    * unnest+subscripts, anchor×member range join, per-(query,doc) best
+    * by (distinct terms DESC, anchor ASC), per-query top-k window, and
+    * the same md5 over the same slice. */
+  val snippetSql: String = {
+    val qRows = Queries.map(q => s"('$q')").mkString(", ")
+    s"""WITH q(query) AS (VALUES $qRows),
+       |terms AS (
+       |  SELECT DISTINCT query, unnest(string_split(query, ' ')) AS word FROM q),
+       |w AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    generate_subscripts(ws, 1) - 1 AS pos, unnest(ws) AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |m AS (
+       |  SELECT t.query, w.doc_id, w.pos, w.word
+       |  FROM w JOIN terms t ON w.word = t.word),
+       |windows AS (
+       |  SELECT a.query, a.doc_id, a.pos AS win_start,
+       |    count(DISTINCT b.word) AS n_matched
+       |  FROM m a JOIN m b
+       |    ON a.query = b.query AND a.doc_id = b.doc_id
+       |   AND b.pos BETWEEN a.pos AND a.pos + ${WindowWords - 1}
+       |  GROUP BY a.query, a.doc_id, a.pos),
+       |best AS (
+       |  SELECT query, doc_id, n_matched, win_start,
+       |    row_number() OVER (PARTITION BY query, doc_id
+       |      ORDER BY n_matched DESC, win_start ASC) AS rn
+       |  FROM windows),
+       |ranked AS (
+       |  SELECT query, doc_id, n_matched, win_start,
+       |    row_number() OVER (PARTITION BY query
+       |      ORDER BY n_matched DESC, doc_id ASC) AS rank
+       |  FROM best WHERE rn = 1)
+       |SELECT r.query, CAST(r.rank AS BIGINT) AS rank, r.doc_id,
+       |  CAST(r.n_matched AS BIGINT) AS n_matched,
+       |  CAST(r.win_start AS BIGINT) AS win_start,
+       |  md5(array_to_string(
+       |    (string_split(d.text, ' '))[r.win_start + 1 : r.win_start + $WindowWords],
+       |    ' ')) AS snippet_md5
+       |FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+       |WHERE r.rank <= $TopK
+       |ORDER BY r.query, r.rank""".stripMargin
+  }
+}
