@@ -157,7 +157,8 @@ object SparkEntry {
     "q_harmonic_hll" -> (graft.pipeline.Centrality.harmonicHll _),
     "q_blocklist" -> (graft.pipeline.Blocklist.blocklist _),
     "q_feed_discovery" -> (graft.pipeline.Feeds.feedDiscovery _),
-    "q_snippet" -> (graft.pipeline.Snippets.snippet _)
+    "q_snippet" -> (graft.pipeline.Snippets.snippet _),
+    "q_opic" -> (graft.pipeline.Opic.opic _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -239,6 +240,7 @@ object SparkEntry {
     "q_feed_discovery" -> graft.pipeline.Feeds.feedDiscoverySql,
     // full independent recompute: anchor×member range join + same md5 slice
     "q_snippet" -> graft.pipeline.Snippets.snippetSql,
+    "q_opic" -> graft.pipeline.Opic.opicSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,
