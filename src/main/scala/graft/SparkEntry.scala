@@ -158,7 +158,8 @@ object SparkEntry {
     "q_blocklist" -> (graft.pipeline.Blocklist.blocklist _),
     "q_feed_discovery" -> (graft.pipeline.Feeds.feedDiscovery _),
     "q_snippet" -> (graft.pipeline.Snippets.snippet _),
-    "q_opic" -> (graft.pipeline.Opic.opic _)
+    "q_opic" -> (graft.pipeline.Opic.opic _),
+    "q_registrable" -> (graft.pipeline.Registrable.registrable _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -241,6 +242,7 @@ object SparkEntry {
     // full independent recompute: anchor×member range join + same md5 slice
     "q_snippet" -> graft.pipeline.Snippets.snippetSql,
     "q_opic" -> graft.pipeline.Opic.opicSql(fixtureSql("q_extract_link_edges")),
+    "q_registrable" -> graft.pipeline.Registrable.registrableSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.urls.PublicSuffix
+
+/** Registrable-domain (eTLD+1) extraction over a digit-synthesized host
+  * universe — the contract surface for [[graft.urls.PublicSuffix]]. The
+  * universe exercises every branch of the PSL algorithm: plain gTLDs,
+  * second-level ccTLD families (`co.uk`), the `*.ck` wildcard, the
+  * `!www.ck` exception, unknown TLDs (implicit `*` rule), private-registry
+  * entries (`github.io`), hosts that ARE a public suffix (no registrable
+  * domain), IDN/unicode hosts (punycode normalization), and uppercase
+  * raw spellings. Spark derives every row through the REAL kernel; the
+  * DuckDB oracle re-derives everything as a closed-form digit ladder
+  * with no suffix matching or punycoding at all (the expected punycode
+  * form is pinned as a literal — engine-independent and inspectable).
+  *
+  * Scale shape: a pure per-row JVM kernel (no shuffle, no broadcast
+  * list-scan) — at 10^10 urls this is a map stage fused into the scan. */
+object Registrable {
+
+  val N = 300
+
+  /** Raw host for digit i (the same ladder as the oracle). */
+  private[pipeline] def rawHost(i: Int): String = {
+    val c = i % 6
+    val d = (i / 6) % 3
+    val uni = i % 25 == 0
+    val up = i % 9 == 0 && !uni
+    val ps = i % 31 == 7
+    val base = if (uni) "bücher" else "site" + (i % 40)
+    val sub = if (d == 1) "www." else if (d == 2) "a.www." else ""
+    val host =
+      if (ps) "co.uk"
+      else if (c == 3) { if (d == 0) "www.ck" else if (d == 1) "b.www.ck" else "c.b.www.ck" }
+      else {
+        val sfx = c match {
+          case 0 => "com"; case 1 => "co.uk"; case 2 => "foo.ck"
+          case 4 => "zz"; case _ => "github.io"
+        }
+        sub + base + "." + sfx
+      }
+    if (up) host.toUpperCase(java.util.Locale.ROOT) else host
+  }
+
+  /** Contract query `q_registrable`: id, raw host, normalized host,
+    * public suffix, registrable domain — through the real kernel. */
+  def registrable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(N).as[Long].map { id =>
+      val raw = rawHost(id.toInt)
+      val norm = PublicSuffix.normalizeHost(raw).getOrElse("")
+      val (sfx, reg) = PublicSuffix.split(norm)
+      (id, raw, norm, sfx, reg.orNull)
+    }.toDF("id", "host_raw", "host_norm", "public_suffix", "registrable_domain")
+      .orderBy("id")
+  }
+
+  /** DuckDB twin: the full closed-form digit ladder. */
+  val registrableSql: String =
+    s"""WITH t AS (
+       |  SELECT i, i % 6 AS c, (i // 6) % 3 AS d,
+       |    (i % 25 = 0) AS uni, (i % 9 = 0 AND i % 25 <> 0) AS up,
+       |    (i % 31 = 7) AS ps,
+       |    CASE WHEN i % 25 = 0 THEN 'bücher' ELSE 'site' || (i % 40) END AS base_raw,
+       |    CASE WHEN i % 25 = 0 THEN 'xn--bcher-kva' ELSE 'site' || (i % 40) END AS base_a,
+       |    CASE (i // 6) % 3 WHEN 1 THEN 'www.' WHEN 2 THEN 'a.www.' ELSE '' END AS sub,
+       |    CASE i % 6 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' WHEN 2 THEN 'foo.ck'
+       |      WHEN 4 THEN 'zz' WHEN 5 THEN 'github.io' ELSE NULL END AS sfx
+       |  FROM range(0, $N) r(i)),
+       |h AS (
+       |  SELECT i, c, ps, up,
+       |    CASE WHEN ps THEN 'co.uk'
+       |      WHEN c = 3 THEN (CASE d WHEN 0 THEN 'www.ck' WHEN 1 THEN 'b.www.ck'
+       |        ELSE 'c.b.www.ck' END)
+       |      ELSE sub || base_raw || '.' || sfx END AS host_lc,
+       |    CASE WHEN ps THEN 'co.uk'
+       |      WHEN c = 3 THEN (CASE d WHEN 0 THEN 'www.ck' WHEN 1 THEN 'b.www.ck'
+       |        ELSE 'c.b.www.ck' END)
+       |      ELSE sub || base_a || '.' || sfx END AS host_norm,
+       |    CASE WHEN ps THEN 'co.uk' WHEN c = 3 THEN 'ck' ELSE sfx END AS public_suffix,
+       |    CASE WHEN ps THEN NULL WHEN c = 3 THEN 'www.ck'
+       |      ELSE base_a || '.' || sfx END AS registrable_domain
+       |  FROM t)
+       |SELECT CAST(i AS BIGINT) AS id,
+       |  CASE WHEN up THEN upper(host_lc) ELSE host_lc END AS host_raw,
+       |  host_norm, public_suffix, registrable_domain
+       |FROM h ORDER BY i""".stripMargin
+}

@@ -1,0 +1,89 @@
+package graft.urls
+
+/** Public Suffix List (publicsuffix.org) matching — registrable domain
+  * (eTLD+1) extraction, the key every crawler uses for per-domain
+  * budgets, cookie scoping, and host-dedup grouping. `extract_domain`
+  * ([[UrlKernel]], pattern_matching.rs semantics) gives the raw HOST;
+  * two hosts `a.example.co.uk` and `b.example.co.uk` are the same
+  * registrant only under PSL rules (`co.uk` is a public suffix, `example`
+  * is the registrable label) — naive "last two labels" gets every ccTLD
+  * wrong.
+  *
+  * The full algorithm (publicsuffix.org/list/ spec): normalize
+  * (lowercase, trailing dot, IDN/punycode via `java.net.IDN`), collect
+  * matching rules (a rule matches when its labels equal the host's tail,
+  * `*` matching any single label), an exception rule (`!`) beats
+  * everything and drops its leftmost label, otherwise the longest match
+  * prevails, and no match means the implicit `*` rule (the unknown TLD
+  * itself is the suffix). Registrable domain = suffix + one label; a
+  * host that IS a suffix has none.
+  *
+  * [[Rules]] here is a REPRESENTATIVE embedded subset (gTLDs, the uk/jp/
+  * au/br second-level families, the classic `*.ck` wildcard + `!www.ck`
+  * exception, and private-registry examples) — the list is data, the
+  * algorithm is the contract; a deployment swaps in the full published
+  * file as a resource. All pure JVM: callable per-row inside typed maps
+  * and Catalyst-wrapped without shuffle. */
+object PublicSuffix {
+
+  /** Embedded rule subset; `*` = wildcard label, leading `!` = exception. */
+  val Rules: Seq[String] = Seq(
+    "com", "org", "net", "edu", "gov", "mil", "int", "io", "co", "ai", "dev",
+    "uk", "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "jp", "co.jp", "ne.jp", "or.jp",
+    "au", "com.au", "net.au", "org.au",
+    "br", "com.br", "net.br",
+    "de", "fr", "nl", "us", "cn", "com.cn",
+    "*.ck", "!www.ck",
+    // private-registry section examples (the list's lower half)
+    "github.io", "gitlab.io", "s3.amazonaws.com")
+
+  private final case class Rule(labels: Array[String], exception: Boolean)
+
+  private val Parsed: Array[Rule] = Rules.map { r =>
+    val ex = r.startsWith("!")
+    Rule((if (ex) r.substring(1) else r).split('.').reverse, ex)
+  }.toArray
+
+  /** Lowercase, strip one trailing dot, punycode (IDN.toASCII); None for
+    * hosts IDN rejects (empty labels, illegal code points). */
+  def normalizeHost(host: String): Option[String] = {
+    val t = host.trim.stripSuffix(".").toLowerCase(java.util.Locale.ROOT)
+    if (t.isEmpty) return scala.None
+    try Some(java.net.IDN.toASCII(t).toLowerCase(java.util.Locale.ROOT))
+    catch { case _: IllegalArgumentException => scala.None }
+  }
+
+  /** rule labels (reversed) vs host labels (reversed): tail match. */
+  private def matches(rule: Rule, rev: Array[String]): Boolean =
+    rule.labels.length <= rev.length &&
+      rule.labels.indices.forall(i =>
+        rule.labels(i) == "*" || rule.labels(i) == rev(i))
+
+  /** (public suffix, registrable domain) of a normalized host. The
+    * suffix always exists (implicit `*` rule); the registrable domain is
+    * None when the host IS a public suffix. */
+  def split(hostNorm: String): (String, Option[String]) = {
+    val labels = hostNorm.split('.')
+    val rev = labels.reverse
+    val matching = Parsed.filter(matches(_, rev))
+    val suffixLen = matching.find(_.exception) match {
+      case Some(ex) => ex.labels.length - 1 // exception: drop leftmost label
+      case scala.None =>
+        if (matching.isEmpty) 1 // implicit "*" rule
+        else matching.map(_.labels.length).max
+    }
+    val suffix = labels.takeRight(suffixLen).mkString(".")
+    if (labels.length <= suffixLen) (suffix, scala.None)
+    else (suffix, Some(labels.takeRight(suffixLen + 1).mkString(".")))
+  }
+
+  /** Registrable domain of a raw host, or None (unnormalizable host, or
+    * the host is itself a public suffix). */
+  def registrableDomain(host: String): Option[String] =
+    normalizeHost(host).flatMap(h => split(h)._2)
+
+  /** Public suffix of a raw host (None only when unnormalizable). */
+  def publicSuffix(host: String): Option[String] =
+    normalizeHost(host).map(h => split(h)._1)
+}

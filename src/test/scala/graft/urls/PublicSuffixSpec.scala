@@ -1,0 +1,56 @@
+package graft.urls
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PSL kernel gates: every algorithm branch (longest match, wildcard,
+  * exception, implicit `*`, suffix-itself, private registry) plus IDN
+  * and normalization edge cases — checked against the publicsuffix.org
+  * spec semantics directly, no Spark. */
+class PublicSuffixSpec extends AnyFunSuite {
+
+  private def reg(h: String) = PublicSuffix.registrableDomain(h)
+  private def sfx(h: String) = PublicSuffix.publicSuffix(h)
+
+  test("longest rule wins: co.uk beats uk") {
+    assert(reg("a.b.example.co.uk") === Some("example.co.uk"))
+    assert(sfx("a.b.example.co.uk") === Some("co.uk"))
+    assert(reg("example.uk") === Some("example.uk"))
+  }
+
+  test("wildcard *.ck: any label is a suffix") {
+    assert(sfx("foo.ck") === Some("foo.ck"))
+    assert(reg("foo.ck") === None) // it IS a suffix
+    assert(reg("base.foo.ck") === Some("base.foo.ck"))
+    assert(reg("deep.base.other.ck") === Some("base.other.ck"))
+  }
+
+  test("exception !www.ck beats the wildcard") {
+    assert(sfx("www.ck") === Some("ck"))
+    assert(reg("www.ck") === Some("www.ck"))
+    assert(reg("sub.www.ck") === Some("www.ck"))
+  }
+
+  test("unknown TLD: implicit * rule") {
+    assert(sfx("example.zz") === Some("zz"))
+    assert(reg("example.zz") === Some("example.zz"))
+    assert(reg("zz") === None)
+  }
+
+  test("private registry: github.io beats io") {
+    assert(reg("user.github.io") === Some("user.github.io"))
+    assert(reg("a.user.github.io") === Some("user.github.io"))
+    assert(reg("plain.io") === Some("plain.io"))
+  }
+
+  test("suffix-itself hosts have no registrable domain") {
+    assert(reg("co.uk") === None)
+    assert(reg("com") === None)
+  }
+
+  test("normalization: case, trailing dot, punycode; rejects garbage") {
+    assert(PublicSuffix.normalizeHost("WWW.Example.COM.") === Some("www.example.com"))
+    assert(PublicSuffix.normalizeHost("bücher.example") === Some("xn--bcher-kva.example"))
+    assert(reg("BÜCHER.co.UK") === Some("xn--bcher-kva.co.uk"))
+    assert(PublicSuffix.normalizeHost("") === None)
+  }
+}
