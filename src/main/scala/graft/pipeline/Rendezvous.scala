@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Rendezvous (highest-random-weight) shard assignment — Thaler &
+  * Ravishankar's HRW hashing: host → argmax over shards of
+  * hash(host, shard). The frontier-sharding property mod-hashing lacks
+  * ([[Resharding]] quantifies its failure modes): when the cluster grows
+  * N→M shards, a host either KEEPS its shard or moves to a NEW one —
+  * never between survivors — so exactly the minimum (M−N)/M fraction of
+  * per-host frontier state migrates, with no ring metadata (vs consistent
+  * hashing's vnode tables). This is the shard map a 10^10-url frontier
+  * wants when executors scale 1000→1250: 20% of host queues move, 80%
+  * of checkpointed state stays put.
+  *
+  * Weight = the [[Cardinality.urlHashCol]] md5-prefix integer over
+  * `host#shard` (shared with the DuckDB twin); argmax ties (vanishing —
+  * 2^44 space) break to the lowest shard id on BOTH sides. Pure per-row
+  * column math over a bounded `transform(sequence)` — ≤ M weight
+  * evaluations per host fused into the scan, no shuffle, no join; the
+  * oracle recomputes every weight and both argmaxes independently via a
+  * window. */
+object Rendezvous {
+
+  val Hosts = 400
+  val ShardsN = 16
+  val ShardsM = 20 // the grown cluster
+
+  private def weightsExpr(m: Int) =
+    s"""transform(sequence(0, ${m - 1}), s ->
+       |  cast(conv(substring(md5(concat(host, '#', cast(s as string))), 1, 11), 16, 10)
+       |    as bigint))""".stripMargin
+
+  /** HRW assignment of any single-column `host` frame at [[ShardsN]] and
+    * [[ShardsM]] shards, with the movement flag. */
+  def assign(hosts: DataFrame): DataFrame =
+    hosts
+      .withColumn("wm", expr(weightsExpr(ShardsM)))
+      .withColumn("shard_m",
+        expr("cast(array_position(wm, array_max(wm)) - 1 as bigint)"))
+      .withColumn("shard_n",
+        expr(s"cast(array_position(slice(wm, 1, $ShardsN), array_max(slice(wm, 1, $ShardsN))) - 1 as bigint)"))
+      .select(col("host"), col("shard_n"), col("shard_m"),
+        (col("shard_n") =!= col("shard_m")).as("moved"))
+      .orderBy("host")
+
+  /** Contract query `q_rendezvous`: the digit host universe assigned at
+    * both cluster sizes. */
+  def rendezvous(spark: SparkSession, dir: String): DataFrame =
+    assign(spark.range(Hosts)
+      .select(concat(lit("h"), col("id"), lit(".example.com")).as("host")))
+
+  /** DuckDB twin: every weight recomputed (same md5-prefix integer), both
+    * argmaxes via (w DESC, s) windows — full independent re-derivation. */
+  val rendezvousSql: String =
+    s"""WITH hosts AS (
+       |  SELECT 'h' || i || '.example.com' AS host FROM range(0, $Hosts) t(i)),
+       |w AS (
+       |  SELECT host, s,
+       |    CAST(('0x' || substr(md5(host || '#' || CAST(s AS VARCHAR)), 1, 11)) AS BIGINT) AS w
+       |  FROM hosts, range(0, $ShardsM) r(s)),
+       |an AS (
+       |  SELECT host, s AS shard_n FROM (
+       |    SELECT host, s, row_number() OVER (PARTITION BY host ORDER BY w DESC, s) AS rn
+       |    FROM w WHERE s < $ShardsN) WHERE rn = 1),
+       |am AS (
+       |  SELECT host, s AS shard_m FROM (
+       |    SELECT host, s, row_number() OVER (PARTITION BY host ORDER BY w DESC, s) AS rn
+       |    FROM w) WHERE rn = 1)
+       |SELECT h.host, CAST(an.shard_n AS BIGINT) AS shard_n,
+       |  CAST(am.shard_m AS BIGINT) AS shard_m,
+       |  (an.shard_n <> am.shard_m) AS moved
+       |FROM hosts h JOIN an ON h.host = an.host JOIN am ON h.host = am.host
+       |ORDER BY h.host""".stripMargin
+}
