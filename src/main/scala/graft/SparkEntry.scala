@@ -160,7 +160,8 @@ object SparkEntry {
     "q_snippet" -> (graft.pipeline.Snippets.snippet _),
     "q_opic" -> (graft.pipeline.Opic.opic _),
     "q_registrable" -> (graft.pipeline.Registrable.registrable _),
-    "q_rendezvous" -> (graft.pipeline.Rendezvous.rendezvous _)
+    "q_rendezvous" -> (graft.pipeline.Rendezvous.rendezvous _),
+    "q_jsonld" -> (graft.pipeline.JsonLd.jsonld _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -245,6 +246,7 @@ object SparkEntry {
     "q_opic" -> graft.pipeline.Opic.opicSql(fixtureSql("q_extract_link_edges")),
     "q_registrable" -> graft.pipeline.Registrable.registrableSql,
     "q_rendezvous" -> graft.pipeline.Rendezvous.rendezvousSql,
+    "q_jsonld" -> graft.pipeline.JsonLd.jsonldSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -567,6 +567,31 @@ object HtmlKit {
   def extractFeedLinks(html: String, baseUrl: String): Vector[(String, String)] =
     extractFeedLinks(parse(html), baseUrl)
 
+  /** JSON-LD structured-data blocks: the verbatim text of every
+    * `<script type="application/ld+json">` in document order (schema.org
+    * convention). The type attribute matches case-insensitively with
+    * MIME parameters stripped (`;charset=utf-8` appears on real pages);
+    * `text/javascript` or untyped scripts never match, whatever their
+    * content. Parsing/validation is the caller's concern — crawled
+    * JSON-LD is frequently malformed and a crawler must count it, not
+    * die on it. */
+  def extractJsonLd(dom: Elem): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    def walk(e: Elem): Unit = {
+      if (e.tag == "script" &&
+          e.attr("type").exists(t =>
+            t.split(";")(0).trim.equalsIgnoreCase("application/ld+json"))) {
+        val text = e.children.collect { case TextNode(t) => t }.mkString.trim
+        if (text.nonEmpty) out += text
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    out.result()
+  }
+
+  def extractJsonLd(html: String): Vector[String] = extractJsonLd(parse(html))
+
   /** Link sightings WITH the per-link `rel="nofollow"` flag — the signal
     * that gates frontier expansion and link-graph edges (a nofollow edge
     * must not vote in PageRank/anchor-text aggregation). `rel` is a

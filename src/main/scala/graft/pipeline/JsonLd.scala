@@ -1,0 +1,136 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.extract.HtmlKit
+
+/** JSON-LD structured-data extraction (schema.org) — the metadata channel
+  * a training-corpus pipeline mines for article dates, authorship, and
+  * entity types (publish dates gate freshness mixes; `@type` gates
+  * document-class filters). The reference's metadata extraction is
+  * readability byline/published-time only (metadata.rs); JSON-LD is the
+  * machine-readable channel publishers actually maintain.
+  *
+  * Semantics (the JSON-LD-in-HTML profile): every
+  * `<script type="application/ld+json">` block yields entities — a
+  * top-level object is one entity, a top-level ARRAY is one per element,
+  * an object carrying `@graph` is one per graph member; malformed JSON
+  * (ubiquitous in the wild) is REPORTED as an invalid block row, never
+  * thrown. Per entity: `@type`, a display label (headline, else name),
+  * `datePublished`, and the author name (object `.name` or plain
+  * string — both spellings are common).
+  *
+  * Scale shape: block extraction and entity explosion are per-row
+  * bounded work inside one typed flatMap (jackson-databind, already on
+  * every Spark classpath — the same parser Spark's own JSON source
+  * uses); no shuffle at all until the contract ORDER BY. The digit
+  * universe exercises all four shapes + the decoys; the DuckDB oracle is
+  * a closed-form ladder (no JSON parsing on the oracle side). */
+object JsonLd {
+
+  val Pages = 200
+
+  /** Page html for digit i: one JSON-LD block per its class + constant
+    * decoy scripts (typed javascript + untyped JSON-looking). */
+  private[pipeline] def pageHtml(i: Int): String = {
+    val dd = f"${1 + i % 28}%02d"
+    val block = (i % 5) match {
+      case 0 =>
+        s"""{"@context":"https://schema.org","@type":"Article","headline":"Title $i","datePublished":"2024-01-$dd","author":{"@type":"Person","name":"Author ${i % 7}"}}"""
+      case 1 =>
+        s"""{"@type":"Product","name":"Widget $i","offers":{"price":"$i.99"}}"""
+      case 2 =>
+        s"""{"@context":"https://schema.org","@graph":[{"@type":"Organization","name":"Org ${i % 5}"},{"@type":"WebSite","name":"Site $i"}]}"""
+      case 3 =>
+        s"""[{"@type":"BreadcrumbList","name":"bc$i"},{"@type":"Article","headline":"Arr $i","datePublished":"2024-02-$dd"}]"""
+      case _ => s"""{"oops $i"""
+    }
+    s"""<html><head><title>p$i</title>
+       |<script type="text/javascript">var x = {"@type":"Fake","name":"decoy"};</script>
+       |<script>{"@type":"AlsoFake"}</script>
+       |<script type="application/ld+json; charset=utf-8">$block</script>
+       |</head><body><p>page $i</p></body></html>""".stripMargin
+  }
+
+  /** Entities of one raw block: None = malformed. */
+  private[pipeline] def entities(raw: String): Option[Vector[String]] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    try {
+      val root = mapper.readTree(raw)
+      val nodes: Vector[com.fasterxml.jackson.databind.JsonNode] =
+        if (root.isArray) {
+          val b = Vector.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+          root.elements().forEachRemaining(n => b += n); b.result()
+        } else if (root.has("@graph") && root.get("@graph").isArray) {
+          val b = Vector.newBuilder[com.fasterxml.jackson.databind.JsonNode]
+          root.get("@graph").elements().forEachRemaining(n => b += n); b.result()
+        } else Vector(root)
+      Some(nodes.map(_.toString))
+    } catch { case _: Exception => scala.None }
+  }
+
+  private def strField(n: com.fasterxml.jackson.databind.JsonNode, f: String): Option[String] =
+    Option(n.get(f)).filter(_.isTextual).map(_.asText)
+
+  /** Contract query `q_jsonld`: (page id, block idx, entity idx, @type,
+    * label, date_published, author, valid) for every block incl.
+    * malformed ones. */
+  def jsonld(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val mapperLess = spark.range(Pages).as[Long].flatMap { id =>
+      val blocks = HtmlKit.extractJsonLd(pageHtml(id.toInt))
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      blocks.zipWithIndex.flatMap { case (raw, bi) =>
+        entities(raw) match {
+          case scala.None =>
+            Seq((id, bi.toLong, 0L, null: String, null: String,
+              null: String, null: String, false))
+          case Some(es) => es.zipWithIndex.map { case (ej, ei) =>
+            val n = mapper.readTree(ej)
+            val label = strField(n, "headline").orElse(strField(n, "name")).orNull
+            val author = Option(n.get("author")).flatMap { a =>
+              if (a.isTextual) Some(a.asText)
+              else Option(a.get("name")).filter(_.isTextual).map(_.asText)
+            }.orNull
+            (id, bi.toLong, ei.toLong, strField(n, "@type").orNull, label,
+              strField(n, "datePublished").orNull, author, true)
+          }
+        }
+      }
+    }
+    mapperLess
+      .toDF("id", "block_idx", "entity_idx", "etype", "label",
+        "date_published", "author", "valid")
+      .orderBy("id", "block_idx", "entity_idx")
+  }
+
+  /** DuckDB twin: the closed-form digit ladder (two rows for the
+    * array/@graph classes via a bounded range join). */
+  val jsonldSql: String =
+    s"""WITH t AS (
+       |  SELECT i, i % 5 AS k, lpad(CAST(1 + i % 28 AS VARCHAR), 2, '0') AS dd
+       |  FROM range(0, $Pages) r(i)),
+       |rows_ AS (
+       |  SELECT i, k, dd, e.j AS entity_idx
+       |  FROM t JOIN range(0, 2) e(j)
+       |    ON e.j < CASE WHEN k IN (2, 3) THEN 2 ELSE 1 END)
+       |SELECT CAST(i AS BIGINT) AS id, CAST(0 AS BIGINT) AS block_idx,
+       |  CAST(entity_idx AS BIGINT) AS entity_idx,
+       |  CASE WHEN k = 0 THEN 'Article' WHEN k = 1 THEN 'Product'
+       |    WHEN k = 2 AND entity_idx = 0 THEN 'Organization'
+       |    WHEN k = 2 THEN 'WebSite'
+       |    WHEN k = 3 AND entity_idx = 0 THEN 'BreadcrumbList'
+       |    WHEN k = 3 THEN 'Article' ELSE NULL END AS etype,
+       |  CASE WHEN k = 0 THEN 'Title ' || i WHEN k = 1 THEN 'Widget ' || i
+       |    WHEN k = 2 AND entity_idx = 0 THEN 'Org ' || (i % 5)
+       |    WHEN k = 2 THEN 'Site ' || i
+       |    WHEN k = 3 AND entity_idx = 0 THEN 'bc' || i
+       |    WHEN k = 3 THEN 'Arr ' || i ELSE NULL END AS label,
+       |  CASE WHEN k = 0 THEN '2024-01-' || dd
+       |    WHEN k = 3 AND entity_idx = 1 THEN '2024-02-' || dd
+       |    ELSE NULL END AS date_published,
+       |  CASE WHEN k = 0 THEN 'Author ' || (i % 7) ELSE NULL END AS author,
+       |  (k <> 4) AS valid
+       |FROM rows_ ORDER BY id, block_idx, entity_idx""".stripMargin
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extract.HtmlKit
+
+/** JSON-LD gates: the script-tag extractor matches the profile (MIME
+  * params, case, decoys), entity explosion covers all four top-level
+  * shapes + malformed blocks, both author spellings parse, and the full
+  * query replays the closed-form ladder row-for-row. */
+class JsonLdSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-jsonld-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("extractJsonLd: MIME params + case match, decoys never do") {
+    val html =
+      """<html><head>
+        |<script type="text/javascript">{"@type":"Fake"}</script>
+        |<script>{"@type":"AlsoFake"}</script>
+        |<script type="APPLICATION/LD+JSON; charset=utf-8">{"@type":"A"}</script>
+        |<script type="application/ld+json">{"@type":"B"}</script>
+        |</head><body></body></html>""".stripMargin
+    assert(HtmlKit.extractJsonLd(html) === Vector("""{"@type":"A"}""", """{"@type":"B"}"""))
+  }
+
+  test("entity explosion: object, array, @graph, malformed") {
+    assert(JsonLd.entities("""{"@type":"A"}""").map(_.length) === Some(1))
+    assert(JsonLd.entities("""[{"a":1},{"b":2}]""").map(_.length) === Some(2))
+    assert(JsonLd.entities("""{"@graph":[{"a":1},{"b":2},{"c":3}]}""").map(_.length) === Some(3))
+    assert(JsonLd.entities("""{oops""") === None)
+  }
+
+  test("author spellings: object .name and plain string") {
+    import spark.implicits._
+    // plain-string author is not in the digit universe — test via a
+    // direct parse of both spellings through the same field logic
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val obj = mapper.readTree("""{"author":{"name":"N"}}""")
+    val str = mapper.readTree("""{"author":"S"}""")
+    def author(n: com.fasterxml.jackson.databind.JsonNode): Option[String] =
+      Option(n.get("author")).flatMap { a =>
+        if (a.isTextual) Some(a.asText)
+        else Option(a.get("name")).filter(_.isTextual).map(_.asText)
+      }
+    assert(author(obj) === Some("N"))
+    assert(author(str) === Some("S"))
+  }
+
+  /** The oracle's ladder in Scala. */
+  private def expect(): Seq[(Long, Long, Long, Option[String], Option[String], Option[String], Option[String], Boolean)] =
+    (0 until JsonLd.Pages).flatMap { i =>
+      val k = i % 5
+      val dd = f"${1 + i % 28}%02d"
+      val n = if (k == 2 || k == 3) 2 else 1
+      (0 until n).map { e =>
+        val (etype, label, date, author): (Option[String], Option[String], Option[String], Option[String]) = k match {
+          case 0 => (Some("Article"), Some(s"Title $i"), Some(s"2024-01-$dd"), Some(s"Author ${i % 7}"))
+          case 1 => (Some("Product"), Some(s"Widget $i"), None, None)
+          case 2 => if (e == 0) (Some("Organization"), Some(s"Org ${i % 5}"), None, None)
+            else (Some("WebSite"), Some(s"Site $i"), None, None)
+          case 3 => if (e == 0) (Some("BreadcrumbList"), Some(s"bc$i"), None, None)
+            else (Some("Article"), Some(s"Arr $i"), Some(s"2024-02-$dd"), None)
+          case _ => (None, None, None, None)
+        }
+        (i.toLong, 0L, e.toLong, etype, label, date, author, k != 4)
+      }
+    }
+
+  test("full query replays the ladder row-for-row") {
+    val got = JsonLd.jsonld(spark, "").collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), Option(r.getString(3)),
+        Option(r.getString(4)), Option(r.getString(5)), Option(r.getString(6)),
+        r.getBoolean(7))).toSeq
+    val want = expect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w, s"id ${g._1}") }
+    // every shape + the invalid class genuinely occur
+    assert(got.exists(!_._8))
+    assert(got.count(_._3 == 1L) > 0) // multi-entity blocks
+  }
+}
