@@ -161,7 +161,9 @@ object SparkEntry {
     "q_opic" -> (graft.pipeline.Opic.opic _),
     "q_registrable" -> (graft.pipeline.Registrable.registrable _),
     "q_rendezvous" -> (graft.pipeline.Rendezvous.rendezvous _),
-    "q_jsonld" -> (graft.pipeline.JsonLd.jsonld _)
+    "q_jsonld" -> (graft.pipeline.JsonLd.jsonld _),
+    "q_meta_refresh" -> (graft.pipeline.Navigation.metaRefresh _),
+    "q_pagination" -> (graft.pipeline.Navigation.pagination _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -247,6 +249,8 @@ object SparkEntry {
     "q_registrable" -> graft.pipeline.Registrable.registrableSql,
     "q_rendezvous" -> graft.pipeline.Rendezvous.rendezvousSql,
     "q_jsonld" -> graft.pipeline.JsonLd.jsonldSql,
+    "q_meta_refresh" -> graft.pipeline.Navigation.metaRefreshSql,
+    "q_pagination" -> graft.pipeline.Navigation.paginationSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

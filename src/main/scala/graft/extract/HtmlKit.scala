@@ -592,6 +592,69 @@ object HtmlKit {
 
   def extractJsonLd(html: String): Vector[String] = extractJsonLd(parse(html))
 
+  /** Meta-refresh (the HTML-level redirect HTTP never sees):
+    * `<meta http-equiv="refresh" content="N[;url=U]">` → (delay seconds,
+    * resolved target). `http-equiv`/`url=` match case-insensitively, the
+    * url may be single- or double-quoted (both appear in the wild), a
+    * missing url is a self-reload (target None), and `name="refresh"`
+    * (not http-equiv) never matches. First declaration wins. */
+  def extractMetaRefresh(dom: Elem, baseUrl: String): Option[(Int, Option[String])] = {
+    val base = graft.urls.UrlKernel.parse(baseUrl)
+    var found: Option[(Int, Option[String])] = scala.None
+    def walk(e: Elem): Unit = {
+      if (found.isEmpty && e.tag == "meta" &&
+          e.attr("http-equiv").exists(_.trim.equalsIgnoreCase("refresh"))) {
+        e.attr("content").foreach { c =>
+          val parts = c.split(";", 2)
+          parts(0).trim.toIntOption.foreach { delay =>
+            val target = parts.lift(1).flatMap { rest =>
+              val m = java.util.regex.Pattern
+                .compile("(?i)url\\s*=\\s*('([^']*)'|\"([^\"]*)\"|([^'\";\\s]+))")
+                .matcher(rest)
+              if (m.find()) {
+                val raw = Option(m.group(2)).orElse(Option(m.group(3)))
+                  .getOrElse(m.group(4)).trim
+                base.flatMap(b => graft.urls.UrlKernel.resolve(b, raw))
+              } else scala.None
+            }
+            found = Some((delay, target))
+          }
+        }
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    found
+  }
+
+  def extractMetaRefresh(html: String, baseUrl: String): Option[(Int, Option[String])] =
+    extractMetaRefresh(parse(html), baseUrl)
+
+  /** Pagination declarations: resolved hrefs of the first
+    * `<link rel="next">` and `<link rel="prev">` (rel token lists,
+    * case-insensitive — `rel="prev nofollow"` counts). */
+  def extractRelNav(dom: Elem, baseUrl: String): (Option[String], Option[String]) = {
+    val base = graft.urls.UrlKernel.parse(baseUrl)
+    var next: Option[String] = scala.None
+    var prev: Option[String] = scala.None
+    def relHas(e: Elem, tok: String): Boolean =
+      e.attr("rel").exists(_.split("\\s+").exists(_.equalsIgnoreCase(tok)))
+    def walk(e: Elem): Unit = {
+      if (e.tag == "link") {
+        val href = e.attr("href").map(_.trim).filter(_.nonEmpty)
+          .flatMap(h => base.flatMap(b => graft.urls.UrlKernel.resolve(b, h)))
+        if (next.isEmpty && relHas(e, "next")) next = href
+        if (prev.isEmpty && relHas(e, "prev")) prev = href
+      }
+      e.children.foreach { case c: Elem => walk(c); case _ => }
+    }
+    walk(dom)
+    (next, prev)
+  }
+
+  def extractRelNav(html: String, baseUrl: String): (Option[String], Option[String]) =
+    extractRelNav(parse(html), baseUrl)
+
   /** Link sightings WITH the per-link `rel="nofollow"` flag — the signal
     * that gates frontier expansion and link-graph edges (a nofollow edge
     * must not vote in PageRank/anchor-text aggregation). `rel` is a
