@@ -163,7 +163,8 @@ object SparkEntry {
     "q_rendezvous" -> (graft.pipeline.Rendezvous.rendezvous _),
     "q_jsonld" -> (graft.pipeline.JsonLd.jsonld _),
     "q_meta_refresh" -> (graft.pipeline.Navigation.metaRefresh _),
-    "q_pagination" -> (graft.pipeline.Navigation.pagination _)
+    "q_pagination" -> (graft.pipeline.Navigation.pagination _),
+    "q_postings_codec" -> (graft.pipeline.PostingsCodec.postingsCodec _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -251,6 +252,8 @@ object SparkEntry {
     "q_jsonld" -> graft.pipeline.JsonLd.jsonldSql,
     "q_meta_refresh" -> graft.pipeline.Navigation.metaRefreshSql,
     "q_pagination" -> graft.pipeline.Navigation.paginationSql,
+    // varint byte counts re-derived arithmetically (CASE ladder over gaps)
+    "q_postings_codec" -> graft.pipeline.PostingsCodec.postingsCodecSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Posting-list compression — the storage layer under the inverted-index
+  * family ([[WebIndex]]/[[IndexMerge]]/[[PhraseSearch]]): doc-id lists
+  * stored as delta gaps + LEB128 varints (the classic Zipf win: frequent
+  * terms have small gaps have short codes — Witten/Moffat/Bell,
+  * "Managing Gigabytes"). At 100 TB the index IS the storage bill; a
+  * 64-bit-per-posting layout is 4-8× the varint cost.
+  *
+  * The engine encodes AND decodes every list in one bounded per-term
+  * map, failing LOUDLY on any roundtrip mismatch (a corrupted codec must
+  * never ship a silently-wrong index — the spec also proves corrupted
+  * bytes are detected). The DuckDB oracle re-derives the encoded SIZE
+  * arithmetically — varint length is a pure function of gap magnitude
+  * (`1 + ⌊log₁₂₈ gap⌋` as a CASE ladder) — plus df and the id-list md5,
+  * so the compression accounting is value-verified without DuckDB ever
+  * touching bytes.
+  *
+  * Scale shape: postings build = one distinct + one groupBy keyed on the
+  * term (map-side combined); encode/decode is per-term bounded work; no
+  * payload shuffles (doc ids only). */
+object PostingsCodec {
+
+  /** LEB128 encode (unsigned, little-endian 7-bit groups). */
+  private[pipeline] def writeVarint(out: java.io.ByteArrayOutputStream, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0) { out.write(((v & 0x7f) | 0x80).toInt); v >>>= 7 }
+    out.write(v.toInt)
+  }
+
+  /** Encode a sorted distinct id list as delta gaps (previous starts at
+    * 0) in LEB128. */
+  private[pipeline] def encode(ids: Seq[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = 0L
+    ids.foreach { id => writeVarint(out, id - prev); prev = id }
+    out.toByteArray
+  }
+
+  /** Decode; throws on truncated input. */
+  private[pipeline] def decode(bytes: Array[Byte], n: Int): Seq[Long] = {
+    val ids = Vector.newBuilder[Long]
+    var prev = 0L; var i = 0
+    for (_ <- 0 until n) {
+      var v = 0L; var shift = 0; var more = true
+      while (more) {
+        require(i < bytes.length, "truncated varint stream")
+        val b = bytes(i); i += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+        more = (b & 0x80) != 0
+      }
+      prev += v
+      ids += prev
+    }
+    require(i == bytes.length, "trailing bytes after decode")
+    ids.result()
+  }
+
+  /** Contract query `q_postings_codec`: per term — df, raw int64 bytes,
+    * varint bytes, compression permille, and the id-list md5. Every list
+    * is decode-verified in-flight (loud failure, never a wrong index). */
+  def postingsCodec(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val postings = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .groupBy("term")
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .as[(String, Seq[Long])]
+      .map { case (term, ids) =>
+        val bytes = encode(ids)
+        val back = decode(bytes, ids.length)
+        require(back == ids, s"codec roundtrip failed for '$term'")
+        (term, ids.length.toLong, 8L * ids.length, bytes.length.toLong,
+          ids.mkString(" "))
+      }
+      .toDF("term", "df", "raw_len", "encoded_len", "ids_str")
+    postings.select(col("term"), col("df"), col("raw_len"), col("encoded_len"),
+      expr("encoded_len * 1000 div raw_len").as("ratio_permille"),
+      md5(col("ids_str")).as("ids_md5"))
+      .orderBy("term")
+  }
+
+  /** DuckDB twin: varint length as a CASE ladder over gap magnitude —
+    * the byte count without the bytes. */
+  val postingsCodecSql: String =
+    s"""WITH w AS (
+       |  SELECT DISTINCT CAST(doc_id AS BIGINT) AS id,
+       |    unnest(string_split(text, ' ')) AS term
+       |  FROM documents),
+       |g AS (
+       |  SELECT term, id,
+       |    id - lag(id, 1, 0) OVER (PARTITION BY term ORDER BY id) AS gap
+       |  FROM w)
+       |SELECT term,
+       |  CAST(count(*) AS BIGINT) AS df,
+       |  CAST(8 * count(*) AS BIGINT) AS raw_len,
+       |  CAST(sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+       |    WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+       |    ELSE 5 END) AS BIGINT) AS encoded_len,
+       |  CAST((sum(CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+       |    WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+       |    ELSE 5 END) * 1000) // (8 * count(*)) AS BIGINT) AS ratio_permille,
+       |  md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY id)) AS ids_md5
+       |FROM g GROUP BY term ORDER BY term""".stripMargin
+}
