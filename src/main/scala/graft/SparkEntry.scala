@@ -164,7 +164,8 @@ object SparkEntry {
     "q_jsonld" -> (graft.pipeline.JsonLd.jsonld _),
     "q_meta_refresh" -> (graft.pipeline.Navigation.metaRefresh _),
     "q_pagination" -> (graft.pipeline.Navigation.pagination _),
-    "q_postings_codec" -> (graft.pipeline.PostingsCodec.postingsCodec _)
+    "q_postings_codec" -> (graft.pipeline.PostingsCodec.postingsCodec _),
+    "q_domain_budget" -> (graft.pipeline.DomainBudget.domainBudget _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -254,6 +255,7 @@ object SparkEntry {
     "q_pagination" -> graft.pipeline.Navigation.paginationSql,
     // varint byte counts re-derived arithmetically (CASE ladder over gaps)
     "q_postings_codec" -> graft.pipeline.PostingsCodec.postingsCodecSql,
+    "q_domain_budget" -> graft.pipeline.DomainBudget.domainBudgetSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

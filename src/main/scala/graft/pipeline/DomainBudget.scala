@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.urls.PublicSuffix
+
+/** Registrable-domain crawl budgets — the subdomain-spray defense. The
+  * engine's frontier budgets are per HOST (the reference's granularity,
+  * url_queue.rs); an abuser (or an infinite-vhost trap) mints unlimited
+  * subdomains under ONE registrable domain, so per-host budgets admit
+  * unbounded urls from a single registrant — the classic crawler-trap
+  * bypass (IRLbot's "spam farm" finding; [[IpPoliteness]] is the
+  * IP-level sibling of the same argument). Keying the budget by
+  * [[PublicSuffix.registrableDomain]] (eTLD+1) closes it: 40 subdomains
+  * of one domain share ONE budget of 5 instead of 40 budgets.
+  *
+  * The contract universe plants exactly this attack: 19 normal domains
+  * (2 subdomains × 4 urls) and one spray domain (40 zero-padded
+  * subdomains × 4 urls). Under host budgets all 160 spray urls admit;
+  * under domain budgets, 5. Admission = lexicographic-url rank within
+  * the key (zero-padded labels make lexicographic = numeric, so the
+  * oracle's ladder is closed-form).
+  *
+  * Scale shape: domain derivation is the per-row PSL kernel (no
+  * shuffle); each admission is ONE partitioned rank window (bounded
+  * partitions — the whole point of a budget); no joins. */
+object DomainBudget {
+
+  val Budget = 5
+  val NormalDomains = 19
+  val SpraySubs = 40
+
+  /** The candidate-url universe (the spray domain is index
+    * [[NormalDomains]]). */
+  private[pipeline] def universe(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = spark.range(NormalDomains * 8 + SpraySubs * 4).as[Long].map { i =>
+      val (host, path) =
+        if (i < NormalDomains * 8) {
+          val d = (i / 8).toInt; val s = ((i / 4) % 2).toInt; val u = (i % 4).toInt
+          (s"${if (s == 0) "m" else "www"}.d${f"$d%02d"}example.com", s"u$u")
+        } else {
+          val j = i - NormalDomains * 8
+          val sub = (j / 4).toInt; val u = (j % 4).toInt
+          (s"s${f"$sub%02d"}.d${f"$NormalDomains%02d"}example.com", s"u$u")
+        }
+      (s"https://$host/$path", host)
+    }
+    rows.toDF("url", "host")
+  }
+
+  /** Contract query `q_domain_budget`: per url — host, registrable
+    * domain (real PSL kernel), and admission under host- vs
+    * domain-keyed budgets of [[Budget]]. */
+  def domainBudget(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val withDomain = universe(spark).as[(String, String)]
+      .map { case (url, host) =>
+        (url, host, PublicSuffix.registrableDomain(host).getOrElse(host))
+      }
+      .toDF("url", "host", "domain")
+    val byHost = org.apache.spark.sql.expressions.Window
+      .partitionBy("host").orderBy("url")
+    val byDomain = org.apache.spark.sql.expressions.Window
+      .partitionBy("domain").orderBy("url")
+    withDomain
+      .withColumn("admit_host", row_number().over(byHost) <= Budget)
+      .withColumn("admit_domain", row_number().over(byDomain) <= Budget)
+      .select("url", "host", "domain", "admit_host", "admit_domain")
+      .orderBy("url")
+  }
+
+  /** DuckDB twin: the universe regenerated from digits, regdom = the
+    * .com closed form, both admissions re-ranked by the same windows. */
+  val domainBudgetSql: String = {
+    val total = NormalDomains * 8 + SpraySubs * 4
+    s"""WITH t AS (
+       |  SELECT i,
+       |    CASE WHEN i < ${NormalDomains * 8} THEN
+       |      (CASE WHEN (i // 4) % 2 = 0 THEN 'm' ELSE 'www' END)
+       |        || '.d' || lpad(CAST(i // 8 AS VARCHAR), 2, '0') || 'example.com'
+       |    ELSE
+       |      's' || lpad(CAST((i - ${NormalDomains * 8}) // 4 AS VARCHAR), 2, '0')
+       |        || '.d$NormalDomains' || 'example.com'
+       |    END AS host,
+       |    'u' || (i % 4) AS path,
+       |    CASE WHEN i < ${NormalDomains * 8}
+       |      THEN 'd' || lpad(CAST(i // 8 AS VARCHAR), 2, '0') || 'example.com'
+       |      ELSE 'd$NormalDomains' || 'example.com' END AS domain
+       |  FROM range(0, $total) r(i)),
+       |u AS (SELECT 'https://' || host || '/' || path AS url, host, domain FROM t)
+       |SELECT url, host, domain,
+       |  (row_number() OVER (PARTITION BY host ORDER BY url) <= $Budget) AS admit_host,
+       |  (row_number() OVER (PARTITION BY domain ORDER BY url) <= $Budget) AS admit_domain
+       |FROM u ORDER BY url""".stripMargin
+  }
+}
