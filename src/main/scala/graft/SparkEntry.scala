@@ -165,7 +165,8 @@ object SparkEntry {
     "q_meta_refresh" -> (graft.pipeline.Navigation.metaRefresh _),
     "q_pagination" -> (graft.pipeline.Navigation.pagination _),
     "q_postings_codec" -> (graft.pipeline.PostingsCodec.postingsCodec _),
-    "q_domain_budget" -> (graft.pipeline.DomainBudget.domainBudget _)
+    "q_domain_budget" -> (graft.pipeline.DomainBudget.domainBudget _),
+    "q_circuit_breaker" -> (graft.pipeline.CircuitBreaker.circuitBreaker _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -256,6 +257,7 @@ object SparkEntry {
     // varint byte counts re-derived arithmetically (CASE ladder over gaps)
     "q_postings_codec" -> graft.pipeline.PostingsCodec.postingsCodecSql,
     "q_domain_budget" -> graft.pipeline.DomainBudget.domainBudgetSql,
+    "q_circuit_breaker" -> graft.pipeline.CircuitBreaker.circuitBreakerSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-host fetch circuit breaker — the failure-isolation layer a
+  * polite crawler runs next to rate budgets (Nygard's closed → open →
+  * half-open pattern): [[Threshold]] CONSECUTIVE errors trip the host
+  * open, the next [[Cooldown]] intents are suppressed (no connection is
+  * even attempted — a dying server must not absorb retries), then ONE
+  * probe decides — success closes the circuit, failure re-opens a fresh
+  * cooldown. The reference's retry ladder (client.rs:163-384,
+  * [[graft.crawl.FetchSimulator]]) is per-REQUEST; the breaker is the
+  * per-HOST memory between requests it lacks.
+  *
+  * Engine = the real state machine folded per host in ONE
+  * `flatMapGroups` over tick-sorted events (the crawler-state shape:
+  * bounded per-host groups, exactly the [[graft.streaming]] keyed-state
+  * discipline in batch form). The digit universe drives all five
+  * behavior classes (never-trips, trip→recover, trip→flap→stay-open,
+  * sub-threshold flapping, trip-recover-trip-recover); the DuckDB
+  * oracle re-derives every (state, action) as a closed-form ladder over
+  * (class, tick) — no state machine on the oracle side. */
+object CircuitBreaker {
+
+  val Hosts = 40
+  val Ticks = 20
+  val Threshold = 3
+  val Cooldown = 4
+
+  /** Fetch intent outcome for (class, tick) — the digit universe. */
+  private[pipeline] def okAt(k: Int, t: Int): Boolean = k match {
+    case 0 => true
+    case 1 => !(t >= 3 && t <= 5)
+    case 2 => t < 3
+    case 3 => t % 4 < 2 // pairs of errors — never Threshold in a row
+    case _ => !(t <= 2 || (t >= 12 && t <= 14))
+  }
+
+  /** Fold the breaker over one host's tick-sorted intents.
+    * Returns (tick, ok, state, action) — state is BEFORE the event. */
+  private[pipeline] def fold(events: Seq[(Int, Boolean)]): Seq[(Int, Boolean, String, String)] = {
+    var consec = 0
+    var state = "closed"
+    var cooldownLeft = 0
+    events.sortBy(_._1).map { case (t, ok) =>
+      val (stateBefore, action) = state match {
+        case "closed" => ("closed", "fetch")
+        case "open" if cooldownLeft > 0 => ("open", "suppress")
+        case _ => ("half_open", "probe")
+      }
+      action match {
+        case "fetch" =>
+          consec = if (ok) 0 else consec + 1
+          if (consec >= Threshold) { state = "open"; cooldownLeft = Cooldown; consec = 0 }
+        case "suppress" =>
+          cooldownLeft -= 1
+        case "probe" =>
+          if (ok) { state = "closed"; consec = 0 }
+          else { state = "open"; cooldownLeft = Cooldown }
+      }
+      (t, ok, stateBefore, action)
+    }
+  }
+
+  /** Contract query `q_circuit_breaker`: every fetch intent with the
+    * breaker's state and decision. */
+  def circuitBreaker(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val events = spark.range(Hosts * Ticks).as[Long].map { i =>
+      val h = (i / Ticks).toInt; val t = (i % Ticks).toInt
+      (f"h$h%02d.example", t, okAt(h % 5, t))
+    }.toDF("host", "tick", "ok").as[(String, Int, Boolean)]
+    events
+      .groupByKey(_._1)
+      .flatMapGroups { (host, it) =>
+        fold(it.map { case (_, t, ok) => (t, ok) }.toSeq)
+          .iterator.map { case (t, ok, st, act) => (host, t.toLong, ok, st, act) }
+      }
+      .toDF("host", "tick", "ok", "state", "action")
+      .orderBy("host", "tick")
+  }
+
+  /** DuckDB twin: (state, action) per (class, tick) as a pure ladder —
+    * the traces of all five classes, derived once from the machine's
+    * definition and pinned. */
+  val circuitBreakerSql: String =
+    s"""WITH t AS (
+       |  SELECT i // $Ticks AS h, (i // $Ticks) % 5 AS k, i % $Ticks AS tk
+       |  FROM range(0, ${Hosts * Ticks}) r(i)),
+       |v AS (
+       |  SELECT h, k, tk,
+       |    CASE k WHEN 0 THEN TRUE
+       |      WHEN 1 THEN NOT (tk BETWEEN 3 AND 5)
+       |      WHEN 2 THEN tk < 3
+       |      WHEN 3 THEN tk % 4 < 2
+       |      ELSE NOT (tk <= 2 OR tk BETWEEN 12 AND 14) END AS ok,
+       |    CASE
+       |      WHEN k IN (0, 3) THEN 'fetch'
+       |      WHEN k = 1 THEN (CASE WHEN tk <= 5 THEN 'fetch'
+       |        WHEN tk <= 9 THEN 'suppress' WHEN tk = 10 THEN 'probe'
+       |        ELSE 'fetch' END)
+       |      WHEN k = 2 THEN (CASE WHEN tk <= 5 THEN 'fetch'
+       |        WHEN tk <= 9 THEN 'suppress' WHEN tk = 10 THEN 'probe'
+       |        WHEN tk <= 14 THEN 'suppress' WHEN tk = 15 THEN 'probe'
+       |        ELSE 'suppress' END)
+       |      ELSE (CASE WHEN tk <= 2 THEN 'fetch'
+       |        WHEN tk <= 6 THEN 'suppress' WHEN tk = 7 THEN 'probe'
+       |        WHEN tk <= 14 THEN 'fetch'
+       |        WHEN tk <= 18 THEN 'suppress' ELSE 'probe' END)
+       |    END AS action
+       |  FROM t)
+       |SELECT 'h' || lpad(CAST(h AS VARCHAR), 2, '0') || '.example' AS host,
+       |  CAST(tk AS BIGINT) AS tick, ok,
+       |  CASE action WHEN 'fetch' THEN 'closed' WHEN 'suppress' THEN 'open'
+       |    ELSE 'half_open' END AS state,
+       |  action
+       |FROM v ORDER BY host, tick""".stripMargin
+}
