@@ -37,28 +37,40 @@ object CircuitBreaker {
     case _ => !(t <= 2 || (t >= 12 && t <= 14))
   }
 
+  /** Breaker memory between events (also the streaming twin's keyed
+    * state — [[graft.streaming.StreamingBreaker]]). */
+  final case class BreakerState(state: String, consec: Int, cooldownLeft: Int)
+  val Initial: BreakerState = BreakerState("closed", 0, 0)
+
+  /** One transition: (state before, intent outcome) → (state after,
+    * observed state, action). The single definition both the batch fold
+    * and the streaming twin execute. */
+  def step(s: BreakerState, ok: Boolean): (BreakerState, String, String) = {
+    val (stateBefore, action) = s.state match {
+      case "closed" => ("closed", "fetch")
+      case "open" if s.cooldownLeft > 0 => ("open", "suppress")
+      case _ => ("half_open", "probe")
+    }
+    val next = action match {
+      case "fetch" =>
+        val c = if (ok) 0 else s.consec + 1
+        if (c >= Threshold) BreakerState("open", 0, Cooldown)
+        else s.copy(consec = c)
+      case "suppress" => s.copy(cooldownLeft = s.cooldownLeft - 1)
+      case _ => // probe
+        if (ok) BreakerState("closed", 0, 0)
+        else BreakerState("open", 0, Cooldown)
+    }
+    (next, stateBefore, action)
+  }
+
   /** Fold the breaker over one host's tick-sorted intents.
     * Returns (tick, ok, state, action) — state is BEFORE the event. */
   private[pipeline] def fold(events: Seq[(Int, Boolean)]): Seq[(Int, Boolean, String, String)] = {
-    var consec = 0
-    var state = "closed"
-    var cooldownLeft = 0
+    var s = Initial
     events.sortBy(_._1).map { case (t, ok) =>
-      val (stateBefore, action) = state match {
-        case "closed" => ("closed", "fetch")
-        case "open" if cooldownLeft > 0 => ("open", "suppress")
-        case _ => ("half_open", "probe")
-      }
-      action match {
-        case "fetch" =>
-          consec = if (ok) 0 else consec + 1
-          if (consec >= Threshold) { state = "open"; cooldownLeft = Cooldown; consec = 0 }
-        case "suppress" =>
-          cooldownLeft -= 1
-        case "probe" =>
-          if (ok) { state = "closed"; consec = 0 }
-          else { state = "open"; cooldownLeft = Cooldown }
-      }
+      val (next, stateBefore, action) = step(s, ok)
+      s = next
       (t, ok, stateBefore, action)
     }
   }

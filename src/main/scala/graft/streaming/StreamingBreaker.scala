@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.pipeline.CircuitBreaker
+
+/** Streaming circuit breaker — the live twin of
+  * [[graft.pipeline.CircuitBreaker]]: fetch intents stream in as waves
+  * (one file = one micro-batch), each host's breaker memory
+  * ([[CircuitBreaker.BreakerState]]) lives in `flatMapGroupsWithState`
+  * keyed state, and every intent leaves with its decision. The
+  * transition function is THE SAME `CircuitBreaker.step` the batch fold
+  * executes — the twin relationship is by construction, and the spec
+  * additionally proves batch parity, checkpoint-restart resume (a
+  * breaker mid-cooldown stays mid-cooldown across a kill), and
+  * exactly-once re-delivery.
+  *
+  * Scale shape: state is three small fields per HOST (bounded by the
+  * host population, not the url population — the cheap kind of keyed
+  * streaming state); intents shuffle once on the host key; the parquet
+  * sink commits per micro-batch (exactly-once with the checkpoint). */
+object StreamingBreaker {
+
+  final case class Intent(host: String, tick: Long, ok: Boolean)
+  final case class Decision(host: String, tick: Long, ok: Boolean,
+                            state: String, action: String)
+
+  /** Drain everything in `inputDir` (one file per micro-batch), folding
+    * each host's intents tick-sorted through the shared transition. */
+  def run(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String
+  ): Unit = {
+    import spark.implicits._
+    val schema = Encoders.product[Intent].schema
+    val decisions = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // one wave per micro-batch
+      .parquet(inputDir)
+      .as[Intent]
+      .groupByKey(_.host)
+      .flatMapGroupsWithState[CircuitBreaker.BreakerState, Decision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (host: String, rows: Iterator[Intent],
+         state: GroupState[CircuitBreaker.BreakerState]) =>
+          var s = if (state.exists) state.get else CircuitBreaker.Initial
+          val out = rows.toSeq.sortBy(_.tick).map { in =>
+            val (next, stateBefore, action) = CircuitBreaker.step(s, in.ok)
+            s = next
+            Decision(host, in.tick, in.ok, stateBefore, action)
+          }
+          state.update(s)
+          out.iterator
+      }
+    val q = decisions.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Committed decisions (explicit schema: an empty sink reads empty). */
+  def readOutput(spark: SparkSession, outputDir: String): DataFrame =
+    spark.read.schema(Encoders.product[Decision].schema).parquet(outputDir)
+}
