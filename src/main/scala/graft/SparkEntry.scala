@@ -166,7 +166,8 @@ object SparkEntry {
     "q_pagination" -> (graft.pipeline.Navigation.pagination _),
     "q_postings_codec" -> (graft.pipeline.PostingsCodec.postingsCodec _),
     "q_domain_budget" -> (graft.pipeline.DomainBudget.domainBudget _),
-    "q_circuit_breaker" -> (graft.pipeline.CircuitBreaker.circuitBreaker _)
+    "q_circuit_breaker" -> (graft.pipeline.CircuitBreaker.circuitBreaker _),
+    "q_image_sitemap" -> (graft.pipeline.ImageSitemap.imageSitemap _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -258,6 +259,7 @@ object SparkEntry {
     "q_postings_codec" -> graft.pipeline.PostingsCodec.postingsCodecSql,
     "q_domain_budget" -> graft.pipeline.DomainBudget.domainBudgetSql,
     "q_circuit_breaker" -> graft.pipeline.CircuitBreaker.circuitBreakerSql,
+    "q_image_sitemap" -> graft.pipeline.ImageSitemap.imageSitemapSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

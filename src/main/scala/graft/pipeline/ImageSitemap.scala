@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.SitemapSeeder
+
+/** Image-sitemap extension mining (`q_image_sitemap`) — the sitemaps.org
+  * image namespace: page→image edges published by the site itself, the
+  * discovery channel a multimodal corpus uses BEFORE fetching pages (the
+  * in-page sibling is [[graft.extract.HtmlKit.extractAssets]] /
+  * [[Assets]]). Each `<url>` entry carries `<image:image>` sub-blocks
+  * with `<image:loc>` and optional caption — captions are exactly the
+  * alt-text-grade supervision image-text training pairs want.
+  *
+  * Digit universe through the REAL parser: CDATA page locs, relative and
+  * absolute image locs, present/absent captions, an ftp:// image decoy
+  * (scheme-filtered), and a loc-less `<url>` entry that must drop whole.
+  * DuckDB re-derives every row as a closed-form ladder.
+  *
+  * Scale shape: per-sitemap parse is bounded per-row work (sitemaps cap
+  * at 50k entries by spec); output explodes to (page, image) edges —
+  * keys only, no payloads. */
+object ImageSitemap {
+
+  val Hosts = 30
+
+  private[pipeline] def sitemapUrl(h: Int) = s"https://m$h.example/sitemap.xml"
+
+  /** Sitemap body for host h — 3 url entries, entry e carrying
+    * (h+e)%3 images. */
+  private[pipeline] def body(h: Int): String = {
+    val entries = (0 until 3).map { e =>
+      val loc =
+        if (e == 0) s"<loc><![CDATA[ /page$e ]]></loc>"
+        else s"<loc>/page$e</loc>"
+      val imgs = (0 until (h + e) % 3).map { j =>
+        val il =
+          if (j == 1) s"https://m$h.example/img/${e}_$j.jpg"
+          else s"/img/${e}_$j.jpg"
+        val cap = if ((h + e + j) % 2 == 0)
+          s"<image:caption>cap $h $e $j</image:caption>" else ""
+        s"<image:image><image:loc>$il</image:loc>$cap</image:image>"
+      }.mkString
+      val decoy = if ((h + e) % 5 == 0)
+        "<image:image><image:loc>ftp://m.example/x.jpg</image:loc></image:image>"
+      else ""
+      s"<url>$loc$imgs$decoy</url>"
+    }.mkString("\n")
+    val locless = if (h % 7 == 0)
+      "<url><image:image><image:loc>/orphan.jpg</image:loc></image:image></url>"
+    else ""
+    s"""<?xml version="1.0"?>
+       |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"
+       |        xmlns:image="http://www.google.com/schemas/sitemap-image/1.1">
+       |$entries
+       |$locless
+       |</urlset>""".stripMargin
+  }
+
+  /** Contract query `q_image_sitemap`: every (page, image) edge with its
+    * caption, through the real extension parser. */
+  def imageSitemap(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(Hosts).as[Long].flatMap { h =>
+      SitemapSeeder.parseImageEntries(body(h.toInt), sitemapUrl(h.toInt))
+        .map(e => (s"m$h.example", e.pageUrl, e.imageUrl, e.caption.orNull))
+    }.toDF("host", "page_url", "image_url", "caption")
+      .orderBy("host", "page_url", "image_url")
+  }
+
+  /** DuckDB twin: the closed-form (h, e, j) ladder. */
+  val imageSitemapSql: String =
+    s"""WITH t AS (
+       |  SELECT h.i AS h, e.j AS e, img.k AS j
+       |  FROM range(0, $Hosts) h(i)
+       |  JOIN range(0, 3) e(j) ON TRUE
+       |  JOIN range(0, 2) img(k) ON img.k < (h.i + e.j) % 3)
+       |SELECT 'm' || h || '.example' AS host,
+       |  'https://m' || h || '.example/page' || e AS page_url,
+       |  'https://m' || h || '.example/img/' || e || '_' || j || '.jpg' AS image_url,
+       |  CASE WHEN (h + e + j) % 2 = 0 THEN 'cap ' || h || ' ' || e || ' ' || j
+       |       ELSE NULL END AS caption
+       |FROM t ORDER BY host, page_url, image_url""".stripMargin
+}

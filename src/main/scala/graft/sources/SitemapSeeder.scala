@@ -90,6 +90,46 @@ object SitemapSeeder {
       }
     }
 
+  /** One image attachment of a `<url>` entry (the sitemaps.org image
+    * extension Google defined: `<image:image><image:loc>` with optional
+    * caption/title — the discovery channel for a multimodal corpus's
+    * page→asset edges when pages themselves are not yet fetched). */
+  final case class ImageEntry(pageUrl: String, imageUrl: String,
+                              caption: Option[String])
+
+  private val ImageBlockRe = "(?s)<image:image>(.*?)</image:image>".r
+  private val ImageLocRe = fieldRe("image:loc")
+  private val ImageCaptionRe = fieldRe("image:caption")
+
+  /** Parse the image extension: every `<image:image>` inside a `<url>`
+    * block, keyed to that block's page `<loc>`. Same resolution/filter
+    * rules as [[parseLocs]]; dedup keep-first per (page, image). */
+  def parseImageEntries(body: String, baseUrl: String): Vector[ImageEntry] = {
+    if (body.length > MaxBodyBytes) return Vector.empty
+    val seen = scala.collection.mutable.LinkedHashMap.empty[(String, String), ImageEntry]
+    def abs(raw: String): Option[String] =
+      UrlKernel.resolve(baseUrl, raw).flatMap(UrlKernel.parse)
+        .filter(p => p.scheme == "http" || p.scheme == "https").map(_.fullString)
+    def field(re: scala.util.matching.Regex, block: String): Option[String] =
+      re.findFirstMatchIn(block)
+        .map(m => Option(m.group(1)).getOrElse(m.group(2)).trim).filter(_.nonEmpty)
+    UrlBlockRe.findAllMatchIn(body).foreach { b =>
+      val block = b.group(1)
+      // the page loc is the block's FIRST <loc> outside image sub-blocks;
+      // stripping image blocks first keeps a loc-less entry loc-less
+      val pageOnly = ImageBlockRe.replaceAllIn(block, "")
+      field(LocRe, pageOnly).flatMap(abs).foreach { page =>
+        ImageBlockRe.findAllMatchIn(block).foreach { ib =>
+          field(ImageLocRe, ib.group(1)).flatMap(abs).foreach { img =>
+            if (!seen.contains((page, img)))
+              seen((page, img)) = ImageEntry(page, img, field(ImageCaptionRe, ib.group(1)))
+          }
+        }
+      }
+    }
+    seen.values.toVector
+  }
+
   def isSitemapIndex(body: String): Boolean = body.contains("<sitemapindex")
 
   private def looksLikeSitemapUrl(u: String): Boolean = {
