@@ -167,7 +167,8 @@ object SparkEntry {
     "q_postings_codec" -> (graft.pipeline.PostingsCodec.postingsCodec _),
     "q_domain_budget" -> (graft.pipeline.DomainBudget.domainBudget _),
     "q_circuit_breaker" -> (graft.pipeline.CircuitBreaker.circuitBreaker _),
-    "q_image_sitemap" -> (graft.pipeline.ImageSitemap.imageSitemap _)
+    "q_image_sitemap" -> (graft.pipeline.ImageSitemap.imageSitemap _),
+    "q_aimd" -> (graft.pipeline.Aimd.aimd _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -1,0 +1,69 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-host adaptive concurrency — AIMD (additive-increase,
+  * multiplicative-decrease, TCP congestion control's fairness-proven
+  * rule, Chiu & Jain 1989) over fetch latency: a fast response grows the
+  * host's concurrency window by 1, a slow-or-failed one halves it. This
+  * is the POLITENESS AUTOSCALER between the static budget
+  * ([[graft.frontier.Frontier]] token buckets, the reference's fixed
+  * `concurrency: 3`) and the binary [[CircuitBreaker]]: a healthy server
+  * earns parallelism gradually, a struggling one sheds it geometrically
+  * — and AIMD is the unique linear rule that converges to a fair split
+  * when many crawler workers share one host.
+  *
+  * Engine = the shared [[step]] folded per host over tick-sorted
+  * latency samples in one `flatMapGroups` (the [[CircuitBreaker]]
+  * discipline). Five traffic classes: steady-fast (climb to cap),
+  * periodic congestion (sawtooth), always-slow (floor), slow-start
+  * recovery, alternating pairs. Deterministic integers throughout —
+  * the output freezes as a fixture oracle, and the spec replays a
+  * hand-traced sawtooth plus an independent driver fold. */
+object Aimd {
+
+  val Hosts = 40
+  val Ticks = 20
+  val WMax = 16
+  val SlowMs = 500L
+
+  /** One AIMD transition: window before → window after. */
+  def step(w: Int, latencyMs: Long): Int =
+    if (latencyMs < SlowMs) math.min(WMax, w + 1) else math.max(1, w / 2)
+
+  /** Latency for (class, tick) — the digit universe. Fast = 100+t,
+    * slow = 900+t (both deterministic, never straddling [[SlowMs]]). */
+  private[pipeline] def latencyAt(k: Int, t: Int): Long = {
+    val slow = k match {
+      case 0 => false
+      case 1 => t % 8 == 7
+      case 2 => true
+      case 3 => t < 5
+      case _ => t % 4 < 2
+    }
+    (if (slow) 900L else 100L) + t
+  }
+
+  /** Contract query `q_aimd`: per fetch — latency, window before/after. */
+  def aimd(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(Hosts * Ticks).as[Long]
+      .map { i =>
+        val h = (i / Ticks).toInt; val t = (i % Ticks).toInt
+        (f"h$h%02d.example", t, latencyAt(h % 5, t))
+      }
+      .toDF("host", "tick", "latency_ms").as[(String, Int, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (host, it) =>
+        var w = 1
+        it.toSeq.sortBy(_._2).iterator.map { case (_, t, lat) =>
+          val before = w
+          w = step(w, lat)
+          (host, t.toLong, lat, before.toLong, w.toLong)
+        }
+      }
+      .toDF("host", "tick", "latency_ms", "w_before", "w_after")
+      .orderBy("host", "tick")
+  }
+}
