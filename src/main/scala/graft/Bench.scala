@@ -170,7 +170,8 @@ object Bench {
       "q_harmonic", "q_harmonic_hll", "q_blocklist", "q_feed_discovery",
       "q_snippet", "q_opic", "q_registrable", "q_rendezvous", "q_jsonld",
       "q_meta_refresh", "q_pagination", "q_postings_codec",
-      "q_domain_budget", "q_circuit_breaker", "q_image_sitemap", "q_aimd")
+      "q_domain_budget", "q_circuit_breaker", "q_image_sitemap", "q_aimd",
+      "q_retry_after")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++
         sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)

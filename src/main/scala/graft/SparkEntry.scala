@@ -168,7 +168,8 @@ object SparkEntry {
     "q_domain_budget" -> (graft.pipeline.DomainBudget.domainBudget _),
     "q_circuit_breaker" -> (graft.pipeline.CircuitBreaker.circuitBreaker _),
     "q_image_sitemap" -> (graft.pipeline.ImageSitemap.imageSitemap _),
-    "q_aimd" -> (graft.pipeline.Aimd.aimd _)
+    "q_aimd" -> (graft.pipeline.Aimd.aimd _),
+    "q_retry_after" -> (graft.pipeline.RetryAfterQuery.retryAfter _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -261,6 +262,7 @@ object SparkEntry {
     "q_domain_budget" -> graft.pipeline.DomainBudget.domainBudgetSql,
     "q_circuit_breaker" -> graft.pipeline.CircuitBreaker.circuitBreakerSql,
     "q_image_sitemap" -> graft.pipeline.ImageSitemap.imageSitemapSql,
+    "q_retry_after" -> graft.pipeline.RetryAfterQuery.retryAfterSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

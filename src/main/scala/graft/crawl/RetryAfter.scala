@@ -1,0 +1,45 @@
+package graft.crawl
+
+/** RFC 9110 §10.2.3 Retry-After parsing — the server-directed backoff a
+  * polite crawler must honor on 429/503 before its own ladder applies.
+  * Two wire forms: delta-seconds (`"120"`) and an IMF-fixdate HTTP date
+  * (`"Wed, 21 Oct 2015 07:28:00 GMT"`). The reference's retry ladder
+  * (client.rs:163-384) backs off blindly; honoring the header is what
+  * the spec (and operators) expect.
+  *
+  * Policy ([[waitSeconds]]): a parsed value clamps to
+  * [[MinWait]]..[[MaxWait]] (a past HTTP date means "now" → the floor; a
+  * 10-hour demand is abusive → the cap); a missing or malformed header
+  * falls back to the exponential ladder `min(2^attempt, 60)` — tolerant,
+  * never throws on wild header values. */
+object RetryAfter {
+
+  val MinWait = 1L
+  val MaxWait = 3600L
+  val LadderCap = 60L
+
+  /** Parse the header value against `nowEpochSec`: delta-seconds or
+    * IMF-fixdate → seconds from now (may be ≤ 0 for past dates);
+    * None when malformed. */
+  def parseSeconds(value: String, nowEpochSec: Long): Option[Long] = {
+    val t = value.trim
+    if (t.isEmpty) return scala.None
+    t.toLongOption match {
+      case Some(d) => Some(d)
+      case scala.None =>
+        try {
+          val at = java.time.ZonedDateTime
+            .parse(t, java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME)
+            .toEpochSecond
+          Some(at - nowEpochSec)
+        } catch { case _: Exception => scala.None }
+    }
+  }
+
+  /** The effective wait: clamped header value, or the attempt ladder. */
+  def waitSeconds(header: Option[String], attempt: Int, nowEpochSec: Long): Long =
+    header.flatMap(parseSeconds(_, nowEpochSec)) match {
+      case Some(s) => math.max(MinWait, math.min(MaxWait, s))
+      case scala.None => math.min(LadderCap, 1L << math.min(attempt, 30))
+    }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.crawl.RetryAfter
+
+/** Retry-After honoring over a digit universe of 429/503 responses
+  * (`q_retry_after`) — both wire forms through the REAL parser
+  * ([[graft.crawl.RetryAfter]]): delta-seconds, IMF-fixdate futures,
+  * past dates (clamp to the floor), abusive demands (clamp to the cap),
+  * and malformed values falling back to the attempt ladder. The DuckDB
+  * oracle re-derives every wait arithmetically — the date strings are
+  * digit-generated, so their parse results are known without parsing.
+  *
+  * Scale shape: a pure per-row kernel fused into the scan. */
+object RetryAfterQuery {
+
+  val N = 200
+  val NowSec = 1704067200L // 2024-01-01T00:00:00Z
+
+  private def httpDate(epochSec: Long): String =
+    java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME.format(
+      java.time.ZonedDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(epochSec), java.time.ZoneOffset.UTC))
+
+  /** (status, header) for digit i: k=i%5 → 429 delta, 503 delta
+    * (sometimes abusive), 503 future date, 503 PAST date, 503 garbage. */
+  private[pipeline] def eventAt(i: Int): (Long, Option[String]) = (i % 5) match {
+    case 0 => (429L, Some(((i % 7) * 30).toString))
+    case 1 => (503L, Some(((i % 11) * 600).toString)) // 0..6000s — cap cases
+    case 2 => (503L, Some(httpDate(NowSec + (i % 5) * 120 + 60)))
+    case 3 => (503L, Some(httpDate(NowSec - 300))) // past → floor
+    case _ => (503L, if (i % 2 == 0) Some("soon") else scala.None)
+  }
+
+  /** Contract query `q_retry_after`: per response — status, raw header,
+    * parsed seconds (null when malformed/absent), effective wait. */
+  def retryAfter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(N).as[Long].map { id =>
+      val i = id.toInt
+      val (status, header) = eventAt(i)
+      val attempt = i % 3
+      val parsed = header.flatMap(RetryAfter.parseSeconds(_, NowSec))
+      (id, status, header.orNull, parsed,
+        RetryAfter.waitSeconds(header, attempt, NowSec))
+    }.toDF("id", "status", "retry_after", "parsed_s", "wait_s")
+      .orderBy("id")
+  }
+
+  /** DuckDB twin: waits re-derived arithmetically from the digits (the
+    * date strings' parse results are known by construction). */
+  val retryAfterSql: String =
+    s"""WITH t AS (
+       |  SELECT i, i % 5 AS k, i % 3 AS attempt FROM range(0, $N) r(i)),
+       |v AS (
+       |  SELECT i, k, attempt,
+       |    CASE WHEN k = 0 THEN 429 ELSE 503 END AS status,
+       |    CASE k
+       |      WHEN 0 THEN CAST((i % 7) * 30 AS BIGINT)
+       |      WHEN 1 THEN CAST((i % 11) * 600 AS BIGINT)
+       |      WHEN 2 THEN CAST((i % 5) * 120 + 60 AS BIGINT)
+       |      WHEN 3 THEN CAST(-300 AS BIGINT)
+       |      ELSE NULL END AS parsed_s,
+       |    (k = 4) AS malformed_or_absent,
+       |    (k = 4 AND i % 2 = 1) AS absent
+       |  FROM t)
+       |SELECT CAST(i AS BIGINT) AS id, CAST(status AS BIGINT) AS status,
+       |  CASE
+       |    WHEN k = 0 THEN CAST((i % 7) * 30 AS VARCHAR)
+       |    WHEN k = 1 THEN CAST((i % 11) * 600 AS VARCHAR)
+       |    WHEN k = 2 THEN strftime(
+       |      to_timestamp($NowSec + (i % 5) * 120 + 60) AT TIME ZONE 'UTC',
+       |      '%a, %-d %b %Y %H:%M:%S GMT')
+       |    WHEN k = 3 THEN strftime(
+       |      to_timestamp($NowSec - 300) AT TIME ZONE 'UTC',
+       |      '%a, %-d %b %Y %H:%M:%S GMT')
+       |    WHEN i % 2 = 0 THEN 'soon' ELSE NULL END AS retry_after,
+       |  parsed_s,
+       |  CAST(CASE WHEN malformed_or_absent
+       |    THEN least(${RetryAfter.LadderCap}, CAST(2 AS BIGINT) ** attempt)
+       |    ELSE greatest(${RetryAfter.MinWait}, least(${RetryAfter.MaxWait}, parsed_s))
+       |    END AS BIGINT) AS wait_s
+       |FROM v ORDER BY i""".stripMargin
+}

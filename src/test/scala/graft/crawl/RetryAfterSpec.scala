@@ -1,0 +1,30 @@
+package graft.crawl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Retry-After kernel gates: both RFC 9110 wire forms, past dates,
+  * clamping, and the malformed-fallback ladder. */
+class RetryAfterSpec extends AnyFunSuite {
+
+  private val Now = 1704067200L // 2024-01-01T00:00:00Z
+
+  test("delta-seconds and IMF-fixdate both parse") {
+    assert(RetryAfter.parseSeconds("120", Now) === Some(120L))
+    assert(RetryAfter.parseSeconds(" 0 ", Now) === Some(0L))
+    assert(RetryAfter.parseSeconds("Mon, 1 Jan 2024 00:10:00 GMT", Now) === Some(600L))
+    assert(RetryAfter.parseSeconds("Sun, 31 Dec 2023 23:55:00 GMT", Now) === Some(-300L))
+    assert(RetryAfter.parseSeconds("soon", Now) === None)
+    assert(RetryAfter.parseSeconds("", Now) === None)
+  }
+
+  test("policy: clamp floor/cap; ladder on malformed/absent") {
+    assert(RetryAfter.waitSeconds(Some("120"), 0, Now) === 120L)
+    assert(RetryAfter.waitSeconds(Some("0"), 0, Now) === RetryAfter.MinWait)
+    assert(RetryAfter.waitSeconds(Some("99999"), 0, Now) === RetryAfter.MaxWait)
+    assert(RetryAfter.waitSeconds(
+      Some("Sun, 31 Dec 2023 23:55:00 GMT"), 0, Now) === RetryAfter.MinWait)
+    assert(RetryAfter.waitSeconds(Some("soon"), 3, Now) === 8L)
+    assert(RetryAfter.waitSeconds(None, 0, Now) === 1L)
+    assert(RetryAfter.waitSeconds(None, 20, Now) === RetryAfter.LadderCap)
+  }
+}
