@@ -169,7 +169,8 @@ object SparkEntry {
     "q_circuit_breaker" -> (graft.pipeline.CircuitBreaker.circuitBreaker _),
     "q_image_sitemap" -> (graft.pipeline.ImageSitemap.imageSitemap _),
     "q_aimd" -> (graft.pipeline.Aimd.aimd _),
-    "q_retry_after" -> (graft.pipeline.RetryAfterQuery.retryAfter _)
+    "q_retry_after" -> (graft.pipeline.RetryAfterQuery.retryAfter _),
+    "q_salsa" -> (graft.pipeline.Salsa.salsa _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -263,6 +264,7 @@ object SparkEntry {
     "q_circuit_breaker" -> graft.pipeline.CircuitBreaker.circuitBreakerSql,
     "q_image_sitemap" -> graft.pipeline.ImageSitemap.imageSitemapSql,
     "q_retry_after" -> graft.pipeline.RetryAfterQuery.retryAfterSql,
+    "q_salsa" -> graft.pipeline.Salsa.salsaSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,
