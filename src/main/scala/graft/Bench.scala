@@ -171,7 +171,7 @@ object Bench {
       "q_snippet", "q_opic", "q_registrable", "q_rendezvous", "q_jsonld",
       "q_meta_refresh", "q_pagination", "q_postings_codec",
       "q_domain_budget", "q_circuit_breaker", "q_image_sitemap", "q_aimd",
-      "q_retry_after", "q_salsa")
+      "q_retry_after", "q_salsa", "q_script_detect")
     val queryNames = onlyQueries match {
       case Some(sel) => allQueryNames.filter(sel) ++
         sel.filterNot(allQueryNames.contains).toSeq.sorted.filter(SparkEntry.queries.contains)

@@ -170,7 +170,8 @@ object SparkEntry {
     "q_image_sitemap" -> (graft.pipeline.ImageSitemap.imageSitemap _),
     "q_aimd" -> (graft.pipeline.Aimd.aimd _),
     "q_retry_after" -> (graft.pipeline.RetryAfterQuery.retryAfter _),
-    "q_salsa" -> (graft.pipeline.Salsa.salsa _)
+    "q_salsa" -> (graft.pipeline.Salsa.salsa _),
+    "q_script_detect" -> (graft.pipeline.ScriptDetect.scriptDetect _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -265,6 +266,7 @@ object SparkEntry {
     "q_image_sitemap" -> graft.pipeline.ImageSitemap.imageSitemapSql,
     "q_retry_after" -> graft.pipeline.RetryAfterQuery.retryAfterSql,
     "q_salsa" -> graft.pipeline.Salsa.salsaSql(fixtureSql("q_extract_link_edges")),
+    "q_script_detect" -> graft.pipeline.ScriptDetect.scriptDetectSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

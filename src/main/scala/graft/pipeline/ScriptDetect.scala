@@ -1,0 +1,114 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unicode script detection (`q_script_detect`) — the writing-system
+  * profile a multilingual corpus keys its mixes on (ISO 15924 via the
+  * JDK's `Character.UnicodeScript`, the same property database CLD-class
+  * identifiers bin on first). [[TextAnalysis]]'s n-gram language ID
+  * separates languages WITHIN a script; the script histogram is the
+  * cheaper upstream gate (Cyrillic text never needs the Romance-language
+  * models) and the mixed-script signal is itself a quality flag
+  * (Latin-Cyrillic homoglyph spam, CJK boilerplate in Latin pages).
+  *
+  * Per document: counts per major script + other, and the dominant
+  * script (COMMON/INHERITED — spaces, digits, punctuation — excluded
+  * from dominance, the standard convention). Pure per-row kernel fused
+  * into the scan; surrogate pairs handled by codepoint iteration, not
+  * chars. The digit universe composes texts from fixed codepoint
+  * alphabets of five script families, so the DuckDB oracle re-derives
+  * every count as a closed-form ladder with no Unicode tables at all. */
+object ScriptDetect {
+
+  val Docs = 150
+
+  /** Count codepoints of `text` per script bucket. Returns (latin,
+    * cyrillic, han, arabic, devanagari, hangul, other, common). */
+  def scriptCounts(text: String): (Long, Long, Long, Long, Long, Long, Long, Long) = {
+    var la = 0L; var cy = 0L; var ha = 0L; var ar = 0L
+    var de = 0L; var hg = 0L; var ot = 0L; var co = 0L
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      import Character.{UnicodeScript => S}
+      S.of(cp) match {
+        case S.LATIN => la += 1
+        case S.CYRILLIC => cy += 1
+        case S.HAN => ha += 1
+        case S.ARABIC => ar += 1
+        case S.DEVANAGARI => de += 1
+        case S.HANGUL => hg += 1
+        case S.COMMON | S.INHERITED => co += 1
+        case _ => ot += 1
+      }
+    }
+    (la, cy, ha, ar, de, hg, ot, co)
+  }
+
+  /** Dominant script name (ties broken alphabetically; "none" when no
+    * script codepoints exist). */
+  def dominant(c: (Long, Long, Long, Long, Long, Long, Long, Long)): String = {
+    val named = Seq("arabic" -> c._4, "cyrillic" -> c._2, "devanagari" -> c._5,
+      "han" -> c._3, "hangul" -> c._6, "latin" -> c._1, "other" -> c._7)
+    val best = named.maxBy(_._2)
+    if (best._2 == 0L) "none" else named.find(_._2 == best._2).get._1
+  }
+
+  // fixed alphabets, one representative run per script family
+  private def run(start: Int, n: Int, span: Int): String = {
+    val sb = new java.lang.StringBuilder
+    var j = 0
+    while (j < n) { sb.appendCodePoint(start + (j % span)); j += 1 }
+    sb.toString
+  }
+
+  /** Document text for digit i — composition class c = i%5. Every class
+    * mixes at least two script families plus COMMON separators. */
+  private[pipeline] def textAt(i: Int): String = {
+    val c = i % 5
+    val a = 10 + i % 7 // primary-run length
+    val b = 3 + i % 4  // secondary-run length
+    val latin = run('a', a, 5)
+    c match {
+      case 0 => latin + " " + run('f', b, 3) // pure latin, two runs
+      case 1 => run(0x430, a, 6) + " " + latin.substring(0, b) // cyrillic + latin
+      case 2 => run(0x4E00, a, 8) + " " + latin.substring(0, b) // han + latin
+      case 3 => run(0x627, a, 5) + " 123 " + latin.substring(0, b) // arabic + digits
+      case 4 => run(0x905, a, 6) + " " + run(0xAC00, b, 4) // devanagari + hangul
+    }
+  }
+
+  /** Contract query `q_script_detect`. */
+  def scriptDetect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.range(Docs).as[Long].map { id =>
+      val t = textAt(id.toInt)
+      val c = scriptCounts(t)
+      (id, c._1, c._2, c._3, c._4, c._5, c._6, c._7, c._8, dominant(c))
+    }.toDF("id", "latin", "cyrillic", "han", "arabic", "devanagari",
+      "hangul", "other", "common", "dominant")
+      .orderBy("id")
+  }
+
+  /** DuckDB twin: the closed-form count ladder (the alphabets are fixed
+    * single-script runs, so counts are pure digit arithmetic). */
+  val scriptDetectSql: String =
+    s"""WITH t AS (
+       |  SELECT i, i % 5 AS c, 10 + i % 7 AS a, 3 + i % 4 AS b
+       |  FROM range(0, $Docs) r(i))
+       |SELECT CAST(i AS BIGINT) AS id,
+       |  CAST(CASE c WHEN 0 THEN a + b WHEN 1 THEN b WHEN 2 THEN b
+       |    WHEN 3 THEN b ELSE 0 END AS BIGINT) AS latin,
+       |  CAST(CASE c WHEN 1 THEN a ELSE 0 END AS BIGINT) AS cyrillic,
+       |  CAST(CASE c WHEN 2 THEN a ELSE 0 END AS BIGINT) AS han,
+       |  CAST(CASE c WHEN 3 THEN a ELSE 0 END AS BIGINT) AS arabic,
+       |  CAST(CASE c WHEN 4 THEN a ELSE 0 END AS BIGINT) AS devanagari,
+       |  CAST(CASE c WHEN 4 THEN b ELSE 0 END AS BIGINT) AS hangul,
+       |  CAST(0 AS BIGINT) AS other,
+       |  CAST(CASE c WHEN 0 THEN 1 WHEN 3 THEN 5 ELSE 1 END AS BIGINT) AS common,
+       |  CASE c WHEN 0 THEN 'latin' WHEN 1 THEN 'cyrillic' WHEN 2 THEN 'han'
+       |    WHEN 3 THEN 'arabic' ELSE 'devanagari' END AS dominant
+       |FROM t ORDER BY i""".stripMargin
+}
