@@ -393,6 +393,47 @@ object PlanCheck {
         !pmPlan.contains("CartesianProduct") && !pmPlan.contains("BroadcastNestedLoopJoin"),
       "list-expression parsing in codegen; distinct counts combine map-side")
 
+    // 29. blocklist: bounded suffix-explode equi-join, most-specific-wins
+    // as a map-side-combinable max — no LIKE-ANY scan, no products
+    val bl = graft.pipeline.Blocklist.blocklist(spark, sfDir)
+    val blPlan = bl.queryExecution.executedPlan.toString
+    check("q_blocklist/suffix-equi-join",
+      !blPlan.contains("CartesianProduct") && !blPlan.contains("BroadcastNestedLoopJoin") &&
+        blPlan.contains("partial_max"),
+      "suffix set equi-joins the list; longest-match is a partial max")
+
+    // 30. snippet: the query vocabulary broadcasts BEFORE any shuffle
+    val sn = graft.pipeline.Snippets.snippet(spark, sfDir)
+    val snPlan = sn.queryExecution.executedPlan.toString
+    check("q_snippet/broadcast-vocab",
+      snPlan.contains("BroadcastHashJoin") && !snPlan.contains("CartesianProduct"),
+      "postings prune on the broadcast query terms before grouping")
+
+    // 31. harmonic: MS-BFS rounds are keyed bit_or aggregations + hash
+    // joins under constant plan size (lineage cuts)
+    val hcen = graft.pipeline.Centrality.harmonic(spark, sfDir)
+    val hcenPlan = hcen.queryExecution.executedPlan.toString
+    check("q_harmonic/keyed-bitor-rounds",
+      !hcenPlan.contains("CartesianProduct") && !hcenPlan.contains("BroadcastNestedLoopJoin"),
+      "frontier rounds are keyed joins + bit_or aggs, no products")
+
+    // 32. opic: per-wave selection is a bounded TakeOrdered, never a
+    // global sort feeding a limit
+    val op = graft.pipeline.Opic.opic(spark, sfDir)
+    val opPlan = op.queryExecution.executedPlan.toString
+    check("q_opic/take-ordered-selection",
+      !opPlan.contains("CartesianProduct") &&
+        !opPlan.contains("GlobalLimit 8"), // TakeOrdered absorbs the limit
+      "top-k by cash is a bounded heap per wave")
+
+    // 33. domain budget: two rank windows and the per-row PSL kernel —
+    // zero joins in the whole plan
+    val db = graft.pipeline.DomainBudget.domainBudget(spark, sfDir)
+    val dbPlan = db.queryExecution.executedPlan.toString
+    check("q_domain_budget/windows-only",
+      !dbPlan.contains("Join") && dbPlan.contains("Window"),
+      "admission is partitioned rank windows; domain derivation is per-row")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
