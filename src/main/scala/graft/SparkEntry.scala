@@ -171,7 +171,8 @@ object SparkEntry {
     "q_aimd" -> (graft.pipeline.Aimd.aimd _),
     "q_retry_after" -> (graft.pipeline.RetryAfterQuery.retryAfter _),
     "q_salsa" -> (graft.pipeline.Salsa.salsa _),
-    "q_script_detect" -> (graft.pipeline.ScriptDetect.scriptDetect _)
+    "q_script_detect" -> (graft.pipeline.ScriptDetect.scriptDetect _),
+    "q_heavy_hitters" -> (graft.pipeline.HeavyHitters.heavyHitters _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -267,6 +268,9 @@ object SparkEntry {
     "q_retry_after" -> graft.pipeline.RetryAfterQuery.retryAfterSql,
     "q_salsa" -> graft.pipeline.Salsa.salsaSql(fixtureSql("q_extract_link_edges")),
     "q_script_detect" -> graft.pipeline.ScriptDetect.scriptDetectSql,
+    // independent recompute: DuckDB runs the full GROUP BY ... HAVING the
+    // two-pass MG-sketch + confirm dataflow provably equals
+    "q_heavy_hitters" -> graft.pipeline.HeavyHitters.heavyHittersSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Frontier heavy hitters (`q_heavy_hitters`) — the two-pass
+  * sketch-then-confirm frequency query a web-scale frontier runs before
+  * every capacity decision: WHICH hosts dominate the link stream. The
+  * politeness layer ([[DomainBudget]], [[Aimd]], [[CircuitBreaker]])
+  * budgets per host, the resharder ([[Resharding]]) balances per host —
+  * both need the hot-host list, and at 10^10 sightings a full
+  * `GROUP BY host` shuffles a row per distinct host (tens of millions)
+  * to answer a question whose output is a handful of rows.
+  *
+  * Pass 1 is a per-partition Misra–Gries summary (Misra/Gries 1982;
+  * merge soundness per Agarwal et al., "Mergeable Summaries", PODS'12)
+  * of capacity [[Capacity]] over the host stream: bounded memory per
+  * task, and the only shuffled rows are ≤ partitions × (K+1) summary
+  * entries. The candidate set is the UNION of partition-summary keys —
+  * a guaranteed superset of every global heavy hitter: if host h holds
+  * share ≥ [[SharePct]]% globally, some partition has local count
+  * > n_p/(K+1) (else the total would be ≤ n/(K+1) < n/100), and MG
+  * never evicts an item whose count exceeds that bound. Pass 2 confirms
+  * with EXACT counts: a broadcast semi-join of the tiny candidate list
+  * against the stream, then a groupBy whose distinct-key space is ≤ the
+  * candidate count — map-side combine collapses each task to ≤ |cands|
+  * rows, so the confirm shuffle is O(partitions × candidates), never
+  * O(distinct hosts). False positives die on the exact threshold; false
+  * negatives are impossible by the sketch guarantee — the output is
+  * bit-equal to the full GROUP BY ... HAVING, at a fraction of the
+  * shuffle. (Reference scope: rust-scraper tracks per-domain counters
+  * driver-side in metrics.rs:148+; this is that signal made scalable.)
+  *
+  * House integer discipline: threshold `(n + 99) div 100` (ceil of 1%),
+  * share in permille via integer div — no floats in the contract. */
+object HeavyHitters {
+
+  /** Misra–Gries summary capacity K. Error ≤ n/(K+1) = n/129 per
+    * partition — comfortably under the n/100 threshold the superset
+    * argument needs. */
+  val Capacity = 128
+
+  /** Heavy hitter = host with ≥ this percent of all link sightings. */
+  val SharePct = 1
+
+  /** Classic Misra–Gries over one partition: K counters; a miss with a
+    * full table decrements all counters and evicts zeros. Returns the
+    * surviving (item → counter) map and the number of items consumed.
+    * Any item with true partition count > n_p/(K+1) is guaranteed to
+    * survive. */
+  def mgSketch(it: Iterator[String], k: Int): (scala.collection.mutable.HashMap[String, Long], Long) = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    var n = 0L
+    while (it.hasNext) {
+      val x = it.next()
+      n += 1L
+      m.get(x) match {
+        case Some(c) => m.update(x, c + 1L)
+        case None =>
+          if (m.size < k) m.update(x, 1L)
+          else {
+            // decrement-all round: one shared unit leaves every counter
+            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+            m.foreach { case (key, c) =>
+              if (c == 1L) dead += key else m.update(key, c - 1L)
+            }
+            dead.foreach(m.remove)
+          }
+      }
+    }
+    (m, n)
+  }
+
+  /** Exact heavy hitters over a single-column `host` frame via
+    * sketch-candidates + confirm (factored for direct testing). */
+  def heavyHosts(hosts: DataFrame): DataFrame = {
+    val spark = hosts.sparkSession
+    import spark.implicits._
+    // pass 1: one MG summary per partition; the "" sentinel row carries
+    // the partition's item count (hosts are non-empty by construction)
+    val partials = hosts.as[String].mapPartitions { it =>
+      val (m, n) = mgSketch(it, Capacity)
+      Iterator.single(("", n)) ++ m.iterator
+    }.toDF("host", "cnt")
+      .localCheckpoint() // ≤ partitions × (K+1) rows; cut so n + candidates share one scan
+    val n = math.max(1L, partials.filter(col("host") === "")
+      .agg(sum("cnt")).head().getLong(0))
+    val threshold = (n + 99L) / 100L * SharePct
+    val candidates = partials.filter(col("host") =!= "").select("host").distinct()
+    // pass 2: exact counts over candidate rows only
+    hosts.join(broadcast(candidates), Seq("host"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .withColumn("share_permille", expr(s"cnt * 1000 div $n"))
+      .orderBy("host")
+  }
+
+  /** Contract query `q_heavy_hitters`: hosts holding ≥ 1% of all
+    * link-target sightings in the corpus link stream, exact counts. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("dst")).as("host"))
+      .filter(col("host") =!= "") // a no-host href must not collide with the sentinel
+    heavyHosts(hosts)
+  }
+
+  /** DuckDB twin: the full GROUP BY ... HAVING the two-pass dataflow
+    * provably equals, over the frozen link-edge fixture. */
+  def heavyHittersSql(edgesSelect: String): String =
+    s"""WITH h AS (
+       |  SELECT regexp_extract(dst, '^https?://([^/]+)', 1) AS host
+       |  FROM ($edgesSelect)
+       |  WHERE dst LIKE 'http%'
+       |    AND regexp_extract(dst, '^https?://([^/]+)', 1) <> ''),
+       |tot AS (SELECT count(*) AS n FROM h)
+       |SELECT h.host, count(*) AS cnt,
+       |  CAST(count(*) * 1000 // greatest(t.n, 1) AS BIGINT) AS share_permille
+       |FROM h, tot t
+       |GROUP BY h.host, t.n
+       |HAVING count(*) >= (t.n + 99) // 100 * $SharePct
+       |ORDER BY h.host""".stripMargin
+}
