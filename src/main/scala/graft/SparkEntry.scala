@@ -172,7 +172,8 @@ object SparkEntry {
     "q_retry_after" -> (graft.pipeline.RetryAfterQuery.retryAfter _),
     "q_salsa" -> (graft.pipeline.Salsa.salsa _),
     "q_script_detect" -> (graft.pipeline.ScriptDetect.scriptDetect _),
-    "q_heavy_hitters" -> (graft.pipeline.HeavyHitters.heavyHitters _)
+    "q_heavy_hitters" -> (graft.pipeline.HeavyHitters.heavyHitters _),
+    "q_lang_segments" -> (graft.pipeline.LangSegments.langSegments _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -271,6 +272,9 @@ object SparkEntry {
     // independent recompute: DuckDB runs the full GROUP BY ... HAVING the
     // two-pass MG-sketch + confirm dataflow provably equals
     "q_heavy_hitters" -> graft.pipeline.HeavyHitters.heavyHittersSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-runs the chunking, per-segment marker
+    // argmax, lag-window switch count, and minority-mass arithmetic
+    "q_lang_segments" -> graft.pipeline.LangSegments.langSegmentsSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

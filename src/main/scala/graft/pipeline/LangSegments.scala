@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sub-document language segmentation (`q_lang_segments`) — the
+  * FineWeb2/CCNet refinement of page-level language ID: classify each
+  * SEGMENT of a document and profile the switches. A page-level label
+  * ([[CrawlQueries]] `q_lang_detect`, reference detect_language in
+  * metadata.rs) washes out mixed pages — boilerplate in one language
+  * around content in another, quoted passages, code-switched forums —
+  * exactly the pages a per-language corpus must either split or drop.
+  * The per-doc switch profile (segment class runs, switch count,
+  * dominant class, minority mass) is the decision input.
+  *
+  * Segmenting follows [[TextAnalysis.paragraphDedup]]'s convention: the
+  * synthetic corpus has no newline structure, so a "segment" is a
+  * fixed-width word chunk ([[SegWords]]); on crawled pages the same
+  * dataflow runs over newline paragraphs — only the chunking projection
+  * changes. The per-segment classifier is the house marker-word scheme
+  * ([[TextAnalysis.sqlMarkers]], the SQL-expressible stand-in for
+  * TextKit.detectLanguage's profile scoring — the `q_topic_class`
+  * precedent): exact word hits per marker family, argmax with the same
+  * fixed precedence tie-break.
+  *
+  * Scale shape (100 TB): one posexplode bounded by document length, a
+  * per-doc window whose partition is the document's own segments (never
+  * a global sort), and one final per-doc aggregation with map-side
+  * combine. No joins, nothing driver-side, segment class is a pure
+  * codegen'd column expression. */
+object LangSegments {
+
+  /** Words per segment (chunking grain — see scaladoc). */
+  val SegWords = 12
+
+  private def segClass(seg: Column): Column = {
+    def hits(markers: Seq[String]): Column = {
+      val words = split(seg, " ")
+      markers.map(m => size(filter(words, w => w === lit(m)))).reduce(_ + _)
+    }
+    val sSql = hits(TextAnalysis.sqlMarkers("sql"))
+    val sStream = hits(TextAnalysis.sqlMarkers("stream"))
+    val sMl = hits(TextAnalysis.sqlMarkers("ml"))
+    when(sSql >= sStream && sSql >= sMl, "sql")
+      .when(sStream >= sMl, "stream")
+      .otherwise("ml")
+  }
+
+  /** Contract query `q_lang_segments`: per document — segment count,
+    * per-class segment counts, adjacent-pair switch count, dominant
+    * class, and minority mass in permille (segments NOT of the dominant
+    * class — the "how much do we lose if we keep only the majority
+    * language" number sub-document filtering keys on). */
+  def langSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), " ")
+    val nChunks = ceil(size(ws) / lit(SegWords.toDouble)).cast("int")
+    val segsArr = when(nChunks > 0,
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(ws, i * SegWords + 1, lit(SegWords)))))
+      .otherwise(array().cast("array<string>"))
+    val segs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), posexplode(segsArr))
+      .toDF("doc_id", "idx", "seg")
+      .withColumn("cls", segClass(col("seg")))
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    segs
+      .withColumn("prev", lag("cls", 1).over(w))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_segments"),
+        sum(when(col("cls") === "sql", 1L).otherwise(0L)).as("n_sql"),
+        sum(when(col("cls") === "stream", 1L).otherwise(0L)).as("n_stream"),
+        sum(when(col("cls") === "ml", 1L).otherwise(0L)).as("n_ml"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("cls"), 1L)
+          .otherwise(0L)).as("n_switches"))
+      .withColumn("dominant",
+        when(col("n_sql") >= col("n_stream") && col("n_sql") >= col("n_ml"), "sql")
+          .when(col("n_stream") >= col("n_ml"), "stream")
+          .otherwise("ml"))
+      .withColumn("minority_permille",
+        expr("(n_segments - greatest(n_sql, n_stream, n_ml)) * 1000 div n_segments"))
+      .select("doc_id", "n_segments", "n_sql", "n_stream", "n_ml",
+        "n_switches", "dominant", "minority_permille")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB twin: same chunking (list slice), same marker hit counts,
+    * same precedence argmax, switches via the lag window. */
+  val langSegmentsSql: String = {
+    def cnt(markers: Seq[String]) =
+      markers.map(m => s"len(list_filter(string_split(seg, ' '), w -> w = '$m'))").mkString(" + ")
+    val P = SegWords
+    s"""WITH segs AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    generate_subscripts(ps, 1) - 1 AS idx, unnest(ps) AS seg
+       |  FROM (SELECT doc_id,
+       |          list_transform(range(0, CAST(ceil(len(ws) / $P.0) AS INT)),
+       |            i -> array_to_string(ws[i*$P+1:i*$P+$P], ' ')) AS ps
+       |        FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents))),
+       |cls AS (
+       |  SELECT doc_id, idx,
+       |    CASE WHEN s_sql >= s_stream AND s_sql >= s_ml THEN 'sql'
+       |         WHEN s_stream >= s_ml THEN 'stream'
+       |         ELSE 'ml' END AS cls
+       |  FROM (SELECT doc_id, idx,
+       |          ${cnt(TextAnalysis.sqlMarkers("sql"))} AS s_sql,
+       |          ${cnt(TextAnalysis.sqlMarkers("stream"))} AS s_stream,
+       |          ${cnt(TextAnalysis.sqlMarkers("ml"))} AS s_ml
+       |        FROM segs)),
+       |lagged AS (
+       |  SELECT doc_id, cls,
+       |    lag(cls) OVER (PARTITION BY doc_id ORDER BY idx) AS prev
+       |  FROM cls),
+       |agg AS (
+       |  SELECT doc_id,
+       |    count(*) AS n_segments,
+       |    CAST(sum(CASE WHEN cls = 'sql' THEN 1 ELSE 0 END) AS BIGINT) AS n_sql,
+       |    CAST(sum(CASE WHEN cls = 'stream' THEN 1 ELSE 0 END) AS BIGINT) AS n_stream,
+       |    CAST(sum(CASE WHEN cls = 'ml' THEN 1 ELSE 0 END) AS BIGINT) AS n_ml,
+       |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> cls THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+       |  FROM lagged GROUP BY doc_id)
+       |SELECT doc_id, n_segments, n_sql, n_stream, n_ml, n_switches,
+       |  CASE WHEN n_sql >= n_stream AND n_sql >= n_ml THEN 'sql'
+       |       WHEN n_stream >= n_ml THEN 'stream'
+       |       ELSE 'ml' END AS dominant,
+       |  CAST((n_segments - greatest(n_sql, n_stream, n_ml)) * 1000 // n_segments AS BIGINT)
+       |    AS minority_permille
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+}

@@ -121,7 +121,7 @@ object TextAnalysis {
   /** Marker-word language/topic scoring — the SQL-expressible shape of the
     * engine's detector (TextKit.detectLanguage): count exact word hits per
     * marker set, argmax with deterministic tie-break. */
-  private val sqlMarkers = Map(
+  private[pipeline] val sqlMarkers = Map(
     "sql" -> Seq("join", "query", "table", "filter"),
     "stream" -> Seq("window", "batch", "stream"),
     "ml" -> Seq("vector", "data", "row"))
