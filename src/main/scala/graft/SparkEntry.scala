@@ -173,7 +173,9 @@ object SparkEntry {
     "q_salsa" -> (graft.pipeline.Salsa.salsa _),
     "q_script_detect" -> (graft.pipeline.ScriptDetect.scriptDetect _),
     "q_heavy_hitters" -> (graft.pipeline.HeavyHitters.heavyHitters _),
-    "q_lang_segments" -> (graft.pipeline.LangSegments.langSegments _)
+    "q_lang_segments" -> (graft.pipeline.LangSegments.langSegments _),
+    "q_link_locality" -> (graft.pipeline.LinkLocality.linkLocality _),
+    "q_wave_discovery" -> (graft.pipeline.WaveDiscovery.waveDiscovery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -275,6 +277,13 @@ object SparkEntry {
     // independent recompute: DuckDB re-runs the chunking, per-segment marker
     // argmax, lag-window switch count, and minority-mass arithmetic
     "q_lang_segments" -> graft.pipeline.LangSegments.langSegmentsSql,
+    // independent recompute: DuckDB re-derives the host-pair collapse and
+    // the per-host locality arithmetic from the frozen edge fixture
+    "q_link_locality" -> graft.pipeline.LinkLocality.linkLocalitySql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives the expansion curve (per-wave
+    // rollups, first-contact hosts, cumulative + lag windows) from the
+    // frozen crawl-order fixture
+    "q_wave_discovery" -> graft.pipeline.WaveDiscovery.waveDiscoverySql(fixtureSql("q_crawl_order")),
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -51,25 +51,27 @@ object HeavyHitters {
   def mgSketch(it: Iterator[String], k: Int): (scala.collection.mutable.HashMap[String, Long], Long) = {
     val m = scala.collection.mutable.HashMap.empty[String, Long]
     var n = 0L
-    while (it.hasNext) {
-      val x = it.next()
-      n += 1L
-      m.get(x) match {
-        case Some(c) => m.update(x, c + 1L)
-        case None =>
-          if (m.size < k) m.update(x, 1L)
-          else {
-            // decrement-all round: one shared unit leaves every counter
-            val dead = scala.collection.mutable.ArrayBuffer.empty[String]
-            m.foreach { case (key, c) =>
-              if (c == 1L) dead += key else m.update(key, c - 1L)
-            }
-            dead.foreach(m.remove)
-          }
-      }
-    }
+    while (it.hasNext) { mgUpdate(m, it.next(), k); n += 1L }
     (m, n)
   }
+
+  /** One MG step — shared with the streaming twin, whose per-bucket state
+    * folds batches through exactly this update (MG is itself a streaming
+    * algorithm, so the fold IS the one-pass run over the concatenation). */
+  def mgUpdate(m: scala.collection.mutable.HashMap[String, Long], x: String, k: Int): Unit =
+    m.get(x) match {
+      case Some(c) => m.update(x, c + 1L)
+      case None =>
+        if (m.size < k) m.update(x, 1L)
+        else {
+          // decrement-all round: one shared unit leaves every counter
+          val dead = scala.collection.mutable.ArrayBuffer.empty[String]
+          m.foreach { case (key, c) =>
+            if (c == 1L) dead += key else m.update(key, c - 1L)
+          }
+          dead.foreach(m.remove)
+        }
+    }
 
   /** Exact heavy hitters over a single-column `host` frame via
     * sketch-candidates + confirm (factored for direct testing). */

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link locality (`q_link_locality`) — the per-host intra/inter link
+  * split that justifies (or refutes) host-keyed partitioning. The
+  * web-graph literature's foundational measurement (Broder et al.
+  * "Graph structure in the web"; Boldi/Vigna's host-locality orderings
+  * behind WebGraph compression): MOST links stay on their own host, so
+  * a frontier sharded by host hash keeps most link-expansion traffic
+  * shard-local, and a BFS wave's shuffle volume is governed by the
+  * inter-host residue measured here. This is the empirical input to
+  * [[Resharding]]'s shard map and the reason the crawl engine keys
+  * politeness, dedup and scheduling by host.
+  *
+  * Per source host: outlink sightings, intra-host count, inter-host
+  * count, distinct target hosts, locality in permille. Plus nothing
+  * driver-side: one projection over the edge stream, one groupBy with
+  * map-side combine (distinct targets via a pre-collapsed two-level
+  * aggregation, never a per-group set), integer arithmetic only.
+  *
+  * Scale shape (100 TB): the first groupBy collapses (src_host,
+  * dst_host) pairs map-side — the pair space is the HOST graph, orders
+  * of magnitude smaller than the edge stream; the second groupBy is
+  * over hosts. No windows, no joins, no skew sensitivity beyond what
+  * AQE's partial-agg already flattens. */
+object LinkLocality {
+
+  /** Contract query `q_link_locality`. */
+  def linkLocality(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("src_host"),
+        Cardinality.hostCol(col("dst")).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "")
+      // level 1: collapse to the host-pair graph (map-side combine)
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .groupBy(col("src_host").as("host"))
+      .agg(
+        sum("n").as("n_outlinks"),
+        sum(when(col("src_host") === col("dst_host"), col("n")).otherwise(0L))
+          .as("n_intra"),
+        count(when(col("src_host") =!= col("dst_host"), lit(1)))
+          .as("n_ext_hosts"))
+      .withColumn("n_inter", col("n_outlinks") - col("n_intra"))
+      .withColumn("locality_permille", expr("n_intra * 1000 div n_outlinks"))
+      .select("host", "n_outlinks", "n_intra", "n_inter", "n_ext_hosts",
+        "locality_permille")
+      .orderBy("host")
+  }
+
+  /** DuckDB twin over the frozen edge fixture: same two-level collapse,
+    * same integer locality. */
+  def linkLocalitySql(edgesSelect: String): String =
+    s"""WITH e AS (
+       |  SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
+       |         regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host
+       |  FROM ($edgesSelect)
+       |  WHERE dst LIKE 'http%'
+       |    AND regexp_extract(src, '^https?://([^/]+)', 1) <> ''
+       |    AND regexp_extract(dst, '^https?://([^/]+)', 1) <> ''),
+       |pairs AS (
+       |  SELECT src_host, dst_host, count(*) AS n
+       |  FROM e GROUP BY src_host, dst_host)
+       |SELECT src_host AS host,
+       |  CAST(sum(n) AS BIGINT) AS n_outlinks,
+       |  CAST(sum(CASE WHEN src_host = dst_host THEN n ELSE 0 END) AS BIGINT) AS n_intra,
+       |  CAST(sum(n) - sum(CASE WHEN src_host = dst_host THEN n ELSE 0 END) AS BIGINT) AS n_inter,
+       |  CAST(count(CASE WHEN src_host <> dst_host THEN 1 END) AS BIGINT) AS n_ext_hosts,
+       |  CAST(sum(CASE WHEN src_host = dst_host THEN n ELSE 0 END) * 1000
+       |    // sum(n) AS BIGINT) AS locality_permille
+       |FROM pairs GROUP BY src_host ORDER BY host""".stripMargin
+}

@@ -1,0 +1,68 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Frontier expansion curve (`q_wave_discovery`) — the per-wave
+  * monitoring surface a BFS crawl is steered by: how many pages each
+  * wave fetched, how many hosts it touched, how many hosts were NEW
+  * (first contact), the cumulative host coverage, and the wave-over-wave
+  * expansion ratio. Operations reads this curve to answer the questions
+  * that decide a crawl's budget: is discovery saturating (new-host curve
+  * flattening ⇒ the seed set's web neighborhood is exhausted), is the
+  * frontier exploding (expansion ratio ≫ 1000‰ sustained ⇒ cap or
+  * re-prioritize), is politeness starving breadth (pages up, hosts
+  * flat). The reference's TUI progress counters (metrics.rs) answer
+  * none of these; this is the wave-granular curve a 10^10-URL crawl
+  * needs instead.
+  *
+  * Scale shape (100 TB): first-contact wave per host is an aggregation
+  * (`min(wave)` with map-side combine), never a window over the page
+  * stream; the per-wave rollups collapse map-side to ≤ waves × tasks
+  * rows; the only windows (cumulative sum, lag) run over the WAVE table
+  * — tens of rows at any corpus size. Integer permille throughout. */
+object WaveDiscovery {
+
+  /** Contract query `q_wave_discovery` over the engine's crawl order. */
+  def waveDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val order = CrawlQueries.crawlOrder(spark, dir)
+      .select(col("wave").cast("int").as("wave"), col("host"))
+    val perWave = order.groupBy("wave").agg(
+      count(lit(1)).as("n_pages"),
+      countDistinct("host").as("n_hosts"))
+    val firstContact = order.groupBy("host").agg(min("wave").as("wave"))
+      .groupBy("wave").agg(count(lit(1)).as("n_new_hosts"))
+    val w = Window.orderBy("wave")
+    perWave.join(firstContact, Seq("wave"), "left")
+      .withColumn("n_new_hosts", coalesce(col("n_new_hosts"), lit(0L)))
+      .withColumn("cum_hosts",
+        sum("n_new_hosts").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("expansion_permille",
+        coalesce(expr("n_pages * 1000 div lag(n_pages, 1) over (order by wave)"), lit(0L)))
+      .select("wave", "n_pages", "n_hosts", "n_new_hosts", "cum_hosts",
+        "expansion_permille")
+      .orderBy("wave")
+  }
+
+  /** DuckDB twin over the frozen crawl-order fixture. */
+  def waveDiscoverySql(orderSelect: String): String =
+    s"""WITH o AS (SELECT CAST(wave AS INTEGER) AS wave, host FROM ($orderSelect)),
+       |per_wave AS (
+       |  SELECT wave, count(*) AS n_pages, count(DISTINCT host) AS n_hosts
+       |  FROM o GROUP BY wave),
+       |first_contact AS (
+       |  SELECT wave, count(*) AS n_new_hosts
+       |  FROM (SELECT host, min(wave) AS wave FROM o GROUP BY host)
+       |  GROUP BY wave)
+       |SELECT p.wave,
+       |  CAST(p.n_pages AS BIGINT) AS n_pages,
+       |  CAST(p.n_hosts AS BIGINT) AS n_hosts,
+       |  CAST(coalesce(f.n_new_hosts, 0) AS BIGINT) AS n_new_hosts,
+       |  CAST(sum(coalesce(f.n_new_hosts, 0))
+       |    OVER (ORDER BY p.wave ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_hosts,
+       |  CAST(coalesce(p.n_pages * 1000 // lag(p.n_pages) OVER (ORDER BY p.wave), 0)
+       |    AS BIGINT) AS expansion_permille
+       |FROM per_wave p LEFT JOIN first_contact f ON p.wave = f.wave
+       |ORDER BY p.wave""".stripMargin
+}
