@@ -434,6 +434,34 @@ object PlanCheck {
       !dbPlan.contains("Join") && dbPlan.contains("Window"),
       "admission is partitioned rank windows; domain derivation is per-row")
 
+    // 34. heavy hitters: the confirm pass broadcasts the tiny candidate
+    // list (never sort-merge/shuffle joins the raw stream against it)
+    val hh = graft.pipeline.HeavyHitters.heavyHitters(spark, sfDir)
+    val hhPlan = hh.queryExecution.executedPlan.toString
+    check("q_heavy_hitters/broadcast-confirm",
+      hhPlan.contains("BroadcastHashJoin") && !hhPlan.contains("SortMergeJoin") &&
+        !hhPlan.contains("CartesianProduct") && hhPlan.contains("partial_count"),
+      "candidates broadcast; exact counts combine map-side")
+
+    // 35. link locality: two-level collapse — both aggregations carry
+    // map-side partials, no joins or windows anywhere
+    val ll = graft.pipeline.LinkLocality.linkLocality(spark, sfDir)
+    val llPlan = ll.queryExecution.executedPlan.toString
+    check("q_link_locality/two-level-partial-agg",
+      !llPlan.contains("Join") && !llPlan.contains("Window") &&
+        "partial_".r.findAllIn(llPlan).size >= 2,
+      "host-pair collapse then host rollup, both map-side combined")
+
+    // 36. wave discovery: windows run over the per-wave rollup (rows ≈
+    // waves), never over the page stream — the page-grain operators are
+    // aggregations with partials
+    val wd = graft.pipeline.WaveDiscovery.waveDiscovery(spark, sfDir)
+    val wdPlan = wd.queryExecution.executedPlan.toString
+    check("q_wave_discovery/agg-before-window",
+      wdPlan.contains("partial_count") && wdPlan.contains("Window") &&
+        !wdPlan.contains("CartesianProduct"),
+      "page-grain work is partial-agg'd; windows see only wave rows")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
