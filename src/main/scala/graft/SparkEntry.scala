@@ -175,7 +175,8 @@ object SparkEntry {
     "q_heavy_hitters" -> (graft.pipeline.HeavyHitters.heavyHitters _),
     "q_lang_segments" -> (graft.pipeline.LangSegments.langSegments _),
     "q_link_locality" -> (graft.pipeline.LinkLocality.linkLocality _),
-    "q_wave_discovery" -> (graft.pipeline.WaveDiscovery.waveDiscovery _)
+    "q_wave_discovery" -> (graft.pipeline.WaveDiscovery.waveDiscovery _),
+    "q_front_coding" -> (graft.pipeline.FrontCoding.frontCoding _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -284,6 +285,10 @@ object SparkEntry {
     // rollups, first-contact hosts, cumulative + lag windows) from the
     // frozen crawl-order fixture
     "q_wave_discovery" -> graft.pipeline.WaveDiscovery.waveDiscoverySql(fixtureSql("q_crawl_order")),
+    // independent recompute: DuckDB re-derives every host's coded byte count
+    // arithmetically (lag + lateral LCP scan + varint CASE ladder); the
+    // engine's in-map decode-verify is what entitles arithmetic-only checking
+    "q_front_coding" -> graft.pipeline.FrontCoding.frontCodingSql(fixtureSql("q_canonicalize_urls")),
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

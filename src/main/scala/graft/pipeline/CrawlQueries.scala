@@ -20,7 +20,7 @@ object CrawlQueries {
   val Hosts = 3
   val PagesPerHost = 30
 
-  private def spec = CorpusGen.Spec(Hosts, PagesPerHost)
+  private[pipeline] def spec = CorpusGen.Spec(Hosts, PagesPerHost)
 
   private def config = CrawlConfig(
     seeds = (0 until Hosts).map(h => s"https://${CorpusGen.hostName(h)}/"),

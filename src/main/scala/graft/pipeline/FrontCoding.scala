@@ -1,0 +1,156 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import java.nio.charset.StandardCharsets
+
+/** Front-coded URL storage (`q_front_coding`) — the sorted-string-table
+  * compression every web index's URL layer runs on (Managing Gigabytes
+  * §4; WebGraph's host-sorted URL lists; Common Crawl's CDX files ship
+  * SURT-sorted exactly so consumers can front-code): sort the URLs,
+  * store each as (shared-prefix length, suffix) against its predecessor.
+  * Crawl URL lists are the pathological best case — same scheme, same
+  * host, deep shared paths — so the frontier/seen-set snapshots and the
+  * index's URL dictionary shrink several-fold before any general-purpose
+  * codec touches them.
+  *
+  * Blocks restart per HOST (the natural block key: sorting is global
+  * within a host, restart cost is one full URL per host, and the
+  * per-host group is the same bounded unit every politeness operator
+  * already groups by). Encoding is REAL bytes — LEB128 prefix length +
+  * LEB128 suffix length + suffix bytes ([[PostingsCodec]]'s varint,
+  * shared) — and every host's block is DECODE-VERIFIED against the
+  * input inside the same bounded map (`require`: a corrupted codec can
+  * never ship silently-wrong accounting). The contract row is the
+  * accounting: url count, raw vs coded bytes, permille, and the md5 of
+  * the sorted url list the decoder reproduced.
+  *
+  * Scale shape (100 TB): distinct-collapse then ONE keyed groupBy; only
+  * (host, url) strings shuffle; per-host groups are politeness-bounded
+  * (the same invariant the breaker/AIMD folds rely on) and a spray host
+  * degrades to more suffix bytes, not more memory — the sort buffer is
+  * the group. At extreme per-host populations the deployment note is
+  * block-restarted front coding every B urls inside
+  * repartitionByRange(host, url) partitions — same codec, same
+  * accounting, restart rows bounded by B. */
+object FrontCoding {
+
+  /** Tolerant host extractor mirroring the twin's regexp_extract (no
+    * match → empty string, filtered out on both sides). */
+  private[pipeline] def hostOf(u: String): String =
+    "^https?://([^/]+)".r.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
+
+  /** Shared-prefix length in CHARS (corpus URLs are ASCII; bytes==chars
+    * here, and the twin replays the same char arithmetic). */
+  private[pipeline] def lcp(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+    i
+  }
+
+  /** Front-code one host's sorted url list; returns coded byte count
+    * after decode-verifying the round trip. */
+  private[pipeline] def codeBlock(sorted: IndexedSeq[String]): Long = {
+    val out = new java.io.ByteArrayOutputStream()
+    var prev = ""
+    sorted.foreach { u =>
+      val p = lcp(prev, u)
+      val suffix = u.substring(p).getBytes(StandardCharsets.UTF_8)
+      PostingsCodec.writeVarint(out, p.toLong)
+      PostingsCodec.writeVarint(out, suffix.length.toLong)
+      out.write(suffix)
+      prev = u
+    }
+    val bytes = out.toByteArray
+    // decode-verify: replay the block and require byte-exact urls
+    var pos = 0
+    def readVarint(): Long = {
+      var v = 0L; var shift = 0
+      var b = 0
+      do {
+        b = bytes(pos) & 0xff; pos += 1
+        v |= (b & 0x7fL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      v
+    }
+    prev = ""
+    sorted.foreach { u =>
+      val p = readVarint().toInt
+      val len = readVarint().toInt
+      val s = new String(bytes, pos, len, StandardCharsets.UTF_8)
+      pos += len
+      val decoded = prev.substring(0, p) + s
+      require(decoded == u, s"front-coding round trip broke: $decoded != $u")
+      prev = decoded
+    }
+    require(pos == bytes.length, "front-coding trailing bytes")
+    bytes.length.toLong
+  }
+
+  /** LEB128 encoded length of a non-negative value — the arithmetic the
+    * DuckDB twin replays (the [[PostingsCodec]] CASE-ladder discipline). */
+  private[pipeline] def varintLen(v: Long): Long =
+    if (v < (1L << 7)) 1L else if (v < (1L << 14)) 2L
+    else if (v < (1L << 21)) 3L else if (v < (1L << 28)) 4L else 5L
+
+  /** Contract query `q_front_coding`: per-host front-coded accounting
+    * over the corpus's distinct URL population. */
+  def frontCoding(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urls = graft.gen.CorpusGen.dataset(spark, CrawlQueries.spec)
+      .map(_.url).distinct()
+      .map(u => (hostOf(u), u))
+      .toDF("host", "url")
+      .filter(col("host") =!= "")
+      .as[(String, String)]
+    urls.groupByKey(_._1)
+      .mapGroups { (host, it) =>
+        val sorted = it.map(_._2).toArray.sorted.toIndexedSeq
+        val raw = sorted.map(_.getBytes(StandardCharsets.UTF_8).length.toLong).sum
+        val coded = codeBlock(sorted)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(sorted.mkString(" ").getBytes(StandardCharsets.UTF_8))
+          .map("%02x".format(_)).mkString
+        (host, sorted.length.toLong, raw, coded, coded * 1000L / math.max(raw, 1L), md5)
+      }
+      .toDF("host", "n_urls", "raw_bytes", "coded_bytes", "coded_permille", "urls_md5")
+      .orderBy("host")
+  }
+
+  /** DuckDB twin: no bytes touched — coded size re-derived arithmetically
+    * (lag window for the predecessor, a lateral max-subscript scan for
+    * the shared prefix, the varint CASE ladder for header bytes). The
+    * engine's decode-verify `require` is what entitles the oracle to
+    * trust arithmetic alone. */
+  def frontCodingSql(urlsSelect: String): String =
+    s"""WITH u AS (
+       |  SELECT DISTINCT regexp_extract(url, '^https?://([^/]+)', 1) AS host, url
+       |  FROM ($urlsSelect)
+       |  WHERE regexp_extract(url, '^https?://([^/]+)', 1) <> ''),
+       |lagged AS (
+       |  SELECT host, url,
+       |    coalesce(lag(url) OVER (PARTITION BY host ORDER BY url), '') AS prev
+       |  FROM u),
+       |lcped AS (
+       |  -- prefix equality at length i is monotone in i, so the count of
+       |  -- prefix-equal lengths IS the LCP (scalar list range: no lateral)
+       |  SELECT host, url,
+       |    coalesce(len(list_filter(range(1, least(len(url), len(prev)) + 1),
+       |      i -> substr(url, 1, CAST(i AS INT)) = substr(prev, 1, CAST(i AS INT)))), 0) AS p
+       |  FROM lagged),
+       |rows_acct AS (
+       |  SELECT host, url, p, len(url) - p AS slen,
+       |    (CASE WHEN p < 128 THEN 1 WHEN p < 16384 THEN 2 ELSE 3 END)
+       |      + (CASE WHEN len(url) - p < 128 THEN 1 WHEN len(url) - p < 16384 THEN 2 ELSE 3 END)
+       |      + (len(url) - p) AS coded
+       |  FROM lcped)
+       |SELECT host,
+       |  count(*) AS n_urls,
+       |  CAST(sum(len(url)) AS BIGINT) AS raw_bytes,
+       |  CAST(sum(coded) AS BIGINT) AS coded_bytes,
+       |  CAST(sum(coded) * 1000 // greatest(sum(len(url)), 1) AS BIGINT) AS coded_permille,
+       |  md5(string_agg(url, ' ' ORDER BY url)) AS urls_md5
+       |FROM rows_acct GROUP BY host ORDER BY host""".stripMargin
+}
