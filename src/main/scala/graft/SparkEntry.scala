@@ -176,7 +176,8 @@ object SparkEntry {
     "q_lang_segments" -> (graft.pipeline.LangSegments.langSegments _),
     "q_link_locality" -> (graft.pipeline.LinkLocality.linkLocality _),
     "q_wave_discovery" -> (graft.pipeline.WaveDiscovery.waveDiscovery _),
-    "q_front_coding" -> (graft.pipeline.FrontCoding.frontCoding _)
+    "q_front_coding" -> (graft.pipeline.FrontCoding.frontCoding _),
+    "q_priority_aging" -> (graft.pipeline.PriorityAging.priorityAging _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -289,6 +290,9 @@ object SparkEntry {
     // arithmetically (lag + lateral LCP scan + varint CASE ladder); the
     // engine's in-map decode-verify is what entitles arithmetic-only checking
     "q_front_coding" -> graft.pipeline.FrontCoding.frontCodingSql(fixtureSql("q_canonicalize_urls")),
+    // independent recompute: DuckDB re-executes BOTH scheduling policies as
+    // unrolled per-wave row_number picks over the closed-form arrival process
+    "q_priority_aging" -> graft.pipeline.PriorityAging.priorityAgingSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,
