@@ -177,7 +177,8 @@ object SparkEntry {
     "q_link_locality" -> (graft.pipeline.LinkLocality.linkLocality _),
     "q_wave_discovery" -> (graft.pipeline.WaveDiscovery.waveDiscovery _),
     "q_front_coding" -> (graft.pipeline.FrontCoding.frontCoding _),
-    "q_priority_aging" -> (graft.pipeline.PriorityAging.priorityAging _)
+    "q_priority_aging" -> (graft.pipeline.PriorityAging.priorityAging _),
+    "q_link_farm" -> (graft.pipeline.LinkFarm.linkFarm _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -293,6 +294,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-executes BOTH scheduling policies as
     // unrolled per-wave row_number picks over the closed-form arrival process
     "q_priority_aging" -> graft.pipeline.PriorityAging.priorityAgingSql,
+    // independent recompute: DuckDB re-runs degree-ordered orientation and
+    // the wedge-closure joins over the frozen edge fixture
+    "q_link_farm" -> graft.pipeline.LinkFarm.linkFarmSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,
