@@ -178,7 +178,8 @@ object SparkEntry {
     "q_wave_discovery" -> (graft.pipeline.WaveDiscovery.waveDiscovery _),
     "q_front_coding" -> (graft.pipeline.FrontCoding.frontCoding _),
     "q_priority_aging" -> (graft.pipeline.PriorityAging.priorityAging _),
-    "q_link_farm" -> (graft.pipeline.LinkFarm.linkFarm _)
+    "q_link_farm" -> (graft.pipeline.LinkFarm.linkFarm _),
+    "q_ngram_lm" -> (graft.pipeline.NgramLm.ngramLm _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -297,6 +298,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-runs degree-ordered orientation and
     // the wedge-closure joins over the frozen edge fixture
     "q_link_farm" -> graft.pipeline.LinkFarm.linkFarmSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB rebuilds the uni/bi/trigram hierarchy
+    // from list slices over the same space-split tokens
+    "q_ngram_lm" -> graft.pipeline.NgramLm.ngramLmSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed n-gram language model with stupid backoff (`q_ngram_lm`) —
+  * the canonical web-corpus LM job (Brants et al., "Large Language Models
+  * in Machine Translation", EMNLP'07: 2-trillion-token counts +
+  * stupid-backoff scoring, built as exactly this MapReduce shape). The
+  * operator builds the hierarchical count tables (uni/bi/trigram) over
+  * the documents corpus and emits, per surviving n-gram: order, the
+  * n-gram, its count, its context count (the (n−1)-prefix; corpus token
+  * total for unigrams) and the integer MLE `count·10^6 div ctx` — the
+  * relative frequency stupid backoff uses verbatim at the deepest
+  * matching order.
+  *
+  * Count thresholds per order (1/2/3 → [[MinCount]]) mirror the paper's
+  * pruning: web-scale n-gram tables are Zipf-tailed and the singleton
+  * tail dwarfs the useful mass.
+  *
+  * Scale shape (100 TB): n-gram extraction is a pure per-document
+  * `transform`+`explode` (whole-stage codegen, no UDFs); each order's
+  * count is ONE groupBy with map-side partial aggregation — the shuffle
+  * carries (gram, partial-count) pairs, never positions. The
+  * context-count join keys on the (n−1)-gram table just built — a keyed
+  * shuffle join whose build side is the already-pruned lower order. No
+  * windows, no driver state; this is the textbook "counting with
+  * combiners" job the MapReduce n-gram literature standardized. */
+object NgramLm {
+
+  val MaxOrder = 3
+  /** Per-order survival thresholds, index n−1. */
+  val MinCount: Vector[Long] = Vector(1L, 5L, 3L)
+  /** Stupid-backoff discount, the paper's 0.4 as an exact rational. */
+  val AlphaNum = 2L
+  val AlphaDen = 5L
+
+  /** (gram, ctx, n) rows for one order over tokenized docs. */
+  private def gramRows(docs: DataFrame, n: Int): DataFrame =
+    docs.filter(size(col("ws")) >= n)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(ws) - $n),
+           |  i -> struct(concat_ws(' ', slice(ws, i + 1, $n)) AS g,
+           |              concat_ws(' ', slice(ws, i + 1, ${n - 1})) AS ctx))"""
+          .stripMargin)).as("x"))
+      .select(col("x.g").as("g"), col("x.ctx").as("ctx"))
+
+  /** The pruned hierarchical model: (order, ngram, count, ctx_count,
+    * mle_ppm), ordered by (order, ngram). */
+  def ngramModel(docs: DataFrame, minCount: Vector[Long] = MinCount): DataFrame = {
+    val spark = docs.sparkSession
+    val tok = docs.select(split(col("text"), " ").as("ws"))
+    // order-n counts keep the ctx string (constant within a gram)
+    val counts: Vector[DataFrame] = (1 to MaxOrder).toVector.map { n =>
+      gramRows(tok, n).groupBy("g", "ctx").agg(count(lit(1)).as("c"))
+    }
+    val total = tok.agg(sum(size(col("ws")).cast("long"))).head().getLong(0)
+    val perOrder = (1 to MaxOrder).map { n =>
+      val cn = counts(n - 1).filter(col("c") >= minCount(n - 1))
+      val withCtx =
+        if (n == 1) cn.withColumn("ctx_count", lit(total))
+        else {
+          // context counts come from the UNPRUNED lower order: pruning an
+          // order must not change the denominators of the one above
+          val lower = counts(n - 2).select(col("g").as("ctx"), col("c").as("ctx_count"))
+          cn.join(lower, Seq("ctx"))
+        }
+      withCtx.select(lit(n).as("order"), col("g").as("ngram"),
+        col("c").as("count"), col("ctx_count"),
+        expr("c * 1000000 div ctx_count").as("mle_ppm"))
+    }
+    perOrder.reduce(_ unionByName _).orderBy("order", "ngram")
+  }
+
+  /** Stupid-backoff score of `w` after 2-word `context`, as exact
+    * per-million integer: at backoff depth k the score is
+    * `(2/5)^k · c / ctx`, i.e. `10^6 · 2^k · c div (5^k · ctx)`.
+    * Driver-side over a COLLECTED small model — a scoring utility for
+    * probes/tests, not a corpus-scale operator (corpus-scale scoring
+    * would join the probe stream against the model tables). */
+  def stupidBackoffPpm(model: Map[String, (Long, Long)], totalTokens: Long)(
+      context: Seq[String], w: String): Long = {
+    require(context.size == MaxOrder - 1, s"need ${MaxOrder - 1}-word context")
+    def lookup(gram: Seq[String]): Option[(Long, Long)] = model.get(gram.mkString(" "))
+    var k = 0
+    var ctx = context
+    while (ctx.nonEmpty) {
+      lookup(ctx :+ w) match {
+        case Some((c, ctxC)) =>
+          return c * 1000000L * math.pow(AlphaNum.toDouble, k).toLong /
+            (math.pow(AlphaDen.toDouble, k).toLong * ctxC)
+        case scala.None => k += 1; ctx = ctx.tail
+      }
+    }
+    lookup(Seq(w)) match {
+      case Some((c, _)) =>
+        c * 1000000L * math.pow(AlphaNum.toDouble, k).toLong /
+          (math.pow(AlphaDen.toDouble, k).toLong * totalTokens)
+      case scala.None => 0L
+    }
+  }
+
+  /** Contract query `q_ngram_lm` over the documents table. */
+  def ngramLm(spark: SparkSession, dir: String): DataFrame =
+    ngramModel(spark.read.parquet(s"$dir/documents.parquet").select("text"))
+
+  /** DuckDB twin: same extraction (list slices over the space-split
+    * tokens), same unpruned-denominator hierarchy, same integer MLE. */
+  val ngramLmSql: String = {
+    def gramCte(n: Int) =
+      s"""g$n AS (
+         |  SELECT array_to_string(ws[i:i + ${n - 1}], ' ') AS g,
+         |         array_to_string(ws[i:i + ${n - 2}], ' ') AS ctx,
+         |         count(*) AS c
+         |  FROM d, unnest(generate_series(1, len(ws) - ${n - 1})) t(i)
+         |  WHERE len(ws) >= $n GROUP BY 1, 2)""".stripMargin
+    s"""WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |tot AS (SELECT sum(len(ws)) AS n FROM d),
+       |${(1 to MaxOrder).map(gramCte).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 1 AS "order", g AS ngram, CAST(c AS BIGINT) AS count,
+       |         CAST(tot.n AS BIGINT) AS ctx_count,
+       |         CAST(c * 1000000 // tot.n AS BIGINT) AS mle_ppm
+       |  FROM g1, tot WHERE c >= ${MinCount(0)}
+       |  UNION ALL
+       |  SELECT 2, g2.g, CAST(g2.c AS BIGINT), CAST(g1.c AS BIGINT),
+       |         CAST(g2.c * 1000000 // g1.c AS BIGINT)
+       |  FROM g2 JOIN g1 ON g1.g = g2.ctx WHERE g2.c >= ${MinCount(1)}
+       |  UNION ALL
+       |  SELECT 3, g3.g, CAST(g3.c AS BIGINT), CAST(g2.c AS BIGINT),
+       |         CAST(g3.c * 1000000 // g2.c AS BIGINT)
+       |  FROM g3 JOIN g2 ON g2.g = g3.ctx WHERE g3.c >= ${MinCount(2)})
+       |ORDER BY "order", ngram""".stripMargin
+  }
+}
