@@ -179,7 +179,8 @@ object SparkEntry {
     "q_front_coding" -> (graft.pipeline.FrontCoding.frontCoding _),
     "q_priority_aging" -> (graft.pipeline.PriorityAging.priorityAging _),
     "q_link_farm" -> (graft.pipeline.LinkFarm.linkFarm _),
-    "q_ngram_lm" -> (graft.pipeline.NgramLm.ngramLm _)
+    "q_ngram_lm" -> (graft.pipeline.NgramLm.ngramLm _),
+    "q_shingle_jaccard" -> (graft.pipeline.ShingleJaccard.shingleJaccard _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -301,6 +302,7 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds the uni/bi/trigram hierarchy
     // from list slices over the same space-split tokens
     "q_ngram_lm" -> graft.pipeline.NgramLm.ngramLmSql,
+    "q_shingle_jaccard" -> graft.pipeline.ShingleJaccard.shingleJaccardSql,
     // independent recompute: DuckDB rebuilds positional postings (unnest
     // subscripts) and replays the anchor rule over the documents table
     "q_phrase_search" -> graft.pipeline.PhraseSearch.phraseSearchSql,

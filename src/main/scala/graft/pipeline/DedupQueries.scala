@@ -29,8 +29,10 @@ object DedupQueries {
 
   val PlantOffset = 10000000L
 
-  /** Documents plus near-identical copies of the first 25 (drop last word). */
-  private def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
+  /** Documents plus near-identical copies of the first 25 (drop last word).
+    * Shared with [[ShingleJaccard]], whose DuckDB oracle re-derives the same
+    * plant in SQL — keep the two derivations in lockstep. */
+  private[pipeline] def docsWithPlants(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).select("doc_id", "text")
     val plants = base.filter(col("doc_id") < 25)
       .select((col("doc_id") + PlantOffset).as("doc_id"),

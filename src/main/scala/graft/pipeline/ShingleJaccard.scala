@@ -1,0 +1,123 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact word-n-gram Jaccard (`q_shingle_jaccard`) — the VERIFY stage of the
+  * near-dup ladder, made a first-class oracle-backed contract query. MinHash
+  * ([[Dedup.verifiedNearDups]]) ESTIMATES shingle Jaccard and then verifies
+  * candidates with in-memory Scala sets; this operator computes the exact
+  * n-gram Jaccard as a pure dataflow — inverted shingle index, pair
+  * co-count, integer permille — so the whole computation (not just the
+  * candidate semantics) is value-checked against an independent DuckDB
+  * recompute. (Reference scope: rust-scraper dedups only by exact processed
+  * URL — state_store.rs; shingle similarity is the scale-path content
+  * near-dup signal per Broder '97, resemblance = |A∩B| / |A∪B|.)
+  *
+  * Pipeline (native codegen'd Columns end-to-end, no UDF):
+  *  1. normalize: lower → collapse non-[a-z0-9] runs to one space → trim —
+  *     the MOSS-style discipline [[Dedup.normalize]] uses, here as Columns;
+  *  2. shingle: DISTINCT word 3-grams per doc via transform(sequence) over
+  *     the split array (docs under 3 words shingle to nothing);
+  *  3. stop-shingle cap: shingles appearing in more than [[StopDf]] docs are
+  *     dropped (boilerplate by definition — same stop-gram rule as
+  *     winnowing); Jaccard is defined over the SURVIVING shingle sets;
+  *  4. pair: self-equi-join of the inverted index on shingle (doc_a <
+  *     doc_b), one keyed count per pair = exact |A∩B|;
+  *  5. score: jaccard_permille = inter*1000 div (|A|+|B|-inter), keep pairs
+  *     ≥ [[MinJaccardPermille]].
+  *
+  * 100-TB shape: the only joins are keyed on the shingle string, and step 3
+  * bounds per-shingle fan-out at StopDf² pair rows — the classic inverted-
+  * index candidate bound; without it one viral sentence would emit df²
+  * pairs. Pair counting is a map-side-combined groupBy on (doc_a, doc_b);
+  * sizes join back via two broadcast-sized keyed joins. Nothing touches the
+  * driver; no window over the corpus. The trailing orderBy exists only for
+  * oracle row-order canonicalization.
+  *
+  * Input is documents ∪ planted near-identical copies
+  * ([[DedupQueries.docsWithPlants]] — first 25 docs minus their last word,
+  * ids offset by 10^7) so the operator demonstrably fires on a corpus whose
+  * random base text is near-dup-free by construction; the oracle re-derives
+  * the plant in SQL, so this is a true recompute, not a fixture.
+  */
+object ShingleJaccard {
+
+  /** Words per shingle (Broder-style w-shingling; 3 matches [[Dedup.ShingleSize]]). */
+  val ShingleWords = 3
+
+  /** Document-frequency cap: shingles in more docs than this are stop
+    * shingles and leave the index before pairing. */
+  val StopDf = 64L
+
+  /** Report pairs at/above this exact Jaccard (permille). */
+  val MinJaccardPermille = 500L
+
+  /** DISTINCT surviving (doc_id, sh) inverted index over a (doc_id, text)
+    * frame: normalized word 3-grams, stop-shingle-capped. */
+  def shingleIndex(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ").as("w"))
+      .filter(size(col("w")) >= ShingleWords)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(w) - ${ShingleWords - 1}), i -> concat_ws(' ', slice(w, i, $ShingleWords)))"))
+        .as("sh"))
+      .distinct()
+    val live = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= StopDf).select("sh")
+    sh.join(live, Seq("sh")).select("doc_id", "sh")
+  }
+
+  /** Exact-Jaccard pairs ≥ `minPermille` over a (doc_id, text) frame. */
+  def jaccardPairs(docs: DataFrame, minPermille: Long = MinJaccardPermille): DataFrame =
+    jaccardPairsFromIndex(shingleIndex(docs), minPermille)
+
+  /** Pairing + scoring over an already-built inverted index. */
+  def jaccardPairsFromIndex(keep: DataFrame, minPermille: Long): DataFrame = {
+    val sizes = keep.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = keep.as("a").join(keep.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("size_a")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("size_b")), Seq("doc_b"))
+      .withColumn("jaccard_permille",
+        expr("inter * 1000 div (size_a + size_b - inter)"))
+      .filter(col("jaccard_permille") >= minPermille)
+      .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard_permille")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Contract query `q_shingle_jaccard`. */
+  def shingleJaccard(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairs(DedupQueries.docsWithPlants(spark, dir))
+
+  /** DuckDB twin: the identical normalize → shingle → cap → pair → score
+    * dataflow in SQL, including the SQL re-derivation of the planted
+    * near-dups — an independent recompute. */
+  val shingleJaccardSql: String =
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + ${DedupQueries.PlantOffset},
+       |         array_to_string(list_slice(str_split(text, ' '), 1, len(str_split(text, ' ')) - 1), ' ')
+       |  FROM documents WHERE doc_id < 25),
+       |norm AS (SELECT doc_id, str_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS w FROM d0),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       |  FROM norm, unnest(generate_series(1, len(w) - ${ShingleWords - 1})) AS t(i)
+       |  WHERE len(w) >= $ShingleWords),
+       |live AS (SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= $StopDf),
+       |keep AS (SELECT sh0.doc_id, sh0.sh FROM sh0 JOIN live USING (sh)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM keep GROUP BY doc_id),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |       FROM keep a JOIN keep b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2)
+       |SELECT pr.doc_a, pr.doc_b, pr.inter, sa.n AS size_a, sb.n AS size_b,
+       |       pr.inter * 1000 // (sa.n + sb.n - pr.inter) AS jaccard_permille
+       |FROM pr JOIN sz sa ON pr.doc_a = sa.doc_id JOIN sz sb ON pr.doc_b = sb.doc_id
+       |WHERE pr.inter * 1000 // (sa.n + sb.n - pr.inter) >= $MinJaccardPermille
+       |ORDER BY doc_a, doc_b""".stripMargin
+}
