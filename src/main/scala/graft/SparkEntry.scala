@@ -40,6 +40,8 @@ object SparkEntry {
     "q_cube_orders" -> (Relational3.cubeOrders _),
     "q_grouping_sets" -> (Relational3.groupingSetsLineitem _),
     "q_event_percentiles" -> (Relational3.eventPercentiles _),
+    "q_quantile_sketch" -> (graft.pipeline.QuantileSketch.quantileSketch _),
+    "q_pps_sample" -> (graft.pipeline.PpsSample.ppsSample _),
     // --- text analysis (oracle-backed) ---
     "q_exact_dedup" -> (TextAnalysis.exactDedup _),
     "q_doc_quality" -> (TextAnalysis.docQuality _),
@@ -244,6 +246,12 @@ object SparkEntry {
     "q_cube_orders" -> Relational3.cubeOrdersSql,
     "q_grouping_sets" -> Relational3.groupingSetsLineitemSql,
     "q_event_percentiles" -> Relational3.eventPercentilesSql,
+    // independent replay: DuckDB re-runs the bottom-K hash sampler (same
+    // md5-derived 44-bit hash, same membership and rank rules) per group
+    "q_quantile_sketch" -> graft.pipeline.QuantileSketch.quantileSketchSql,
+    // independent recompute: DuckDB runs the DIRECT single-window systematic
+    // PPS formulation against the two-phase bucketed prefix-sum plan
+    "q_pps_sample" -> graft.pipeline.PpsSample.ppsSampleSql,
     "q_mime_detect" -> graft.pipeline.Assets.mimeDetectSql,
     "q_page_meta" -> CrawlQueries.pageMetaSql,
     // independent recompute: DuckDB re-executes all PageRank rounds (integer
