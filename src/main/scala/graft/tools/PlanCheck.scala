@@ -462,6 +462,30 @@ object PlanCheck {
         !wdPlan.contains("CartesianProduct"),
       "page-grain work is partial-agg'd; windows see only wave rows")
 
+    // 37. quantile sketch: the typed bottom-k aggregator combines map-side
+    // (partial ObjectHashAggregate before the key exchange) and the scan
+    // reads only the three needed event columns
+    val qs = graft.pipeline.QuantileSketch.quantileSketch(spark, sfDir)
+    val qsPlan = qs.queryExecution.executedPlan.toString
+    check("q_quantile_sketch/partial-bottomk",
+      qsPlan.contains("ObjectHashAggregate") && qsPlan.contains("partial_bottomkagg") &&
+        !qsPlan.contains("Window"),
+      "sketch combines map-side; no per-group sort anywhere")
+    check("q_quantile_sketch/ReadSchema-pruned",
+      qsPlan.split("ReadSchema").last.contains("event_id") &&
+        !qsPlan.split("ReadSchema").last.contains("props"),
+      "scan reads only event_type/event_id/value")
+
+    // 38. PPS sample: the corpus-size cumsum window is PARTITIONED by the
+    // hash bucket (parallel), and the only unpartitioned window runs over
+    // the 32-row bucket-offset aggregate
+    val pps = graft.pipeline.PpsSample.ppsSample(spark, sfDir)
+    val ppsPlan = pps.queryExecution.executedPlan.toString
+    check("q_pps_sample/bucketed-prefix-sum",
+      ppsPlan.contains("windowspecdefinition(bucket") &&
+        ppsPlan.contains("BroadcastHashJoin") && !ppsPlan.contains("SortMergeJoin"),
+      "per-bucket parallel cumsum; 32-row offsets broadcast back")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
