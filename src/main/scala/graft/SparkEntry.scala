@@ -127,6 +127,7 @@ object SparkEntry {
     "q_cdx_index" -> (graft.pipeline.WebIndex.cdxIndex _),
     "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _),
     "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _),
+    "q_lpa_communities" -> (graft.pipeline.Communities.lpaCommunities _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -371,6 +372,10 @@ object SparkEntry {
     // rounds as unrolled chained CTEs (the pageRank oracle discipline)
     "q_host_components" ->
       graft.pipeline.WebIndex.hostComponentsSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-executes all plurality-label rounds
+    // as unrolled chained CTEs over the same edge fixture + plant
+    "q_lpa_communities" ->
+      graft.pipeline.Communities.lpaCommunitiesSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
