@@ -128,6 +128,7 @@ object SparkEntry {
     "q_reciprocal_links" -> (graft.pipeline.WebIndex.reciprocalLinks _),
     "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _),
     "q_lpa_communities" -> (graft.pipeline.Communities.lpaCommunities _),
+    "q_cocitation" -> (graft.pipeline.Cocitation.cocitationQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -376,6 +377,10 @@ object SparkEntry {
     // as unrolled chained CTEs over the same edge fixture + plant
     "q_lpa_communities" ->
       graft.pipeline.Communities.lpaCommunitiesSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB reruns the capped inverted-index
+    // self-join + exact in-link Jaccard over the same fixture + plant
+    "q_cocitation" ->
+      graft.pipeline.Cocitation.cocitationSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,112 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Host co-citation similarity (`q_cocitation`, Small 1973; the base case
+  * of SimRank) — two hosts are RELATED when the same third-party hosts link
+  * to both, even if they never link to each other: the structural signal
+  * that surfaces mirror candidates for [[Mirrors]] verification, topical
+  * neighbors for focused frontier expansion, and coordinated boost networks
+  * (many fabricated sources co-citing a spam pair) that direct-edge reads
+  * ([[WebIndex.reciprocal]] links, [[LinkFarm]] triangles) cannot see —
+  * there is no edge between the pair to look at.
+  *
+  * Score: exact Jaccard of the two hosts' in-link SOURCE sets, integer
+  * permille. Mechanism is the [[ShingleJaccard]] inverted-index discipline
+  * transposed to the host graph — source host plays the shingle:
+  *  1. distinct (src_host → dst_host) edges, self-links dropped;
+  *  2. stop-hub cap: sources linking to more than [[MaxSrcFanout]] hosts
+  *     are dropped (a directory/hub page co-cites everything — by
+  *     definition non-discriminative, and the df² pair fan-out bound is
+  *     what keeps the self-join linear; same rationale as stop-shingles);
+  *  3. pair: self-equi-join on the source, keyed co-count per target pair;
+  *  4. exact Jaccard over the SURVIVING in-link sets, keep ≥
+  *     [[MinCocitePermille]].
+  *
+  * 100-TB shape: joins keyed on the source host only, pair fan-out ≤
+  * MaxSrcFanout² per source, co-counting map-side combined; sizes return
+  * via two keyed joins on the (small) surviving-target side. No windows,
+  * no driver state. (Reference scope: rust-scraper's link extractor
+  * produces the edges — link_extractor.rs:42-76 — but has no cross-host
+  * analytics; this is the fleet-scale read over its output.)
+  */
+object Cocitation {
+
+  /** Sources citing more distinct hosts than this are stop-hubs. */
+  val MaxSrcFanout = 32L
+
+  /** Report pairs at/above this exact in-link Jaccard (permille). */
+  val MinCocitePermille = 300L
+
+  /** Planted co-citation structure: five sources each citing BOTH targets
+    * — the pair itself shares no direct edge, so only a co-citation read
+    * finds it. */
+  private[pipeline] val CocitePlantPairs: Seq[(String, String)] =
+    (0 until 5).flatMap { i =>
+      Seq((s"cocite-src$i.example", "cocite-t1.example"),
+        (s"cocite-src$i.example", "cocite-t2.example"))
+    }
+
+  private def cocitePlantSql: String =
+    "SELECT a, b FROM (VALUES " +
+      CocitePlantPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
+      ") v(a, b)"
+
+  /** Co-citation pairs over any (a = source host, b = target host) frame. */
+  def cocitation(pairsIn: DataFrame): DataFrame = {
+    val e = pairsIn.filter(col("a") =!= col("b")).distinct()
+    val live = e.groupBy("a").agg(count(lit(1)).as("outd"))
+      .filter(col("outd") <= MaxSrcFanout).select("a")
+    val keep = e.join(live, "a")
+    val sizes = keep.groupBy("b").agg(count(lit(1)).as("n"))
+    val pairs = keep.as("x").join(keep.as("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .groupBy(col("x.b").as("host_1"), col("y.b").as("host_2"))
+      .agg(count(lit(1)).as("co"))
+    pairs
+      .join(sizes.select(col("b").as("host_1"), col("n").as("inlinks_1")), "host_1")
+      .join(sizes.select(col("b").as("host_2"), col("n").as("inlinks_2")), "host_2")
+      .withColumn("cocite_permille",
+        expr("co * 1000 div (inlinks_1 + inlinks_2 - co)"))
+      .filter(col("cocite_permille") >= MinCocitePermille)
+      .select("host_1", "host_2", "co", "inlinks_1", "inlinks_2", "cocite_permille")
+      .orderBy("host_1", "host_2")
+  }
+
+  /** Driver-contract query: co-citation over the corpus inter-host graph
+    * plus the planted co-cited pair. */
+  def cocitationQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    cocitation(CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("a"),
+        Cardinality.hostCol(col("dst")).as("b"))
+      .union(CocitePlantPairs.toDF("a", "b")))
+  }
+
+  /** DuckDB twin: identical derive → cap → pair → score dataflow over the
+    * shared edge fixture plus the re-derived plant — a full recompute. */
+  def cocitationSql(edgesSelect: String): String =
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+       |p0 AS (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,
+       |           regexp_extract(dst, '^https?://([^/]+)', 1) AS b
+       |    FROM edges WHERE dst LIKE 'http%'
+       |    UNION ALL
+       |    $cocitePlantSql)
+       |  WHERE a <> b),
+       |live AS (SELECT a FROM p0 GROUP BY a HAVING count(*) <= $MaxSrcFanout),
+       |keep AS (SELECT p0.a, p0.b FROM p0 JOIN live USING (a)),
+       |sz AS (SELECT b, CAST(count(*) AS BIGINT) AS n FROM keep GROUP BY b),
+       |pr AS (
+       |  SELECT x.b AS host_1, y.b AS host_2, CAST(count(*) AS BIGINT) AS co
+       |  FROM keep x JOIN keep y ON x.a = y.a AND x.b < y.b
+       |  GROUP BY 1, 2)
+       |SELECT pr.host_1, pr.host_2, pr.co, s1.n AS inlinks_1, s2.n AS inlinks_2,
+       |  pr.co * 1000 // (s1.n + s2.n - pr.co) AS cocite_permille
+       |FROM pr JOIN sz s1 ON pr.host_1 = s1.b JOIN sz s2 ON pr.host_2 = s2.b
+       |WHERE pr.co * 1000 // (s1.n + s2.n - pr.co) >= $MinCocitePermille
+       |ORDER BY host_1, host_2""".stripMargin
+}
