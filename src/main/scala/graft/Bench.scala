@@ -156,7 +156,7 @@ object Bench {
       "q_pii_redact", "q_repetition", "q_term_stats", "q_pack_sequences",
       "q_paragraph_dedup", "q_lm_score", "q_span_dedup", "q_pagerank",
       "q_tfidf_keywords", "q_recrawl_schedule", "q_bm25_rank", "q_crawl_delta",
-      "q_host_reputation", "q_crawl_priority",
+      "q_host_reputation", "q_crawl_priority", "q_corpus_drift",
       "q_anchor_text", "q_dedup_keep", "q_rollup_nation", "q_grouping_sets",
       "q_url_templates", "q_host_cardinality", "q_hostrank",
       // q_sitemap_gap is deliberately NOT in the mix: it reruns the

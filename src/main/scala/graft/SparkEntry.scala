@@ -129,6 +129,7 @@ object SparkEntry {
     "q_host_components" -> (graft.pipeline.WebIndex.hostComponents _),
     "q_lpa_communities" -> (graft.pipeline.Communities.lpaCommunities _),
     "q_cocitation" -> (graft.pipeline.Cocitation.cocitationQuery _),
+    "q_corpus_drift" -> (graft.pipeline.CorpusDrift.corpusDrift _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -381,6 +382,9 @@ object SparkEntry {
     // self-join + exact in-link Jaccard over the same fixture + plant
     "q_cocitation" ->
       graft.pipeline.Cocitation.cocitationSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives both salted snapshot
+    // memberships, recounts terms, and re-sums the integer TVD ledger
+    "q_corpus_drift" -> graft.pipeline.CorpusDrift.corpusDriftSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

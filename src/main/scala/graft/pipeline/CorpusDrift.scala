@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus term-distribution drift (`q_corpus_drift`) — the monitoring read
+  * a continuously-recrawled training corpus needs between snapshots: "did
+  * this crawl's language SHIFT, and which terms moved it?" Page-level CDC
+  * ([[Freshness.crawlDelta]]) counts changed URLs; drift measures the
+  * aggregate DISTRIBUTION change — a corpus can churn 30% of its pages with
+  * zero drift (boilerplate rotation) or change 2% of pages and poison the
+  * token mix (spam flood), and retraining/mixture decisions key on the
+  * latter.
+  *
+  * Metric: exact total-variation distance between the two snapshots' term
+  * distributions, TVD = ½ Σ_t |p_t − q_t| — computed entirely in integers:
+  * per-term contribution |c_a·N_b − c_b·N_a| (scale-free cross product),
+  * TVD‰ = 500·Σ / (N_a·N_b). TVD over KL deliberately: KL needs logs
+  * (floats — engines diverge bit-wise and it blows up on disjoint support);
+  * TVD is linear, bounded [0,1], defined everywhere, and every step is
+  * int64 at these scales (the documented dial at web scale is milli-scaled
+  * counts; Σ ≤ 2·N_a·N_b keeps the ×500 product inside int64 to N ≈ 10^7.5
+  * tokens — beyond that the cross products move to decimal(38) with the
+  * same semantics).
+  *
+  * Output: the top [[TopContributors]] drifting terms (contribution desc,
+  * term asc — zero-contribution terms dropped) with the GLOBAL integer
+  * metrics repeated on every row, so the oracle value-checks the corpus
+  * totals and the per-term ledger in one relation.
+  *
+  * 100-TB shape: two token-count aggregations with map-side partials, one
+  * full-outer keyed join on the term, one ungrouped sum (partial-combined)
+  * broadcast back, one bounded TakeOrdered(20). No windows over the vocab,
+  * no driver loops. Snapshots are the salted-md5 membership samples the
+  * CDC family uses — deterministic, re-derivable by the oracle from the
+  * documents table alone.
+  */
+object CorpusDrift {
+
+  val TopContributors = 20
+
+  /** Snapshot membership salts: ~75% samples with different seeds — two
+    * overlapping-but-distinct corpus states. */
+  val SaltA = ":graft-drift-a-v1"
+  val SaltB = ":graft-drift-b-v1"
+
+  private def member(salt: String) =
+    substring(md5(concat(col("doc_id").cast("long").cast("string"), lit(salt))), 1, 1) < "c"
+
+  /** Per-term token counts + total for one snapshot. */
+  private def termCounts(docsDf: DataFrame, salt: String): DataFrame =
+    docsDf.filter(member(salt))
+      .select(explode(split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " "))
+        .as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("c"))
+
+  /** Drift between two salted snapshots of a (doc_id, text) frame. */
+  def drift(docsDf: DataFrame, saltA: String = SaltA, saltB: String = SaltB): DataFrame = {
+    val a = termCounts(docsDf, saltA)
+    val b = termCounts(docsDf, saltB)
+    val nA = a.agg(sum("c")).head().getLong(0)
+    val nB = b.agg(sum("c")).head().getLong(0)
+    val joined = a.withColumnRenamed("c", "c_a")
+      .join(b.withColumnRenamed("c", "c_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+      .withColumn("contrib", abs(col("c_a") * nB - col("c_b") * nA))
+    val total = joined.agg(sum("contrib")).head().getLong(0)
+    val tvdPermille = total * 500L / (nA * nB)
+    joined.filter(col("contrib") > 0)
+      .orderBy(desc("contrib"), asc("term"))
+      .limit(TopContributors)
+      .select(col("term"), col("c_a"), col("c_b"), col("contrib"),
+        lit(nA).as("n_a"), lit(nB).as("n_b"), lit(tvdPermille).as("tvd_permille"))
+  }
+
+  /** Driver-contract query over the documents table. */
+  def corpusDrift(spark: SparkSession, dir: String): DataFrame =
+    drift(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text")))
+
+  /** DuckDB twin: re-derives both snapshot memberships from the salted md5
+    * rules, recounts every term, and recomputes the integer ledger — a
+    * full independent recompute. */
+  val corpusDriftSql: String = {
+    def cte(n: String, salt: String) =
+      s"""$n AS (
+         |  SELECT t.term, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(str_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ')) AS term
+         |    FROM documents
+         |    WHERE substring(md5(CAST(CAST(doc_id AS BIGINT) AS VARCHAR) || '$salt'), 1, 1) < 'c') t
+         |  WHERE t.term <> '' GROUP BY t.term)""".stripMargin
+    s"""WITH ${cte("a", SaltA)},
+       |${cte("b", SaltB)},
+       |tot AS (
+       |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM a) AS n_a,
+       |         (SELECT CAST(sum(c) AS BIGINT) FROM b) AS n_b),
+       |j AS (
+       |  SELECT coalesce(a.term, b.term) AS term,
+       |         CAST(coalesce(a.c, 0) AS BIGINT) AS c_a,
+       |         CAST(coalesce(b.c, 0) AS BIGINT) AS c_b
+       |  FROM a FULL OUTER JOIN b ON a.term = b.term),
+       |led AS (
+       |  SELECT term, c_a, c_b, abs(c_a * t.n_b - c_b * t.n_a) AS contrib, t.n_a, t.n_b
+       |  FROM j, tot t),
+       |g AS (SELECT CAST(sum(contrib) AS BIGINT) AS total FROM led)
+       |SELECT term, c_a, c_b, CAST(contrib AS BIGINT) AS contrib, n_a, n_b,
+       |  CAST((SELECT total FROM g) * 500 // (n_a * n_b) AS BIGINT) AS tvd_permille
+       |FROM led WHERE contrib > 0
+       |ORDER BY contrib DESC, term ASC
+       |LIMIT $TopContributors""".stripMargin
+  }
+}
