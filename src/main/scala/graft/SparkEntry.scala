@@ -130,6 +130,7 @@ object SparkEntry {
     "q_lpa_communities" -> (graft.pipeline.Communities.lpaCommunities _),
     "q_cocitation" -> (graft.pipeline.Cocitation.cocitationQuery _),
     "q_corpus_drift" -> (graft.pipeline.CorpusDrift.corpusDrift _),
+    "q_kcore" -> (graft.pipeline.KCore.kcore _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -385,6 +386,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives both salted snapshot
     // memberships, recounts terms, and re-sums the integer TVD ledger
     "q_corpus_drift" -> graft.pipeline.CorpusDrift.corpusDriftSql,
+    // independent recompute: DuckDB re-executes every peel round as
+    // chained CTEs (alive-set form, catching cascade-to-zero nodes)
+    "q_kcore" ->
+      graft.pipeline.KCore.kcoreSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
