@@ -131,6 +131,7 @@ object SparkEntry {
     "q_cocitation" -> (graft.pipeline.Cocitation.cocitationQuery _),
     "q_corpus_drift" -> (graft.pipeline.CorpusDrift.corpusDrift _),
     "q_kcore" -> (graft.pipeline.KCore.kcore _),
+    "q_bowtie" -> (graft.pipeline.Bowtie.bowtieQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -390,6 +391,10 @@ object SparkEntry {
     // chained CTEs (alive-set form, catching cascade-to-zero nodes)
     "q_kcore" ->
       graft.pipeline.KCore.kcoreSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives the pivot and re-executes
+    // all three pinned-horizon BFS closures as materialized chained CTEs
+    "q_bowtie" ->
+      graft.pipeline.Bowtie.bowtieSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
