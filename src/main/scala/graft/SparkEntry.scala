@@ -132,6 +132,7 @@ object SparkEntry {
     "q_corpus_drift" -> (graft.pipeline.CorpusDrift.corpusDrift _),
     "q_kcore" -> (graft.pipeline.KCore.kcore _),
     "q_bowtie" -> (graft.pipeline.Bowtie.bowtieQuery _),
+    "q_ppr" -> (graft.pipeline.Ppr.ppr _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -395,6 +396,10 @@ object SparkEntry {
     // all three pinned-horizon BFS closures as materialized chained CTEs
     "q_bowtie" ->
       graft.pipeline.Bowtie.bowtieSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-executes the seeded integer
+    // recurrence (teleport floor on seeds only) as materialized chained CTEs
+    "q_ppr" ->
+      graft.pipeline.Ppr.pprSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
