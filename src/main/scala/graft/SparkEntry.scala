@@ -133,6 +133,7 @@ object SparkEntry {
     "q_kcore" -> (graft.pipeline.KCore.kcore _),
     "q_bowtie" -> (graft.pipeline.Bowtie.bowtieQuery _),
     "q_ppr" -> (graft.pipeline.Ppr.ppr _),
+    "q_anf" -> (graft.pipeline.Anf.anfQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -400,6 +401,10 @@ object SparkEntry {
     // recurrence (teleport floor on seeds only) as materialized chained CTEs
     "q_ppr" ->
       graft.pipeline.Ppr.pprSql(fixtureSql("q_extract_link_edges")),
+    // independent replay: DuckDB re-executes the full HyperBall rounds —
+    // per-node bottom-K unions over the same 44-bit hash + same estimator
+    "q_anf" ->
+      graft.pipeline.Anf.anfSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
