@@ -134,6 +134,7 @@ object SparkEntry {
     "q_bowtie" -> (graft.pipeline.Bowtie.bowtieQuery _),
     "q_ppr" -> (graft.pipeline.Ppr.ppr _),
     "q_anf" -> (graft.pipeline.Anf.anfQuery _),
+    "q_bandit_budget" -> (graft.pipeline.BanditBudget.banditBudget _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -405,6 +406,9 @@ object SparkEntry {
     // per-node bottom-K unions over the same 44-bit hash + same estimator
     "q_anf" ->
       graft.pipeline.Anf.anfSql(fixtureSql("q_extract_link_edges")),
+    // independent replay: DuckDB re-executes policy AND environment wave
+    // by wave (same integer index, same md5-44 closed-form outcomes)
+    "q_bandit_budget" -> graft.pipeline.BanditBudget.banditBudgetSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
