@@ -135,6 +135,7 @@ object SparkEntry {
     "q_ppr" -> (graft.pipeline.Ppr.ppr _),
     "q_anf" -> (graft.pipeline.Anf.anfQuery _),
     "q_bandit_budget" -> (graft.pipeline.BanditBudget.banditBudget _),
+    "q_seed_select" -> (graft.pipeline.SeedSelect.seedSelectQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -409,6 +410,10 @@ object SparkEntry {
     // independent replay: DuckDB re-executes policy AND environment wave
     // by wave (same integer index, same md5-44 closed-form outcomes)
     "q_bandit_budget" -> graft.pipeline.BanditBudget.banditBudgetSql,
+    // independent recompute: DuckDB rebuilds the radius-2 ball table and
+    // re-executes every greedy round (anti-join marginals, same tie-break)
+    "q_seed_select" ->
+      graft.pipeline.SeedSelect.seedSelectSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
