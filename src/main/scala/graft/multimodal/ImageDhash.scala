@@ -1,0 +1,164 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual image near-duplicate detection via difference hashing
+  * (`q_image_dhash`) — the image-side twin of the text near-dup ladder: a
+  * training corpus's image stream is full of RE-ENCODED and slightly-
+  * retouched copies (same photo, new compressor settings, a watermark
+  * pixel, ±brightness) that byte-level dedup ([[Multimodal]]'s sha-256
+  * over decoded content, `q_crawl_assets`' payload hash) treats as 100%
+  * new. dHash (the classic perceptual-hash family: aHash/dHash/pHash —
+  * dHash per Krawetz's "Kind of Like That" construction) hashes the
+  * IMAGE STRUCTURE: downscale to a 9×8 luminance grid, emit one bit per
+  * horizontal gradient (does brightness rise left→right). Uniform
+  * brightness shifts cancel in the differences EXACTLY, small pixel
+  * edits move one grid cell's average by at most 1/area — so perceptual
+  * copies land within a few Hamming bits while unrelated images sit near
+  * the random-distance 32.
+  *
+  * All-integer kernel over DECODED pixels (the [[Multimodal]] rule:
+  * decoded space survives any JDK's PNG writer, container bytes would
+  * not): cell = Σ(r+g+b) over the block div (3·area), block edges at
+  * `i·w div 9` — deterministic at every image size ≥ 9×8.
+  *
+  * Pairing follows the [[graft.pipeline.ShingleJaccard]] inverted-index
+  * discipline transposed to hash blocks (the [[graft.pipeline.Dedup]]
+  * simhash layout): the 64-bit hash splits into 4×16-bit blocks; within
+  * Hamming distance ≤ 3·blocks/4 at least one block matches exactly
+  * (pigeonhole), so a self-equi-join on (block_idx, block_value) finds
+  * every candidate; block values heavier than [[MaxBlockDf]] images are
+  * dropped with the stop-shingle rationale (an all-black thumbnail's
+  * block would otherwise emit df² pairs). Candidates confirm with the
+  * exact `bit_count(a XOR b)` — a native codegen'd function, no UDF.
+  *
+  * 100-TB shape: decode+hash is a per-row map (the extract-stage cost
+  * profile); everything after it moves only (id, 8-byte hash) pairs —
+  * keyed joins and map-side-combined counts, payload bytes never
+  * shuffle. The df cap bounds the self-join exactly as stop-shingles do.
+  *
+  * (Reference scope: rust-scraper downloads assets and dedups them by
+  * exact payload hash (asset_download.rs); this is the perceptual layer
+  * its image corpus would need next.)
+  */
+object ImageDhash {
+
+  /** Confirm threshold: pairs at Hamming ≤ 6 of 64 bits are near-dups
+    * (random noise pairs concentrate at 32 ± 4). */
+  val MaxDist = 6
+
+  /** Stop-block cap: a 16-bit block value shared by more than this many
+    * images is non-discriminative boilerplate (dropped, like stop-shingles). */
+  val MaxBlockDf = 64
+
+  /** Planted perceptual copies: for each donor image id, a copy whose
+    * center pixel's lowest blue bit is flipped, re-encoded — the minimal
+    * retouch byte-dedup must miss and dHash must catch. */
+  val PlantOffset = 10000000L
+  private[multimodal] val DonorIds: Seq[Long] = Seq(0L, 6L, 12L)
+
+  /** dHash of decoded RGB content (row-major R,G,B bytes), all-integer. */
+  def dhashOfContent(content: Array[Byte], w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8, s"dHash needs >= 9x8 pixels, got ${w}x$h")
+    val cells = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = (j + 1) * h / 8
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9; val x1 = (i + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = (y * w + x) * 3
+            sum += (content(p) & 0xff) + (content(p + 1) & 0xff) + (content(p + 2) & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        cells(j)(i) = sum / (3L * (x1 - x0) * (y1 - y0))
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      val row = k / 8; val col = k % 8
+      if (cells(row)(col + 1) > cells(row)(col)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** dHash straight from a decoded image (spec + engine convenience). */
+  def dhashOfImage(img: java.awt.image.BufferedImage): Long = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val content = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y); val p = (y * w + x) * 3
+        content(p) = ((rgb >> 16) & 0xff).toByte
+        content(p + 1) = ((rgb >> 8) & 0xff).toByte
+        content(p + 2) = (rgb & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    dhashOfContent(content, w, h)
+  }
+
+  /** The minimal retouch: decode, flip the center pixel's lowest blue bit,
+    * re-encode — a DIFFERENT container byte stream and a different decoded
+    * sha-256, but (at most) one grid cell's average moves by 1/area. */
+  private[multimodal] def perturb(png: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val (cx, cy) = (img.getWidth / 2, img.getHeight / 2)
+    img.setRGB(cx, cy, img.getRGB(cx, cy) ^ 1)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Near-dup image pairs over the media corpus plus the planted
+    * perceptual copies: (id_a, id_b, dhash_a, dhash_b, hamming ≤ MaxDist). */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val images = Multimodal.mediaTable(spark, dir).filter(_.kind == "image")
+    val donors = DonorIds.toSet
+    val plants = images.filter(m => donors.contains(m.media_id))
+      .map(m => m.copy(media_id = m.media_id + PlantOffset, payload = perturb(m.payload)))
+    val hashes = images.union(plants)
+      .map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        require(img != null, s"undecodable image payload for media_id ${m.media_id}")
+        (m.media_id, dhashOfImage(img))
+      }
+      .toDF("media_id", "dhash").localCheckpoint()
+    val blocks = hashes.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), shiftrightunsigned(col("dhash"), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("blk"))
+      .select(col("media_id"), col("blk.b").as("b"), col("blk.v").as("v"))
+    val keep = blocks.groupBy("b", "v").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxBlockDf).select("b", "v")
+    val capped = blocks.join(keep, Seq("b", "v"))
+    val pairs = capped.as("x").join(capped.as("y"),
+      col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(hashes.select(col("media_id").as("id_a"), col("dhash").as("dhash_a")), "id_a")
+      .join(hashes.select(col("media_id").as("id_b"), col("dhash").as("dhash_b")), "id_b")
+      .withColumn("hamming", bit_count(col("dhash_a").bitwiseXOR(col("dhash_b"))).cast("long"))
+      .filter(col("hamming") <= MaxDist)
+      .select("id_a", "id_b", "dhash_a", "dhash_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+}
