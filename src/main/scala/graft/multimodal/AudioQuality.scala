@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Audio quality audit over decoded PCM (`q_audio_quality`) — the audio
+  * twin of the text quality scores (`q_doc_quality`/`q_quality_ratios`):
+  * the three defects every speech/audio training pipeline screens before
+  * spending feature-extraction compute are SILENCE (dead segments inflate
+  * storage and teach nothing), CLIPPING (samples pinned at full scale —
+  * irrecoverable distortion a model learns as an artifact) and broken
+  * LEVELS (near-zero RMS = mis-recorded). All three are exact integer
+  * functions of the decoded 16-bit samples:
+  *
+  *   - `silence_permille` — samples with |s| < [[SilenceAbs]] (≈ −42 dBFS);
+  *   - `clipping_permille` — samples with |s| ≥ [[ClipAbs]] (within 1% of
+  *     full scale);
+  *   - `rms_milli` — integer-sqrt of the mean square, in milli-units of
+  *     full scale (isqrt is exact Newton on int64 — deterministic
+  *     everywhere, no floating sqrt at the boundary);
+  *   - `peak_abs` — max |s|.
+  *
+  * The audit runs over the decoded sample words ([[Multimodal]]'s rule:
+  * decoded space survives any JDK's WAV writer; container bytes would
+  * not). Corrupt containers quarantine with `decode_ok = false` and
+  * zeroed metrics rather than killing the job.
+  *
+  * Planted rows exercise each verdict class: a half-silent take (500‰
+  * silence exactly), a hard-clipped square wave (1000‰ clipping), and a
+  * whisper-level tone (rms under the silence floor but zero clipping) —
+  * the corpus's own xorshift audio is full-scale noise (≈0 silence, high
+  * rms), so the plants make every class materialize.
+  *
+  * 100-TB shape: decode + audit is a per-row map with constant memory
+  * (one pass over the samples — the extract-stage cost profile); output
+  * rows carry only integers, payloads never shuffle. No joins, no
+  * windows, no driver state.
+  *
+  * (Reference scope: rust-scraper has no audio path; this is the curation
+  * layer its corpus consumers would need for speech data, built on the
+  * same decode seam as `q_media_features`.)
+  */
+object AudioQuality {
+
+  /** |sample| below this is silence: 2^15 · 10^(−42/20) ≈ 260. */
+  val SilenceAbs = 260
+
+  /** |sample| at or above this is clipped: within 1% of full scale. */
+  val ClipAbs = 32440
+
+  /** Planted media ids (above the corpus id range). */
+  val PlantBase = 20000000L
+
+  /** Exact integer sqrt (Newton), deterministic on all of int64 ≥ 0. */
+  def isqrt(n: Long): Long = {
+    require(n >= 0)
+    if (n < 2) n
+    else {
+      // initial guess 2^⌈bits/2⌉ ≥ √n without overflowing (bits ≤ 63 ⇒ shift ≤ 32)
+      val bits = 64 - java.lang.Long.numberOfLeadingZeros(n)
+      var x = 1L << ((bits + 1) / 2)
+      var y = (x + n / x) >> 1
+      while (y < x) { x = y; y = (x + n / x) >> 1 }
+      x
+    }
+  }
+
+  /** PCM from a 16-bit mono WAV's decoded bytes (little-endian words). */
+  private def samplesOf(pcm: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](pcm.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((pcm(2 * i) & 0xff) | (pcm(2 * i + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
+  /** The audit kernel: (n_samples, silence‰, clipping‰, rms_milli, peak). */
+  def auditSamples(s: Array[Int]): (Long, Long, Long, Long, Long) = {
+    var silent = 0L; var clipped = 0L; var sumSq = 0L; var peak = 0L
+    var i = 0
+    while (i < s.length) {
+      val a = math.abs(s(i).toLong)
+      if (a < SilenceAbs) silent += 1
+      if (a >= ClipAbs) clipped += 1
+      sumSq += a * a
+      if (a > peak) peak = a
+      i += 1
+    }
+    val n = s.length.toLong
+    if (n == 0) (0L, 0L, 0L, 0L, 0L)
+    else (n, silent * 1000L / n, clipped * 1000L / n,
+      isqrt(sumSq / n) * 1000L / 32768L, peak)
+  }
+
+  /** Deterministic planted takes: (id, pcm) pairs — half-silent,
+    * hard-clipped, whisper-level. */
+  private[multimodal] def plantedPcm: Seq[(Long, Array[Byte])] = {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        pcm(2 * i) = (samples(i) & 0xff).toByte
+        pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem
+        .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val n = 256
+    val halfSilent = Array.tabulate(n)(i => if (i < n / 2) 0 else 8000).map(_.toShort)
+    val clipped = Array.tabulate(n)(i => if (i % 2 == 0) 32767 else -32768).map(_.toShort)
+    val whisper = Array.tabulate(n)(i => if (i % 2 == 0) 100 else -100).map(_.toShort)
+    Seq((PlantBase, wav(halfSilent)), (PlantBase + 1, wav(clipped)),
+      (PlantBase + 2, wav(whisper)))
+  }
+
+  /** Driver-contract query: the audit over every corpus audio row plus the
+    * planted takes. */
+  def audioQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = Multimodal.mediaTable(spark, dir).filter(_.kind == "audio")
+    val plants = plantedPcm.map { case (id, payload) =>
+      Multimodal.MediaRow(id, "audio", payload, 0, 0, 16000)
+    }
+    audio.union(spark.createDataset(plants))
+      .mapPartitions { it =>
+        val decoder = new Multimodal.MediaDecoder
+        it.map { m =>
+          val (content, ok) = decoder.decodedBytesSafe(m.payload)
+          val (n, sil, clip, rms, peak) =
+            if (ok) auditSamples(samplesOf(content)) else (0L, 0L, 0L, 0L, 0L)
+          (m.media_id, n, sil, clip, rms, peak, ok)
+        }
+      }
+      .toDF("media_id", "n_samples", "silence_permille", "clipping_permille",
+        "rms_milli", "peak_abs", "decode_ok")
+      .orderBy("media_id")
+  }
+}
