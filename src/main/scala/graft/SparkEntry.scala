@@ -96,6 +96,7 @@ object SparkEntry {
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
     "q_image_dhash" -> (graft.multimodal.ImageDhash.imageDhash _),
     "q_audio_quality" -> (graft.multimodal.AudioQuality.audioQuality _),
+    "q_image_quality" -> (graft.multimodal.ImageQuality.imageQuality _),
     "q_media_frames" -> (graft.multimodal.Multimodal.mediaFramesQuery _),
     // --- crawl surface (deterministic; golden-gated) ---
     "q_crawl_order" -> (CrawlQueries.crawlOrder _),

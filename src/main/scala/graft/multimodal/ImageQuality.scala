@@ -1,0 +1,100 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Image quality audit over decoded pixels (`q_image_quality`) — the
+  * visual twin of [[AudioQuality]] and of the text quality scores: the
+  * screens an image training pipeline runs before spending encoder
+  * compute are EXPOSURE (mean luminance pinned near black or white —
+  * thumbnails of failed renders, tracking pixels), CONTRAST (luminance
+  * spread — near-zero means a blank/solid card, the single most common
+  * junk image in a web crawl: spacer gifs, color swatches, placeholder
+  * tiles) and resolution floors. All are exact integer functions of the
+  * decoded RGB bytes:
+  *
+  *   - `mean_luma` — mean of (r+g+b) div 3 over all pixels, 0..255;
+  *   - `contrast` — integer-sqrt of the luminance variance (population),
+  *     via the exact sum-of-squares identity isqrt((n·Σx²−(Σx)²) div n²)
+  *     — [[AudioQuality.isqrt]], no floating sqrt anywhere;
+  *   - `blank` — contrast below [[BlankContrast]] (solid/near-solid);
+  *   - `exposure` — `under` (mean < [[UnderExposed]]), `over`
+  *     (mean > [[OverExposed]]), else `ok`.
+  *
+  * Planted rows exercise every verdict: a solid mid-gray card (blank,
+  * exposure ok), a near-black frame (under), a near-white frame (over) —
+  * the corpus's xorshift images are healthy noise (mean ≈ 127, high
+  * contrast), so the plants make the defect classes materialize.
+  *
+  * 100-TB shape: decode + audit is a per-row map, one pass, constant
+  * memory; only integers leave the executor. Corrupt containers
+  * quarantine (`decode_ok = false`, zeroed metrics) — one damaged file
+  * must not kill an archive-scale job.
+  */
+object ImageQuality {
+
+  /** Contrast (σ of luma) below this is a solid/near-solid card. */
+  val BlankContrast = 8L
+
+  /** Mean-luma bounds for the exposure verdict. */
+  val UnderExposed = 32L
+  val OverExposed = 223L
+
+  /** Planted media ids (above the corpus id range, distinct from audio's). */
+  val PlantBase = 30000000L
+
+  /** The audit kernel over decoded RGB content:
+    * (n_pixels, mean_luma, contrast, blank, exposure). */
+  def auditPixels(content: Array[Byte]): (Long, Long, Long, Boolean, String) = {
+    val n = content.length / 3L
+    if (n == 0) return (0L, 0L, 0L, true, "under")
+    var sum = 0L; var sumSq = 0L
+    var i = 0
+    while (i < content.length) {
+      val luma = ((content(i) & 0xff) + (content(i + 1) & 0xff) + (content(i + 2) & 0xff)) / 3L
+      sum += luma; sumSq += luma * luma
+      i += 3
+    }
+    val mean = sum / n
+    val contrast = AudioQuality.isqrt((n * sumSq - sum * sum) / (n * n))
+    val exposure = if (mean < UnderExposed) "under"
+                   else if (mean > OverExposed) "over" else "ok"
+    (n, mean, contrast, contrast < BlankContrast, exposure)
+  }
+
+  /** Planted frames: solid mid-gray, near-black, near-white (real PNGs). */
+  private[multimodal] def plantedPngs: Seq[(Long, Array[Byte])] = {
+    def png(level: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(32, 24,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 24; x <- 0 until 32)
+        img.setRGB(x, y, (level << 16) | (level << 8) | level)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    Seq((PlantBase, png(128)), (PlantBase + 1, png(8)), (PlantBase + 2, png(247)))
+  }
+
+  /** Driver-contract query: the audit over every corpus image row plus the
+    * planted frames. */
+  def imageQuality(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val images = Multimodal.mediaTable(spark, dir).filter(_.kind == "image")
+    val plants = plantedPngs.map { case (id, payload) =>
+      Multimodal.MediaRow(id, "image", payload, 32, 24, 0)
+    }
+    images.union(spark.createDataset(plants))
+      .mapPartitions { it =>
+        val decoder = new Multimodal.MediaDecoder
+        it.map { m =>
+          val (content, ok) = decoder.decodedBytesSafe(m.payload)
+          val (n, mean, contrast, blank, exposure) =
+            if (ok) auditPixels(content) else (0L, 0L, 0L, true, "under")
+          (m.media_id, n, mean, contrast, blank, exposure, ok)
+        }
+      }
+      .toDF("media_id", "n_pixels", "mean_luma", "contrast", "blank",
+        "exposure", "decode_ok")
+      .orderBy("media_id")
+  }
+}
