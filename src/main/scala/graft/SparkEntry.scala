@@ -139,6 +139,7 @@ object SparkEntry {
     "q_anf" -> (graft.pipeline.Anf.anfQuery _),
     "q_bandit_budget" -> (graft.pipeline.BanditBudget.banditBudget _),
     "q_seed_select" -> (graft.pipeline.SeedSelect.seedSelectQuery _),
+    "q_makespan" -> (graft.pipeline.Makespan.makespanQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -417,6 +418,10 @@ object SparkEntry {
     // re-executes every greedy round (anti-join marginals, same tie-break)
     "q_seed_select" ->
       graft.pipeline.SeedSelect.seedSelectSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives per-host backlogs, both
+    // Graham bounds and the critical set over the frozen edge fixture
+    "q_makespan" ->
+      graft.pipeline.Makespan.makespanSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

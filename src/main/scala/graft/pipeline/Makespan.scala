@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Politeness-constrained crawl makespan bound (`q_makespan`) — "how many
+  * waves until this backlog is done, and WHAT binds: fleet capacity or one
+  * slow host?" The two-sided bound is scheduling's oldest result (Graham's
+  * identical-machines bounds): a backlog of N urls under S global fetch
+  * slots per wave needs ≥ ⌈N/S⌉ waves (work bound), and a host with n_h
+  * urls under its politeness cap c_h needs ≥ ⌈n_h/c_h⌉ waves REGARDLESS of
+  * fleet size (host bound — politeness makes every host its own machine).
+  * `makespan = max(work bound, max_h host bound)`, and for this wave model
+  * the bound is TIGHT: waves are preemption points, so any greedy
+  * fill-the-slots schedule that never idles a slot while a cap-free url
+  * exists achieves it (the standard argument for list scheduling at
+  * per-wave granularity).
+  *
+  * The read crawl-ops actually uses is the CRITICAL SET: hosts whose bound
+  * equals the makespan. A fleet upgrade (bigger S) buys nothing while a
+  * host is critical — the politeness cap is the wall; conversely with no
+  * critical host, capacity is the wall and parallelism pays linearly. That
+  * is exactly the 1000-executor sizing question asked before scaling a
+  * crawl, answered from the frontier table alone.
+  *
+  * Input is the shared corpus URL population ([[UrlTemplates
+  * .corpusUrlsWithPlant]] — link-graph urls plus the 180-url crawler-trap
+  * host, which under the default cap is the designed critical host: the
+  * plant proves the host-bound branch binds while the corpus hosts sit in
+  * the capacity regime).
+  *
+  * 100-TB shape: one distinct-collapse + one keyed count per host
+  * (map-side combined), one #hosts-row aggregate for the two global
+  * bounds broadcast back as a 1-row cross join ([[CorpusDrift]]'s
+  * global-metrics convention). No windows, no driver state.
+  *
+  * (Reference scope: rust-scraper's max_pages/delay config (site
+  * config.rs:49-63) fixes exactly S and c_h; it never reports when its
+  * politeness delay, not its concurrency, is the completion wall.)
+  */
+object Makespan {
+
+  /** Global fetch slots per wave (fleet capacity in the wave model). */
+  val Slots = 16L
+
+  /** Per-host politeness cap per wave (urls per host per wave). */
+  val HostCap = 4L
+
+  /** Makespan bounds over any single-column `url` frame. */
+  def makespan(urls: DataFrame): DataFrame = {
+    val perHost = urls.filter(col("url").startsWith("http")).distinct()
+      .select(Cardinality.hostCol(col("url")).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("backlog"))
+      .withColumn("host_bound", expr(s"(backlog + $HostCap - 1) div $HostCap"))
+      .localCheckpoint()
+    val globals = perHost.agg(
+      sum("backlog").as("total"),
+      max("host_bound").as("max_host_bound"))
+      .select(
+        expr(s"(total + $Slots - 1) div $Slots").as("work_bound"),
+        col("max_host_bound"))
+      .select(col("work_bound"),
+        greatest(col("work_bound"), col("max_host_bound")).as("makespan"))
+    perHost.crossJoin(broadcast(globals))
+      .select(col("host"), col("backlog"), col("host_bound"),
+        col("work_bound"), col("makespan"),
+        (col("host_bound") === col("makespan")).as("is_critical"))
+      .orderBy("host")
+  }
+
+  /** Driver-contract query over the shared corpus-urls-plus-trap set. */
+  def makespanQuery(spark: SparkSession, dir: String): DataFrame =
+    makespan(UrlTemplates.corpusUrlsWithPlant(spark, dir))
+
+  /** DuckDB twin: the same counts, ceils and max recomputed over the
+    * frozen edge fixture plus the shared trap-plant generator. */
+  def makespanSql(edgesSelect: String): String =
+    s"""WITH ${UrlTemplates.corpusUrlsSqlCtes(edgesSelect)},
+       |per_host AS (
+       |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       |    CAST(count(*) AS BIGINT) AS backlog
+       |  FROM (SELECT DISTINCT url FROM urls WHERE url LIKE 'http%')
+       |  GROUP BY 1),
+       |b AS (
+       |  SELECT host, backlog,
+       |    CAST((backlog + $HostCap - 1) // $HostCap AS BIGINT) AS host_bound
+       |  FROM per_host),
+       |g AS (
+       |  SELECT CAST((sum(backlog) + $Slots - 1) // $Slots AS BIGINT) AS work_bound,
+       |    CAST(max(host_bound) AS BIGINT) AS max_host_bound
+       |  FROM b)
+       |SELECT b.host, b.backlog, b.host_bound, g.work_bound,
+       |  CAST(greatest(g.work_bound, g.max_host_bound) AS BIGINT) AS makespan,
+       |  b.host_bound = greatest(g.work_bound, g.max_host_bound) AS is_critical
+       |FROM b CROSS JOIN g
+       |ORDER BY b.host""".stripMargin
+}
