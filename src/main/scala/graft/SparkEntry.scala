@@ -140,6 +140,7 @@ object SparkEntry {
     "q_bandit_budget" -> (graft.pipeline.BanditBudget.banditBudget _),
     "q_seed_select" -> (graft.pipeline.SeedSelect.seedSelectQuery _),
     "q_makespan" -> (graft.pipeline.Makespan.makespanQuery _),
+    "q_rank_correlation" -> (graft.pipeline.RankCorrelation.rankCorrelation _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -422,6 +423,10 @@ object SparkEntry {
     // Graham bounds and the critical set over the frozen edge fixture
     "q_makespan" ->
       graft.pipeline.Makespan.makespanSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-executes the full hostRank
+    // recurrence AND the exact pair ledger per signal
+    "q_rank_correlation" ->
+      graft.pipeline.RankCorrelation.rankCorrelationSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
