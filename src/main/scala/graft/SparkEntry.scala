@@ -141,6 +141,7 @@ object SparkEntry {
     "q_seed_select" -> (graft.pipeline.SeedSelect.seedSelectQuery _),
     "q_makespan" -> (graft.pipeline.Makespan.makespanQuery _),
     "q_rank_correlation" -> (graft.pipeline.RankCorrelation.rankCorrelation _),
+    "q_assortativity" -> (graft.pipeline.Assortativity.assortativityQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -427,6 +428,10 @@ object SparkEntry {
     // recurrence AND the exact pair ledger per signal
     "q_rank_correlation" ->
       graft.pipeline.RankCorrelation.rankCorrelationSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives degrees, the integer mixing
+    // ledger (rational r, no sqrt) and the k_nn rollup from the fixture
+    "q_assortativity" ->
+      graft.pipeline.Assortativity.assortativitySql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
