@@ -142,6 +142,7 @@ object SparkEntry {
     "q_makespan" -> (graft.pipeline.Makespan.makespanQuery _),
     "q_rank_correlation" -> (graft.pipeline.RankCorrelation.rankCorrelation _),
     "q_assortativity" -> (graft.pipeline.Assortativity.assortativityQuery _),
+    "q_percolation" -> (graft.pipeline.Percolation.percolationQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -432,6 +433,10 @@ object SparkEntry {
     // ledger (rational r, no sqrt) and the k_nn rollup from the fixture
     "q_assortativity" ->
       graft.pipeline.Assortativity.assortativitySql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives the static attack ranking
+    // and re-executes the full component recurrence per removal level
+    "q_percolation" ->
+      graft.pipeline.Percolation.percolationSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hub-removal attack tolerance of the host graph (`q_percolation`) —
+  * Albert/Jeong/Barabási's "Error and attack tolerance of complex
+  * networks" (Nature 2000) run as a dataflow: remove the top-k
+  * highest-degree hosts (simultaneous targeted attack, k = 0..[[MaxK]],
+  * static original-degree ranking — the paper's protocol) and measure the
+  * giant weak component that survives. Scale-free graphs are robust to
+  * random failure but FRAGILE to hub attack — and for a crawl fleet the
+  * hubs are literal single points of failure: one CDN/link-hub host going
+  * dark (or robots-blocking the crawler) orphans whole neighborhoods the
+  * frontier can then only reach via sitemaps. The curve says how much of
+  * the reachable web each successive hub loss costs — the dependency
+  * audit behind seed diversification ([[SeedSelect]]) and mirror coverage.
+  *
+  * Per k, one row: (k, removed_host — the k-th host removed, '-' at k=0,
+  * n_hosts remaining, giant component size, giant_permille vs the ORIGINAL
+  * node count — the paper's S(k)/N presentation, denominator stable on
+  * purpose).
+  *
+  * Mechanism: degree ranking computed ONCE on the intact graph (one
+  * bounded K-row driver read, the [[Bowtie]] pivot discipline); per k one
+  * anti-filtered edge set and one run of the shared min-label components
+  * kernel ([[WebIndex.components]]'s recurrence). The K+1 component runs
+  * are the price of the curve and K is a pinned constant — at 100 TB each
+  * run is host-granular (the [[WebIndex]] scale note), and the curve is
+  * recomputed at audit cadence, not per wave. Isolated survivors are
+  * singleton components and can never be the giant at these k (the spec
+  * pins the edge set stays non-empty across the horizon).
+  *
+  * The planted dumbbell — two 5-cliques joined ONLY through a bridge hub
+  * wired to all ten — is the textbook fragile structure: it is the intact
+  * graph's giant (11 hosts) and its bridge is the global top hub, so the
+  * k=1 attack visibly shatters the giant into two 5-cliques and the crown
+  * passes to the corpus component. Fragility made a checked number.
+  */
+object Percolation {
+
+  /** Attack horizon: rows for k = 0..MaxK removed hubs. */
+  val MaxK = 4
+
+  /** Planted dumbbell: two 5-cliques bridged by one hub wired to all 10
+    * members (degree 10 — the designed global top hub). */
+  private[pipeline] val DumbbellPairs: Seq[(String, String)] = {
+    def clique(tag: String) = for {
+      i <- 0 until 5; j <- i + 1 until 5
+    } yield (s"perc-$tag$i.example", s"perc-$tag$j.example")
+    val members = (0 until 5).map(i => s"perc-a$i.example") ++
+      (0 until 5).map(i => s"perc-b$i.example")
+    clique("a") ++ clique("b") ++ members.map(m => ("perc-bridge.example", m))
+  }
+
+  private def dumbbellSql: String =
+    "SELECT a, b FROM (VALUES " +
+      DumbbellPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
+      ") v(a, b)"
+
+  /** The attack curve over any (a, b) host-pair frame. */
+  def percolation(pairsIn: DataFrame): DataFrame = {
+    val spark = pairsIn.sparkSession
+    import spark.implicits._
+    val dir0 = pairsIn.filter(col("a") =!= col("b"))
+    val und = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    val n0 = und.select(col("a")).distinct().count()
+    // static original-degree attack ranking — ONE bounded K-row driver read
+    val ranking = und.groupBy(col("a").as("host")).agg(count(lit(1)).as("d"))
+      .orderBy(desc("d"), asc("host")).limit(MaxK).collect()
+      .map(_.getString(0)).toSeq
+    val rows = (0 to MaxK).map { k =>
+      val removed = ranking.take(k)
+      val kept =
+        if (k == 0) und
+        else und.filter(!col("a").isin(removed: _*) && !col("b").isin(removed: _*))
+      val giant = WebIndex.components(kept)
+        .agg(max("component_size")).head().getLong(0)
+      (k.toLong, if (k == 0) "-" else ranking(k - 1), n0 - k, giant,
+        giant * 1000L / n0)
+    }
+    rows.toDF("k", "removed_host", "n_hosts", "giant", "giant_permille")
+      .orderBy("k")
+  }
+
+  /** Driver-contract query: the attack curve over the corpus inter-host
+    * graph plus the planted dumbbell. */
+  def percolationQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    percolation(CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("a"),
+        Cardinality.hostCol(col("dst")).as("b"))
+      .union(DumbbellPairs.toDF("a", "b")))
+  }
+
+  /** DuckDB twin: the static attack ranking plus, per k, the full
+    * min-label component recurrence ([[WebIndex.CcRounds]] rounds) as
+    * MATERIALIZED chained CTEs over the filtered edge set. */
+  def percolationSql(edgesSelect: String): String = {
+    val R = WebIndex.CcRounds
+    def perK(k: Int): String = {
+      val rounds = (1 to R).map { i =>
+        s"""k${k}l$i AS MATERIALIZED (
+           |  SELECT l.host, least(l.label, coalesce(m.nmin, l.label)) AS label
+           |  FROM k${k}l${i - 1} l LEFT JOIN (
+           |    SELECT e.a AS host, min(x.label) AS nmin
+           |    FROM k${k}e e JOIN k${k}l${i - 1} x ON x.host = e.b
+           |    GROUP BY e.a) m ON m.host = l.host)""".stripMargin
+      }.mkString(",\n")
+      s"""k${k}e AS MATERIALIZED (
+         |  SELECT a, b FROM un
+         |  WHERE a NOT IN (SELECT host FROM rk WHERE rn <= $k)
+         |    AND b NOT IN (SELECT host FROM rk WHERE rn <= $k)),
+         |k${k}l0 AS (SELECT DISTINCT a AS host, a AS label FROM k${k}e),
+         |$rounds,
+         |g$k AS (
+         |  SELECT $k AS k,
+         |    CAST((SELECT count(*) FROM k${k}l$R WHERE label = t.label) AS BIGINT) AS giant
+         |  FROM (SELECT label FROM k${k}l$R GROUP BY label
+         |        ORDER BY count(*) DESC LIMIT 1) t)""".stripMargin
+    }
+    val allG = (0 to MaxK).map(k => s"SELECT * FROM g$k").mkString(" UNION ALL ")
+    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+       |pairs0 AS (
+       |  SELECT a, b FROM (
+       |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,
+       |           regexp_extract(dst, '^https?://([^/]+)', 1) AS b
+       |    FROM edges WHERE dst LIKE 'http%'
+       |    UNION ALL
+       |    $dumbbellSql)
+       |  WHERE a <> b),
+       |un AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0)),
+       |n0 AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS n FROM un),
+       |rk AS MATERIALIZED (
+       |  SELECT host, row_number() OVER (ORDER BY d DESC, host ASC) AS rn FROM (
+       |    SELECT a AS host, count(*) AS d FROM un GROUP BY a)),
+       |${(0 to MaxK).map(perK).mkString(",\n")}
+       |SELECT CAST(g.k AS BIGINT) AS k,
+       |  CASE WHEN g.k = 0 THEN '-'
+       |       ELSE (SELECT host FROM rk WHERE rn = g.k) END AS removed_host,
+       |  CAST(n0.n - g.k AS BIGINT) AS n_hosts, g.giant,
+       |  CAST(g.giant * 1000 // n0.n AS BIGINT) AS giant_permille
+       |FROM ($allG) g CROSS JOIN n0
+       |ORDER BY g.k""".stripMargin
+  }
+}
