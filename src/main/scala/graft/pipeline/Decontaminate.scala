@@ -1,0 +1,151 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination via n-gram collision (`q_decontaminate`) —
+  * the GPT-3-style eval-set overlap filter (Brown et al. 2020, appendix C;
+  * PaLM and Llama reports repeat the recipe): a training document is
+  * contaminated when any of its k-token n-grams also occurs in a held-out
+  * benchmark item, and contaminated documents are dropped before training.
+  * This is a mandatory pass over every web-crawl corpus — the reference
+  * (rust-scraper) builds RAG datasets from crawled pages and has no
+  * counterpart; at LLM-training scale it is the difference between a
+  * reportable eval and a leaked one.
+  *
+  * Spec: tokens are the space-split words ([[NgramLm]]'s convention);
+  * k = [[GramLen]] = 8 (GPT-3 used 13-gram stems; 8 fits this corpus's
+  * shorter documents while keeping the accidental-collision probability
+  * negligible — vocabulary^8 dwarfs the corpus gram count). The benchmark
+  * set is deterministic: every document with `doc_id % 37 == 3` donates
+  * tokens 5..19 as a 15-token benchmark item (planting true contamination
+  * — at minimum each donor collides with itself, which is exactly the
+  * GPT-3 semantics: training docs overlapping eval text get dropped no
+  * matter which came first), plus three clean vocabulary-disjoint items
+  * that provably hit nothing (they appear in the ledger's `bench_items`
+  * but never in a collision).
+  *
+  * Output: one row per CONTAMINATED document — `hit_grams` (distinct
+  * shared 8-grams), `hit_items` (distinct benchmark items hit),
+  * `collisions` (doc-gram-occurrence × benchmark-gram join rows) — with
+  * the 1-row ledger (`bench_items`, `bench_grams`, `docs_hit`) repeated
+  * per row ([[CorpusDrift]]'s convention).
+  *
+  * 100-TB shape: benchmark suites are tiny next to the corpus (100k–1M
+  * grams), so the join is a BROADCAST hash join against the exploded
+  * document grams — map-side, zero shuffle of corpus grams; the per-doc
+  * rollup is one groupBy with map-side partials keyed by doc_id. Gram
+  * extraction is pure `transform`+`explode` (whole-stage codegen, no
+  * UDFs). The documented dial at extreme benchmark sizes: broadcast the
+  * 44-bit md5 of each gram ([[Cardinality.urlHashCol]]'s convention)
+  * instead of the string — identical plan, 10× smaller build side.
+  */
+object Decontaminate {
+
+  /** Collision n-gram length (tokens). */
+  val GramLen = 8
+  /** Benchmark-donor slice: tokens [start, start+len-1], 1-based. */
+  val BenchStart = 5
+  val BenchLen = 15
+  /** Donor selection: doc_id % Modulus == Residue. */
+  val BenchModulus = 37L
+  val BenchResidue = 3L
+
+  /** Clean plants: vocabulary-disjoint items that must hit nothing. */
+  private[pipeline] val CleanItems: Seq[(Long, String)] = (1 to 3).map { i =>
+    (9000L + i, (0 until 10).map(j => s"deconclean${i}tok$j").mkString(" "))
+  }
+
+  private def cleanItemsSql: String =
+    "SELECT bench_id, btext FROM (VALUES " +
+      CleanItems.map { case (id, t) => s"($id, '$t')" }.mkString(", ") +
+      ") v(bench_id, btext)"
+
+  /** Exploded k-grams of a (idCol, ws: array<string>) frame. */
+  private def grams(df: DataFrame, idCol: String): DataFrame =
+    df.filter(size(col("ws")) >= GramLen)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(ws) - $GramLen), " +
+          s"i -> concat_ws(' ', slice(ws, i + 1, $GramLen)))")).as("g"))
+
+  /** Decontamination over any (doc_id, text) frame. */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ws = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("ws"))
+    val derived = ws
+      .filter(col("doc_id") % BenchModulus === BenchResidue &&
+        size(col("ws")) >= BenchStart + BenchLen - 1)
+      .select(col("doc_id").as("bench_id"),
+        expr(s"slice(ws, $BenchStart, $BenchLen)").as("ws"))
+    val clean = CleanItems.toDF("bench_id", "btext")
+      .select(col("bench_id"), split(col("btext"), " ").as("ws"))
+    val benchGrams = grams(derived.union(clean), "bench_id").distinct()
+    val docGrams = grams(ws, "doc_id")
+    val hits = docGrams.join(broadcast(benchGrams), "g")
+    val perDoc = hits.groupBy("doc_id").agg(
+      countDistinct(col("g")).as("hit_grams"),
+      countDistinct(col("bench_id")).as("hit_items"),
+      count(lit(1)).as("collisions"))
+    val ledger = benchGrams.agg(
+      countDistinct(col("bench_id")).as("bench_items"),
+      countDistinct(col("g")).as("bench_grams"))
+      .crossJoin(perDoc.agg(count(lit(1)).as("docs_hit")))
+    perDoc.crossJoin(broadcast(ledger))
+      .select(col("doc_id"), col("hit_grams"), col("hit_items"),
+        col("collisions"), col("bench_items"), col("bench_grams"),
+        col("docs_hit"))
+      .orderBy("doc_id")
+  }
+
+  /** Contract query over the documents table. */
+  def decontaminateQuery(spark: SparkSession, dir: String): DataFrame =
+    decontaminate(
+      spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text"))
+
+  /** DuckDB twin: identical donor slice, gram explosion, broadcast-side
+    * dedup, per-doc rollup and ledger. */
+  val decontaminateSql: String = {
+    val k1 = GramLen - 1
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |derived AS (
+       |  SELECT doc_id AS bench_id, ws[$BenchStart:${BenchStart + BenchLen - 1}] AS ws
+       |  FROM d
+       |  WHERE doc_id % $BenchModulus = $BenchResidue
+       |    AND len(ws) >= ${BenchStart + BenchLen - 1}),
+       |clean AS (
+       |  SELECT CAST(bench_id AS BIGINT) AS bench_id, string_split(btext, ' ') AS ws
+       |  FROM ($cleanItemsSql)),
+       |bench AS (SELECT * FROM derived UNION ALL SELECT * FROM clean),
+       |bgrams AS MATERIALIZED (
+       |  SELECT DISTINCT bench_id, array_to_string(ws[i:i + $k1], ' ') AS g
+       |  FROM bench, unnest(generate_series(1, len(ws) - $k1)) t(i)
+       |  WHERE len(ws) >= $GramLen),
+       |dgrams AS (
+       |  SELECT doc_id, array_to_string(ws[i:i + $k1], ' ') AS g
+       |  FROM d, unnest(generate_series(1, len(ws) - $k1)) t(i)
+       |  WHERE len(ws) >= $GramLen),
+       |hits AS MATERIALIZED (
+       |  SELECT doc_id, dgrams.g, bench_id FROM dgrams JOIN bgrams USING (g)),
+       |perdoc AS MATERIALIZED (
+       |  SELECT doc_id, count(DISTINCT g) AS hit_grams,
+       |         count(DISTINCT bench_id) AS hit_items, count(*) AS collisions
+       |  FROM hits GROUP BY doc_id),
+       |ledger AS (
+       |  SELECT (SELECT count(DISTINCT bench_id) FROM bgrams) AS bench_items,
+       |         (SELECT count(DISTINCT g) FROM bgrams) AS bench_grams,
+       |         (SELECT count(*) FROM perdoc) AS docs_hit)
+       |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |  CAST(hit_grams AS BIGINT) AS hit_grams,
+       |  CAST(hit_items AS BIGINT) AS hit_items,
+       |  CAST(collisions AS BIGINT) AS collisions,
+       |  CAST(bench_items AS BIGINT) AS bench_items,
+       |  CAST(bench_grams AS BIGINT) AS bench_grams,
+       |  CAST(docs_hit AS BIGINT) AS docs_hit
+       |FROM perdoc CROSS JOIN ledger
+       |ORDER BY doc_id""".stripMargin
+  }
+}
