@@ -144,6 +144,7 @@ object SparkEntry {
     "q_assortativity" -> (graft.pipeline.Assortativity.assortativityQuery _),
     "q_percolation" -> (graft.pipeline.Percolation.percolationQuery _),
     "q_decontaminate" -> (graft.pipeline.Decontaminate.decontaminateQuery _),
+    "q_modularity" -> (graft.pipeline.Modularity.modularityQuery _),
     "q_robots_decisions" -> (CrawlQueries.robotsDecisions _),
     "q_redirect_resolve" -> (graft.pipeline.Redirects.redirectResolve _),
     "q_robots_groups" -> (CrawlQueries.robotsGroups _),
@@ -441,6 +442,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the benchmark set, the 8-gram
     // explosion, the collision join and the per-doc/ledger rollups
     "q_decontaminate" -> graft.pipeline.Decontaminate.decontaminateSql,
+    // independent recompute: DuckDB re-executes the full LPA recurrence and
+    // the exact integer modularity ledger (denominator m2², no floats)
+    "q_modularity" ->
+      graft.pipeline.Modularity.modularitySql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

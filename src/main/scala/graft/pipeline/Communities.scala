@@ -55,12 +55,17 @@ object Communities {
       LpaPlantPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
       ") v(a, b)"
 
-  /** LPA over any (a, b) host-pair frame: symmetrize, [[LpaRounds]] rounds
-    * of plurality-label adoption, then community sizes. */
-  def communities(pairsIn: DataFrame): DataFrame = {
+  /** Symmetrized, deduped, self-loop-free directed pair set of an (a, b)
+    * frame — the shared edge representation ([[Modularity]] reuses it). */
+  private[pipeline] def undirected(pairsIn: DataFrame): DataFrame = {
     val dir0 = pairsIn.filter(col("a") =!= col("b"))
-    val und = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+    dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
+  }
+
+  /** The pinned synchronous LPA recurrence over a symmetrized edge set:
+    * (host, label) after [[LpaRounds]] rounds. */
+  private[pipeline] def lpaLabels(und: DataFrame): DataFrame = {
     val nodes = und.select(col("a").as("host")).distinct().localCheckpoint()
     var labels = nodes.select(col("host"), col("host").as("label"))
     for (_ <- 1 to LpaRounds) {
@@ -72,6 +77,13 @@ object Communities {
         .groupBy("host").agg(min("label").as("label"))
         .localCheckpoint()
     }
+    labels
+  }
+
+  /** LPA over any (a, b) host-pair frame: symmetrize, [[LpaRounds]] rounds
+    * of plurality-label adoption, then community sizes. */
+  def communities(pairsIn: DataFrame): DataFrame = {
+    val labels = lpaLabels(undirected(pairsIn))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("community_size"))
     labels.join(sizes, "label")
       .select(col("host"), col("label").as("community"), col("community_size"))
@@ -89,10 +101,10 @@ object Communities {
       .union(LpaPlantPairs.toDF("a", "b")))
   }
 
-  /** DuckDB twin: the identical plurality recurrence — count, per-host max
-    * (window over the per-host label counts, rows = labels not hosts), tie
-    * to min — re-executed for all [[LpaRounds]] rounds as chained CTEs. */
-  def lpaCommunitiesSql(edgesSelect: String): String = {
+  /** Shared WITH-chain prefix: edges → plant-unioned pairs → symmetrized
+    * `und` → the full [[LpaRounds]]-round label recurrence ending at
+    * `l$LpaRounds`. [[Modularity]]'s twin appends its own rollup. */
+  private[pipeline] def lpaChainSql(edgesSelect: String): String = {
     val rounds = (1 to LpaRounds).map { i =>
       s"""c$i AS (
          |  SELECT e.a AS host, x.label, CAST(count(*) AS BIGINT) AS c
@@ -112,16 +124,22 @@ object Communities {
        |    UNION ALL
        |    $lpaPlantSql)
        |  WHERE a <> b),
-       |und AS (
+       |und AS MATERIALIZED (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0)),
        |l0 AS (SELECT DISTINCT a AS host, a AS label FROM und),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB twin: the identical plurality recurrence — count, per-host max
+    * (window over the per-host label counts, rows = labels not hosts), tie
+    * to min — re-executed for all [[LpaRounds]] rounds as chained CTEs. */
+  def lpaCommunitiesSql(edgesSelect: String): String =
+    s"""${lpaChainSql(edgesSelect)},
        |sizes AS (
        |  SELECT label, CAST(count(*) AS BIGINT) AS community_size
        |  FROM l$LpaRounds GROUP BY label)
        |SELECT l.host, l.label AS community, s.community_size
        |FROM l$LpaRounds l JOIN sizes s ON s.label = l.label
        |ORDER BY l.host""".stripMargin
-  }
 }

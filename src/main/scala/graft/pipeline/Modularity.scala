@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Newman modularity of the LPA partition (`q_modularity`) — the quality
+  * score for [[Communities]]' density grouping (Newman & Girvan 2004,
+  * Phys. Rev. E 69). LPA tells you WHICH hosts cluster; modularity tells
+  * you whether that clustering beats the degree-preserving random graph —
+  * the go/no-go gate before community labels drive operational decisions
+  * (budget pooling per [[DomainBudget]], link-farm ring review per
+  * [[LinkFarm]]). A partition with Q near 0 is noise; the classic "real
+  * community structure" band is 0.3–0.7.
+  *
+  * Exactness: with m2 = |directed symmetrized pairs| = 2m, intra-pair
+  * count mc2_c = 2·(intra edges of c) and degree sum dc_c,
+  * Q = Σ_c (mc2_c·m2 − dc_c²) / m2² — a RATIONAL with denominator m2²,
+  * no floating point anywhere. Per-community rows carry the exact integer
+  * numerator `q_numer`; the single global division to micro units happens
+  * once, on the summed numerator (sum-of-floors drift is impossible).
+  * Hand anchors pinned in the spec: two disjoint triangles score exactly
+  * 500000; one clique scores exactly 0; the contract's bridged 4-cliques
+  * score exactly 423076 micro.
+  *
+  * 100-TB shape: one degree aggregation, one labels⋈edges join per
+  * endpoint (keyed, map-side partials), one per-label rollup, a 1-row
+  * broadcast ledger — the same plan skeleton as [[Assortativity]]. The
+  * LPA recurrence it scores is [[Communities.lpaLabels]]' constant-plan
+  * loop. Int64 holds to m2 ≈ 3·10^9 (m2² < 2^63); past that the
+  * documented dial is decimal(38) with identical semantics.
+  */
+object Modularity {
+
+  /** Modularity of the pinned-round LPA partition over any (a, b)
+    * host-pair frame. One row per community: size, intra edge count,
+    * degree sum, exact numerator — with the global ledger (m_edges,
+    * q_micro) repeated per row ([[CorpusDrift]]'s convention). */
+  def modularity(pairsIn: DataFrame): DataFrame = {
+    val und = Communities.undirected(pairsIn)
+    val labels = Communities.lpaLabels(und)
+    val deg = und.groupBy(col("a").as("host")).agg(count(lit(1)).as("deg"))
+    val m2df = und.agg(count(lit(1)).as("m2"))
+    val intra = und
+      .join(labels.select(col("host").as("a"), col("label").as("la")), "a")
+      .join(labels.select(col("host").as("b"), col("label").as("lb")), "b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("mc2"))
+    val dsum = labels.join(deg, "host").groupBy("label")
+      .agg(sum("deg").as("dc"), count(lit(1)).as("n_hosts"))
+    val per = dsum.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("mc2"))
+      .crossJoin(broadcast(m2df))
+      .select(col("label").as("community"), col("n_hosts"),
+        expr("mc2 div 2").as("intra_edges"), col("dc").as("degree_sum"),
+        (col("mc2") * col("m2") - col("dc") * col("dc")).as("q_numer"),
+        col("m2"))
+    val ledger = per.agg(
+      expr("max(m2) div 2").as("m_edges"),
+      expr("(sum(q_numer) * 1000000) div (max(m2) * max(m2))").as("q_micro"))
+    per.crossJoin(broadcast(ledger))
+      .select(col("community"), col("n_hosts"), col("intra_edges"),
+        col("degree_sum"), col("q_numer"), col("m_edges"), col("q_micro"))
+      .orderBy("community")
+  }
+
+  /** Driver-contract query: modularity of the corpus inter-host graph plus
+    * [[Communities]]' planted bridged cliques — the SAME graph
+    * `q_lpa_communities` labels, so the two outputs cross-check. */
+  def modularityQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    modularity(CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("a"),
+        Cardinality.hostCol(col("dst")).as("b"))
+      .union(Communities.LpaPlantPairs.toDF("a", "b")))
+  }
+
+  /** DuckDB twin: re-executes the FULL LPA recurrence
+    * ([[Communities.lpaChainSql]]) and recomputes degrees, intra counts
+    * and the exact integer ledger. */
+  def modularitySql(edgesSelect: String): String =
+    s"""${Communities.lpaChainSql(edgesSelect)},
+       |lab AS MATERIALIZED (SELECT host, label FROM l${Communities.LpaRounds}),
+       |deg AS (SELECT a AS host, count(*) AS deg FROM und GROUP BY a),
+       |m2t AS (SELECT count(*) AS m2 FROM und),
+       |intra AS (
+       |  SELECT x.label, count(*) AS mc2
+       |  FROM und e JOIN lab x ON x.host = e.a JOIN lab y ON y.host = e.b
+       |  WHERE x.label = y.label GROUP BY x.label),
+       |dsum AS (
+       |  SELECT label, sum(deg) AS dc, count(*) AS n_hosts
+       |  FROM lab JOIN deg USING (host) GROUP BY label),
+       |per AS MATERIALIZED (
+       |  SELECT dsum.label AS community, n_hosts,
+       |         coalesce(intra.mc2, 0) AS mc2, dc, m2,
+       |         coalesce(intra.mc2, 0) * m2 - dc * dc AS q_numer
+       |  FROM dsum LEFT JOIN intra ON intra.label = dsum.label
+       |  CROSS JOIN m2t),
+       |ledger AS (
+       |  SELECT max(m2) // 2 AS m_edges,
+       |         (sum(q_numer) * 1000000) // (max(m2) * max(m2)) AS q_micro
+       |  FROM per)
+       |SELECT community, CAST(n_hosts AS BIGINT) AS n_hosts,
+       |  CAST(mc2 // 2 AS BIGINT) AS intra_edges,
+       |  CAST(dc AS BIGINT) AS degree_sum,
+       |  CAST(q_numer AS BIGINT) AS q_numer,
+       |  CAST(m_edges AS BIGINT) AS m_edges,
+       |  CAST(q_micro AS BIGINT) AS q_micro
+       |FROM per CROSS JOIN ledger
+       |ORDER BY community""".stripMargin
+}
