@@ -200,7 +200,8 @@ object SparkEntry {
     "q_priority_aging" -> (graft.pipeline.PriorityAging.priorityAging _),
     "q_link_farm" -> (graft.pipeline.LinkFarm.linkFarm _),
     "q_ngram_lm" -> (graft.pipeline.NgramLm.ngramLm _),
-    "q_shingle_jaccard" -> (graft.pipeline.ShingleJaccard.shingleJaccard _)
+    "q_shingle_jaccard" -> (graft.pipeline.ShingleJaccard.shingleJaccard _),
+    "q_degree_dist" -> (graft.pipeline.DegreeDist.degreeDistQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -446,6 +447,10 @@ object SparkEntry {
     // the exact integer modularity ledger (denominator m2², no floats)
     "q_modularity" ->
       graft.pipeline.Modularity.modularitySql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives degrees, the bit-length
+    // octave buckets and the integer survival curve from the fixture
+    "q_degree_dist" ->
+      graft.pipeline.DegreeDist.degreeDistSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

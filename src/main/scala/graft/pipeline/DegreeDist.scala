@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Host-graph degree-distribution audit (`q_degree_dist`) — the power-law
+  * sanity check every web-graph paper opens with (Broder et al. "Graph
+  * structure in the Web", WWW 2000, fig. 2; Faloutsos³'s power laws): the
+  * undirected host graph's degree histogram in log2 buckets plus the
+  * complementary CDF. A crawl whose host degrees do NOT span multiple
+  * octaves with a heavy tail is sampling the web wrong (seed bias, trap
+  * capture, or an over-aggressive blocklist), and the tail mass is the
+  * direct input to politeness planning: the top octaves are the hub hosts
+  * whose fetch budgets dominate frontier scheduling ([[DomainBudget]],
+  * [[Percolation]]'s attack targets).
+  *
+  * One row per occupied octave: bucket k covers degrees [2^k, 2^(k+1)),
+  * `lo` = 2^k, `n_hosts` in the bucket, `ccdf_permille` = 1000·|{v : deg(v)
+  * ≥ 2^k}| div |V| — the survival curve read bottom-up.
+  *
+  * Exactness discipline: the octave index is `length(bin(d)) − 1` — the
+  * bit-length of the degree, an INTEGER computation identical in Spark and
+  * DuckDB — never `floor(log2(d))`, whose double rounding can misbucket
+  * exact powers of two (Math.log(8)/Math.log(2) is not 3.0 in IEEE754).
+  * All outputs are integers; the DuckDB twin recomputes every row.
+  *
+  * Scale shape (100 TB): page-level edges collapse to the distinct host
+  * pair graph first (the [[LinkFarm]] note — the host graph is orders of
+  * magnitude smaller than the edge stream), degrees are one keyed
+  * aggregation, the histogram is a ≤64-row aggregate and the CCDF a window
+  * over those ≤64 rows. No driver state, no collect.
+  */
+object DegreeDist {
+
+  /** (bucket, lo, n_hosts, ccdf_permille) over any directed host-pair
+    * stream; self-loops dropped, duplicates collapsed, empty hosts out. */
+  def degreeDist(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+        least(col("src_host"), col("dst_host")).as("a"),
+        greatest(col("src_host"), col("dst_host")).as("b"))
+      .filter(col("a") =!= col("b") && col("a") =!= "" && col("b") =!= "")
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val buckets = deg
+      .select((length(bin(col("d"))) - 1).cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_hosts"))
+    // survival curve: hosts at or above this octave's floor (the window
+    // runs over <= 64 bucket rows — a single tiny partition by design)
+    val wAtOrAbove = Window.orderBy(desc("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    buckets
+      .withColumn("at_or_above", sum("n_hosts").over(wAtOrAbove))
+      .withColumn("total", sum("n_hosts").over(
+        Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("bucket"), expr("shiftleft(cast(1 as bigint), cast(bucket as int))").as("lo"),
+        col("n_hosts"), expr("at_or_above * 1000 div total").as("ccdf_permille"))
+      .orderBy("bucket")
+  }
+
+  /** Contract query `q_degree_dist` over the crawl corpus link edges. */
+  def degreeDistQuery(spark: SparkSession, dir: String): DataFrame =
+    degreeDist(CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("src_host"),
+        Cardinality.hostCol(col("dst")).as("dst_host")))
+
+  /** DuckDB twin over the frozen edge fixture: identical bit-length
+    * bucketing and survival window. */
+  def degreeDistSql(edgesSelect: String): String =
+    s"""WITH e0 AS ($edgesSelect),
+       |h AS (
+       |  SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
+       |         regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host
+       |  FROM e0 WHERE dst LIKE 'http%'),
+       |u AS (
+       |  SELECT DISTINCT least(src_host, dst_host) AS a,
+       |                  greatest(src_host, dst_host) AS b
+       |  FROM h WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''),
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM u UNION ALL SELECT b FROM u) GROUP BY v),
+       |bk AS (
+       |  SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+       |         CAST(count(*) AS BIGINT) AS n_hosts
+       |  FROM deg GROUP BY 1)
+       |SELECT bucket,
+       |  CAST(1 << bucket AS BIGINT) AS lo,
+       |  n_hosts,
+       |  CAST(sum(n_hosts) OVER (ORDER BY bucket DESC) * 1000
+       |       // sum(n_hosts) OVER () AS BIGINT) AS ccdf_permille
+       |FROM bk ORDER BY bucket""".stripMargin
+}
