@@ -201,7 +201,8 @@ object SparkEntry {
     "q_link_farm" -> (graft.pipeline.LinkFarm.linkFarm _),
     "q_ngram_lm" -> (graft.pipeline.NgramLm.ngramLm _),
     "q_shingle_jaccard" -> (graft.pipeline.ShingleJaccard.shingleJaccard _),
-    "q_degree_dist" -> (graft.pipeline.DegreeDist.degreeDistQuery _)
+    "q_degree_dist" -> (graft.pipeline.DegreeDist.degreeDistQuery _),
+    "q_gini_skew" -> (graft.pipeline.SkewAudit.giniSkewQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -451,6 +452,10 @@ object SparkEntry {
     // octave buckets and the integer survival curve from the fixture
     "q_degree_dist" ->
       graft.pipeline.DegreeDist.degreeDistSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives host masses, the ascending
+    // rank, and the exact Gini/Jain/Hoover/top-share integer ledger
+    "q_gini_skew" ->
+      graft.pipeline.SkewAudit.giniSkewSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-mass skew & fairness audit (`q_gini_skew`) — how unequally the
+  * URL mass is spread over hosts: the Gini coefficient (the Lorenz-curve
+  * number every crawl-skew discussion quotes), Jain's fairness index
+  * (Jain/Chiu/Hawe, DEC-TR-301 1984 — the scheduling-fairness standard),
+  * the Hoover/Robin-Hood index (the fraction of mass that would have to
+  * move to equalize hosts), and the top-1 / top-10% mass shares. These are
+  * the numbers that decide frontier sharding: a Gini near 1 with a fat
+  * top-1 share means per-host politeness (not executor count) bounds the
+  * crawl ([[Makespan]]'s critical hosts), and the top decile is where
+  * [[DomainBudget]] caps and [[Rendezvous]] shard splits must focus.
+  *
+  * One summary row, all exact integers: `n_hosts`, `total_urls`, and
+  * permille-scaled `gini`/`jain`/`hoover`/`top1_share`/`top10pct_share`.
+  *
+  * Exact integer ledger (no floats anywhere):
+  *   - ascending mass rank i (ties broken by host; every index is
+  *     tie-permutation-invariant because tied masses are equal), then
+  *     Gini = (2·Σi·xᵢ − (n+1)·S) / (n·S), emitted as 1000·num div den;
+  *   - Jain = S² / (n·Σxᵢ²);
+  *   - Hoover = Σ|n·xᵢ − S| / (2·n·S) — the |xᵢ − S/n| form scaled by n
+  *     so the absolute deviations stay integral;
+  *   - top-10% = mass of the ⌈n/10⌉ highest ranks over S.
+  * int64-safe while n·S·1000 < 2⁶³ (n·S ≈ 9·10¹⁵ — thousands of times the
+  * test corpora); past that the ledger columns take the same decimal(38,0)
+  * dial documented at [[Modularity]].
+  *
+  * Scale shape (100 TB): host mass is one keyed aggregation; the global
+  * ascending rank is the range-partitioned sort + zipWithIndex idiom
+  * (CrawlEngine's total-order rank — no single-partition window); the
+  * ledger is one final aggregate over hosts joined to a broadcast 1-row
+  * totals frame. No driver state, no collect.
+  */
+object SkewAudit {
+
+  /** Exact skew ledger over any (v, d) host-mass frame. */
+  def skewAudit(masses: DataFrame): DataFrame = {
+    val spark = masses.sparkSession
+    import spark.implicits._
+    val ranked = masses.select(col("v").cast("string"), col("d").cast("long"))
+      .orderBy("d", "v").as[(String, Long)].rdd.zipWithIndex()
+      .map { case ((v, d), idx) => (v, d, idx + 1L) }
+      .toDF("v", "d", "i")
+    val totals = ranked.agg(
+      count(lit(1)).as("n"), sum("d").as("s"),
+      sum(col("i") * col("d")).as("sid"),
+      sum(col("d") * col("d")).as("sq"))
+    ranked.crossJoin(broadcast(totals))
+      .agg(
+        first("n").as("n_hosts"), first("s").as("total_urls"),
+        first("sid").as("sid"), first("sq").as("sq"),
+        sum(abs(col("n") * col("d") - col("s"))).as("habs"),
+        sum(when(col("i") === col("n"), col("d")).otherwise(0L)).as("t1"),
+        sum(when(col("i") > col("n") - expr("(n + 9) div 10"), col("d"))
+          .otherwise(0L)).as("tm"))
+      .select(col("n_hosts"), col("total_urls"),
+        expr("1000 * (2 * sid - (n_hosts + 1) * total_urls) div (n_hosts * total_urls)")
+          .as("gini_permille"),
+        expr("1000 * total_urls * total_urls div (n_hosts * sq)").as("jain_permille"),
+        expr("1000 * habs div (2 * n_hosts * total_urls)").as("hoover_permille"),
+        expr("1000 * t1 div total_urls").as("top1_permille"),
+        expr("1000 * tm div total_urls").as("top10pct_permille"))
+  }
+
+  /** Per-host URL mass from a (src, dst) edge stream: distinct URLs seen
+    * at either endpoint, counted per host. */
+  def hostMasses(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("url"))
+      .union(edges.filter(col("dst").startsWith("http")).select(col("dst").as("url")))
+      .distinct()
+      .select(Cardinality.hostCol(col("url")).as("v"))
+      .filter(col("v") =!= "")
+      .groupBy("v").agg(count(lit(1)).as("d"))
+
+  /** Contract query `q_gini_skew` over the crawl corpus link edges. */
+  def giniSkewQuery(spark: SparkSession, dir: String): DataFrame =
+    skewAudit(hostMasses(CrawlQueries.linkEdgesRaw(spark, dir)))
+
+  /** DuckDB twin over the frozen edge fixture: same distinct-URL host
+    * masses, same rank, same integer ledger. */
+  def giniSkewSql(edgesSelect: String): String =
+    s"""WITH e0 AS ($edgesSelect),
+       |urls AS (
+       |  SELECT src AS url FROM e0
+       |  UNION
+       |  SELECT dst FROM e0 WHERE dst LIKE 'http%'),
+       |hm AS (
+       |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS v,
+       |         CAST(count(*) AS BIGINT) AS d
+       |  FROM urls WHERE regexp_extract(url, '^https?://([^/]+)', 1) <> ''
+       |  GROUP BY 1),
+       |r AS (SELECT v, d, CAST(row_number() OVER (ORDER BY d, v) AS BIGINT) AS i FROM hm),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(d) AS BIGINT) AS s,
+       |             CAST(sum(i*d) AS BIGINT) AS sid, CAST(sum(d*d) AS BIGINT) AS sq
+       |      FROM r),
+       |x AS (SELECT any_value(t.n) AS n, any_value(t.s) AS s,
+       |             any_value(t.sid) AS sid, any_value(t.sq) AS sq,
+       |             CAST(sum(abs(t.n*r.d - t.s)) AS BIGINT) AS habs,
+       |             CAST(sum(CASE WHEN r.i = t.n THEN r.d ELSE 0 END) AS BIGINT) AS t1,
+       |             CAST(sum(CASE WHEN r.i > t.n - (t.n + 9)//10 THEN r.d ELSE 0 END) AS BIGINT) AS tm
+       |      FROM r, t)
+       |SELECT n AS n_hosts, s AS total_urls,
+       |  CAST(1000 * (2*sid - (n + 1)*s) // (n*s) AS BIGINT) AS gini_permille,
+       |  CAST(1000 * s * s // (n*sq) AS BIGINT) AS jain_permille,
+       |  CAST(1000 * habs // (2*n*s) AS BIGINT) AS hoover_permille,
+       |  CAST(1000 * t1 // s AS BIGINT) AS top1_permille,
+       |  CAST(1000 * tm // s AS BIGINT) AS top10pct_permille
+       |FROM x""".stripMargin
+}
