@@ -202,7 +202,8 @@ object SparkEntry {
     "q_ngram_lm" -> (graft.pipeline.NgramLm.ngramLm _),
     "q_shingle_jaccard" -> (graft.pipeline.ShingleJaccard.shingleJaccard _),
     "q_degree_dist" -> (graft.pipeline.DegreeDist.degreeDistQuery _),
-    "q_gini_skew" -> (graft.pipeline.SkewAudit.giniSkewQuery _)
+    "q_gini_skew" -> (graft.pipeline.SkewAudit.giniSkewQuery _),
+    "q_lang_diversity" -> (graft.pipeline.LangDiversity.langDiversityQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -456,6 +457,9 @@ object SparkEntry {
     // rank, and the exact Gini/Jain/Hoover/top-share integer ledger
     "q_gini_skew" ->
       graft.pipeline.SkewAudit.giniSkewSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives per-source lang counts, the
+    // deterministic top-lang pick, and the Simpson/Hill integer ledger
+    "q_lang_diversity" -> graft.pipeline.LangDiversity.langDiversitySql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-source language-diversity audit (`q_lang_diversity`) — the mixture
+  * dashboard a multilingual corpus run is steered by (CCNet/mC4/ROOTS all
+  * publish exactly this table): for every source, language richness,
+  * the dominant language and its share, the Simpson collision index
+  * (probability two distinct docs share a language — Simpson, Nature
+  * 1949, unbiased n(n−1) form), and the effective language count
+  * (inverse Simpson, Hill number of order 2). A source whose effective
+  * count collapses toward 1 is a monolingual feed no matter how many
+  * languages nominally appear; these numbers feed the mixture targets
+  * that [[TextAnalysis.mixtureRebalance]] enforces and flag the sources
+  * where [[LangSegments]]' code-switch scan is worth running.
+  *
+  * One row per source: `n_docs`, `n_langs`, `top_lang` (smallest lang
+  * among count ties — deterministic), `top_share_permille`,
+  * `simpson_permille` = 1000·Σnₗ(nₗ−1) div (N(N−1)) (defined as 1000 for
+  * the degenerate N=1 source), `eff_langs_milli` = 1000·N² div Σnₗ²
+  * (1000 = exactly one effective language). All exact integers — Shannon
+  * entropy is deliberately NOT emitted (it needs floating logs; Simpson's
+  * rational forms carry the same decision signal exactly).
+  *
+  * Scale shape (100 TB): one (source, lang) keyed aggregation — the
+  * intermediate is |sources|×|langs| rows, thousands at web scale — then
+  * a per-source rollup and a window over those tiny per-source groups
+  * (partitioned by source: no single-partition window). int64-safe while
+  * a source holds < ~3·10⁹ docs; past that the ledger takes the same
+  * decimal(38,0) dial documented at [[Modularity]].
+  */
+object LangDiversity {
+
+  /** Exact diversity ledger over any (source, lang) doc frame. */
+  def langDiversity(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val rolled = counts.groupBy("source").agg(
+      sum("n").as("n_docs"), count(lit(1)).as("n_langs"),
+      sum(col("n") * (col("n") - 1)).as("coll"),
+      sum(col("n") * col("n")).as("sq"))
+    val w = Window.partitionBy("source").orderBy(desc("n"), asc("lang"))
+    val top = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("source"), col("lang").as("top_lang"), col("n").as("topn"))
+    rolled.join(top, "source")
+      .select(col("source"), col("n_docs"), col("n_langs"), col("top_lang"),
+        expr("1000 * topn div n_docs").as("top_share_permille"),
+        when(col("n_docs") > 1,
+          expr("1000 * coll div (n_docs * (n_docs - 1))"))
+          .otherwise(1000L).as("simpson_permille"),
+        expr("1000 * n_docs * n_docs div sq").as("eff_langs_milli"))
+      .orderBy("source")
+  }
+
+  /** Contract query `q_lang_diversity` over the documents table. */
+  def langDiversityQuery(spark: SparkSession, dir: String): DataFrame =
+    langDiversity(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** DuckDB twin: identical counts, tie-break, and integer ledger. */
+  val langDiversitySql: String =
+    """WITH c AS (
+      |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |a AS (
+      |  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+      |         CAST(count(*) AS BIGINT) AS n_langs,
+      |         CAST(sum(n*(n-1)) AS BIGINT) AS coll,
+      |         CAST(sum(n*n) AS BIGINT) AS sq
+      |  FROM c GROUP BY 1),
+      |t AS (
+      |  SELECT source, lang AS top_lang, n AS topn,
+      |         row_number() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rk
+      |  FROM c)
+      |SELECT a.source, n_docs, n_langs, top_lang,
+      |  CAST(1000 * topn // n_docs AS BIGINT) AS top_share_permille,
+      |  CAST(CASE WHEN n_docs > 1 THEN 1000 * coll // (n_docs * (n_docs - 1))
+      |            ELSE 1000 END AS BIGINT) AS simpson_permille,
+      |  CAST(1000 * n_docs * n_docs // sq AS BIGINT) AS eff_langs_milli
+      |FROM a JOIN t USING (source) WHERE rk = 1
+      |ORDER BY source""".stripMargin
+}
