@@ -203,7 +203,8 @@ object SparkEntry {
     "q_shingle_jaccard" -> (graft.pipeline.ShingleJaccard.shingleJaccard _),
     "q_degree_dist" -> (graft.pipeline.DegreeDist.degreeDistQuery _),
     "q_gini_skew" -> (graft.pipeline.SkewAudit.giniSkewQuery _),
-    "q_lang_diversity" -> (graft.pipeline.LangDiversity.langDiversityQuery _)
+    "q_lang_diversity" -> (graft.pipeline.LangDiversity.langDiversityQuery _),
+    "q_zipf_curve" -> (graft.pipeline.ZipfCurve.zipfCurveQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -460,6 +461,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives per-source lang counts, the
     // deterministic top-lang pick, and the Simpson/Hill integer ledger
     "q_lang_diversity" -> graft.pipeline.LangDiversity.langDiversitySql,
+    // independent recompute: DuckDB re-tokenizes, re-ranks (same tie-break)
+    // and re-derives the octave mass ledger over the documents table
+    "q_zipf_curve" -> graft.pipeline.ZipfCurve.zipfCurveSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Zipf rank-frequency audit (`q_zipf_curve`) — the corpus-statistics
+  * fingerprint (Zipf 1949; Baayen "Word Frequency Distributions" 2001):
+  * rank every unigram by collection frequency and roll the curve up into
+  * RANK OCTAVES [2^k, 2^(k+1)). Under Zipf's law with exponent 1 each
+  * octave carries near-equal mass (Σ 1/r over an octave ≈ ln 2), so the
+  * `mass_permille` column is a float-free slope test: a flat column is
+  * natural language, front-loaded mass means template/boilerplate capture,
+  * and a fat tail octave means OCR noise or unsegmented junk — the
+  * corpus-level twin of [[TextAnalysis.repetitionSignals]], and the
+  * sanity check behind [[TextAnalysis.termStats]]' top-k head.
+  *
+  * One row per occupied rank octave: `octave`, `r_lo` = 2^k, `n_terms`,
+  * `mass` (Σcf), `mass_permille` = 1000·mass div total, `f_max`/`f_min`
+  * (collection frequency at the octave's first/last rank). All exact
+  * integers; bucketing is bit-length (`length(bin(r))−1`), never float
+  * log2 (exact at the power-of-two boundaries — the [[DegreeDist]]
+  * discipline).
+  *
+  * Scale shape (100 TB): explode → one keyed term aggregation (map-side
+  * combine collapses repeats before the shuffle, so shuffle volume is
+  * distinct terms per partition, not word instances); the global rank is
+  * the range-partitioned sort + zipWithIndex idiom (no single-partition
+  * window); the octave rollup is ≤64 rows joined to a broadcast 1-row
+  * total. Ties rank deterministically by (cf DESC, term ASC).
+  */
+object ZipfCurve {
+
+  /** Octave rank-frequency curve over any single-column `term` frame. */
+  def zipfCurve(tokens: DataFrame): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val tf = tokens.filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("cf"))
+    val ranked = tf.orderBy(desc("cf"), asc("term")).as[(String, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((t, c), idx) => (t, c, idx + 1L) }
+      .toDF("term", "cf", "r")
+    val total = tf.agg(sum("cf").as("tot"))
+    ranked
+      .withColumn("octave", (length(bin(col("r"))) - 1).cast("long"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_terms"), sum("cf").as("mass"),
+        max("cf").as("f_max"), min("cf").as("f_min"))
+      .crossJoin(broadcast(total))
+      .select(col("octave"),
+        expr("shiftleft(cast(1 as bigint), cast(octave as int))").as("r_lo"),
+        col("n_terms"), col("mass"),
+        expr("1000 * mass div tot").as("mass_permille"),
+        col("f_max"), col("f_min"))
+      .orderBy("octave")
+  }
+
+  /** Contract query `q_zipf_curve`: unigrams of the documents table. */
+  def zipfCurveQuery(spark: SparkSession, dir: String): DataFrame =
+    zipfCurve(spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("term")))
+
+  /** DuckDB twin: identical tokenization, tie-break, bucketing, ledger. */
+  val zipfCurveSql: String =
+    """WITH tok AS (
+      |  SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      |tf AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS cf
+      |  FROM tok WHERE term <> '' GROUP BY 1),
+      |r AS (
+      |  SELECT cf, CAST(row_number() OVER (ORDER BY cf DESC, term) AS BIGINT) AS r
+      |  FROM tf),
+      |b AS (
+      |  SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS octave,
+      |         CAST(count(*) AS BIGINT) AS n_terms,
+      |         CAST(sum(cf) AS BIGINT) AS mass,
+      |         CAST(max(cf) AS BIGINT) AS f_max,
+      |         CAST(min(cf) AS BIGINT) AS f_min
+      |  FROM r GROUP BY 1)
+      |SELECT octave, CAST(1 << octave AS BIGINT) AS r_lo, n_terms, mass,
+      |  CAST(1000 * mass // (SELECT sum(cf) FROM tf) AS BIGINT) AS mass_permille,
+      |  f_max, f_min
+      |FROM b ORDER BY octave""".stripMargin
+}
