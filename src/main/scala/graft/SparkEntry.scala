@@ -204,7 +204,8 @@ object SparkEntry {
     "q_degree_dist" -> (graft.pipeline.DegreeDist.degreeDistQuery _),
     "q_gini_skew" -> (graft.pipeline.SkewAudit.giniSkewQuery _),
     "q_lang_diversity" -> (graft.pipeline.LangDiversity.langDiversityQuery _),
-    "q_zipf_curve" -> (graft.pipeline.ZipfCurve.zipfCurveQuery _)
+    "q_zipf_curve" -> (graft.pipeline.ZipfCurve.zipfCurveQuery _),
+    "q_heaps_growth" -> (graft.pipeline.HeapsGrowth.heapsGrowthQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -464,6 +465,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-tokenizes, re-ranks (same tie-break)
     // and re-derives the octave mass ledger over the documents table
     "q_zipf_curve" -> graft.pipeline.ZipfCurve.zipfCurveSql,
+    // independent recompute: DuckDB uses the DIRECT single-window prefix
+    // sum + zipped-unnest positions against the two-phase bucketed plan
+    "q_heaps_growth" -> graft.pipeline.HeapsGrowth.heapsGrowthSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,121 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Heaps vocabulary-growth audit (`q_heaps_growth`) — the second corpus
+  * law after [[ZipfCurve]] (Heaps 1978; Baayen 2001): how the distinct
+  * vocabulary V(N) grows as the first N tokens are read in corpus order.
+  * Natural text grows V(N) ∝ N^β with β ≈ 0.5; a curve that keeps growing
+  * near-linearly is unsegmented junk or ID-like noise flooding the
+  * vocabulary (tokenizer-training poison — exactly what [[graft.functions.Bpe]]
+  * training is sensitive to), while premature flattening means template
+  * capture. Float-free formulation: every term is pinned to its FIRST
+  * global token position, positions bucket into octaves [2^k, 2^(k+1)),
+  * and the curve is read at the checkpoint N_k = min(2^(k+1)−1, T) —
+  * doubling N checkpoints, so β is visible as the ratio of consecutive
+  * `vocab` values without a single logarithm.
+  *
+  * One row per occupied first-occurrence octave: `octave`, `n_tokens`
+  * (the checkpoint), `new_terms` (first occurrences inside the octave),
+  * `vocab` (cumulative = V(n_tokens)), `ttr_permille` = 1000·vocab div
+  * n_tokens (the type-token ratio at each doubling).
+  *
+  * Scale shape (100 TB): global token positions need an exclusive prefix
+  * sum of per-doc token counts in doc_id order — the [[PpsSample]]
+  * two-phase discipline, NOT one global window: order-preserving buckets
+  * from the doc_id range cumsum independently, a ≤2^B-row offset
+  * aggregate is broadcast back, positions are offset + posexplode index.
+  * First occurrence is one keyed min per term (map-side combine), the
+  * octave rollup is ≤64 rows. The only driver values are two 1-row
+  * aggregates (max doc_id, total tokens). The DuckDB twin deliberately
+  * uses the DIRECT single-window formulation, checking the two-phase
+  * machinery against the textbook definition, not against itself.
+  */
+object HeapsGrowth {
+
+  /** Order-preserving doc_id buckets: 2^6 = 64 contiguous id segments. */
+  val BucketBits = 6
+
+  /** Vocabulary-growth curve over a (doc_id: long, text) frame; tokens
+    * are the [[ZipfCurve]] unigrams (split on space, empties dropped). */
+  def heapsGrowth(docs: DataFrame): DataFrame = {
+    val toks = expr("filter(split(text, ' '), x -> x <> '')")
+    val weighted = docs.select(col("doc_id").cast("long").as("doc_id"),
+      toks.as("toks"), size(toks).cast("long").as("w"))
+
+    // order-preserving bucketization of the id range (dense or not)
+    val maxId = weighted.agg(max("doc_id")).head().getLong(0)
+    val width = math.max(1L, (maxId + 1L) >> BucketBits)
+    val bucketed = weighted.withColumn("bucket", expr(s"doc_id div $width"))
+
+    // phase 1: per-bucket inclusive cumsum; phase 2: broadcast offsets
+    val inBucket = bucketed.withColumn("cum_in",
+      sum(col("w")).over(Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = bucketed.groupBy("bucket").agg(sum("w").as("bw"))
+      .withColumn("bucket_off",
+        coalesce(sum(col("bw")).over(Window.orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bucket", "bucket_off")
+    val lined = inBucket.join(broadcast(offsets), "bucket")
+      .select(col("toks"), (col("bucket_off") + col("cum_in") - col("w")).as("off"))
+
+    // first global position per term, then the octave curve
+    val firsts = lined
+      .select(col("off"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy("term").agg(min(col("off") + col("pos") + 1).as("p"))
+    val total = lined.agg(sum(size(col("toks"))).cast("long").as("t"))
+    firsts
+      .select((length(bin(col("p"))) - 1).cast("long").as("octave"))
+      .groupBy("octave").agg(count(lit(1)).as("new_terms"))
+      .withColumn("vocab", sum("new_terms").over(Window.orderBy("octave")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(total))
+      .select(col("octave"),
+        least(expr("shiftleft(cast(1 as bigint), cast(octave as int) + 1) - 1"),
+          col("t")).as("n_tokens"),
+        col("new_terms"), col("vocab"))
+      .withColumn("ttr_permille", expr("1000 * vocab div n_tokens"))
+      .orderBy("octave")
+  }
+
+  /** Contract query `q_heaps_growth` over the documents table. */
+  def heapsGrowthQuery(spark: SparkSession, dir: String): DataFrame =
+    heapsGrowth(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")))
+
+  /** DuckDB twin: DIRECT single-window prefix sum over doc_id order,
+    * zipped unnest for in-doc positions, same octave/checkpoint ledger. */
+  val heapsGrowthSql: String =
+    """WITH d AS (
+      |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+      |         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |  FROM documents),
+      |lined AS (
+      |  SELECT toks,
+      |    CAST(coalesce(sum(len(toks)) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM d),
+      |pos AS (
+      |  SELECT unnest(toks) AS term,
+      |         off + unnest(range(1, len(toks) + 1)) AS p
+      |  FROM lined),
+      |firsts AS (
+      |  SELECT term, CAST(min(p) AS BIGINT) AS p FROM pos GROUP BY term),
+      |oct AS (
+      |  SELECT CAST(length(bin(p)) - 1 AS BIGINT) AS octave,
+      |         CAST(count(*) AS BIGINT) AS new_terms
+      |  FROM firsts GROUP BY 1),
+      |tot AS (SELECT CAST(sum(len(toks)) AS BIGINT) AS t FROM d),
+      |curve AS (
+      |  SELECT octave,
+      |    least((1 << (octave + 1)) - 1, (SELECT t FROM tot)) AS n_tokens,
+      |    new_terms,
+      |    CAST(sum(new_terms) OVER (ORDER BY octave) AS BIGINT) AS vocab
+      |  FROM oct)
+      |SELECT octave, CAST(n_tokens AS BIGINT) AS n_tokens, new_terms, vocab,
+      |  CAST(1000 * vocab // n_tokens AS BIGINT) AS ttr_permille
+      |FROM curve ORDER BY octave""".stripMargin
+}
