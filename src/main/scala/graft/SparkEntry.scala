@@ -205,7 +205,8 @@ object SparkEntry {
     "q_gini_skew" -> (graft.pipeline.SkewAudit.giniSkewQuery _),
     "q_lang_diversity" -> (graft.pipeline.LangDiversity.langDiversityQuery _),
     "q_zipf_curve" -> (graft.pipeline.ZipfCurve.zipfCurveQuery _),
-    "q_heaps_growth" -> (graft.pipeline.HeapsGrowth.heapsGrowthQuery _)
+    "q_heaps_growth" -> (graft.pipeline.HeapsGrowth.heapsGrowthQuery _),
+    "q_stress_centrality" -> (graft.pipeline.StressCentrality.stressCentrality _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -468,6 +469,10 @@ object SparkEntry {
     // independent recompute: DuckDB uses the DIRECT single-window prefix
     // sum + zipped-unnest positions against the two-phase bucketed plan
     "q_heaps_growth" -> graft.pipeline.HeapsGrowth.heapsGrowthSql,
+    // independent recompute: DuckDB re-executes the full σ forward BFS and
+    // ψ backward accumulation as unrolled materialized chained CTEs
+    "q_stress_centrality" ->
+      graft.pipeline.StressCentrality.stressCentralitySql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
