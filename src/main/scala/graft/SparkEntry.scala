@@ -206,7 +206,8 @@ object SparkEntry {
     "q_lang_diversity" -> (graft.pipeline.LangDiversity.langDiversityQuery _),
     "q_zipf_curve" -> (graft.pipeline.ZipfCurve.zipfCurveQuery _),
     "q_heaps_growth" -> (graft.pipeline.HeapsGrowth.heapsGrowthQuery _),
-    "q_stress_centrality" -> (graft.pipeline.StressCentrality.stressCentrality _)
+    "q_stress_centrality" -> (graft.pipeline.StressCentrality.stressCentrality _),
+    "q_random_percolation" -> (graft.pipeline.RandomPercolation.randomPercolationQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -473,6 +474,10 @@ object SparkEntry {
     // ψ backward accumulation as unrolled materialized chained CTEs
     "q_stress_centrality" ->
       graft.pipeline.StressCentrality.stressCentralitySql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB replays the hash-threshold removal and
+    // re-executes the full component recurrence per failure level
+    "q_random_percolation" ->
+      graft.pipeline.RandomPercolation.randomPercolationSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
