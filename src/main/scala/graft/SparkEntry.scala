@@ -207,7 +207,8 @@ object SparkEntry {
     "q_zipf_curve" -> (graft.pipeline.ZipfCurve.zipfCurveQuery _),
     "q_heaps_growth" -> (graft.pipeline.HeapsGrowth.heapsGrowthQuery _),
     "q_stress_centrality" -> (graft.pipeline.StressCentrality.stressCentrality _),
-    "q_random_percolation" -> (graft.pipeline.RandomPercolation.randomPercolationQuery _)
+    "q_random_percolation" -> (graft.pipeline.RandomPercolation.randomPercolationQuery _),
+    "q_hindex" -> (graft.pipeline.HIndex.hindexQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -478,6 +479,10 @@ object SparkEntry {
     // re-executes the full component recurrence per failure level
     "q_random_percolation" ->
       graft.pipeline.RandomPercolation.randomPercolationSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives degrees and re-applies both
+    // Hirsch window reads over the frozen edge fixture
+    "q_hindex" ->
+      graft.pipeline.HIndex.hindexSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
