@@ -208,7 +208,8 @@ object SparkEntry {
     "q_heaps_growth" -> (graft.pipeline.HeapsGrowth.heapsGrowthQuery _),
     "q_stress_centrality" -> (graft.pipeline.StressCentrality.stressCentrality _),
     "q_random_percolation" -> (graft.pipeline.RandomPercolation.randomPercolationQuery _),
-    "q_hindex" -> (graft.pipeline.HIndex.hindexQuery _)
+    "q_hindex" -> (graft.pipeline.HIndex.hindexQuery _),
+    "q_snapshot_overlap" -> (graft.pipeline.SnapshotOverlap.snapshotOverlapQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -483,6 +484,10 @@ object SparkEntry {
     // Hirsch window reads over the frozen edge fixture
     "q_hindex" ->
       graft.pipeline.HIndex.hindexSql(fixtureSql("q_extract_link_edges")),
+    // independent replay: DuckDB re-derives both salted memberships, the
+    // bottom-k union sketch, the KMV estimator AND the exact ledger
+    "q_snapshot_overlap" ->
+      graft.pipeline.SnapshotOverlap.snapshotOverlapSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,128 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Crawl-snapshot overlap estimation (`q_snapshot_overlap`) — the KMV
+  * set-operation estimator (Beyer/Haas/Reinwald/Sismanis/Gemulla, SIGMOD
+  * 2007): how much of snapshot B's URL set did snapshot A already cover?
+  * Between two Common-Crawl-style snapshots this is the dedup-planning
+  * number — expected novel-URL rate sizes the fetch budget, and
+  * |A∩B|/|A∪B| is the freshness-vs-coverage dial ([[Freshness]] decides
+  * WHEN to refetch; overlap says HOW MUCH of the next snapshot is refetch
+  * at all). Exact intersection over 10¹⁰-URL snapshots is a full co-shuffle
+  * of both; the KMV read needs only each side's bottom-k hash sketch:
+  * merge to the union's bottom-k, then Ĵ = |{union sketch} ∩ A ∩ B| / k
+  * and |A∩B| ≈ Ĵ·|A∪B|̂. This operator computes BOTH paths — the sketch
+  * estimate and the exact ledger — and scores the estimator against the
+  * truth in the same row (the [[Cardinality]] estimate+exact+err
+  * discipline), so the approximation carries a checked number.
+  *
+  * Snapshots are the CDC family's salted-md5 membership samples (two
+  * ~75% views of the URL universe, [[CorpusDrift]]'s discipline) —
+  * deterministic, so the oracle re-derives everything from the fixture.
+  *
+  * One row: exact `n_a`, `n_b`, `inter_exact`, `union_exact`,
+  * `jaccard_exact_permille`; sketch `k_used`, `k_inter`,
+  * `jaccard_kmv_permille`, `union_kmv`, `inter_kmv`; and
+  * `err_jaccard_permille` = |exact − kmv| — all integers.
+  *
+  * Scale shape (100 TB): membership flags are per-row column math; the
+  * exact ledger is ONE ungrouped aggregate (map-side combined); the union
+  * sketch is a bounded TakeOrdered([[K]]) over (hash, url) — k rows,
+  * never a global sort — and its rollup is one aggregate over k rows. At
+  * real snapshot scale the exact branch is the audit-cadence truth run
+  * and the sketch columns are what ships per-wave; here both run so the
+  * error column is always populated.
+  */
+object SnapshotOverlap {
+
+  /** Union-sketch size (bottom-k by the shared 44-bit hash). */
+  val K = 256
+
+  /** Snapshot membership salts (~75% each, overlapping views). */
+  val SaltA = ":graft-snap-a-v1"
+  val SaltB = ":graft-snap-b-v1"
+
+  private def member(salt: String) =
+    substring(md5(concat(col("url"), lit(salt))), 1, 1) < "c"
+
+  /** Overlap ledger over any single-column `url` frame. */
+  def snapshotOverlap(urlsIn: DataFrame): DataFrame = {
+    val flagged = urlsIn.distinct()
+      .select(col("url"),
+        member(SaltA).cast("long").as("in_a"),
+        member(SaltB).cast("long").as("in_b"))
+      .filter(col("in_a") + col("in_b") > 0)
+      .withColumn("h", Cardinality.urlHashCol(col("url")))
+      .localCheckpoint()
+    val exact = flagged.agg(
+      sum("in_a").as("n_a"), sum("in_b").as("n_b"),
+      sum(col("in_a") * col("in_b")).as("inter_exact"),
+      count(lit(1)).as("union_exact"))
+    val sketch = flagged.orderBy(col("h"), col("url")).limit(K)
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("k_inter"),
+        max("h").as("hk"))
+    exact.crossJoin(sketch)
+      .select(col("n_a"), col("n_b"), col("inter_exact"), col("union_exact"),
+        expr("1000 * inter_exact div union_exact").as("jaccard_exact_permille"),
+        col("k_used"), col("k_inter"),
+        expr("1000 * k_inter div k_used").as("jaccard_kmv_permille"),
+        when(col("k_used") < K, col("k_used"))
+          .otherwise(expr(s"(${K - 1} * ${Cardinality.HashSpace}) div hk"))
+          .as("union_kmv"))
+      .withColumn("inter_kmv", expr("union_kmv * k_inter div k_used"))
+      .withColumn("err_jaccard_permille",
+        abs(col("jaccard_exact_permille") - col("jaccard_kmv_permille")))
+  }
+
+  /** Contract query `q_snapshot_overlap` over the corpus URL universe
+    * (edge endpoints, the [[SkewAudit]] universe). */
+  def snapshotOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CrawlQueries.linkEdgesRaw(spark, dir)
+    snapshotOverlap(
+      edges.select(col("src").as("url"))
+        .union(edges.filter(col("dst").startsWith("http")).select(col("dst").as("url"))))
+  }
+
+  /** DuckDB twin: same salts, same hash, same bottom-k pick, same integer
+    * estimator and error ledger — a full independent replay. */
+  def snapshotOverlapSql(edgesSelect: String): String =
+    s"""WITH e0 AS ($edgesSelect),
+       |u AS (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT src AS url FROM e0
+       |    UNION
+       |    SELECT dst FROM e0 WHERE dst LIKE 'http%')),
+       |flagged AS (
+       |  SELECT url,
+       |    CASE WHEN substr(md5(url || '$SaltA'), 1, 1) < 'c' THEN 1 ELSE 0 END AS in_a,
+       |    CASE WHEN substr(md5(url || '$SaltB'), 1, 1) < 'c' THEN 1 ELSE 0 END AS in_b,
+       |    CAST(('0x' || substr(md5(url), 1, 11)) AS BIGINT) AS h
+       |  FROM u),
+       |live AS (SELECT * FROM flagged WHERE in_a + in_b > 0),
+       |exact AS (
+       |  SELECT CAST(sum(in_a) AS BIGINT) AS n_a, CAST(sum(in_b) AS BIGINT) AS n_b,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS inter_exact,
+       |         CAST(count(*) AS BIGINT) AS union_exact
+       |  FROM live),
+       |sk AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k_used,
+       |         CAST(sum(in_a * in_b) AS BIGINT) AS k_inter,
+       |         CAST(max(h) AS BIGINT) AS hk
+       |  FROM (SELECT * FROM live ORDER BY h, url LIMIT $K)),
+       |est AS (
+       |  SELECT exact.*, sk.k_used, sk.k_inter,
+       |    CAST(1000 * inter_exact // union_exact AS BIGINT) AS jaccard_exact_permille,
+       |    CAST(1000 * k_inter // k_used AS BIGINT) AS jaccard_kmv_permille,
+       |    CAST(CASE WHEN sk.k_used < $K THEN sk.k_used
+       |              ELSE (${K - 1} * ${Cardinality.HashSpace}) // sk.hk END AS BIGINT) AS union_kmv
+       |  FROM exact CROSS JOIN sk)
+       |SELECT n_a, n_b, inter_exact, union_exact, jaccard_exact_permille,
+       |  k_used, k_inter, jaccard_kmv_permille, union_kmv,
+       |  CAST(union_kmv * k_inter // k_used AS BIGINT) AS inter_kmv,
+       |  CAST(abs(jaccard_exact_permille - jaccard_kmv_permille) AS BIGINT)
+       |    AS err_jaccard_permille
+       |FROM est""".stripMargin
+}
