@@ -209,7 +209,8 @@ object SparkEntry {
     "q_stress_centrality" -> (graft.pipeline.StressCentrality.stressCentrality _),
     "q_random_percolation" -> (graft.pipeline.RandomPercolation.randomPercolationQuery _),
     "q_hindex" -> (graft.pipeline.HIndex.hindexQuery _),
-    "q_snapshot_overlap" -> (graft.pipeline.SnapshotOverlap.snapshotOverlapQuery _)
+    "q_snapshot_overlap" -> (graft.pipeline.SnapshotOverlap.snapshotOverlapQuery _),
+    "q_gram_novelty" -> (graft.pipeline.GramNovelty.gramNoveltyQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -488,6 +489,9 @@ object SparkEntry {
     // bottom-k union sketch, the KMV estimator AND the exact ledger
     "q_snapshot_overlap" ->
       graft.pipeline.SnapshotOverlap.snapshotOverlapSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-explodes the 8-grams, recounts df,
+    // and re-derives every document's novelty ledger
+    "q_gram_novelty" -> graft.pipeline.GramNovelty.gramNoveltySql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-document n-gram novelty (`q_gram_novelty`) — the corpus-wide
+  * duplication profile behind Lee et al., "Deduplicating Training Data
+  * Makes Language Models Better" (ACL 2022): for each document, what
+  * share of its distinct [[Decontaminate.GramLen]]-token grams appears in
+  * NO other document? Low novelty means the document is assembled from
+  * corpus-repeated spans — boilerplate, mirrors, template chum — exactly
+  * the text an LM memorizes verbatim; it is the EXACT, bounded-width
+  * companion to the probabilistic near-dup family ([[Dedup]]'s sketches
+  * find similar documents; this measures how much literally repeated
+  * text each document carries regardless of which documents echo it).
+  * `max_df` flags the single most-echoed span (a 10⁴-df gram is a site
+  * footer; [[Boilerplate]] mines those by host, this sees them corpus-
+  * wide).
+  *
+  * One row per document with ≥ [[Decontaminate.GramLen]] tokens:
+  * `doc_id`, `n_grams` (distinct grams), `novel` (df = 1), `echoed`
+  * (df ≥ 2), `novelty_permille` = 1000·novel div n_grams, `max_df`.
+  *
+  * Scale shape (100 TB): per-doc DISTINCT grams (map-side combine inside
+  * the doc), one keyed df aggregation over grams, one join back, one
+  * per-doc rollup — three keyed exchanges, no windows, no driver state.
+  * The gram keys shuffle as strings here for bit-exact oracle parity; at
+  * fleet scale the keys compress to the 44-bit hash ([[Cardinality
+  * .urlHashCol]] convention — ~2⁻²⁰ collision odds per pair, an
+  * accounting error bar, with the string path as the exact dial).
+  */
+object GramNovelty {
+
+  /** Novelty ledger over any (doc_id, text) frame. */
+  def gramNovelty(docs: DataFrame): DataFrame = {
+    val k = Decontaminate.GramLen
+    val ws = docs.select(col("doc_id").cast("long").as("doc_id"),
+      split(col("text"), " ").as("ws"))
+    val docGrams = ws.filter(size(col("ws")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(ws) - $k), " +
+          s"i -> concat_ws(' ', slice(ws, i + 1, $k)))")).as("g"))
+      .distinct()
+    val df = docGrams.groupBy("g").agg(count(lit(1)).as("df"))
+    docGrams.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("novel"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("echoed"),
+        max("df").as("max_df"))
+      .select(col("doc_id"), col("n_grams"), col("novel"), col("echoed"),
+        expr("1000 * novel div n_grams").as("novelty_permille"), col("max_df"))
+      .orderBy("doc_id")
+  }
+
+  /** Contract query `q_gram_novelty` over the documents table. */
+  def gramNoveltyQuery(spark: SparkSession, dir: String): DataFrame =
+    gramNovelty(spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text"))
+
+  /** DuckDB twin: identical gram explosion, df counts, and rollup. */
+  val gramNoveltySql: String = {
+    val k = Decontaminate.GramLen
+    val k1 = k - 1
+    s"""WITH ws AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |dg AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(ws[i:i+$k1], ' ') AS g
+       |  FROM ws, unnest(range(1, len(ws) - $k1 + 1)) AS t(i)
+       |  WHERE len(ws) >= $k),
+       |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY g)
+       |SELECT dg.doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+       |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS echoed,
+       |  CAST(1000 * sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) // count(*) AS BIGINT)
+       |    AS novelty_permille,
+       |  CAST(max(df.df) AS BIGINT) AS max_df
+       |FROM dg JOIN df USING (g)
+       |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin
+  }
+}
