@@ -210,7 +210,8 @@ object SparkEntry {
     "q_random_percolation" -> (graft.pipeline.RandomPercolation.randomPercolationQuery _),
     "q_hindex" -> (graft.pipeline.HIndex.hindexQuery _),
     "q_snapshot_overlap" -> (graft.pipeline.SnapshotOverlap.snapshotOverlapQuery _),
-    "q_gram_novelty" -> (graft.pipeline.GramNovelty.gramNoveltyQuery _)
+    "q_gram_novelty" -> (graft.pipeline.GramNovelty.gramNoveltyQuery _),
+    "q_component_dist" -> (graft.pipeline.ComponentDist.componentDistQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -492,6 +493,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-explodes the 8-grams, recounts df,
     // and re-derives every document's novelty ledger
     "q_gram_novelty" -> graft.pipeline.GramNovelty.gramNoveltySql,
+    // independent recompute: DuckDB re-executes the full min-label
+    // recurrence then re-derives the octave census
+    "q_component_dist" ->
+      graft.pipeline.ComponentDist.componentDistSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

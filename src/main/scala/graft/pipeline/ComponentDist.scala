@@ -1,0 +1,111 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Component-size distribution of the host graph (`q_component_dist`) —
+  * the fragmentation fingerprint (Broder et al. WWW 2000 report exactly
+  * this histogram beside the bow-tie): how many weak components exist at
+  * each size octave, and how much host mass sits outside the giant. The
+  * crawl-policy read: octave-0/1 components are isolated site islands a
+  * LINK crawl can never enter — their mass is the quantified case for the
+  * sitemap/feed seed channels ([[SitemapBudget]], [[Feeds]]) — while a
+  * fat second-from-top octave says the corpus has mirror clusters or a
+  * split brain the canonicalizer should investigate ([[Mirrors]]).
+  * Complements [[WebIndex.hostComponents]] (per-host labels) and
+  * [[Bowtie]] (the giant's internal anatomy) with the census ACROSS
+  * components, and pairs with [[DegreeDist]]'s octave discipline.
+  *
+  * One row per occupied size octave [2^k, 2^(k+1)): `octave`, `size_lo`,
+  * `n_components`, `n_hosts` (host mass in the octave), `hosts_permille`
+  * (mass share vs all hosts), `giant_in_octave` (1 if the giant lives
+  * here). All exact integers; bit-length bucketing (the [[DegreeDist]]
+  * no-float-log2 discipline).
+  *
+  * Scale shape (100 TB): the shared min-label component kernel
+  * ([[WebIndex.components]] — keys-only shuffles, constant plan size),
+  * then one keyed size aggregation, a ≤64-row octave rollup, and a
+  * window over those ≤64 rows. No driver state, no collect.
+  */
+object ComponentDist {
+
+  /** Octave census over any (a, b) host-pair frame. */
+  def componentDist(pairsIn: DataFrame): DataFrame = {
+    val sizes = WebIndex.components(pairsIn)
+      .groupBy("component").agg(count(lit(1)).as("sz"))
+    val buckets = sizes
+      .select((length(bin(col("sz"))) - 1).cast("long").as("octave"),
+        col("sz"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_components"), sum("sz").as("n_hosts"),
+        max("sz").as("max_sz"))
+    val wTot = Window.orderBy("octave")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .withColumn("total", sum("n_hosts").over(wTot))
+      .withColumn("giant_sz", max("max_sz").over(wTot))
+      .select(col("octave"),
+        expr("shiftleft(cast(1 as bigint), cast(octave as int))").as("size_lo"),
+        col("n_components"), col("n_hosts"),
+        expr("1000 * n_hosts div total").as("hosts_permille"),
+        when(col("max_sz") === col("giant_sz"), 1L).otherwise(0L)
+          .as("giant_in_octave"))
+      .orderBy("octave")
+  }
+
+  /** Contract query `q_component_dist`: the same universe as
+    * [[WebIndex.hostComponents]] (corpus host graph + planted ring), so
+    * the two outputs cross-check. */
+  def componentDistQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    componentDist(CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("a"),
+        Cardinality.hostCol(col("dst")).as("b"))
+      .union(WebIndex.CcPlantPairs.toDF("a", "b")))
+  }
+
+  /** DuckDB twin: the full min-label recurrence (the [[WebIndex
+    * .hostComponentsSql]] discipline) then the identical octave census. */
+  def componentDistSql(edgesSelect: String): String = {
+    val R = WebIndex.CcRounds
+    val rounds = (1 to R).map { i =>
+      s"""l$i AS MATERIALIZED (
+         |  SELECT l.host, least(l.label, coalesce(m.nmin, l.label)) AS label
+         |  FROM l${i - 1} l LEFT JOIN (
+         |    SELECT e.a AS host, min(x.label) AS nmin
+         |    FROM un e JOIN l${i - 1} x ON x.host = e.b
+         |    GROUP BY e.a) m ON m.host = l.host)""".stripMargin
+    }.mkString(",\n")
+    val plant = "SELECT a, b FROM (VALUES " +
+      WebIndex.CcPlantPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
+      ") v(a, b)"
+    s"""WITH e0 AS ($edgesSelect),
+       |pairs0 AS (
+       |  SELECT a, b FROM (
+       |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,
+       |           regexp_extract(dst, '^https?://([^/]+)', 1) AS b
+       |    FROM e0 WHERE dst LIKE 'http%'
+       |    UNION ALL
+       |    $plant)
+       |  WHERE a <> b),
+       |un AS MATERIALIZED (
+       |  SELECT DISTINCT a, b FROM (
+       |    SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0)),
+       |l0 AS (SELECT DISTINCT a AS host, a AS label FROM un),
+       |$rounds,
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM l$R GROUP BY label),
+       |bk AS (
+       |  SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS octave,
+       |         CAST(count(*) AS BIGINT) AS n_components,
+       |         CAST(sum(sz) AS BIGINT) AS n_hosts,
+       |         CAST(max(sz) AS BIGINT) AS max_sz
+       |  FROM sz GROUP BY 1)
+       |SELECT octave, CAST(1 << octave AS BIGINT) AS size_lo, n_components, n_hosts,
+       |  CAST(1000 * n_hosts // (SELECT sum(sz) FROM sz) AS BIGINT) AS hosts_permille,
+       |  CAST(CASE WHEN max_sz = (SELECT max(sz) FROM sz) THEN 1 ELSE 0 END AS BIGINT)
+       |    AS giant_in_octave
+       |FROM bk ORDER BY octave""".stripMargin
+  }
+}
