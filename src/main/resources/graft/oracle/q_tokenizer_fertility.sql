@@ -1,0 +1,7 @@
+SELECT CAST(c0 AS VARCHAR) AS lang, CAST(c1 AS BIGINT) AS n_docs, CAST(c2 AS BIGINT) AS words, CAST(c3 AS BIGINT) AS bpe_tokens, CAST(c4 AS BIGINT) AS fertility_milli, CAST(c5 AS BIGINT) AS chars_per_token_milli FROM (VALUES
+  ('de', 70, 3549, 3549, 1000, 5501),
+  ('en', 218, 11757, 11757, 1000, 5480),
+  ('es', 73, 3958, 3958, 1000, 5496),
+  ('fr', 64, 3758, 3758, 1000, 5487),
+  ('zh', 75, 4143, 4143, 1000, 5511)
+) AS t(c0, c1, c2, c3, c4, c5)

@@ -211,7 +211,8 @@ object SparkEntry {
     "q_hindex" -> (graft.pipeline.HIndex.hindexQuery _),
     "q_snapshot_overlap" -> (graft.pipeline.SnapshotOverlap.snapshotOverlapQuery _),
     "q_gram_novelty" -> (graft.pipeline.GramNovelty.gramNoveltyQuery _),
-    "q_component_dist" -> (graft.pipeline.ComponentDist.componentDistQuery _)
+    "q_component_dist" -> (graft.pipeline.ComponentDist.componentDistQuery _),
+    "q_tokenizer_fertility" -> (graft.pipeline.TokenizerFertility.tokenizerFertility _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

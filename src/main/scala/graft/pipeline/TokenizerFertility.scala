@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-language tokenizer fertility (`q_tokenizer_fertility`) — the
+  * tokenizer-equity dashboard (Ács 2019 "exploring BERT's vocabulary";
+  * XLM-R and BLOOM both publish it): fertility = subword tokens emitted
+  * per whitespace word, per language. A language whose fertility runs
+  * 2-3× the corpus median is under-served by the merges table — its
+  * documents cost proportionally more context window and compute per
+  * sentence, the multilingual-pretraining inequity the metric exists to
+  * expose. Paired with chars-per-token it also says WHY: high fertility
+  * + low chars/token means the vocabulary simply lacks the language's
+  * units ([[graft.functions.Bpe]] training feeds on exactly this signal,
+  * and [[LangDiversity]] says which sources concentrate the cost).
+  *
+  * One row per language: `lang`, `n_docs`, `words` (whitespace tokens),
+  * `bpe_tokens`, `fertility_milli` = 1000·tokens div words (1000 = one
+  * token per word), `chars_per_token_milli` = 1000·chars div tokens.
+  * All exact integers.
+  *
+  * Oracle: the BPE encode cannot be re-expressed in portable SQL, so the
+  * contract uses the frozen-fixture discipline ([[graft.tools
+  * .OracleFixtureGen]] — the `q_token_bpe` family): deterministic,
+  * parallelism-invariant per-row counts frozen once and value-compared
+  * every run; the encode itself is oracle-pinned by `q_bpe_roundtrip`'s
+  * decode-inverse check on every document.
+  *
+  * Scale shape (100 TB): one mapPartitions pass (per-partition BPE
+  * session reuses the merge-rank memo across documents) emitting three
+  * counters per doc, then one keyed per-language aggregation with
+  * map-side partials. No driver state, no windows.
+  */
+object TokenizerFertility {
+
+  /** Contract query `q_tokenizer_fertility` over the documents table. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("lang"), col("text")).as[(String, String)]
+      .mapPartitions { it =>
+        val session = graft.functions.Bpe.default.session()
+        it.map { case (lang, t) =>
+          (lang, session.count(t).toLong,
+            t.split("\\s+").count(_.nonEmpty).toLong, t.length.toLong)
+        }
+      }
+      .toDF("lang", "toks", "words", "chars")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("words").as("words"),
+        sum("toks").as("bpe_tokens"), sum("chars").as("chars"))
+      .select(col("lang"), col("n_docs"), col("words"), col("bpe_tokens"),
+        when(col("words") > 0, expr("1000 * bpe_tokens div words"))
+          .otherwise(0L).as("fertility_milli"),
+        when(col("bpe_tokens") > 0, expr("1000 * chars div bpe_tokens"))
+          .otherwise(0L).as("chars_per_token_milli"))
+      .orderBy("lang")
+  }
+}
