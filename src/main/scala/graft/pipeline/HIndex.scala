@@ -35,7 +35,8 @@ object HIndex {
     * (a, b) and per-b values, compute per-a h = max(min(rank_desc, v)). */
   private def hirsch(edges: DataFrame, values: DataFrame): DataFrame = {
     val w = Window.partitionBy("a").orderBy(desc("v"), asc("b"))
-    edges.join(values.withColumnRenamed("host", "b"), "b")
+    // hash join by construction: host-graph joins must never pay a sort
+    edges.join(values.withColumnRenamed("host", "b").hint("shuffle_hash"), "b")
       .withColumn("rn", row_number().over(w))
       .groupBy(col("a").as("host"))
       .agg(max(least(col("rn").cast("long"), col("v"))).as("h"))
@@ -52,8 +53,8 @@ object HIndex {
     val h1 = hirsch(und, deg).withColumnRenamed("h", "v").localCheckpoint()
     val h2 = hirsch(und, h1)
     deg.select(col("host"), col("v").as("deg"))
-      .join(h1.select(col("host"), col("v").as("h1")), "host")
-      .join(h2.select(col("host"), col("h").as("h2")), "host")
+      .join(h1.select(col("host"), col("v").as("h1")).hint("shuffle_hash"), "host")
+      .join(h2.select(col("host"), col("h").as("h2")).hint("shuffle_hash"), "host")
       .orderBy(desc("h2"), desc("h1"), desc("deg"), asc("host"))
   }
 

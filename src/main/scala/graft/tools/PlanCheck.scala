@@ -486,6 +486,48 @@ object PlanCheck {
         ppsPlan.contains("BroadcastHashJoin") && !ppsPlan.contains("SortMergeJoin"),
       "per-bucket parallel cumsum; 32-row offsets broadcast back")
 
+    // 39. gram novelty: three keyed exchanges, never a sort-merge join —
+    // the df join reuses/broadcasts the gram partitioning
+    val gn = graft.pipeline.GramNovelty.gramNoveltyQuery(spark, sfDir)
+    val gnPlan = gn.queryExecution.executedPlan.toString
+    check("q_gram_novelty/hash-keyed-only",
+      !gnPlan.contains("SortMergeJoin") && gnPlan.contains("partial_count"),
+      "df join hashes; per-doc rollup combines map-side")
+
+    // 40. snapshot overlap: the union sketch is a bounded TakeOrdered —
+    // no global sort ever materializes the corpus
+    val so = graft.pipeline.SnapshotOverlap.snapshotOverlapQuery(spark, sfDir)
+    val soPlan = so.queryExecution.executedPlan.toString
+    check("q_snapshot_overlap/bounded-takeordered",
+      soPlan.contains("TakeOrdered") && !soPlan.contains("SortMergeJoin"),
+      "bottom-k by hash via TakeOrdered; exact ledger is one aggregate")
+
+    // 41. heaps growth: the corpus prefix sum is PARTITIONED by the doc_id
+    // bucket; offsets broadcast back (the PpsSample discipline)
+    val hg = graft.pipeline.HeapsGrowth.heapsGrowthQuery(spark, sfDir)
+    val hgPlan = hg.queryExecution.executedPlan.toString
+    check("q_heaps_growth/bucketed-prefix-sum",
+      hgPlan.contains("windowspecdefinition(bucket") &&
+        hgPlan.contains("BroadcastHashJoin") && !hgPlan.contains("SortMergeJoin"),
+      "per-bucket parallel cumsum; 64-row offsets broadcast back")
+
+    // 42. lang diversity: the top-lang window is partitioned BY SOURCE,
+    // never a single-partition window over the corpus
+    val ld = graft.pipeline.LangDiversity.langDiversityQuery(spark, sfDir)
+    val ldPlan = ld.queryExecution.executedPlan.toString
+    check("q_lang_diversity/window-partitioned-by-source",
+      ldPlan.contains("windowspecdefinition(source"),
+      "row_number runs inside each source's lang group")
+
+    // 43. h-index: Hirsch windows partition by host; every host-graph join
+    // hashes (shuffle_hash by construction), none sorts
+    val hi = graft.pipeline.HIndex.hindexQuery(spark, sfDir)
+    val hiPlan = hi.queryExecution.executedPlan.toString
+    check("q_hindex/hash-joins-host-windows",
+      hiPlan.contains("ShuffledHashJoin") && !hiPlan.contains("SortMergeJoin") &&
+        hiPlan.contains("windowspecdefinition(a"),
+      "adjacency-local windows; hash joins only")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
