@@ -212,7 +212,8 @@ object SparkEntry {
     "q_snapshot_overlap" -> (graft.pipeline.SnapshotOverlap.snapshotOverlapQuery _),
     "q_gram_novelty" -> (graft.pipeline.GramNovelty.gramNoveltyQuery _),
     "q_component_dist" -> (graft.pipeline.ComponentDist.componentDistQuery _),
-    "q_tokenizer_fertility" -> (graft.pipeline.TokenizerFertility.tokenizerFertility _)
+    "q_tokenizer_fertility" -> (graft.pipeline.TokenizerFertility.tokenizerFertility _),
+    "q_salt_skew" -> (graft.pipeline.SaltSkew.saltSkewQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -498,6 +499,10 @@ object SparkEntry {
     // recurrence then re-derives the octave census
     "q_component_dist" ->
       graft.pipeline.ComponentDist.componentDistSql(fixtureSql("q_extract_link_edges")),
+    // independent replay: DuckDB re-derives masses, both shard layouts
+    // (same hash44, same salt rule) and the imbalance ledger
+    "q_salt_skew" ->
+      graft.pipeline.SaltSkew.saltSkewSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
