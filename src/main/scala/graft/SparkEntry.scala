@@ -95,6 +95,7 @@ object SparkEntry {
     "q_chunk_validate" -> (ExportQueries.chunkValidate _),
     "q_media_features" -> (graft.multimodal.Multimodal.mediaFeaturesQuery _),
     "q_image_dhash" -> (graft.multimodal.ImageDhash.imageDhash _),
+    "q_audio_fingerprint" -> (graft.multimodal.AudioFingerprint.audioFingerprint _),
     "q_audio_quality" -> (graft.multimodal.AudioQuality.audioQuality _),
     "q_image_quality" -> (graft.multimodal.ImageQuality.imageQuality _),
     "q_media_frames" -> (graft.multimodal.Multimodal.mediaFramesQuery _),

@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual audio near-duplicate detection (`q_audio_fingerprint`) —
+  * the audio twin of [[ImageDhash]]: an audio corpus is full of
+  * RE-ENCODED and slightly-edited copies of the same take (new codec
+  * settings, trimmed silence, a one-sample click) that byte/decoded-hash
+  * dedup treats as 100% new. The fingerprint is the energy-gradient
+  * signature the acoustic-fingerprinting family builds on (Haitsma &
+  * Kalker's sub-band energy-difference bits, ISMIR 2002; chromaprint's
+  * gradient quantization) reduced to its FFT-free integer core: split
+  * the decoded PCM into 65 equal frames, frame energy = Σ|sample|
+  * (exact long), bit k = 1 iff energy(k+1) > energy(k). Uniform gain
+  * scaling preserves every comparison EXACTLY (|g·s| ordering is |s|
+  * ordering), and a one-sample edit moves one frame's energy by at most
+  * the sample delta — flipping at most the two adjacent bits — while
+  * unrelated takes sit near the random Hamming distance of 32.
+  *
+  * Pairing is the [[ImageDhash]] block-index discipline verbatim: 4×16-bit
+  * blocks, pigeonhole guarantees a block match within distance ≤ 12,
+  * block values heavier than [[MaxBlockDf]] takes are dropped (the
+  * stop-shingle rationale — an all-silent take's block would emit df²
+  * pairs), candidates confirm with native `bit_count(a XOR b)` ≤
+  * [[MaxDist]].
+  *
+  * 100-TB shape: decode+fingerprint is a per-row map (extract-stage cost
+  * profile); everything after moves (id, 8-byte hash) pairs — keyed
+  * joins and map-side-combined counts, payload bytes never shuffle; the
+  * df cap bounds the self-join. Takes shorter than 65 samples carry no
+  * gradient signal and are filtered (documented, not an error — archive
+  * scale guarantees stubs).
+  */
+object AudioFingerprint {
+
+  /** Confirm threshold: Hamming ≤ 6 of 64 bits (random pairs ≈ 32 ± 4). */
+  val MaxDist = 6
+
+  /** Stop-block cap — same rationale as [[ImageDhash.MaxBlockDf]]. */
+  val MaxBlockDf = 64
+
+  /** Planted perceptual copies: donor takes with one middle sample bumped
+    * by +1 and re-encoded — byte-dedup misses, the fingerprint must not. */
+  val PlantOffset = 20000000L
+
+  /** Energy-gradient fingerprint over 16-bit PCM samples (needs ≥ 65). */
+  def fingerprintOfSamples(s: Array[Int]): Long = {
+    require(s.length >= 65, s"fingerprint needs >= 65 samples, got ${s.length}")
+    val energy = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      val lo = f * s.length / 65; val hi = (f + 1) * s.length / 65
+      var sum = 0L
+      var i = lo
+      while (i < hi) { sum += math.abs(s(i).toLong); i += 1 }
+      energy(f) = sum
+      f += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (energy(k + 1) > energy(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
+  /** Minimal 16-bit mono WAV container (the AudioQuality plant encoder). */
+  private[multimodal] def wavOf(samples: Array[Int]): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem
+      .write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** The minimal edit: +1 on the middle sample (clamped), re-encoded. */
+  private[multimodal] def perturb(payload: Array[Byte]): Array[Byte] = {
+    val decoder = new Multimodal.MediaDecoder
+    val s = AudioQuality.samplesOf(decoder.decodedBytesSafe(payload)._1)
+    s(s.length / 2) = math.min(32767, s(s.length / 2) + 1)
+    wavOf(s)
+  }
+
+  /** Near-dup audio pairs over the media corpus plus planted copies:
+    * (id_a, id_b, fp_a, fp_b, hamming ≤ MaxDist). */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val audio = Multimodal.mediaTable(spark, dir).filter(_.kind == "audio")
+    // donors: the three smallest audio ids — a bounded driver read
+    val donors = audio.map(_.media_id).orderBy("value").limit(3).collect().toSet
+    val plants = audio.filter(m => donors.contains(m.media_id))
+      .map(m => m.copy(media_id = m.media_id + PlantOffset,
+        payload = perturb(m.payload)))
+    val hashes = audio.union(plants)
+      .map { m =>
+        val decoder = new Multimodal.MediaDecoder
+        val s = AudioQuality.samplesOf(decoder.decodedBytesSafe(m.payload)._1)
+        (m.media_id, s.length.toLong, if (s.length >= 65) fingerprintOfSamples(s) else 0L)
+      }
+      .toDF("media_id", "n_samples", "fp")
+      .filter(col("n_samples") >= 65)
+      .select("media_id", "fp").localCheckpoint()
+    val blocks = hashes.select(col("media_id"), col("fp"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("b"), shiftrightunsigned(col("fp"), 16 * b)
+          .bitwiseAND(lit(0xffffL)).as("v"))): _*)).as("blk"))
+      .select(col("media_id"), col("blk.b").as("b"), col("blk.v").as("v"))
+    val keep = blocks.groupBy("b", "v").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= MaxBlockDf).select("b", "v")
+    val capped = blocks.join(keep, Seq("b", "v"))
+    val pairs = capped.as("x").join(capped.as("y"),
+      col("x.b") === col("y.b") && col("x.v") === col("y.v") &&
+        col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("id_a"), col("y.media_id").as("id_b"))
+      .distinct()
+    pairs
+      .join(hashes.select(col("media_id").as("id_a"), col("fp").as("fp_a")), "id_a")
+      .join(hashes.select(col("media_id").as("id_b"), col("fp").as("fp_b")), "id_b")
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= MaxDist)
+      .select("id_a", "id_b", "fp_a", "fp_b", "hamming")
+      .orderBy("id_a", "id_b")
+  }
+}

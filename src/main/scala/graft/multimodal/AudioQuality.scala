@@ -65,8 +65,9 @@ object AudioQuality {
     }
   }
 
-  /** PCM from a 16-bit mono WAV's decoded bytes (little-endian words). */
-  private def samplesOf(pcm: Array[Byte]): Array[Int] = {
+  /** PCM from a 16-bit mono WAV's decoded bytes (little-endian words) —
+    * shared with [[AudioFingerprint]]. */
+  private[multimodal] def samplesOf(pcm: Array[Byte]): Array[Int] = {
     val out = new Array[Int](pcm.length / 2)
     var i = 0
     while (i < out.length) {
