@@ -214,7 +214,8 @@ object SparkEntry {
     "q_gram_novelty" -> (graft.pipeline.GramNovelty.gramNoveltyQuery _),
     "q_component_dist" -> (graft.pipeline.ComponentDist.componentDistQuery _),
     "q_tokenizer_fertility" -> (graft.pipeline.TokenizerFertility.tokenizerFertility _),
-    "q_salt_skew" -> (graft.pipeline.SaltSkew.saltSkewQuery _)
+    "q_salt_skew" -> (graft.pipeline.SaltSkew.saltSkewQuery _),
+    "q_rank_stability" -> (graft.pipeline.RankStability.rankStabilityQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -504,6 +505,10 @@ object SparkEntry {
     // (same hash44, same salt rule) and the imbalance ledger
     "q_salt_skew" ->
       graft.pipeline.SaltSkew.saltSkewSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-executes BOTH full unrolled PageRank
+    // recurrences (intact + salted-noise edges) and the divergence ledger
+    "q_rank_stability" ->
+      graft.pipeline.RankStability.rankStabilitySql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
