@@ -215,7 +215,8 @@ object SparkEntry {
     "q_component_dist" -> (graft.pipeline.ComponentDist.componentDistQuery _),
     "q_tokenizer_fertility" -> (graft.pipeline.TokenizerFertility.tokenizerFertility _),
     "q_salt_skew" -> (graft.pipeline.SaltSkew.saltSkewQuery _),
-    "q_rank_stability" -> (graft.pipeline.RankStability.rankStabilityQuery _)
+    "q_rank_stability" -> (graft.pipeline.RankStability.rankStabilityQuery _),
+    "q_revisit_policy" -> (graft.pipeline.RevisitPolicy.revisitPolicy _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -509,6 +510,9 @@ object SparkEntry {
     // recurrences (intact + salted-noise edges) and the divergence ledger
     "q_rank_stability" ->
       graft.pipeline.RankStability.rankStabilitySql(fixtureSql("q_extract_link_edges")),
+    // independent replay: DuckDB re-executes policy AND environment over
+    // the identical simulation grid (same hash periods, same windows)
+    "q_revisit_policy" -> graft.pipeline.RevisitPolicy.revisitPolicySql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
