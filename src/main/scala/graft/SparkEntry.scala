@@ -216,7 +216,8 @@ object SparkEntry {
     "q_tokenizer_fertility" -> (graft.pipeline.TokenizerFertility.tokenizerFertility _),
     "q_salt_skew" -> (graft.pipeline.SaltSkew.saltSkewQuery _),
     "q_rank_stability" -> (graft.pipeline.RankStability.rankStabilityQuery _),
-    "q_revisit_policy" -> (graft.pipeline.RevisitPolicy.revisitPolicy _)
+    "q_revisit_policy" -> (graft.pipeline.RevisitPolicy.revisitPolicy _),
+    "q_depth_profile" -> (graft.pipeline.DepthProfile.depthProfileQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -513,6 +514,10 @@ object SparkEntry {
     // independent replay: DuckDB re-executes policy AND environment over
     // the identical simulation grid (same hash periods, same windows)
     "q_revisit_policy" -> graft.pipeline.RevisitPolicy.revisitPolicySql,
+    // independent recompute: DuckDB re-parses depths and re-derives the
+    // census + survival curve from the frozen edge fixture
+    "q_depth_profile" ->
+      graft.pipeline.DepthProfile.depthProfileSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

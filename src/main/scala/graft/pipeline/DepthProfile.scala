@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** URL path-depth census (`q_depth_profile`) — the input behind every
+  * depth-cap policy (IRLbot and Mercator both budget by path depth;
+  * Common Crawl's URL frontier documentation discusses depth skew):
+  * how much of the URL universe sits at each path depth, how many hosts
+  * reach that deep, and how much of the deep mass is query-string
+  * variants. Organic sites exhaust themselves by depth 4-6; mass that
+  * keeps growing with depth is calendar/faceted templates — the
+  * [[UrlTemplates]] trap family seen from the policy side, and the
+  * number that justifies a crawl's max-depth dial before it is set.
+  *
+  * One row per occupied depth: `depth` (non-empty path segments before
+  * the query string), `n_urls`, `n_hosts` (distinct hosts with a URL at
+  * this depth), `n_query` (URLs carrying a query string), `urls_permille`,
+  * `cum_permille` (mass at or above this depth — the survival read a cap
+  * decision uses). All exact integers.
+  *
+  * Scale shape (100 TB): depth is a per-row projection; the census is
+  * one keyed aggregation (with a distinct-host count) over ≤ a few dozen
+  * depth rows, and the survival window runs over those rows only. No
+  * driver state, no collect.
+  */
+object DepthProfile {
+
+  /** Census over any single-column `url` frame. */
+  def depthProfile(urlsIn: DataFrame): DataFrame = {
+    val parsed = urlsIn.distinct()
+      .select(col("url"), Cardinality.hostCol(col("url")).as("host"),
+        regexp_extract(col("url"), "^https?://[^/]+(/[^?]*)?", 1).as("path"),
+        col("url").contains("?").cast("long").as("has_q"))
+      .filter(col("host") =!= "")
+      .withColumn("depth",
+        size(expr("filter(split(path, '/'), x -> x <> '')")).cast("long"))
+    val census = parsed.groupBy("depth")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct("host").as("n_hosts"),
+        sum("has_q").as("n_query"))
+    val wTot = Window.orderBy("depth")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wAtOrAbove = Window.orderBy(desc("depth"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("total", sum("n_urls").over(wTot))
+      .withColumn("deep", sum("n_urls").over(wAtOrAbove))
+      .select(col("depth"), col("n_urls"), col("n_hosts"), col("n_query"),
+        expr("1000 * n_urls div total").as("urls_permille"),
+        expr("1000 * deep div total").as("cum_permille"))
+      .orderBy("depth")
+  }
+
+  /** Contract query `q_depth_profile` over the corpus URL universe
+    * (edge endpoints — the [[SkewAudit]] universe). */
+  def depthProfileQuery(spark: SparkSession, dir: String): DataFrame = {
+    val edges = CrawlQueries.linkEdgesRaw(spark, dir)
+    depthProfile(
+      edges.select(col("src").as("url"))
+        .union(edges.filter(col("dst").startsWith("http")).select(col("dst").as("url"))))
+  }
+
+  /** DuckDB twin: identical parse, census, and survival windows. */
+  def depthProfileSql(edgesSelect: String): String =
+    s"""WITH e0 AS ($edgesSelect),
+       |u AS (
+       |  SELECT DISTINCT url FROM (
+       |    SELECT src AS url FROM e0
+       |    UNION
+       |    SELECT dst FROM e0 WHERE dst LIKE 'http%')),
+       |p AS (
+       |  SELECT url,
+       |    regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       |    regexp_extract(url, '^https?://[^/]+(/[^?]*)?', 1) AS path,
+       |    CASE WHEN url LIKE '%?%' THEN 1 ELSE 0 END AS has_q
+       |  FROM u),
+       |d AS (
+       |  SELECT CAST(len(list_filter(string_split(path, '/'), x -> x <> '')) AS BIGINT)
+       |           AS depth,
+       |         host, has_q
+       |  FROM p WHERE host <> ''),
+       |c AS (
+       |  SELECT depth, CAST(count(*) AS BIGINT) AS n_urls,
+       |         CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       |         CAST(sum(has_q) AS BIGINT) AS n_query
+       |  FROM d GROUP BY depth)
+       |SELECT depth, n_urls, n_hosts, n_query,
+       |  CAST(1000 * n_urls // (SELECT sum(n_urls) FROM c) AS BIGINT) AS urls_permille,
+       |  CAST(1000 * sum(n_urls) OVER (ORDER BY depth DESC)
+       |       // (SELECT sum(n_urls) FROM c) AS BIGINT) AS cum_permille
+       |FROM c ORDER BY depth""".stripMargin
+}
