@@ -217,7 +217,8 @@ object SparkEntry {
     "q_salt_skew" -> (graft.pipeline.SaltSkew.saltSkewQuery _),
     "q_rank_stability" -> (graft.pipeline.RankStability.rankStabilityQuery _),
     "q_revisit_policy" -> (graft.pipeline.RevisitPolicy.revisitPolicy _),
-    "q_depth_profile" -> (graft.pipeline.DepthProfile.depthProfileQuery _)
+    "q_depth_profile" -> (graft.pipeline.DepthProfile.depthProfileQuery _),
+    "q_proximity_search" -> (graft.pipeline.ProximitySearch.proximitySearch _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -518,6 +519,9 @@ object SparkEntry {
     // census + survival curve from the frozen edge fixture
     "q_depth_profile" ->
       graft.pipeline.DepthProfile.depthProfileSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB rebuilds positional postings and
+    // replays the merged-order min-gap window scan per (doc, pair)
+    "q_proximity_search" -> graft.pipeline.ProximitySearch.proximitySearchSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

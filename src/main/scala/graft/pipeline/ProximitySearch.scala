@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Proximity (NEAR/W) search (`q_proximity_search`) — the other
+  * positional-index query class beside [[PhraseSearch]]'s exact
+  * adjacency (Manning/Raghavan/Schütze IIR §2.4's positional postings
+  * walk): "a within W tokens of b", the primitive behind targeted
+  * corpus selection ("model NEAR training"), quote-fuzzy
+  * decontamination, and co-occurrence mining where exact phrases are
+  * too brittle.
+  *
+  * The plan shape is the point: NOT the quadratic per-document position
+  * pair-join. The minimum |posₐ − pos_b| over two sorted position lists
+  * is achieved at ADJACENT elements of their merged order (the textbook
+  * merge-scan argument), so per (doc, pair) ONE window pass over the
+  * merged, position-sorted postings with two running "last position of
+  * the other side" maxima yields every adjacent cross-gap — min-gap in
+  * O(tf) per doc, never O(tfₐ·tf_b).
+  *
+  * One row per query pair: `pair`, `n_docs_both` (docs containing both
+  * terms), `n_docs_near` (min gap ≤ [[MaxGap]]), `near_permille` =
+  * 1000·near div both (0 when both = 0), `min_gap` (corpus-wide minimum,
+  * 0 when no doc has both). Zero-hit pairs still emit a row — a search
+  * API never drops a query.
+  *
+  * Scale shape (100 TB): postings prune against the broadcast query
+  * vocabulary BEFORE any shuffle (the [[PhraseSearch]] discipline);
+  * windows partition by (doc, pair) — work bounded by per-doc query-term
+  * frequency, never corpus size; rollups are map-side-combined keyed
+  * aggregations.
+  */
+object ProximitySearch {
+
+  /** NEAR window in token positions. */
+  val MaxGap = 8L
+
+  /** Fixed query pairs: co-occurring content words, a likely-near pair,
+    * and a guaranteed miss (absent vocabulary). */
+  val Pairs: Seq[(String, String)] = Seq(
+    ("window", "query"),
+    ("stream", "hash"),
+    ("data", "merge"),
+    ("spark", "table"),
+    ("quantum", "pelican"))
+
+  private def pairName(a: String, b: String) = s"$a|$b"
+
+  /** The dataflow over an arbitrary pair list. */
+  def search(spark: SparkSession, dir: String, pairs: Seq[(String, String)]): DataFrame = {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val vocab = spark.createDataset(pairs.flatMap { case (a, b) =>
+      Seq((pairName(a, b), a, 0L), (pairName(a, b), b, 1L))
+    }).toDF("pair", "word", "side")
+    val postings = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .join(broadcast(vocab), Seq("word"))
+      .select(col("doc_id"), col("pair"), col("side"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("doc_id", "pair").orderBy("pos", "side")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gapped = postings
+      .withColumn("last_a", max(when(col("side") === 0, col("pos"))).over(w))
+      .withColumn("last_b", max(when(col("side") === 1, col("pos"))).over(w))
+      .withColumn("gap", when(col("side") === 1, col("pos") - col("last_a"))
+        .otherwise(col("pos") - col("last_b")))
+    val perDoc = gapped.groupBy("doc_id", "pair")
+      .agg(min("gap").as("min_gap"),
+        max(when(col("side") === 0, 1L).otherwise(0L)).as("has_a"),
+        max(when(col("side") === 1, 1L).otherwise(0L)).as("has_b"))
+      .filter(col("has_a") === 1 && col("has_b") === 1)
+    val stats = perDoc.groupBy("pair")
+      .agg(count(lit(1)).as("n_docs_both"),
+        sum(when(col("min_gap") <= MaxGap, 1L).otherwise(0L)).as("n_docs_near"),
+        min("min_gap").as("mg"))
+    spark.createDataset(pairs.map(p => pairName(p._1, p._2))).toDF("pair")
+      .join(broadcast(stats), Seq("pair"), "left")
+      .na.fill(0L, Seq("n_docs_both", "n_docs_near", "mg"))
+      .select(col("pair"), col("n_docs_both"), col("n_docs_near"),
+        when(col("n_docs_both") > 0,
+          expr("1000 * n_docs_near div n_docs_both")).otherwise(0L)
+          .as("near_permille"),
+        col("mg").as("min_gap"))
+      .orderBy("pair")
+  }
+
+  /** Contract query `q_proximity_search` over the documents table. */
+  def proximitySearch(spark: SparkSession, dir: String): DataFrame =
+    search(spark, dir, Pairs)
+
+  /** Independent DuckDB recompute: unnest positions, the same merged-order
+    * window scan, same rollups — zero-hit pairs preserved. */
+  val proximitySearchSql: String = {
+    val vocabRows = Pairs.flatMap { case (a, b) =>
+      Seq(s"('${pairName(a, b)}', '$a', 0)", s"('${pairName(a, b)}', '$b', 1)")
+    }.mkString(", ")
+    val pairRows = Pairs.map { case (a, b) => s"('${pairName(a, b)}')" }.mkString(", ")
+    s"""WITH vocab(pair, word, side) AS (VALUES $vocabRows),
+       |q(pair) AS (VALUES $pairRows),
+       |w AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |    CAST(generate_subscripts(ws, 1) - 1 AS BIGINT) AS pos, unnest(ws) AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+       |post AS (
+       |  SELECT w.doc_id, v.pair, v.side, w.pos
+       |  FROM w JOIN vocab v ON w.word = v.word),
+       |g AS (
+       |  SELECT doc_id, pair, side, pos,
+       |    max(CASE WHEN side = 0 THEN pos END)
+       |      OVER (PARTITION BY doc_id, pair ORDER BY pos, side
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_a,
+       |    max(CASE WHEN side = 1 THEN pos END)
+       |      OVER (PARTITION BY doc_id, pair ORDER BY pos, side
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_b
+       |  FROM post),
+       |pd AS (
+       |  SELECT doc_id, pair,
+       |    CAST(min(CASE WHEN side = 1 THEN pos - last_a
+       |                  ELSE pos - last_b END) AS BIGINT) AS min_gap,
+       |    max(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS has_a,
+       |    max(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS has_b
+       |  FROM g GROUP BY doc_id, pair),
+       |st AS (
+       |  SELECT pair, CAST(count(*) AS BIGINT) AS n_docs_both,
+       |    CAST(sum(CASE WHEN min_gap <= $MaxGap THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_docs_near,
+       |    CAST(min(min_gap) AS BIGINT) AS mg
+       |  FROM pd WHERE has_a = 1 AND has_b = 1 GROUP BY pair)
+       |SELECT q.pair,
+       |  CAST(coalesce(st.n_docs_both, 0) AS BIGINT) AS n_docs_both,
+       |  CAST(coalesce(st.n_docs_near, 0) AS BIGINT) AS n_docs_near,
+       |  CAST(CASE WHEN coalesce(st.n_docs_both, 0) > 0
+       |            THEN 1000 * st.n_docs_near // st.n_docs_both
+       |            ELSE 0 END AS BIGINT) AS near_permille,
+       |  CAST(coalesce(st.mg, 0) AS BIGINT) AS min_gap
+       |FROM q LEFT JOIN st ON q.pair = st.pair
+       |ORDER BY q.pair""".stripMargin
+  }
+}
