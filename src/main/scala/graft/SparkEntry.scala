@@ -218,7 +218,8 @@ object SparkEntry {
     "q_rank_stability" -> (graft.pipeline.RankStability.rankStabilityQuery _),
     "q_revisit_policy" -> (graft.pipeline.RevisitPolicy.revisitPolicy _),
     "q_depth_profile" -> (graft.pipeline.DepthProfile.depthProfileQuery _),
-    "q_proximity_search" -> (graft.pipeline.ProximitySearch.proximitySearch _)
+    "q_proximity_search" -> (graft.pipeline.ProximitySearch.proximitySearch _),
+    "q_dup_cluster_census" -> (graft.pipeline.DupClusterCensus.dupClusterCensusQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -522,6 +523,10 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds positional postings and
     // replays the merged-order min-gap window scan per (doc, pair)
     "q_proximity_search" -> graft.pipeline.ProximitySearch.proximitySearchSql,
+    // census arithmetic independently recomputed by DuckDB over the frozen
+    // keep-list fixture (the keep-list itself is golden-gated in DedupSpec)
+    "q_dup_cluster_census" ->
+      graft.pipeline.DupClusterCensus.dupClusterCensusSql(fixtureSql("q_dedup_keep")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

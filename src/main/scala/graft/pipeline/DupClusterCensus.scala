@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Near-dup cluster census (`q_dup_cluster_census`) — the summary every
+  * dedup report leads with (the CCNet/RefinedWeb/FineWeb papers all
+  * publish it): how do near-duplicate cluster sizes distribute, and how
+  * much of the corpus does dedup actually remove? A census dominated by
+  * singletons with a thin tail is a healthy corpus; heavy large-cluster
+  * octaves are mirror farms or template chum the crawl should stop
+  * fetching at the FRONTIER ([[Mirrors]], [[UrlTemplates]]) rather than
+  * paying to dedup downstream. Reads the keep-list [[Dedup
+  * .dedupKeepList]] produces (`q_dedup_keep`), so the census and the
+  * keep-list can never drift apart.
+  *
+  * One row per occupied cluster-size octave [2^k, 2^(k+1)): `octave`,
+  * `size_lo`, `n_clusters`, `n_docs`, `removed` (docs minus their
+  * cluster's kept representative), `docs_permille`, plus the global
+  * `removed_permille` repeated on every row — the headline dedup rate.
+  * All exact integers; bit-length bucketing (the [[DegreeDist]]
+  * discipline).
+  *
+  * Scale shape: one keyed size aggregation over the keep-list, a ≤64-row
+  * octave rollup and windows over those rows only. The oracle recomputes
+  * the census in DuckDB from the FROZEN keep-list fixture — so the
+  * census arithmetic is independently checked even though the keep-list
+  * itself is fixture-pinned (its semantics carry their own golden gates
+  * in DedupSpec).
+  */
+object DupClusterCensus {
+
+  /** Census over any (doc_id, keep_id, kept) keep-list frame. */
+  def dupClusterCensus(keepList: DataFrame): DataFrame = {
+    val sizes = keepList.groupBy("keep_id").agg(count(lit(1)).as("sz"))
+    val buckets = sizes
+      .select((length(bin(col("sz"))) - 1).cast("long").as("octave"), col("sz"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_clusters"), sum("sz").as("n_docs"),
+        sum(col("sz") - 1).as("removed"))
+    val wTot = Window.orderBy("octave")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    buckets
+      .withColumn("total", sum("n_docs").over(wTot))
+      .withColumn("removed_all", sum("removed").over(wTot))
+      .select(col("octave"),
+        expr("shiftleft(cast(1 as bigint), cast(octave as int))").as("size_lo"),
+        col("n_clusters"), col("n_docs"), col("removed"),
+        expr("1000 * n_docs div total").as("docs_permille"),
+        expr("1000 * removed_all div total").as("removed_permille"))
+      .orderBy("octave")
+  }
+
+  /** Contract query `q_dup_cluster_census` over the dedup keep-list. */
+  def dupClusterCensusQuery(spark: SparkSession, dir: String): DataFrame =
+    dupClusterCensus(DedupQueries.dedupKeep(spark, dir))
+
+  /** DuckDB twin: the identical census recomputed over the frozen
+    * keep-list fixture. */
+  def dupClusterCensusSql(keepListSelect: String): String =
+    s"""WITH kl AS ($keepListSelect),
+       |sz AS (
+       |  SELECT keep_id, CAST(count(*) AS BIGINT) AS sz FROM kl GROUP BY keep_id),
+       |bk AS (
+       |  SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS octave,
+       |         CAST(count(*) AS BIGINT) AS n_clusters,
+       |         CAST(sum(sz) AS BIGINT) AS n_docs,
+       |         CAST(sum(sz - 1) AS BIGINT) AS removed
+       |  FROM sz GROUP BY 1)
+       |SELECT octave, CAST(1 << octave AS BIGINT) AS size_lo,
+       |  n_clusters, n_docs, removed,
+       |  CAST(1000 * n_docs // (SELECT sum(n_docs) FROM bk) AS BIGINT) AS docs_permille,
+       |  CAST(1000 * (SELECT sum(removed) FROM bk)
+       |       // (SELECT sum(n_docs) FROM bk) AS BIGINT) AS removed_permille
+       |FROM bk ORDER BY octave""".stripMargin
+}
