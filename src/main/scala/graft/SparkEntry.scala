@@ -219,7 +219,8 @@ object SparkEntry {
     "q_revisit_policy" -> (graft.pipeline.RevisitPolicy.revisitPolicy _),
     "q_depth_profile" -> (graft.pipeline.DepthProfile.depthProfileQuery _),
     "q_proximity_search" -> (graft.pipeline.ProximitySearch.proximitySearch _),
-    "q_dup_cluster_census" -> (graft.pipeline.DupClusterCensus.dupClusterCensusQuery _)
+    "q_dup_cluster_census" -> (graft.pipeline.DupClusterCensus.dupClusterCensusQuery _),
+    "q_wl_colors" -> (graft.pipeline.WlColors.wlColorsQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -527,6 +528,10 @@ object SparkEntry {
     // keep-list fixture (the keep-list itself is golden-gated in DedupSpec)
     "q_dup_cluster_census" ->
       graft.pipeline.DupClusterCensus.dupClusterCensusSql(fixtureSql("q_dedup_keep")),
+    // independent recompute: DuckDB re-executes every WL refinement round
+    // (same canonical string, same hash) as materialized chained CTEs
+    "q_wl_colors" ->
+      graft.pipeline.WlColors.wlColorsSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
