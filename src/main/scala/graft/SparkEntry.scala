@@ -220,7 +220,8 @@ object SparkEntry {
     "q_depth_profile" -> (graft.pipeline.DepthProfile.depthProfileQuery _),
     "q_proximity_search" -> (graft.pipeline.ProximitySearch.proximitySearch _),
     "q_dup_cluster_census" -> (graft.pipeline.DupClusterCensus.dupClusterCensusQuery _),
-    "q_wl_colors" -> (graft.pipeline.WlColors.wlColorsQuery _)
+    "q_wl_colors" -> (graft.pipeline.WlColors.wlColorsQuery _),
+    "q_spam_colocation" -> (graft.pipeline.SpamColocation.spamColocation _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -532,6 +533,10 @@ object SparkEntry {
     // (same canonical string, same hash) as materialized chained CTEs
     "q_wl_colors" ->
       graft.pipeline.WlColors.wlColorsSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-executes BOTH TrustRank recurrences
+    // and the identical address pooling (same salt + space as q_ip_budget)
+    "q_spam_colocation" ->
+      graft.pipeline.SpamColocation.spamColocationSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

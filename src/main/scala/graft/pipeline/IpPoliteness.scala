@@ -38,7 +38,7 @@ object IpPoliteness {
     * hostname-minting spam signal IRLbot budgets against). */
   val CrowdedAt = 3L
 
-  private val IpSalt = ":graft-ip-v1"
+  private[pipeline] val IpSalt = ":graft-ip-v1"
   private val BudgetSalt = ":graft-hostbudget-v1"
 
   /** Per-host view: host, ip_id, host_budget. The 44-bit md5 prefix is the

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IP-pooled spam mass (`q_spam_colocation`) — the colocation read of
+  * the anti-spam ladder (Fetterly/Manasse/Najork "Spam, damn spam, and
+  * statistics" WebDB 2004 flag shared-IP clusters; Gyöngyi et al.'s spam
+  * mass is per-host): spam farms buy ONE box and spray hosts on it, so
+  * pooling [[TrustRank]]'s per-host spam mass by resolved address finds
+  * the farm even when each individual host keeps its mass under the
+  * per-host flag threshold. The same resolution table that throttles
+  * politeness per address ([[IpPoliteness]] — identical salt + space, so
+  * the two operators describe the same synthetic topology) here pools
+  * reputation: a crowded address whose PageRank-weighted spam mass runs
+  * high is a takedown candidate as a UNIT.
+  *
+  * One row per colocated address (≥ 2 hosts): `ip_id`, `n_hosts`,
+  * `first_host`, `pooled_pr_micro` (PageRank mass parked on the box),
+  * `pooled_spam_permille` = Σ(pr·spam) div Σpr — the PageRank-weighted
+  * pooled mass, so a tiny clean host cannot dilute a heavy spam host —
+  * `max_spam_permille`, and `spam_pool` (pooled ≥ 500‰). All exact
+  * integers.
+  *
+  * Scale shape: per-host spam mass is [[TrustRank]]'s dataflow (two
+  * pinned integer recurrences); the pooling is one per-row hash
+  * projection + one keyed rollup over at most |hosts| rows. The oracle
+  * re-executes BOTH recurrences and the pooling.
+  */
+object SpamColocation {
+
+  /** Pool any (host, pr_micro, spam_mass_permille) frame by the
+    * [[IpPoliteness]] address rule. */
+  def poolByIp(tr: DataFrame): DataFrame =
+    tr.withColumn("ip_id",
+        pmod(conv(substring(md5(concat(col("host"), lit(IpPoliteness.IpSalt))), 1, 11), 16, 10)
+          .cast("long"), lit(IpPoliteness.IpSpace)))
+      .groupBy("ip_id")
+      .agg(count(lit(1)).as("n_hosts"), min("host").as("first_host"),
+        sum("pr_micro").as("pooled_pr_micro"),
+        sum(col("pr_micro") * col("spam_mass_permille")).as("wsum"),
+        max("spam_mass_permille").as("max_spam_permille"))
+      .filter(col("n_hosts") >= 2)
+      .select(col("ip_id"), col("n_hosts"), col("first_host"),
+        col("pooled_pr_micro"),
+        expr("wsum div pooled_pr_micro").as("pooled_spam_permille"),
+        col("max_spam_permille"))
+      .withColumn("spam_pool",
+        (col("pooled_spam_permille") >= 500).cast("long"))
+      .orderBy("ip_id")
+
+  /** Contract query `q_spam_colocation`. */
+  def spamColocation(spark: SparkSession, dir: String): DataFrame =
+    poolByIp(TrustRank.trustRank(spark, dir)
+      .select("host", "pr_micro", "spam_mass_permille"))
+
+  /** DuckDB twin: the full TrustRank recompute (both unrolled integer
+    * recurrences) as a CTE, then the identical address pooling. */
+  def spamColocationSql(edgesSelect: String): String =
+    s"""WITH tr AS MATERIALIZED (${TrustRank.trustRankSql(edgesSelect)})
+       |SELECT ip_id, n_hosts, first_host, pooled_pr_micro,
+       |  CAST(wsum // pooled_pr_micro AS BIGINT) AS pooled_spam_permille,
+       |  max_spam_permille,
+       |  CAST(CASE WHEN wsum // pooled_pr_micro >= 500 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS spam_pool
+       |FROM (
+       |  SELECT CAST(('0x' || substr(md5(host || '${IpPoliteness.IpSalt}'), 1, 11)) AS BIGINT)
+       |           % ${IpPoliteness.IpSpace} AS ip_id,
+       |         CAST(count(*) AS BIGINT) AS n_hosts,
+       |         min(host) AS first_host,
+       |         CAST(sum(pr_micro) AS BIGINT) AS pooled_pr_micro,
+       |         CAST(sum(pr_micro * spam_mass_permille) AS BIGINT) AS wsum,
+       |         CAST(max(spam_mass_permille) AS BIGINT) AS max_spam_permille
+       |  FROM tr GROUP BY 1)
+       |WHERE n_hosts >= 2
+       |ORDER BY ip_id""".stripMargin
+}
