@@ -528,6 +528,23 @@ object PlanCheck {
         hiPlan.contains("windowspecdefinition(a"),
       "adjacency-local windows; hash joins only")
 
+    // 44. proximity search: postings prune against the BROADCAST query
+    // vocabulary before any shuffle; min-gap windows partition by doc+pair
+    val px = graft.pipeline.ProximitySearch.proximitySearch(spark, sfDir)
+    val pxPlan = px.queryExecution.executedPlan.toString
+    check("q_proximity_search/broadcast-vocab-prune",
+      pxPlan.contains("BroadcastHashJoin") &&
+        pxPlan.contains("windowspecdefinition(doc_id"),
+      "vocabulary broadcast; merge-scan windows local to (doc, pair)")
+
+    // 45. revisit policy: simulation windows partition BY PAGE, never a
+    // global window over the grid
+    val rv = graft.pipeline.RevisitPolicy.revisitPolicy(spark, sfDir)
+    val rvPlan = rv.queryExecution.executedPlan.toString
+    check("q_revisit_policy/per-page-windows",
+      rvPlan.contains("windowspecdefinition(id"),
+      "running-max windows keyed by page id")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
