@@ -221,7 +221,8 @@ object SparkEntry {
     "q_proximity_search" -> (graft.pipeline.ProximitySearch.proximitySearch _),
     "q_dup_cluster_census" -> (graft.pipeline.DupClusterCensus.dupClusterCensusQuery _),
     "q_wl_colors" -> (graft.pipeline.WlColors.wlColorsQuery _),
-    "q_spam_colocation" -> (graft.pipeline.SpamColocation.spamColocation _)
+    "q_spam_colocation" -> (graft.pipeline.SpamColocation.spamColocation _),
+    "q_minhash_calibration" -> (graft.pipeline.MinhashCalibration.minhashCalibration _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

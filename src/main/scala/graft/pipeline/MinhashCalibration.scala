@@ -1,0 +1,73 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MinHash estimator calibration (`q_minhash_calibration`) — the number
+  * the sketch dedup family ships with: how far does the 64-permutation
+  * MinHash resemblance estimate sit from the exact shingle Jaccard it
+  * estimates (Broder '97: each matching signature component is a
+  * Bernoulli trial with p = J, so the standard error is √(J(1−J)/64) ≈
+  * 62 milli at J = ½)? The ANN paths already carry recall@k in BENCH;
+  * this gives the MinHash path its own checked accuracy column, per pair
+  * and in aggregate, over a pair population with known structure:
+  * every planted near-dup paired with its donor (high J), plus each
+  * donor paired with the NEXT donor (unrelated corpus text, J ≈ 0) — so
+  * calibration is measured at both ends of the range.
+  *
+  * One row per pair: `doc_a`, `doc_b`, `est_milli` (1000·matching
+  * components div 64), `exact_milli` (1000·|A∩B| div |A∪B| over the
+  * [[Dedup.shingles]] sets — the estimator's own target), `err_milli`,
+  * with the global ledger repeated: `n_pairs`, `mean_err_milli`,
+  * `max_err_milli`.
+  *
+  * Oracle: the xxhash signature is not SQL-expressible, so the contract
+  * uses the frozen-fixture discipline (the `q_minhash_*` family); the
+  * SPEC carries the semantic gates (identical docs calibrate to 0 error;
+  * aggregate error within 4 standard errors of the Broder bound).
+  *
+  * Scale shape: signatures and shingle sets are per-row maps; the pair
+  * population is plant-bounded here and sample-bounded at fleet scale
+  * (calibration is an audit, not a per-wave job); one keyed join per
+  * side + one ungrouped ledger aggregate.
+  */
+object MinhashCalibration {
+
+  /** Per-pair calibration over (doc_id, text) docs and an (a, b) pair list. */
+  def calibrate(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        (id, Dedup.minhashSignature(t), Dedup.shingles(t).toSeq.sorted)
+      }
+      .toDF("doc_id", "sig", "sh")
+    val scored = pairs
+      .join(feats.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("sh").as("sh_a")), "doc_a")
+      .join(feats.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("1000 * size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), z -> z)) div size(sig_a)")
+          .as("est_milli"),
+        expr("CASE WHEN size(array_union(sh_a, sh_b)) = 0 THEN 0 ELSE " +
+          "1000 * size(array_intersect(sh_a, sh_b)) div size(array_union(sh_a, sh_b)) END")
+          .as("exact_milli"))
+      .withColumn("err_milli", abs(col("est_milli") - col("exact_milli")))
+    val ledger = scored.agg(count(lit(1)).as("n_pairs"),
+      expr("sum(err_milli) div count(1)").as("mean_err_milli"),
+      max("err_milli").as("max_err_milli"))
+    scored.crossJoin(broadcast(ledger)).orderBy("doc_a", "doc_b")
+  }
+
+  /** Contract query `q_minhash_calibration`: donors paired with their
+    * planted near-dups (high J) and with the next donor (J ≈ 0). */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = DedupQueries.docsWithPlants(spark, dir)
+    val near = (0L until 25L).map(i => (i, i + DedupQueries.PlantOffset))
+    val far = (0L until 24L).map(i => (i, i + 1L))
+    calibrate(docs, (near ++ far).toDF("doc_a", "doc_b"))
+  }
+}
