@@ -222,7 +222,8 @@ object SparkEntry {
     "q_dup_cluster_census" -> (graft.pipeline.DupClusterCensus.dupClusterCensusQuery _),
     "q_wl_colors" -> (graft.pipeline.WlColors.wlColorsQuery _),
     "q_spam_colocation" -> (graft.pipeline.SpamColocation.spamColocation _),
-    "q_minhash_calibration" -> (graft.pipeline.MinhashCalibration.minhashCalibration _)
+    "q_minhash_calibration" -> (graft.pipeline.MinhashCalibration.minhashCalibration _),
+    "q_code_census" -> (graft.pipeline.CodeCensus.codeCensusQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -538,6 +539,10 @@ object SparkEntry {
     // and the identical address pooling (same salt + space as q_ip_budget)
     "q_spam_colocation" ->
       graft.pipeline.SpamColocation.spamColocationSql(fixtureSql("q_extract_link_edges")),
+    // census arithmetic independently recomputed by DuckDB over the frozen
+    // extractor fixture (the extraction itself is oracled by q_code_blocks)
+    "q_code_census" ->
+      graft.pipeline.CodeCensus.codeCensusSql(fixtureSql("q_code_blocks")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

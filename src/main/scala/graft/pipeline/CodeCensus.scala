@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Code-block census (`q_code_census`) — the per-language table every
+  * code-corpus paper leads with (The Stack / StarCoder data cards report
+  * exactly this): how much fenced code does the crawl carry per
+  * language, across how many pages, and how much of it is literal
+  * duplication? Builds on `q_code_blocks`' extraction (language-tagged
+  * fences with content sha-256), so the census and the extractor can
+  * never drift. The `dup_blocks` column is the code-side dedup-pressure
+  * read ([[GramNovelty]] for prose, exact sha for code — code snippets
+  * are copied verbatim far more than prose), and `untagged` mass says
+  * how much work a fence-language classifier would have to recover.
+  *
+  * One row per language (empty tag reported as `(untagged)`): `lang`,
+  * `n_blocks`, `n_pages`, `distinct_blocks` (by content sha), `dup_blocks`,
+  * `total_chars`, `chars_permille` (share of all fenced code). All exact
+  * integers.
+  *
+  * Scale shape: one keyed census over the extractor's output (itself a
+  * per-row map over pages) with distinct counts; a window only over the
+  * ≤|languages| census rows. The oracle recomputes the census in DuckDB
+  * over the frozen extractor fixture.
+  */
+object CodeCensus {
+
+  /** Census over any (url, lang, code_chars, code_sha256) block frame. */
+  def codeCensus(blocks: DataFrame): DataFrame = {
+    val tagged = blocks.withColumn("lang",
+      when(col("lang") === "", "(untagged)").otherwise(col("lang")))
+    val census = tagged.groupBy("lang")
+      .agg(count(lit(1)).as("n_blocks"),
+        countDistinct("url").as("n_pages"),
+        countDistinct("code_sha256").as("distinct_blocks"),
+        sum("code_chars").as("total_chars"))
+      .withColumn("dup_blocks", col("n_blocks") - col("distinct_blocks"))
+    val wTot = Window.orderBy("lang")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    census
+      .withColumn("all_chars", sum("total_chars").over(wTot))
+      .select(col("lang"), col("n_blocks"), col("n_pages"),
+        col("distinct_blocks"), col("dup_blocks"), col("total_chars"),
+        expr("1000 * total_chars div all_chars").as("chars_permille"))
+      .orderBy("lang")
+  }
+
+  /** Contract query `q_code_census` over the code-block extraction. */
+  def codeCensusQuery(spark: SparkSession, dir: String): DataFrame =
+    codeCensus(CrawlQueries.codeBlocks(spark, dir))
+
+  /** DuckDB twin: the identical census over the frozen extractor fixture. */
+  def codeCensusSql(blocksSelect: String): String =
+    s"""WITH b AS ($blocksSelect),
+       |t AS (
+       |  SELECT CASE WHEN lang = '' THEN '(untagged)' ELSE lang END AS lang,
+       |         url, code_chars, code_sha256
+       |  FROM b),
+       |c AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS n_blocks,
+       |         CAST(count(DISTINCT url) AS BIGINT) AS n_pages,
+       |         CAST(count(DISTINCT code_sha256) AS BIGINT) AS distinct_blocks,
+       |         CAST(sum(code_chars) AS BIGINT) AS total_chars
+       |  FROM t GROUP BY lang)
+       |SELECT lang, n_blocks, n_pages, distinct_blocks,
+       |  CAST(n_blocks - distinct_blocks AS BIGINT) AS dup_blocks, total_chars,
+       |  CAST(1000 * total_chars // (SELECT sum(total_chars) FROM c) AS BIGINT)
+       |    AS chars_permille
+       |FROM c ORDER BY lang""".stripMargin
+}
