@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming gram-store admission — the streaming twin of
+  * [[graft.pipeline.GramNovelty]]'s corpus-wide repeated-span ledger,
+  * run as first-seen admission (the [[StreamingChunkStore]] discipline
+  * over text instead of archive bytes): documents arrive continuously, a
+  * live dedup gate wants "how much of this document is text the corpus
+  * has NEVER carried?", and the answer must survive restart and
+  * re-delivery. Every distinct 8-gram ([[graft.pipeline.Decontaminate
+  * .GramLen]], same split-on-space rule as the batch operator) admits
+  * exactly once; the per-document admitted count is the live novelty
+  * signal (a document admitting almost nothing is assembled from spans
+  * the store already holds — the streaming read of `q_gram_novelty`'s
+  * low-novelty flag).
+  *
+  * State is one boolean per DISTINCT gram (the store's own index,
+  * sharded by gram key); checkpointed with the query, so a restart
+  * resumes the store exactly and re-delivered waves admit nothing twice.
+  * The admitted KEY SET is slicing-invariant; within a batch the
+  * admitting document is the minimal doc_id carrying the gram
+  * (deterministic representative).
+  */
+object StreamingGramStore {
+
+  final case class GramSighting(doc_id: Long, g: String)
+
+  final case class AdmittedGram(g: String, doc_id: Long)
+
+  /** Explode a document into its distinct 8-gram sightings — the SAME
+    * gram rule as the batch operator. */
+  def sightingsOf(docId: Long, text: String): Seq[GramSighting] = {
+    val k = graft.pipeline.Decontaminate.GramLen
+    val ws = text.split(" ")
+    if (ws.length < k) Seq.empty
+    else (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
+      .distinct.map(GramSighting(docId, _))
+  }
+
+  /** Drain all available input waves through the first-seen filter. */
+  def runAvailableNow(
+      spark: SparkSession,
+      inputDir: String,
+      outputDir: String,
+      checkpointDir: String
+  ): Unit = {
+    import spark.implicits._
+    val schema = Encoders.product[GramSighting].schema
+    val admitted = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // one capture wave per micro-batch
+      .parquet(inputDir)
+      .as[GramSighting]
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[Boolean, AdmittedGram](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (g: String, rows: Iterator[GramSighting], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            var best = Long.MaxValue
+            rows.foreach(s => if (s.doc_id < best) best = s.doc_id)
+            state.update(true)
+            Iterator.single(AdmittedGram(g, best))
+          }
+      }
+    val q = admitted.writeStream
+      .format("parquet")
+      .option("path", outputDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The admitted store so far (empty-safe before the first commit). */
+  def stored(spark: SparkSession, outputDir: String): DataFrame =
+    SinkIO.readSink(spark, outputDir,
+      org.apache.spark.sql.Encoders.product[AdmittedGram].schema)
+
+  /** Per-document live novelty ledger: grams this doc admitted first. */
+  def noveltyLedger(spark: SparkSession, outputDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    stored(spark, outputDir).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_admitted")).orderBy("doc_id")
+  }
+}
