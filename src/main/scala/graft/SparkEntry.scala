@@ -223,7 +223,8 @@ object SparkEntry {
     "q_wl_colors" -> (graft.pipeline.WlColors.wlColorsQuery _),
     "q_spam_colocation" -> (graft.pipeline.SpamColocation.spamColocation _),
     "q_minhash_calibration" -> (graft.pipeline.MinhashCalibration.minhashCalibration _),
-    "q_code_census" -> (graft.pipeline.CodeCensus.codeCensusQuery _)
+    "q_code_census" -> (graft.pipeline.CodeCensus.codeCensusQuery _),
+    "q_burst_windows" -> (graft.pipeline.BurstWindows.burstWindowsQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -543,6 +544,9 @@ object SparkEntry {
     // extractor fixture (the extraction itself is oracled by q_code_blocks)
     "q_code_census" ->
       graft.pipeline.CodeCensus.codeCensusSql(fixtureSql("q_code_blocks")),
+    // independent recompute: DuckDB re-buckets, re-lags (consecutive-hour
+    // rule) and re-applies the cross-multiplied threshold
+    "q_burst_windows" -> graft.pipeline.BurstWindows.burstWindowsSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

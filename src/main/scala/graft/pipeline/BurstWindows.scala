@@ -1,0 +1,89 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-rate burst detection (`q_burst_windows`) — the monitoring read
+  * a crawl fleet alarms on (Kleinberg's "Bursty and hierarchical
+  * structure in streams", KDD 2002, is the theory; operationally every
+  * fleet runs the windowed-rate version): bucket the event stream into
+  * hourly tumbling windows per event type and flag windows whose count
+  * breaks 2× the trailing-3-window mean. A burst in `fetch_error`-class
+  * events is the first sign of a WAF flip or an outage; a burst in
+  * discovery events is a trap template opening up ([[UrlTemplates]]).
+  * Float-free by cross-multiplication: burst ⟺ 3·n > 2·Σ(previous 3),
+  * evaluated only where a full 3-window history exists (no cold-start
+  * false alarms — the warmup rows are emitted unflagged with
+  * `has_history = 0`).
+  *
+  * One row per (event_type, hour bucket): `event_type`, `bucket_ts`
+  * (epoch seconds of the hour), `n`, `prev3_sum`, `has_history`,
+  * `burst`. All exact integers.
+  *
+  * Scale shape (100 TB): one keyed (type, bucket) aggregation with
+  * map-side combine — the stream collapses to |types|×|hours| rows
+  * before any window — then a lag window PARTITIONED BY TYPE over those
+  * bucket rows (thousands of rows per type per year, never event-grain).
+  */
+object BurstWindows {
+
+  /** Burst ledger over any (event_type, ts) event frame. */
+  def burstWindows(events: DataFrame): DataFrame = {
+    val bucketed = events
+      .select(col("event_type"),
+        (floor(unix_timestamp(col("ts")) / 3600L) * 3600L).as("bucket_ts"))
+      .groupBy("event_type", "bucket_ts").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("bucket_ts")
+    val lagged = bucketed
+      .withColumn("p1", lag("n", 1).over(w))
+      .withColumn("p2", lag("n", 2).over(w))
+      .withColumn("p3", lag("n", 3).over(w))
+      // history must be three CONSECUTIVE hours, not just three prior rows —
+      // a gap in the stream must restart the warmup, not alias across it
+      .withColumn("b1", lag("bucket_ts", 1).over(w))
+      .withColumn("b3", lag("bucket_ts", 3).over(w))
+    lagged
+      .withColumn("has_history",
+        (col("p3").isNotNull && col("b3") === col("bucket_ts") - 3 * 3600L &&
+          col("b1") === col("bucket_ts") - 3600L).cast("long"))
+      .withColumn("prev3_sum",
+        when(col("has_history") === 1, col("p1") + col("p2") + col("p3"))
+          .otherwise(0L))
+      .withColumn("burst",
+        when(col("has_history") === 1 && col("n") * 3 > col("prev3_sum") * 2, 1L)
+          .otherwise(0L))
+      .select("event_type", "bucket_ts", "n", "prev3_sum", "has_history", "burst")
+      .orderBy("event_type", "bucket_ts")
+  }
+
+  /** Contract query `q_burst_windows` over the events table. */
+  def burstWindowsQuery(spark: SparkSession, dir: String): DataFrame =
+    burstWindows(spark.read.parquet(s"$dir/events.parquet")
+      .select("event_type", "ts"))
+
+  /** DuckDB twin: identical bucketing, consecutive-history rule, and
+    * cross-multiplied threshold. */
+  val burstWindowsSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |l AS (
+      |  SELECT event_type, bucket_ts, n,
+      |    lag(n, 1) OVER w AS p1, lag(n, 2) OVER w AS p2, lag(n, 3) OVER w AS p3,
+      |    lag(bucket_ts, 1) OVER w AS b1, lag(bucket_ts, 3) OVER w AS b3
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts))
+      |SELECT event_type, bucket_ts, n,
+      |  CAST(CASE WHEN ok = 1 THEN p1 + p2 + p3 ELSE 0 END AS BIGINT) AS prev3_sum,
+      |  CAST(ok AS BIGINT) AS has_history,
+      |  CAST(CASE WHEN ok = 1 AND n * 3 > (p1 + p2 + p3) * 2 THEN 1 ELSE 0 END AS BIGINT)
+      |    AS burst
+      |FROM (
+      |  SELECT *, CASE WHEN p3 IS NOT NULL AND b3 = bucket_ts - 3 * 3600
+      |                   AND b1 = bucket_ts - 3600 THEN 1 ELSE 0 END AS ok
+      |  FROM l)
+      |ORDER BY event_type, bucket_ts""".stripMargin
+}
