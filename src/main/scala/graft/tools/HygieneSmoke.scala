@@ -3,7 +3,7 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.pipeline.{Cardinality, Resharding, UrlTemplates}
+import graft.pipeline.{Cardinality, Resharding, SaltSkew, SkewAudit, UrlTemplates}
 
 /** At-scale smoke for the frontier-hygiene family (url templates / KMV
   * cardinality / reshard planning): 1000× the verify-scale url population —
@@ -90,9 +90,28 @@ object HygieneSmoke {
     require(plan(("mod", 13L))._1 == 8L, "mod 8->13 must fan in from all 8 old shards")
     require(plan(("prefix", 13L))._1 <= 2L, "prefix 8->13 must stay a bounded range overlap")
 
+    // 4. skew + salting: the trap host is the mega-key — the Gini/top-share
+    // ledger must localize it exactly, and the salted layout must defuse
+    // the shard it would otherwise pin (the north rule's named defense,
+    // asserted at 1000× verify scale)
     val total = organic + trap
+    val ((giniRow, saltRows), tSkew) = timed {
+      val masses = urls.select(Cardinality.hostCol(col("url")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("d"))
+      (SkewAudit.skewAudit(masses).collect().head,
+        SaltSkew.saltSkew(masses).collect()
+          .map(r => r.getString(0) -> r.getLong(6)).toMap)
+    }
+    require(giniRow.getLong(5) == trap * 1000L / total,
+      s"top-1 share must be exactly the trap mass, got ${giniRow.getLong(5)}")
+    val (plainImb, saltImb) = (saltRows("plain"), saltRows("salted"))
+    require(plainImb >= trap * 32L * 1000L / total,
+      s"plain sharding must pin a shard with the whole trap, got $plainImb")
+    require(saltImb * 2 <= plainImb,
+      s"salting must at least halve the peak: plain $plainImb vs salted $saltImb")
+
     println(
-      f"""{"metric":"hygiene_smoke","urls":$total,"hosts":${hosts + 1},"templates_sec":$tTmpl%.1f,"cardinality_sec":$tCard%.1f,"reshard_sec":$tPlan%.1f,"n_templates":${tmplRows.length},"organic_flagged_templates":$organicFlagged,"kmv_err_permille":{"p50":$p50,"p95":$p95,"max":$mx}}""")
+      f"""{"metric":"hygiene_smoke","urls":$total,"hosts":${hosts + 1},"templates_sec":$tTmpl%.1f,"cardinality_sec":$tCard%.1f,"reshard_sec":$tPlan%.1f,"skew_sec":$tSkew%.1f,"n_templates":${tmplRows.length},"organic_flagged_templates":$organicFlagged,"kmv_err_permille":{"p50":$p50,"p95":$p95,"max":$mx},"gini_permille":${giniRow.getLong(2)},"imbalance_permille":{"plain":$plainImb,"salted":$saltImb}}""")
     spark.stop()
   }
 }
