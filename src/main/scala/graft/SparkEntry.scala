@@ -224,7 +224,8 @@ object SparkEntry {
     "q_spam_colocation" -> (graft.pipeline.SpamColocation.spamColocation _),
     "q_minhash_calibration" -> (graft.pipeline.MinhashCalibration.minhashCalibration _),
     "q_code_census" -> (graft.pipeline.CodeCensus.codeCensusQuery _),
-    "q_burst_windows" -> (graft.pipeline.BurstWindows.burstWindowsQuery _)
+    "q_burst_windows" -> (graft.pipeline.BurstWindows.burstWindowsQuery _),
+    "q_quality_matrix" -> (graft.pipeline.QualityMatrix.qualityMatrixQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -547,6 +548,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-buckets, re-lags (consecutive-hour
     // rule) and re-applies the cross-multiplied threshold
     "q_burst_windows" -> graft.pipeline.BurstWindows.burstWindowsSql,
+    // independent recompute: DuckDB re-tokenizes, re-buckets (same octave
+    // bit-length, same stopword deciles) and re-derives the permille ledger
+    "q_quality_matrix" -> graft.pipeline.QualityMatrix.qualityMatrixSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Joint length × quality census (`q_quality_matrix`) — the cutoff-design
+  * dashboard for corpus filtering (the Gopher/C4 rule-tuning workflow:
+  * Rae et al. 2021 §A.2 pick length and stopword-ratio thresholds jointly,
+  * not marginally). Every document lands in one cell of a 2-D grid:
+  *
+  *   - `len_octave`: word-count octave [2^k, 2^(k+1)) — bit-length
+  *     bucketing (`length(bin(n))−1`), never float log2 (exact at the
+  *     power-of-two boundaries — the [[ZipfCurve]] discipline);
+  *   - `stop_band`: stopword-permille decile `(1000·n_stop div n_words)
+  *     div 100` over the shared [[TextAnalysis.Stopwords]] list — band 0
+  *     is "no glue words" (code/tables/OCR junk), bands 2-4 are natural
+  *     prose, band 9+ is stopword soup.
+  *
+  * Per cell: document count, word mass, and both as exact permille of the
+  * corpus — so "cut everything outside len_octave ≥ 4 ∧ stop_band ∈ [1,5]"
+  * reads its survivor count and token cost straight off the matrix. The
+  * joint view is the point: a marginal length histogram cannot see that
+  * short docs are disproportionately band-0 template junk.
+  *
+  * Scale shape (100 TB): one narrow projection (two small ints per doc) →
+  * keyed aggregation onto ≤ 64×11 cells (map-side combine collapses each
+  * partition to the cell grid, so the shuffle is O(cells·partitions), not
+  * O(docs)) → broadcast 1-row total join. No sort until the ≤ 704-row
+  * result. All integers — the DuckDB twin matches bit-for-bit.
+  */
+object QualityMatrix {
+
+  /** Census over any frame with a `text` column. */
+  def qualityMatrix(docsDf: DataFrame): DataFrame = {
+    val words = split(col("text"), " ")
+    val perDoc = docsDf.select(
+      size(words).cast("long").as("n_words"),
+      size(filter(words, w => lower(w).isin(TextAnalysis.Stopwords: _*)))
+        .cast("long").as("n_stop"))
+    val cells = perDoc
+      .withColumn("len_octave", (length(bin(col("n_words"))) - 1).cast("long"))
+      .withColumn("stop_band", expr("1000 * n_stop div n_words div 100"))
+      .groupBy("len_octave", "stop_band")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("words"))
+    val tot = perDoc.agg(count(lit(1)).as("tot_docs"),
+      sum("n_words").as("tot_words"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("len_octave"),
+        expr("shiftleft(cast(1 as bigint), cast(len_octave as int))").as("w_lo"),
+        col("stop_band"), col("n_docs"), col("words"),
+        expr("1000 * n_docs div tot_docs").as("docs_permille"),
+        expr("1000 * words div tot_words").as("words_permille"))
+      .orderBy("len_octave", "stop_band")
+  }
+
+  /** Contract query `q_quality_matrix`: the documents table. */
+  def qualityMatrixQuery(spark: SparkSession, dir: String): DataFrame =
+    qualityMatrix(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** DuckDB twin: identical tokenization, stopword list, bucketing, ledger. */
+  val qualityMatrixSql: String = {
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS (
+       |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+       |         CAST(len(list_filter(string_split(text, ' '),
+       |                              w -> lower(w) IN ($stopList))) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |c AS (
+       |  SELECT CAST(length(bin(n_words)) - 1 AS BIGINT) AS len_octave,
+       |         CAST((1000 * n_stop // n_words) // 100 AS BIGINT) AS stop_band,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(n_words) AS BIGINT) AS words
+       |  FROM d GROUP BY 1, 2)
+       |SELECT len_octave, CAST(1 << len_octave AS BIGINT) AS w_lo, stop_band,
+       |  n_docs, words,
+       |  CAST(1000 * n_docs // (SELECT count(*) FROM d) AS BIGINT) AS docs_permille,
+       |  CAST(1000 * words // (SELECT sum(n_words) FROM d) AS BIGINT) AS words_permille
+       |FROM c ORDER BY len_octave, stop_band""".stripMargin
+  }
+}
