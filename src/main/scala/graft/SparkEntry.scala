@@ -225,7 +225,8 @@ object SparkEntry {
     "q_minhash_calibration" -> (graft.pipeline.MinhashCalibration.minhashCalibration _),
     "q_code_census" -> (graft.pipeline.CodeCensus.codeCensusQuery _),
     "q_burst_windows" -> (graft.pipeline.BurstWindows.burstWindowsQuery _),
-    "q_quality_matrix" -> (graft.pipeline.QualityMatrix.qualityMatrixQuery _)
+    "q_quality_matrix" -> (graft.pipeline.QualityMatrix.qualityMatrixQuery _),
+    "q_triangle_census" -> (graft.pipeline.TriangleCensus.triangleCensusQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -551,6 +552,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-tokenizes, re-buckets (same octave
     // bit-length, same stopword deciles) and re-derives the permille ledger
     "q_quality_matrix" -> graft.pipeline.QualityMatrix.qualityMatrixSql,
+    // independent recompute: DuckDB re-derives the host graph, re-orients
+    // every edge by (degree, host) rank and re-closes every wedge
+    "q_triangle_census" ->
+      graft.pipeline.TriangleCensus.triangleCensusSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

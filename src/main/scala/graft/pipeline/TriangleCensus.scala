@@ -1,0 +1,146 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Host-graph triangle census (`q_triangle_census`) — exact triangle
+  * counts and clustering coefficients per degree octave (Schank & Wagner
+  * WEA 2005 node-iterator with degree ordering; Cohen CiSE 2009 MapReduce
+  * formulation; Suri & Vassilvitskii WWW 2011). Triangles are the web
+  * graph's community microstructure: organic topic neighborhoods close
+  * wedges (high clustering), while link farms built as stars or chains
+  * close almost none — so a degree octave whose clustering coefficient
+  * collapses versus its peers is automated-link mass, the structural
+  * cousin of [[LinkFarm]]'s bipartite signature and a second feature for
+  * [[WlColors]]' role classes. Transitivity is also the standard model
+  * separator (Watts–Strogatz vs Barabási–Albert) for the crawl-sample
+  * sanity checks [[DegreeDist]] opens.
+  *
+  * Exact algorithm, no sampling: orient every undirected edge from the
+  * rank-lower endpoint to the rank-higher one, rank = (degree, host) —
+  * every triangle {u,v,w} with rank u<v<w becomes exactly ONE closed
+  * wedge (u→v, u→w) ∩ (v→w), and per-source wedge fan-out is bounded by
+  * the oriented out-degree ≤ O(√m) instead of the raw degree (the whole
+  * point: a 10^6-degree hub generates zero wedges as a source unless its
+  * neighbors out-rank it, which at most √m of them can).
+  *
+  * One row per occupied degree octave: `octave`, `lo` = 2^k, `n_hosts`,
+  * `tri_inc` = Σ per-host incident triangles, `paths2` = Σ d(d−1)/2
+  * (wedge capacity), `cc_permille` = 1000·tri_inc div paths2 (the
+  * octave's hosts' aggregate local clustering), plus the corpus headline
+  * `n_tri_total` (each triangle once). All exact integers.
+  *
+  * Scale shape (100 TB): page edges collapse to the distinct host graph
+  * first; orientation is two keyed degree joins; the wedge self-join and
+  * closure join shuffle only (src, dst) host pairs — payloads never move;
+  * the census is a ≤64-row rollup + broadcast 1-row total. Skew is
+  * structurally defused by the orientation (no hub ever fans out more
+  * than its out-rank allows); AQE splits any residual hot source.
+  */
+object TriangleCensus {
+
+  /** Census over any directed host-pair stream; self-loops dropped,
+    * duplicates collapsed, empty hosts out. */
+  def triangleCensus(pairs: DataFrame): DataFrame = {
+    val und = pairs.select(
+        least(col("src_host"), col("dst_host")).as("a"),
+        greatest(col("src_host"), col("dst_host")).as("b"))
+      .filter(col("a") =!= col("b") && col("a") =!= "" && col("b") =!= "")
+      .distinct()
+    val deg = und.select(col("a").as("v"))
+      .unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    // rank(a) < rank(b) iff (da, a) < (db, b); a < b lexicographically
+    // already, so equal degrees orient a -> b
+    val aFirst = col("da") < col("db") || (col("da") === col("db"))
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("u"),
+      when(aFirst, col("b")).otherwise(col("a")).as("v"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+    // wedges from each source u: out-neighbor pairs ordered by rank(v)
+    val e1 = oriented.select(col("u"), col("v").as("x"), col("dv").as("dx"))
+    val e2 = oriented.select(col("u"), col("v").as("y"), col("dv").as("dy"))
+    val wedges = e1.join(e2, Seq("u"))
+      .filter(col("dx") < col("dy") || (col("dx") === col("dy") && col("x") < col("y")))
+      .select(col("u"), col("x"), col("y"))
+    // closure: the rank-oriented edge x -> y exists
+    val tri = wedges.join(
+      oriented.select(col("u").as("x"), col("v").as("y")), Seq("x", "y"))
+      .select(col("u"), col("x"), col("y"))
+    val perHost = tri.select(col("u").as("v"))
+      .unionAll(tri.select(col("x").as("v")))
+      .unionAll(tri.select(col("y").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("t"))
+    val cells = deg.join(perHost, Seq("v"), "left")
+      .select(col("d"), coalesce(col("t"), lit(0L)).as("t"))
+      .withColumn("octave", (length(bin(col("d"))) - 1).cast("long"))
+      .groupBy("octave")
+      .agg(count(lit(1)).as("n_hosts"), sum("t").as("tri_inc"),
+        expr("sum(d * (d - 1)) div 2").as("paths2"))
+    val tot = tri.agg(count(lit(1)).as("n_tri_total"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("octave"),
+        expr("shiftleft(cast(1 as bigint), cast(octave as int))").as("lo"),
+        col("n_hosts"), col("tri_inc"), col("paths2"),
+        when(col("paths2") > 0, expr("1000 * tri_inc div paths2"))
+          .otherwise(lit(0L)).as("cc_permille"),
+        col("n_tri_total"))
+      .orderBy("octave")
+  }
+
+  /** Contract query `q_triangle_census` over the crawl corpus link edges. */
+  def triangleCensusQuery(spark: SparkSession, dir: String): DataFrame =
+    triangleCensus(CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("src")).as("src_host"),
+        Cardinality.hostCol(col("dst")).as("dst_host")))
+
+  /** DuckDB twin over the frozen edge fixture: identical orientation,
+    * wedge closure, bucketing, and ledger. */
+  def triangleCensusSql(edgesSelect: String): String =
+    s"""WITH e0 AS ($edgesSelect),
+       |h AS (
+       |  SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS src_host,
+       |         regexp_extract(dst, '^https?://([^/]+)', 1) AS dst_host
+       |  FROM e0 WHERE dst LIKE 'http%'),
+       |u AS (
+       |  SELECT DISTINCT least(src_host, dst_host) AS a,
+       |                  greatest(src_host, dst_host) AS b
+       |  FROM h WHERE src_host <> dst_host AND src_host <> '' AND dst_host <> ''),
+       |deg AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+       |    SELECT a AS v FROM u UNION ALL SELECT b AS v FROM u)
+       |  GROUP BY v),
+       |o AS (
+       |  SELECT CASE WHEN da <= db THEN a ELSE b END AS u,
+       |         CASE WHEN da <= db THEN b ELSE a END AS v,
+       |         CASE WHEN da <= db THEN db ELSE da END AS dv
+       |  FROM (SELECT u.a, u.b, x.d AS da, y.d AS db
+       |        FROM u JOIN deg x ON x.v = u.a JOIN deg y ON y.v = u.b)),
+       |w AS (
+       |  SELECT e1.u, e1.v AS x, e2.v AS y
+       |  FROM o e1 JOIN o e2 ON e1.u = e2.u
+       |  WHERE e1.dv < e2.dv OR (e1.dv = e2.dv AND e1.v < e2.v)),
+       |tri AS (
+       |  SELECT w.u, w.x, w.y FROM w JOIN o ON o.u = w.x AND o.v = w.y),
+       |ph AS (
+       |  SELECT v, CAST(count(*) AS BIGINT) AS t FROM (
+       |    SELECT u AS v FROM tri UNION ALL SELECT x AS v FROM tri
+       |    UNION ALL SELECT y AS v FROM tri)
+       |  GROUP BY v),
+       |cells AS (
+       |  SELECT CAST(length(bin(deg.d)) - 1 AS BIGINT) AS octave,
+       |         CAST(count(*) AS BIGINT) AS n_hosts,
+       |         CAST(sum(coalesce(ph.t, 0)) AS BIGINT) AS tri_inc,
+       |         CAST(sum(deg.d * (deg.d - 1)) // 2 AS BIGINT) AS paths2
+       |  FROM deg LEFT JOIN ph ON ph.v = deg.v GROUP BY 1)
+       |SELECT octave, CAST(1 << octave AS BIGINT) AS lo, n_hosts, tri_inc,
+       |  paths2,
+       |  CASE WHEN paths2 > 0 THEN CAST(1000 * tri_inc // paths2 AS BIGINT)
+       |       ELSE 0 END AS cc_permille,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM tri) AS n_tri_total
+       |FROM cells ORDER BY octave""".stripMargin
+}
