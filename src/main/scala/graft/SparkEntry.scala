@@ -226,7 +226,8 @@ object SparkEntry {
     "q_code_census" -> (graft.pipeline.CodeCensus.codeCensusQuery _),
     "q_burst_windows" -> (graft.pipeline.BurstWindows.burstWindowsQuery _),
     "q_quality_matrix" -> (graft.pipeline.QualityMatrix.qualityMatrixQuery _),
-    "q_triangle_census" -> (graft.pipeline.TriangleCensus.triangleCensusQuery _)
+    "q_triangle_census" -> (graft.pipeline.TriangleCensus.triangleCensusQuery _),
+    "q_split_leakage" -> (graft.pipeline.SplitLeakage.splitLeakageQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -556,6 +557,10 @@ object SparkEntry {
     // every edge by (degree, host) rank and re-closes every wedge
     "q_triangle_census" ->
       graft.pipeline.TriangleCensus.triangleCensusSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives every split assignment
+    // (same md5 rule) and the cluster-span ledger over the frozen keep-list
+    "q_split_leakage" ->
+      graft.pipeline.SplitLeakage.splitLeakageSql(fixtureSql("q_dedup_keep")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

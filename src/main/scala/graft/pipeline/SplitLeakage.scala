@@ -1,0 +1,87 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Train/held-out split-leakage audit (`q_split_leakage`) — near-dup
+  * clusters that straddle the split boundary (Lee et al. ACL 2022
+  * "Deduplicating Training Data Makes Language Models Better" §6 found
+  * several percent of validation answerable from train near-dups; Dodge
+  * et al. EMNLP 2021 measured the same in C4; every serious data card now
+  * reports it). A hash split assigns DOCUMENTS independently, but
+  * near-duplicates are the same CONTENT — a test doc whose near-dup twin
+  * landed in train is evaluation leakage the split hash cannot see. This
+  * operator composes the two pipeline stages that each look correct alone:
+  * [[Dedup.dedupKeepList]]'s clusters × [[TextAnalysis.splitOf]]'s
+  * assignment (the shared Column definition — audit and assignment can
+  * never drift).
+  *
+  * One row per split: `split`, `n_docs` (keep-list docs assigned there),
+  * `n_clusters` (clusters with ≥1 member there), `leaked_docs` (docs
+  * whose cluster also holds a member of a DIFFERENT split — for test/val
+  * that is exactly "my content is also in train/elsewhere"),
+  * `leak_permille` = 1000·leaked div n_docs, and the corpus headline
+  * `n_leaky_clusters`. All exact integers. The fix the numbers feed:
+  * promote whole CLUSTERS, not documents — assign split by
+  * splitOf(keep_id) — and this audit's leaked_docs goes structurally to
+  * zero; the ledger is the before/after evidence.
+  *
+  * Scale shape (100 TB): split assignment is a pure per-row projection
+  * (no exchange); the cluster-span aggregate and the members-back join
+  * are keyed by keep_id (the near-dup graph is tiny next to the corpus);
+  * the rollup is ≤3 rows plus a broadcast 1-row headline.
+  */
+object SplitLeakage {
+
+  /** Audit over any keep-list frame with (doc_id, keep_id). */
+  def splitLeakage(keepList: DataFrame): DataFrame = {
+    val assigned = keepList.select(
+      col("doc_id").cast("long").as("doc_id"), col("keep_id"),
+      TextAnalysis.splitOf(col("doc_id")).as("split"))
+    val spans = assigned.groupBy("keep_id")
+      .agg(countDistinct("split").as("n_splits"))
+    val headline = spans.agg(
+      sum(when(col("n_splits") >= 2, 1L).otherwise(0L)).as("n_leaky_clusters"))
+    assigned.join(spans, Seq("keep_id"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("keep_id").as("n_clusters"),
+        sum(when(col("n_splits") >= 2, 1L).otherwise(0L)).as("leaked_docs"))
+      .crossJoin(broadcast(headline))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("leaked_docs"),
+        expr("1000 * leaked_docs div n_docs").as("leak_permille"),
+        col("n_leaky_clusters"))
+      .orderBy("split")
+  }
+
+  /** Contract query `q_split_leakage` over the live dedup keep-list
+    * (plants included — planted near-dup pairs whose ids hash to
+    * different splits ARE the leakage being measured). */
+  def splitLeakageQuery(spark: SparkSession, dir: String): DataFrame =
+    splitLeakage(DedupQueries.dedupKeep(spark, dir))
+
+  /** DuckDB twin over the frozen keep-list fixture: identical split rule
+    * (same md5, same salt, same thresholds) and ledger. */
+  def splitLeakageSql(keepListSelect: String): String =
+    s"""WITH kl AS ($keepListSelect),
+       |a AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id, keep_id,
+       |    CASE WHEN b < '0d' THEN 'test' WHEN b < '1a' THEN 'val'
+       |         ELSE 'train' END AS split
+       |  FROM (SELECT doc_id, keep_id,
+       |          substring(md5(CAST(doc_id AS BIGINT) || '${TextAnalysis.SplitSalt}'), 1, 2) AS b
+       |        FROM kl)),
+       |s AS (
+       |  SELECT keep_id, CAST(count(DISTINCT split) AS BIGINT) AS n_splits
+       |  FROM a GROUP BY keep_id)
+       |SELECT a.split, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(count(DISTINCT a.keep_id) AS BIGINT) AS n_clusters,
+       |  CAST(sum(CASE WHEN s.n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS leaked_docs,
+       |  CAST(1000 * sum(CASE WHEN s.n_splits >= 2 THEN 1 ELSE 0 END)
+       |       // count(*) AS BIGINT) AS leak_permille,
+       |  (SELECT CAST(sum(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |   FROM s) AS n_leaky_clusters
+       |FROM a JOIN s ON s.keep_id = a.keep_id
+       |GROUP BY a.split ORDER BY a.split""".stripMargin
+}

@@ -418,10 +418,17 @@ object TextAnalysis {
     val bucket = bucketCol(SplitSalt)
     docs(spark, dir)
       .select(col("doc_id").cast("long").as("doc_id"), col("source"),
-        bucket.as("bucket"),
-        when(bucket < "0d", "test").when(bucket < "1a", "val")
-          .otherwise("train").as("split"))
+        bucket.as("bucket"), splitOf(col("doc_id")).as("split"))
       .orderBy("doc_id")
+  }
+
+  /** The split rule as a pure Column over any doc-id — the ONE definition
+    * shared by [[sampleSplit]] and [[SplitLeakage]] so the audit can never
+    * drift from the assignment it audits. */
+  def splitOf(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = substring(
+      md5(concat(docId.cast("long").cast("string"), lit(SplitSalt))), 1, 2)
+    when(bucket < "0d", "test").when(bucket < "1a", "val").otherwise("train")
   }
 
   val sampleSplitSql: String =
