@@ -227,7 +227,8 @@ object SparkEntry {
     "q_burst_windows" -> (graft.pipeline.BurstWindows.burstWindowsQuery _),
     "q_quality_matrix" -> (graft.pipeline.QualityMatrix.qualityMatrixQuery _),
     "q_triangle_census" -> (graft.pipeline.TriangleCensus.triangleCensusQuery _),
-    "q_split_leakage" -> (graft.pipeline.SplitLeakage.splitLeakageQuery _)
+    "q_split_leakage" -> (graft.pipeline.SplitLeakage.splitLeakageQuery _),
+    "q_bitext_margin" -> (graft.pipeline.BitextMargin.bitextMarginQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -561,6 +562,9 @@ object SparkEntry {
     // (same md5 rule) and the cluster-span ledger over the frozen keep-list
     "q_split_leakage" ->
       graft.pipeline.SplitLeakage.splitLeakageSql(fixtureSql("q_dedup_keep")),
+    // independent recompute: DuckDB re-runs both k-NN directions (same
+    // cosine fold, same micro rounding) and the integer margin/mutual gates
+    "q_bitext_margin" -> graft.pipeline.BitextMargin.bitextMarginSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Margin-based bitext mining (`q_bitext_margin`) — Artetxe & Schwenk
+  * ACL 2019 "Margin-based Parallel Corpus Mining with Multilingual
+  * Sentence Embeddings", the scoring rule behind CCMatrix/CCAligned and
+  * every LASER-style parallel-corpus harvest: absolute cosine cannot
+  * separate translations from topically-similar noise because some
+  * sentences are "hubs" that are close to everything, so each candidate
+  * pair is scored by its cosine RELATIVE to both endpoints' neighborhood
+  * density — margin(x,y) = cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2) — and
+  * mined pairs must additionally be MUTUAL nearest neighbors (the paper's
+  * "intersection" strategy).
+  *
+  * The synthetic bilingual view: even vec_ids are side A, odd side B
+  * (deterministic, id-stable). Per A-vector: forward top-k over B; per
+  * B-vector: backward top-k over A; a forward NN1 pair (x, y) is `mined`
+  * when backward NN1(y) = x AND margin ≥ 1.05 (the LASER production
+  * threshold).
+  *
+  * Exactness discipline: cosines are computed in double in the SAME
+  * sequential fold order as [[Similarity.cosine]] / DuckDB
+  * `list_dot_product` and rounded ONCE to micro units (the q_ann_topk
+  * precedent) — every downstream number (top-k sums, the margin ratio in
+  * milli, flags) is exact INTEGER arithmetic, so ranking and thresholds
+  * cannot drift between engines on float summation order. Non-positive
+  * neighborhoods clamp the margin to 0 (floor-vs-truncate division on
+  * negatives never fires).
+  *
+  * One row per A-vector: `a_id`, `b_id` (forward NN1), `cos_micro`,
+  * `margin_milli` = 2000·k·cos div (Σₖ fwd + Σₖ bwd), `mutual`, `mined`.
+  *
+  * Scale shape (100 TB): the contract query is the exact-verifiable
+  * brute-force form (all-pairs → windows keyed by endpoint — the same
+  * keyed-shuffle shape at any size); a fleet run substitutes the ANN
+  * top-k ([[Similarity]] IVF/LSH/SQ8) for the all-pairs stage and keeps
+  * the margin arithmetic VERBATIM — the mining rule is agnostic to how
+  * the k-NN lists were produced (the paper does exactly this with FAISS).
+  */
+object BitextMargin {
+
+  val K = 4
+  val ThresholdMilli = 1050L
+
+  /** Sequential-fold double dot of two float-array columns — the
+    * [[Similarity.dot]] order, the one DuckDB list_dot_product uses. */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Mining table over any (vec_id, embedding) frame. */
+  def bitextMargin(emb: DataFrame): DataFrame = {
+    val vecs = emb.select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"),
+        sqrt(dotCol(col("embedding"), col("embedding"))).as("nrm"))
+    val a = vecs.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = vecs.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb"))
+    val pairs = a.crossJoin(b)
+      .select(col("a_id"), col("b_id"),
+        round(dotCol(col("va"), col("vb")) / (col("na") * col("nb")) * 1000000)
+          .cast("long").as("cos_micro"))
+    val fwdW = Window.partitionBy("a_id").orderBy(desc("cos_micro"), asc("b_id"))
+    val fwd = pairs.withColumn("rnk", row_number().over(fwdW))
+      .filter(col("rnk") <= K)
+      .groupBy("a_id")
+      .agg(sum("cos_micro").as("sum_fwd"),
+        max(when(col("rnk") === 1, col("b_id"))).as("b_id"),
+        max(when(col("rnk") === 1, col("cos_micro"))).as("cos_micro"))
+    val bwdW = Window.partitionBy("b_id").orderBy(desc("cos_micro"), asc("a_id"))
+    val bwd = pairs.withColumn("rnk", row_number().over(bwdW))
+      .filter(col("rnk") <= K)
+      .groupBy("b_id")
+      .agg(sum("cos_micro").as("sum_bwd"),
+        max(when(col("rnk") === 1, col("a_id"))).as("bwd_nn1"))
+    fwd.join(bwd, Seq("b_id"))
+      .withColumn("margin_milli",
+        when(col("sum_fwd") + col("sum_bwd") > 0 && col("cos_micro") >= 0,
+          expr(s"2000 * $K * cos_micro div (sum_fwd + sum_bwd)"))
+          .otherwise(lit(0L)))
+      .withColumn("mutual", (col("bwd_nn1") === col("a_id")).cast("int"))
+      .withColumn("mined",
+        (col("mutual") === 1 && col("margin_milli") >= ThresholdMilli).cast("int"))
+      .select("a_id", "b_id", "cos_micro", "margin_milli", "mutual", "mined")
+      .orderBy("a_id")
+  }
+
+  /** Contract query `q_bitext_margin` over the embeddings table. */
+  def bitextMarginQuery(spark: SparkSession, dir: String): DataFrame =
+    bitextMargin(spark.read.parquet(s"$dir/embeddings.parquet"))
+
+  /** DuckDB twin: identical cosine fold, micro rounding, integer margin. */
+  val bitextMarginSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+       |         CAST(embedding AS DOUBLE[]) AS v,
+       |         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |                               CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         CAST(round(list_dot_product(a.v, b.v)
+       |                    / (a.nrm * b.nrm) * 1000000) AS BIGINT) AS cos_micro
+       |  FROM e a, e b WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+       |fr AS (
+       |  SELECT a_id, b_id, cos_micro,
+       |         row_number() OVER (PARTITION BY a_id
+       |                            ORDER BY cos_micro DESC, b_id ASC) AS rnk
+       |  FROM p),
+       |f AS (
+       |  SELECT a_id, CAST(sum(cos_micro) AS BIGINT) AS sum_fwd,
+       |         max(CASE WHEN rnk = 1 THEN b_id END) AS b_id,
+       |         max(CASE WHEN rnk = 1 THEN cos_micro END) AS cos_micro
+       |  FROM fr WHERE rnk <= $K GROUP BY a_id),
+       |br AS (
+       |  SELECT a_id, b_id, cos_micro,
+       |         row_number() OVER (PARTITION BY b_id
+       |                            ORDER BY cos_micro DESC, a_id ASC) AS rnk
+       |  FROM p),
+       |bw AS (
+       |  SELECT b_id, CAST(sum(cos_micro) AS BIGINT) AS sum_bwd,
+       |         max(CASE WHEN rnk = 1 THEN a_id END) AS bwd_nn1
+       |  FROM br WHERE rnk <= $K GROUP BY b_id)
+       |SELECT f.a_id, f.b_id, f.cos_micro,
+       |  CASE WHEN f.sum_fwd + bw.sum_bwd > 0 AND f.cos_micro >= 0
+       |       THEN CAST(2000 * $K * f.cos_micro
+       |                 // (f.sum_fwd + bw.sum_bwd) AS BIGINT)
+       |       ELSE 0 END AS margin_milli,
+       |  CAST(CASE WHEN bw.bwd_nn1 = f.a_id THEN 1 ELSE 0 END AS INTEGER) AS mutual,
+       |  CAST(CASE WHEN bw.bwd_nn1 = f.a_id
+       |             AND (CASE WHEN f.sum_fwd + bw.sum_bwd > 0 AND f.cos_micro >= 0
+       |                       THEN 2000 * $K * f.cos_micro // (f.sum_fwd + bw.sum_bwd)
+       |                       ELSE 0 END) >= $ThresholdMilli
+       |       THEN 1 ELSE 0 END AS INTEGER) AS mined
+       |FROM f JOIN bw ON bw.b_id = f.b_id
+       |ORDER BY f.a_id""".stripMargin
+}
