@@ -228,7 +228,8 @@ object SparkEntry {
     "q_quality_matrix" -> (graft.pipeline.QualityMatrix.qualityMatrixQuery _),
     "q_triangle_census" -> (graft.pipeline.TriangleCensus.triangleCensusQuery _),
     "q_split_leakage" -> (graft.pipeline.SplitLeakage.splitLeakageQuery _),
-    "q_bitext_margin" -> (graft.pipeline.BitextMargin.bitextMarginQuery _)
+    "q_bitext_margin" -> (graft.pipeline.BitextMargin.bitextMarginQuery _),
+    "q_unimax_mix" -> (graft.pipeline.UnimaxMix.unimaxMixQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -565,6 +566,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-runs both k-NN directions (same
     // cosine fold, same micro rounding) and the integer margin/mutual gates
     "q_bitext_margin" -> graft.pipeline.BitextMargin.bitextMarginSql,
+    // independent recompute: DuckDB re-derives the census, saturation
+    // prefix, water level, and remainder distribution
+    "q_unimax_mix" -> graft.pipeline.UnimaxMix.unimaxMixSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

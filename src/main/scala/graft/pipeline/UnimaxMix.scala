@@ -1,0 +1,134 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** UniMax budget allocation (`q_unimax_mix`) — Chung et al. ICLR 2023
+  * "UniMax: Fairer and More Effective Language Sampling for Large-Scale
+  * Multilingual Pretraining": given per-source token counts, a total
+  * training budget, and an epoch cap (no source repeats more than E
+  * times), allocate the budget as UNIFORMLY as possible — waterfilling
+  * against per-source caps c_i·E. Temperature sampling
+  * ([[TextAnalysis.mixtureRebalance]]'s family) over-samples heads and
+  * starves tails smoothly; UniMax instead gives every source the same
+  * water level L unless its cap saturates first — the allocation the
+  * paper shows dominates every temperature on tail-language quality.
+  *
+  * Exact integer algorithm (no floats anywhere): sort sources ascending
+  * by cap; source at rank i saturates iff prefix_i + cap_i·(n−i) ≤ B
+  * (monotone in i, so saturation is a prefix — proven in the spec); with
+  * k saturated, level L = (B − prefix_k) div (n−k) and the remainder
+  * r < n−k distributes +1 to the r cap-smallest unsaturated sources
+  * (deterministic tie-break by source name). Σ alloc = B exactly unless
+  * B > Σ cap, in which case every source takes its cap and the shortfall
+  * is reported in `unfilled` (never silently absorbed).
+  *
+  * One row per source: `source`, `tokens`, `cap` = tokens·E, `alloc`,
+  * `epochs_milli` = 1000·alloc div tokens (the paper's headline "how many
+  * epochs does each language actually see"), `saturated`, and the audit
+  * constants `budget`/`unfilled`.
+  *
+  * Scale shape (100 TB): the token census is one map-side-combined keyed
+  * aggregation over the corpus; everything after runs on ≤|sources| rows
+  * (windows over a single tiny partition by design — same discipline as
+  * [[DegreeDist]]'s CCDF).
+  */
+object UnimaxMix {
+
+  val EpochCap = 4L
+
+  /** Allocation over any (source, tokens) census given a budget. */
+  def unimaxAlloc(census: DataFrame, budget: Long): DataFrame = {
+    val n = Window.orderBy("cap_rk")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val pre = Window.orderBy("cap_rk")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = census
+      .select(col("source"), col("tokens"), (col("tokens") * EpochCap).as("cap"))
+      .withColumn("cap_rk", row_number().over(Window.orderBy("cap", "source")))
+      .withColumn("n", count(lit(1)).over(n))
+      .withColumn("prefix", sum("cap").over(pre))
+      .withColumn("sat",
+        (col("prefix") + col("cap") * (col("n") - col("cap_rk")) <= budget).cast("int"))
+    val k = Window.orderBy("cap_rk")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val leveled = ranked
+      .withColumn("k", sum("sat").over(k))
+      .withColumn("sat_prefix", max(when(col("sat") === 1, col("prefix"))).over(k))
+      .withColumn("level",
+        // unused when k = n (every row takes the sat branch); 0 keeps the
+        // dead branch's arithmetic overflow-free
+        when(col("k") === col("n"), lit(0L))
+          .otherwise(expr(s"($budget - coalesce(sat_prefix, 0)) div (n - k)")))
+      .withColumn("rem",
+        when(col("k") === col("n"), lit(0L))
+          .otherwise(expr(s"($budget - coalesce(sat_prefix, 0)) % (n - k)")))
+    leveled
+      .withColumn("alloc",
+        when(col("sat") === 1, col("cap"))
+          .otherwise(least(col("cap"),
+            col("level") + when(col("cap_rk") - col("k") <= col("rem"), 1L).otherwise(0L))))
+      .withColumn("unfilled",
+        when(col("k") === col("n"), lit(budget) - max("prefix").over(k))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("tokens"), col("cap"), col("alloc"),
+        expr("1000 * alloc div tokens").as("epochs_milli"),
+        col("sat").as("saturated"), lit(budget).as("budget"), col("unfilled"))
+      .orderBy("source")
+  }
+
+  /** Contract query `q_unimax_mix`: whitespace-token census per source,
+    * budget = half the corpus, epoch cap 4 — exercises both the
+    * saturated and waterfilled branches on the synthetic source mix. */
+  def unimaxMixQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val census = docs.groupBy("source")
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("tokens"))
+    val budget = census.agg(sum("tokens")).head.getLong(0) / 2
+    unimaxAlloc(census, budget)
+  }
+
+  /** DuckDB twin: identical census, saturation rule, level, remainder. */
+  val unimaxMixSql: String =
+    s"""WITH census AS (
+       |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY source),
+       |b AS (SELECT CAST(sum(tokens) // 2 AS BIGINT) AS budget FROM census),
+       |r AS (
+       |  SELECT source, tokens, tokens * $EpochCap AS cap,
+       |    row_number() OVER (ORDER BY tokens * $EpochCap, source) AS cap_rk,
+       |    CAST(count(*) OVER () AS BIGINT) AS n,
+       |    CAST(sum(tokens * $EpochCap)
+       |         OVER (ORDER BY tokens * $EpochCap, source) AS BIGINT) AS prefix
+       |  FROM census),
+       |s AS (
+       |  SELECT r.*, b.budget,
+       |    CASE WHEN prefix + cap * (n - cap_rk) <= b.budget THEN 1 ELSE 0 END AS sat
+       |  FROM r, b),
+       |l AS (
+       |  SELECT s.*,
+       |    CAST(sum(sat) OVER () AS BIGINT) AS k,
+       |    max(CASE WHEN sat = 1 THEN prefix END) OVER () AS sat_prefix
+       |  FROM s),
+       |a AS (
+       |  SELECT l.*,
+       |    CASE WHEN k = n THEN NULL
+       |         ELSE (budget - coalesce(sat_prefix, 0)) // (n - k) END AS level,
+       |    CASE WHEN k = n THEN 0
+       |         ELSE (budget - coalesce(sat_prefix, 0)) % (n - k) END AS rem
+       |  FROM l)
+       |SELECT source, tokens, CAST(cap AS BIGINT) AS cap,
+       |  CAST(CASE WHEN sat = 1 THEN cap
+       |            ELSE least(cap, level + CASE WHEN cap_rk - k <= rem
+       |                                         THEN 1 ELSE 0 END) END AS BIGINT) AS alloc,
+       |  CAST(1000 * (CASE WHEN sat = 1 THEN cap
+       |            ELSE least(cap, level + CASE WHEN cap_rk - k <= rem
+       |                                         THEN 1 ELSE 0 END) END)
+       |       // tokens AS BIGINT) AS epochs_milli,
+       |  CAST(sat AS INTEGER) AS saturated,
+       |  budget,
+       |  CAST(CASE WHEN k = n THEN budget - (SELECT max(prefix) FROM r)
+       |       ELSE 0 END AS BIGINT) AS unfilled
+       |FROM a ORDER BY source""".stripMargin
+}
