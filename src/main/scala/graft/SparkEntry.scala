@@ -229,7 +229,8 @@ object SparkEntry {
     "q_triangle_census" -> (graft.pipeline.TriangleCensus.triangleCensusQuery _),
     "q_split_leakage" -> (graft.pipeline.SplitLeakage.splitLeakageQuery _),
     "q_bitext_margin" -> (graft.pipeline.BitextMargin.bitextMarginQuery _),
-    "q_unimax_mix" -> (graft.pipeline.UnimaxMix.unimaxMixQuery _)
+    "q_unimax_mix" -> (graft.pipeline.UnimaxMix.unimaxMixQuery _),
+    "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -569,6 +570,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the census, saturation
     // prefix, water level, and remainder distribution
     "q_unimax_mix" -> graft.pipeline.UnimaxMix.unimaxMixSql,
+    // independent recompute: DuckDB rebuilds both retrieval models' ranks
+    // (same fixed-point scores) and the integer RRF sum
+    "q_rrf_fusion" -> graft.pipeline.RrfFusion.rrfFusionSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reciprocal-rank fusion (`q_rrf_fusion`) — Cormack, Clarke & Büttcher
+  * SIGIR 2009: fuse rankings from DIFFERENT retrieval models by summing
+  * 1/(c + rank) with c = 60, the rule that "outperforms Condorcet and
+  * individual rank learning methods" and is now the default hybrid
+  * (sparse + dense) combiner in every production search stack. Scores
+  * from different models are incomparable — RANKS are the only safe
+  * common currency, and the c constant caps any single list's influence.
+  *
+  * The two systems fused here are genuinely different models over the
+  * same per-term postings: [[TextAnalysis.bm25Rank]]'s fixed-point Okapi
+  * score (tf saturation + length normalization against avgdl) and the
+  * unsmoothed query-likelihood P(t|d) = tf/dl (no saturation, no corpus
+  * normalization — the MLE language model). BM25 favors mid-length docs
+  * with repeated hits; QL favors short docs where the term dominates —
+  * exactly the disagreement RRF is designed to reconcile.
+  *
+  * Exactness discipline: both per-system scores are the house exact
+  * fixed-point integers (BM25's score_micro formula VERBATIM, ql_micro =
+  * 1000000·tf div dl), ranks are row_numbers with (score DESC, doc_id)
+  * tie-break, and rrf_micro = 1000000 div (60+r₁) + 1000000 div (60+r₂)
+  * — integer division per list THEN sum, identical in both engines.
+  *
+  * One row per (term, fused rank ≤ 10): `term`, `rk`, `doc_id`,
+  * `bm25_rk`, `ql_rk`, `rrf_micro`.
+  *
+  * Scale shape (100 TB): ONE corpus scan builds tf; dl/df derive from
+  * tf's collapsed output; the 20-term query table broadcasts; both rank
+  * windows are PARTITIONED by term over bounded postings; fusion is a
+  * self-equijoin on (term, doc_id) of two already-ranked slices of the
+  * SAME frame — Catalyst reuses the exchange. Never a global sort.
+  */
+object RrfFusion {
+
+  val RrfC = 60L
+
+  /** Contract query `q_rrf_fusion` over the documents table. */
+  def rrfFusionQuery(spark: SparkSession, dir: String): DataFrame = {
+    val tf = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val topTerms = df.orderBy(desc("df"), asc("term")).limit(30)
+      .withColumn("trk", row_number().over(Window.orderBy(desc("df"), asc("term"))))
+      .filter(col("trk") > 10).select("term")
+    val totals = dl.agg(sum("dl").as("corpus_words"), count(lit(1)).as("n_docs"))
+    val postings = tf.join(broadcast(topTerms), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("avg_milli", expr("CAST((corpus_words * 1000) div n_docs AS BIGINT)"))
+      .withColumn("ratio_milli", expr("CAST((dl * 1000000) div avg_milli AS BIGINT)"))
+      .withColumn("den_milli",
+        expr("CAST(1000 * tf + 300 + (9 * ratio_milli) div 10 AS BIGINT)"))
+      .withColumn("bm25_micro", expr("CAST((2200 * tf * 1000000) div den_milli AS BIGINT)"))
+      .withColumn("ql_micro", expr("CAST((tf * 1000000) div dl AS BIGINT)"))
+    val bmW = Window.partitionBy("term").orderBy(desc("bm25_micro"), asc("doc_id"))
+    val qlW = Window.partitionBy("term").orderBy(desc("ql_micro"), asc("doc_id"))
+    val ranked = postings
+      .withColumn("bm25_rk", row_number().over(bmW).cast("long"))
+      .withColumn("ql_rk", row_number().over(qlW).cast("long"))
+      .withColumn("rrf_micro",
+        expr(s"1000000 div ($RrfC + bm25_rk) + 1000000 div ($RrfC + ql_rk)"))
+    val fusedW = Window.partitionBy("term").orderBy(desc("rrf_micro"), asc("doc_id"))
+    ranked
+      .withColumn("rk", row_number().over(fusedW).cast("long"))
+      .filter(col("rk") <= 10)
+      .select("term", "rk", "doc_id", "bm25_rk", "ql_rk", "rrf_micro")
+      .orderBy("term", "rk")
+  }
+
+  /** DuckDB twin: identical postings, both fixed-point scores, both rank
+    * windows, and the integer RRF sum. */
+  val rrfFusionSql: String =
+    s"""WITH tf AS (SELECT doc_id, term, count(*) AS tf
+       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+       |             FROM documents)
+       |       GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |qt AS (SELECT term FROM (
+       |         SELECT term, row_number() OVER (ORDER BY df DESC, term ASC) AS trk
+       |         FROM df)
+       |       WHERE trk > 10 AND trk <= 30),
+       |tot AS (SELECT CAST(sum(dl) AS BIGINT) AS corpus_words,
+       |               count(*) AS n_docs FROM dl),
+       |p AS (
+       |  SELECT tf.term, tf.doc_id,
+       |         CAST((2200 * tf.tf * 1000000) //
+       |              (1000 * tf.tf + 300 +
+       |               (9 * ((dl.dl * 1000000) //
+       |                     ((tot.corpus_words * 1000) // tot.n_docs))) // 10)
+       |              AS BIGINT) AS bm25_micro,
+       |         CAST((tf.tf * 1000000) // dl.dl AS BIGINT) AS ql_micro
+       |  FROM tf JOIN qt ON tf.term = qt.term
+       |          JOIN dl ON tf.doc_id = dl.doc_id, tot),
+       |r AS (
+       |  SELECT term, doc_id,
+       |         CAST(row_number() OVER (PARTITION BY term
+       |              ORDER BY bm25_micro DESC, doc_id ASC) AS BIGINT) AS bm25_rk,
+       |         CAST(row_number() OVER (PARTITION BY term
+       |              ORDER BY ql_micro DESC, doc_id ASC) AS BIGINT) AS ql_rk
+       |  FROM p),
+       |f AS (
+       |  SELECT *, CAST(1000000 // ($RrfC + bm25_rk)
+       |                 + 1000000 // ($RrfC + ql_rk) AS BIGINT) AS rrf_micro
+       |  FROM r)
+       |SELECT term, CAST(row_number() OVER (PARTITION BY term
+       |         ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS rk,
+       |  doc_id, bm25_rk, ql_rk, rrf_micro
+       |FROM f QUALIFY rk <= 10 ORDER BY term, rk""".stripMargin
+}
