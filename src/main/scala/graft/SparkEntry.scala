@@ -230,7 +230,8 @@ object SparkEntry {
     "q_split_leakage" -> (graft.pipeline.SplitLeakage.splitLeakageQuery _),
     "q_bitext_margin" -> (graft.pipeline.BitextMargin.bitextMarginQuery _),
     "q_unimax_mix" -> (graft.pipeline.UnimaxMix.unimaxMixQuery _),
-    "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _)
+    "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _),
+    "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -573,6 +574,9 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds both retrieval models' ranks
     // (same fixed-point scores) and the integer RRF sum
     "q_rrf_fusion" -> graft.pipeline.RrfFusion.rrfFusionSql,
+    // independent recompute: DuckDB re-sorts every suffix window and
+    // re-derives each position's neighbor lcp with the same column algebra
+    "q_suffix_repeats" -> graft.pipeline.SuffixRepeats.suffixRepeatsSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

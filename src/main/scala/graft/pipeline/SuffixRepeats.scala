@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Suffix-window repeated-substring profile (`q_suffix_repeats`) — the
+  * ExactSubstr primitive of Lee et al. ACL 2022 ("Deduplicating Training
+  * Data Makes Language Models Better"): fixed n-gram dedup
+  * ([[GramNovelty]]) sees repeats of exactly n tokens; suffix sorting
+  * finds the MAXIMAL repeated span at every position — the 50-token
+  * boilerplate block, the 3000-char licence header — because every
+  * occurrence of any repeated substring lands ADJACENT in suffix order,
+  * so a position's longest repeat is max(lcp(prev), lcp(next)) over the
+  * sorted suffixes (Manber & Myers SICOMP 1993). Lee et al. cut spans
+  * with repeat ≥ 50 BPE tokens; this operator emits the per-document
+  * ledger such a cutter reads.
+  *
+  * The scalable formulation: suffixes are truncated to 64-char WINDOWS
+  * (`WinCap`) — shuffle blowup is bounded at 64× corpus bytes (the
+  * [[GramNovelty]] 8-gram discipline, just wider), lcp saturates at the
+  * cap, and the sort is PARTITIONED by first character: suffixes in
+  * different partitions share no prefix (lcp would be 0), so per-
+  * partition adjacency is EXACT — a distributed sort with no global
+  * window (AQE splits a hot first-char). The unbounded-repeat-length
+  * alternative (prefix-doubling rank construction, O(log n) keyed
+  * rounds at 1× volume per round) trades rounds for volume; for a
+  * ≥-threshold cutter the capped window already decides every span.
+  *
+  * LCP itself is branch-free column algebra, identical in both engines:
+  * first mismatching position of the two windows via
+  * `array_position(transform(1..cap, i → a[i]=b[i]), false)` —
+  * out-of-range substrings compare ""="" so a full-prefix match falls
+  * through to the length clamp `least(raw, len(a), len(b))`.
+  *
+  * One row per document: `doc_id`, `n_pos` (positions = chars), `max_rep`
+  * (longest repeated span starting in this doc, capped), `n_rep32`
+  * (positions opening a repeat ≥ 32 chars — the cutter's mass),
+  * `rep32_permille`. All exact integers.
+  */
+object SuffixRepeats {
+
+  val WinCap = 64
+  val RepThreshold = 32L
+
+  /** Longest-common-prefix of two window columns, capped at [[WinCap]].
+    * A missing neighbor must arrive as the empty-string sentinel (lcp 0),
+    * never NULL — least() skips NULLs in both engines. */
+  private def lcpCol(a: Column, b: Column): Column = {
+    val firstDiff = array_position(
+      transform(sequence(lit(1), lit(WinCap)),
+        i => a.substr(i, lit(1)) === b.substr(i, lit(1))),
+      false)
+    least(when(firstDiff === 0, lit(WinCap.toLong)).otherwise(firstDiff - 1),
+      length(a).cast("long"), length(b).cast("long"))
+  }
+
+  /** Per-document repeat ledger over any (doc_id, text) frame. */
+  def suffixRepeats(docsDf: DataFrame): DataFrame = {
+    val wins = docsDf
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("pos"),
+        col("text"))
+      .select(col("doc_id"), col("pos"),
+        expr(s"substring(text, pos, $WinCap)").as("win"))
+    // adjacency within the first-char partition is exact: cross-partition
+    // neighbors differ at char 1, lcp 0 — which is exactly what the ''
+    // sentinel default computes for the partition-edge rows
+    val order = Window.partitionBy(substring(col("win"), 1, 1))
+      .orderBy(col("win"), col("doc_id"), col("pos"))
+    val reps = wins
+      .withColumn("rep", greatest(
+        lcpCol(col("win"), lag("win", 1, "").over(order)),
+        lcpCol(col("win"), lead("win", 1, "").over(order))))
+    reps.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"), max("rep").as("max_rep"),
+        sum(when(col("rep") >= RepThreshold, 1L).otherwise(0L)).as("n_rep32"))
+      .select(col("doc_id"), col("n_pos"), col("max_rep"), col("n_rep32"),
+        expr("1000 * n_rep32 div n_pos").as("rep32_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** Contract query `q_suffix_repeats` over the documents table. */
+  def suffixRepeatsQuery(spark: SparkSession, dir: String): DataFrame =
+    suffixRepeats(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** DuckDB twin: identical windows, sort adjacency, lcp algebra, ledger. */
+  val suffixRepeatsSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, pos, substring(text, CAST(pos AS INTEGER), $WinCap) AS win
+       |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
+       |        FROM documents WHERE length(text) > 0)),
+       |nb AS (
+       |  SELECT doc_id, pos, win,
+       |         lag(win, 1, '') OVER (ORDER BY win, doc_id, pos) AS pw,
+       |         lead(win, 1, '') OVER (ORDER BY win, doc_id, pos) AS nw
+       |  FROM w),
+       |lc AS (
+       |  SELECT doc_id, pos,
+       |    greatest(
+       |      least(
+       |        coalesce(nullif(list_position(list_transform(range(1, $WinCap + 1),
+       |          i -> substring(win, CAST(i AS INTEGER), 1)
+       |               = substring(pw, CAST(i AS INTEGER), 1)), false), 0) - 1, $WinCap),
+       |        length(win), length(pw)),
+       |      least(
+       |        coalesce(nullif(list_position(list_transform(range(1, $WinCap + 1),
+       |          i -> substring(win, CAST(i AS INTEGER), 1)
+       |               = substring(nw, CAST(i AS INTEGER), 1)), false), 0) - 1, $WinCap),
+       |        length(win), length(nw))) AS rep
+       |  FROM nb)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
+       |  CAST(max(rep) AS BIGINT) AS max_rep,
+       |  CAST(sum(CASE WHEN rep >= $RepThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_rep32,
+       |  CAST(1000 * sum(CASE WHEN rep >= $RepThreshold THEN 1 ELSE 0 END)
+       |       // count(*) AS BIGINT) AS rep32_permille
+       |FROM lc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+}
