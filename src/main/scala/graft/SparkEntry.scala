@@ -231,7 +231,8 @@ object SparkEntry {
     "q_bitext_margin" -> (graft.pipeline.BitextMargin.bitextMarginQuery _),
     "q_unimax_mix" -> (graft.pipeline.UnimaxMix.unimaxMixQuery _),
     "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _),
-    "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _)
+    "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _),
+    "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -577,6 +578,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-sorts every suffix window and
     // re-derives each position's neighbor lcp with the same column algebra
     "q_suffix_repeats" -> graft.pipeline.SuffixRepeats.suffixRepeatsSql,
+    // independent replay: DuckDB re-executes the full greedy recurrence
+    // (all 16 rounds) over its own exact pairwise distance matrix
+    "q_kcenter_coreset" -> graft.pipeline.KcenterCoreset.kcenterCoresetSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
