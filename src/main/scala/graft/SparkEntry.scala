@@ -232,7 +232,8 @@ object SparkEntry {
     "q_unimax_mix" -> (graft.pipeline.UnimaxMix.unimaxMixQuery _),
     "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _),
     "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _),
-    "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _)
+    "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _),
+    "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -581,6 +582,10 @@ object SparkEntry {
     // independent replay: DuckDB re-executes the full greedy recurrence
     // (all 16 rounds) over its own exact pairwise distance matrix
     "q_kcenter_coreset" -> graft.pipeline.KcenterCoreset.kcenterCoresetSql,
+    // independent replay: DuckDB re-executes every peel round (orientation,
+    // wedge closure, support, removal) as MATERIALIZED chained CTEs
+    "q_ktruss" ->
+      graft.pipeline.KTruss.ktrussSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
