@@ -176,7 +176,9 @@ object Bench {
       "q_rank_stability", "q_revisit_policy", "q_depth_profile",
       "q_proximity_search", "q_dup_cluster_census", "q_wl_colors",
       "q_spam_colocation", "q_minhash_calibration", "q_code_census",
-      "q_burst_windows",
+      "q_burst_windows", "q_quality_matrix", "q_triangle_census",
+      "q_split_leakage", "q_bitext_margin", "q_unimax_mix", "q_rrf_fusion",
+      "q_suffix_repeats", "q_kcenter_coreset", "q_ktruss",
       "q_redirect_resolve", "q_revalidate",
       "q_phrase_search", "q_trustrank", "q_charset_detect",
       "q_harmonic", "q_harmonic_hll", "q_blocklist", "q_feed_discovery",

@@ -27,11 +27,12 @@ import org.apache.spark.sql.functions._
   * rounds at 1× volume per round) trades rounds for volume; for a
   * ≥-threshold cutter the capped window already decides every span.
   *
-  * LCP itself is branch-free column algebra, identical in both engines:
-  * first mismatching position of the two windows via
-  * `array_position(transform(1..cap, i → a[i]=b[i]), false)` —
-  * out-of-range substrings compare ""="" so a full-prefix match falls
-  * through to the length clamp `least(raw, len(a), len(b))`.
+  * LCP is the native codegen [[graft.functions.GraftExpressions
+  * .CommonPrefixLen]] expression (code-point semantics = DuckDB's); the
+  * oracle twin recomputes the same value with portable column algebra —
+  * first mismatching position via `list_position(list_transform(...))`,
+  * out-of-range substrings comparing ''='' and the full-prefix case
+  * clamped by both lengths.
   *
   * One row per document: `doc_id`, `n_pos` (positions = chars), `max_rep`
   * (longest repeated span starting in this doc, capped), `n_rep32`
@@ -43,17 +44,15 @@ object SuffixRepeats {
   val WinCap = 64
   val RepThreshold = 32L
 
-  /** Longest-common-prefix of two window columns, capped at [[WinCap]].
-    * A missing neighbor must arrive as the empty-string sentinel (lcp 0),
-    * never NULL — least() skips NULLs in both engines. */
-  private def lcpCol(a: Column, b: Column): Column = {
-    val firstDiff = array_position(
-      transform(sequence(lit(1), lit(WinCap)),
-        i => a.substr(i, lit(1)) === b.substr(i, lit(1))),
-      false)
-    least(when(firstDiff === 0, lit(WinCap.toLong)).otherwise(firstDiff - 1),
-      length(a).cast("long"), length(b).cast("long"))
-  }
+  /** Longest-common-prefix of two window columns — the native codegen
+    * [[graft.functions.GraftExpressions.CommonPrefixLen]] expression
+    * (O(lcp) per row, inside the WholeStageCodegen span; the higher-order
+    * transform/array_position formulation ran interpreted with boxed
+    * array churn and measured 15× slower on the sf0.1 sort). Windows are
+    * ≤ [[WinCap]] chars so the cap is structural; a missing neighbor
+    * arrives as the empty-string sentinel (lcp 0). */
+  private def lcpCol(a: Column, b: Column): Column =
+    graft.functions.GraftExpressions.common_prefix_len(a, b)
 
   /** Per-document repeat ledger over any (doc_id, text) frame. */
   def suffixRepeats(docsDf: DataFrame): DataFrame = {
@@ -69,9 +68,11 @@ object SuffixRepeats {
     val order = Window.partitionBy(substring(col("win"), 1, 1))
       .orderBy(col("win"), col("doc_id"), col("pos"))
     val reps = wins
+      .withColumn("pw", lag("win", 1, "").over(order))
+      .withColumn("nw", lead("win", 1, "").over(order))
       .withColumn("rep", greatest(
-        lcpCol(col("win"), lag("win", 1, "").over(order)),
-        lcpCol(col("win"), lead("win", 1, "").over(order))))
+        lcpCol(col("win"), col("pw")),
+        lcpCol(col("win"), col("nw"))))
     reps.groupBy("doc_id")
       .agg(count(lit(1)).as("n_pos"), max("rep").as("max_rep"),
         sum(when(col("rep") >= RepThreshold, 1L).otherwise(0L)).as("n_rep32"))
