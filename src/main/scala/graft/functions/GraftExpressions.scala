@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.pipeline.Dedup
@@ -51,6 +52,19 @@ object GraftExpressions {
     while (i < n && sa.charAt(i) == sb.charAt(i)) i += 1
     if (i < n && i > 0 && Character.isHighSurrogate(sa.charAt(i - 1))) i -= 1
     sa.codePointCount(0, i).toLong
+  }
+
+  /** Sequential-fold double dot product of two float arrays — EXACTLY the
+    * [[graft.pipeline.Similarity.dot]] / DuckDB `list_dot_product` /
+    * `aggregate(zip_with(...))` operation order, so every micro-rounded
+    * cosine in the oracle contract is bit-identical whichever form
+    * computed it. */
+  def dotDoubleEval(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
   }
 
   /** `canonicalize_url(url)` — dedup-canonical URL or NULL when the input is
@@ -137,6 +151,28 @@ object GraftExpressions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** `dot_double(a, b)` — the embedding-kernel hot loop as a native
+    * codegen expression: the `aggregate(zip_with(...))` column fold runs
+    * OUTSIDE whole-stage codegen with a boxed array per row (the
+    * [[CommonPrefixLen]] lesson); this stays in the span at O(dims) with
+    * zero allocation. Same value bit-for-bit (same fold order). */
+  case class DotDouble(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "dot_double"
+
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      dotDoubleEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev,
+        (a, b) => s"graft.functions.GraftExpressions.dotDoubleEval($a, $b)")
+
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Expression =
+      copy(left = newLeft, right = newRight)
+  }
+
   // ------------------------------------------------------------ Column API --
 
   def canonicalize_url(c: Column): Column =
@@ -150,6 +186,10 @@ object GraftExpressions {
 
   def common_prefix_len(a: Column, b: Column): Column =
     GraftColumnBridge.column(CommonPrefixLen(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def dot_double(a: Column, b: Column): Column =
+    GraftColumnBridge.column(DotDouble(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
   /** Register both as SQL functions on this session (idempotent) so

@@ -45,11 +45,12 @@ object BitextMargin {
   val K = 4
   val ThresholdMilli = 1050L
 
-  /** Sequential-fold double dot of two float-array columns — the
-    * [[Similarity.dot]] order, the one DuckDB list_dot_product uses. */
+  /** Sequential-fold double dot of two float-array columns — the native
+    * codegen [[graft.functions.GraftExpressions.DotDouble]] expression
+    * ([[Similarity.dot]] order, the one DuckDB list_dot_product uses;
+    * the interpreted zip_with fold measured 3× slower at sf0.1). */
   private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.GraftExpressions.dot_double(a, b)
 
   /** Mining table over any (vec_id, embedding) frame. */
   def bitextMargin(emb: DataFrame): DataFrame = {

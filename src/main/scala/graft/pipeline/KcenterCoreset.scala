@@ -44,15 +44,13 @@ object KcenterCoreset {
     val spark = emb.sparkSession
     import spark.implicits._
     val vecs = emb.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-      sqrt(aggregate(zip_with(col("embedding"), col("embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)).as("nrm"))
+      sqrt(graft.functions.GraftExpressions.dot_double(
+        col("embedding"), col("embedding"))).as("nrm"))
     val firstId = vecs.agg(min("vec_id")).head.getLong(0)
 
     def distToCenter(cVec: Seq[Float], cNrm: Double) = {
-      val dot = aggregate(zip_with(col("embedding"), typedlit(cVec),
-        (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+      val dot = graft.functions.GraftExpressions.dot_double(
+        col("embedding"), typedlit(cVec))
       (lit(1000000L) -
         round(dot / (col("nrm") * lit(cNrm)) * 1000000).cast("long")).as("d")
     }
