@@ -1,0 +1,121 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{KTruss, SuffixRepeats, TriangleCensus}
+
+/** At-scale smoke for the suffix-repeat and triangle/truss kernels —
+  * ~100× verify scale, asserting the operators' CLAIMS, not just their
+  * timings (the [[HygieneSmoke]] discipline):
+  *
+  *  - **SuffixRepeats** on ~14M chars (10k docs): every 10th doc carries
+  *    a planted licence header; the per-doc ledger must flag EXACTLY the
+  *    carriers (max_rep ≥ header length, repeat mass within the
+  *    window-arithmetic band) and stay SILENT on every organic doc
+  *    (max_rep < threshold, zero mass) — at this scale a false-positive
+  *    rate of even 10^-3 would light up ten organic docs;
+  *  - **TriangleCensus** on a ~1.1M-edge graph carrying a 100k-spoke
+  *    star hub (the mega-key that makes naive wedge counting enumerate
+  *    C(100k,2) ≈ 5·10^9 pairs — the rank orientation must make it cost
+  *    ZERO wedges) and a planted 150-clique whose degree
+  *    (149) owns octave 7 outright — the Poisson(~40) background cannot
+  *    reach it — so that octave must read n_hosts = 150 and
+  *    cc_permille = 1000 EXACTLY, while the hub's octave closes zero;
+  *  - **KTruss** full 5-round peel on the same graph: all C(150,2) =
+  *    11175 clique edges must survive (in-clique support 148).
+  *
+  * usage: runMain graft.tools.GraphTextSmoke [docs] [edges] [spokes]
+  */
+object GraphTextSmoke {
+
+  val Header =
+    "Licensed under the Apache License, Version 2.0 (the License); " // 62 chars
+
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.length > 0) args(0).toInt else 10000
+    val nEdges = if (args.length > 1) args(1).toLong else 1000000L
+    val nSpokes = if (args.length > 2) args(2).toLong else 100000L
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-graphtext-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- suffix corpus: ~200 md5-derived 8-char words per doc (~1.4 KB),
+    // every 10th doc prefixed with the licence header
+    val body = expr(
+      """concat_ws(' ', transform(sequence(1, 160),
+        |  k -> substring(md5(concat(cast(id as string), ':', cast(k as string))), 1, 8)))"""
+        .stripMargin)
+    val docs = spark.range(nDocs).select(col("id").as("doc_id"),
+      when(col("id") % 10 === 0, concat(lit(Header), body)).otherwise(body).as("text"))
+
+    val (sufRows, tSuf) = timed {
+      SuffixRepeats.suffixRepeats(docs).collect()
+    }
+    val hdrLen = Header.length.toLong
+    val (carriers, organic) = sufRows.partition(_.getLong(0) % 10 == 0)
+    require(carriers.length == nDocs / 10 && organic.length == nDocs - nDocs / 10)
+    carriers.foreach { r =>
+      require(r.getLong(2) >= hdrLen && r.getLong(2) <= SuffixRepeats.WinCap,
+        s"carrier ${r.getLong(0)} max_rep ${r.getLong(2)} outside [$hdrLen, 64]")
+      val mass = r.getLong(3)
+      require(mass >= hdrLen - 31 && mass <= hdrLen - 31 + 8,
+        s"carrier ${r.getLong(0)} repeat mass $mass outside the window band")
+    }
+    organic.foreach { r =>
+      require(r.getLong(3) == 0L,
+        s"organic doc ${r.getLong(0)} opened a >=32 repeat: a false positive at scale")
+    }
+
+    // --- graph: random background over 50k hosts + 100k-spoke star + K20
+    val hosts = 50000L
+    val rand = spark.range(nEdges).select(
+      concat(lit("h"), pmod(col("id") * 2654435761L, lit(hosts)).cast("string"),
+        lit(".org")).as("src_host"),
+      concat(lit("h"), pmod(conv(substring(md5(col("id").cast("string")), 1, 12), 16, 10)
+        .cast("long"), lit(hosts)).cast("string"), lit(".org")).as("dst_host"))
+    val star = spark.range(nSpokes).select(
+      concat(lit("spoke"), col("id").cast("string"), lit(".net")).as("src_host"),
+      lit("starhub.net").as("dst_host"))
+    val cliqueHosts = (0 until 150).map(i => f"cliq$i%03d.dev")
+    val clique = {
+      import spark.implicits._
+      (for (a <- cliqueHosts; b <- cliqueHosts if a < b) yield (a, b))
+        .toDF("src_host", "dst_host")
+    }
+    val pairs = rand.union(star).union(clique)
+
+    val (triRows, tTri) = timed { TriangleCensus.triangleCensus(pairs).collect() }
+    // clique namespace is isolated: its hosts have degree exactly 149 and
+    // own octave 7 — every wedge closes, so the octave reads 1000 exactly
+    val oct7 = triRows.find(_.getLong(0) == 7L).get
+    require(oct7.getLong(2) == 150L && oct7.getLong(5) == 1000L,
+      s"clique octave must be exactly its 150 hosts at cc 1000, " +
+        s"got n=${oct7.getLong(2)} cc=${oct7.getLong(5)}")
+    // the star hub sits alone in the top octave and closes nothing
+    val hubOct = triRows.maxBy(_.getLong(0))
+    require(hubOct.getLong(2) == 1L && hubOct.getLong(3) == 0L,
+      s"the 100k-degree hub must close zero triangles, got ${hubOct.getLong(3)}")
+    require(triRows.head.getLong(6) >= 551300L,
+      "the planted K150 alone contributes C(150,3) = 551300 triangles")
+
+    val (trussOut, tTruss) = timed {
+      val (led, kept) = KTruss.ktruss(pairs)
+      (led.collect(), kept.filter(col("a").startsWith("cliq")).count())
+    }
+    require(trussOut._2 == 11175L,
+      s"all C(150,2) = 11175 clique edges must survive the 4-truss peel, got ${trussOut._2}")
+
+    println(
+      f"""{"metric":"graphtext_smoke","docs":$nDocs,"chars":${sufRows.map(_.getLong(1)).sum},"edges":${nEdges + nSpokes + 11175},"suffix_sec":$tSuf%.1f,"triangle_sec":$tTri%.1f,"truss_sec":$tTruss%.1f,"carriers":${carriers.length},"organic_false_positives":0,"n_tri_total":${triRows.head.getLong(6)},"clique_cc_permille":${oct7.getLong(5)},"truss_clique_edges":${trussOut._2}}""")
+    spark.stop()
+  }
+}
