@@ -233,7 +233,8 @@ object SparkEntry {
     "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _),
     "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _),
     "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _),
-    "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _)
+    "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _),
+    "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -586,6 +587,9 @@ object SparkEntry {
     // wedge closure, support, removal) as MATERIALIZED chained CTEs
     "q_ktruss" ->
       graft.pipeline.KTruss.ktrussSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB rebuilds the manifest, the cumsum
+    // binning, and the fill ledger
+    "q_compaction_plan" -> graft.pipeline.CompactionPlan.compactionPlanSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

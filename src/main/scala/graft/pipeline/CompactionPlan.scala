@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Small-files compaction planner (`q_compaction_plan`) — the operational
+  * defect every long-lived crawl table develops: each incremental commit
+  * writes per-partition shards, and after 10^4 commits the table is
+  * millions of KB-sized files whose open/footer overhead dominates scan
+  * time (the Iceberg/Delta "OPTIMIZE" motivation; Armbrust et al. VLDB
+  * 2020 §4.2). The planner is the standard order-preserving cumsum rule:
+  * within each partition (source), order files by their key range, and
+  * assign `bin = (cumsum_before) div target` — bins are CONTIGUOUS key
+  * ranges (clustering and partition pruning survive the rewrite), every
+  * bin's fill obeys `bytes < target + max_file` (an oversized file can
+  * overhang but never cascades), and the plan is a pure projection +
+  * one window over file METADATA — it never reads the data it plans.
+  *
+  * The synthetic file manifest derives deterministically from the corpus:
+  * one "file" per (source, doc_id mod 16) with bytes = Σ text length —
+  * the 16-way-bucketed incremental-commit layout. Target = corpus div 32.
+  *
+  * One row per planned bin: `source`, `bin`, `n_files`, `bytes`,
+  * `fill_permille` (vs target), `first_bucket`/`last_bucket` (contiguity
+  * made visible). All exact integers.
+  *
+  * Scale shape (100 TB): the manifest is O(files), not O(rows) — the
+  * census that builds it is one map-side-combined aggregation; the plan
+  * itself runs windows PARTITIONED by source over file rows only. A
+  * fleet applies the plan with one `repartitionByRange` write per bin
+  * set; the planner's output IS that range spec.
+  */
+object CompactionPlan {
+
+  /** Plan over any (source, bucket, bytes) manifest with a byte target. */
+  def compactionPlan(manifest: DataFrame, target: Long): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    manifest
+      .withColumn("cum_after", sum("bytes").over(w))
+      .withColumn("bin", expr(s"(cum_after - bytes) div $target"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes"),
+        min("bucket").as("first_bucket"), max("bucket").as("last_bucket"))
+      .select(col("source"), col("bin"), col("n_files"), col("bytes"),
+        expr(s"1000 * bytes div $target").as("fill_permille"),
+        col("first_bucket"), col("last_bucket"))
+      .orderBy("source", "bin")
+  }
+
+  /** Contract query `q_compaction_plan`: the 16-way-bucketed synthetic
+    * manifest at target = corpus bytes div 32. */
+  def compactionPlanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val manifest = docs.groupBy(col("source"),
+        (col("doc_id").cast("long") % 16).as("bucket"))
+      .agg(sum(length(col("text")).cast("long")).as("bytes"))
+    val target = math.max(1L,
+      docs.agg(sum(length(col("text")).cast("long"))).head.getLong(0) / 32)
+    compactionPlan(manifest, target)
+  }
+
+  /** DuckDB twin: identical manifest, cumsum binning, ledger. */
+  val compactionPlanSql: String =
+    """WITH m AS (
+      |  SELECT source, CAST(doc_id AS BIGINT) % 16 AS bucket,
+      |         CAST(sum(length(text)) AS BIGINT) AS bytes
+      |  FROM documents GROUP BY 1, 2),
+      |t AS (SELECT greatest(CAST(sum(length(text)) AS BIGINT) // 32, 1) AS target
+      |      FROM documents),
+      |c AS (
+      |  SELECT source, bucket, bytes,
+      |         CAST(sum(bytes) OVER (PARTITION BY source ORDER BY bucket
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |           AS cum_after
+      |  FROM m),
+      |b AS (
+      |  SELECT source, (cum_after - bytes) // (SELECT target FROM t) AS bin,
+      |         bucket, bytes
+      |  FROM c)
+      |SELECT source, CAST(bin AS BIGINT) AS bin,
+      |  CAST(count(*) AS BIGINT) AS n_files, CAST(sum(bytes) AS BIGINT) AS bytes,
+      |  CAST(1000 * sum(bytes) // (SELECT target FROM t) AS BIGINT) AS fill_permille,
+      |  CAST(min(bucket) AS BIGINT) AS first_bucket,
+      |  CAST(max(bucket) AS BIGINT) AS last_bucket
+      |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin
+}
