@@ -234,7 +234,8 @@ object SparkEntry {
     "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _),
     "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _),
     "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _),
-    "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _)
+    "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _),
+    "q_zorder_layout" -> (graft.pipeline.ZorderLayout.zorderLayoutQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -590,6 +591,9 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds the manifest, the cumsum
     // binning, and the fill ledger
     "q_compaction_plan" -> graft.pipeline.CompactionPlan.compactionPlanSql,
+    // independent recompute: DuckDB re-derives dims, the Morton
+    // interleave, both layouts' block cuts, and the zone-map scan counts
+    "q_zorder_layout" -> graft.pipeline.ZorderLayout.zorderLayoutSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

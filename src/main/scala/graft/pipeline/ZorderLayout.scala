@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order layout skipping ledger (`q_zorder_layout`) — Morton 1966
+  * interleaved clustering as productized by Delta/Iceberg `OPTIMIZE
+  * ZORDER BY` (Armbrust et al. VLDB 2020): a table can be SORTED by only
+  * one column, but bit-interleaving two clustering keys gives every
+  * file/block a bounded min-max range in BOTH dimensions, so per-block
+  * zone maps can skip on either predicate. This operator measures the
+  * trade EXACTLY on the corpus: assign each doc a 4-bit source bucket
+  * (d1) and a 4-bit length octave (d2), lay the table out twice —
+  * insertion order vs z-order — cut both into equal blocks, and for
+  * every occupied value of each dimension count the blocks a zone-map
+  * scan must touch. Insertion order interleaves the round-robin sources
+  * into every block (skips nothing); z-order pays a bounded factor in
+  * each dimension instead of everything in one.
+  *
+  * One row per (dim, value): `dim` ('d1_source'/'d2_lenoct'), `v`,
+  * `n_blocks`, `scan_linear`, `scan_zorder`, `saved_permille` =
+  * 1000·(linear−z) div linear. All exact integers; the interleave is
+  * pure bit algebra identical in both engines.
+  *
+  * Scale shape (100 TB): the z-value is a per-row projection; the layout
+  * is `repartitionByRange(z)` + local sort in a fleet (here the rank is
+  * the range-partitioned sort + zipWithIndex idiom — no single-partition
+  * window); the ledger runs on block METADATA (≤ blocks × 32 rows). The
+  * planner's output is exactly the zone-map table a lakehouse writes.
+  */
+object ZorderLayout {
+
+  val Blocks = 32L
+
+  /** 4-bit × 4-bit Morton interleave as a SQL expression over d1/d2. */
+  private val zExpr: String = (0 until 4).map { k =>
+    s"(shiftleft(shiftright(d1, $k) & 1, ${2 * k + 1}) + " +
+      s"shiftleft(shiftright(d2, $k) & 1, ${2 * k}))"
+  }.mkString(" + ")
+
+  /** Ledger over any (doc_id, d1, d2) frame cut into [[Blocks]] blocks. */
+  def zorderLayout(dims: DataFrame): DataFrame = {
+    val spark = dims.sparkSession
+    import spark.implicits._
+    val base = dims.select(col("doc_id").cast("long").as("doc_id"),
+        col("d1").cast("int").as("d1"), col("d2").cast("int").as("d2"))
+      .withColumn("z", expr(zExpr))
+    val n = base.count()
+    val bs = (n + Blocks - 1) / Blocks
+
+    def blockStats(ordered: DataFrame, layout: String): DataFrame =
+      ordered.as[(Long, Int, Int, Int)].rdd.zipWithIndex()
+        .map { case ((_, d1, d2, _), idx) => (idx / bs, d1, d2) }
+        .toDF("block", "d1", "d2")
+        .groupBy("block")
+        .agg(min("d1").as("lo1"), max("d1").as("hi1"),
+          min("d2").as("lo2"), max("d2").as("hi2"))
+        .withColumn("layout", lit(layout))
+
+    val linear = blockStats(base.orderBy("doc_id"), "linear")
+    val zord = blockStats(base.orderBy("z", "doc_id"), "zorder")
+    val blocks = linear.unionAll(zord)
+
+    val vals1 = base.select(lit("d1_source").as("dim"), col("d1").as("v")).distinct()
+    val vals2 = base.select(lit("d2_lenoct").as("dim"), col("d2").as("v")).distinct()
+    val vals = vals1.unionAll(vals2)
+
+    val scans = vals.crossJoin(blocks)
+      .withColumn("hit",
+        when(col("dim") === "d1_source",
+          (col("lo1") <= col("v")) && (col("v") <= col("hi1")))
+          .otherwise((col("lo2") <= col("v")) && (col("v") <= col("hi2"))))
+      .groupBy("dim", "v")
+      .agg(sum(when(col("layout") === "linear" && col("hit"), 1L).otherwise(0L))
+          .as("scan_linear"),
+        sum(when(col("layout") === "zorder" && col("hit"), 1L).otherwise(0L))
+          .as("scan_zorder"),
+        (sum(when(col("layout") === "linear", 1L).otherwise(0L))).as("n_blocks"))
+    scans.select(col("dim"), col("v").cast("long").as("v"), col("n_blocks"),
+        col("scan_linear"), col("scan_zorder"),
+        when(col("scan_linear") > 0,
+          expr("1000 * (scan_linear - scan_zorder) div scan_linear"))
+          .otherwise(lit(0L)).as("saved_permille"))
+      .orderBy("dim", "v")
+  }
+
+  /** Contract query `q_zorder_layout`: source-number bucket × length
+    * octave over the documents table. */
+  def zorderLayoutQuery(spark: SparkSession, dir: String): DataFrame =
+    zorderLayout(spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        (substring(col("source"), 4, 10).cast("int") % 16).as("d1"),
+        least(length(bin(length(col("text")))) - 1, lit(15)).cast("int").as("d2")))
+
+  /** DuckDB twin: identical dims, interleave, block cuts, zone-map scan. */
+  val zorderLayoutSql: String = {
+    val zDuck = (0 until 4).map { k =>
+      s"((((d1 >> $k) & 1) << ${2 * k + 1}) + (((d2 >> $k) & 1) << ${2 * k}))"
+    }.mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         CAST(CAST(substring(source, 4) AS INTEGER) % 16 AS INTEGER) AS d1,
+       |         CAST(least(length(bin(length(text))) - 1, 15) AS INTEGER) AS d2
+       |  FROM documents),
+       |z AS (SELECT *, $zDuck AS z FROM base),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |             CAST((count(*) + ${Blocks - 1}) // $Blocks AS BIGINT) AS bs
+       |      FROM base),
+       |lin AS (
+       |  SELECT CAST((row_number() OVER (ORDER BY doc_id) - 1)
+       |           // (SELECT bs FROM p) AS BIGINT) AS block, d1, d2 FROM z),
+       |zrd AS (
+       |  SELECT CAST((row_number() OVER (ORDER BY z, doc_id) - 1)
+       |           // (SELECT bs FROM p) AS BIGINT) AS block, d1, d2 FROM z),
+       |blocks AS (
+       |  SELECT 'linear' AS layout, block, min(d1) AS lo1, max(d1) AS hi1,
+       |         min(d2) AS lo2, max(d2) AS hi2 FROM lin GROUP BY block
+       |  UNION ALL
+       |  SELECT 'zorder', block, min(d1), max(d1), min(d2), max(d2)
+       |  FROM zrd GROUP BY block),
+       |vals AS (
+       |  SELECT DISTINCT 'd1_source' AS dim, d1 AS v FROM base
+       |  UNION ALL SELECT DISTINCT 'd2_lenoct', d2 FROM base),
+       |sc AS (
+       |  SELECT vals.dim, vals.v, blocks.layout,
+       |         CASE WHEN vals.dim = 'd1_source'
+       |              THEN blocks.lo1 <= vals.v AND vals.v <= blocks.hi1
+       |              ELSE blocks.lo2 <= vals.v AND vals.v <= blocks.hi2 END AS hit
+       |  FROM vals, blocks)
+       |SELECT dim, CAST(v AS BIGINT) AS v,
+       |  CAST(sum(CASE WHEN layout = 'linear' THEN 1 ELSE 0 END) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN layout = 'linear' AND hit THEN 1 ELSE 0 END) AS BIGINT) AS scan_linear,
+       |  CAST(sum(CASE WHEN layout = 'zorder' AND hit THEN 1 ELSE 0 END) AS BIGINT) AS scan_zorder,
+       |  CASE WHEN sum(CASE WHEN layout = 'linear' AND hit THEN 1 ELSE 0 END) > 0
+       |       THEN CAST(1000 * (sum(CASE WHEN layout = 'linear' AND hit THEN 1 ELSE 0 END)
+       |                 - sum(CASE WHEN layout = 'zorder' AND hit THEN 1 ELSE 0 END))
+       |            // sum(CASE WHEN layout = 'linear' AND hit THEN 1 ELSE 0 END) AS BIGINT)
+       |       ELSE 0 END AS saved_permille
+       |FROM sc GROUP BY dim, v ORDER BY dim, v""".stripMargin
+  }
+}
