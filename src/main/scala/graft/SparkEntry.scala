@@ -235,7 +235,8 @@ object SparkEntry {
     "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _),
     "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _),
     "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _),
-    "q_zorder_layout" -> (graft.pipeline.ZorderLayout.zorderLayoutQuery _)
+    "q_zorder_layout" -> (graft.pipeline.ZorderLayout.zorderLayoutQuery _),
+    "q_bootstrap_ci" -> (graft.pipeline.BootstrapCi.bootstrapCiQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -594,6 +595,9 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives dims, the Morton
     // interleave, both layouts' block cuts, and the zone-map scan counts
     "q_zorder_layout" -> graft.pipeline.ZorderLayout.zorderLayoutSql,
+    // independent replay: DuckDB re-derives every md5 draw, every replica
+    // resample sum, and the order statistics
+    "q_bootstrap_ci" -> graft.pipeline.BootstrapCi.bootstrapCiSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

@@ -1,0 +1,100 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Bootstrap confidence ledger (`q_bootstrap_ci`) — Efron 1979, as every
+  * serious data card applies it: a corpus statistic (here mean document
+  * word count) reported without a confidence band invites over-reading
+  * one-permille drifts between crawls ([[CorpusDrift]] tells you THAT
+  * distributions moved; this tells you whether the headline number's
+  * movement clears noise). B = 64 deterministic resamples-with-
+  * replacement, each draw indexed by md5(replica:draw) — the
+  * [[TextAnalysis]] salted-hash discipline, so both engines replay the
+  * EXACT same multinomial resample, no RNG anywhere.
+  *
+  * One row per replica: `b`, `mean_milli` (1000·Σwords div n — exact
+  * integer), plus the constant audit columns `point_milli` (the
+  * un-resampled estimate) and `p05_milli`/`p50_milli`/`p95_milli` —
+  * exact order statistics of the 64 replica means (ranks 4/32/61,
+  * 1-based ceil convention). The spec pins the coverage sanity: the
+  * point estimate sits inside [p05, p95].
+  *
+  * Scale shape (100 TB): the contract form materializes B·n index draws
+  * and joins by rank — exact-verifiable at verify scale. A fleet swaps
+  * in the POISSON bootstrap (Chamandy et al., Google TR 2012): each row
+  * contributes Poisson(1) weight per replica in ONE scan with no index,
+  * no join, no global rank — the estimator changes by O(1/n); the
+  * ledger arithmetic is verbatim. The rank window here is the
+  * zipWithIndex idiom's window twin over verify-scale rows only.
+  */
+object BootstrapCi {
+
+  val B = 64
+
+  /** Contract query `q_bootstrap_ci` over the documents table. */
+  def bootstrapCiQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("words"))
+    val n = docs.count()
+    val idx = docs
+      .withColumn("i", row_number().over(Window.orderBy("doc_id")).cast("long") - 1)
+    val draws = spark.range(B * n).select(
+      expr(s"id div $n").as("b"),
+      expr(s"conv(substring(md5(concat(cast(id div $n as string), ':', " +
+        s"cast(id % $n as string))), 1, 12), 16, 10) % $n").cast("long").as("i"))
+    val means = draws.join(idx, Seq("i"))
+      .groupBy("b").agg(expr(s"1000 * sum(words) div $n").as("mean_milli"))
+    val ranked = means.withColumn("rk",
+      row_number().over(Window.orderBy("mean_milli", "b")).cast("long"))
+    val stats = ranked.agg(
+      max(when(col("rk") === math.ceil(0.05 * B).toLong, col("mean_milli"))).as("p05_milli"),
+      max(when(col("rk") === B / 2, col("mean_milli"))).as("p50_milli"),
+      max(when(col("rk") === math.ceil(0.95 * B).toLong, col("mean_milli"))).as("p95_milli"))
+    val point = docs.agg(expr(s"1000 * sum(words) div $n").as("point_milli"))
+    means.crossJoin(broadcast(point)).crossJoin(broadcast(stats))
+      .select(col("b"), col("mean_milli"), col("point_milli"),
+        col("p05_milli"), col("p50_milli"), col("p95_milli"))
+      .orderBy("b")
+  }
+
+  /** DuckDB twin: identical draws, resample sums, order statistics. */
+  val bootstrapCiSql: String = {
+    val p05 = math.ceil(0.05 * B).toLong
+    val p95 = math.ceil(0.95 * B).toLong
+    s"""WITH d AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS words
+       |  FROM documents),
+       |p AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+       |idx AS (
+       |  SELECT words,
+       |         CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) - 1 AS i
+       |  FROM d),
+       |draws AS (
+       |  -- the draw counter enumerates 0..n-1, which is exactly idx.i
+       |  SELECT CAST(t.b AS BIGINT) AS b,
+       |         CAST(('0x' || substring(md5(concat(
+       |             CAST(t.b AS VARCHAR), ':', CAST(r.i AS VARCHAR))), 1, 12))
+       |           AS BIGINT) % (SELECT n FROM p) AS i
+       |  FROM range(0, $B) AS t(b), idx r),
+       |means AS (
+       |  SELECT b, CAST(1000 * sum(idx.words) // (SELECT n FROM p) AS BIGINT)
+       |           AS mean_milli
+       |  FROM draws JOIN idx ON idx.i = draws.i GROUP BY b),
+       |ranked AS (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY mean_milli, b) AS BIGINT) AS rk
+       |  FROM means),
+       |stats AS (
+       |  SELECT max(CASE WHEN rk = $p05 THEN mean_milli END) AS p05_milli,
+       |         max(CASE WHEN rk = ${B / 2} THEN mean_milli END) AS p50_milli,
+       |         max(CASE WHEN rk = $p95 THEN mean_milli END) AS p95_milli
+       |  FROM ranked),
+       |pt AS (SELECT CAST(1000 * sum(words) // (SELECT n FROM p) AS BIGINT)
+       |              AS point_milli FROM d)
+       |SELECT means.b, means.mean_milli, pt.point_milli,
+       |  stats.p05_milli, stats.p50_milli, stats.p95_milli
+       |FROM means, pt, stats ORDER BY means.b""".stripMargin
+  }
+}
