@@ -62,10 +62,15 @@ object SuffixRepeats {
         col("text"))
       .select(col("doc_id"), col("pos"),
         expr(s"substring(text, pos, $WinCap)").as("win"))
+      // the partition key must be a MATERIALIZED column: an inline
+      // substring() expression is re-projected per window function, which
+      // splits lag and lead into two Window operators with an exchange +
+      // sort EACH — the named column collapses them into one
+      .withColumn("pc", substring(col("win"), 1, 1))
     // adjacency within the first-char partition is exact: cross-partition
     // neighbors differ at char 1, lcp 0 — which is exactly what the ''
     // sentinel default computes for the partition-edge rows
-    val order = Window.partitionBy(substring(col("win"), 1, 1))
+    val order = Window.partitionBy("pc")
       .orderBy(col("win"), col("doc_id"), col("pos"))
     val reps = wins
       .withColumn("pw", lag("win", 1, "").over(order))

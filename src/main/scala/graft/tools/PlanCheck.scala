@@ -545,6 +545,80 @@ object PlanCheck {
       rvPlan.contains("windowspecdefinition(id"),
       "running-max windows keyed by page id")
 
+    // 46. triangle census: the orientation keeps every join an equi-join —
+    // no nested-loop/cartesian ever appears — and the census combines
+    // map-side before the ≤64-row rollup
+    val tc = graft.pipeline.TriangleCensus.triangleCensusQuery(spark, sfDir)
+    val tcPlan = tc.queryExecution.executedPlan.toString
+    check("q_triangle_census/equi-joins-only",
+      !tcPlan.contains("BroadcastNestedLoopJoin") || tcPlan.contains("CartesianProduct") == false,
+      "wedge + closure joins are keyed; no nested loop")
+    check("q_triangle_census/map-side-census",
+      tcPlan.contains("partial_count"), "octave rollup combines map-side")
+
+    // 47. quality matrix: one keyed aggregation with map-side combine; the
+    // only non-equi join is the broadcast 1-row total
+    val qm = graft.pipeline.QualityMatrix.qualityMatrixQuery(spark, sfDir)
+    val qmPlan = qm.queryExecution.executedPlan.toString
+    check("q_quality_matrix/map-side-cells",
+      qmPlan.contains("partial_count") && !qmPlan.contains("SortMergeJoin"),
+      "cells combine map-side; total joins as a broadcast row")
+
+    // 48. rrf fusion: both rank windows and the fused window partition BY
+    // TERM (never global); the query-term join broadcasts
+    val rf = graft.pipeline.RrfFusion.rrfFusionQuery(spark, sfDir)
+    val rfPlan = rf.queryExecution.executedPlan.toString
+    check("q_rrf_fusion/per-term-windows",
+      rfPlan.contains("windowspecdefinition(term") &&
+        rfPlan.contains("BroadcastHashJoin"),
+      "rank windows keyed by term; 20-term table broadcast")
+
+    // 49. suffix repeats: the sort window partitions by FIRST CHAR (the
+    // exact-adjacency partitioning), and the scan reads only doc_id+text
+    val sr = graft.pipeline.SuffixRepeats.suffixRepeatsQuery(spark, sfDir)
+    val srPlan = sr.queryExecution.executedPlan.toString
+    check("q_suffix_repeats/first-char-partitioned-sort",
+      srPlan.contains("windowspecdefinition(pc") &&
+        "windowspecdefinition\\(pc".r.findAllIn(srPlan).size >= 2 &&
+        "Exchange hashpartitioning\\(pc".r.findAllIn(srPlan).size == 1,
+      "lag+lead share ONE first-char-keyed exchange and sort")
+    check("q_suffix_repeats/pruned-scan",
+      srPlan.contains("ReadSchema") &&
+        !srPlan.split("ReadSchema").last.split("\n").head.contains("source"),
+      "parquet scan reads doc_id+text, not source/ts")
+
+    // 50. bitext margin: both k-NN windows partition by their endpoint
+    val btm = graft.pipeline.BitextMargin.bitextMarginQuery(spark, sfDir)
+    val btmPlan = btm.queryExecution.executedPlan.toString
+    check("q_bitext_margin/per-endpoint-windows",
+      btmPlan.contains("windowspecdefinition(a_id") &&
+        btmPlan.contains("windowspecdefinition(b_id"),
+      "forward/backward rank windows keyed by endpoint")
+
+    // 51. compaction plan: the cumsum window partitions BY SOURCE and the
+    // manifest census combines map-side
+    val cpq = graft.pipeline.CompactionPlan.compactionPlanQuery(spark, sfDir)
+    val cpqPlan = cpq.queryExecution.executedPlan.toString
+    check("q_compaction_plan/per-source-cumsum",
+      cpqPlan.contains("windowspecdefinition(source") &&
+        cpqPlan.contains("partial_sum"),
+      "binning window keyed by source; manifest combines map-side")
+
+    // 52. split leakage: cluster-span agg and members-back join are keyed
+    // by keep_id; no cartesian anywhere in the composed pipeline
+    val sl = graft.pipeline.SplitLeakage.splitLeakage(
+      spark.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, 10L), org.apache.spark.sql.Row(2L, 10L)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("keep_id",
+            org.apache.spark.sql.types.LongType)))))
+    val slPlan = sl.queryExecution.executedPlan.toString
+    check("q_split_leakage/keyed-by-cluster",
+      !slPlan.contains("CartesianProduct") && slPlan.contains("partial_count"),
+      "span agg + members join keyed by keep_id; headline broadcasts")
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
