@@ -236,7 +236,8 @@ object SparkEntry {
     "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _),
     "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _),
     "q_zorder_layout" -> (graft.pipeline.ZorderLayout.zorderLayoutQuery _),
-    "q_bootstrap_ci" -> (graft.pipeline.BootstrapCi.bootstrapCiQuery _)
+    "q_bootstrap_ci" -> (graft.pipeline.BootstrapCi.bootstrapCiQuery _),
+    "q_scene_cuts" -> (graft.multimodal.SceneCuts.sceneCutsQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -1,0 +1,83 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Video scene-cut detection (`q_scene_cuts`) — the shot-boundary pass
+  * every video-curation pipeline runs before keyframe selection
+  * (Boreczky & Rowe SPIE 1996 established frame-difference thresholding
+  * as the baseline that survives; "sample every k-th frame" oversamples
+  * static shots and misses short ones — cuts give one keyframe per SHOT).
+  * Built on [[Multimodal.sampleFrames]]' stride-1 frame energies: a cut
+  * is a frame whose energy jump clears BOTH an adaptive and an absolute
+  * gate, in the [[graft.pipeline.BurstWindows]] float-free discipline:
+  *
+  *   - adaptive: 4·diff > 3·Σ(previous 4 diffs) — diff above 3× the
+  *     rolling mean absolute difference (cross-multiplied, no division);
+  *   - absolute: diff ≥ 50 000 micro (5% of the energy range) — a
+  *     static shot's noise floor can never fire the adaptive gate alone;
+  *   - warmup: the first 4 diffs only arm the base, never cut (a short
+  *     history restart is not a shot boundary).
+  *
+  * One row per detected cut: `media_id`, `frame_idx`, `diff_micro`,
+  * `base_micro` (the Σ the gate compared against). Deterministic over
+  * the synthetic video payloads → frozen fixture oracle (the
+  * q_media_frames discipline).
+  *
+  * Scale shape (100 TB): frame decode is the per-partition batch path;
+  * the detector is ONE window partitioned by media_id over frame rows
+  * (adjacency is per-video by definition — no global state); cut rows
+  * are the only output that leaves the executor.
+  */
+object SceneCuts {
+
+  val BaseWindow = 4
+  val MinJumpMicro = 50000L
+
+  /** Cut detection over any (media_id, frame_idx, frame_mean_micro) rows. */
+  def sceneCuts(frames: DataFrame): DataFrame = {
+    val order = Window.partitionBy("media_id").orderBy("frame_idx")
+    val hist = Window.partitionBy("media_id").orderBy("frame_idx")
+      .rowsBetween(-BaseWindow, -1)
+    frames
+      .withColumn("diff_micro",
+        abs(col("frame_mean_micro") - lag("frame_mean_micro", 1).over(order)))
+      .withColumn("base_micro", sum("diff_micro").over(hist))
+      .withColumn("n_hist", count("diff_micro").over(hist))
+      .filter(col("n_hist") === BaseWindow &&
+        col("diff_micro") >= MinJumpMicro &&
+        col("diff_micro") * 4 > col("base_micro") * 3)
+      .select(col("media_id"), col("frame_idx"), col("diff_micro"),
+        col("base_micro"))
+      .orderBy("media_id", "frame_idx")
+  }
+
+  /** Planted three-shot videos (ids offset 10^7): 12 frames per shot at
+    * id-varied levels, hard boundaries at frames 12 and 24 — the ground
+    * truth the detector must find. The ORGANIC noise videos ride along
+    * and must contribute nothing (their diffs never clear the adaptive
+    * gate — suppression is half the contract). */
+  def plantVideos(spark: SparkSession): org.apache.spark.sql.Dataset[Multimodal.MediaRow] = {
+    import spark.implicits._
+    spark.range(5).map { p =>
+      val levels = Seq(20 + 10 * p.toInt, 180 - 5 * p.toInt, 90 + 7 * p.toInt)
+      val payload = levels.flatMap(v => Array.fill(12 * 64)(v.toByte)).toArray
+      Multimodal.MediaRow(10000000L + p, "video", payload, 0, 0, 0)
+    }
+  }
+
+  /** Contract query `q_scene_cuts`: stride-1 frames of the synthetic
+    * video rows plus the planted three-shot videos. */
+  def sceneCutsQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sceneCuts(Multimodal.mediaTable(spark, dir)
+      .filter(_.kind == "video")
+      .union(plantVideos(spark))
+      .mapPartitions { it =>
+        val decoder = new Multimodal.MediaDecoder
+        it.flatMap(m => Multimodal.sampleFrames(m, decoder, stride = 1))
+      }
+      .toDF())
+  }
+}

@@ -48,7 +48,7 @@ object OracleFixtureGen {
     "q_winnow_containment", "q_token_bpe", "q_dedup_keep", "q_incremental_dedup",
     "q_ann_lsh", "q_ann_ivf", "q_media_features", "q_media_frames", "q_semdedup",
     "q_image_dhash", "q_audio_quality", "q_image_quality", "q_tokenizer_fertility",
-    "q_audio_fingerprint", "q_minhash_calibration")
+    "q_audio_fingerprint", "q_minhash_calibration", "q_scene_cuts")
 
   private def duckType(dt: DataType): String = dt match {
     case StringType => "VARCHAR"
@@ -98,8 +98,13 @@ object OracleFixtureGen {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Files.createDirectories(Paths.get(outDir))
-    val jobs = FixtureQueries.map((_, "/root/testdata/sf0.001")) ++
-      SfFixtureQueries.map((_, SfFixtureDir))
+    // optional query-name filter (args after outDir): regenerate only the
+    // named fixtures — adding a new fixture query must not re-freeze the
+    // committed ones
+    val only = args.drop(1).toSet
+    val jobs = (FixtureQueries.map((_, "/root/testdata/sf0.001")) ++
+      SfFixtureQueries.map((_, SfFixtureDir)))
+      .filter { case (n, _) => only.isEmpty || only(n) }
     jobs.foreach { case (name, dir) =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val sql = valuesSql(df)
