@@ -237,7 +237,8 @@ object SparkEntry {
     "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _),
     "q_zorder_layout" -> (graft.pipeline.ZorderLayout.zorderLayoutQuery _),
     "q_bootstrap_ci" -> (graft.pipeline.BootstrapCi.bootstrapCiQuery _),
-    "q_scene_cuts" -> (graft.multimodal.SceneCuts.sceneCutsQuery _)
+    "q_scene_cuts" -> (graft.multimodal.SceneCuts.sceneCutsQuery _),
+    "q_texttiling" -> (graft.pipeline.TextTiling.textTilingQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -599,6 +600,9 @@ object SparkEntry {
     // independent replay: DuckDB re-derives every md5 draw, every replica
     // resample sum, and the order statistics
     "q_bootstrap_ci" -> graft.pipeline.BootstrapCi.bootstrapCiSql,
+    // independent recompute: DuckDB re-tokenizes, re-blocks, re-joins the
+    // adjacent overlaps and re-applies the hill/mean boundary gate
+    "q_texttiling" -> graft.pipeline.TextTiling.textTilingSql,
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

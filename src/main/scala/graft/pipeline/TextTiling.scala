@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** TextTiling topic segmentation (`q_texttiling`) — Hearst CL 1997: cut
+  * documents at LEXICAL COHESION valleys, not at fixed token counts. The
+  * fixed-size chunker ([[graft.extract.TextKit]]'s 512-token cap) splits
+  * mid-topic and glues unrelated topics into one training sequence; the
+  * valley detector finds where the vocabulary actually turns over, which
+  * is where a chunk boundary loses the least context (the
+  * chunking-quality upgrade on top of the cap, not a replacement — the
+  * cap still bounds the worst case).
+  *
+  * The exact-integer formulation: tokens lowercase, stopwords removed
+  * (the shared [[TextAnalysis.Stopwords]] list), blocks of [[BlockK]]
+  * tokens; gap similarity = Σ_t min(tf_left, tf_right) — the L1 overlap
+  * (integer; Hearst's cosine needs only a monotone valley signal, and
+  * overlap is the integer-exact member of that family); depth(g) =
+  * (max sim over the [[HillW]] gaps left of g − sim(g)) + (the right
+  * twin) — the bounded-hill form of Hearst's climb; boundary iff
+  * depth·n_gaps > Σdepth (depth strictly above the doc's mean, in
+  * cross-multiplied integers) AND depth ≥ [[MinDepth]] (a flat doc's
+  * noise never cuts).
+  *
+  * One row per detected boundary: `doc_id`, `gap_idx` (boundary between
+  * blocks gap_idx−1 and gap_idx), `token_pos` (= gap_idx·K non-stop
+  * tokens in), `sim`, `depth`. Docs under two blocks emit nothing.
+  *
+  * Scale shape (100 TB): explode → per-(doc, block, term) tf with
+  * map-side combine; gap similarity is ONE self-equi-join on
+  * (doc, term, block+1); every window partitions by doc over gap rows
+  * (≤ tokens/K per doc). No global state, no driver loops.
+  */
+object TextTiling {
+
+  val BlockK = 10
+  val HillW = 5
+  val MinDepth = 2L
+
+  /** Boundary table over any (doc_id, text) frame. */
+  def textTiling(docsDf: DataFrame): DataFrame = {
+    val words = filter(split(lower(col("text")), " "),
+      w => w =!= "" && !w.isin(TextAnalysis.Stopwords: _*))
+    val toks = docsDf
+      .select(col("doc_id"), posexplode(words).as(Seq("p", "term")))
+      .select(col("doc_id"), col("term"), expr(s"p div $BlockK").as("block"))
+    val tf = toks.groupBy("doc_id", "block", "term").agg(count(lit(1)).as("tf"))
+    val sims = tf.as("l")
+      .join(tf.as("r"),
+        col("l.doc_id") === col("r.doc_id") && col("l.term") === col("r.term") &&
+          col("l.block") + 1 === col("r.block"))
+      .groupBy(col("l.doc_id").as("doc_id"), col("r.block").as("gap_idx"))
+      .agg(sum(least(col("l.tf"), col("r.tf"))).as("sim"))
+    // gaps with ZERO overlap never join — restore them from the block census
+    val blocks = tf.select(col("doc_id"), col("block")).distinct()
+    val gaps = blocks.as("b")
+      .join(blocks.as("n"),
+        col("b.doc_id") === col("n.doc_id") && col("b.block") + 1 === col("n.block"))
+      .select(col("b.doc_id").as("doc_id"), col("n.block").as("gap_idx"))
+      .join(sims, Seq("doc_id", "gap_idx"), "left")
+      .select(col("doc_id"), col("gap_idx"), coalesce(col("sim"), lit(0L)).as("sim"))
+    val left = Window.partitionBy("doc_id").orderBy("gap_idx")
+      .rowsBetween(-HillW, 0)
+    val right = Window.partitionBy("doc_id").orderBy("gap_idx")
+      .rowsBetween(0, HillW)
+    val tot = Window.partitionBy("doc_id")
+    gaps
+      .withColumn("depth",
+        (max("sim").over(left) - col("sim")) + (max("sim").over(right) - col("sim")))
+      .withColumn("n_gaps", count(lit(1)).over(tot))
+      .withColumn("sum_depth", sum("depth").over(tot))
+      .filter(col("depth") * col("n_gaps") > col("sum_depth") &&
+        col("depth") >= MinDepth)
+      .select(col("doc_id"), col("gap_idx"),
+        (col("gap_idx") * BlockK).as("token_pos"), col("sim"), col("depth"))
+      .orderBy("doc_id", "gap_idx")
+  }
+
+  /** Contract query `q_texttiling` over the documents table. */
+  def textTilingQuery(spark: SparkSession, dir: String): DataFrame =
+    textTiling(spark.read.parquet(s"$dir/documents.parquet"))
+
+  /** DuckDB twin: identical tokenization, blocks, overlap, hills, gate. */
+  val textTilingSql: String = {
+    val stopList = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, term, CAST((p - 1) // $BlockK AS BIGINT) AS block
+       |  FROM (
+       |    SELECT doc_id, unnest(ws) AS term,
+       |           generate_subscripts(ws, 1) AS p
+       |    FROM (SELECT doc_id,
+       |            list_filter(string_split(lower(text), ' '),
+       |                        w -> w <> '' AND w NOT IN ($stopList)) AS ws
+       |          FROM documents))),
+       |tf AS (
+       |  SELECT doc_id, block, term, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY 1, 2, 3),
+       |sims AS (
+       |  SELECT l.doc_id, r.block AS gap_idx,
+       |         CAST(sum(least(l.tf, r.tf)) AS BIGINT) AS sim
+       |  FROM tf l JOIN tf r ON r.doc_id = l.doc_id AND r.term = l.term
+       |                      AND r.block = l.block + 1
+       |  GROUP BY 1, 2),
+       |blocks AS (SELECT DISTINCT doc_id, block FROM tf),
+       |gaps AS (
+       |  SELECT b.doc_id, n.block AS gap_idx, coalesce(s.sim, 0) AS sim
+       |  FROM blocks b JOIN blocks n ON n.doc_id = b.doc_id
+       |                             AND n.block = b.block + 1
+       |  LEFT JOIN sims s ON s.doc_id = b.doc_id AND s.gap_idx = n.block),
+       |d AS (
+       |  SELECT doc_id, gap_idx, sim,
+       |    (max(sim) OVER (PARTITION BY doc_id ORDER BY gap_idx
+       |       ROWS BETWEEN $HillW PRECEDING AND CURRENT ROW) - sim) +
+       |    (max(sim) OVER (PARTITION BY doc_id ORDER BY gap_idx
+       |       ROWS BETWEEN CURRENT ROW AND $HillW FOLLOWING) - sim) AS depth
+       |  FROM gaps),
+       |g AS (
+       |  SELECT *, CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_gaps,
+       |         CAST(sum(depth) OVER (PARTITION BY doc_id) AS BIGINT) AS sum_depth
+       |  FROM d)
+       |SELECT doc_id, gap_idx, CAST(gap_idx * $BlockK AS BIGINT) AS token_pos,
+       |  CAST(sim AS BIGINT) AS sim, CAST(depth AS BIGINT) AS depth
+       |FROM g
+       |WHERE depth * n_gaps > sum_depth AND depth >= $MinDepth
+       |ORDER BY doc_id, gap_idx""".stripMargin
+  }
+}
