@@ -238,7 +238,8 @@ object SparkEntry {
     "q_zorder_layout" -> (graft.pipeline.ZorderLayout.zorderLayoutQuery _),
     "q_bootstrap_ci" -> (graft.pipeline.BootstrapCi.bootstrapCiQuery _),
     "q_scene_cuts" -> (graft.multimodal.SceneCuts.sceneCutsQuery _),
-    "q_texttiling" -> (graft.pipeline.TextTiling.textTilingQuery _)
+    "q_texttiling" -> (graft.pipeline.TextTiling.textTilingQuery _),
+    "q_pagerank_delta" -> (graft.pipeline.PagerankDelta.pagerankDelta _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -603,6 +604,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-tokenizes, re-blocks, re-joins the
     // adjacent overlaps and re-applies the hill/mean boundary gate
     "q_texttiling" -> graft.pipeline.TextTiling.textTilingSql,
+    // independent replay: DuckDB re-executes base, reference AND warm
+    // recurrences fully unrolled, plus the L1 ledger per budget
+    "q_pagerank_delta" ->
+      graft.pipeline.PagerankDelta.pagerankDeltaSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,
