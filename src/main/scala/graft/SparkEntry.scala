@@ -239,7 +239,8 @@ object SparkEntry {
     "q_bootstrap_ci" -> (graft.pipeline.BootstrapCi.bootstrapCiQuery _),
     "q_scene_cuts" -> (graft.multimodal.SceneCuts.sceneCutsQuery _),
     "q_texttiling" -> (graft.pipeline.TextTiling.textTilingQuery _),
-    "q_pagerank_delta" -> (graft.pipeline.PagerankDelta.pagerankDelta _)
+    "q_pagerank_delta" -> (graft.pipeline.PagerankDelta.pagerankDelta _),
+    "q_lsh_scurve" -> (graft.pipeline.LshScurve.lshScurveQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LSH banding S-curve audit (`q_lsh_scurve`) — Leskovec/Rajaraman/
+  * Ullman MMDS §3.4.2: the (b, r) banding choice IS the dedup family's
+  * recall/precision dial — P(candidate | J = s) = 1 − (1 − s^r)^b, and
+  * for the production configuration ([[Dedup.Bands]] = 16 bands ×
+  * [[Dedup.RowsPerBand]] = 4 rows) the curve's waterline sits at
+  * s* ≈ (1/16)^{1/4} ≈ 0.50. This operator closes the theory-practice
+  * loop ON THE CORPUS: for every calibration pair (the
+  * [[MinhashCalibration]] population — planted near-dups at high J,
+  * donor-vs-next-donor at J ≈ 0), it emits the pair's EXACT shingle
+  * Jaccard, the fixed-point S-curve prediction at that Jaccard, and
+  * whether the REAL banding (the same `lshBuckets` index the dedup
+  * pipeline shuffles) actually made the pair a candidate.
+  *
+  * The prediction is integer fixed point with a pinned operation order
+  * (milli units; s⁴ by three mul-div steps, (1−s⁴)¹⁶ by four squarings)
+  * so both engines would agree bit-for-bit — but `candidate` needs the
+  * xxhash signatures, so the contract uses the frozen-fixture oracle
+  * (the q_minhash_* discipline) and the SPEC carries the semantic
+  * gates: every high-J pair predicted ≥ 990‰ is a candidate, no ≈0-J
+  * pair predicted ≤ 60‰ is, and prediction is monotone in Jaccard.
+  *
+  * One row per pair: `doc_a`, `doc_b`, `jaccard_milli`, `pred_milli`,
+  * `candidate`.
+  *
+  * Scale shape: shingle sets and signatures are per-row maps; the
+  * banding check joins the pair list (audit-sized; sample-bounded at
+  * fleet scale) against the (band, bucket) index keyed by doc — the
+  * corpus-wide index is exactly the one the dedup pipeline already
+  * builds, reused, not recomputed.
+  */
+object LshScurve {
+
+  /** 1000·(1 − (1 − s⁴)¹⁶) in pinned-order integer MICRO arithmetic
+    * (milli underflows: s⁴ at s = 0.15 is 5·10⁻⁴, already invisible in
+    * milli; micro keeps every squaring inside int64 — (10⁶)² < 2⁶³). */
+  def predMilli(sMilliCol: String): String = {
+    val sm = s"($sMilliCol * 1000)"
+    val s4 = s"((($sm * $sm div 1000000) * $sm div 1000000) * $sm div 1000000)"
+    val q = s"(1000000 - $s4)"
+    val q2 = s"($q * $q div 1000000)"
+    val q4 = s"($q2 * $q2 div 1000000)"
+    val q8 = s"($q4 * $q4 div 1000000)"
+    val q16 = s"($q8 * $q8 div 1000000)"
+    s"(1000000 - $q16) div 1000"
+  }
+
+  /** Audit over (doc_id, text) docs and an (doc_a, doc_b) pair list. */
+  def lshScurve(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) => (id, Dedup.shingles(t).toSeq.sorted) }
+      .toDF("doc_id", "sh")
+    val buckets = Dedup.lshBuckets(spark, docs).toDF()
+    val cands = buckets.select(col("doc_id").as("doc_a"),
+        col("band"), col("bucket"))
+      .join(buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+      .withColumn("cand", lit(1))
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("CASE WHEN size(array_union(sh_a, sh_b)) = 0 THEN 0 ELSE " +
+          "1000 * size(array_intersect(sh_a, sh_b)) div size(array_union(sh_a, sh_b)) END")
+          .as("jaccard_milli"))
+      .withColumn("pred_milli", expr(predMilli("jaccard_milli")))
+      .join(cands, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("jaccard_milli"),
+        col("pred_milli"), coalesce(col("cand"), lit(0)).as("candidate"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Contract query `q_lsh_scurve`: the calibration pair population over
+    * the planted corpus. */
+  def lshScurveQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = DedupQueries.docsWithPlants(spark, dir)
+    val near = (0L until 25L).map(i => (i, i + DedupQueries.PlantOffset))
+    val far = (0L until 24L).map(i => (i, i + 1L))
+    lshScurve(docs, (near ++ far).toDF("doc_a", "doc_b"))
+  }
+}

@@ -48,7 +48,8 @@ object OracleFixtureGen {
     "q_winnow_containment", "q_token_bpe", "q_dedup_keep", "q_incremental_dedup",
     "q_ann_lsh", "q_ann_ivf", "q_media_features", "q_media_frames", "q_semdedup",
     "q_image_dhash", "q_audio_quality", "q_image_quality", "q_tokenizer_fertility",
-    "q_audio_fingerprint", "q_minhash_calibration", "q_scene_cuts")
+    "q_audio_fingerprint", "q_minhash_calibration", "q_scene_cuts",
+    "q_lsh_scurve")
 
   private def duckType(dt: DataType): String = dt match {
     case StringType => "VARCHAR"
