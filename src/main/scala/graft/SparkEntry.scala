@@ -240,7 +240,8 @@ object SparkEntry {
     "q_scene_cuts" -> (graft.multimodal.SceneCuts.sceneCutsQuery _),
     "q_texttiling" -> (graft.pipeline.TextTiling.textTilingQuery _),
     "q_pagerank_delta" -> (graft.pipeline.PagerankDelta.pagerankDelta _),
-    "q_lsh_scurve" -> (graft.pipeline.LshScurve.lshScurveQuery _)
+    "q_lsh_scurve" -> (graft.pipeline.LshScurve.lshScurveQuery _),
+    "q_homoglyph_spoof" -> (graft.pipeline.Homoglyph.homoglyphSpoofQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
@@ -609,6 +610,10 @@ object SparkEntry {
     // recurrences fully unrolled, plus the L1 ledger per budget
     "q_pagerank_delta" ->
       graft.pipeline.PagerankDelta.pagerankDeltaSql(fixtureSql("q_extract_link_edges")),
+    // independent recompute: DuckDB re-derives hosts, re-plants the
+    // attack, re-skeletonizes (same translate map) and re-runs the census
+    "q_homoglyph_spoof" ->
+      graft.pipeline.Homoglyph.homoglyphSpoofSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-decides the RFC 9309 matrix through
     // LIKE translation — a second, structurally different REP matcher
     "q_robots_decisions" -> CrawlQueries.robotsDecisionsSql,

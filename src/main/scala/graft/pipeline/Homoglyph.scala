@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IDN homoglyph spoof detection (`q_homoglyph_spoof`) — Gabrilovich &
+  * Gontmakher CACM 2002 ("The homograph attack"); Unicode TR #39
+  * confusable skeletons: a crawl that follows links into `pаypal.com`
+  * (Cyrillic а) is feeding a phishing mirror into the corpus, and
+  * content-level dedup will NOT catch it (the spoof serves different
+  * payloads). The defense is the skeleton map: fold the confusable
+  * repertoire onto its ASCII targets and group hosts by skeleton — a
+  * skeleton carrying BOTH a clean (pure-ASCII) member and a disguised
+  * one (host ≠ its own skeleton) is a spoof cluster the frontier should
+  * quarantine; a disguised host with NO clean twin is squatting on a
+  * name nobody legitimate holds ([[UrlValidator]]'s blocklist feed).
+  *
+  * The confusable map here is the high-frequency Cyrillic column of
+  * TR #39 (а е о с р х у і → a e o c p x y i) — the repertoire is a
+  * dial, the dataflow is the operator. Detection is translate() + one
+  * equality: NO regex, NO Unicode classes — both engines run the same
+  * two string primitives.
+  *
+  * The corpus hosts are ASCII by construction, so the query plants the
+  * attack deterministically IN the dataflow (the [[DedupQueries]]
+  * plant discipline): the 5 lexicographically-first hosts gain a
+  * disguised twin (every mappable char swapped to its confusable), and
+  * the lexicographically-last host's twin arrives WITHOUT its clean
+  * original surviving (the squatting case).
+  *
+  * One row per flagged skeleton: `skeleton`, `n_variants`, `n_clean`,
+  * `n_disguised`, `spoofed` (clean ∧ disguised coexist). Clean-only
+  * skeletons stay out of the report (bounded output: flagged rows only).
+  *
+  * Scale shape (100 TB): skeletonization is a per-row projection; the
+  * census is one keyed aggregation on the skeleton (map-side combined);
+  * the report is the flagged sliver. No joins at all.
+  */
+object Homoglyph {
+
+  val Confusables = "аеосрхуі"
+  val Targets = "aeocpxyi"
+
+  /** Census over any single-column `host` frame. */
+  def homoglyphCensus(hosts: DataFrame): DataFrame =
+    hosts.select(col("host"),
+        translate(lower(col("host")), Confusables, Targets).as("skeleton"))
+      .withColumn("disguised", (col("host") =!= col("skeleton")).cast("long"))
+      .groupBy("skeleton")
+      .agg(countDistinct("host").as("n_variants"),
+        countDistinct(when(col("disguised") === 0, col("host"))).as("n_clean"),
+        countDistinct(when(col("disguised") === 1, col("host"))).as("n_disguised"))
+      .filter(col("n_disguised") >= 1)
+      .select(col("skeleton"), col("n_variants"), col("n_clean"), col("n_disguised"),
+        (col("n_clean") >= 1 && col("n_disguised") >= 1).cast("int").as("spoofed"))
+      .orderBy("skeleton")
+
+  /** Contract query `q_homoglyph_spoof`: corpus hosts + planted attack. */
+  def homoglyphSpoofQuery(spark: SparkSession, dir: String): DataFrame = {
+    val hosts = CrawlQueries.linkEdgesRaw(spark, dir)
+      .filter(col("dst").startsWith("http"))
+      .select(Cardinality.hostCol(col("dst")).as("host"))
+      .unionAll(CrawlQueries.linkEdgesRaw(spark, dir)
+        .select(Cardinality.hostCol(col("src")).as("host")))
+      .filter(col("host") =!= "").distinct()
+    val ranked = hosts.withColumn("rk",
+      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("host")))
+    val nHosts = ranked.agg(max("rk")).head.getInt(0)
+    val twins = ranked.filter(col("rk") <= 5 || col("rk") === nHosts)
+      .select(translate(col("host"), Targets, Confusables).as("host"))
+    // the squatting case: the LAST host's clean original does not survive
+    val surviving = ranked.filter(col("rk") < nHosts).select("host")
+    homoglyphCensus(surviving.unionAll(twins))
+  }
+
+  /** DuckDB twin over the frozen edge fixture: identical skeleton map,
+    * plants, census. */
+  def homoglyphSpoofSql(edgesSelect: String): String =
+    s"""WITH e0 AS ($edgesSelect),
+       |h0 AS (
+       |  SELECT DISTINCT host FROM (
+       |    SELECT regexp_extract(dst, '^https?://([^/]+)', 1) AS host
+       |    FROM e0 WHERE dst LIKE 'http%'
+       |    UNION ALL
+       |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) FROM e0)
+       |  WHERE host <> ''),
+       |r AS (SELECT host, row_number() OVER (ORDER BY host) AS rk,
+       |             count(*) OVER () AS n FROM h0),
+       |twins AS (
+       |  SELECT translate(host, '$Targets', '$Confusables') AS host
+       |  FROM r WHERE rk <= 5 OR rk = n),
+       |pop AS (
+       |  SELECT host FROM r WHERE rk < n
+       |  UNION ALL SELECT host FROM twins),
+       |c AS (
+       |  SELECT translate(lower(host), '$Confusables', '$Targets') AS skeleton,
+       |         host, CASE WHEN host = translate(lower(host), '$Confusables', '$Targets')
+       |                    THEN 0 ELSE 1 END AS disg
+       |  FROM pop)
+       |SELECT skeleton,
+       |  CAST(count(DISTINCT host) AS BIGINT) AS n_variants,
+       |  CAST(count(DISTINCT CASE WHEN disg = 0 THEN host END) AS BIGINT) AS n_clean,
+       |  CAST(count(DISTINCT CASE WHEN disg = 1 THEN host END) AS BIGINT) AS n_disguised,
+       |  CAST(CASE WHEN count(DISTINCT CASE WHEN disg = 0 THEN host END) >= 1
+       |             AND count(DISTINCT CASE WHEN disg = 1 THEN host END) >= 1
+       |       THEN 1 ELSE 0 END AS INTEGER) AS spoofed
+       |FROM c GROUP BY skeleton
+       |HAVING count(DISTINCT CASE WHEN disg = 1 THEN host END) >= 1
+       |ORDER BY skeleton""".stripMargin
+}
