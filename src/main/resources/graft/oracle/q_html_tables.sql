@@ -1,0 +1,9 @@
+SELECT CAST(c0 AS VARCHAR) AS url, CAST(c1 AS INTEGER) AS table_idx, CAST(c2 AS BIGINT) AS n_rows, CAST(c3 AS BIGINT) AS n_cols_min, CAST(c4 AS BIGINT) AS n_cols_max, CAST(c5 AS BIGINT) AS n_header_cells, CAST(c6 AS BIGINT) AS n_cells, CAST(c7 AS VARCHAR) AS cells_sha256 FROM (VALUES
+  ('plant://tables/empty', 0, 0, 0, 0, 0, 0, 'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'),
+  ('plant://tables/nested', 0, 2, 2, 2, 0, 4, 'd343422fcd920c1c1ac8ba519036f2b0aaa6d57598d7f65b42bceeebfc3f1d13'),
+  ('plant://tables/nested', 1, 1, 2, 2, 0, 2, 'cfd87ef87ad412526f63d7853175f577d3a2cfaf8478c4efd78094b67c3e8430'),
+  ('plant://tables/ragged', 0, 3, 1, 3, 0, 5, 'cdca354d7191d762dfe782f2f121ff3714f1fc316f7aeb3e939a6d83f35d8fef'),
+  ('plant://tables/relational', 0, 3, 3, 3, 3, 9, '2c8f7b9017f54ce32ce759c558367a29ece4e9b2596b4972ac442aa0d175a725'),
+  ('plant://tables/two', 0, 2, 1, 1, 1, 2, 'd74cf92b0f6b64b7291c4009f57810a0a7c648f598cdea6cf7c36a772e8ea775'),
+  ('plant://tables/two', 1, 1, 2, 2, 0, 2, 'e602677f8661317ff2c4f16d30cd81b7832ea1d5cc819c7f8c6865d37cc159a7')
+) AS t(c0, c1, c2, c3, c4, c5, c6, c7)

@@ -241,7 +241,8 @@ object SparkEntry {
     "q_texttiling" -> (graft.pipeline.TextTiling.textTilingQuery _),
     "q_pagerank_delta" -> (graft.pipeline.PagerankDelta.pagerankDelta _),
     "q_lsh_scurve" -> (graft.pipeline.LshScurve.lshScurveQuery _),
-    "q_homoglyph_spoof" -> (graft.pipeline.Homoglyph.homoglyphSpoofQuery _)
+    "q_homoglyph_spoof" -> (graft.pipeline.Homoglyph.homoglyphSpoofQuery _),
+    "q_html_tables" -> (graft.pipeline.HtmlTables.htmlTablesQuery _)
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by

@@ -1,0 +1,138 @@
+package graft.extract
+
+/** HTML table extraction (`q_html_tables` kernel) — the WDC Web Tables
+  * harvest surface (Lehmberg et al. WWW 2016: 233M relational tables
+  * mined from Common Crawl; table corpora feed QA/table-understanding
+  * training sets). The reference's extractor family (readability, code
+  * fences, assets) has no table pass; a webtext engine needs one: per
+  * table the shape statistics a harvester filters on (relational tables
+  * are near-rectangular with a header row; layout tables are ragged and
+  * headerless — the paper's first-stage classifier reads exactly these).
+  *
+  * Parsing rules (deterministic, documented):
+  *   - tables nest: each `<table>` is extracted as its OWN table, and a
+  *     nested table's markup is blanked out of its parent before the
+  *     parent's rows are parsed (no double-counting);
+  *   - a cell is `<td>` or `<th>` (any attributes; colspan counts as ONE
+  *     cell — the shape statistic is markup cells, not grid columns);
+  *   - cell text is tag-stripped and whitespace-collapsed; the content
+  *     hash is sha256 over `row|col|text` triples joined by `\n`.
+  *
+  * All scanning is case-insensitive index arithmetic on the raw html —
+  * no DOM library (none exists in /opt/spark/jars), same discipline as
+  * [[HtmlKit]].
+  */
+object Tables {
+
+  final case class TableStat(table_idx: Int, n_rows: Long, n_cols_min: Long,
+                             n_cols_max: Long, n_header_cells: Long,
+                             n_cells: Long, cells_sha256: String)
+
+  private val TagRe = "(?s)<[^>]*>".r
+  private val WsRe = "\\s+".r
+
+  private def cellText(s: String): String =
+    WsRe.replaceAllIn(TagRe.replaceAllIn(s, " "), " ").trim
+
+  /** Spans of `<table ...>...</table>` at the given nesting level within
+    * `html`, depth-tracked (malformed/unclosed tables are dropped). */
+  private def tableSpans(html: String): Seq[(Int, Int)] = {
+    val lower = html.toLowerCase
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var i = 0
+    while (i < lower.length) {
+      val open = lower.indexOf("<table", i)
+      if (open < 0) { i = lower.length }
+      else {
+        var depth = 0
+        var j = open
+        var end = -1
+        while (end < 0 && j < lower.length) {
+          val nextOpen = lower.indexOf("<table", j + 1)
+          val nextClose = lower.indexOf("</table", j + 1)
+          if (nextClose < 0) { j = lower.length } // unclosed: drop
+          else if (nextOpen >= 0 && nextOpen < nextClose) { depth += 1; j = nextOpen }
+          else if (depth > 0) { depth -= 1; j = nextClose }
+          else end = lower.indexOf(">", nextClose) + 1
+        }
+        if (end > 0) { spans += ((open, end)); i = end } else i = lower.length
+      }
+    }
+    spans.toSeq
+  }
+
+  /** All tables in the html, in document order of their `<table>` tag
+    * (outermost before its own nested tables). */
+  def extractTables(html: String): Seq[TableStat] = {
+    // every table segment recursively: (document position, own inner
+    // content with nested table markup blanked out of the row parse)
+    def gather(seg: String, base: Int): Seq[(Int, String)] =
+      tableSpans(seg).flatMap { case (s, e) =>
+        val markup = seg.substring(s, e)
+        val gt = markup.indexOf(">") + 1
+        val ce = markup.toLowerCase.lastIndexOf("</table")
+        val inner = if (ce > gt) markup.substring(gt, ce) else ""
+        val nestedHere = tableSpans(inner)
+        val own = nestedHere.reverse.foldLeft(inner) { case (acc, (ns, ne)) =>
+          acc.substring(0, ns) + (" " * (ne - ns)) + acc.substring(ne)
+        }
+        (base + s, own) +: gather(inner, base + s + gt)
+      }
+    val segments = gather(html, 0).sortBy(_._1)
+    segments.zipWithIndex.map { case ((_, inner), idx) =>
+      val cellRows = splitOn(inner, "<tr").map(splitCells)
+      val nonEmpty = cellRows.filter(_.nonEmpty)
+      val colCounts = nonEmpty.map(_.length.toLong)
+      val cells = nonEmpty.zipWithIndex.flatMap { case (cs, ri) =>
+        cs.zipWithIndex.map { case ((_, t), ci) => s"$ri|$ci|$t" }
+      }
+      TableStat(idx,
+        nonEmpty.length.toLong,
+        if (colCounts.isEmpty) 0L else colCounts.min,
+        if (colCounts.isEmpty) 0L else colCounts.max,
+        nonEmpty.flatten.count(_._1).toLong,
+        colCounts.sum,
+        graft.crawl.CrawlEngine.sha256Hex(cells.mkString("\n")))
+    }
+  }
+
+  /** True iff the tag name ENDS at `pos` — `<th` must not match
+    * `<thead`, `<tr` must not match `<track`. */
+  private def tagBoundary(lower: String, pos: Int): Boolean =
+    pos >= lower.length || !lower.charAt(pos).isLetter
+
+  /** Raw segments opening with `tag` (case-insensitive, name-boundary
+    * checked), each running to the next same-level opener. */
+  private def splitOn(s: String, tag: String): Seq[String] = {
+    val lower = s.toLowerCase
+    val starts = Iterator.iterate(lower.indexOf(tag))(i => lower.indexOf(tag, i + 1))
+      .takeWhile(_ >= 0).filter(i => tagBoundary(lower, i + tag.length)).toSeq
+    starts.zipAll(starts.drop(1), -1, s.length).collect {
+      case (a, b) if a >= 0 => s.substring(a, b)
+    }
+  }
+
+  /** (isHeader, text) cells of one `<tr>` segment, in document order. */
+  private def splitCells(row: String): Seq[(Boolean, String)] = {
+    val lower = row.toLowerCase
+    val marks = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+    var i = 0
+    while (i < lower.length) {
+      val raw = Seq(lower.indexOf("<td", i), lower.indexOf("<th", i)).filter(_ >= 0)
+      if (raw.isEmpty) i = lower.length
+      else {
+        val next = raw.min
+        // a boundary miss (e.g. <thead>) is skipped, never a stop
+        if (tagBoundary(lower, next + 3))
+          marks += ((next, lower.startsWith("<th", next)))
+        i = next + 3
+      }
+    }
+    marks.toSeq.zipAll(marks.toSeq.drop(1).map(_._1), (-1, false), row.length).collect {
+      case ((a, isTh), b) if a >= 0 =>
+        val seg = row.substring(a, b)
+        val afterTag = seg.indexOf(">") + 1
+        (isTh, cellText(if (afterTag > 0) seg.substring(afterTag) else seg))
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.gen.CorpusGen
+
+/** HTML table harvest (`q_html_tables`) — the WDC Web Tables surface
+  * (Lehmberg et al. WWW 2016): per-table shape statistics over the crawl
+  * corpus through [[graft.extract.Tables]]. The synthetic corpus renders
+  * no `<table>` markup, so the organic pages are the SILENCE gate (a
+  * scanner that hallucinates tables from `<tr`-like substrings would
+  * light them up) and planted pages (the [[CrawlQueries.codeBlocks]]
+  * convention) carry the shapes the WDC first-stage classifier reads:
+  * a headered relational table, a ragged layout table, a nested table,
+  * a two-table page, and uppercase/attribute-heavy markup.
+  *
+  * One row per extracted table: `url`, `table_idx`, `n_rows`,
+  * `n_cols_min`, `n_cols_max`, `n_header_cells`, `n_cells`,
+  * `cells_sha256` (content hash over row|col|text triples).
+  *
+  * Scale shape (100 TB): a per-row flatMap over the page scan — no
+  * shuffle at all until the trailing oracle-canonical orderBy.
+  */
+object HtmlTables {
+
+  private[pipeline] val Plants: Seq[(String, String)] = Seq(
+    ("plant://tables/relational",
+      """<table><thead><tr><th>name</th><th>qty</th><th>price</th></tr></thead>
+        |<tbody><tr><td>bolt</td><td>12</td><td>0.30</td></tr>
+        |<tr><td>nut</td><td>40</td><td>0.10</td></tr></tbody></table>""".stripMargin),
+    ("plant://tables/ragged",
+      """<TABLE class="layout"><TR><TD colspan="2">banner</TD></TR>
+        |<TR><TD>left</TD><TD>mid</TD><TD>right</TD></TR>
+        |<TR><TD>footer</TD></TR></TABLE>""".stripMargin),
+    ("plant://tables/nested",
+      """<table><tr><td>outer-a</td><td><table><tr><td>in1</td><td>in2</td></tr>
+        |</table></td></tr><tr><td>outer-b</td><td>outer-c</td></tr></table>""".stripMargin),
+    ("plant://tables/two",
+      """<p>first</p><table><tr><th>h</th></tr><tr><td>v</td></tr></table>
+        |<p>between</p><table><tr><td>a</td><td>b</td></tr></table>""".stripMargin),
+    ("plant://tables/empty", "<div><table class=\"x\"></table>text</div>"))
+
+  /** Contract query `q_html_tables`: corpus pages + planted tables. */
+  def htmlTablesQuery(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pages = CorpusGen.dataset(spark, CrawlQueries.spec)
+      .map(p => (p.url, new String(p.html, java.nio.charset.StandardCharsets.UTF_8)))
+    pages.union(spark.createDataset(Plants))
+      .flatMap { case (url, html) =>
+        graft.extract.Tables.extractTables(html).map { t =>
+          (url, t.table_idx, t.n_rows, t.n_cols_min, t.n_cols_max,
+            t.n_header_cells, t.n_cells, t.cells_sha256)
+        }
+      }
+      .toDF("url", "table_idx", "n_rows", "n_cols_min", "n_cols_max",
+        "n_header_cells", "n_cells", "cells_sha256")
+      .orderBy("url", "table_idx")
+  }
+}

@@ -29,7 +29,8 @@ object OracleFixtureGen {
     "q_code_blocks", "q_link_anchors", "q_warc_revisit",
     "q_boilerplate_mine", "q_boilerplate_strip", "q_mirror_hosts", "q_soft404",
     "q_wet_export", "q_rel_canonical", "q_sitemap_budget", "q_wat_export",
-    "q_cdc_chunks", "q_index_merge", "q_harmonic_hll", "q_aimd")
+    "q_cdc_chunks", "q_index_merge", "q_harmonic_hll", "q_aimd",
+    "q_html_tables")
 
   /** The driver's correctness scale — sfDir-DEPENDENT fixtures are frozen
     * against exactly this input (the contract's verify scale). */

@@ -1,0 +1,59 @@
+package graft.extract
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Kernel gates for the table extractor: hand HTML with known shapes —
+  * headers, ragged rows, nesting, thead/tbody boundary, case/attribute
+  * noise, and the no-table silence. Pure JVM, no Spark. */
+class TablesSpec extends AnyFunSuite {
+
+  test("relational table: rows, rectangular cols, header count, cell text") {
+    val ts = Tables.extractTables(
+      """<table><thead><tr><th>a</th><th>b</th></tr></thead>
+        |<tbody><tr><td>1</td><td>2</td></tr><tr><td>3</td><td>4</td></tr></tbody>
+        |</table>""".stripMargin)
+    assert(ts.length == 1)
+    val t = ts.head
+    assert(t.n_rows == 3L && t.n_cols_min == 2L && t.n_cols_max == 2L)
+    assert(t.n_header_cells == 2L && t.n_cells == 6L)
+  }
+
+  test("thead/tbody/track never count as header cells or rows") {
+    val t = Tables.extractTables(
+      "<table><thead><tr><th>x</th></tr></thead><tbody><tr><td><track></td></tr></tbody></table>").head
+    assert(t.n_header_cells == 1L && t.n_cells == 2L && t.n_rows == 2L)
+  }
+
+  test("ragged layout table reports min/max column spread; case-insensitive tags") {
+    val t = Tables.extractTables(
+      "<TABLE><TR><TD>a</TD></TR><TR><TD>b</TD><TD>c</TD><TD>d</TD></TR></TABLE>").head
+    assert(t.n_rows == 2L && t.n_cols_min == 1L && t.n_cols_max == 3L && t.n_cells == 4L)
+  }
+
+  test("nested table extracts separately; parent never double-counts its cells") {
+    val ts = Tables.extractTables(
+      "<table><tr><td>o1</td><td><table><tr><td>i1</td><td>i2</td></tr></table></td></tr></table>")
+    assert(ts.length == 2)
+    assert(ts(0).n_cells == 2L, "outer counts o1 + the wrapper cell only")
+    assert(ts(1).n_cells == 2L && ts(1).n_rows == 1L)
+  }
+
+  test("two tables keep document order; empty table is 0-row; no-table html is silent") {
+    val ts = Tables.extractTables(
+      "<table><tr><td>a</td></tr></table><p>x</p><table><tr><td>b</td><td>c</td></tr></table>")
+    assert(ts.map(_.n_cells) == Seq(1L, 2L))
+    assert(ts.map(_.table_idx) == Seq(0, 1))
+    assert(Tables.extractTables("<table></table>").head.n_rows == 0L)
+    assert(Tables.extractTables("<p>tr td table text without tags</p>").isEmpty)
+    assert(Tables.extractTables("<table><tr><td>unclosed").isEmpty,
+      "a truncated table is dropped, not hallucinated")
+  }
+
+  test("content hash is deterministic and text-sensitive") {
+    val a = Tables.extractTables("<table><tr><td>x</td></tr></table>").head
+    val b = Tables.extractTables("<table><tr><td> x </td></tr></table>").head
+    val c = Tables.extractTables("<table><tr><td>y</td></tr></table>").head
+    assert(a.cells_sha256 == b.cells_sha256, "whitespace collapses before hashing")
+    assert(a.cells_sha256 != c.cells_sha256)
+  }
+}
