@@ -181,7 +181,7 @@ object Bench {
       "q_suffix_repeats", "q_kcenter_coreset", "q_ktruss",
       "q_compaction_plan", "q_zorder_layout", "q_bootstrap_ci",
       "q_scene_cuts", "q_texttiling", "q_pagerank_delta", "q_lsh_scurve",
-      "q_homoglyph_spoof",
+      "q_homoglyph_spoof", "q_html_tables",
       "q_redirect_resolve", "q_revalidate",
       "q_phrase_search", "q_trustrank", "q_charset_detect",
       "q_harmonic", "q_harmonic_hll", "q_blocklist", "q_feed_discovery",
