@@ -427,8 +427,9 @@ object SparkEntry {
       graft.pipeline.WebIndex.cdxIndexSql(fixtureSql("q_extract_link_edges")),
     "q_reciprocal_links" ->
       graft.pipeline.WebIndex.reciprocalLinksSql(fixtureSql("q_extract_link_edges")),
-    // independent recompute: DuckDB re-executes all min-label propagation
-    // rounds as unrolled chained CTEs (the pageRank oracle discipline)
+    // independent exact method: DuckDB computes component = min reachable
+    // host by recursive-CTE transitive closure — cross-checks the Spark
+    // star-alternation kernel's fixpoint with no diameter assumption
     "q_host_components" ->
       graft.pipeline.WebIndex.hostComponentsSql(fixtureSql("q_extract_link_edges")),
     // independent recompute: DuckDB re-executes all plurality-label rounds
@@ -524,8 +525,8 @@ object SparkEntry {
     // independent recompute: DuckDB re-explodes the 8-grams, recounts df,
     // and re-derives every document's novelty ledger
     "q_gram_novelty" -> graft.pipeline.GramNovelty.gramNoveltySql,
-    // independent recompute: DuckDB re-executes the full min-label
-    // recurrence then re-derives the octave census
+    // independent exact method: recursive-CTE transitive closure, then
+    // the identical octave census
     "q_component_dist" ->
       graft.pipeline.ComponentDist.componentDistSql(fixtureSql("q_extract_link_edges")),
     // independent replay: DuckDB re-derives masses, both shard layouts

@@ -34,6 +34,15 @@ object Tables {
   private def cellText(s: String): String =
     WsRe.replaceAllIn(TagRe.replaceAllIn(s, " "), " ").trim
 
+  /** First occurrence of `tag` at/after `from` whose name actually ENDS
+    * there ([[tagBoundary]]) — skips custom elements like
+    * `<table-of-contents>`. */
+  private def indexOfTag(lower: String, tag: String, from: Int): Int = {
+    var i = lower.indexOf(tag, from)
+    while (i >= 0 && !tagBoundary(lower, i + tag.length)) i = lower.indexOf(tag, i + 1)
+    i
+  }
+
   /** Spans of `<table ...>...</table>` at the given nesting level within
     * `html`, depth-tracked (malformed/unclosed tables are dropped). */
   private def tableSpans(html: String): Seq[(Int, Int)] = {
@@ -41,15 +50,15 @@ object Tables {
     val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
     var i = 0
     while (i < lower.length) {
-      val open = lower.indexOf("<table", i)
+      val open = indexOfTag(lower, "<table", i)
       if (open < 0) { i = lower.length }
       else {
         var depth = 0
         var j = open
         var end = -1
         while (end < 0 && j < lower.length) {
-          val nextOpen = lower.indexOf("<table", j + 1)
-          val nextClose = lower.indexOf("</table", j + 1)
+          val nextOpen = indexOfTag(lower, "<table", j + 1)
+          val nextClose = indexOfTag(lower, "</table", j + 1)
           if (nextClose < 0) { j = lower.length } // unclosed: drop
           else if (nextOpen >= 0 && nextOpen < nextClose) { depth += 1; j = nextOpen }
           else if (depth > 0) { depth -= 1; j = nextClose }
@@ -97,9 +106,14 @@ object Tables {
   }
 
   /** True iff the tag name ENDS at `pos` — `<th` must not match
-    * `<thead`, `<tr` must not match `<track`. */
+    * `<thead`, `<tr` must not match `<track`, and `<table` must not match
+    * a custom element like `<table-of-contents>` (names may continue with
+    * letters, digits, or '-'). */
   private def tagBoundary(lower: String, pos: Int): Boolean =
-    pos >= lower.length || !lower.charAt(pos).isLetter
+    pos >= lower.length || {
+      val c = lower.charAt(pos)
+      !c.isLetter && !c.isDigit && c != '-'
+    }
 
   /** Raw segments opening with `tag` (case-insensitive, name-boundary
     * checked), each running to the next same-level opener. */

@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.pipeline.Dedup
@@ -138,6 +139,14 @@ object GraftExpressions {
       extends BinaryExpression {
     override def dataType: DataType = LongType
     override def prettyName: String = "common_prefix_len"
+    // analysis-time type check: a non-string operand must fail the query,
+    // not surface as a runtime ClassCastException mid-stage
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType && right.dataType == StringType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, string), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
       commonPrefixEval(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
@@ -160,6 +169,19 @@ object GraftExpressions {
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "dot_double"
+    // the kernel reads via ArrayData.getFloat — an array<double> operand
+    // would silently decode garbage, so pin the types at analysis time
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def isFloatArray(t: DataType) = t match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+      if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+    }
 
     override protected def nullSafeEval(a: Any, b: Any): Any =
       dotDoubleEval(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])

@@ -23,8 +23,9 @@ import org.apache.spark.sql.functions._
   * here). All exact integers; bit-length bucketing (the [[DegreeDist]]
   * no-float-log2 discipline).
   *
-  * Scale shape (100 TB): the shared min-label component kernel
-  * ([[WebIndex.components]] — keys-only shuffles, constant plan size),
+  * Scale shape (100 TB): the shared star-alternation component kernel
+  * ([[WebIndex.components]] — keys-only shuffles, constant plan size,
+  * O(log n) rounds to convergence),
   * then one keyed size aggregation, a ≤64-row octave rollup, and a
   * window over those ≤64 rows. No driver state, no collect.
   */
@@ -66,22 +67,14 @@ object ComponentDist {
       .union(WebIndex.CcPlantPairs.toDF("a", "b")))
   }
 
-  /** DuckDB twin: the full min-label recurrence (the [[WebIndex
-    * .hostComponentsSql]] discipline) then the identical octave census. */
+  /** DuckDB twin: an independent exact component method — recursive-CTE
+    * transitive closure (the [[WebIndex.hostComponentsSql]] discipline,
+    * no diameter assumption) then the identical octave census. */
   def componentDistSql(edgesSelect: String): String = {
-    val R = WebIndex.CcRounds
-    val rounds = (1 to R).map { i =>
-      s"""l$i AS MATERIALIZED (
-         |  SELECT l.host, least(l.label, coalesce(m.nmin, l.label)) AS label
-         |  FROM l${i - 1} l LEFT JOIN (
-         |    SELECT e.a AS host, min(x.label) AS nmin
-         |    FROM un e JOIN l${i - 1} x ON x.host = e.b
-         |    GROUP BY e.a) m ON m.host = l.host)""".stripMargin
-    }.mkString(",\n")
     val plant = "SELECT a, b FROM (VALUES " +
       WebIndex.CcPlantPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
       ") v(a, b)"
-    s"""WITH e0 AS ($edgesSelect),
+    s"""WITH RECURSIVE e0 AS ($edgesSelect),
        |pairs0 AS (
        |  SELECT a, b FROM (
        |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,
@@ -93,9 +86,12 @@ object ComponentDist {
        |un AS MATERIALIZED (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0)),
-       |l0 AS (SELECT DISTINCT a AS host, a AS label FROM un),
-       |$rounds,
-       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM l$R GROUP BY label),
+       |reach(host, r) AS (
+       |  SELECT DISTINCT a, a FROM un
+       |  UNION
+       |  SELECT w.host, e.b FROM reach w JOIN un e ON e.a = w.r),
+       |lab AS MATERIALIZED (SELECT host, min(r) AS label FROM reach GROUP BY host),
+       |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS sz FROM lab GROUP BY label),
        |bk AS (
        |  SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS octave,
        |         CAST(count(*) AS BIGINT) AS n_components,

@@ -11,8 +11,11 @@ import graft.urls.UrlKernel
 
 /** Crawl-surface queries for the driver contract. These run on the
   * deterministic synthetic corpus (the north-rule input table shape), not on
-  * the TPC-H-ish tables, so they carry no DuckDB oracle — their correctness
-  * gate is the frozen-golden + parity ScalaTest suite (CrawlEngineSpec).
+  * the TPC-H-ish tables; each carries a frozen-fixture DuckDB oracle
+  * (graft.tools.OracleFixtureGen) in the CORRECTNESS gate, and the
+  * frozen-golden + parity ScalaTest suite (CrawlEngineSpec) additionally
+  * gates the semantics a value compare can't (crawl-order byte parity,
+  * resume, local[2]==local[8] invariance).
   * The sfDir argument is accepted for signature uniformity and ignored.
   */
 object CrawlQueries {

@@ -65,7 +65,11 @@ object Homoglyph {
       .filter(col("host") =!= "").distinct()
     val ranked = hosts.withColumn("rk",
       row_number().over(org.apache.spark.sql.expressions.Window.orderBy("host")))
-    val nHosts = ranked.agg(max("rk")).head.getInt(0)
+    // max over zero rows is null — an empty host universe must yield an
+    // empty census, not a driver NPE
+    val nHostsBoxed = ranked.agg(max("rk")).head.get(0).asInstanceOf[java.lang.Integer]
+    if (nHostsBoxed == null) return homoglyphCensus(hosts)
+    val nHosts = nHostsBoxed.intValue()
     val twins = ranked.filter(col("rk") <= 5 || col("rk") === nHosts)
       .select(translate(col("host"), Targets, Confusables).as("host"))
     // the squatting case: the LAST host's clean original does not survive

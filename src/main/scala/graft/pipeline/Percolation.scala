@@ -23,11 +23,13 @@ import org.apache.spark.sql.functions._
   *
   * Mechanism: degree ranking computed ONCE on the intact graph (one
   * bounded K-row driver read, the [[Bowtie]] pivot discipline); per k one
-  * anti-filtered edge set and one run of the shared min-label components
-  * kernel ([[WebIndex.components]]'s recurrence). The K+1 component runs
-  * are the price of the curve and K is a pinned constant — at 100 TB each
-  * run is host-granular (the [[WebIndex]] scale note), and the curve is
-  * recomputed at audit cadence, not per wave. Isolated survivors are
+  * anti-filtered edge set and one run of the shared star-alternation
+  * components kernel ([[WebIndex.components]]), iterated from the
+  * most-removed level down so each level WARM-STARTS from the previous
+  * level's labels (nested edge sets make them valid merges). The K+1
+  * component runs are the price of the curve and K is a pinned constant —
+  * at 100 TB each run is host-granular (the [[WebIndex]] scale note), and
+  * the curve is recomputed at audit cadence, not per wave. Isolated survivors are
   * singleton components and can never be the giant at these k (the spec
   * pins the edge set stays non-empty across the horizon).
   *
@@ -70,16 +72,22 @@ object Percolation {
     val ranking = und.groupBy(col("a").as("host")).agg(count(lit(1)).as("d"))
       .orderBy(desc("d"), asc("host")).limit(MaxK).collect()
       .map(_.getString(0)).toSeq
-    val rows = (0 to MaxK).map { k =>
+    // levels are nested (level k+1's edges ⊂ level k's), so iterate from
+    // the MOST-removed level down: each level's labels are genuine
+    // connectivity facts for the next, warm-starting the star alternation
+    // instead of running the full recurrence cold K+1 times
+    var warm: Option[DataFrame] = None
+    val rows = (MaxK to 0 by -1).map { k =>
       val removed = ranking.take(k)
       val kept =
         if (k == 0) und
         else und.filter(!col("a").isin(removed: _*) && !col("b").isin(removed: _*))
-      val giant = WebIndex.components(kept)
-        .agg(max("component_size")).head().getLong(0)
+      val comps = WebIndex.components(kept, warm).localCheckpoint()
+      val giant = comps.agg(max("component_size")).head().getLong(0)
+      warm = Some(comps.select(col("host"), col("component").as("label")))
       (k.toLong, if (k == 0) "-" else ranking(k - 1), n0 - k, giant,
         giant * 1000L / n0)
-    }
+    }.reverse
     rows.toDF("k", "removed_host", "n_hosts", "giant", "giant_permille")
       .orderBy("k")
   }
@@ -95,34 +103,28 @@ object Percolation {
       .union(DumbbellPairs.toDF("a", "b")))
   }
 
-  /** DuckDB twin: the static attack ranking plus, per k, the full
-    * min-label component recurrence ([[WebIndex.CcRounds]] rounds) as
-    * MATERIALIZED chained CTEs over the filtered edge set. */
+  /** DuckDB twin: the static attack ranking plus, per k, an INDEPENDENT
+    * exact component method — recursive-CTE transitive closure (component
+    * = min reachable host, the [[WebIndex.hostComponentsSql]] discipline;
+    * no diameter assumption, matching the convergent Spark kernel) over
+    * the filtered edge set. */
   def percolationSql(edgesSelect: String): String = {
-    val R = WebIndex.CcRounds
-    def perK(k: Int): String = {
-      val rounds = (1 to R).map { i =>
-        s"""k${k}l$i AS MATERIALIZED (
-           |  SELECT l.host, least(l.label, coalesce(m.nmin, l.label)) AS label
-           |  FROM k${k}l${i - 1} l LEFT JOIN (
-           |    SELECT e.a AS host, min(x.label) AS nmin
-           |    FROM k${k}e e JOIN k${k}l${i - 1} x ON x.host = e.b
-           |    GROUP BY e.a) m ON m.host = l.host)""".stripMargin
-      }.mkString(",\n")
+    def perK(k: Int): String =
       s"""k${k}e AS MATERIALIZED (
          |  SELECT a, b FROM un
          |  WHERE a NOT IN (SELECT host FROM rk WHERE rn <= $k)
          |    AND b NOT IN (SELECT host FROM rk WHERE rn <= $k)),
-         |k${k}l0 AS (SELECT DISTINCT a AS host, a AS label FROM k${k}e),
-         |$rounds,
+         |k${k}reach(host, r) AS (
+         |  SELECT DISTINCT a, a FROM k${k}e
+         |  UNION
+         |  SELECT w.host, e.b FROM k${k}reach w JOIN k${k}e e ON e.a = w.r),
+         |k${k}lab AS MATERIALIZED (
+         |  SELECT host, min(r) AS label FROM k${k}reach GROUP BY host),
          |g$k AS (
-         |  SELECT $k AS k,
-         |    CAST((SELECT count(*) FROM k${k}l$R WHERE label = t.label) AS BIGINT) AS giant
-         |  FROM (SELECT label FROM k${k}l$R GROUP BY label
-         |        ORDER BY count(*) DESC LIMIT 1) t)""".stripMargin
-    }
+         |  SELECT $k AS k, CAST(max(cnt) AS BIGINT) AS giant FROM (
+         |    SELECT count(*) AS cnt FROM k${k}lab GROUP BY label))""".stripMargin
     val allG = (0 to MaxK).map(k => s"SELECT * FROM g$k").mkString(" UNION ALL ")
-    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+    s"""WITH RECURSIVE edges AS (SELECT src, dst FROM ($edgesSelect)),
        |pairs0 AS (
        |  SELECT a, b FROM (
        |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,

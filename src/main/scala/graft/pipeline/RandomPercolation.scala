@@ -24,9 +24,11 @@ import org.apache.spark.sql.functions._
   * the ORIGINAL node count — the paper's S/N with a stable denominator).
   *
   * Scale shape: identical to [[Percolation]] — host-granular, one filtered
-  * edge set + one run of the shared min-label component kernel per level,
-  * |Levels| pinned runs at audit cadence; the removal counts for ALL
-  * levels come from ONE conditional aggregate (no per-level driver reads).
+  * edge set + one warm-started run of the shared star-alternation
+  * component kernel per level (most-removed level first; nesting makes
+  * prior labels valid merges), |Levels| pinned runs at audit cadence; the
+  * removal counts for ALL levels come from ONE conditional aggregate (no
+  * per-level driver reads).
   * Isolated survivors (hosts that keep their hash but lose every edge)
   * are singletons and never the giant at these p — same caveat as the
   * attack curve, same spec pin.
@@ -58,15 +60,20 @@ object RandomPercolation {
         sum(when(col("h") < threshold(p), 1L).otherwise(0L)).as(s"r$p")): _*).head()
     val n0 = cnt.getLong(0)
     val removedAt = Levels.zipWithIndex.map { case (p, i) => p -> cnt.getLong(i + 1) }.toMap
-    val rows = Levels.map { p =>
+    // removal is monotone nested by construction (hash < p·2⁴⁴/1000), so
+    // iterate from the most-removed level down, warm-starting each level's
+    // star alternation with the previous level's labels ([[Percolation]])
+    var warm: Option[DataFrame] = None
+    val rows = Levels.reverse.map { p =>
       val thr = threshold(p)
       val kept =
         if (p == 0) und
         else und.filter(hash44(col("a")) >= thr && hash44(col("b")) >= thr)
-      val giant = WebIndex.components(kept)
-        .agg(max("component_size")).head().getLong(0)
+      val comps = WebIndex.components(kept, warm).localCheckpoint()
+      val giant = comps.agg(max("component_size")).head().getLong(0)
+      warm = Some(comps.select(col("host"), col("component").as("label")))
       (p.toLong, removedAt(p), n0 - removedAt(p), giant, giant * 1000L / n0)
-    }
+    }.reverse
     rows.toDF("p_permille", "n_removed", "n_hosts", "giant", "giant_permille")
       .orderBy("p_permille")
   }
@@ -83,31 +90,26 @@ object RandomPercolation {
       .union(Percolation.DumbbellPairs.toDF("a", "b")))
   }
 
-  /** DuckDB twin: same hash thresholds, same per-level min-label component
-    * recurrence as MATERIALIZED chained CTEs. */
+  /** DuckDB twin: same hash thresholds; per level an INDEPENDENT exact
+    * component method — recursive-CTE transitive closure
+    * ([[WebIndex.hostComponentsSql]] discipline, no diameter assumption,
+    * matching the convergent Spark kernel). */
   def randomPercolationSql(edgesSelect: String): String = {
-    val R = WebIndex.CcRounds
     def h(c: String): String = s"CAST(('0x' || substr(md5($c), 1, 11)) AS BIGINT)"
     def perP(p: Int): String = {
       val thr = threshold(p)
-      val rounds = (1 to R).map { i =>
-        s"""p${p}l$i AS MATERIALIZED (
-           |  SELECT l.host, least(l.label, coalesce(m.nmin, l.label)) AS label
-           |  FROM p${p}l${i - 1} l LEFT JOIN (
-           |    SELECT e.a AS host, min(x.label) AS nmin
-           |    FROM p${p}e e JOIN p${p}l${i - 1} x ON x.host = e.b
-           |    GROUP BY e.a) m ON m.host = l.host)""".stripMargin
-      }.mkString(",\n")
       s"""p${p}e AS MATERIALIZED (
          |  SELECT a, b FROM un
          |  WHERE ${h("a")} >= $thr AND ${h("b")} >= $thr),
-         |p${p}l0 AS (SELECT DISTINCT a AS host, a AS label FROM p${p}e),
-         |$rounds,
+         |p${p}reach(host, r) AS (
+         |  SELECT DISTINCT a, a FROM p${p}e
+         |  UNION
+         |  SELECT w.host, e.b FROM p${p}reach w JOIN p${p}e e ON e.a = w.r),
+         |p${p}lab AS MATERIALIZED (
+         |  SELECT host, min(r) AS label FROM p${p}reach GROUP BY host),
          |g$p AS (
-         |  SELECT $p AS p,
-         |    CAST((SELECT count(*) FROM p${p}l$R WHERE label = t.label) AS BIGINT) AS giant
-         |  FROM (SELECT label FROM p${p}l$R GROUP BY label
-         |        ORDER BY count(*) DESC LIMIT 1) t)""".stripMargin
+         |  SELECT $p AS p, CAST(max(cnt) AS BIGINT) AS giant FROM (
+         |    SELECT count(*) AS cnt FROM p${p}lab GROUP BY label))""".stripMargin
     }
     val dumbbell = "SELECT a, b FROM (VALUES " +
       Percolation.DumbbellPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
@@ -117,7 +119,7 @@ object RandomPercolation {
       s"CAST((SELECT count(*) FROM hosts WHERE h < ${threshold(p)}) AS BIGINT)" +
         s" AS r$p").mkString(", ")
     val remPick = Levels.map(p => s"WHEN g.p = $p THEN rm.r$p").mkString(" ")
-    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+    s"""WITH RECURSIVE edges AS (SELECT src, dst FROM ($edgesSelect)),
        |pairs0 AS (
        |  SELECT a, b FROM (
        |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,

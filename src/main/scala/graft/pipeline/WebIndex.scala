@@ -164,12 +164,14 @@ object WebIndex {
     reciprocal(hostPairs)
   }
 
-  /** Label-propagation rounds for [[hostComponents]]. Exact when every
-    * component's diameter is ≤ this (WebIndexSpec proves it IS the fixpoint
-    * on this corpus by replaying to convergence); the 10^8-host scale path
-    * is the large-star/small-star alternation (O(log n) rounds), with this
-    * bounded propagation as its inner step. */
-  val CcRounds = 10
+  /** Hard ceiling on large-star/small-star alternation rounds before
+    * [[components]] fails loudly. The alternation contracts every
+    * component to a star in O(log² n) rounds worst-case and ~log n in
+    * practice (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014) — 40 rounds covers any graph this engine could
+    * meet; hitting the ceiling means a bug, and silence would mean
+    * silently under-merged components, so the guard throws. */
+  val CcMaxRounds = 40
 
   /** Planted 3-host ring connected to nothing else — the corpus graph is
     * organically one giant component plus leaves, so a second non-trivial
@@ -184,29 +186,98 @@ object WebIndex {
       CcPlantPairs.map { case (a, b) => s"('$a', '$b')" }.mkString(", ") +
       ") v(a, b)"
 
-  /** Connected components over any (a, b) host-pair frame: symmetrize,
-    * then [[CcRounds]] rounds of min-label propagation (label = the
-    * lexicographically smallest reachable host — a total order both
+  /** One large-star round: every node u connects its strictly-larger
+    * neighbors to the minimum of its closed neighborhood — tall trees
+    * flatten toward local minima. Input/output: a distinct (u, v)
+    * edge set with no self-loops. Keys-only shuffles (one keyed min
+    * aggregation + one hash join on u). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("lu"), least(col("mv"), col("u")).as("m"))
+    sym.join(mins, sym("u") === mins("lu"))
+      .where(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient every edge large→small, then every node
+    * hangs its smaller neighbors (and itself) off the minimum — stars
+    * merge through shared members. Same shuffle shape as [[largeStar]]. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+    val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      .select(col("u").as("su"), col("m"))
+    oriented.join(mins, oriented("u") === mins("su"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("su").as("u"), col("m").as("v")))
+      .where(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components over any (a, b) host-pair frame by
+    * large-star/small-star alternation (Kiveris et al., SoCC 2014 — the
+    * MapReduce-native CC algorithm): each round is two keyed
+    * min-aggregations + two hash joins over the current edge set, and the
+    * edge set contracts to one star per component, centered on the
+    * component's lexicographically smallest host (a total order both
     * engines share, so the result is deterministic at any parallelism).
-    * Per round: one labels⋈edges hash join + one keyed min aggregation —
-    * keys-only shuffles, constant plan size via per-round lineage cuts
-    * (the [[CrawlQueries.pageRankKernel]] discipline). Site-cluster /
-    * mirror-farm grouping is the crawl-policy read: budget and reputation
-    * should attach to the CLUSTER, not the host alias. */
-  def components(pairsIn: DataFrame): DataFrame = {
+    * Rounds run UNTIL CONVERGENCE — O(log n) rounds regardless of
+    * component diameter (a diameter-10^6 link chain costs ~20 rounds, not
+    * 10^6) — with per-round lineage cuts for a constant plan size, a
+    * [[CcMaxRounds]] ceiling that throws rather than under-merge, and a
+    * final star-shape audit (every center rootless, every member exactly
+    * one center) that makes silent non-convergence structurally
+    * impossible. Site-cluster / mirror-farm grouping is the crawl-policy
+    * read: budget and reputation should attach to the CLUSTER, not the
+    * host alias.
+    *
+    * `warmStart`: optional (host, label) assertions from a PREVIOUS run
+    * over an edge SUBSET (nested-level curves: [[Percolation]] /
+    * [[RandomPercolation]] iterate levels from fewest edges to most) —
+    * they are genuine connectivity facts there, so they merge for free
+    * here; nodes are still derived from the real edges only. */
+  def components(pairsIn: DataFrame, warmStart: Option[DataFrame] = None): DataFrame = {
     val dir0 = pairsIn.filter(col("a") =!= col("b"))
     val und = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     val nodes = und.select(col("a").as("host")).distinct().localCheckpoint()
-    var labels = nodes.select(col("host"), col("host").as("label"))
-    for (_ <- 1 to CcRounds) {
-      val nbrMin = und.join(labels.withColumnRenamed("host", "b"), "b")
-        .groupBy(col("a").as("host")).agg(min("label").as("nmin"))
-      labels = nodes.join(labels, "host").join(nbrMin, Seq("host"), "left")
-        .select(col("host"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint()
+    val seed = warmStart match {
+      case Some(w) => und.select(col("a").as("u"), col("b").as("v"))
+        .union(w.select(col("host").as("u"), col("label").as("v"))
+          .where(col("u") =!= col("v")))
+      case None => und.select(col("a").as("u"), col("b").as("v"))
     }
+    var e = seed.distinct().localCheckpoint()
+    var converged = false
+    var round = 0
+    while (!converged && round < CcMaxRounds) {
+      round += 1
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      // fixpoint test: the alternation's potential strictly decreases
+      // until the star state, so set-equality with the previous round is
+      // exactly convergence (two keys-only jobs: anti-join + count)
+      converged = next.except(e).isEmpty && next.count() == e.count()
+      e = next
+    }
+    if (!converged) throw new IllegalStateException(
+      s"components: star alternation did not converge in $CcMaxRounds rounds " +
+        "— refusing to return possibly under-merged components")
+    // star-shape audit: no center may itself point anywhere, and no
+    // member may carry two centers — a violated invariant here means the
+    // convergence test lied, and the only safe behavior is to fail
+    val centers = e.select(col("v").as("c")).distinct()
+    require(centers.join(e, centers("c") === e("u")).isEmpty,
+      "components: a star center has an outgoing edge after convergence")
+    require(e.groupBy("u").agg(countDistinct("v").as("nv"))
+      .where(col("nv") > 1).isEmpty,
+      "components: a node carries two star centers after convergence")
+    val parents = e.select(col("u").as("host"), col("v").as("plabel"))
+    val labels = nodes.join(parents, Seq("host"), "left")
+      .select(col("host"), coalesce(col("plabel"), col("host")).as("label"))
     val sizes = labels.groupBy("label").agg(count(lit(1)).as("component_size"))
     labels.join(sizes, "label")
       .select(col("host"), col("label").as("component"), col("component_size"))
@@ -224,19 +295,16 @@ object WebIndex {
       .union(CcPlantPairs.toDF("a", "b")))
   }
 
-  /** DuckDB twin of [[hostComponents]]: the identical min-label recurrence
-    * unrolled as chained CTEs (the pageRankSql discipline — an independent
-    * re-execution of all [[CcRounds]] rounds, not a frozen output). */
-  def hostComponentsSql(edgesSelect: String): String = {
-    val rounds = (1 to CcRounds).map { i =>
-      s"""l$i AS (
-         |  SELECT l.host, least(l.label, coalesce(m.nmin, l.label)) AS label
-         |  FROM l${i - 1} l LEFT JOIN (
-         |    SELECT e.a AS host, min(x.label) AS nmin
-         |    FROM und e JOIN l${i - 1} x ON x.host = e.b
-         |    GROUP BY e.a) m ON m.host = l.host)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH edges AS (SELECT src, dst FROM ($edgesSelect)),
+  /** DuckDB twin of [[hostComponents]]: an INDEPENDENT exact method — a
+    * recursive-CTE transitive closure, component = min reachable host —
+    * rather than a replay of the Spark kernel's star alternation. Both
+    * compute the true fixpoint, so agreement cross-checks the algorithm,
+    * not just the arithmetic (and unlike the retired bounded-round
+    * recurrence, neither side carries a diameter assumption). Closure is
+    * quadratic in component size — exactly right at oracle scale, never
+    * the cluster path. */
+  def hostComponentsSql(edgesSelect: String): String =
+    s"""WITH RECURSIVE edges AS (SELECT src, dst FROM ($edgesSelect)),
        |pairs0 AS (
        |  SELECT a, b FROM (
        |    SELECT regexp_extract(src, '^https?://([^/]+)', 1) AS a,
@@ -248,15 +316,17 @@ object WebIndex {
        |und AS (
        |  SELECT DISTINCT a, b FROM (
        |    SELECT a, b FROM pairs0 UNION ALL SELECT b, a FROM pairs0)),
-       |l0 AS (SELECT DISTINCT a AS host, a AS label FROM und),
-       |$rounds,
+       |reach(host, r) AS (
+       |  SELECT DISTINCT a, a FROM und
+       |  UNION
+       |  SELECT w.host, e.b FROM reach w JOIN und e ON e.a = w.r),
+       |lab AS (SELECT host, min(r) AS label FROM reach GROUP BY host),
        |sizes AS (
        |  SELECT label, CAST(count(*) AS BIGINT) AS component_size
-       |  FROM l$CcRounds GROUP BY label)
+       |  FROM lab GROUP BY label)
        |SELECT l.host, l.label AS component, s.component_size
-       |FROM l$CcRounds l JOIN sizes s ON s.label = l.label
+       |FROM lab l JOIN sizes s ON s.label = l.label
        |ORDER BY l.host""".stripMargin
-  }
 
   /** DuckDB twin of [[reciprocalLinks]]: same host mapping as the other
     * hygiene twins, same plant, full recompute. */

@@ -33,7 +33,10 @@ object StreamingGramStore {
     * gram rule as the batch operator. */
   def sightingsOf(docId: Long, text: String): Seq[GramSighting] = {
     val k = graft.pipeline.Decontaminate.GramLen
-    val ws = text.split(" ")
+    // limit -1: Spark SQL `split` keeps trailing empty tokens; Java's
+    // default drops them — the batch twin's gram set would diverge on
+    // trailing-space text otherwise.
+    val ws = text.split(" ", -1)
     if (ws.length < k) Seq.empty
     else (0 to ws.length - k).map(i => ws.slice(i, i + k).mkString(" "))
       .distinct.map(GramSighting(docId, _))

@@ -551,7 +551,7 @@ object PlanCheck {
     val tc = graft.pipeline.TriangleCensus.triangleCensusQuery(spark, sfDir)
     val tcPlan = tc.queryExecution.executedPlan.toString
     check("q_triangle_census/equi-joins-only",
-      !tcPlan.contains("BroadcastNestedLoopJoin") || tcPlan.contains("CartesianProduct") == false,
+      !tcPlan.contains("BroadcastNestedLoopJoin") && !tcPlan.contains("CartesianProduct"),
       "wedge + closure joins are keyed; no nested loop")
     check("q_triangle_census/map-side-census",
       tcPlan.contains("partial_count"), "octave rollup combines map-side")

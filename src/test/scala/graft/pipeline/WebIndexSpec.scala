@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Semantic gates for the web-index operators: every output row must match
@@ -96,7 +97,7 @@ class WebIndexSpec extends AnyFunSuite {
     assert(!got.contains("independent.example"))
   }
 
-  test("hostComponents: matches the plain-Scala fixpoint replay — CcRounds provably suffices") {
+  test("hostComponents: matches the plain-Scala fixpoint replay") {
     val hostOf = (u: String) =>
       "^https?://([^/]+)".r.findFirstMatchIn(u).map(_.group(1)).getOrElse("")
     val organic = CrawlQueries.extractLinkEdges(spark, sfDir).collect()
@@ -105,8 +106,8 @@ class WebIndexSpec extends AnyFunSuite {
     val dir0 = (organic ++ WebIndex.CcPlantPairs).filter(p => p._1 != p._2)
     val und = (dir0 ++ dir0.map(_.swap)).toSet
     val nbrs = und.groupBy(_._1).map { case (h, es) => h -> es.map(_._2) }
-    // replay to CONVERGENCE (not a fixed round count): proves the bounded
-    // CcRounds propagation already reached the fixpoint
+    // replay to CONVERGENCE — the star-alternation kernel must land on
+    // the same fixpoint
     var labels = nbrs.keys.map(h => h -> h).toMap
     var changed = true
     var rounds = 0
@@ -119,8 +120,6 @@ class WebIndexSpec extends AnyFunSuite {
         h -> nl
       }
     }
-    assert(rounds - 1 <= WebIndex.CcRounds,
-      s"graph needs ${rounds - 1} propagation rounds > CcRounds=${WebIndex.CcRounds}")
     val sizes = labels.values.groupBy(identity).map { case (l, v) => l -> v.size.toLong }
     val expected = labels.map { case (h, l) => h -> ((l, sizes(l))) }
     val got = WebIndex.hostComponents(spark, sfDir).collect()
@@ -131,6 +130,38 @@ class WebIndexSpec extends AnyFunSuite {
     assert(got("ring-y.example") == (("ring-x.example", 3L)))
     // and the organic corpus hosts are NOT in the ring's component
     assert(got.exists { case (h, (c, _)) => !h.contains("ring-") && c != "ring-x.example" })
+  }
+
+  test("components: planted diameter-30 chain merges exactly — past any bounded-round horizon") {
+    import spark.implicits._
+    // a 31-host chain (diameter 30) would silently under-merge under any
+    // fixed-round one-hop propagation; star alternation must land the
+    // exact single component in O(log n) rounds
+    val chain = (0 until 30).map(i => (f"chain-$i%02d.example", f"chain-${i + 1}%02d.example"))
+    val got = WebIndex.components(chain.toDF("a", "b")).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got.size == 31)
+    got.foreach { case (h, (c, sz)) =>
+      assert(c == "chain-00.example", s"$h labeled $c")
+      assert(sz == 31L, s"$h size $sz")
+    }
+    // and a forked variant (two chains sharing one end) still one component
+    val fork = chain ++ (0 until 15).map(i => (f"fork-$i%02d.example",
+      if (i == 14) "chain-15.example" else f"fork-${i + 1}%02d.example"))
+    val got2 = WebIndex.components(fork.toDF("a", "b")).collect()
+    assert(got2.length == 46 && got2.forall(_.getString(1) == "chain-00.example"))
+  }
+
+  test("components: warm-start labels from an edge subset change nothing") {
+    import spark.implicits._
+    val chain = (0 until 30).map(i => (f"chain-$i%02d.example", f"chain-${i + 1}%02d.example"))
+    val full = chain ++ Seq(("chain-31b.example", "chain-00.example"))
+    val cold = WebIndex.components(full.toDF("a", "b")).collect().toSeq
+    // warm labels computed on a SUBSET of the edges (drop the last link)
+    val sub = WebIndex.components(chain.dropRight(1).toDF("a", "b"))
+      .select(col("host"), col("component").as("label"))
+    val warm = WebIndex.components(full.toDF("a", "b"), Some(sub)).collect().toSeq
+    assert(warm == cold)
   }
 
   test("reciprocalLinks plan: hash joins only — no cartesian/nested-loop") {
