@@ -84,16 +84,7 @@ object Centrality {
     var frontier = seen                   // bits with d(u,v) = t exactly
     val counts = Vector.newBuilder[DataFrame]
     for (t <- 1 to MaxDist) {
-      // bits that reach v in ≤ t+1 hops arrive along in-edges of v
-      val prop = edges
-        .join(frontier.withColumnRenamed("url", "src"), "src")
-        .groupBy(col("dst").as("url"), col("grp"))
-        .agg(expr("bit_or(mask)").as("m"))
-      frontier = prop
-        .join(seen.withColumnRenamed("mask", "old"), Seq("url", "grp"), "left")
-        .withColumn("mask", expr("m & ~coalesce(old, CAST(0 AS BIGINT))"))
-        .filter(col("mask") =!= 0)
-        .select("url", "grp", "mask")
+      frontier = harmonicStep(edges, frontier, seen)
         .localCheckpoint() // lineage cut: constant executed-plan size per round
       counts += frontier.groupBy("url")
         .agg(sum(expr("bit_count(mask)")).cast("long").as("cnt"))
@@ -109,6 +100,26 @@ object Centrality {
     indexed.select("url").join(reach, Seq("url"), "left")
       .na.fill(0L, Seq("h_scaled", "n_reached", "max_d"))
       .orderBy("url")
+  }
+
+  /** One MS-BFS expansion step (the loop body, factored so PlanCheck can
+    * audit the per-round physical plan the kernel actually runs): bits
+    * that reach v in ≤ t+1 hops arrive along in-edges of v; the keyed
+    * bit_or combines map-side, then the seen-mask left-join keeps only
+    * newly-lit bits. */
+  private[graft] def harmonicStep(
+      edges: DataFrame, frontier: DataFrame, seen: DataFrame): DataFrame = {
+    val prop = edges
+      .join(frontier.withColumnRenamed("url", "src"), "src")
+      .groupBy(col("dst").as("url"), col("grp"))
+      .agg(expr("bit_or(mask)").as("m"))
+    prop
+      // shuffle_hash: same per-round no-sort discipline as pageRankRound
+      .join(seen.withColumnRenamed("mask", "old").hint("shuffle_hash"),
+        Seq("url", "grp"), "left")
+      .withColumn("mask", expr("m & ~coalesce(old, CAST(0 AS BIGINT))"))
+      .filter(col("mask") =!= 0)
+      .select("url", "grp", "mask")
   }
 
   /** Contract query `q_harmonic`: exact truncated harmonic centrality per

@@ -240,15 +240,7 @@ object CrawlQueries {
     val weighted = edges.join(outDeg, "src").localCheckpoint()
     var ranks = nodes.select(col("url"), lit(PageRankUnitMicro).as("rank_micro"))
     for (_ <- 1 to PageRankIters) {
-      val contribs = weighted
-        .join(ranks.withColumnRenamed("url", "src"), "src")
-        .select(col("dst").as("url"), expr("rank_micro div out_deg").as("c"))
-        .groupBy("url").agg(sum("c").as("s"))
-      ranks = nodes.join(contribs, Seq("url"), "left")
-        .select(col("url"),
-          expr(s"$PageRankFloorMicro + ($PageRankDampPct * coalesce(s, cast(0 as bigint))) div 100")
-            .as("rank_micro"))
-        .localCheckpoint()
+      ranks = pageRankRound(weighted, nodes, ranks).localCheckpoint()
     }
     ranks
       .join(inDeg.withColumnRenamed("dst", "url"), Seq("url"), "left")
@@ -256,6 +248,25 @@ object CrawlQueries {
       .na.fill(0L, Seq("in_deg", "out_deg"))
       .select(col("url").as(keyName), col("rank_micro"), col("in_deg"), col("out_deg"))
       .orderBy(desc("rank_micro"), asc(keyName))
+  }
+
+  /** One power-iteration round (the loop body, factored so PlanCheck can
+    * audit the per-round physical plan the kernel actually runs): the
+    * contribution join + keyed sum with map-side combine, then the
+    * floor+damp rejoin against the node universe. */
+  private[graft] def pageRankRound(
+      weighted: DataFrame, nodes: DataFrame, ranks: DataFrame): DataFrame = {
+    val contribs = weighted
+      .join(ranks.withColumnRenamed("url", "src"), "src")
+      .select(col("dst").as("url"), expr("rank_micro div out_deg").as("c"))
+      .groupBy("url").agg(sum("c").as("s"))
+    // shuffle_hash: at scale contribs is node-sized, and the default
+    // sort-merge would pay two sorts PER ROUND on co-partitioned sides;
+    // at toy scale AQE still upgrades the hinted join to broadcast
+    nodes.join(contribs.hint("shuffle_hash"), Seq("url"), "left")
+      .select(col("url"),
+        expr(s"$PageRankFloorMicro + ($PageRankDampPct * coalesce(s, cast(0 as bigint))) div 100")
+          .as("rank_micro"))
   }
 
   /** DuckDB twin of [[pageRank]]: the SAME integer recurrence, unrolled as

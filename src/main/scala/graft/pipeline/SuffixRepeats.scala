@@ -19,13 +19,20 @@ import org.apache.spark.sql.functions._
   * The scalable formulation: suffixes are truncated to 64-char WINDOWS
   * (`WinCap`) — shuffle blowup is bounded at 64× corpus bytes (the
   * [[GramNovelty]] 8-gram discipline, just wider), lcp saturates at the
-  * cap, and the sort is PARTITIONED by first character: suffixes in
-  * different partitions share no prefix (lcp would be 0), so per-
-  * partition adjacency is EXACT — a distributed sort with no global
-  * window (AQE splits a hot first-char). The unbounded-repeat-length
-  * alternative (prefix-doubling rank construction, O(log n) keyed
-  * rounds at 1× volume per round) trades rounds for volume; for a
-  * ≥-threshold cutter the capped window already decides every span.
+  * cap, and the sort is PARTITIONED by the 3-char prefix ([[PrefLen]]) —
+  * thousands of live keys on real text, not the ≤-alphabet ceiling (and
+  * hot skew) a first-character partition has. Boundary accounting keeps
+  * it EXACT: a prefix partition is a contiguous interval of the global
+  * suffix order, so in-partition adjacency equals global adjacency for
+  * every pair sharing ≥ [[PrefLen]] chars — a true rep ≥ 3 is always
+  * found locally — while rep ∈ {1, 2} (undercountable only at partition
+  * edges) is decided exactly by 1-/2-prefix multiplicity: rep ≥ L iff
+  * the position's L-prefix occurs ≥ 2 times corpus-wide. Those counts
+  * are alphabet-bounded side tables, broadcast back. The unbounded-
+  * repeat-length alternative (prefix-doubling rank construction,
+  * O(log n) keyed rounds at 1× volume per round) trades rounds for
+  * volume; for a ≥-threshold cutter the capped window already decides
+  * every span.
   *
   * LCP is the native codegen [[graft.functions.GraftExpressions
   * .CommonPrefixLen]] expression (code-point semantics = DuckDB's); the
@@ -43,6 +50,11 @@ object SuffixRepeats {
 
   val WinCap = 64
   val RepThreshold = 32L
+
+  /** Sort-partition prefix length: suffixes sharing this prefix land in
+    * one partition (exact local adjacency for lcp ≥ PrefLen); shorter
+    * agreements are settled by the multiplicity side tables. */
+  val PrefLen = 3
 
   /** Longest-common-prefix of two window columns — the native codegen
     * [[graft.functions.GraftExpressions.CommonPrefixLen]] expression
@@ -66,18 +78,34 @@ object SuffixRepeats {
       // substring() expression is re-projected per window function, which
       // splits lag and lead into two Window operators with an exchange +
       // sort EACH — the named column collapses them into one
-      .withColumn("pc", substring(col("win"), 1, 1))
-    // adjacency within the first-char partition is exact: cross-partition
-    // neighbors differ at char 1, lcp 0 — which is exactly what the ''
-    // sentinel default computes for the partition-edge rows
+      .withColumn("pc", substring(col("win"), 1, PrefLen))
+    // a prefix partition is a contiguous interval of the global suffix
+    // order, so local lag/lead equal global lag/lead except at partition
+    // edges — where the true neighbor shares < PrefLen chars, i.e. every
+    // possibly-missed rep is ≤ 2 and the small path below decides it
     val order = Window.partitionBy("pc")
       .orderBy(col("win"), col("doc_id"), col("pos"))
-    val reps = wins
+    val local = wins
       .withColumn("pw", lag("win", 1, "").over(order))
       .withColumn("nw", lead("win", 1, "").over(order))
-      .withColumn("rep", greatest(
+      .withColumn("rep_local", greatest(
         lcpCol(col("win"), col("pw")),
         lcpCol(col("win"), col("nw"))))
+    // exact small-rep path: rep ≥ L (L = 1, 2) iff the position's
+    // L-prefix occurs ≥ 2 times corpus-wide — alphabet-bounded count
+    // tables, broadcast back (includes the position itself, hence ≥ 2)
+    val g1 = wins.groupBy(substring(col("win"), 1, 1).as("g1"))
+      .agg(count(lit(1)).as("c1"))
+    val g2 = wins.filter(length(col("win")) >= 2)
+      .groupBy(substring(col("win"), 1, 2).as("g2"))
+      .agg(count(lit(1)).as("c2"))
+    val reps = local
+      .join(broadcast(g1), substring(col("win"), 1, 1) === col("g1"), "left")
+      .join(broadcast(g2), substring(col("win"), 1, 2) === col("g2"), "left")
+      .withColumn("rep", when(col("rep_local") >= PrefLen, col("rep_local"))
+        .when(length(col("win")) >= 2 && coalesce(col("c2"), lit(0L)) >= 2, 2L)
+        .when(col("c1") >= 2, 1L)
+        .otherwise(0L))
     reps.groupBy("doc_id")
       .agg(count(lit(1)).as("n_pos"), max("rep").as("max_rep"),
         sum(when(col("rep") >= RepThreshold, 1L).otherwise(0L)).as("n_rep32"))

@@ -80,8 +80,14 @@ object TriangleCensus {
       .groupBy("octave")
       .agg(count(lit(1)).as("n_hosts"), sum("t").as("tri_inc"),
         expr("sum(d * (d - 1)) div 2").as("paths2"))
-    val tot = tri.agg(count(lit(1)).as("n_tri_total"))
-    cells.crossJoin(broadcast(tot))
+    // headline total without any extra join or pass over tri: every
+    // triangle is incident to exactly 3 hosts, so Σ tri_inc = 3·n_tri —
+    // a window over the ≤64-row census replaces the 1-row cross join
+    val wTot = org.apache.spark.sql.expressions.Window.orderBy("octave")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells.withColumn("tri3", sum(col("tri_inc")).over(wTot))
+      .withColumn("n_tri_total", expr("tri3 div 3"))
       .select(col("octave"),
         expr("shiftleft(cast(1 as bigint), cast(octave as int))").as("lo"),
         col("n_hosts"), col("tri_inc"), col("paths2"),

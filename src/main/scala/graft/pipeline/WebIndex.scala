@@ -218,6 +218,10 @@ object WebIndex {
       .distinct()
   }
 
+  /** One full alternation round (factored so PlanCheck can audit the
+    * per-round physical plan the kernel actually runs). */
+  private[graft] def ccRound(e: DataFrame): DataFrame = smallStar(largeStar(e))
+
   /** Connected components over any (a, b) host-pair frame by
     * large-star/small-star alternation (Kiveris et al., SoCC 2014 — the
     * MapReduce-native CC algorithm): each round is two keyed
@@ -256,7 +260,7 @@ object WebIndex {
     var round = 0
     while (!converged && round < CcMaxRounds) {
       round += 1
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      val next = ccRound(e).localCheckpoint()
       // fixpoint test: the alternation's potential strictly decreases
       // until the star state, so set-equality with the previous round is
       // exactly convergence (two keys-only jobs: anti-join + count)

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, count, explode, expr, length, lit, sequence, substring}
 import graft.pipeline.Relational
 
 /** Physical-plan inspection: asserts the plans we designed for are the plans
@@ -573,15 +574,34 @@ object PlanCheck {
         rfPlan.contains("BroadcastHashJoin"),
       "rank windows keyed by term; 20-term table broadcast")
 
-    // 49. suffix repeats: the sort window partitions by FIRST CHAR (the
-    // exact-adjacency partitioning), and the scan reads only doc_id+text
+    // 49. suffix repeats: the sort window partitions by the 3-CHAR PREFIX
+    // (exact local adjacency, no first-char parallelism ceiling), lag+lead
+    // share one exchange, the small-rep multiplicity tables come back as
+    // broadcast joins, and the scan reads only doc_id+text
     val sr = graft.pipeline.SuffixRepeats.suffixRepeatsQuery(spark, sfDir)
     val srPlan = sr.queryExecution.executedPlan.toString
-    check("q_suffix_repeats/first-char-partitioned-sort",
+    check("q_suffix_repeats/prefix-partitioned-sort",
       srPlan.contains("windowspecdefinition(pc") &&
         "windowspecdefinition\\(pc".r.findAllIn(srPlan).size >= 2 &&
         "Exchange hashpartitioning\\(pc".r.findAllIn(srPlan).size == 1,
-      "lag+lead share ONE first-char-keyed exchange and sort")
+      "lag+lead share ONE prefix-keyed exchange and sort")
+    check("q_suffix_repeats/broadcast-small-rep",
+      "BroadcastHashJoin".r.findAllIn(srPlan).size >= 2,
+      "1-/2-prefix multiplicity tables join broadcast, not shuffled")
+    // runtime parallelism proof on a skewed plant: even with every doc
+    // opening with the same hot character, live sort keys stay >= 100
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("doc_id", "concat(' ', text) AS text") // skew plant: all docs share first char
+      val keys = docs.filter(length(col("text")) > 0)
+        .select(explode(sequence(lit(1), length(col("text")))).as("pos"), col("text"))
+        .select(substring(expr(s"substring(text, pos, ${graft.pipeline.SuffixRepeats.WinCap})"),
+          1, graft.pipeline.SuffixRepeats.PrefLen).as("pc"))
+        .distinct().count()
+      check("q_suffix_repeats/live-partition-keys",
+        keys >= 100,
+        s"sort exchange has $keys live prefix keys on a hot-first-char plant (>= 100)")
+    }
     check("q_suffix_repeats/pruned-scan",
       srPlan.contains("ReadSchema") &&
         !srPlan.split("ReadSchema").last.split("\n").head.contains("source"),
@@ -618,6 +638,104 @@ object PlanCheck {
     check("q_split_leakage/keyed-by-cluster",
       !slPlan.contains("CartesianProduct") && slPlan.contains("partial_count"),
       "span agg + members join keyed by keep_id; headline broadcasts")
+
+    // 53-58. iterative graph kernels — the per-round dataflow each kernel
+    // actually loops over (the factored round bodies, not reconstructions):
+    // map-side combine on the keyed aggregation, hash joins only, and the
+    // per-round lineage cut holding the executed-plan size CONSTANT across
+    // checkpointed rounds (an unbounded plan is the classic iterative-
+    // dataflow failure at 100×: analysis cost grows per round until the
+    // driver, not the cluster, is the bottleneck)
+    locally {
+      import spark.implicits._
+      val edges = (1 to 400)
+        .map(i => (s"h${i % 97}.example", s"h${(i * 31 + 7) % 97}.example"))
+        .toDF("src", "dst").filter(col("src") =!= col("dst")).localCheckpoint()
+      val nodes = edges.select(col("src").as("url"))
+        .union(edges.select(col("dst").as("url"))).distinct().localCheckpoint()
+
+      // pagerank round (CrawlQueries.pageRankRound — q_pagerank/q_hostrank)
+      val outDeg = edges.groupBy("src").agg(count(lit(1)).as("out_deg"))
+      val weighted = edges.join(outDeg, "src").localCheckpoint()
+      var pr = nodes.select(col("url"), lit(1000000L).as("rank_micro"))
+      var prSizes = List.empty[Int]
+      var prPlan = ""
+      for (r <- 1 to 4) {
+        val next = graft.pipeline.CrawlQueries.pageRankRound(weighted, nodes, pr)
+        if (r >= 2) { // round 1's input is the only non-checkpointed frame
+          prSizes ::= next.queryExecution.executedPlan.toString.linesIterator.size
+          prPlan = next.queryExecution.executedPlan.toString
+        }
+        pr = next.localCheckpoint()
+      }
+      check("pagerank-round/map-side-hash-only",
+        prPlan.contains("partial_sum") && !prPlan.contains("SortMergeJoin") &&
+          !prPlan.contains("CartesianProduct"),
+        "contribution sum combines map-side; edges⋈ranks stays a hash join")
+      check("pagerank-round/constant-plan",
+        prSizes.distinct.size == 1,
+        s"per-round executed-plan size constant across checkpointed rounds: ${prSizes.reverse}")
+
+      // components round (WebIndex.ccRound — q_host_components family)
+      var cce = edges.select(col("src").as("u"), col("dst").as("v"))
+        .where(col("u") =!= col("v")).distinct().localCheckpoint()
+      var ccSizes = List.empty[Int]
+      var ccPlan = ""
+      for (r <- 1 to 4) {
+        val next = graft.pipeline.WebIndex.ccRound(cce)
+        if (r >= 2) {
+          ccSizes ::= next.queryExecution.executedPlan.toString.linesIterator.size
+          ccPlan = next.queryExecution.executedPlan.toString
+        }
+        cce = next.localCheckpoint()
+      }
+      check("cc-round/map-side-hash-only",
+        ccPlan.contains("partial_min") && !ccPlan.contains("SortMergeJoin") &&
+          !ccPlan.contains("CartesianProduct"),
+        "star minima combine map-side; star joins stay hashed")
+      check("cc-round/constant-plan",
+        ccSizes.distinct.size == 1,
+        s"per-round executed-plan size constant across checkpointed rounds: ${ccSizes.reverse}")
+
+      // harmonic MS-BFS step (Centrality.harmonicStep — q_harmonic)
+      val init = nodes.select(col("url"), lit(0).as("grp"), lit(1L).as("mask"))
+      var seenM = init.localCheckpoint()
+      var front = seenM
+      var hSizes = List.empty[Int]
+      var hPlan = ""
+      for (r <- 1 to 4) {
+        val next = graft.pipeline.Centrality.harmonicStep(edges, front, seenM)
+        if (r >= 2) {
+          hSizes ::= next.queryExecution.executedPlan.toString.linesIterator.size
+          hPlan = next.queryExecution.executedPlan.toString
+        }
+        front = next.localCheckpoint()
+        seenM = seenM.union(front).groupBy("url", "grp")
+          .agg(expr("bit_or(mask)").as("mask")).localCheckpoint()
+      }
+      check("harmonic-step/map-side-hash-only",
+        hPlan.contains("partial_bit_or") && !hPlan.contains("SortMergeJoin") &&
+          !hPlan.contains("CartesianProduct"),
+        "frontier bit_or combines map-side; in-edge join stays hashed")
+      check("harmonic-step/constant-plan",
+        hSizes.distinct.size == 1,
+        s"per-step executed-plan size constant across checkpointed steps: ${hSizes.reverse}")
+    }
+
+    // 59-64. iterative consumers end-to-end: the composed pinned-round
+    // pipelines must stay equi-joined — no cartesian / nested-loop anywhere
+    for ((qn, fn) <- Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      ("q_kcore", graft.pipeline.KCore.kcore _),
+      ("q_ktruss", graft.pipeline.KTruss.ktrussQuery _),
+      ("q_hits", graft.pipeline.Hits.hits _),
+      ("q_trustrank", graft.pipeline.TrustRank.trustRank _),
+      ("q_ppr", graft.pipeline.Ppr.ppr _),
+      ("q_salsa", graft.pipeline.Salsa.salsa _))) {
+      val p = fn(spark, sfDir).queryExecution.executedPlan.toString
+      check(s"$qn/equi-joins-only",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "every join in the composed iterative pipeline is keyed")
+    }
 
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
