@@ -152,7 +152,7 @@ object Bench {
     val allQueryNames = Seq("q_agg_pricing", "q_filter_pushdown", "q_join_multi",
       "q_window_rank", "q_exact_dedup", "q_doc_quality", "q_token_count",
       "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk",
-      "q_ann_ivf", "q_ann_sq8", "q_ann_pq", "q_quality_ratios", "q_token_bpe",
+      "q_ann_ivf", "q_ann_ivfpq", "q_ann_sq8", "q_ann_pq", "q_quality_ratios", "q_token_bpe",
       "q_pii_redact", "q_repetition", "q_term_stats", "q_pack_sequences",
       "q_paragraph_dedup", "q_lm_score", "q_span_dedup", "q_pagerank",
       "q_tfidf_keywords", "q_recrawl_schedule", "q_bm25_rank", "q_crawl_delta",
@@ -219,7 +219,10 @@ object Bench {
     // sq8 compares all pairs over 4x-smaller codes then exact-re-ranks,
     // lsh/ivf cut candidates at the cost of recall (worst-case here: the
     // synthetic embeddings are near-uniform, ANN's hardest distribution).
-    val annRecall: Map[String, (Double, Double)] = if (onlyQueries.isDefined) Map.empty else {
+    // value = (recall@5, scanned fraction in (query, row) PAIRS, scanned
+    // fraction in BYTES relative to a full float32 scan — the number that
+    // prices the 100-TB scan: codes are 4× (sq8) / 32× (pq, ivfpq) smaller)
+    val annRecall: Map[String, (Double, Double, Double)] = if (onlyQueries.isDefined) Map.empty else {
       import spark.implicits._
       import org.apache.spark.sql.functions.col
       import graft.pipeline.Similarity
@@ -253,16 +256,32 @@ object Bench {
           candidateCount = Some(ivfHiCands)).collect()))
       val sq8 = recallOf(topSet(Similarity.sq8TopK(spark, corpus, queries, k = 5).collect()))
       val pq = recallOf(topSet(Similarity.pqTopK(spark, corpus, queries, k = 5).collect()))
+      // IVF-PQ composition: IVF's row pruning over PQ's 32×-smaller codes —
+      // same two operating points as ivf so the columns compare directly
+      val ivfpqCands = spark.sparkContext.longAccumulator("ivfpq-cands")
+      val ivfpqHiCands = spark.sparkContext.longAccumulator("ivfpq-hi-cands")
+      val ivfpq = recallOf(topSet(
+        Similarity.ivfPqTopK(spark, corpus, queries, k = 5,
+          candidateCount = Some(ivfpqCands)).collect()))
+      val ivfpqHi = recallOf(topSet(
+        Similarity.ivfPqTopK(spark, corpus, queries, k = 5, nprobe = 8,
+          candidateCount = Some(ivfpqHiCands)).collect()))
+      val PqBytes = 8.0 / 256.0  // 8 code bytes vs 64 float32 dims
       Map(
-        "lsh" -> (lsh, lshCands.value / allPairs),
-        "lsh_hi" -> (lshHi, lshHiCands.value / allPairs),
-        "ivf" -> (ivf, ivfCands.value / allPairs),
-        "ivf_hi" -> (ivfHi, ivfHiCands.value / allPairs),
-        "sq8" -> (sq8, 1.0), // full scan over int8 codes (4x smaller bytes) + exact re-rank
-        "pq" -> (pq, 1.0)) // full scan over 8-byte ADC codes (32x smaller) + exact re-rank
+        "lsh" -> (lsh, lshCands.value / allPairs, lshCands.value / allPairs),
+        "lsh_hi" -> (lshHi, lshHiCands.value / allPairs, lshHiCands.value / allPairs),
+        "ivf" -> (ivf, ivfCands.value / allPairs, ivfCands.value / allPairs),
+        "ivf_hi" -> (ivfHi, ivfHiCands.value / allPairs, ivfHiCands.value / allPairs),
+        "sq8" -> (sq8, 1.0, 0.25), // full scan over int8 codes (4x smaller bytes) + exact re-rank
+        "pq" -> (pq, 1.0, PqBytes), // full scan over 8-byte ADC codes (32x smaller) + exact re-rank
+        "ivfpq" -> (ivfpq, ivfpqCands.value / allPairs,
+          ivfpqCands.value / allPairs * PqBytes),
+        "ivfpq_hi" -> (ivfpqHi, ivfpqHiCands.value / allPairs,
+          ivfpqHiCands.value / allPairs * PqBytes))
     }
     val recallJson = annRecall.toSeq.sortBy(_._1)
-      .map { case (k, (r, f)) => "\"" + k + f"""\":{"recall":$r%.3f,"scanned":$f%.3f}""" }
+      .map { case (k, (r, f, b)) =>
+        "\"" + k + f"""\":{"recall":$r%.3f,"scanned":$f%.3f,"scanned_bytes":$b%.4f}""" }
       .mkString("{", ",", "}")
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")

@@ -83,6 +83,7 @@ object SparkEntry {
     "q_ann_topk" -> (DedupQueries.annTopK _),
     "q_ann_lsh" -> (DedupQueries.annLsh _),
     "q_ann_ivf" -> (DedupQueries.annIvf _),
+    "q_ann_ivfpq" -> (DedupQueries.annIvfPq _),
     "q_ann_sq8" -> (DedupQueries.annSq8 _),
     "q_ann_pq" -> (DedupQueries.annPq _),
     "q_cosine_neardup" -> (DedupQueries.cosineNearDup _),

@@ -173,6 +173,19 @@ object DedupQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF-PQ composed ANN over the same queries — the billion-scale shape:
+    * IVF pruning (scan nprobe/nlist of the rows) over PQ codes (each row
+    * 32× smaller), exact re-rank on true vectors. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val corpus = embeddings(spark, dir)
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    Similarity.ivfPqTopK(spark, corpus, queries, k = 5, nlist = 16, nprobe = 4).toDF()
+      .withColumn("cosine_micro", round(col("cosine") * 1000000).cast("long"))
+      .drop("cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** DuckDB twin of [[cosineNearDup]]: ALL-PAIRS cosine ≥ 0.95 over the same
     * union (base + planted copies of vec_id < 20), same double kernel. The
     * Spark side is sketch-blocked with 1-bit multi-probe — this oracle

@@ -718,8 +718,10 @@ object Similarity {
     // per-(subspace, centroid) norm² — query-independent
     val cnorm2: Array[Array[Double]] = cb.centroids.map(_.map(c => dot(c, c)))
     // per-query ADC lookup tables: dotTab(q)(s)(j) = dot(q_s, centroid_sj)
+    // a corpus smaller than ksub trains fewer centroids — size the tables
+    // by the codebook, not the requested ksub
     val dotTabs: Array[Array[Array[Double]]] = queries.map { q =>
-      Array.tabulate(cb.m, ksub) { (s, j) =>
+      Array.tabulate(cb.m, cb.centroids(0).length) { (s, j) =>
         val c = cb.centroids(s)(j)
         val off = s * cb.dsub
         var d = 0.0
@@ -757,6 +759,111 @@ object Similarity {
             }
           }
           qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, id) => (qids(qi), c, id) }
+      }
+    }.toDF("query_id", "approx_cosine", "neighbor_id")
+    exactRerank(spark, corpus, approx, queries, k, take)
+  }
+
+  /** IVF-PQ composed ANN — the standard billion-scale shape (Jégou et al.
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011; the
+    * FAISS "IVFx,PQy" index string): IVF pruning decides WHICH rows a query
+    * scans (nprobe/nlist of the corpus), PQ ADC decides HOW CHEAPLY each
+    * scanned row is scored (m one-byte codes — 32× smaller than the
+    * float32 row at dims=64, m=8), and the exact re-rank on true vectors
+    * orders the final top-k. Per (query, scanned row) the cost is m table
+    * lookups over m bytes — both knives at once, where [[ivfTopK]] scans
+    * pruned FLOATS and [[pqTopK]] scans ALL codes. Codebooks reuse the
+    * deterministic Lloyd's recipes of the components ([[trainCentroids]] +
+    * [[trainPq]] on raw vectors — non-residual PQ, the simpler public
+    * variant; residual encoding is a recall refinement, not a structural
+    * change). The persisted index a deployment would write is the
+    * (list, vec_id, code) table partitioned by list — the scan then reads
+    * nprobe/nlist of an already-32×-smaller table. `candidateCount`
+    * counts (query, row) pairs ADC-scored — the honest scanned ledger. */
+  def ivfPqTopK(
+      spark: SparkSession,
+      corpus: Dataset[Embedded],
+      queries: Array[Embedded],
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      dims: Int = 64,
+      m: Int = 8,
+      ksub: Int = 256,
+      rerank: Int = 128,
+      trainIters: Int = 5,
+      candidateCount: Option[org.apache.spark.util.LongAccumulator] = scala.None
+  ): Dataset[Neighbor] = {
+    import spark.implicits._
+    val centroids = trainCentroids(spark, corpus, nlist, trainIters)
+    val cb = trainPq(spark, corpus, dims, m, ksub, trainIters)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val bcb = spark.sparkContext.broadcast(cb)
+    val codes = corpus.map { e =>
+      (nearestCentroid(e.embedding, bc.value), e.vec_id, bcb.value.encode(e.embedding))
+    }
+    // inverted probe map (list → query indexes probing it) + per-query ADC
+    // tables + per-(subspace, centroid) norm² — all broadcast, all tiny
+    val probeMap: Map[Int, Array[Int]] = queries.indices
+      .flatMap { qi =>
+        centroids.indices
+          .sortBy(i => (-cosine(queries(qi).embedding, centroids(i)), i))
+          .take(nprobe).map(l => (l, qi))
+      }
+      .groupBy(_._1).map { case (l, xs) => (l, xs.map(_._2).toArray) }
+    val cnorm2: Array[Array[Double]] = cb.centroids.map(_.map(c => dot(c, c)))
+    // a corpus smaller than ksub trains fewer centroids — size the tables
+    // by the codebook, not the requested ksub
+    val dotTabs: Array[Array[Array[Double]]] = queries.map { q =>
+      Array.tabulate(cb.m, cb.centroids(0).length) { (s, j) =>
+        val c = cb.centroids(s)(j)
+        val off = s * cb.dsub
+        var d = 0.0
+        var i = 0
+        while (i < cb.dsub) { d += q.embedding(off + i).toDouble * c(i); i += 1 }
+        d
+      }
+    }
+    val qnorms = queries.map(q => norm(q.embedding))
+    val bq = spark.sparkContext.broadcast(
+      (queries.map(_.vec_id), dotTabs, qnorms, cnorm2, probeMap))
+    val take = math.max(k, rerank)
+    val empty = Array.empty[Int]
+    val approx = codes.mapPartitions { it =>
+      val (qids, tabs, qn, cn2, pm) = bq.value
+      val heaps = qids.map(_ => scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+        Ordering.by[(Double, Long), (Double, Long)] { case (c, id) => (-c, id) }))
+      it.foreach { case (list, id, code) =>
+        val qis = pm.getOrElse(list, empty)
+        if (qis.nonEmpty) {
+          var nrm2 = 0.0
+          var s = 0
+          while (s < code.length) { nrm2 += cn2(s)(code(s) & 0xff); s += 1 }
+          val nrm = math.sqrt(nrm2)
+          var x = 0
+          while (x < qis.length) {
+            val qi = qis(x)
+            if (id != qids(qi)) {
+              candidateCount.foreach(_.add(1L))
+              val tab = tabs(qi)
+              var d = 0.0
+              var t = 0
+              while (t < code.length) { d += tab(t)(code(t) & 0xff); t += 1 }
+              val denom = qn(qi) * nrm
+              val c = if (denom == 0.0) 0.0 else d / denom
+              val h = heaps(qi)
+              if (h.size < take) h.enqueue((c, id))
+              else {
+                val (wc, wid) = h.head
+                if (c > wc || (c == wc && id < wid)) { h.dequeue(); h.enqueue((c, id)) }
+              }
+            }
+            x += 1
+          }
         }
       }
       heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>

@@ -47,7 +47,7 @@ object OracleFixtureGen {
   val SfFixtureQueries: Seq[String] = Seq(
     "q_minhash_lsh", "q_minhash_neardup", "q_simhash_index", "q_simhash_neardup",
     "q_winnow_containment", "q_token_bpe", "q_dedup_keep", "q_incremental_dedup",
-    "q_ann_lsh", "q_ann_ivf", "q_media_features", "q_media_frames", "q_semdedup",
+    "q_ann_lsh", "q_ann_ivf", "q_ann_ivfpq", "q_media_features", "q_media_frames", "q_semdedup",
     "q_image_dhash", "q_audio_quality", "q_image_quality", "q_tokenizer_fertility",
     "q_audio_fingerprint", "q_minhash_calibration", "q_scene_cuts",
     "q_lsh_scurve")

@@ -344,6 +344,69 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfPqTopK: planted clusters recovered exactly; scan = IVF's pruning at 32x smaller rows") {
+    import spark.implicits._
+    // same planted-cluster universe as the ivfTopK gate
+    val vecs = (for {
+      c <- 0 until 8
+      m <- 0 until 30
+    } yield {
+      val v = new Array[Float](64)
+      var i = 0
+      while (i < 64) {
+        val base = if (i % 8 == c) 1.0f else 0.0f
+        v(i) = base + 0.05f * math.sin(c * 997 + m * 31 + i).toFloat
+        i += 1
+      }
+      Similarity.Embedded((c * 30 + m).toLong, v)
+    }).toDS().repartition(4)
+    val queries = Array(0L, 35L, 190L).map(id =>
+      vecs.filter(_.vec_id == id).collect().head)
+    val exact = Similarity.bruteForceTopK(spark, vecs, queries, 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    val cands = spark.sparkContext.longAccumulator("ivfpq-test-cands")
+    val got = Similarity.ivfPqTopK(spark, vecs, queries, 5, nlist = 8, nprobe = 2,
+      candidateCount = Some(cands)).collect()
+    val approx = got.groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    exact.foreach { case (q, ids) =>
+      assert(approx.getOrElse(q, Set.empty) == ids,
+        s"query $q: planted-cluster IVF-PQ + exact re-rank must recover exact top-5")
+    }
+    // the scan is IVF-pruned: ADC-scored pairs stay well under all-pairs
+    val allPairs = (vecs.count() - 1) * queries.length
+    assert(cands.value < allPairs / 2,
+      s"IVF-PQ scored ${cands.value} of $allPairs pairs — pruning not engaged")
+    // and the composition is deterministic across runs
+    val got2 = Similarity.ivfPqTopK(spark, vecs, queries, 5, nlist = 8, nprobe = 2).collect()
+    assert(got.map(_.toString).sorted.sameElements(got2.map(_.toString).sorted),
+      "IVF-PQ must be deterministic across runs")
+  }
+
+  test("ivfPqTopK recall on real embeddings >= plain IVF at the same probe budget") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"),
+        org.apache.spark.sql.functions.col("embedding"))
+      .as[Similarity.Embedded]
+    val queries = corpus.filter(_.vec_id < 5).collect().sortBy(_.vec_id)
+    val exact = Similarity.bruteForceTopK(spark, corpus, queries, 5).collect()
+      .groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+    def recallOf(ns: Array[Similarity.Neighbor]): Double = {
+      val m = ns.groupBy(_.query_id).view.mapValues(_.map(_.neighbor_id).toSet).toMap
+      exact.map { case (q, ids) =>
+        m.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size
+      }.sum / exact.size
+    }
+    val ivf = recallOf(Similarity.ivfTopK(spark, corpus, queries, 5,
+      nlist = 16, nprobe = 4).collect())
+    val ivfpq = recallOf(Similarity.ivfPqTopK(spark, corpus, queries, 5,
+      nlist = 16, nprobe = 4).collect())
+    // identical centroid pruning + a 128-wide exact re-rank: the top-5 of
+    // the probed rows must survive ADC, so composition loses no recall
+    assert(ivfpq >= ivf - 1e-9,
+      s"IVF-PQ recall $ivfpq fell below plain IVF's $ivf at the same nprobe")
+  }
+
   test("exact-dup pre-pass: 10k identical docs cost O(N) edges, keep-list intact") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
