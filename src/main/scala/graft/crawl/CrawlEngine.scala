@@ -247,7 +247,8 @@ object CrawlEngine {
     // normal path's targeted unpersists still run eagerly per wave.
     val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     def cleanupAll(): Unit = {
-      liveCaches.foreach(f => try f() catch { case _: Throwable => () })
+      liveCaches.synchronized { liveCaches.toList }
+        .foreach(f => try f() catch { case _: Throwable => () })
       try sinkEc.shutdown() catch { case _: Throwable => () }
       store.close()
     }
@@ -314,7 +315,7 @@ object CrawlEngine {
       if (prePartitionPages)
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
       else preparedBase
-    if (prePartitionPages) liveCaches += (() => prepared.unpersist())
+    liveCaches.synchronized { if (prePartitionPages) liveCaches += (() => prepared.unpersist()) }
 
     val (robotsRules, delayBudgets, nDelayHosts): (DataFrame, Dataset[HostBudget], Long) =
       if (robotsFuture == null) (null, spark.emptyDataset[HostBudget], 0L)
@@ -323,9 +324,9 @@ object CrawlEngine {
           robotsFuture, scala.concurrent.duration.Duration.Inf)
         if (r != null) {
           robotsRulesBase = r
-          liveCaches += (() => r.unpersist())
+          liveCaches.synchronized { liveCaches += (() => r.unpersist()) }
         }
-        if (nD > 0L) liveCaches += (() => d.unpersist()) else d.unpersist()
+        liveCaches.synchronized { if (nD > 0L) liveCaches += (() => d.unpersist()) else d.unpersist() }
         // broadcast the gate join while the disallowing-host table is small;
         // a 10^7-host deployment falls back to a shuffle join automatically
         val rOut = if (r == null) null else if (nRules < 200000L) broadcast(r) else r
@@ -405,36 +406,56 @@ object CrawlEngine {
       math.max(1L, (rows + OutRowsPerFile - 1) / OutRowsPerFile),
       spark.sparkContext.defaultParallelism.toLong).toInt
 
+    // -- politeness selection builder (shared by the in-wave path and the
+    // next-wave prefetch below): deterministic per-host top-k (salted
+    // two-phase). An empty frontier yields selCount == 0 below — no
+    // separate count job. perHostBudget <= 0 = UNLIMITED: politeness off,
+    // the whole frontier is the wave and the top-k cogroup shuffle is
+    // skipped entirely — the saturated-frontier regime (a budget set at or
+    // above every host's count selects the same rows; this takes that path
+    // without paying the shuffle to discover it).
+    // Crawl-delay caps merge most-restrictive-wins with adaptive budgets;
+    // the budget cogroup reads ONE row per host, so the union must reduce
+    // to the per-host minimum before selection.
+    def effectiveBudgets: Dataset[HostBudget] =
+      if (!delayActive) hostBudgets
+      else if (!adaptiveActive) delayBudgets
+      else hostBudgets.union(delayBudgets).groupByKey(_.host)
+        .reduceGroups((a, b) => if (a.budget <= b.budget) a else b).map(_._2)
+    def buildSelection(fr: Dataset[FrontierEntry]): Dataset[FrontierEntry] =
+      if (config.perHostBudget <= 0) fr
+      else if (adaptiveActive || delayActive)
+        Frontier.politenessSelectBudgets(
+          spark, fr, effectiveBudgets, config.perHostBudget, config.saltBuckets)
+      else
+        Frontier.politenessSelect(
+          spark, fr, config.perHostBudget, config.saltBuckets)
+
+    // Next wave's (frontier load, politeness selection, count) PREFETCHED
+    // during the previous wave's write window: once the frontier snapshot
+    // lands, a chained future re-loads it from disk (the SAME
+    // lineage-cutting read the next wave would do — never the in-memory
+    // plan, whose materialization would race the snapshot write into
+    // duplicate full-lineage computes) and runs the selection + count
+    // while the output sinks, the commit, and the wave teardown proceed.
+    var prefetch: Option[scala.concurrent.Future[
+      Option[(Dataset[FrontierEntry], Dataset[FrontierEntry], Long)]]] = scala.None
+
     var done = false
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
-      val frontierPersisted = frontier.persist(StorageLevel.MEMORY_AND_DISK)
-      liveCaches += (() => frontierPersisted.unpersist())
-      // -- politeness: deterministic per-host top-k (salted two-phase) ------
-      // (an empty frontier yields selCount == 0 below — no separate count
-      // job). perHostBudget <= 0 = UNLIMITED: politeness off, the whole
-      // frontier is the wave and the top-k cogroup shuffle is skipped
-      // entirely — the saturated-frontier regime (a budget set at or above
-      // every host's count selects the same rows; this takes that path
-      // without paying the shuffle to discover it).
-      // Crawl-delay caps merge most-restrictive-wins with adaptive budgets;
-      // the budget cogroup reads ONE row per host, so the union must reduce
-      // to the per-host minimum before selection.
-      def effectiveBudgets: Dataset[HostBudget] =
-        if (!delayActive) hostBudgets
-        else if (!adaptiveActive) delayBudgets
-        else hostBudgets.union(delayBudgets).groupByKey(_.host)
-          .reduceGroups((a, b) => if (a.budget <= b.budget) a else b).map(_._2)
-      val selectedAll = (
-        if (config.perHostBudget <= 0) frontierPersisted
-        else if (adaptiveActive || delayActive)
-          Frontier.politenessSelectBudgets(
-            spark, frontierPersisted, effectiveBudgets, config.perHostBudget, config.saltBuckets)
-        else
-          Frontier.politenessSelect(
-            spark, frontierPersisted, config.perHostBudget, config.saltBuckets)
-      ).persist(StorageLevel.MEMORY_AND_DISK)
-      liveCaches += (() => selectedAll.unpersist())
-      val rawCount = selectedAll.count()
+      val (frontierPersisted, selectedAll, rawCount) = prefetch.flatMap(f =>
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)) match {
+        case Some((fr, s, c)) =>
+          prefetch = scala.None
+          (fr, s, c)
+        case _ =>
+          prefetch = scala.None
+          val fp = frontier.persist(StorageLevel.MEMORY_AND_DISK)
+          liveCaches.synchronized { liveCaches += (() => fp.unpersist()) }
+          val s = buildSelection(fp).persist(StorageLevel.MEMORY_AND_DISK)
+          liveCaches.synchronized { liveCaches += (() => s.unpersist()) }
+          (fp, s, s.count())
+      }
       log(s"wave=$wave politeness-select done ($rawCount rows) $elapsed")
       val remaining = (config.maxPages - fetchedTotal).min(Int.MaxValue.toLong).toInt
       // max_pages cap (results_channel.rs:144-146): the single-partition
@@ -446,7 +467,7 @@ object CrawlEngine {
             .orderBy(Frontier.priorityCols: _*)
             .limit(remaining)
             .persist(StorageLevel.MEMORY_AND_DISK)
-          liveCaches += (() => s.unpersist())
+          liveCaches.synchronized { liveCaches += (() => s.unpersist()) }
           (s, s.count())
         } else (selectedAll, rawCount)
       if (selCount == 0) {
@@ -509,7 +530,7 @@ object CrawlEngine {
           val linkGenActive = config.maxDepth > 0
           if (writeOutputs || linkGenActive || adaptiveActive) {
             extracted.persist(StorageLevel.MEMORY_AND_DISK)
-            liveCaches += (() => extracted.unpersist())
+            liveCaches.synchronized { liveCaches += (() => extracted.unpersist()) }
           }
 
           // one action for count + parity (avoids a second pass)
@@ -548,7 +569,7 @@ object CrawlEngine {
             if (twoConsumers) {
               miss.persist(StorageLevel.MEMORY_AND_DISK)
               agg.persist(StorageLevel.MEMORY_AND_DISK)
-              liveCaches += (() => { miss.unpersist(); agg.unpersist() })
+              liveCaches.synchronized { liveCaches += (() => { miss.unpersist(); agg.unpersist() }) }
             }
             (miss, agg)
           } else (null, null)
@@ -656,12 +677,19 @@ object CrawlEngine {
           // seen-delta rides the wave-sized coalesce too: loadSeen re-lists
           // every wave's delta dir on each subsequent wave, so tiny-file
           // growth there is quadratic in crawl length
-          val fFrontier = Future {
-            store.writeFrontier(spark, wave, nextFrontier.toDF(), config.snapshotFileTarget)
-          }
           val fSeenDelta = Future {
             store.writeSeenDelta(spark, wave,
               selected.select("canonicalUrl").coalesce(outFiles(selCount)))
+          }
+          // the next frontier materializes ONCE, on this thread, concurrent
+          // with the sink futures above: the heavy dedupe + seen-filter
+          // chain runs exactly one time, its blocks are the lineage cut
+          // (the localCheckpoint discipline), and THREE consumers read the
+          // materialized copy — the snapshot write, the next-wave politeness
+          // prefetch, and the next wave's leftover anti-join
+          val nextFrontierC = nextFrontier.localCheckpoint()
+          val fFrontier = Future {
+            store.writeFrontier(spark, wave, nextFrontierC.toDF(), config.snapshotFileTarget)
           }
 
           // -- adaptive politeness: next wave's per-host budgets -------------
@@ -692,6 +720,24 @@ object CrawlEngine {
             hostBudgets = loadBudgets(wave)
           }
 
+          // -- next-wave politeness prefetch --------------------------------
+          // The selection + count (the driver action that used to HEAD the
+          // next wave) runs inside this wave's write window, over the
+          // already-materialized next-frontier blocks (no lineage race —
+          // the checkpoint above finished on this thread) and launched
+          // strictly AFTER the adaptive budget update above, so wave+1's
+          // budgets are final. The kernel is the shared buildSelection —
+          // rows identical to the inline path.
+          val fPrefetch = Future {
+            val s = buildSelection(nextFrontierC)
+            if (!(s eq nextFrontierC)) {
+              s.persist(StorageLevel.MEMORY_AND_DISK)
+              liveCaches.synchronized { liveCaches += (() => s.unpersist()) }
+            }
+            Some((nextFrontierC, s, s.count()))
+          }
+          prefetch = Some(fPrefetch)
+
           // -- barrier, then the commit point -------------------------------
           (sinkFutures :+ fSeenDelta).foreach(f => Await.result(f, Duration.Inf))
           val frontierRows = Await.result(fFrontier, Duration.Inf)
@@ -716,6 +762,17 @@ object CrawlEngine {
           wave += 1
         }
       }
+    }
+    // a prefetch launched by the final committed wave (empty next frontier,
+    // or the maxPages cap ending the loop) is discarded: drain it so its
+    // caches release now, not at JVM end
+    prefetch.foreach { f =>
+      try scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        .foreach { case (fr, s, _) =>
+          if (!(s eq fr)) s.unpersist()
+          fr.unpersist()
+        }
+      catch { case _: Throwable => () }
     }
     CrawlSummary(rid, wave, fetchedTotal, errorsTotal, parityFailures, stateDir)
     } finally cleanupAll()

@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Timed bench-config crawl with the per-wave phase log — the profiling
+  * probe behind the crawl_e2e fold work (not part of the contract). */
+object BenchCrawlProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val corpusPath = java.nio.file.Files.createTempDirectory("graft-probe-corpus").toString + "/pages"
+    graft.gen.CorpusGen.writeParquet(spark, graft.Bench.benchSpec, corpusPath, partitions = cpus.toInt * 2)
+    import spark.implicits._
+    val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-probe-crawl").toString
+    val t0 = System.nanoTime()
+    val summary = graft.crawl.CrawlEngine.run(spark, pages, graft.Bench.benchConfig, stateDir,
+      log = s => println(f"[probe +${(System.nanoTime() - t0) / 1e9}%.2fs] " + s))
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"TOTAL pages=${summary.fetchedTotal} secs=$secs%.2f rate=${summary.fetchedTotal / secs}%.1f")
+    spark.stop()
+  }
+}
