@@ -431,6 +431,9 @@ object CrawlEngine {
         Frontier.politenessSelect(
           spark, fr, config.perHostBudget, config.saltBuckets)
 
+    // Carried seen-set sketch (per-run; a resume rebuilds it on first use)
+    val seenBloom = new Frontier.SeenBloom()
+
     // Next wave's (frontier load, politeness selection, count) PREFETCHED
     // during the previous wave's write window: once the frontier snapshot
     // lands, a chained future re-loads it from disk (the SAME
@@ -613,10 +616,14 @@ object CrawlEngine {
           val combined =
             if (linkGenActive) Frontier.dedupeWave(spark, leftovers.union(gatedLinkEntries))
             else leftovers
+          // bloom path: the carried sketch absorbs this wave's selected urls
+          // as a delta built from the wave-sized cache — O(wave) sketch
+          // maintenance instead of newOnly's per-wave full-seen rebuild
           val nextFrontier =
             if (config.seenSketch == "cuckoo")
               Frontier.newOnlyCuckoo(spark, combined, newSeen, seenCount)
-            else Frontier.newOnly(spark, combined, newSeen, seenCount)
+            else Frontier.newOnlyWithSketch(combined, newSeen,
+              seenBloom.update(selected.toDF(), selCount, seenCount, newSeen))
 
           // -- parallel wave writes ----------------------------------------
           // The output sinks (crawl_order / pages / chunks / metrics) and
@@ -688,6 +695,7 @@ object CrawlEngine {
           // materialized copy — the snapshot write, the next-wave politeness
           // prefetch, and the next wave's leftover anti-join
           val nextFrontierC = nextFrontier.localCheckpoint()
+          log(s"wave=$wave frontier-checkpoint done $elapsed")
           val fFrontier = Future {
             store.writeFrontier(spark, wave, nextFrontierC.toDF(), config.snapshotFileTarget)
           }
@@ -740,7 +748,9 @@ object CrawlEngine {
 
           // -- barrier, then the commit point -------------------------------
           (sinkFutures :+ fSeenDelta).foreach(f => Await.result(f, Duration.Inf))
+          log(s"wave=$wave sink barrier done $elapsed")
           val frontierRows = Await.result(fFrontier, Duration.Inf)
+          log(s"wave=$wave frontier-write done ($frontierRows rows) $elapsed")
           if (twoConsumers) { missByHost.unpersist(); hostAgg.unpersist() }
           store.finalizeCommit(wave, fetchedTotal, errorsTotal, parityFailures, rid)
           log(f"wave=$wave%-3d selected=$selCount%-6d fetched=$fetchCount%-6d errors=$errCount%-4d " +

@@ -68,6 +68,73 @@ object Frontier extends Serializable {
     }
   }
 
+  /** Incrementally-maintained seen-set bloom: the per-wave sketch cost a
+    * 10^10-URL crawl can actually afford. [[newOnly]] rebuilds its bloom
+    * from the FULL seen table every wave — an O(total-seen) scan per wave
+    * that dwarfs the wave itself once the crawl is deep. This maintainer
+    * instead sizes the sketch once with headroom (4× the seen count at
+    * build time) and folds each wave's SELECTED urls in as a delta sketch
+    * built from the wave-sized cache (identical (bits, hashes) parameters,
+    * so `mergeInPlace` is exact) — O(wave) per wave, O(log) full rebuilds
+    * over a crawl's lifetime. No false negatives by construction: the
+    * carried filter holds every previously-seen url, the delta holds this
+    * wave's, and a rebuild reads the full newSeen union. False positives
+    * only cost exact-anti-join traffic, never correctness — the same
+    * contract as [[newOnly]]'s per-wave sketch. Returns None (→ caller
+    * takes the pure exact anti-join) below the threshold or when the
+    * bit-capped sketch would pass > [[BloomSkipFpp]] anyway. */
+  final class SeenBloom(
+      fpp: Double = BloomFpp,
+      maxBits: Long = DefaultMaxBloomBits) extends Serializable {
+    // (filter, bits, design capacity, items inserted)
+    private var state: Option[(BloomFilter, Long, Long, Long)] = scala.None
+
+    def update(
+        selected: DataFrame,
+        selCount: Long,
+        seenCount: Long,
+        newSeen: DataFrame): Option[BloomFilter] = {
+      if (seenCount < BloomThreshold) scala.None
+      else state match {
+        case Some((bf, bits, cap, ins)) if ins + selCount <= cap =>
+          val delta = selected.stat.bloomFilter("canonicalUrl", cap, bits)
+          bf.mergeInPlace(delta)
+          state = Some((bf, bits, cap, ins + selCount))
+          Some(bf)
+        case _ =>
+          val cap = math.max(seenCount * 4, BloomThreshold * 4)
+          val bits = math.min(BloomFilter.optimalNumOfBits(cap, fpp), maxBits)
+          if (estimatedFpp(seenCount, bits) > BloomSkipFpp) { state = scala.None; scala.None }
+          else {
+            val bf = newSeen.stat.bloomFilter("canonicalUrl", cap, bits)
+            state = Some((bf, bits, cap, seenCount))
+            Some(bf)
+          }
+      }
+    }
+  }
+
+  /** [[newOnly]] with a caller-maintained sketch ([[SeenBloom]]): None →
+    * the pure exact anti-join; Some → the standard split (sketch-negative
+    * rows skip the shuffle, sketch-positive rows verify exactly). */
+  def newOnlyWithSketch(
+      candidates: Dataset[FrontierEntry],
+      seen: DataFrame,
+      sketch: Option[BloomFilter]): Dataset[FrontierEntry] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    sketch match {
+      case scala.None =>
+        candidates.join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+      case Some(bloom) =>
+        val bcast = spark.sparkContext.broadcast(bloom)
+        val definitelyNew = candidates.filter(e => !bcast.value.mightContainString(e.canonicalUrl))
+        val maybeSeen = candidates.filter(e => bcast.value.mightContainString(e.canonicalUrl))
+          .join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+        definitelyNew.union(maybeSeen)
+    }
+  }
+
   /** [[newOnly]]'s cuckoo-sketch twin — the north rule names "bloom/cuckoo
     * URL-seen filter", and cuckoo is the one that supports DELETION (a
     * recrawl policy evicts expired URLs without rebuilding the sketch over

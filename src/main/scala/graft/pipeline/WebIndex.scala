@@ -256,6 +256,7 @@ object WebIndex {
       case None => und.select(col("a").as("u"), col("b").as("v"))
     }
     var e = seed.distinct().localCheckpoint()
+    var eCount = e.count()
     var converged = false
     var round = 0
     while (!converged && round < CcMaxRounds) {
@@ -263,9 +264,12 @@ object WebIndex {
       val next = ccRound(e).localCheckpoint()
       // fixpoint test: the alternation's potential strictly decreases
       // until the star state, so set-equality with the previous round is
-      // exactly convergence (two keys-only jobs: anti-join + count)
-      converged = next.except(e).isEmpty && next.count() == e.count()
+      // exactly convergence. Counts carry across rounds (one count job per
+      // round) and the keys-only anti-join runs only when counts agree.
+      val nextCount = next.count()
+      converged = nextCount == eCount && next.except(e).isEmpty
       e = next
+      eCount = nextCount
     }
     if (!converged) throw new IllegalStateException(
       s"components: star alternation did not converge in $CcMaxRounds rounds " +

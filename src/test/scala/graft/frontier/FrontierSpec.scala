@@ -63,6 +63,60 @@ class FrontierSpec extends AnyFunSuite {
     assert(skipped.toSeq == expected, "bloom-skip fallback must be exact")
   }
 
+  test("SeenBloom: incrementally-merged sketch is exact across waves, including a capacity rebuild") {
+    import spark.implicits._
+    val sb = new Frontier.SeenBloom()
+    val n0 = Frontier.BloomThreshold + 2000
+    // wave 1: first crossing of the threshold → full build sized 4×
+    var seenIds = (0L until n0).toVector
+    var seen = seenIds.map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+    val sel1 = spark.createDataset(seenIds.takeRight(500).map(entry(_))).toDF()
+    val s1 = sb.update(sel1, 500, n0, seen)
+    assert(s1.isDefined, "above threshold must yield a sketch")
+    // waves 2..4: deltas merged into the carried sketch — result of the
+    // split filter must equal the exact anti-join every wave
+    var next = n0
+    for (w <- 2 to 4) {
+      val delta = (next until next + 700L).toVector
+      val selected = spark.createDataset(delta.map(entry(_))).toDF()
+      seenIds = seenIds ++ delta
+      seen = seenIds.map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+      next += 700
+      val sk = sb.update(selected, 700, seenIds.length, seen)
+      assert(sk.isDefined)
+      // candidates: a mix of seen (must all drop) and new (must all pass)
+      val cands = spark.createDataset(
+        (0L until next by 97L).map(entry(_)) ++ (next until next + 300L).map(entry(_)))
+      val got = Frontier.newOnlyWithSketch(cands, seen, sk).collect()
+        .map(_.canonicalUrl.drop("https://site0.com/p".length).toLong).sorted
+      assert(got.toSeq == (next until next + 300L),
+        s"wave $w: sketch split must not lose (false negative) or leak rows")
+    }
+    // capacity overflow: a giant delta exceeds the 4× headroom → rebuild
+    // from the full union, still exact
+    val big = (next until next + 5 * n0).toVector
+    val selectedBig = spark.createDataset(big.map(entry(_))).toDF()
+    seenIds = seenIds ++ big
+    seen = seenIds.map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+    next += 5 * n0
+    val sk = sb.update(selectedBig, big.length, seenIds.length, seen)
+    assert(sk.isDefined)
+    val cands = spark.createDataset(
+      (0L until next by 997L).map(entry(_)) ++ (next until next + 200L).map(entry(_)))
+    val got = Frontier.newOnlyWithSketch(cands, seen, sk).collect()
+      .map(_.canonicalUrl.drop("https://site0.com/p".length).toLong).sorted
+    assert(got.toSeq == (next until next + 200L), "post-rebuild sketch must stay exact")
+  }
+
+  test("newOnlyWithSketch(None) is the pure exact anti-join") {
+    import spark.implicits._
+    val candidates = spark.createDataset((0L until 100L).map(entry(_)))
+    val seen = (0L until 50L).map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+    val out = Frontier.newOnlyWithSketch(candidates, seen, scala.None).collect()
+    assert(out.length == 50 &&
+      out.forall(_.canonicalUrl.drop("https://site0.com/p".length).toLong >= 50))
+  }
+
   test("estimatedFpp: design-point sanity (10^10 seen never builds a 12 GB driver sketch)") {
     // at the stated 10^10-URL design point the default budget (2^32 bits)
     // yields a useless bloom → the skip rule engages instead of a driver OOM
