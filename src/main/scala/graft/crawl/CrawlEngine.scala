@@ -431,8 +431,9 @@ object CrawlEngine {
         Frontier.politenessSelect(
           spark, fr, config.perHostBudget, config.saltBuckets)
 
-    // Carried seen-set sketch (per-run; a resume rebuilds it on first use)
+    // Carried seen-set sketches (per-run; a resume rebuilds on first use)
     val seenBloom = new Frontier.SeenBloom()
+    val seenCuckoo = new Frontier.SeenCuckoo()
 
     // Next wave's (frontier load, politeness selection, count) PREFETCHED
     // during the previous wave's write window: once the frontier snapshot
@@ -621,7 +622,8 @@ object CrawlEngine {
           // maintenance instead of newOnly's per-wave full-seen rebuild
           val nextFrontier =
             if (config.seenSketch == "cuckoo")
-              Frontier.newOnlyCuckoo(spark, combined, newSeen, seenCount)
+              Frontier.newOnlyCuckooWithSketch(combined, newSeen,
+                seenCuckoo.update(spark, selected.toDF(), selCount, seenCount, newSeen))
             else Frontier.newOnlyWithSketch(combined, newSeen,
               seenBloom.update(selected.toDF(), selCount, seenCount, newSeen))
 

@@ -114,6 +114,74 @@ object Frontier extends Serializable {
     }
   }
 
+  /** [[SeenBloom]]'s cuckoo twin: carried filter sized with headroom at
+    * build time, per-wave delta built by treeAggregate over the SELECTED
+    * rows' precomputed urlHash column (O(wave)), merged slot-by-slot into
+    * the carried table (exact — see [[CuckooFilter.merge]]). A saturating
+    * merge or capacity overflow triggers a full rebuild from newSeen at a
+    * fresh 4× headroom size; an unbudgetable rebuild degrades to None
+    * (exact anti-join), the same fail-safe ladder as the one-shot path. */
+  final class SeenCuckoo(maxBytes: Long = CuckooFilter.DefaultMaxBytes) extends Serializable {
+    // (filter, design capacity in items, items inserted)
+    private var state: Option[(CuckooFilter, Long, Long)] = scala.None
+
+    private def aggregate(hashes: org.apache.spark.rdd.RDD[Long], log2: Int): CuckooFilter =
+      hashes.treeAggregate(new CuckooFilter(log2))(
+        (f, h) => { f.insert(h); f }, (a, b) => { a.merge(b); a })
+
+    private def rebuild(spark: SparkSession, newSeen: DataFrame, seenCount: Long): Option[CuckooFilter] = {
+      import spark.implicits._
+      val target = Seq(seenCount * 4, seenCount * 2, seenCount)
+        .find(t => CuckooFilter.log2For(t, maxBytes).isDefined)
+      target match {
+        case Some(t) =>
+          val log2 = CuckooFilter.log2For(t, maxBytes).get
+          val f = aggregate(
+            newSeen.select(xxhash64(col("canonicalUrl")).as("h")).as[Long].rdd, log2)
+          if (f.saturated) { state = scala.None; scala.None }
+          else { state = Some((f, t, seenCount)); Some(f) }
+        case scala.None => state = scala.None; scala.None
+      }
+    }
+
+    def update(
+        spark: SparkSession,
+        selected: DataFrame,
+        selCount: Long,
+        seenCount: Long,
+        newSeen: DataFrame): Option[CuckooFilter] = {
+      import spark.implicits._
+      if (seenCount < BloomThreshold) return scala.None
+      state match {
+        case Some((cf, cap, ins)) if ins + selCount <= cap && !cf.saturated =>
+          val delta = aggregate(selected.select(col("urlHash")).as[Long].rdd, cf.log2Buckets)
+          if (delta.saturated || !cf.merge(delta)) rebuild(spark, newSeen, seenCount)
+          else { state = Some((cf, cap, ins + selCount)); Some(cf) }
+        case _ => rebuild(spark, newSeen, seenCount)
+      }
+    }
+  }
+
+  /** [[newOnlyCuckoo]] with a caller-maintained sketch ([[SeenCuckoo]]):
+    * None → the pure exact anti-join; Some → the standard split. */
+  def newOnlyCuckooWithSketch(
+      candidates: Dataset[FrontierEntry],
+      seen: DataFrame,
+      sketch: Option[CuckooFilter]): Dataset[FrontierEntry] = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    sketch match {
+      case scala.None =>
+        candidates.join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+      case Some(filter) =>
+        val bc = spark.sparkContext.broadcast(filter)
+        val definitelyNew = candidates.filter(e => !bc.value.mightContain(e.urlHash))
+        val maybeSeen = candidates.filter(e => bc.value.mightContain(e.urlHash))
+          .join(seen, Seq("canonicalUrl"), "left_anti").as[FrontierEntry]
+        definitelyNew.union(maybeSeen)
+    }
+  }
+
   /** [[newOnly]] with a caller-maintained sketch ([[SeenBloom]]): None →
     * the pure exact anti-join; Some → the standard split (sketch-negative
     * rows skip the shuffle, sketch-positive rows verify exactly). */

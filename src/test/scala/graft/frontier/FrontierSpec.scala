@@ -108,6 +108,32 @@ class FrontierSpec extends AnyFunSuite {
     assert(got.toSeq == (next until next + 200L), "post-rebuild sketch must stay exact")
   }
 
+  test("SeenCuckoo: incrementally-merged filter is exact across waves") {
+    import spark.implicits._
+    val sc = new Frontier.SeenCuckoo()
+    val n0 = Frontier.BloomThreshold + 2000
+    var seenIds = (0L until n0).toVector
+    var seen = seenIds.map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+    val sel1 = spark.createDataset(seenIds.takeRight(500).map(entry(_))).toDF()
+    assert(sc.update(spark, sel1, 500, n0, seen).isDefined)
+    var next = n0
+    for (w <- 2 to 4) {
+      val delta = (next until next + 700L).toVector
+      val selected = spark.createDataset(delta.map(entry(_))).toDF()
+      seenIds = seenIds ++ delta
+      seen = seenIds.map(i => s"https://site0.com/p$i").toDF("canonicalUrl")
+      next += 700
+      val sk = sc.update(spark, selected, 700, seenIds.length, seen)
+      assert(sk.isDefined && !sk.get.saturated)
+      val cands = spark.createDataset(
+        (0L until next by 97L).map(entry(_)) ++ (next until next + 300L).map(entry(_)))
+      val got = Frontier.newOnlyCuckooWithSketch(cands, seen, sk).collect()
+        .map(_.canonicalUrl.drop("https://site0.com/p".length).toLong).sorted
+      assert(got.toSeq == (next until next + 300L),
+        s"wave $w: cuckoo split must not lose (false negative) or leak rows")
+    }
+  }
+
   test("newOnlyWithSketch(None) is the pure exact anti-join") {
     import spark.implicits._
     val candidates = spark.createDataset((0L until 100L).map(entry(_)))
