@@ -435,13 +435,13 @@ object CrawlEngine {
     val seenBloom = new Frontier.SeenBloom()
     val seenCuckoo = new Frontier.SeenCuckoo()
 
-    // Next wave's (frontier load, politeness selection, count) PREFETCHED
-    // during the previous wave's write window: once the frontier snapshot
-    // lands, a chained future re-loads it from disk (the SAME
-    // lineage-cutting read the next wave would do — never the in-memory
-    // plan, whose materialization would race the snapshot write into
-    // duplicate full-lineage computes) and runs the selection + count
-    // while the output sinks, the commit, and the wave teardown proceed.
+    // Next wave's (frontier, politeness selection, count) PREFETCHED during
+    // the previous wave's write window: the next frontier is materialized
+    // exactly once (localCheckpoint on the driver thread — the lineage
+    // cut), and the selection + count future reads those blocks while the
+    // output sinks, the snapshot write, the commit, and the wave teardown
+    // proceed. Never the raw lazy plan: racing the snapshot write into the
+    // un-materialized lineage would duplicate full-wave computes.
     var prefetch: Option[scala.concurrent.Future[
       Option[(Dataset[FrontierEntry], Dataset[FrontierEntry], Long)]]] = scala.None
 
