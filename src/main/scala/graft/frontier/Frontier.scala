@@ -97,7 +97,11 @@ object Frontier extends Serializable {
       if (seenCount < BloomThreshold) scala.None
       else state match {
         case Some((bf, bits, cap, ins)) if ins + selCount <= cap =>
-          val delta = selected.stat.bloomFilter("canonicalUrl", cap, bits)
+          // stat.bloomFilter allocates a full bits-sized sketch PER TASK and
+          // ORs them — cost O(bits × tasks), not O(wave rows). The wave is
+          // small by definition; narrow it to a handful of tasks so the
+          // delta costs a wave-scan plus ~4 sketch merges.
+          val delta = selected.coalesce(4).stat.bloomFilter("canonicalUrl", cap, bits)
           bf.mergeInPlace(delta)
           state = Some((bf, bits, cap, ins + selCount))
           Some(bf)

@@ -72,6 +72,35 @@ object FrontierSmoke {
       s"seen anti-join must be exact: got $fresh want ${n - seenCount}")
 
     println(f"""{"metric":"frontier_smoke","entries":$n,"hosts":$hosts,"skew_host_entries":$skewCount,"cores":$cores,"politeness_selected":$selected,"politeness_secs":$selectSecs%.1f,"politeness_entries_per_sec":${n / selectSecs}%.0f,"seen":$seenCount,"fresh":$fresh,"antijoin_secs":$antiSecs%.1f,"antijoin_entries_per_sec":${n / antiSecs}%.0f}""")
+
+    // ---- seen-sketch upkeep: O(total) rebuild vs O(wave) delta merge ------
+    // the number that matters on a deep crawl: the old path re-scanned the
+    // FULL seen set to rebuild its sketch every wave; the carried SeenBloom
+    // folds only the wave's selected rows in. Timed at this smoke's scale:
+    // one full build (= the old per-wave cost, also SeenBloom's O(log)-rare
+    // rebuild) vs one steady-state delta update over a 100k-row wave.
+    val waveRows = 100000L
+    val wave = spark.range(n, n + waveRows).as[Long].map(entryOf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    require(wave.count() == waveRows)
+    val sb = new Frontier.SeenBloom()
+    val t2 = System.nanoTime()
+    val s0 = sb.update(seen, seenCount, seenCount, seen) // initial full build
+    val rebuildSecs = (System.nanoTime() - t2) / 1e9
+    require(s0.isDefined, "smoke-scale seen set must be sketchable")
+    val seenAfter = seen.union(wave.toDF().select("canonicalUrl"))
+    val t3 = System.nanoTime()
+    val s1 = sb.update(wave.toDF(), waveRows, seenCount + waveRows, seenAfter)
+    val deltaSecs = (System.nanoTime() - t3) / 1e9
+    require(s1.isDefined)
+    // exactness after the merge: seen candidates all drop, new ones all pass
+    val probe = spark.range(0, 200000L).as[Long]
+      .map(i => entryOf(if (i % 2 == 0) i else n + (i % waveRows)))
+      .dropDuplicates("canonicalUrl")
+    val probeFresh = Frontier.newOnlyWithSketch(probe, seenAfter, s1).count()
+    require(probeFresh == 0,
+      s"every probe candidate is seen (even ids ∈ seen, odd ids ∈ the merged wave) — got $probeFresh survivors")
+    println(f"""{"metric":"seen_sketch_upkeep","seen":${seenCount + waveRows},"wave":$waveRows,"full_rebuild_secs":$rebuildSecs%.2f,"delta_update_secs":$deltaSecs%.2f,"speedup":${rebuildSecs / deltaSecs}%.1f}""")
     spark.stop()
   }
 }
