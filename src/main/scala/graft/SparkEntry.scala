@@ -233,6 +233,7 @@ object SparkEntry {
     "q_unimax_mix" -> (graft.pipeline.UnimaxMix.unimaxMixQuery _),
     "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _),
     "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _),
+    "q_repeat_cut" -> (graft.pipeline.RepeatCut.repeatCutQuery _),
     "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _),
     "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _),
     "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _),
@@ -590,6 +591,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-sorts every suffix window and
     // re-derives each position's neighbor lcp with the same column algebra
     "q_suffix_repeats" -> graft.pipeline.SuffixRepeats.suffixRepeatsSql,
+    // independent method: DuckDB re-derives the cut set per CHARACTER
+    // (running coverage max + ordered string_agg re-assembly) where Spark
+    // walks merged intervals — the kept text is pinned by md5, not counts
+    "q_repeat_cut" -> graft.pipeline.RepeatCut.repeatCutSql,
     // independent replay: DuckDB re-executes the full greedy recurrence
     // (all 16 rounds) over its own exact pairwise distance matrix
     "q_kcenter_coreset" -> graft.pipeline.KcenterCoreset.kcenterCoresetSql,

@@ -68,6 +68,21 @@ object SuffixRepeats {
 
   /** Per-document repeat ledger over any (doc_id, text) frame. */
   def suffixRepeats(docsDf: DataFrame): DataFrame = {
+    positionReps(docsDf)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pos"), max("rep").as("max_rep"),
+        sum(when(col("rep") >= RepThreshold, 1L).otherwise(0L)).as("n_rep32"))
+      .select(col("doc_id"), col("n_pos"), col("max_rep"), col("n_rep32"),
+        expr("1000 * n_rep32 div n_pos").as("rep32_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** The per-position repeat frame (doc_id, pos, rep) — the detector both
+    * the ledger ([[suffixRepeats]]) and the span cutter
+    * ([[RepeatCut]]) read. `pos` is 1-based in CODE POINTS (Spark
+    * `length`/`substring` semantics), `rep` the capped longest repeated
+    * span opening at that position. */
+  private[pipeline] def positionReps(docsDf: DataFrame): DataFrame = {
     val wins = docsDf
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), explode(sequence(lit(1), length(col("text")))).as("pos"),
@@ -93,34 +108,37 @@ object SuffixRepeats {
         lcpCol(col("win"), col("nw"))))
     // exact small-rep path: rep ≥ L (L = 1, 2) iff the position's
     // L-prefix occurs ≥ 2 times corpus-wide — alphabet-bounded count
-    // tables, broadcast back (includes the position itself, hence ≥ 2)
-    val g1 = wins.groupBy(substring(col("win"), 1, 1).as("g1"))
-      .agg(count(lit(1)).as("c1"))
-    val g2 = wins.filter(length(col("win")) >= 2)
+    // tables, broadcast back (includes the position itself, hence ≥ 2).
+    // ONE scan of the exploded windows feeds both: group at 2-prefix
+    // granularity (≤ alphabet² rows, map-side combined), then the 1-prefix
+    // table is a second aggregation over that tiny frame, not the corpus.
+    val pre = wins
       .groupBy(substring(col("win"), 1, 2).as("g2"))
-      .agg(count(lit(1)).as("c2"))
-    val reps = local
+      .agg(count(lit(1)).as("n"),
+        sum(when(length(col("win")) >= 2, 1L).otherwise(0L)).as("c2"))
+      .localCheckpoint()
+    val g1 = pre.groupBy(substring(col("g2"), 1, 1).as("g1"))
+      .agg(sum(col("n")).as("c1"))
+    val g2 = pre.filter(col("c2") > 0).select(col("g2"), col("c2"))
+    local
       .join(broadcast(g1), substring(col("win"), 1, 1) === col("g1"), "left")
       .join(broadcast(g2), substring(col("win"), 1, 2) === col("g2"), "left")
       .withColumn("rep", when(col("rep_local") >= PrefLen, col("rep_local"))
         .when(length(col("win")) >= 2 && coalesce(col("c2"), lit(0L)) >= 2, 2L)
         .when(col("c1") >= 2, 1L)
         .otherwise(0L))
-    reps.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_pos"), max("rep").as("max_rep"),
-        sum(when(col("rep") >= RepThreshold, 1L).otherwise(0L)).as("n_rep32"))
-      .select(col("doc_id"), col("n_pos"), col("max_rep"), col("n_rep32"),
-        expr("1000 * n_rep32 div n_pos").as("rep32_permille"))
-      .orderBy("doc_id")
+      .select(col("doc_id"), col("pos"), col("rep"))
   }
 
   /** Contract query `q_suffix_repeats` over the documents table. */
   def suffixRepeatsQuery(spark: SparkSession, dir: String): DataFrame =
     suffixRepeats(spark.read.parquet(s"$dir/documents.parquet"))
 
-  /** DuckDB twin: identical windows, sort adjacency, lcp algebra, ledger. */
-  val suffixRepeatsSql: String =
-    s"""WITH w AS (
+  /** Shared DuckDB CTE chain computing the per-position rep frame `lc`
+    * (doc_id, pos, rep) — the twin of [[positionReps]], consumed by both
+    * the ledger oracle and the [[RepeatCut]] cutter oracle. */
+  private[pipeline] val LcCtes: String =
+    s"""w AS (
        |  SELECT doc_id, pos, substring(text, CAST(pos AS INTEGER), $WinCap) AS win
        |  FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS pos
        |        FROM documents WHERE length(text) > 0)),
@@ -142,7 +160,11 @@ object SuffixRepeats {
        |          i -> substring(win, CAST(i AS INTEGER), 1)
        |               = substring(nw, CAST(i AS INTEGER), 1)), false), 0) - 1, $WinCap),
        |        length(win), length(nw))) AS rep
-       |  FROM nb)
+       |  FROM nb)""".stripMargin
+
+  /** DuckDB twin: identical windows, sort adjacency, lcp algebra, ledger. */
+  val suffixRepeatsSql: String =
+    s"""WITH $LcCtes
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos,
        |  CAST(max(rep) AS BIGINT) AS max_rep,
        |  CAST(sum(CASE WHEN rep >= $RepThreshold THEN 1 ELSE 0 END) AS BIGINT) AS n_rep32,
