@@ -722,6 +722,20 @@ object PlanCheck {
         s"per-step executed-plan size constant across checkpointed steps: ${hSizes.reverse}")
     }
 
+    // 58b. repeat cutter: the interval aggregation sees only QUALIFYING
+    // positions (the rep >= threshold filter precedes the collect), the
+    // doc join-back is keyed, and nothing goes all-pairs
+    locally {
+      val rc = graft.pipeline.RepeatCut.repeatCutQuery(spark, sfDir)
+      val rcPlan = rc.queryExecution.executedPlan.toString
+      check("q_repeat_cut/sparse-keyed-intervals",
+        rcPlan.contains("collect_list") &&
+          rcPlan.contains(s">= ${graft.pipeline.SuffixRepeats.RepThreshold}") &&
+          !rcPlan.contains("CartesianProduct") &&
+          !rcPlan.contains("BroadcastNestedLoopJoin"),
+        "rep-threshold filter feeds the interval collect; doc join keyed")
+    }
+
     // 59-64. iterative consumers end-to-end: the composed pinned-round
     // pipelines must stay equi-joined — no cartesian / nested-loop anywhere
     for ((qn, fn) <- Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](
