@@ -53,6 +53,25 @@ object CrawlEngine {
     s"00-${h.substring(0, 32)}-${h.substring(32, 48)}-01"
   }
 
+  /** Release a materialized frame's executor blocks NOW. For plain
+    * persisted frames this is `Dataset.unpersist`; for `localCheckpoint`ed
+    * frames that call is a CacheManager no-op (the blocks belong to the
+    * checkpointed RDD, not to a cached query — verified against Spark
+    * 4.1's CacheManager.uncacheQuery), so the backing LogicalRDD's RDD is
+    * unpersisted directly. Without this, per-wave frontier checkpoint
+    * blocks accumulate until the periodic-GC ContextCleaner pass — the
+    * opposite of the eager per-wave release this engine documents, and a
+    * real leak for many-crawls-per-JVM callers. Only safe once NOTHING
+    * will read the frame again (a checkpointed RDD cannot recompute its
+    * freed blocks — its lineage is cut by construction). */
+  private[graft] def releaseBlocks(ds: Dataset[_]): Unit = {
+    ds.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+    ds.unpersist()
+  }
+
   private[graft] def entryFor(canonical: String, rawUrl: String, depth: Int, parent: String): FrontierEntry = {
     val host = UrlKernel.extractDomain(canonical).getOrElse("")
     val pd = UrlKernel.pathDepth(canonical)
@@ -84,7 +103,8 @@ object CrawlEngine {
     * Shared by the batch wave loop and the streaming crawl twin. */
   private[graft] def preparePages(pages: Dataset[PageRow],
                                   spillDir: Option[String] = scala.None,
-                                  broadcastWinnersMaxRows: Long = 500000L): DataFrame = {
+                                  broadcastWinnersMaxRows: Long = 500000L,
+                                  registerRelease: (() => Unit) => Unit = _ => ()): DataFrame = {
     val canonCol = graft.functions.GraftExpressions.canonicalize_url(col("url"))
     val keyed = pages
       .withColumn("canonicalUrl", canonCol)
@@ -110,7 +130,13 @@ object CrawlEngine {
       case Some(dir) =>
         winnersBase.write.mode("overwrite").parquet(dir)
         pages.sparkSession.read.parquet(dir)
-      case scala.None => winnersBase.localCheckpoint()
+      case scala.None =>
+        val w = winnersBase.localCheckpoint()
+        // checkpoint blocks need the releaseBlocks discipline (plain
+        // unpersist is a no-op on them) — the caller registers this for
+        // its end-of-crawl cleanup, when nothing reads `prepared` again
+        registerRelease(() => releaseBlocks(w))
+        w
     }
     // One small job over the materialized winners (checkpointed blocks /
     // spilled table) yields BOTH the tie detection and the join-strategy
@@ -240,6 +266,14 @@ object CrawlEngine {
     })
     val sinkEc = scala.concurrent.ExecutionContext.fromExecutorService(sinkPool)
 
+    // Next wave's (frontier, politeness selection, count), PREFETCHED during
+    // the previous wave's write window (launched near the end of the wave
+    // body below). Declared here so cleanupAll can drain an in-flight
+    // prefetch on exceptional exit — its Spark jobs must not race the
+    // store close, and its frames must release.
+    var prefetch: Option[scala.concurrent.Future[
+      Option[(Dataset[FrontierEntry], Dataset[FrontierEntry], Long)]]] = scala.None
+
     // Best-effort resource release on ANY exit: a failed concurrent sink
     // write (Await rethrows) must not leak executor storage, the sink pool,
     // or the store's FileSystem — crawls run many-per-JVM (CrawlQueries).
@@ -247,6 +281,20 @@ object CrawlEngine {
     // normal path's targeted unpersists still run eagerly per wave.
     val liveCaches = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
     def cleanupAll(): Unit = {
+      // drain the in-flight prefetch FIRST: on a mid-wave exception its
+      // future may still be running Spark jobs — awaiting it (bounded)
+      // before closing the store/pool keeps the failure observable and its
+      // persisted selection + checkpointed frontier releasable below
+      prefetch.foreach { f =>
+        try {
+          scala.concurrent.Await.result(f, scala.concurrent.duration.Duration(120, "s"))
+            .foreach { case (fr, s, _) =>
+              if (!(s eq fr)) s.unpersist()
+              releaseBlocks(fr)
+            }
+        } catch { case _: Throwable => () }
+      }
+      prefetch = scala.None
       liveCaches.synchronized { liveCaches.toList }
         .foreach(f => try f() catch { case _: Throwable => () })
       try sinkEc.shutdown() catch { case _: Throwable => () }
@@ -310,7 +358,8 @@ object CrawlEngine {
     // shuffles the pages side exactly once, inside the measured dataflow.)
     val preparedBase = preparePages(pages,
       if (config.spillIntermediates) Some(s"$stateDir/intermediates/pages-winners") else scala.None,
-      config.broadcastWaveMaxRows)
+      config.broadcastWaveMaxRows,
+      registerRelease = f => liveCaches.synchronized { liveCaches += f })
     val prepared =
       if (prePartitionPages)
         preparedBase.persist(StorageLevel.MEMORY_AND_DISK)
@@ -435,16 +484,13 @@ object CrawlEngine {
     val seenBloom = new Frontier.SeenBloom()
     val seenCuckoo = new Frontier.SeenCuckoo()
 
-    // Next wave's (frontier, politeness selection, count) PREFETCHED during
-    // the previous wave's write window: the next frontier is materialized
-    // exactly once (localCheckpoint on the driver thread — the lineage
-    // cut), and the selection + count future reads those blocks while the
-    // output sinks, the snapshot write, the commit, and the wave teardown
-    // proceed. Never the raw lazy plan: racing the snapshot write into the
-    // un-materialized lineage would duplicate full-wave computes.
-    var prefetch: Option[scala.concurrent.Future[
-      Option[(Dataset[FrontierEntry], Dataset[FrontierEntry], Long)]]] = scala.None
-
+    // (prefetch mechanics: the next frontier is materialized exactly once —
+    // localCheckpoint on the driver thread, the lineage cut — and the
+    // selection + count future reads those blocks while the output sinks,
+    // the snapshot write, the commit, and the wave teardown proceed. Never
+    // the raw lazy plan: racing the snapshot write into the un-materialized
+    // lineage would duplicate full-wave computes. Declared above cleanupAll
+    // so exceptional exits drain it.)
     var done = false
     while (!done && wave < waveLimit && fetchedTotal < config.maxPages) {
       val (frontierPersisted, selectedAll, rawCount) = prefetch.flatMap(f =>
@@ -478,9 +524,11 @@ object CrawlEngine {
         done = true
         // the empty final wave must still release its cached frames — crawls
         // run many-per-JVM (CrawlQueries) and leaked caches accumulate
+        // (releaseBlocks: the frontier may be a checkpointed frame, whose
+        // plain unpersist is a no-op)
         selected.unpersist()
         selectedAll.unpersist()
-        frontierPersisted.unpersist()
+        releaseBlocks(frontierPersisted)
       }
       else {
         {
@@ -697,6 +745,10 @@ object CrawlEngine {
           // materialized copy — the snapshot write, the next-wave politeness
           // prefetch, and the next wave's leftover anti-join
           val nextFrontierC = nextFrontier.localCheckpoint()
+          // register for exceptional-exit release at creation — checkpoint
+          // blocks otherwise outlive the crawl (releaseBlocks, not the
+          // no-op plain unpersist)
+          liveCaches.synchronized { liveCaches += (() => releaseBlocks(nextFrontierC)) }
           log(s"wave=$wave frontier-checkpoint done $elapsed")
           val fFrontier = Future {
             store.writeFrontier(spark, wave, nextFrontierC.toDF(), config.snapshotFileTarget)
@@ -761,7 +813,7 @@ object CrawlEngine {
           extracted.unpersist()
           selected.unpersist()
           selectedAll.unpersist()
-          frontierPersisted.unpersist()
+          releaseBlocks(frontierPersisted)
           // footer stats said the committed frontier is empty: the next
           // iteration's select over it could only yield zero rows — exit
           // without that job (identical summary: the empty-wave path never
@@ -782,10 +834,11 @@ object CrawlEngine {
       try scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
         .foreach { case (fr, s, _) =>
           if (!(s eq fr)) s.unpersist()
-          fr.unpersist()
+          releaseBlocks(fr)
         }
       catch { case _: Throwable => () }
     }
+    prefetch = scala.None
     CrawlSummary(rid, wave, fetchedTotal, errorsTotal, parityFailures, stateDir)
     } finally cleanupAll()
   }

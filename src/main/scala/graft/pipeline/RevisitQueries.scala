@@ -49,6 +49,22 @@ object RevisitQueries {
     dir.toString
   }
 
+  /** Temp dir reclaimed RECURSIVELY at JVM exit — for the partitioned
+    * archive writers, whose segment count depends on the partition layout
+    * (deleteOnExit can't pre-register unknown file names). */
+  private def scratchDirRecursive(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles()
+        if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }, "graft-scratch-rm"))
+    dir.toString
+  }
+
   /** Day-7 recrawl: same corpus, later timestamps, a salted-md5 subset of
     * pages changed (one appended comment — enough to move the digest). */
   def secondCapture(pages: Seq[PageRow]): Seq[PageRow] =
@@ -85,6 +101,26 @@ object RevisitQueries {
       .drop("p_url", "p_digest", "p_ts")
   }
 
+  /** [[classifyCapture]] output → typed archive records, mapped on
+    * executors (shared by the batch export here and the streaming archive
+    * sink): revisit rows drop their payload and carry the digest+pointer;
+    * response rows keep the payload. */
+  def classifiedToArchiveRecords(classified: DataFrame): org.apache.spark.sql.Dataset[WarcKit.ArchiveRecord] = {
+    import classified.sparkSession.implicits._
+    classified
+      .select("warc_type", "url", "warc_ts", "status", "contentType", "html",
+        "digest", "refers_to_url", "refers_to_ts")
+      .as[(String, String, java.sql.Timestamp, Int, String, Array[Byte],
+        String, String, java.sql.Timestamp)]
+      .map { case (wt, url, ts, st, ct, html, dg, rUrl, rTs) =>
+        if (wt == "revisit")
+          WarcKit.ArchiveRecord("revisit", url, ts, st, ct, Array.emptyByteArray,
+            "md5:" + dg, rUrl, rTs)
+        else
+          WarcKit.ArchiveRecord("response", url, ts, st, ct, html, "md5:" + dg)
+      }
+  }
+
   /** Contract query `q_warc_revisit`: capture day-0 as a plain WARC, run
     * the day-7 recrawl through [[classifyCapture]], write the mixed
     * response/revisit archive, read it back, and emit what the ARCHIVE now
@@ -97,32 +133,22 @@ object RevisitQueries {
     import spark.implicits._
     val day0 = CorpusGen.localPages(CorpusGen.Spec(2, 15))
     val day7 = secondCapture(day0)
-    val tmp = scratchDir("graft-q-revisit", "day0.warc.gz", "day7.warc.gz")
+    val tmp = scratchDir("graft-q-revisit", "day0.warc.gz")
     WarcKit.writeWarcFile(WarcKit.toRecords(day0), s"$tmp/day0.warc.gz", gzip = true)
 
     val prev = WarcKit.readRecords(spark, s"$tmp/day0.warc.gz").toDF()
     val curr = spark.createDataset(WarcKit.toRecords(day7)).toDF()
     val classified = classifyCapture(prev, curr)
 
-    // Fixture-scale driver-side write (one segment); the production shape
-    // is foreachPartition with one archive file per partition, same bytes.
-    val records = classified
-      .select("warc_type", "url", "warc_ts", "status", "contentType", "html",
-        "digest", "refers_to_url", "refers_to_ts")
-      .as[(String, String, java.sql.Timestamp, Int, String, Array[Byte],
-        String, String, java.sql.Timestamp)]
-      .collect()
-      .sortBy(_._2)
-      .map { case (wt, url, ts, st, ct, html, dg, rUrl, rTs) =>
-        if (wt == "revisit")
-          WarcKit.ArchiveRecord("revisit", url, ts, st, ct, Array.emptyByteArray,
-            "md5:" + dg, rUrl, rTs)
-        else
-          WarcKit.ArchiveRecord("response", url, ts, st, ct, html, "md5:" + dg)
-      }
-    WarcKit.writeArchive(records, s"$tmp/day7.warc.gz", gzip = true)
+    // Distributed emit: classified rows become typed ArchiveRecords ON
+    // EXECUTORS, and each partition writes its own member-per-record gzip
+    // segment (WarcKit.writeArchivePartitioned) — payload bytes never
+    // visit the driver, at fixture scale exactly as at 100 TB.
+    val records = classifiedToArchiveRecords(classified)
+    val day7Dir = scratchDirRecursive("graft-q-revisit-day7")
+    WarcKit.writeArchivePartitioned(records, day7Dir, codec = "gz")
 
-    WarcKit.readArchiveRecords(spark, s"$tmp/day7.warc.gz")
+    WarcKit.readArchiveRecords(spark, s"$day7Dir/*.warc.gz")
       .map(a => (a.url, a.warcType, a.payloadDigest, a.html.length.toLong,
         a.refersToUri, a.refersToTs))
       .toDF("url", "warc_type", "payload_digest", "stored_bytes",
@@ -138,10 +164,13 @@ object RevisitQueries {
     * how Common Crawl consumers read text without touching raw WARCs. */
   def wetExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pages = CorpusGen.localPages(CorpusGen.Spec(2, 15))
-    val tmp = scratchDir("graft-q-wet", "seg.warc.wet.gz")
-    WarcKit.writeArchive(WarcKit.wetFromPages(pages), s"$tmp/seg.warc.wet.gz", gzip = true)
-    WarcKit.readArchiveRecords(spark, s"$tmp/seg.warc.wet.gz")
+    // Distributed end to end: record build (wetRecords map) AND segment
+    // write (writeArchivePartitioned) both run on executors — the WET
+    // sibling of a 100-TB crawl is one pass over the pages table.
+    val pages = CorpusGen.dataset(spark, CorpusGen.Spec(2, 15))
+    val tmp = scratchDirRecursive("graft-q-wet")
+    WarcKit.writeArchivePartitioned(WarcKit.wetRecords(pages), tmp, codec = "gz")
+    WarcKit.readArchiveRecords(spark, s"$tmp/*.warc.gz")
       .filter(_.warcType == "conversion")
       .map(a => (a.url, a.warc_ts, new String(a.html, UTF_8).length.toLong,
         WarcKit.payloadDigest(a.html), a.contentType, a.refersToUri))
@@ -171,11 +200,13 @@ object RevisitQueries {
     * json alone. */
   def watExport(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val pages = CorpusGen.localPages(CorpusGen.Spec(2, 15))
-    val tmp = scratchDir("graft-q-wat", "seg.warc.wat.gz")
-    WarcKit.writeArchive(WarcKit.watFromPages(pages), s"$tmp/seg.warc.wat.gz", gzip = true)
+    // Distributed end to end (see wetExport): the WAT build parses HTML
+    // per row on executors; the writer shards one segment per partition.
+    val pages = CorpusGen.dataset(spark, CorpusGen.Spec(2, 15))
+    val tmp = scratchDirRecursive("graft-q-wat")
+    WarcKit.writeArchivePartitioned(WarcKit.watRecords(pages), tmp, codec = "gz")
     val html = "Envelope.`Payload-Metadata`.`HTTP-Response-Metadata`.`HTML-Metadata`"
-    WarcKit.readArchiveRecords(spark, s"$tmp/seg.warc.wat.gz")
+    WarcKit.readArchiveRecords(spark, s"$tmp/*.warc.gz")
       .filter(_.warcType == "metadata")
       .map(a => (a.url, a.warc_ts, WarcKit.payloadDigest(a.html),
         a.refersToUri, new String(a.html, UTF_8)))

@@ -140,40 +140,61 @@ object WarcKit {
     sb.toString
   }
 
-  /** Pages table → WAT metadata records: per capture, a canonical JSON
-    * Envelope with the WARC header metadata and the HTML metadata the
-    * extractor derived (title + every `A@/href` link sighting) — the
-    * Common Crawl WAT shape, built from the SAME HtmlKit kernels the
-    * extract stage runs, so the WAT can never disagree with the engine's
-    * own link graph. */
-  def watFromPages(pages: Seq[graft.model.PageRow]): Seq[ArchiveRecord] =
-    pages.map { p =>
-      val html = new String(p.html, UTF_8)
-      val dom = graft.extract.HtmlKit.parse(html)
-      val title = graft.extract.HtmlKit.extractText(dom, html).title
-      val links = graft.extract.HtmlKit.extractLinkAnchors(dom, p.url)
-      val linksJson = links
-        .map { case (u, _) => s"""{"path":"A@/href","url":"${jsonStr(u)}"}""" }
-        .mkString("[", ",", "]")
-      val json =
-        s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"${jsonStr(p.url)}",""" +
-          s""""WARC-Type":"response","WARC-Date":"${WarcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}"},""" +
-          s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
-          s"""{"Head":{"Title":"${jsonStr(title)}"},"Links":$linksJson}}}}}"""
-      val body = json.getBytes(UTF_8)
-      ArchiveRecord("metadata", p.url, p.warc_ts, 0, "application/json", body,
-        payloadDigest(body), p.url, p.warc_ts)
-    }
+  /** One page → one WAT metadata record: a canonical JSON Envelope with
+    * the WARC header metadata and the HTML metadata the extractor derived
+    * (title + every `A@/href` link sighting) — the Common Crawl WAT shape,
+    * built from the SAME HtmlKit kernels the extract stage runs, so the
+    * WAT can never disagree with the engine's own link graph. Pure per-row
+    * kernel: runs identically on the driver (fixtures) and on executors
+    * ([[watRecords]]). */
+  def watRecord(p: graft.model.PageRow): ArchiveRecord = {
+    val html = new String(p.html, UTF_8)
+    val dom = graft.extract.HtmlKit.parse(html)
+    val title = graft.extract.HtmlKit.extractText(dom, html).title
+    val links = graft.extract.HtmlKit.extractLinkAnchors(dom, p.url)
+    val linksJson = links
+      .map { case (u, _) => s"""{"path":"A@/href","url":"${jsonStr(u)}"}""" }
+      .mkString("[", ",", "]")
+    val json =
+      s"""{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"${jsonStr(p.url)}",""" +
+        s""""WARC-Type":"response","WARC-Date":"${WarcDate.format(Instant.ofEpochMilli(p.warc_ts.getTime))}"},""" +
+        s""""Payload-Metadata":{"HTTP-Response-Metadata":{"HTML-Metadata":""" +
+        s"""{"Head":{"Title":"${jsonStr(title)}"},"Links":$linksJson}}}}}"""
+    val body = json.getBytes(UTF_8)
+    ArchiveRecord("metadata", p.url, p.warc_ts, 0, "application/json", body,
+      payloadDigest(body), p.url, p.warc_ts)
+  }
 
-  /** Pages table → WET conversion records (the extracted text the engine's
-    * own kernels produced — parity with the pages table holds by
-    * construction). */
+  /** Pages table → WAT metadata records (driver-side Seq twin for
+    * fixtures/tests; the distributed emit path is [[watRecords]]). */
+  def watFromPages(pages: Seq[graft.model.PageRow]): Seq[ArchiveRecord] =
+    pages.map(watRecord)
+
+  /** Distributed WAT build: the per-row kernel runs on executors, so the
+    * metadata sibling of a 100-TB crawl is one map over the pages table —
+    * feed straight into [[writeArchivePartitioned]]. */
+  def watRecords(pages: Dataset[graft.model.PageRow]): Dataset[ArchiveRecord] = {
+    import pages.sparkSession.implicits._
+    pages.map(watRecord)
+  }
+
+  /** One page → one WET conversion record (extracted text the engine's own
+    * kernels produced — parity with the pages table holds by construction). */
+  def wetRecord(p: graft.model.PageRow): ArchiveRecord = {
+    val body = p.text.getBytes(UTF_8)
+    ArchiveRecord("conversion", p.url, p.warc_ts, 0, "text/plain", body,
+      payloadDigest(body), p.url, p.warc_ts)
+  }
+
+  /** Pages table → WET conversion records (driver-side Seq twin). */
   def wetFromPages(pages: Seq[graft.model.PageRow]): Seq[ArchiveRecord] =
-    pages.map { p =>
-      val body = p.text.getBytes(UTF_8)
-      ArchiveRecord("conversion", p.url, p.warc_ts, 0, "text/plain", body,
-        payloadDigest(body), p.url, p.warc_ts)
-    }
+    pages.map(wetRecord)
+
+  /** Distributed WET build — executor-side map, for [[writeArchivePartitioned]]. */
+  def wetRecords(pages: Dataset[graft.model.PageRow]): Dataset[ArchiveRecord] = {
+    import pages.sparkSession.implicits._
+    pages.map(wetRecord)
+  }
 
   /** Write a mixed response/revisit archive (driver-side helper — the
     * production shape is foreachPartition with one file per partition,
@@ -192,6 +213,80 @@ object WarcKit {
       } else if (zstd) out.write(Compression.zstd(bytes))
       else out.write(bytes)
     } finally out.close()
+  }
+
+  /** Hadoop Configuration is not Serializable; this minimal wrapper ships
+    * the driver's (possibly hdfs-configured) conf to the writer tasks, so
+    * executor-side FileSystem resolution sees the same scheme config the
+    * driver does. */
+  private final class SerConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** THE production archive emit path: one member-per-record gzip/zstd
+    * archive segment per partition, each written by its own task straight
+    * to the (Hadoop) filesystem — payload bytes NEVER visit the driver
+    * (contrast [[writeArchive]], the driver-side fixture helper kept for
+    * tests/goldens). At 100 TB the WARC/WET/WAT emit is the output path of
+    * the whole crawl, so it must shard exactly like every other sink.
+    *
+    * Idempotence: segment names are deterministic in the partition id
+    * (`part-00000.warc.gz`), and each task writes a temp file named by its
+    * task ATTEMPT then atomically renames over the final name — a retried
+    * or speculative task replaces its own output instead of duplicating
+    * records (the streaming sinks' deterministic-name discipline). Empty
+    * partitions emit no file; `.tmp` files never survive a successful job.
+    * Bytes per record come from the same [[archiveRecordBytes]] codec as
+    * the driver-side writer, so the two paths are byte-identical per
+    * record by construction. */
+  def writeArchivePartitioned(records: Dataset[ArchiveRecord], dir: String,
+                              codec: String = "gz", prefix: String = "part"): Unit = {
+    require(Seq("gz", "zst", "none").contains(codec), s"unknown archive codec: $codec")
+    val spark = records.sparkSession
+    val hconf = new SerConf(spark.sparkContext.hadoopConfiguration)
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val ext = codec match {
+      case "gz" => ".warc.gz"
+      case "zst" => ".warc.zst"
+      case _ => ".warc"
+    }
+    records.foreachPartition { (it: Iterator[ArchiveRecord]) =>
+      if (it.hasNext) {
+        val tc = org.apache.spark.TaskContext.get()
+        val base = new org.apache.hadoop.fs.Path(dir)
+        val fs = base.getFileSystem(hconf.value)
+        val finalPath = new org.apache.hadoop.fs.Path(base, f"$prefix-${tc.partitionId()}%05d$ext")
+        val tmpPath = new org.apache.hadoop.fs.Path(base,
+          f".$prefix-${tc.partitionId()}%05d.attempt-${tc.taskAttemptId()}.tmp")
+        val out = new java.io.BufferedOutputStream(fs.create(tmpPath, true), 1 << 16)
+        try it.foreach { r =>
+          val bytes = archiveRecordBytes(r)
+          codec match {
+            case "gz" =>
+              val bos = new java.io.ByteArrayOutputStream(bytes.length / 3 + 64)
+              val gz = new GZIPOutputStream(bos)
+              gz.write(bytes); gz.close()
+              out.write(bos.toByteArray)
+            case "zst" => out.write(Compression.zstd(bytes))
+            case _ => out.write(bytes)
+          }
+        } finally out.close()
+        // last-attempt-wins flip: remove any earlier attempt's segment,
+        // then move this attempt's into place (atomic on HDFS and POSIX)
+        fs.delete(finalPath, false)
+        if (!fs.rename(tmpPath, finalPath))
+          throw new java.io.IOException(s"archive segment rename failed: $tmpPath -> $finalPath")
+      }
+    }
   }
 
   /** Digest-dedup a new capture against the previous one: unchanged

@@ -751,6 +751,23 @@ object PlanCheck {
         "every join in the composed iterative pipeline is keyed")
     }
 
+    // 65. archive emit discipline: the WARC/WET/WAT export pipeline holds
+    // zero driver-side collects (the writer shards one segment per
+    // partition via foreachPartition; payload bytes never visit the
+    // driver) — checked against the source because a collect is invisible
+    // in a physical plan, and this was the round-4 verdict's one remaining
+    // driver-side materialization.
+    locally {
+      def src(p: String): String = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)), "UTF-8")
+      val rq = src("src/main/scala/graft/pipeline/RevisitQueries.scala")
+      val wk = src("src/main/scala/graft/sources/WarcKit.scala")
+      check("archive-emit/no-driver-collect",
+        !rq.contains(".collect()") && wk.contains("foreachPartition") &&
+          rq.contains("writeArchivePartitioned"),
+        "archive exports route through the partitioned foreachPartition writer, zero collects")
+    }
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")

@@ -429,4 +429,18 @@ class CrawlEngineSpec extends AnyFunSuite {
     assert(o2 == o8, "crawl order must not depend on parallelism")
     assert(s2 == s8, "seen set must not depend on parallelism")
   }
+
+  test("no persisted/checkpointed RDD blocks survive a completed crawl") {
+    withSpark("local[4]") { spark =>
+      val (summary, _) = runCrawl(spark)
+      assert(summary.waves > 1, "multi-wave crawl exercises the per-wave checkpoint path")
+      // Dataset.unpersist is a no-op on localCheckpoint()ed frames — the
+      // engine must release the backing RDDs itself (releaseBlocks), or
+      // every wave's frontier checkpoint leaks until periodic GC. An empty
+      // persistent-RDD registry proves the eager per-wave release is real.
+      val live = spark.sparkContext.getPersistentRDDs
+      assert(live.isEmpty,
+        s"leaked persisted/checkpointed RDDs after run: ${live.values.take(5).mkString("; ")}")
+    }
+  }
 }

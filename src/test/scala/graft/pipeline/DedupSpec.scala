@@ -401,10 +401,14 @@ class DedupSpec extends AnyFunSuite {
       nlist = 16, nprobe = 4).collect())
     val ivfpq = recallOf(Similarity.ivfPqTopK(spark, corpus, queries, 5,
       nlist = 16, nprobe = 4).collect())
-    // identical centroid pruning + a 128-wide exact re-rank: the top-5 of
-    // the probed rows must survive ADC, so composition loses no recall
-    assert(ivfpq >= ivf - 1e-9,
-      s"IVF-PQ recall $ivfpq fell below plain IVF's $ivf at the same nprobe")
+    // identical centroid pruning + an exact re-rank over the ADC shortlist:
+    // in practice composition loses no recall, but ADC quantization error
+    // CAN rank a true neighbor below the shortlist cut within a partition,
+    // so strict dominance is empirical, not structural — allow one
+    // neighbor's worth of slack (1/(k·queries)) rather than a brittle
+    // exact-dominance claim sensitive to data/rerank-width/partitioning
+    assert(ivfpq >= ivf - 1.0 / (5 * queries.length) - 1e-9,
+      s"IVF-PQ recall $ivfpq fell below plain IVF's $ivf beyond shortlist-cut slack")
   }
 
   test("exact-dup pre-pass: 10k identical docs cost O(N) edges, keep-list intact") {
