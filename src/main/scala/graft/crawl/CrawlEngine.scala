@@ -213,7 +213,25 @@ object CrawlEngine {
       html: Array[Byte], storedText: String, storedLang: String)
 
   final case class ExtractOut(
-      page: ExtractedPage, links: Seq[String], chunks: Seq[ChunkRow], parityOk: Boolean)
+      page: ExtractedPage, links: Seq[String], chunks: Seq[ChunkRow], parityOk: Boolean,
+      // server-directed wait parsed from a WAF/rate-limit page body
+      // (TextKit.retryHintSeconds); populated only under breakerPoliteness,
+      // engine-internal — never written to a sink
+      retryHintSecs: Long = 0L)
+
+  /** Retry-After → breaker cooldown, in waves: a server-directed hint
+    * clamps through the shared [[RetryAfter.waitSeconds]] policy and
+    * converts at waveModelSeconds per wave (Retry-After is WALL-CLOCK, and
+    * one wave models that many seconds of politeness time); no hint falls
+    * back to the breaker's fixed
+    * [[graft.pipeline.CircuitBreaker.Cooldown]]. Capped at 64 waves — an
+    * abusive demand must not park a host for a whole crawl. */
+  private[graft] def cooldownWavesFor(hintSecs: Long, waveModelSeconds: Int): Int =
+    if (hintSecs <= 0L) graft.pipeline.CircuitBreaker.Cooldown
+    else {
+      val wait = RetryAfter.waitSeconds(Some(hintSecs.toString), 0, 0L)
+      math.max(1, math.min(64, ((wait + waveModelSeconds - 1) / waveModelSeconds).toInt))
+    }
 
   final case class CrawlSummary(
       runId: String, waves: Int, fetchedTotal: Long, errorsTotal: Long,
@@ -431,7 +449,8 @@ object CrawlEngine {
     // (perHostBudget <= 0 skips selection entirely): gate ALL of its
     // machinery — budget load, health join, per-wave budgets write — off,
     // not just the selection.
-    val adaptiveActive = config.adaptivePoliteness && config.perHostBudget > 0
+    val breakerActive = config.breakerPoliteness && config.perHostBudget > 0
+    val adaptiveActive = (config.adaptivePoliteness || breakerActive) && config.perHostBudget > 0
     def loadBudgets(w: Int): Dataset[HostBudget] = {
       val p = s"$stateDir/budgets/wave=$w"
       // Hadoop FileSystem, not java.io.File: stateDir may live on
@@ -443,6 +462,36 @@ object CrawlEngine {
       else spark.emptyDataset[HostBudget]
     }
     var hostBudgets: Dataset[HostBudget] = loadBudgets(wave - 1)
+
+    // ---- circuit-breaker politeness state (sparse host→state table) --------
+    // The per-host breaker (closed → open → half_open) rides NEXT TO the
+    // budget table: stored per wave like budgets (resumable, lineage-cut by
+    // the read-back), kept sparse — closed-and-clean hosts leave the table.
+    // The state machine is pipeline.CircuitBreaker.step, the SAME kernel the
+    // q_circuit_breaker oracle and the streaming twin run — parity by
+    // construction.
+    def loadBreaker(w: Int): DataFrame = {
+      val p = s"$stateDir/breaker/wave=$w"
+      val hp = new org.apache.hadoop.fs.Path(p)
+      lazy val fsExists = hp.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(hp)
+      if (breakerActive && fsExists) spark.read.parquet(p)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("host", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("state", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("consec", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("cooldownLeft", org.apache.spark.sql.types.IntegerType))))
+    }
+    var breakerStates: DataFrame = loadBreaker(wave - 1)
+    // open-state hosts project into budget overrides: cooling → 0 (the
+    // whole host suppressed — a dying server must not absorb wave budget),
+    // cooldown-expired → 1 (exactly one probe fetch decides recovery)
+    def breakerBudgets: Dataset[HostBudget] =
+      breakerStates.select("host", "state", "cooldownLeft")
+        .as[(String, String, Int)]
+        .flatMap { case (h, st, cd) =>
+          if (st == "open") Some(HostBudget(h, if (cd > 0) 0 else 1)) else scala.None
+        }
 
     // Wave-sized output files: a politeness-bound wave of a few thousand
     // KB-scale rows must not pay #partitions task-setup + commit-rename
@@ -466,11 +515,20 @@ object CrawlEngine {
     // Crawl-delay caps merge most-restrictive-wins with adaptive budgets;
     // the budget cogroup reads ONE row per host, so the union must reduce
     // to the per-host minimum before selection.
-    def effectiveBudgets: Dataset[HostBudget] =
-      if (!delayActive) hostBudgets
-      else if (!adaptiveActive) delayBudgets
-      else hostBudgets.union(delayBudgets).groupByKey(_.host)
-        .reduceGroups((a, b) => if (a.budget <= b.budget) a else b).map(_._2)
+    // (breaker overrides join the same most-restrictive merge: suppress=0
+    // beats everything, probe=1 beats any wider budget)
+    def effectiveBudgets: Dataset[HostBudget] = {
+      val parts = Seq(
+        if (adaptiveActive) Some(hostBudgets) else scala.None,
+        if (delayActive) Some(delayBudgets) else scala.None,
+        if (breakerActive) Some(breakerBudgets) else scala.None).flatten
+      parts match {
+        case Seq() => spark.emptyDataset[HostBudget]
+        case Seq(one) => one
+        case many => many.reduce(_ union _).groupByKey(_.host)
+          .reduceGroups((a, b) => if (a.budget <= b.budget) a else b).map(_._2)
+      }
+    }
     def buildSelection(fr: Dataset[FrontierEntry]): Dataset[FrontierEntry] =
       if (config.perHostBudget <= 0) fr
       else if (adaptiveActive || delayActive)
@@ -551,6 +609,7 @@ object CrawlEngine {
 
           val maxDepth = config.maxDepth
           val waveNum = wave
+          val wantRetryHints = breakerActive
           // -- fused extract stage: clean→text→links→lang→waf→chunks --------
           // One mapPartitions = one codegen-opaque stage, no row-format churn
           // (SURVEY §4 design #4).
@@ -573,7 +632,10 @@ object CrawlEngine {
               val page = ExtractedPage(r.canonicalUrl, r.url, ex.title, ex.text, lang,
                 ex.usedFallback, ex.failed, spa, waf,
                 r.html.length.toLong, ex.text.getBytes(UTF_8).length.toLong, waveNum, r.depth)
-              ExtractOut(page, links, chunks, ex.text == r.storedText)
+              // server-directed wait, read in-band from the blocking page
+              // (only when breaker politeness will consume it)
+              val hint = if (wantRetryHints && waf.nonEmpty) TextKit.retryHintSeconds(html) else 0L
+              ExtractOut(page, links, chunks, ex.text == r.storedText, hint)
             }
           }
           // cache only when a second consumer exists (output sinks, the
@@ -601,9 +663,10 @@ object CrawlEngine {
           // adaptive-politeness update (tiny per-host tables; persisted so
           // the two sinks don't re-run the anti-join / extract agg) ---------
           val needHealth = writeOutputs || adaptiveActive
-          // persist only when BOTH consumers run (metrics sink + budget
-          // update); single-consumer waves stream the aggregates once
-          val twoConsumers = writeOutputs && adaptiveActive
+          // persist only when MULTIPLE consumers run (metrics sink + budget
+          // update + breaker update); single-consumer waves stream the
+          // aggregates once
+          val twoConsumers = (writeOutputs && adaptiveActive) || breakerActive
           val (missByHost, hostAgg) = if (needHealth) {
             val miss = selected
               .join(prepared.select("canonicalUrl"), Seq("canonicalUrl"), "left_anti")
@@ -756,30 +819,103 @@ object CrawlEngine {
 
           // -- adaptive politeness: next wave's per-host budgets -------------
           // (main thread, overlapping the write group above)
-          // Penalized hosts (errors or WAF this wave) halve; clean hosts
-          // recover by max(1, max/4). Hosts back at the max leave the table,
-          // so it stays proportional to the set of unhealthy hosts, not to
-          // all hosts ever crawled. Written per wave → resumable, and the
-          // read-back cuts the wave-over-wave lineage exactly like the
-          // frontier/seen snapshots.
+          // Legacy rule: penalized hosts (errors or WAF this wave) halve;
+          // clean hosts recover by max(1, max/4). Under breakerPoliteness
+          // the budget evolves by the shared AIMD kernel instead (below).
+          // Hosts back at the max leave the table, so it stays proportional
+          // to the set of unhealthy hosts, not to all hosts ever crawled.
+          // Written per wave → resumable, and the read-back cuts the
+          // wave-over-wave lineage exactly like the frontier/seen snapshots.
           if (adaptiveActive) {
             val maxB = config.perHostBudget
-            val recover = math.max(1, maxB / 4)
+            val minB = config.minHostBudget
             val health = missByHost
               .join(hostAgg.select(col("host"), col("wafBlocked").as("waf")), Seq("host"), "full_outer")
               .na.fill(0L)
-            val updated = hostBudgets.toDF().join(health, Seq("host"), "full_outer")
-              .select(col("host"),
-                coalesce(col("budget"), lit(maxB)).as("cur"),
-                (coalesce(col("errors"), lit(0L)) + coalesce(col("waf"), lit(0L))).as("penalty"))
-              .select(col("host"),
-                when(col("penalty") > 0,
-                  greatest(lit(config.minHostBudget), floor(col("cur") / 2).cast("int")))
-                  .otherwise(least(lit(maxB), (col("cur") + recover).cast("int")))
-                  .as("budget"))
-              .filter(col("budget") < maxB)
+            val updated =
+              if (breakerActive) {
+                // AIMD with the wave budget as the congestion window
+                // (pipeline.Aimd.step — the exact q_aimd kernel, wMax = the
+                // budget cap): a clean wave earns +1, a penalty wave halves
+                // geometrically; hosts NOT crawled this wave keep their
+                // window (no acks → no growth, the TCP discipline)
+                hostBudgets.toDF()
+                  .join(health.withColumn("inWave", lit(true)), Seq("host"), "full_outer")
+                  .select(col("host"), col("budget"),
+                    (coalesce(col("errors"), lit(0L)) + coalesce(col("waf"), lit(0L))).as("penalty"),
+                    col("inWave"))
+                  .as[(String, Option[Int], Long, Option[Boolean])]
+                  .flatMap { case (h, bO, penalty, inW) =>
+                    val cur = bO.getOrElse(maxB)
+                    val next =
+                      if (!inW.getOrElse(false)) cur
+                      else {
+                        val lat = if (penalty > 0) graft.pipeline.Aimd.SlowMs + 400L else 100L
+                        math.max(minB, graft.pipeline.Aimd.step(cur, lat, wMax = maxB))
+                      }
+                    if (next >= maxB) scala.None else Some(HostBudget(h, next))
+                  }.toDF()
+              } else {
+                val recover = math.max(1, maxB / 4)
+                hostBudgets.toDF().join(health, Seq("host"), "full_outer")
+                  .select(col("host"),
+                    coalesce(col("budget"), lit(maxB)).as("cur"),
+                    (coalesce(col("errors"), lit(0L)) + coalesce(col("waf"), lit(0L))).as("penalty"))
+                  .select(col("host"),
+                    when(col("penalty") > 0,
+                      greatest(lit(minB), floor(col("cur") / 2).cast("int")))
+                      .otherwise(least(lit(maxB), (col("cur") + recover).cast("int")))
+                      .as("budget"))
+                  .filter(col("budget") < maxB)
+              }
             updated.write.mode("overwrite").parquet(s"$stateDir/budgets/wave=$wave")
             hostBudgets = loadBudgets(wave)
+          }
+
+          // -- circuit breaker: next wave's per-host states ------------------
+          // One pipeline.CircuitBreaker.step per host per wave (the wave IS
+          // the breaker's clock tick — it models waveModelSeconds of wall
+          // time, which is also what makes Retry-After's wall-clock demand
+          // translatable to a cooldown). Cooling hosts tick down whether or
+          // not they still hold frontier entries (Retry-After waits are
+          // wall-clock, not intent-count); crawled hosts step on their wave
+          // outcome (ok = zero errors AND zero WAF blocks); hosts neither
+          // cooling nor crawled hold state. Trips honor the strongest
+          // server-directed hint the host's blocking pages carried.
+          if (breakerActive) {
+            val wms = config.waveModelSeconds
+            val retryHints = extracted
+              .filter(e => e.retryHintSecs > 0L)
+              .map(e => (UrlKernel.extractDomain(e.page.canonicalUrl).getOrElse(""), e.retryHintSecs))
+              .toDF("host", "hint")
+              .groupBy("host").agg(max("hint").as("retryHintSecs"))
+            val health = missByHost
+              .join(hostAgg.select(col("host"), col("wafBlocked").as("waf")), Seq("host"), "full_outer")
+              .na.fill(0L)
+              .join(retryHints, Seq("host"), "left")
+            val updatedBreaker = breakerStates
+              .join(health.withColumn("inWave", lit(true)), Seq("host"), "full_outer")
+              .select(col("host"), col("state"), col("consec"), col("cooldownLeft"),
+                col("errors"), col("waf"), col("retryHintSecs"), col("inWave"))
+              .as[(String, Option[String], Option[Int], Option[Int],
+                Option[Long], Option[Long], Option[Long], Option[Boolean])]
+              .flatMap { case (h, stO, cO, cdO, errO, wafO, hintO, inW) =>
+                val s = graft.pipeline.CircuitBreaker.BreakerState(
+                  stO.getOrElse("closed"), cO.getOrElse(0), cdO.getOrElse(0))
+                val next =
+                  if (s.state == "open" && s.cooldownLeft > 0)
+                    graft.pipeline.CircuitBreaker.step(s, ok = true)._1 // wave elapsed → cooldown-1
+                  else if (inW.getOrElse(false)) {
+                    val ok = errO.getOrElse(0L) == 0L && wafO.getOrElse(0L) == 0L
+                    graft.pipeline.CircuitBreaker.step(s, ok,
+                      cooldownOnTrip = cooldownWavesFor(hintO.getOrElse(0L), wms))._1
+                  } else s
+                if (next == graft.pipeline.CircuitBreaker.Initial) scala.None
+                else Some((h, next.state, next.consec, next.cooldownLeft))
+              }
+              .toDF("host", "state", "consec", "cooldownLeft")
+            updatedBreaker.write.mode("overwrite").parquet(s"$stateDir/breaker/wave=$wave")
+            breakerStates = loadBreaker(wave)
           }
 
           // -- next-wave politeness prefetch --------------------------------

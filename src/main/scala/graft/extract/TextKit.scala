@@ -141,6 +141,21 @@ object TextKit {
     WafSignatures.collectFirst { case (sig, provider) if body.contains(sig) => provider }
   }
 
+  private val MetaRefreshHint =
+    """(?is)<meta[^>]*http-equiv\s*=\s*["']?refresh["']?[^>]*content\s*=\s*["']?(\d{1,6})""".r
+  private val RetryAfterHint = """(?i)retry[- ]after:?\s*(\d{1,6})""".r
+
+  /** Server-directed wait embedded in a challenge/rate-limit page BODY —
+    * the in-band Retry-After analogue a Common-Crawl-style table retains
+    * (the HTTP header itself is not stored in the pages schema): a
+    * meta-refresh delay or a literal "Retry-After: N" line, as real WAF
+    * interstitials and 429 bodies carry. 0 when no hint is present; the
+    * caller clamps through [[graft.crawl.RetryAfter.waitSeconds]]. */
+  def retryHintSeconds(body: String): Long = {
+    val m = MetaRefreshHint.findFirstMatchIn(body).orElse(RetryAfterHint.findFirstMatchIn(body))
+    m.flatMap(_.group(1).toLongOption).getOrElse(0L)
+  }
+
   // ----------------------------------------------------------- chunking ----
 
   val MinChunkSize = 100 // chunker.rs:63

@@ -143,6 +143,21 @@ final case class CrawlConfig(
     // per clean wave, floored at minHostBudget and capped at perHostBudget.
     adaptivePoliteness: Boolean = false,
     minHostBudget: Int = 1,
+    // Beyond-reference integration (off by default — the frozen goldens pin
+    // the static-budget crawl): fold the per-host CIRCUIT BREAKER
+    // (pipeline.CircuitBreaker.step — the exact oracle-backed kernel), AIMD
+    // budget autoscaling (pipeline.Aimd.step with the wave budget as the
+    // congestion window), and RETRY-AFTER honoring (crawl.RetryAfter
+    // .waitSeconds over in-band challenge-page hints) into the politeness
+    // selection. A host serving Threshold consecutive penalty waves
+    // (errors or WAF blocks) trips open: its frontier entries are
+    // suppressed entirely (budget 0) for the cooldown — a dying host must
+    // not absorb a wave's budget — then ONE probe fetch decides recovery.
+    // The trip cooldown honors a server-directed Retry-After hint when the
+    // blocking page carries one (meta-refresh delay / literal header echo),
+    // clamped via RetryAfter.waitSeconds and expressed in waves of
+    // waveModelSeconds. Supersedes adaptivePoliteness when both are set.
+    breakerPoliteness: Boolean = false,
     // When set, each snapshot's frontier is range-clustered on urlHash into
     // this many files before commit (Iceberg sort-order + target-file-size
     // analogue) so manifest-list pruning can open a hash shard without

@@ -28,9 +28,12 @@ object Aimd {
   val WMax = 16
   val SlowMs = 500L
 
-  /** One AIMD transition: window before → window after. */
-  def step(w: Int, latencyMs: Long): Int =
-    if (latencyMs < SlowMs) math.min(WMax, w + 1) else math.max(1, w / 2)
+  /** One AIMD transition: window before → window after. `wMax` defaults
+    * to the query's fixed cap; the crawl engine passes its per-host
+    * budget cap so the SAME rule autoscales wave budgets
+    * ([[graft.crawl.CrawlEngine]] breaker politeness). */
+  def step(w: Int, latencyMs: Long, wMax: Int = WMax): Int =
+    if (latencyMs < SlowMs) math.min(wMax, w + 1) else math.max(1, w / 2)
 
   /** Latency for (class, tick) — the digit universe. Fast = 100+t,
     * slow = 900+t (both deterministic, never straddling [[SlowMs]]). */

@@ -43,9 +43,14 @@ object CircuitBreaker {
   val Initial: BreakerState = BreakerState("closed", 0, 0)
 
   /** One transition: (state before, intent outcome) → (state after,
-    * observed state, action). The single definition both the batch fold
-    * and the streaming twin execute. */
-  def step(s: BreakerState, ok: Boolean): (BreakerState, String, String) = {
+    * observed state, action). The single definition the batch fold, the
+    * streaming twin, AND the crawl engine's wave-politeness integration
+    * ([[graft.crawl.CrawlEngine]]) execute. `cooldownOnTrip` defaults to
+    * the fixed [[Cooldown]]; the engine passes a server-directed value
+    * derived from Retry-After hints ([[graft.crawl.RetryAfter]]) so a
+    * host demanding a longer wait gets it. */
+  def step(s: BreakerState, ok: Boolean,
+           cooldownOnTrip: Int = Cooldown): (BreakerState, String, String) = {
     val (stateBefore, action) = s.state match {
       case "closed" => ("closed", "fetch")
       case "open" if s.cooldownLeft > 0 => ("open", "suppress")
@@ -54,12 +59,12 @@ object CircuitBreaker {
     val next = action match {
       case "fetch" =>
         val c = if (ok) 0 else s.consec + 1
-        if (c >= Threshold) BreakerState("open", 0, Cooldown)
+        if (c >= Threshold) BreakerState("open", 0, cooldownOnTrip)
         else s.copy(consec = c)
       case "suppress" => s.copy(cooldownLeft = s.cooldownLeft - 1)
       case _ => // probe
         if (ok) BreakerState("closed", 0, 0)
-        else BreakerState("open", 0, Cooldown)
+        else BreakerState("open", 0, cooldownOnTrip)
     }
     (next, stateBefore, action)
   }
