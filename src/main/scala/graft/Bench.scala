@@ -178,7 +178,12 @@ object Bench {
       "q_spam_colocation", "q_minhash_calibration", "q_code_census",
       "q_burst_windows", "q_quality_matrix", "q_triangle_census",
       "q_split_leakage", "q_bitext_margin", "q_unimax_mix", "q_rrf_fusion",
-      "q_suffix_repeats", "q_repeat_cut", "q_kcenter_coreset", "q_ktruss",
+      // the ExactSubstr family enters the mix as the COMPOSED pipeline
+      // (one detector pass feeding ledger + cutter — the deployment
+      // dataflow); the independent q_suffix_repeats / q_repeat_cut forms
+      // each re-run the detector by contract-query independence and are
+      // covered by the verify gate (the q_sitemap_gap precedent)
+      "q_exactsubstr_pipeline", "q_kcenter_coreset", "q_ktruss",
       "q_compaction_plan", "q_zorder_layout", "q_bootstrap_ci",
       "q_scene_cuts", "q_texttiling", "q_pagerank_delta", "q_lsh_scurve",
       "q_homoglyph_spoof", "q_html_tables",

@@ -234,6 +234,7 @@ object SparkEntry {
     "q_rrf_fusion" -> (graft.pipeline.RrfFusion.rrfFusionQuery _),
     "q_suffix_repeats" -> (graft.pipeline.SuffixRepeats.suffixRepeatsQuery _),
     "q_repeat_cut" -> (graft.pipeline.RepeatCut.repeatCutQuery _),
+    "q_exactsubstr_pipeline" -> (graft.pipeline.RepeatCut.exactSubstrPipelineQuery _),
     "q_kcenter_coreset" -> (graft.pipeline.KcenterCoreset.kcenterCoresetQuery _),
     "q_ktruss" -> (graft.pipeline.KTruss.ktrussQuery _),
     "q_compaction_plan" -> (graft.pipeline.CompactionPlan.compactionPlanQuery _),
@@ -595,6 +596,7 @@ object SparkEntry {
     // (running coverage max + ordered string_agg re-assembly) where Spark
     // walks merged intervals — the kept text is pinned by md5, not counts
     "q_repeat_cut" -> graft.pipeline.RepeatCut.repeatCutSql,
+    "q_exactsubstr_pipeline" -> graft.pipeline.RepeatCut.exactSubstrPipelineSql,
     // independent replay: DuckDB re-executes the full greedy recurrence
     // (all 16 rounds) over its own exact pairwise distance matrix
     "q_kcenter_coreset" -> graft.pipeline.KcenterCoreset.kcenterCoresetSql,

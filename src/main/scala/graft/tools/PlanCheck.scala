@@ -736,6 +736,20 @@ object PlanCheck {
         "rep-threshold filter feeds the interval collect; doc join keyed")
     }
 
+    // the composed ExactSubstr pipeline: ONE detector pass — exactly one
+    // explode (the 64× suffix-window Generate) in the whole plan, so the
+    // fused ledger+cutter can never silently regress into two detector
+    // runs; joins stay keyed
+    locally {
+      val ep = graft.pipeline.RepeatCut.exactSubstrPipelineQuery(spark, sfDir)
+      val epPlan = ep.queryExecution.executedPlan.toString
+      check("q_exactsubstr_pipeline/one-detector-pass",
+        "Generate explode".r.findAllIn(epPlan).size == 1 &&
+          !epPlan.contains("CartesianProduct") &&
+          !epPlan.contains("BroadcastNestedLoopJoin"),
+        "fused ledger+cutter shares a single suffix-window explode")
+    }
+
     // 59-64. iterative consumers end-to-end: the composed pinned-round
     // pipelines must stay equi-joined — no cartesian / nested-loop anywhere
     for ((qn, fn) <- Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)](

@@ -101,6 +101,31 @@ class RepeatCutSpec extends AnyFunSuite {
     assert(run(docs) == brute(docs))
   }
 
+  test("composed pipeline == detector ledger ⨝ cutter ledger, value for value") {
+    // the fused q_exactsubstr_pipeline (one detector pass) must reproduce
+    // exactly what composing the two independent contract queries yields —
+    // on a planted mix AND on the real corpus
+    def check(docsDf: org.apache.spark.sql.DataFrame): Unit = {
+      val fused = RepeatCut.exactSubstrPipeline(docsDf).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val det = SuffixRepeats.suffixRepeats(docsDf).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+      val cut = RepeatCut.repeatCut(docsDf).collect()
+        .map(r => r.getLong(0) -> r.toSeq.drop(2)).toMap // drop doc_id + n_pos
+      assert(fused.keySet == det.keySet && fused.keySet == cut.keySet)
+      fused.foreach { case (id, row) =>
+        assert(row == det(id) ++ cut(id), s"doc $id: fused row diverges")
+      }
+    }
+    val header = "Copyright 2026 Example Corp All Rights."
+    check(Seq(
+      1L -> (header + " alpha beta gamma unique one"),
+      2L -> (header + " delta epsilon zeta unique two"),
+      3L -> "nothing repeated here at all, plain prose xyzw").toDF("doc_id", "text"))
+    check(spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text"))
+  }
+
   test("ledger coherence with the detector on the real corpus") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select("doc_id", "text")
