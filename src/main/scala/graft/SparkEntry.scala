@@ -646,11 +646,13 @@ object SparkEntry {
     // list_dot_product = the same sequential-double kernel as
     // Similarity.cosine — not fixtures)
     "q_ann_topk" -> DedupQueries.annTopKSql,
-    // sq8's exact re-rank (32 candidates for k=5) reproduces the exact
-    // top-k on this corpus — same brute-force oracle pins that property
+    // sq8's exact re-rank (scale-aware width, Similarity.autoRerank)
+    // reproduces the exact top-k — same brute-force oracle pins it
     "q_ann_sq8" -> DedupQueries.annTopKSql,
-    // pq's exact re-rank (128 ADC candidates for k=5) reproduces the exact
-    // top-k on this corpus — pinned by the same brute-force oracle
+    // pq's exact re-rank (scale-aware width — scored/4, floor 128, cap
+    // 8192; the fixed 128 lost recall 0.94 at 10× verify scale, the
+    // round-4 finding) reproduces the exact top-k — pinned by the same
+    // brute-force oracle AT BOTH SCALES now
     "q_ann_pq" -> DedupQueries.annTopKSql,
     "q_cosine_neardup" -> DedupQueries.cosineNearDupSql,
     "q_relevance_filter" -> ExportQueries.relevanceFilterSql,

@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+
+import graft.pipeline.Similarity
+
+/** Measures the PQ/SQ8/IVF-PQ recall-vs-rerank frontier on the sf
+  * embeddings — the evidence behind the scale-aware re-rank budget
+  * (round-4 verdict "Next round #4": fixed rerank=128 lost top-5
+  * exactness at 5,000 vectors).
+  *
+  * usage: runMain graft.tools.AnnRerankProbe [sfDir]
+  */
+object AnnRerankProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-ann-rerank-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val corpus = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long"), col("embedding")).as[Similarity.Embedded]
+    val n = corpus.count()
+    val queries = corpus.filter(_.vec_id < 10).collect().sortBy(_.vec_id)
+    def topSet(ns: Array[Similarity.Neighbor]): Map[Long, Set[Long]] =
+      ns.groupBy(_.query_id).map { case (q, xs) => (q, xs.map(_.neighbor_id).toSet) }
+    val exact = topSet(Similarity.bruteForceTopK(spark, corpus, queries, k = 5).collect())
+    def recallOf(m: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, t) => m.getOrElse(q, Set.empty[Long]).count(t).toDouble / t.size }
+        .sum / exact.size
+
+    println(s"corpus n=$n queries=${queries.length}")
+    for (rr <- Seq(64, 128, 256, 312, 512, 1024)) {
+      val pq = recallOf(topSet(
+        Similarity.pqTopK(spark, corpus, queries, k = 5, rerank = rr).collect()))
+      val sq8 = recallOf(topSet(
+        Similarity.sq8TopK(spark, corpus, queries, k = 5, rerank = rr).collect()))
+      val ivfpq = recallOf(topSet(
+        Similarity.ivfPqTopK(spark, corpus, queries, k = 5, nlist = 16, nprobe = 4,
+          rerank = rr).collect()))
+      println(f"rerank=$rr%5d frac=${rr.toDouble / n}%.4f  pq=$pq%.3f  sq8=$sq8%.3f  ivfpq=$ivfpq%.3f")
+    }
+    spark.stop()
+  }
+}
