@@ -1,0 +1,7 @@
+SELECT CAST(c0 AS VARCHAR) AS lang, CAST(c1 AS BIGINT) AS n_docs, CAST(c2 AS BIGINT) AS words, CAST(c3 AS BIGINT) AS bpe_tokens, CAST(c4 AS BIGINT) AS fertility_milli, CAST(c5 AS BIGINT) AS chars_per_token_milli FROM (VALUES
+  ('de', 702, 38406, 38406, 1000, 5499),
+  ('en', 2059, 112006, 112006, 1000, 5488),
+  ('es', 744, 41044, 41044, 1000, 5475),
+  ('fr', 742, 40521, 40521, 1000, 5485),
+  ('zh', 753, 38727, 38727, 1000, 5489)
+) AS t(c0, c1, c2, c3, c4, c5)

@@ -249,12 +249,36 @@ object SparkEntry {
   )
 
   /** Frozen fixture oracle (VALUES SQL) generated by
-    * graft.tools.OracleFixtureGen — see that tool's scaladoc. */
-  private def fixtureSql(name: String): String = {
-    val in = getClass.getResourceAsStream(s"/graft/oracle/$name.sql")
-    require(in != null, s"missing fixture oracle $name — run graft.tools.OracleFixtureGen")
+    * graft.tools.OracleFixtureGen — see that tool's scaladoc. `scale`
+    * selects a per-scale fixture subdir ("" = the contract's sf0.01
+    * verify-scale set). */
+  private def fixtureSql(name: String, scale: String = ""): String = {
+    val sub = if (scale.isEmpty) "" else s"$scale/"
+    val in = getClass.getResourceAsStream(s"/graft/oracle/$sub$name.sql")
+    require(in != null, s"missing fixture oracle $sub$name — run graft.tools.OracleFixtureGen")
     val src = scala.io.Source.fromInputStream(in, "UTF-8")
     try src.mkString finally src.close()
+  }
+
+  /** [[oracleSql]] resolved for the sf the gate actually runs at: the
+    * sfDir-DEPENDENT fixture families (OracleFixtureGen.SfFixtureQueries)
+    * swap to their sf0.1-frozen twins when the gate runs at sf0.1 — so
+    * the 10×-scale oracle pass covers the deterministic hash/signature
+    * kernels too instead of excluding them as scale-pinned (both scales'
+    * fixtures are double-checked at two SPARK_GRAFT_CPUS levels before
+    * commit). Any other sfDir falls back to the contract's sf0.01 set. */
+  def oracleSqlFor(sfDir: String): Map[String, String] = {
+    val base = oracleSql
+    if (sfDir.replaceAll("/+$", "").endsWith("sf0.1"))
+      base ++
+        graft.tools.OracleFixtureGen.SfFixtureQueries
+          .map(n => n -> fixtureSql(n, scale = "sf0.1")).toMap ++
+        Map( // composites built ON an sf-dependent fixture re-resolve too
+          "q_dup_cluster_census" -> graft.pipeline.DupClusterCensus
+            .dupClusterCensusSql(fixtureSql("q_dedup_keep", scale = "sf0.1")),
+          "q_split_leakage" -> graft.pipeline.SplitLeakage
+            .splitLeakageSql(fixtureSql("q_dedup_keep", scale = "sf0.1")))
+    else base
   }
 
   def oracleSql: Map[String, String] = Map(

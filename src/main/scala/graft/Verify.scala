@@ -39,7 +39,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = only.fold(SparkEntry.oracleSql)(s => SparkEntry.oracleSql.filter(kv => s(kv._1)))
+    // scale-resolved oracles: identical to SparkEntry.oracleSql at the
+    // driver's sf0.01 gate; at sf0.1 the fixture families swap to their
+    // sf0.1-frozen twins (SparkEntry.oracleSqlFor)
+    val oracles = SparkEntry.oracleSqlFor(sfDir)
+    val json = only.fold(oracles)(s => oracles.filter(kv => s(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

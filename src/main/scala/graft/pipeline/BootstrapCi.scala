@@ -27,7 +27,10 @@ import org.apache.spark.sql.functions._
   * contributes Poisson(1) weight per replica in ONE scan with no index,
   * no join, no global rank — the estimator changes by O(1/n); the
   * ledger arithmetic is verbatim. The rank window here is the
-  * zipWithIndex idiom's window twin over verify-scale rows only.
+  * zipWithIndex idiom's window twin over verify-scale rows only; the
+  * DISTRIBUTED rank idiom it stands in for (bucketed prefix sums — no
+  * single-partition window) is implemented and oracle-gated in
+  * [[PpsSample]] and [[HeapsGrowth]].
   */
 object BootstrapCi {
 

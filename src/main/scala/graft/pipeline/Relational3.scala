@@ -22,10 +22,11 @@ object Relational3 {
     * `ceil(n·q/100)` as `(n·q + 99) div 100` over the (value, event_id)
     * total order, so ties and duplicate values resolve identically at any
     * parallelism. Exactness costs one per-key sort (the rank window) —
-    * the honest shape for EXACT percentiles; the documented scale path for
-    * a 10^10-row log is a mergeable quantile sketch (KLL/t-digest), which
-    * trades this sort away but is engine-specific and thus not
-    * oracle-replayable. */
+    * the honest shape for EXACT percentiles; the scale path for a
+    * 10^10-row log is a mergeable quantile sketch, which trades this sort
+    * away — implemented and oracle-gated in [[QuantileSketch]]
+    * (`q_quantile_sketch`, with a streaming twin), so the sketch form is a
+    * sibling here, not a promise. */
   def eventPercentiles(spark: SparkSession, dir: String): DataFrame = {
     // null values are EXCLUDED from the population (and from n) explicitly:
     // Spark windows sort NULLS FIRST, DuckDB NULLS LAST — without the

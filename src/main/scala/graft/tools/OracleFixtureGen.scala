@@ -91,6 +91,12 @@ object OracleFixtureGen {
 
   def main(args: Array[String]): Unit = {
     val outDir = args.lift(0).getOrElse("src/main/resources/graft/oracle")
+    // SPARK_GRAFT_FIXTURE_SF overrides the sf input for the sfDir-DEPENDENT
+    // families and freezes ONLY them (into outDir — pass a per-scale subdir
+    // like src/main/resources/graft/oracle/sf0.1): the per-scale fixture
+    // sets behind SparkEntry.oracleSqlFor, so the oracle gate can run at
+    // the 10× scale too (round-4 verdict "Next round #5").
+    val sfOverride = sys.env.get("SPARK_GRAFT_FIXTURE_SF")
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-oracle-fixture-gen")
@@ -104,9 +110,11 @@ object OracleFixtureGen {
     // named fixtures — adding a new fixture query must not re-freeze the
     // committed ones
     val only = args.drop(1).toSet
-    val jobs = (FixtureQueries.map((_, "/root/testdata/sf0.001")) ++
-      SfFixtureQueries.map((_, SfFixtureDir)))
-      .filter { case (n, _) => only.isEmpty || only(n) }
+    val jobs = (sfOverride match {
+      case Some(sf) => SfFixtureQueries.map((_, sf))
+      case scala.None => FixtureQueries.map((_, "/root/testdata/sf0.001")) ++
+        SfFixtureQueries.map((_, SfFixtureDir))
+    }).filter { case (n, _) => only.isEmpty || only(n) }
     jobs.foreach { case (name, dir) =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
       val sql = valuesSql(df)
