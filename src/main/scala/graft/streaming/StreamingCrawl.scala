@@ -56,7 +56,13 @@ object StreamingCrawl {
       pages: Dataset[PageRow],
       config: CrawlConfig,
       workDir: String,
-      waveLimit: Int = 1000
+      waveLimit: Int = 1000,
+      // when set, every wave's captures are emitted as a WARC segment set
+      // under archiveDir/wave=NNNNN/ via the distributed partitioned
+      // writer — the streaming archive sink, exactly-once across
+      // kill/restart (deterministic wave dir + write-to-temp + atomic dir
+      // flip, the writeWaveFileIfAbsent discipline)
+      archiveDir: Option[String] = scala.None
   ): StreamCrawlSummary = {
     import spark.implicits._
     val discDir = s"$workDir/discoveries"
@@ -185,14 +191,14 @@ object StreamingCrawl {
           else relCols.hint("shuffle_hash"),
           Seq("canonicalUrl"), "inner")
           .select(col("canonicalUrl"), col("url"), col("depth"),
-            col("servedUrl"), col("html"), col("storedText"))
-          .as[(String, String, Int, String, Array[Byte], String)]
+            col("servedUrl"), col("warcTs"), col("html"), col("storedText"))
+          .as[(String, String, Int, String, java.sql.Timestamp, Array[Byte], String)]
 
         // -- fused extract (same kernels as the batch stage): links gated by
         // WAF exactly like the engine; byte parity checked on every row
         val maxDepth = config.maxDepth
         val extractedLinks = fetched.mapPartitions { it =>
-          it.map { case (canonicalUrl, url, depth, servedUrl, html, storedText) =>
+          it.map { case (canonicalUrl, url, depth, servedUrl, _, html, storedText) =>
             val h = new String(html, UTF_8)
             val dom = HtmlKit.parse(h)
             val ex = HtmlKit.extractText(dom, h)
@@ -213,6 +219,29 @@ object StreamingCrawl {
         fetchedTotal += relCount
         errorsTotal += relCount - fetchCount // released-but-missing = simulated 404s
         waveStats += WaveStat(wave, relCount, fetchCount, relCount - fetchCount)
+
+        // -- streaming archive sink: this wave's captures → one WARC
+        // segment set, written by the DISTRIBUTED partitioned writer
+        // (payload bytes never on the driver) into a per-wave temp dir,
+        // then atomically flipped to archiveDir/wave=NNNNN. Exactly-once:
+        // a resumed run re-deriving a committed wave finds the dir and
+        // skips; a kill mid-write leaves only the temp dir, which the
+        // retry deletes and rebuilds — no duplicate and no torn segment
+        // ever becomes visible under a wave= dir.
+        archiveDir.foreach { ad =>
+          val waveDir = java.nio.file.Paths.get(ad, f"wave=$wave%05d")
+          if (!java.nio.file.Files.exists(waveDir)) {
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(ad))
+            val tmp = java.nio.file.Paths.get(ad, f".tmp-wave=$wave%05d")
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile) // stale partial from a kill
+            val records = fetched.map { case (canonicalUrl, _, _, _, warcTs, html, _) =>
+              graft.sources.WarcKit.ArchiveRecord("response", canonicalUrl, warcTs, 200,
+                "text/html", html, graft.sources.WarcKit.payloadDigest(html))
+            }
+            graft.sources.WarcKit.writeArchivePartitioned(records, tmp.toString, codec = "gz")
+            java.nio.file.Files.move(tmp, waveDir, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          }
+        }
 
         // -- admission chain + robots gate (the batch kernels), looped back
         // as the NEXT wave's discovery file

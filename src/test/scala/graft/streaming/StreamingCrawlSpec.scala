@@ -121,4 +121,43 @@ class StreamingCrawlSpec extends AnyFunSuite {
     val batchSeen = CrawlEngine.readOrder(spark, batchDir).collect().map(_.canonicalUrl).toSet
     assert(released.toSet == batchSeen, "final released set == batch seen set")
   }
+
+  test("streaming archive sink: batch byte parity, exactly-once and no torn segments across kill/restart") {
+    val pages = corpus
+    // batch truth: which canonicals fetch (crawl order), and each capture's
+    // exact payload + timestamp from the SHARED pages prep
+    val batchDir = Files.createTempDirectory("graft-sarc-batch").toString
+    CrawlEngine.run(spark, pages, cfg, batchDir)
+    val orderRows = CrawlEngine.readOrder(spark, batchDir).collect()
+    val preparedRows = CrawlEngine.preparePages(pages)
+      .select("canonicalUrl", "warcTs", "html").collect()
+      .map(r => r.getString(0) -> ((r.getTimestamp(1), r.getAs[Array[Byte]](2)))).toMap
+
+    // streamed crawl WITH the archive leg, killed after two waves...
+    val sDir = Files.createTempDirectory("graft-sarc-stream").toString
+    val aDir = s"$sDir/archive"
+    StreamingCrawl.run(spark, pages, cfg, sDir, waveLimit = 2, archiveDir = Some(aDir))
+    assert(new java.io.File(aDir).listFiles().count(_.getName.startsWith("wave=")) == 2)
+    // ...plus a planted TORN write for the next wave (a kill mid-archive):
+    // the resume must rebuild it, never surface it
+    val stale = java.nio.file.Paths.get(aDir, ".tmp-wave=00002")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("part-00000.warc.gz"), Array[Byte](1, 2, 3))
+    StreamingCrawl.run(spark, pages, cfg, sDir, archiveDir = Some(aDir))
+
+    assert(!java.nio.file.Files.exists(stale), "torn temp dir was rebuilt and flipped")
+    val got = graft.sources.WarcKit
+      .readArchiveRecords(spark, s"$aDir/wave=*/*.warc.gz").collect()
+    assert(got.map(_.url).distinct.length == got.length,
+      "no record duplicated across the resume seam")
+    val fetchedCanonicals = orderRows.map(_.canonicalUrl).toSet.filter(preparedRows.contains)
+    assert(got.map(_.url).toSet == fetchedCanonicals,
+      "archive holds exactly the batch engine's fetched captures")
+    got.foreach { a =>
+      val (ts, html) = preparedRows(a.url)
+      assert(a.warc_ts.getTime == ts.getTime, s"capture date for ${a.url}")
+      assert(java.util.Arrays.equals(a.html, html), s"payload bytes for ${a.url}")
+      assert(a.payloadDigest == graft.sources.WarcKit.payloadDigest(html))
+    }
+  }
 }
