@@ -70,7 +70,12 @@ object StreamingCrawl {
     val cpDir = s"$workDir/checkpoint"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(workDir))
 
-    val prepared = CrawlEngine.preparePages(pages).persist(StorageLevel.MEMORY_AND_DISK)
+    // winners localCheckpoint blocks need the releaseBlocks discipline
+    // (plain unpersist is a no-op on checkpointed frames — the batch
+    // engine's round-5 fix, applied to the twin)
+    val deferredReleases = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    val prepared = CrawlEngine.preparePages(pages,
+      registerRelease = f => deferredReleases += f).persist(StorageLevel.MEMORY_AND_DISK)
 
     val robotsActive = config.respectRobots && config.maxDepth > 0
     val delayConfigured = config.respectCrawlDelay && config.perHostBudget > 0 &&
@@ -269,6 +274,7 @@ object StreamingCrawl {
     }
 
     prepared.unpersist()
+    deferredReleases.foreach(f => try f() catch { case _: Throwable => () })
     if (robotsRulesBase != null) robotsRulesBase.unpersist()
     delayCaps.foreach(_.unpersist())
     StreamCrawlSummary(wave, fetchedTotal, errorsTotal, parityFailures, waveStats.toSeq)

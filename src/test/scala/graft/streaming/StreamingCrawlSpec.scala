@@ -66,6 +66,11 @@ class StreamingCrawlSpec extends AnyFunSuite {
       .filter(_.getName.startsWith("wave-tmp"))
     assert(leftoverTmp.isEmpty,
       s"wave write temp dirs must be cleaned up: ${leftoverTmp.map(_.getName).toSeq}")
+    // both twins ran in this session — neither may leak persisted or
+    // checkpointed RDD blocks (the releaseBlocks discipline, twin-side)
+    val live = spark.sparkContext.getPersistentRDDs
+    assert(live.isEmpty,
+      s"leaked persisted/checkpointed RDDs after both crawls: ${live.values.take(5).mkString("; ")}")
   }
 
   test("crawl-delay parity: a binding Crawl-delay caps both twins identically, wave for wave") {
