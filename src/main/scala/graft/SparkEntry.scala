@@ -138,6 +138,7 @@ object SparkEntry {
     "q_kcore" -> (graft.pipeline.KCore.kcore _),
     "q_bowtie" -> (graft.pipeline.Bowtie.bowtieQuery _),
     "q_ppr" -> (graft.pipeline.Ppr.ppr _),
+    "q_random_walks" -> (graft.pipeline.RandomWalks.randomWalks _),
     "q_anf" -> (graft.pipeline.Anf.anfQuery _),
     "q_bandit_budget" -> (graft.pipeline.BanditBudget.banditBudget _),
     "q_seed_select" -> (graft.pipeline.SeedSelect.seedSelectQuery _),
@@ -482,6 +483,10 @@ object SparkEntry {
     // recurrence (teleport floor on seeds only) as materialized chained CTEs
     "q_ppr" ->
       graft.pipeline.Ppr.pprSql(fixtureSql("q_extract_link_edges")),
+    // independent replay: DuckDB re-executes every hop round (same md5
+    // compound-key argmin draw) as materialized chained CTEs
+    "q_random_walks" ->
+      graft.pipeline.RandomWalks.randomWalksSql(fixtureSql("q_extract_link_edges")),
     // independent replay: DuckDB re-executes the full HyperBall rounds —
     // per-node bottom-K unions over the same 44-bit hash + same estimator
     "q_anf" ->

@@ -1,0 +1,115 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic random-walk corpus sampling (`q_random_walks`) — the
+  * graph-embedding data generator (Perozzi et al., "DeepWalk", KDD'14;
+  * Grover & Leskovec, "node2vec", KDD'16, at p=q=1): fixed-length walks
+  * over the page link graph whose node sequences become the training
+  * sentences for skip-gram link embeddings. The crawl stack's OTHER
+  * link-analysis reads ([[Ppr]], [[CrawlQueries.pageRank]]) summarize the
+  * graph into per-node scalars; walks are the complementary SAMPLED view —
+  * the raw material for learned representations (mirror detection, topical
+  * host clustering, link-spam embedding space) that a training-data
+  * pipeline over a 10^10-page web graph ships alongside the text corpus.
+  *
+  * Derandomization (the [[PpsSample]]/[[BanditBudget]] discipline): the
+  * next hop from node u on walk w at step t is the out-neighbor v
+  * minimizing `md5(w|t|v)` — a fresh uniform draw per (walk, step) that
+  * both engines replay bit-identically, with the 16-hex-prefix∥v compound
+  * key making ties impossible (distinct v ⇒ distinct key). Walks STOP at
+  * sink nodes (no out-edges — the inner join drops them), matching
+  * DeepWalk's behavior on directed graphs rather than teleporting.
+  *
+  * Seeds are the bottom-[[Seeds]] link SOURCES by (md5(url), url) — a
+  * uniform deterministic sample of pages that have somewhere to go —
+  * each seeding [[WalksPerSeed]] independent walks of [[Steps]] hops.
+  *
+  * 100-TB shape: the edge frame is loop-invariant (checkpointed once,
+  * partitioned by src and reused all [[Steps]] rounds); each round is ONE
+  * equi-join of the walk frontier (≤ Seeds·WalksPerSeed rows here;
+  * millions of walks at fleet scale — still dwarfed by the edge table, so
+  * AQE broadcasts the frontier and the edge side never reshuffles) plus
+  * one map-side-combined min keyed by walk_id. No windows over the edge
+  * set, no driver state beyond the loop counter; output is bounded by
+  * walks × (Steps+1) rows regardless of graph size. Seed selection is a
+  * TakeOrdered([[Seeds]]) — k rows, never a global sort.
+  */
+object RandomWalks {
+
+  /** Distinct seed nodes (bottom-k by md5 over link sources). */
+  val Seeds = 48
+  /** Independent walks started per seed. */
+  val WalksPerSeed = 4
+  /** Hops per walk (walk length = Steps+1 nodes incl. the seed). */
+  val Steps = 8
+
+  /** Deterministic per-hop draw: 16-hex md5 prefix of walk|step|candidate,
+    * with the candidate appended so distinct candidates never tie. */
+  private def hopKey(step: Int) = concat(
+    substring(md5(concat_ws("|", col("walk_id"), lit(step.toString), col("dst"))), 1, 16),
+    col("dst"))
+
+  /** Walk corpus over any (src, dst) edge frame:
+    * (walk_id, step, url) — one row per visited node, dead ends truncate. */
+  def walksKernel(edgesIn: DataFrame): DataFrame = {
+    val spark = edgesIn.sparkSession
+    // loop-invariant: checkpointed once, reused by all Steps rounds
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+    val seeds = edges.select(col("src").as("url")).distinct()
+      .orderBy(md5(col("url")), col("url")).limit(Seeds)
+    val starts = seeds
+      .crossJoin(spark.range(WalksPerSeed).select(col("id").cast("string").as("w")))
+      .select(concat(col("url"), lit("#"), col("w")).as("walk_id"),
+        lit(0L).as("step"), col("url"))
+      .localCheckpoint() // ≤ Seeds·WalksPerSeed rows; pins the seed sample
+    var cur = starts
+    val frames = Seq.newBuilder[DataFrame]
+    frames += starts
+    for (t <- 1 to Steps) {
+      // duplicate (src,dst) rows cannot change a min — no dedup pass needed
+      val next = cur.join(edges, cur("url") === edges("src"))
+        .select(col("walk_id"), hopKey(t).as("k"))
+        .groupBy("walk_id").agg(min("k").as("k"))
+        .select(col("walk_id"), lit(t.toLong).as("step"),
+          expr("substring(k, 17)").as("url"))
+        .localCheckpoint() // per-round lineage cut (the Ppr discipline)
+      frames += next
+      cur = next
+    }
+    frames.result().reduce(_ unionByName _).orderBy("walk_id", "step")
+  }
+
+  /** Driver-contract query: walks over the corpus link graph. */
+  def randomWalks(spark: SparkSession, dir: String): DataFrame =
+    walksKernel(
+      CrawlQueries.linkEdgesRaw(spark, dir).select("src", "dst")
+        .filter(col("dst").startsWith("http")))
+
+  /** DuckDB twin: the identical seeded hop recurrence unrolled as
+    * MATERIALIZED chained CTEs over the frozen edge fixture. */
+  def randomWalksSql(edgesSelect: String): String = {
+    val rounds = (1 to Steps).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT walk_id, CAST($t AS BIGINT) AS step, substr(k, 17) AS url FROM (
+         |    SELECT w.walk_id,
+         |      min(substr(md5(w.walk_id || '|$t|' || e.dst), 1, 16) || e.dst) AS k
+         |    FROM w${t - 1} w JOIN edges e ON e.src = w.url
+         |    GROUP BY w.walk_id))""".stripMargin
+    }.mkString(",\n")
+    val unioned = (0 to Steps).map(t => s"SELECT * FROM w$t").mkString(" UNION ALL ")
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT src, dst FROM ($edgesSelect) WHERE dst LIKE 'http%'),
+       |seeds AS MATERIALIZED (
+       |  SELECT url FROM (SELECT DISTINCT src AS url FROM edges)
+       |  ORDER BY md5(url), url LIMIT $Seeds),
+       |w0 AS MATERIALIZED (
+       |  SELECT url || '#' || CAST(w AS VARCHAR) AS walk_id,
+       |    CAST(0 AS BIGINT) AS step, url
+       |  FROM seeds CROSS JOIN range($WalksPerSeed) t(w)),
+       |$rounds
+       |SELECT walk_id, step, url FROM ($unioned)
+       |ORDER BY walk_id, step""".stripMargin
+  }
+}
