@@ -60,6 +60,7 @@ object SparkEntry {
     "q_decontaminate" -> (TextAnalysis.decontaminate _),
     "q_sample_split" -> (TextAnalysis.sampleSplit _),
     "q_term_stats" -> (TextAnalysis.termStats _),
+    "q_cooccurrence" -> (graft.pipeline.Cooccurrence.cooccurrence _),
     "q_tfidf_keywords" -> (TextAnalysis.tfidfKeywords _),
     "q_bm25_rank" -> (TextAnalysis.bm25Rank _),
     "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),
@@ -308,6 +309,9 @@ object SparkEntry {
     "q_decontaminate" -> TextAnalysis.decontaminateSql,
     "q_sample_split" -> TextAnalysis.sampleSplitSql,
     "q_term_stats" -> TextAnalysis.termStatsSql,
+    // independent recompute: DuckDB rebuilds the windowed pair matrix via
+    // a positional self-join and re-derives the same integer lift
+    "q_cooccurrence" -> graft.pipeline.Cooccurrence.cooccurrenceSql,
     "q_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
     "q_bm25_rank" -> TextAnalysis.bm25RankSql,
     "q_recrawl_schedule" -> Freshness.recrawlScheduleSql,

@@ -1,0 +1,105 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Windowed word co-occurrence with integer lift ranking
+  * (`q_cooccurrence`) — the GloVe statistic (Pennington et al., EMNLP'14):
+  * distance-weighted co-occurrence counts within a ±[[Window]] token
+  * window are THE sufficient statistic for count-based word embeddings,
+  * and the lift ratio `P(x,y)/(P(x)P(y))` ranks exactly as PMI (log is
+  * monotone) — the collocation signal. [[TextAnalysis.termStats]] counts
+  * ADJACENT bigrams (df/cf); [[NgramLm]] fits adjacent transitions;
+  * [[ProximitySearch]] answers query-specific nearness — this operator is
+  * the corpus-wide windowed matrix none of them build, the training-data
+  * artifact a 100-TB text pipeline ships next to the token counts.
+  *
+  * Integer discipline: GloVe's 1/d distance weight becomes
+  * `10^6 div d` micro-units; lift becomes
+  * `(cooc_micro · total_tokens) div (c_x · c_y)` — exact int64 at corpus
+  * scale (cooc_micro ≤ 10^6·pairs, c ≤ total tokens), identical in both
+  * engines, and rank-equivalent to PMI over the weighted counts. Pairs
+  * are direction-collapsed via (least, greatest); the [[MinPairs]] floor
+  * keeps hapax noise out (the [[TextAnalysis]] KeywordMinDf discipline);
+  * ties in the top-[[TopK]] break by (w1, w2) — a total order.
+  *
+  * 100-TB shape: ONE posexplode of the token stream, a [[Window]]-way
+  * offset explode (keys-only — the window never becomes a join range
+  * scan), one equi-join on (doc_id, pos) co-partitioned by doc, then two
+  * map-side-combined aggregations and a bounded TakeOrdered([[TopK]]).
+  * No windows over the corpus, no HOF zip_with in the hot path (the
+  * offset join is codegen'd), no driver state. At fleet scale the pair
+  * keys compress to the 44-bit hash pair (the [[GramNovelty]] dial) and
+  * the unigram side broadcasts after its [[MinPairs]]-surviving pair
+  * vocabulary is known.
+  */
+object Cooccurrence {
+
+  /** Co-occurrence window: offsets 1..Window (GloVe's default shape). */
+  val Window = 4
+  /** Raw pair-occurrence floor below which a pair is hapax noise. */
+  val MinPairs = 5L
+  /** Output rows (top by lift). */
+  val TopK = 200
+
+  /** Co-occurrence matrix over any (doc_id, text) frame. */
+  def cooccurrenceKernel(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    val tok = docsDf
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "w")))
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("w"))
+    val tokC = tok.localCheckpoint() // scanned three times below
+    val offsets = array((1 to Window).map(lit): _*)
+    val left = tokC
+      .withColumn("d", explode(offsets))
+      .select(col("doc_id"), (col("pos") + col("d")).as("pos"),
+        col("w").as("wa"), expr("1000000 div d").as("wt"))
+    val pairs = left.join(tokC, Seq("doc_id", "pos"))
+      .select(least(col("wa"), col("w")).as("w1"),
+        greatest(col("wa"), col("w")).as("w2"), col("wt"))
+    val co = pairs.groupBy("w1", "w2")
+      .agg(count(lit(1)).as("n_pairs"), sum("wt").as("cooc_micro"))
+      .filter(col("n_pairs") >= MinPairs)
+    val uni = tokC.groupBy("w").agg(count(lit(1)).as("c"))
+    val total = tokC.count() // one long to the driver — the N in the lift
+    co
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .select(col("w1"), col("w2"), col("n_pairs"), col("cooc_micro"),
+        expr(s"(cooc_micro * ${total}L) div (c1 * c2)").as("lift_micro"))
+      .orderBy(desc("lift_micro"), asc("w1"), asc("w2"))
+      .limit(TopK)
+  }
+
+  /** Driver-contract query over the documents table. */
+  def cooccurrence(spark: SparkSession, dir: String): DataFrame =
+    cooccurrenceKernel(spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text"))
+
+  /** DuckDB twin: lockstep unnest of (word, position), the same windowed
+    * offset pairing as a positional self-join, same integer lift. */
+  val cooccurrenceSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT doc_id, unnest(ws) AS w, unnest(range(1, len(ws) + 1)) AS pos
+       |  FROM w),
+       |co AS (
+       |  SELECT least(t1.w, t2.w) AS w1, greatest(t1.w, t2.w) AS w2,
+       |    count(*) AS n_pairs,
+       |    CAST(sum(1000000 // (t2.pos - t1.pos)) AS BIGINT) AS cooc_micro
+       |  FROM tok t1 JOIN tok t2
+       |    ON t1.doc_id = t2.doc_id
+       |   AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + $Window
+       |  GROUP BY 1, 2
+       |  HAVING count(*) >= $MinPairs),
+       |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |tot AS (SELECT count(*) AS n FROM tok)
+       |SELECT co.w1, co.w2, co.n_pairs, co.cooc_micro,
+       |  CAST((co.cooc_micro * tot.n) // (u1.c * u2.c) AS BIGINT) AS lift_micro
+       |FROM co
+       |JOIN uni u1 ON co.w1 = u1.w
+       |JOIN uni u2 ON co.w2 = u2.w
+       |CROSS JOIN tot
+       |ORDER BY lift_micro DESC, co.w1, co.w2
+       |LIMIT $TopK""".stripMargin
+}
