@@ -30,7 +30,7 @@ import org.apache.spark.sql.functions._
   * partitioned by src and reused all [[Steps]] rounds); each round is ONE
   * equi-join of the walk frontier (≤ Seeds·WalksPerSeed rows here;
   * millions of walks at fleet scale — still dwarfed by the edge table, so
-  * AQE broadcasts the frontier and the edge side never reshuffles) plus
+  * the frontier broadcasts and the edge side never reshuffles) plus
   * one map-side-combined min keyed by walk_id. No windows over the edge
   * set, no driver state beyond the loop counter; output is bounded by
   * walks × (Steps+1) rows regardless of graph size. Seed selection is a
@@ -51,41 +51,58 @@ object RandomWalks {
     substring(md5(concat_ws("|", col("walk_id"), lit(step.toString), col("dst"))), 1, 16),
     col("dst"))
 
-  /** Walk corpus over any (src, dst) edge frame:
-    * (walk_id, step, url) — one row per visited node, dead ends truncate. */
-  def walksKernel(edgesIn: DataFrame): DataFrame = {
-    val spark = edgesIn.sparkSession
-    // loop-invariant: checkpointed once, reused by all Steps rounds
-    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+  /** Step-0 frame: [[WalksPerSeed]] walks from each of the bottom-[[Seeds]]
+    * sources (factored for the PlanCheck round-body audit). */
+  private[graft] def startsFrame(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
     val seeds = edges.select(col("src").as("url")).distinct()
       .orderBy(md5(col("url")), col("url")).limit(Seeds)
-    val starts = seeds
+    seeds
       .crossJoin(spark.range(WalksPerSeed).select(col("id").cast("string").as("w")))
       .select(concat(col("url"), lit("#"), col("w")).as("walk_id"),
         lit(0L).as("step"), col("url"))
+  }
+
+  /** One hop round: the walk frontier (≤ #walks rows — broadcast by hint;
+    * a fleet-scale walk count flips this to the co-partitioned
+    * shuffle-hash against the src-partitioned edge frame, the
+    * [[graft.crawl.CrawlEngine]] fetch-join threshold discipline) joined
+    * against the invariant edges, then the argmin draw per walk.
+    * Duplicate (src,dst) rows cannot change a min — no dedup pass needed. */
+  private[graft] def hop(cur: DataFrame, edges: DataFrame, t: Int): DataFrame =
+    broadcast(cur).join(edges, cur("url") === edges("src"))
+      .select(col("walk_id"), hopKey(t).as("k"))
+      .groupBy("walk_id").agg(min("k").as("k"))
+      .select(col("walk_id"), lit(t.toLong).as("step"),
+        expr("substring(k, 17)").as("url"))
+
+  /** Walk corpus over any (src, dst) edge frame:
+    * (walk_id, step, url) — one row per visited node, dead ends truncate. */
+  def walksKernel(edgesIn: DataFrame): DataFrame = {
+    // loop-invariant: checkpointed once, reused by all Steps rounds
+    val edges = edgesIn.select(col("src"), col("dst")).localCheckpoint()
+    val starts = startsFrame(edges)
       .localCheckpoint() // ≤ Seeds·WalksPerSeed rows; pins the seed sample
     var cur = starts
     val frames = Seq.newBuilder[DataFrame]
     frames += starts
     for (t <- 1 to Steps) {
-      // duplicate (src,dst) rows cannot change a min — no dedup pass needed
-      val next = cur.join(edges, cur("url") === edges("src"))
-        .select(col("walk_id"), hopKey(t).as("k"))
-        .groupBy("walk_id").agg(min("k").as("k"))
-        .select(col("walk_id"), lit(t.toLong).as("step"),
-          expr("substring(k, 17)").as("url"))
-        .localCheckpoint() // per-round lineage cut (the Ppr discipline)
+      // per-round lineage cut (the Ppr discipline)
+      val next = hop(cur, edges, t).localCheckpoint()
       frames += next
       cur = next
     }
     frames.result().reduce(_ unionByName _).orderBy("walk_id", "step")
   }
 
+  /** The contract query's edge frame (shared with the PlanCheck audit). */
+  private[graft] def contractEdges(spark: SparkSession, dir: String): DataFrame =
+    CrawlQueries.linkEdgesRaw(spark, dir).select("src", "dst")
+      .filter(col("dst").startsWith("http"))
+
   /** Driver-contract query: walks over the corpus link graph. */
   def randomWalks(spark: SparkSession, dir: String): DataFrame =
-    walksKernel(
-      CrawlQueries.linkEdgesRaw(spark, dir).select("src", "dst")
-        .filter(col("dst").startsWith("http")))
+    walksKernel(contractEdges(spark, dir))
 
   /** DuckDB twin: the identical seeded hop recurrence unrolled as
     * MATERIALIZED chained CTEs over the frozen edge fixture. */

@@ -782,6 +782,36 @@ object PlanCheck {
         "archive exports route through the partitioned foreachPartition writer, zero collects")
     }
 
+    // 66. random walks: every hop is a keyed join of a tiny frontier
+    // against the invariant edge frame — the frontier side must BROADCAST
+    // (the edge side never reshuffles per hop) and nothing may go
+    // cartesian/nested-loop across all Steps rounds
+    locally { // factored round body (the iterative-kernel audit discipline)
+      val edges = graft.pipeline.RandomWalks.contractEdges(spark, sfDir)
+        .localCheckpoint()
+      val h = graft.pipeline.RandomWalks.hop(
+        graft.pipeline.RandomWalks.startsFrame(edges).localCheckpoint(), edges, 1)
+      h.collect()
+      val p = h.queryExecution.executedPlan.toString.split("Initial Plan").head
+      check("q_random_walks/frontier-broadcast",
+        p.contains("BroadcastHashJoin") && !p.contains("CartesianProduct") &&
+          !p.contains("BroadcastNestedLoopJoin") && p.contains("partial_min"),
+        "hop body broadcasts the ≤#walks-row frontier; argmin combines map-side; edges never reshuffle")
+    }
+
+    // 67. co-occurrence: the windowed pairing is a codegen'd equi-join on
+    // (doc_id, pos) — never a positional range scan / cartesian — and both
+    // the pair and unigram aggregations combine map-side
+    locally {
+      val co = graft.pipeline.Cooccurrence.cooccurrence(spark, sfDir)
+      co.collect()
+      val p = co.queryExecution.executedPlan.toString.split("Initial Plan").head
+      check("q_cooccurrence/keyed-window-join",
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin") &&
+          p.contains("partial_count"),
+        "offset-exploded pairing joins keyed on (doc_id, pos); aggs combine map-side")
+    }
+
     println(if (failures == 0) "\nALL PLAN CHECKS PASS" else s"\n$failures PLAN CHECKS FAILED")
     // full plans for the record
     println("\n=== q_filter_pushdown plan ===")
