@@ -61,6 +61,7 @@ object SparkEntry {
     "q_sample_split" -> (TextAnalysis.sampleSplit _),
     "q_term_stats" -> (TextAnalysis.termStats _),
     "q_cooccurrence" -> (graft.pipeline.Cooccurrence.cooccurrence _),
+    "q_compress_ratio" -> (graft.pipeline.CompressRatio.compressRatio _),
     "q_tfidf_keywords" -> (TextAnalysis.tfidfKeywords _),
     "q_bm25_rank" -> (TextAnalysis.bm25Rank _),
     "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),

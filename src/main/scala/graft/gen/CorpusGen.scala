@@ -185,6 +185,15 @@ object CorpusGen {
   def writeParquet(spark: SparkSession, spec: Spec, path: String, partitions: Int = 0): Unit = {
     val ds = dataset(spark, spec)
     val out = if (partitions > 0) ds.repartition(partitions) else ds
-    out.write.mode("overwrite").parquet(path)
+    // Bound row groups well under the parquet 128 MB default: the row
+    // group is the READER's memory atom (vectored IO allocates every
+    // projected chunk of a group at once), so with multi-KB binary html
+    // rows, default-sized groups × 32 concurrent readers = multi-GB of
+    // read buffers — the 648k-page scale smoke OOM'd an 8 GB heap exactly
+    // there. 32 MB groups cap reader memory at cores×32 MB and cost ~1%
+    // in encoding efficiency at these row widths.
+    out.write.mode("overwrite")
+      .option("parquet.block.size", (32L * 1024 * 1024).toString)
+      .parquet(path)
   }
 }

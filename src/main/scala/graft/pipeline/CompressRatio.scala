@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-document Deflate compression ratio (`q_compress_ratio`) — the
+  * corpus-quality signal the public LLM-corpus pipelines ship next to the
+  * repetition fractions (Dolma's gzip-ratio tagger; RedPajama-v2 and
+  * Gopher use the same physics): near-incompressible text (ratio → 1000‰)
+  * is encrypted/minified/base64 junk, ultra-compressible text
+  * (ratio → 0‰) is boilerplate/template spam, and natural prose sits in a
+  * stable mid-band. [[TextAnalysis.repetitionSignals]] counts WORD-level
+  * repetition; Deflate's LZ77+Huffman sees byte-level structure those
+  * token statistics miss (repeated markup, character-level loops,
+  * alphabet skew) — one cheap pass that needs no vocabulary at all.
+  *
+  * Kernel: JDK Deflater at pinned [[Level]]=9, raw mode (nowrap — no
+  * zlib header bytes in the ledger), fresh instance per document —
+  * deterministic bytes for a given input on this JDK, and a pure per-row
+  * map, so the frozen fixture oracle is parallelism-invariant by
+  * construction (the [[graft.tools.OracleFixtureGen]] per-row-kernel
+  * class; DuckDB has no deflate to recompute with — same standing as the
+  * sha-256 media fixtures). Implemented as a typed Dataset map (the
+  * multimodal-decode discipline): a JNI-backed library call per row,
+  * where a Catalyst expression would buy nothing over codegen'd glue.
+  *
+  * Output: one row per document — `doc_id`, `raw_len`, `comp_len`,
+  * `ratio_permille` = 1000·comp div raw — plus the corpus read in
+  * `band` ('low'/'mid'/'high' against the [[LowBand]]/[[HighBand]]
+  * cutoffs), ordered by doc_id.
+  *
+  * 100-TB shape: embarrassingly parallel per-row map over the documents
+  * scan (two pruned columns), zero shuffles before the output sort —
+  * which a deployment drops; it exists so the contract row set is
+  * hash-comparable. Deflater instances are per-row create/end: ~μs each,
+  * and reuse across rows would entangle rows with executor thread state.
+  */
+object CompressRatio {
+
+  /** Pinned Deflate level (BEST_COMPRESSION — the published taggers' gzip -9). */
+  val Level = 9
+  /** ratio_permille below this ⇒ 'low' (template/boilerplate suspicion). */
+  val LowBand = 200L
+  /** ratio_permille at/above this ⇒ 'high' (junk/encoded suspicion). */
+  val HighBand = 700L
+
+  /** Deterministic Deflate length of a UTF-8 string at [[Level]], raw mode. */
+  private[pipeline] def deflateLen(text: String): Long = {
+    val raw = text.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(Level, true)
+    d.setInput(raw)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    d.end()
+    n
+  }
+
+  /** Ratio ledger over any (doc_id, text) frame. */
+  def compressRatioKernel(docsDf: DataFrame): DataFrame = {
+    val spark = docsDf.sparkSession
+    import spark.implicits._
+    docsDf.select(col("doc_id"), col("text")).as[(String, String)]
+      .map { case (id, text) =>
+        val rawLen = text.getBytes("UTF-8").length.toLong
+        val compLen = deflateLen(text)
+        (id, rawLen, compLen, 1000L * compLen / math.max(rawLen, 1L))
+      }
+      .toDF("doc_id", "raw_len", "comp_len", "ratio_permille")
+      .withColumn("band",
+        when(col("ratio_permille") < LowBand, lit("low"))
+          .when(col("ratio_permille") >= HighBand, lit("high"))
+          .otherwise(lit("mid")))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract query over the documents table. */
+  def compressRatio(spark: SparkSession, dir: String): DataFrame =
+    compressRatioKernel(spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text"))
+}

@@ -50,7 +50,7 @@ object OracleFixtureGen {
     "q_ann_lsh", "q_ann_ivf", "q_ann_ivfpq", "q_media_features", "q_media_frames", "q_semdedup",
     "q_image_dhash", "q_audio_quality", "q_image_quality", "q_tokenizer_fertility",
     "q_audio_fingerprint", "q_minhash_calibration", "q_scene_cuts",
-    "q_lsh_scurve")
+    "q_lsh_scurve", "q_compress_ratio")
 
   private def duckType(dt: DataType): String = dt match {
     case StringType => "VARCHAR"

@@ -42,8 +42,14 @@ object ScaleSmoke {
         i <- 0 until pagesPerHost
         if !CorpusGen.isPrivatePage(i)
       } yield CorpusGen.servedBase(h) + CorpusGen.pathFor(i)
+    // SPARK_GRAFT_BROADCAST_WAVE_MAX: measurement knob for the fetch-join
+    // strategy cliff — a wave above the cap pays the co-partitioned payload
+    // shuffle, at/under it the wave keys broadcast and the html streams
+    // from its scan (both sides measured in BENCH.md)
     val config = Bench.waveConfig.copy(
-      seeds = seeds, maxPages = hosts.toLong * pagesPerHost)
+      seeds = seeds, maxPages = hosts.toLong * pagesPerHost,
+      broadcastWaveMaxRows = sys.env.get("SPARK_GRAFT_BROADCAST_WAVE_MAX")
+        .map(_.toLong).getOrElse(Bench.waveConfig.broadcastWaveMaxRows))
 
     import spark.implicits._
     val pages = spark.read.parquet(corpusPath).as[graft.model.PageRow]
