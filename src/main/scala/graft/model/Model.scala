@@ -175,7 +175,12 @@ final case class CrawlConfig(
     // html payloads never enter an exchange at all — on a cluster a ~100 MB
     // broadcast beats shuffling terabytes of html. Larger waves fall back
     // to the co-partitioned SHUFFLE_HASH join (html hashed, never sorted).
-    broadcastWaveMaxRows: Long = 500000L,
+    // Default measured at the 648k-page 2× smoke (BENCH.md round-5
+    // continuation): the 648k wave-keys table broadcasts at ~65 MB and
+    // holds the record fetch rate, while crossing to the shuffle path
+    // costs a measured 33% — 1M rows ≈ 100 MB is the right trade at
+    // executor memory ≥ 8 GB.
+    broadcastWaveMaxRows: Long = 1000000L,
     // When on, pages-prep winner picks are WRITTEN to a table under
     // stateDir/intermediates instead of localCheckpoint'd: the blocks of a
     // localCheckpoint die with their executor, so a long crawl on a real
