@@ -153,7 +153,7 @@ object Bench {
       "q_window_rank", "q_exact_dedup", "q_doc_quality", "q_token_count",
       "q_topic_class", "q_minhash_lsh", "q_simhash_index", "q_ann_topk",
       "q_ann_ivf", "q_ann_ivfpq", "q_ann_sq8", "q_ann_pq", "q_quality_ratios",
-      "q_compress_ratio", "q_token_bpe",
+      "q_compress_ratio", "q_readability", "q_token_bpe",
       "q_pii_redact", "q_repetition", "q_term_stats", "q_cooccurrence", "q_pack_sequences",
       "q_paragraph_dedup", "q_lm_score", "q_span_dedup", "q_pagerank",
       "q_tfidf_keywords", "q_recrawl_schedule", "q_bm25_rank", "q_crawl_delta",

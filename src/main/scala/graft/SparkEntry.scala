@@ -62,6 +62,7 @@ object SparkEntry {
     "q_term_stats" -> (TextAnalysis.termStats _),
     "q_cooccurrence" -> (graft.pipeline.Cooccurrence.cooccurrence _),
     "q_compress_ratio" -> (graft.pipeline.CompressRatio.compressRatio _),
+    "q_readability" -> (graft.pipeline.Readability.readability _),
     "q_tfidf_keywords" -> (TextAnalysis.tfidfKeywords _),
     "q_bm25_rank" -> (TextAnalysis.bm25Rank _),
     "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),
@@ -313,6 +314,9 @@ object SparkEntry {
     // independent recompute: DuckDB rebuilds the windowed pair matrix via
     // a positional self-join and re-derives the same integer lift
     "q_cooccurrence" -> graft.pipeline.Cooccurrence.cooccurrenceSql,
+    // independent recompute: DuckDB re-derives the identical integer
+    // Flesch/Kincaid formulae from its own splits and regex passes
+    "q_readability" -> graft.pipeline.Readability.readabilitySql,
     "q_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
     "q_bm25_rank" -> TextAnalysis.bm25RankSql,
     "q_recrawl_schedule" -> Freshness.recrawlScheduleSql,

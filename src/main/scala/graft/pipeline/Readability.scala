@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-document readability scoring (`q_readability`) — Flesch Reading
+  * Ease + Flesch-Kincaid grade (Flesch 1948; Kincaid 1975), the
+  * document-difficulty signal the educational-quality corpus filters
+  * (FineWeb-Edu-class classifiers, textbook-quality selection) consume
+  * alongside the [[TextAnalysis.docQuality]] surface ratios: prose
+  * difficulty is a function of words-per-sentence and
+  * syllables-per-word, and neither the repetition stats nor the
+  * compression ratio ([[CompressRatio]]) sees sentence structure at all.
+  *
+  * Syllable proxy: VOWEL GROUPS over the whole lowercased text
+  * (`[aeiouy]+` match count) — the standard heuristic, computed in one
+  * regexp pass over the document instead of per word (a space is not a
+  * vowel, so word boundaries already break groups; per-word loops would
+  * drop into non-codegen HOFs for the identical count). Sentences =
+  * non-blank `[.!?]+` splits, floor 1; words = the corpus-wide
+  * space-split convention ([[TextAnalysis.tokenCount]]), floor 1.
+  *
+  * Integer discipline: both scores ship in exact milli-units —
+  * `fre_milli  = 206835 − (1015·w) div s − (84600·y) div w`,
+  * `fkg_milli  = (390·w) div s + (11800·y) div w − 15590`
+  * — every term int64-exact (w, s, y ≤ doc length), identical in both
+  * engines; `band` cuts at the conventional FRE 70/50 lines.
+  *
+  * 100-TB shape: pure per-row column math over a two-column pruned scan —
+  * zero shuffles, zero UDFs; the one HOF (the non-blank filter over a
+  * document's sentence splits) is bounded by that row's sentence count
+  * and sits outside every aggregation. The output sort exists only for
+  * contract hash-comparability.
+  */
+object Readability {
+
+  /** fre_milli at/above this ⇒ 'easy' (FRE 70). */
+  val EasyBand = 70000L
+  /** fre_milli at/above this (below Easy) ⇒ 'standard' (FRE 50). */
+  val StandardBand = 50000L
+
+  /** Readability ledger over any (doc_id, text) frame. */
+  def readabilityKernel(docsDf: DataFrame): DataFrame = {
+    val w = greatest(size(split(col("text"), " ")).cast("long"), lit(1L))
+    val s = greatest(
+      size(filter(split(col("text"), "[.!?]+"), x => length(trim(x)) > 0)).cast("long"),
+      lit(1L))
+    val y = size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+    docsDf
+      .select(col("doc_id"), w.as("n_words"), s.as("n_sentences"), y.as("n_syllables"))
+      .withColumn("fre_milli",
+        lit(206835L) - expr("(1015 * n_words) div n_sentences")
+          - expr("(84600 * n_syllables) div n_words"))
+      .withColumn("fkg_milli",
+        expr("(390 * n_words) div n_sentences")
+          + expr("(11800 * n_syllables) div n_words") - lit(15590L))
+      .withColumn("band",
+        when(col("fre_milli") >= EasyBand, lit("easy"))
+          .when(col("fre_milli") >= StandardBand, lit("standard"))
+          .otherwise(lit("difficult")))
+      .orderBy("doc_id")
+  }
+
+  /** Driver-contract query over the documents table. */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityKernel(spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text"))
+
+  /** DuckDB twin: the identical integer formulae recomputed independently. */
+  val readabilitySql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    greatest(len(string_split(text, ' ')), 1) AS n_words,
+       |    greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+       |      x -> trim(x) <> '')), 1) AS n_sentences,
+       |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_sentences AS BIGINT) AS n_sentences,
+       |  CAST(n_syllables AS BIGINT) AS n_syllables,
+       |  CAST(206835 - (1015 * n_words) // n_sentences
+       |    - (84600 * n_syllables) // n_words AS BIGINT) AS fre_milli,
+       |  CAST((390 * n_words) // n_sentences
+       |    + (11800 * n_syllables) // n_words - 15590 AS BIGINT) AS fkg_milli,
+       |  CASE WHEN 206835 - (1015 * n_words) // n_sentences
+       |         - (84600 * n_syllables) // n_words >= $EasyBand THEN 'easy'
+       |       WHEN 206835 - (1015 * n_words) // n_sentences
+       |         - (84600 * n_syllables) // n_words >= $StandardBand THEN 'standard'
+       |       ELSE 'difficult' END AS band
+       |FROM m
+       |ORDER BY doc_id""".stripMargin
+}
