@@ -163,7 +163,7 @@ object Bench {
       // q_sitemap_gap is deliberately NOT in the mix: it reruns the
       // (memoized) BFS crawl as an input, so its first call measures the
       // crawl, not the gap join — the verify gate covers it instead
-      "q_frontier_reshard", "q_event_percentiles", "q_quantile_sketch", "q_pps_sample",
+      "q_frontier_reshard", "q_waterfill_budget", "q_event_percentiles", "q_quantile_sketch", "q_pps_sample",
       "q_unicode_normalize", "q_wave_plan", "q_incremental_dedup", "q_dsir_select",
       "q_asof_join", "q_range_join", "q_cdx_index", "q_reciprocal_links",
       "q_host_components", "q_lpa_communities", "q_cocitation", "q_kcore", "q_bowtie",

@@ -63,6 +63,7 @@ object SparkEntry {
     "q_cooccurrence" -> (graft.pipeline.Cooccurrence.cooccurrence _),
     "q_compress_ratio" -> (graft.pipeline.CompressRatio.compressRatio _),
     "q_readability" -> (graft.pipeline.Readability.readability _),
+    "q_waterfill_budget" -> (graft.pipeline.Waterfill.waterfillBudget _),
     "q_tfidf_keywords" -> (TextAnalysis.tfidfKeywords _),
     "q_bm25_rank" -> (TextAnalysis.bm25Rank _),
     "q_recrawl_schedule" -> (Freshness.recrawlSchedule _),
@@ -317,6 +318,10 @@ object SparkEntry {
     // independent recompute: DuckDB re-derives the identical integer
     // Flesch/Kincaid formulae from its own splits and regex passes
     "q_readability" -> graft.pipeline.Readability.readabilitySql,
+    // independent recompute: DuckDB re-derives the water level from its
+    // own distinct-value prefix sums and re-ranks the remainder set
+    "q_waterfill_budget" ->
+      graft.pipeline.Waterfill.waterfillBudgetSql(fixtureSql("q_extract_link_edges")),
     "q_tfidf_keywords" -> TextAnalysis.tfidfKeywordsSql,
     "q_bm25_rank" -> TextAnalysis.bm25RankSql,
     "q_recrawl_schedule" -> Freshness.recrawlScheduleSql,

@@ -1,0 +1,154 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Max-min fair wave-budget allocation by water-filling
+  * (`q_waterfill_budget`) — the fair-share scheduler read (Bertsekas &
+  * Gallager's max-min fairness; progressive filling): given a total wave
+  * fetch capacity C and per-host frontier demands d_i, raise one water
+  * level L until capacity is exhausted — every host gets
+  * `min(d_i, L)` (+1 for the remainder set), so no host can gain without
+  * a smaller host losing. The politeness family answers "how much may a
+  * host absorb" ([[DomainBudget]] static caps, [[Aimd]] feedback,
+  * [[BanditBudget]] learned yield); water-filling answers the complement
+  * a saturated 10^10-URL frontier actually schedules by: "how should a
+  * FIXED wave capacity split fairly across hosts of wildly unequal
+  * backlog" — the planted calendar-trap host ([[UrlTemplates]]) holds
+  * ~180 demands and gets capped at L like everyone else, which is the
+  * whole point.
+  *
+  * Exact integer construction, no search: with the DISTINCT demand
+  * values v_1<…<v_k (a frame bounded by distinct backlog sizes, ≪ hosts),
+  * filled(v_j) = S_j + v_j·(M−n_j) (prefix sum + count ≤ v_j) is
+  * piecewise linear in the level; the crossing segment gives
+  * L = v_j + (C − filled(v_j)) div (M−n_j), the remainder
+  * R = C − Σ min(d_i, L) < |{d_i > L}| goes +1 to the R
+  * lexicographically-first hosts above the level (a total order — the
+  * deterministic tie rule). C is pinned at total_demand div
+  * [[CapacityDiv]] so the level BINDS on any corpus.
+  *
+  * 100-TB shape: per-host demand is one map-side-combined aggregation;
+  * the level computation runs on the distinct-VALUE frame (window over
+  * ≤ k rows, never over hosts); allocation is a per-row join against the
+  * 1-row level. The remainder rank is a global row_number over the
+  * above-level hosts — the verify-scale contract form; the fleet form
+  * buckets hosts by hash prefix and prefix-sums bucket counts, exactly
+  * the [[PpsSample]] two-phase discipline documented there.
+  */
+object Waterfill {
+
+  /** Capacity = total demand div this — keeps the water level binding. */
+  val CapacityDiv = 3L
+
+  /** Allocation over any (host, demand) frame: one row per host —
+    * (host, demand, alloc, level, bonus). */
+  def waterfillKernel(demands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = demands.select(col("host"), col("demand").cast("long"))
+    // totals: one row — M hosts, total demand, capacity
+    val totals = d.agg(count(lit(1)).as("m"), sum("demand").as("total"))
+      .select(col("m"), col("total"), expr(s"total div $CapacityDiv").as("cap"))
+    // distinct-value frame with prefix sums (window over ≤ k VALUES)
+    val byVal = d.groupBy("demand").agg(count(lit(1)).as("n_hosts"))
+    val vw = Window.orderBy("demand")
+    val vals = byVal
+      .withColumn("s_le", sum(expr("demand * n_hosts")).over(vw))
+      .withColumn("n_le", sum("n_hosts").over(vw))
+      .crossJoin(totals)
+      .withColumn("filled", col("s_le") + col("demand") * (col("m") - col("n_le")))
+    // the crossing segment: largest value with filled ≤ cap (may be none)
+    val seg = vals.filter(col("filled") <= col("cap"))
+      .orderBy(desc("demand")).limit(1)
+      .select(col("demand").as("v_j"), col("filled").as("f_j"),
+        (col("m") - col("n_le")).as("n_above"))
+    // level: inside the segment; below v_1 when even v_1·M > cap (seg
+    // empty — the all-equal-demand corpus); a saturated level
+    // (n_above = 0 ⇔ cap ≥ total) stays at max demand
+    val level = totals.join(seg, lit(true), "left")
+      .select(
+        when(col("v_j").isNull, expr("cap div m"))
+          .when(col("n_above") > 0L,
+            col("v_j") + expr("(cap - f_j) div n_above"))
+          .otherwise(col("v_j")).as("level"),
+        col("cap"), col("m"))
+    val withLevel = d.crossJoin(broadcast(level))
+      .withColumn("base", least(col("demand"), col("level")))
+    // remainder: cap − Σ base, +1 to the R first hosts above the level
+    // (rank computed for every row, GATED after — window-in-CASE is not
+    // a shape both engines guarantee)
+    val baseSum = withLevel.agg(sum("base").as("base_sum"))
+    val ranked = withLevel.crossJoin(broadcast(baseSum))
+      .withColumn("r", col("cap") - col("base_sum"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("demand") > col("level"))
+          .orderBy("host")))
+      .withColumn("is_bonus",
+        col("demand") > col("level") && col("rn") <= col("r"))
+    ranked
+      .select(col("host"), col("demand"),
+        (col("base") + when(col("is_bonus"), 1L).otherwise(0L)).as("alloc"),
+        col("level"),
+        when(col("is_bonus"), lit(1L)).otherwise(lit(0L)).as("bonus"))
+      .orderBy("host")
+  }
+
+  /** Driver-contract query: demands = distinct urls per host over the
+    * shared frontier-hygiene population (incl. the planted trap host). */
+  def waterfillBudget(spark: SparkSession, dir: String): DataFrame = {
+    val urls = UrlTemplates.corpusUrlsWithPlant(spark, dir)
+      .filter(col("url").startsWith("http"))
+    val demands = urls
+      .withColumn("host", Cardinality.hostCol(col("url")))
+      .select("host", "url").distinct()
+      .groupBy("host").agg(count(lit(1)).as("demand"))
+    waterfillKernel(demands)
+  }
+
+  /** DuckDB twin: the identical integer construction — distinct-value
+    * prefix sums, crossing segment, remainder ranks — recomputed
+    * independently over the frozen edge fixture. */
+  def waterfillBudgetSql(edgesSelect: String): String =
+    s"""WITH ${UrlTemplates.corpusUrlsSqlCtes(edgesSelect)},
+       |d AS MATERIALIZED (
+       |  SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+       |    CAST(count(DISTINCT url) AS BIGINT) AS demand
+       |  FROM urls WHERE url LIKE 'http%' GROUP BY host),
+       |t AS (SELECT count(*) AS m, sum(demand) AS total,
+       |  sum(demand) // $CapacityDiv AS cap FROM d),
+       |vals AS (
+       |  SELECT demand, n_hosts,
+       |    sum(demand * n_hosts) OVER (ORDER BY demand) AS s_le,
+       |    sum(n_hosts) OVER (ORDER BY demand) AS n_le
+       |  FROM (SELECT demand, count(*) AS n_hosts FROM d GROUP BY demand)),
+       |seg AS (
+       |  SELECT v.demand AS v_j, v.s_le + v.demand * (t.m - v.n_le) AS f_j,
+       |    t.m - v.n_le AS n_above
+       |  FROM vals v CROSS JOIN t
+       |  WHERE v.s_le + v.demand * (t.m - v.n_le) <= t.cap
+       |  ORDER BY v.demand DESC LIMIT 1),
+       |lvl AS (
+       |  SELECT CASE WHEN s.v_j IS NULL THEN t.cap // t.m
+       |              WHEN s.n_above > 0 THEN s.v_j + (t.cap - s.f_j) // s.n_above
+       |              ELSE s.v_j END AS level,
+       |    t.cap, t.m
+       |  FROM t LEFT JOIN seg s ON TRUE),
+       |base AS (
+       |  SELECT d.host, d.demand, least(d.demand, l.level) AS base,
+       |    l.level, l.cap
+       |  FROM d CROSS JOIN lvl l),
+       |r AS (SELECT max(cap) - sum(base) AS rem FROM base),
+       |ranked AS (
+       |  SELECT b.*, r.rem,
+       |    row_number() OVER (PARTITION BY b.demand > b.level ORDER BY b.host)
+       |      AS rn
+       |  FROM base b CROSS JOIN r)
+       |SELECT host, demand,
+       |  CAST(base + CASE WHEN demand > level AND rn <= rem
+       |    THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       |  CAST(level AS BIGINT) AS level,
+       |  CAST(CASE WHEN demand > level AND rn <= rem
+       |    THEN 1 ELSE 0 END AS BIGINT) AS bonus
+       |FROM ranked
+       |ORDER BY host""".stripMargin
+}
