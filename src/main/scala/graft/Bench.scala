@@ -167,7 +167,8 @@ object Bench {
       "q_unicode_normalize", "q_wave_plan", "q_incremental_dedup", "q_dsir_select",
       "q_asof_join", "q_range_join", "q_cdx_index", "q_reciprocal_links",
       "q_host_components", "q_lpa_communities", "q_cocitation", "q_kcore", "q_bowtie",
-      "q_ppr", "q_anf", "q_random_walks", "q_bandit_budget", "q_seed_select", "q_image_dhash",
+      "q_ppr", "q_anf", "q_random_walks", "q_walk_covisit", "q_bandit_budget",
+      "q_seed_select", "q_image_dhash",
       "q_audio_quality", "q_image_quality", "q_makespan", "q_rank_correlation",
       "q_assortativity", "q_percolation", "q_decontaminate", "q_modularity",
       "q_degree_dist", "q_gini_skew", "q_lang_diversity", "q_zipf_curve",

@@ -143,6 +143,7 @@ object SparkEntry {
     "q_bowtie" -> (graft.pipeline.Bowtie.bowtieQuery _),
     "q_ppr" -> (graft.pipeline.Ppr.ppr _),
     "q_random_walks" -> (graft.pipeline.RandomWalks.randomWalks _),
+    "q_walk_covisit" -> (graft.pipeline.WalkCovisit.walkCovisit _),
     "q_anf" -> (graft.pipeline.Anf.anfQuery _),
     "q_bandit_budget" -> (graft.pipeline.BanditBudget.banditBudget _),
     "q_seed_select" -> (graft.pipeline.SeedSelect.seedSelectQuery _),
@@ -501,6 +502,10 @@ object SparkEntry {
     // compound-key argmin draw) as materialized chained CTEs
     "q_random_walks" ->
       graft.pipeline.RandomWalks.randomWalksSql(fixtureSql("q_extract_link_edges")),
+    // independent replay: DuckDB re-runs the whole walk recurrence and
+    // recounts the windowed co-visit pairs from scratch
+    "q_walk_covisit" ->
+      graft.pipeline.WalkCovisit.walkCovisitSql(fixtureSql("q_extract_link_edges")),
     // independent replay: DuckDB re-executes the full HyperBall rounds —
     // per-node bottom-K unions over the same 44-bit hash + same estimator
     "q_anf" ->

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Walk co-visit matrix (`q_walk_covisit`) — the node2vec/DeepWalk
+  * TRAINING-PAIR statistic: how often two pages appear within a
+  * ±[[Window]]-step window of the same random walk. This is exactly the
+  * pair distribution skip-gram-with-negative-sampling trains link
+  * embeddings on (Perozzi KDD'14 §4; node2vec's S-dimensional co-visit
+  * matrix), and its entries double as a link-similarity read in their own
+  * right (two urls frequently co-visited are structurally close even with
+  * NO direct edge — the signal [[Cocitation]] only sees at distance 2).
+  * Completes the embedding-data story: [[RandomWalks]] emits the node
+  * sentences, this operator emits the (pair, frequency) matrix a trainer
+  * consumes.
+  *
+  * Derandomization is inherited wholesale from [[RandomWalks]] — the walk
+  * corpus is deterministic, so the co-visit counts are integers both
+  * engines reproduce exactly. Pairs are direction-collapsed
+  * (least, greatest — the window is symmetric, so directed counts are
+  * exactly 2× these); self-pairs (a cycle revisiting a url within the
+  * window) are kept: a real trainer sees those pairs too.
+  *
+  * 100-TB shape: the walk corpus is bounded by walks × (Steps+1) rows —
+  * the [[Cooccurrence]] offset-explode equi-join on (walk_id, step) keyed
+  * by walk, one map-side-combined count, a bounded TakeOrdered under a
+  * total order. Nothing touches the edge table after the walks exist.
+  */
+object WalkCovisit {
+
+  /** Co-visit window in steps (node2vec's default context breadth ±2 at
+    * this walk length). */
+  val Window = 2
+  /** Output rows (top pairs by count, then pair order). */
+  val TopK = 300
+
+  /** Co-visit counts over any (walk_id, step, url) walk corpus. */
+  def covisitKernel(walks: DataFrame): DataFrame = {
+    val w = walks.select(col("walk_id"), col("step"), col("url"))
+    val wC = w.localCheckpoint() // two scan arms below
+    val offsets = array((1 to Window).map(i => lit(i.toLong)): _*)
+    val left = wC
+      .withColumn("d", explode(offsets))
+      .select(col("walk_id"), (col("step") + col("d")).as("step"),
+        col("url").as("ua"))
+    val pairs = left.join(wC, Seq("walk_id", "step"))
+      .select(least(col("ua"), col("url")).as("u1"),
+        greatest(col("ua"), col("url")).as("u2"))
+    pairs.groupBy("u1", "u2").agg(count(lit(1)).as("n_covisits"))
+      .orderBy(desc("n_covisits"), asc("u1"), asc("u2"))
+      .limit(TopK)
+  }
+
+  /** Driver-contract query: co-visits over the contract walk corpus. */
+  def walkCovisit(spark: SparkSession, dir: String): DataFrame =
+    covisitKernel(RandomWalks.randomWalks(spark, dir))
+
+  /** DuckDB twin: re-runs the full walk recurrence (the [[RandomWalks]]
+    * twin as a subquery) and recounts the windowed pairs independently. */
+  def walkCovisitSql(edgesSelect: String): String =
+    s"""WITH w AS MATERIALIZED (
+       |  SELECT walk_id, step, url FROM (
+       |    ${RandomWalks.randomWalksSql(edgesSelect).replace("\n", "\n    ")})),
+       |pairs AS (
+       |  SELECT least(t1.url, t2.url) AS u1, greatest(t1.url, t2.url) AS u2
+       |  FROM w t1 JOIN w t2
+       |    ON t1.walk_id = t2.walk_id
+       |   AND t2.step BETWEEN t1.step + 1 AND t1.step + $Window)
+       |SELECT u1, u2, count(*) AS n_covisits
+       |FROM pairs GROUP BY u1, u2
+       |ORDER BY n_covisits DESC, u1, u2
+       |LIMIT $TopK""".stripMargin
+}
