@@ -35,6 +35,15 @@ import graft.urls.UrlKernel
   */
 object CrawlEngine {
 
+  /** Effective fetch-join broadcast cap: the configured row cap bounded
+    * by what THIS JVM's heap can hold as a built broadcast hash relation
+    * (~250 B/row at a 5% heap budget ⇒ heap div 5000 rows). The measured
+    * 1M-row default assumes ≥ 8 GB executors (BENCH.md round-5
+    * continuation); a memory-constrained deployment must degrade to the
+    * shuffle-hash path, never OOM building a broadcast it cannot afford. */
+  private[graft] def effectiveBroadcastCap(configured: Long): Long =
+    math.min(configured, Runtime.getRuntime.maxMemory() / 5000L)
+
   /** xxhash64 with Spark SQL's default seed 42 — byte-compatible with the
     * built-in `xxhash64()` function so Scala-side and Column-side keys agree. */
   def urlHash(s: String): Long =
@@ -376,7 +385,7 @@ object CrawlEngine {
     // shuffles the pages side exactly once, inside the measured dataflow.)
     val preparedBase = preparePages(pages,
       if (config.spillIntermediates) Some(s"$stateDir/intermediates/pages-winners") else scala.None,
-      config.broadcastWaveMaxRows,
+      effectiveBroadcastCap(config.broadcastWaveMaxRows),
       registerRelease = f => liveCaches.synchronized { liveCaches += f })
     val prepared =
       if (prePartitionPages)
@@ -599,7 +608,7 @@ object CrawlEngine {
           // never sorted — sorting 100 TB of html to join a wave is wrong).
           val selCols = selected.select("canonicalUrl", "url", "depth", "parentUrl", "host")
           val fetched = prepared.join(
-            if (selCount <= config.broadcastWaveMaxRows) broadcast(selCols)
+            if (selCount <= effectiveBroadcastCap(config.broadcastWaveMaxRows)) broadcast(selCols)
             else selCols.hint("shuffle_hash"),
             Seq("canonicalUrl"), "inner")
           val fetchedDs = fetched.select(

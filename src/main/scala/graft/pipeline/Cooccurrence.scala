@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   *
   * Integer discipline: GloVe's 1/d distance weight becomes
   * `10^6 div d` micro-units; lift becomes
-  * `(cooc_micro · total_tokens) div (c_x · c_y)` — exact int64 at corpus
-  * scale (cooc_micro ≤ 10^6·pairs, c ≤ total tokens), identical in both
+  * `(cooc_micro · total_tokens) div (c_x · c_y)`, computed in 128-bit
+  * exact arithmetic (Spark DECIMAL(38,0) integral division, DuckDB
+  * HUGEINT) because the PRODUCTS overflow int64 at fleet scale even
+  * though the QUOTIENT never does (cooc·N reaches ~10^20 at 10^8-token
+  * corpora; the lift itself stays far inside int64) — identical in both
   * engines, and rank-equivalent to PMI over the weighted counts. Pairs
   * are direction-collapsed via (least, greatest); the [[MinPairs]] floor
   * keeps hapax noise out (the [[TextAnalysis]] KeywordMinDf discipline);
@@ -66,7 +69,9 @@ object Cooccurrence {
       .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
       .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
       .select(col("w1"), col("w2"), col("n_pairs"), col("cooc_micro"),
-        expr(s"(cooc_micro * ${total}L) div (c1 * c2)").as("lift_micro"))
+        // 128-bit products: int64 would wrap silently at ~10^8 tokens
+        expr(s"(CAST(cooc_micro AS DECIMAL(38,0)) * ${total}L) div " +
+          "(CAST(c1 AS DECIMAL(38,0)) * c2)").as("lift_micro"))
       .orderBy(desc("lift_micro"), asc("w1"), asc("w2"))
       .limit(TopK)
   }
@@ -95,7 +100,8 @@ object Cooccurrence {
        |uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
        |tot AS (SELECT count(*) AS n FROM tok)
        |SELECT co.w1, co.w2, co.n_pairs, co.cooc_micro,
-       |  CAST((co.cooc_micro * tot.n) // (u1.c * u2.c) AS BIGINT) AS lift_micro
+       |  CAST((CAST(co.cooc_micro AS HUGEINT) * tot.n)
+       |    // (CAST(u1.c AS HUGEINT) * u2.c) AS BIGINT) AS lift_micro
        |FROM co
        |JOIN uni u1 ON co.w1 = u1.w
        |JOIN uni u2 ON co.w2 = u2.w
