@@ -36,13 +36,23 @@ import graft.urls.UrlKernel
 object CrawlEngine {
 
   /** Effective fetch-join broadcast cap: the configured row cap bounded
-    * by what THIS JVM's heap can hold as a built broadcast hash relation
-    * (~250 B/row at a 5% heap budget ⇒ heap div 5000 rows). The measured
-    * 1M-row default assumes ≥ 8 GB executors (BENCH.md round-5
+    * by what the SMALLEST participating heap can hold as a built
+    * broadcast hash relation (~250 B/row at a 5% heap budget ⇒ heap div
+    * 5000 rows). The built relation must fit EXECUTOR heaps, not just the
+    * driver's, so the bound is min(driver heap, `spark.executor.memory`
+    * when set) — on a cluster with a large driver and small executors the
+    * driver-only bound would pass and executors could still OOM; in local
+    * mode the two are one JVM and the driver term binds, unchanged. The
+    * measured 1M-row default assumes ≥ 8 GB executors (BENCH.md round-5
     * continuation); a memory-constrained deployment must degrade to the
     * shuffle-hash path, never OOM building a broadcast it cannot afford. */
-  private[graft] def effectiveBroadcastCap(configured: Long): Long =
-    math.min(configured, Runtime.getRuntime.maxMemory() / 5000L)
+  private[graft] def effectiveBroadcastCap(configured: Long,
+                                           spark: SparkSession): Long = {
+    val driverHeap = Runtime.getRuntime.maxMemory()
+    val execHeap = spark.sparkContext.getConf
+      .getSizeAsBytes("spark.executor.memory", s"${driverHeap}b")
+    math.min(configured, math.min(driverHeap, execHeap) / 5000L)
+  }
 
   /** xxhash64 with Spark SQL's default seed 42 — byte-compatible with the
     * built-in `xxhash64()` function so Scala-side and Column-side keys agree. */
@@ -385,7 +395,7 @@ object CrawlEngine {
     // shuffles the pages side exactly once, inside the measured dataflow.)
     val preparedBase = preparePages(pages,
       if (config.spillIntermediates) Some(s"$stateDir/intermediates/pages-winners") else scala.None,
-      effectiveBroadcastCap(config.broadcastWaveMaxRows),
+      effectiveBroadcastCap(config.broadcastWaveMaxRows, spark),
       registerRelease = f => liveCaches.synchronized { liveCaches += f })
     val prepared =
       if (prePartitionPages)
@@ -608,7 +618,7 @@ object CrawlEngine {
           // never sorted — sorting 100 TB of html to join a wave is wrong).
           val selCols = selected.select("canonicalUrl", "url", "depth", "parentUrl", "host")
           val fetched = prepared.join(
-            if (selCount <= effectiveBroadcastCap(config.broadcastWaveMaxRows)) broadcast(selCols)
+            if (selCount <= effectiveBroadcastCap(config.broadcastWaveMaxRows, spark)) broadcast(selCols)
             else selCols.hint("shuffle_hash"),
             Seq("canonicalUrl"), "inner")
           val fetchedDs = fetched.select(

@@ -115,14 +115,33 @@ object ImageDhash {
 
   /** The minimal retouch: decode, flip the center pixel's lowest blue bit,
     * re-encode — a DIFFERENT container byte stream and a different decoded
-    * sha-256, but (at most) one grid cell's average moves by 1/area. */
+    * sha-256, but (at most) one grid cell's average moves by 1/area.
+    * Re-encoded through [[Multimodal.pngEncode]] (stored-block PNG) — the
+    * decoded pixels are what the dhash reads, identical either way. */
   private[multimodal] def perturb(png: Array[Byte]): Array[Byte] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
     val (cx, cy) = (img.getWidth / 2, img.getHeight / 2)
     img.setRGB(cx, cy, img.getRGB(cx, cy) ^ 1)
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
+    val raw = new Array[Byte](h * (1 + w * 3))
+    var y = 0
+    var p = 0
+    while (y < h) {
+      raw(p) = 0 // PNG filter: None
+      p += 1
+      var x = 0
+      while (x < w) {
+        val v = rgbs(y * w + x)
+        raw(p) = ((v >> 16) & 0xff).toByte
+        raw(p + 1) = ((v >> 8) & 0xff).toByte
+        raw(p + 2) = (v & 0xff).toByte
+        p += 3
+        x += 1
+      }
+      y += 1
+    }
+    Multimodal.pngEncode(w, h, raw)
   }
 
   /** Near-dup image pairs over the media corpus plus the planted

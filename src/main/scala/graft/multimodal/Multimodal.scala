@@ -60,27 +60,78 @@ object Multimodal {
     out
   }
 
-  /** Deterministic REAL PNG payload: a w×h RGB image whose pixels come from
-    * the same seeded xorshift stream as [[fakePayload]], encoded with the
-    * JDK's own `javax.imageio` PNG writer. PNG is lossless, so decode
-    * recovers the exact pixels at any JDK — the decoded-pixel mean is a
-    * frozen-fixture-safe value even if encoder byte output ever shifts. */
+  /** Deterministic REAL PNG payload: a w×h RGB image whose pixels come
+    * from the same seeded xorshift stream as [[fakePayload]], written as a
+    * spec-conformant truecolor PNG with STORED zlib blocks ([[pngEncode]]).
+    * PNG is lossless, so decode recovers the exact pixels at any JDK — the
+    * decoded-pixel values are what every fixture pins (decoded-content
+    * space), and they are bit-identical to the previous `javax.imageio`
+    * encoding of the same pixels. The writer swap is a round-6
+    * optimization: deflate level 6 over xorshift pixels is pure CPU with
+    * ~zero compression (random bytes don't deflate), and every media query
+    * re-synthesizes the whole table, so the encoder was the hot loop. */
   def imagePayload(id: Long, w: Int, h: Int): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // filtered scanlines: one 0x00 (filter None) byte per row + RGB triples
+    val raw = new Array[Byte](h * (1 + w * 3))
     var x = id * 0x9E3779B97F4A7C15L + 0x1a9eL
     var py = 0
+    var p = 0
     while (py < h) {
+      raw(p) = 0 // PNG filter: None
+      p += 1
       var px = 0
       while (px < w) {
         x ^= (x << 13); x ^= (x >>> 7); x ^= (x << 17)
-        img.setRGB(px, py, (x & 0xffffff).toInt)
+        val v = (x & 0xffffff).toInt
+        raw(p) = ((v >> 16) & 0xff).toByte
+        raw(p + 1) = ((v >> 8) & 0xff).toByte
+        raw(p + 2) = (v & 0xff).toByte
+        p += 3
         px += 1
       }
       py += 1
     }
-    val baos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    pngEncode(w, h, raw)
+  }
+
+  /** Minimal PNG container writer: 8-bit truecolor, filtered scanlines in,
+    * one IDAT holding a STORED-block zlib stream (Deflater NO_COMPRESSION —
+    * valid zlib by construction, decoded by every PNG reader). */
+  private[multimodal] def pngEncode(w: Int, h: Int, filteredRows: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(filteredRows.length + 256)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a), 0, 8)
+    def be(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      val tb = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      out.write(be(data.length), 0, 4)
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb)
+      crc.update(data)
+      out.write(be(crc.getValue.toInt), 0, 4)
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive filter, no interlace
+    chunk("IHDR", ihdr.array())
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.NO_COMPRESSION)
+    d.setInput(filteredRows)
+    d.finish()
+    val zout = new java.io.ByteArrayOutputStream(filteredRows.length + 64)
+    val buf = new Array[Byte](64 * 1024)
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      zout.write(buf, 0, n)
+    }
+    d.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Deterministic REAL WAV payload: `nSamples` of 16-bit PCM mono at
@@ -136,20 +187,19 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
         require(img != null, "PNG-sniffed payload failed to decode")
         val (w, h) = (img.getWidth, img.getHeight)
+        // bulk getRGB returns the SAME default-sRGB ARGB ints as the
+        // per-pixel call, without its per-call conversion overhead
+        val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
         val out = new Array[Byte](w * h * 3)
-        var y = 0
+        var i = 0
         var o = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            out(o) = ((rgb >> 16) & 0xff).toByte
-            out(o + 1) = ((rgb >> 8) & 0xff).toByte
-            out(o + 2) = (rgb & 0xff).toByte
-            o += 3
-            x += 1
-          }
-          y += 1
+        while (i < rgbs.length) {
+          val rgb = rgbs(i)
+          out(o) = ((rgb >> 16) & 0xff).toByte
+          out(o + 1) = ((rgb >> 8) & 0xff).toByte
+          out(o + 2) = (rgb & 0xff).toByte
+          o += 3
+          i += 1
         }
         out
       } else if (isWav(payload)) {

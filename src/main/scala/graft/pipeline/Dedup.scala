@@ -36,14 +36,18 @@ object Dedup {
   }
 
   /** MinHash signature: for each of k seeded hash functions, the minimum
-    * hash over the document's shingles. */
+    * hash over the document's shingles. The shingle is UTF-8-encoded ONCE
+    * and hashed under all k seeds — `hashSeed` per seed would re-encode
+    * the same string k times (the values are identical either way; this is
+    * the hot loop of every MinHash-family query). */
   def minhashSignature(text: String, k: Int = NumHashes): Array[Long] = {
     val sh = shingles(text)
     val sig = Array.fill(k)(Long.MaxValue)
     sh.foreach { s =>
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
       var i = 0
       while (i < k) {
-        val h = hashSeed(s, i + 1L)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String(u, i + 1L)
         if (h < sig(i)) sig(i) = h
         i += 1
       }

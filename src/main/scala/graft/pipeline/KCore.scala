@@ -69,9 +69,13 @@ object KCore {
       // dropped neighbors and thus left the edge list entirely (degree 0)
       val keep = und.groupBy(col("a").as("host")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2).select("host")
+      // drop feeds FOUR consumers (peeled, alive, both und anti-joins) —
+      // its per-round checkpoint is load-bearing. peeled is a pure union
+      // of checkpointed drop projections, so it needs NO per-round
+      // materialization at all (was one extra checkpoint job per round
+      // copying the whole accumulated union)
       val drop = alive.join(keep, Seq("host"), "left_anti").localCheckpoint()
       peeled = peeled.union(drop.select(col("host"), lit(r.toLong).as("peel_round")))
-        .localCheckpoint()
       alive = alive.join(drop, Seq("host"), "left_anti").localCheckpoint()
       und = und
         .join(drop.withColumnRenamed("host", "a"), Seq("a"), "left_anti")

@@ -33,11 +33,20 @@ import org.apache.spark.sql.functions._
   */
 object MinhashCalibration {
 
-  /** Per-pair calibration over (doc_id, text) docs and an (a, b) pair list. */
+  /** Per-pair calibration over (doc_id, text) docs and an (a, b) pair list.
+    *
+    * Only docs that actually appear in the pair list get a signature: the
+    * pair population is audit-bounded (tiny next to the corpus), so the
+    * member-id side broadcasts and the semi-join prunes the corpus BEFORE
+    * the per-row MinHash + shingle-set work — without it every corpus doc
+    * pays the 64-permutation signature for a ~50-doc audit. */
   def calibrate(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val memberIds = pairs.select(col("doc_a").cast("long").as("doc_id"))
+      .union(pairs.select(col("doc_b").cast("long").as("doc_id"))).distinct()
     val feats = docs.select(col("doc_id").cast("long"), col("text"))
+      .join(broadcast(memberIds), Seq("doc_id"), "left_semi")
       .as[(Long, String)]
       .map { case (id, t) =>
         (id, Dedup.minhashSignature(t), Dedup.shingles(t).toSeq.sorted)

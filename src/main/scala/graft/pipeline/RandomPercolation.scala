@@ -24,9 +24,9 @@ import org.apache.spark.sql.functions._
   * the ORIGINAL node count — the paper's S/N with a stable denominator).
   *
   * Scale shape: identical to [[Percolation]] — host-granular, one filtered
-  * edge set + one warm-started run of the shared star-alternation
-  * component kernel per level (most-removed level first; nesting makes
-  * prior labels valid merges), |Levels| pinned runs at audit cadence; the
+  * edge set + one run of the shared star-alternation component kernel per
+  * level, the |Levels| pinned runs scheduled as concurrent driver-thread
+  * jobs at audit cadence; the
   * removal counts for ALL levels come from ONE conditional aggregate (no
   * per-level driver reads).
   * Isolated survivors (hosts that keep their hash but lose every edge)
@@ -60,20 +60,34 @@ object RandomPercolation {
         sum(when(col("h") < threshold(p), 1L).otherwise(0L)).as(s"r$p")): _*).head()
     val n0 = cnt.getLong(0)
     val removedAt = Levels.zipWithIndex.map { case (p, i) => p -> cnt.getLong(i + 1) }.toMap
-    // removal is monotone nested by construction (hash < p·2⁴⁴/1000), so
-    // iterate from the most-removed level down, warm-starting each level's
-    // star alternation with the previous level's labels ([[Percolation]])
-    var warm: Option[DataFrame] = None
-    val rows = Levels.reverse.map { p =>
-      val thr = threshold(p)
-      val kept =
-        if (p == 0) und
-        else und.filter(hash44(col("a")) >= thr && hash44(col("b")) >= thr)
-      val comps = WebIndex.components(kept, warm).localCheckpoint()
-      val giant = comps.agg(max("component_size")).head().getLong(0)
-      warm = Some(comps.select(col("host"), col("component").as("label")))
-      (p.toLong, removedAt(p), n0 - removedAt(p), giant, giant * 1000L / n0)
-    }.reverse
+    // the levels are INDEPENDENT measurements — each one an
+    // (a, b)-symmetric hash-threshold filter of the shared checkpointed
+    // edge set plus one run of the star-alternation kernel — run as
+    // CONCURRENT driver-thread jobs (guide-§2.6 overlap, the
+    // [[Percolation]] schedule): wall time collapses to roughly the
+    // slowest level instead of the sum. Per level only the LABELS are
+    // computed ([[WebIndex.componentLabels]], prepared = true); giant =
+    // max label-group count.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      Levels.size, r => { val t = new Thread(r, "graft-randperc-level"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futs = Levels.map { p =>
+      scala.concurrent.Future {
+        val thr = threshold(p)
+        val kept =
+          if (p == 0) und
+          else und.filter(hash44(col("a")) >= thr && hash44(col("b")) >= thr)
+        val labels = WebIndex.componentLabels(kept, prepared = true)
+        val giant = labels.groupBy("label").agg(count(lit(1)).as("n"))
+          .agg(max("n")).head().getLong(0)
+        (p.toLong, removedAt(p), n0 - removedAt(p), giant, giant * 1000L / n0)
+      }
+    }
+    val rows =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     rows.toDF("p_permille", "n_removed", "n_hosts", "giant", "giant_permille")
       .orderBy("p_permille")
   }

@@ -68,7 +68,11 @@ object StressCentrality {
         .groupBy("s", "v").agg(sum("sigma").as("sigma"))
         .withColumn("d", lit(d.toLong))
         .localCheckpoint()
-      seen = seen.unionByName(nxt).localCheckpoint()
+      // seen is a pure union of per-level CHECKPOINTED frames (same shape
+      // as psiAll below): re-materializing the accumulated union every
+      // round copied O(total) rows per round for nothing — consumers
+      // evaluate the union over already-materialized legs at no recompute
+      seen = seen.unionByName(nxt)
       frontier = nxt
     }
 

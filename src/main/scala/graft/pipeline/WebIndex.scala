@@ -245,9 +245,31 @@ object WebIndex {
     * they are genuine connectivity facts there, so they merge for free
     * here; nodes are still derived from the real edges only. */
   def components(pairsIn: DataFrame, warmStart: Option[DataFrame] = None): DataFrame = {
-    val dir0 = pairsIn.filter(col("a") =!= col("b"))
-    val und = dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+    val labels = componentLabels(pairsIn, warmStart)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("component_size"))
+    labels.join(sizes, "label")
+      .select(col("host"), col("label").as("component"), col("component_size"))
+      .orderBy("host")
+  }
+
+  /** Label assignment only — one (host, label) row per node, no sizes
+    * join, no output sort: the form the nested percolation curves consume
+    * per level (they need the giant's size and the labels for the next
+    * level's warm start, not [[components]]' sorted sized report — the
+    * every-level global sort + sizes join was pure per-level overhead).
+    *
+    * `prepared = true` asserts the caller's frame is ALREADY symmetric,
+    * distinct and self-loop-free (the percolation curves filter a frame
+    * this kernel built, and both filter predicates are symmetric in
+    * (a, b)), so the symmetrize+distinct shuffle is skipped. */
+  private[graft] def componentLabels(pairsIn: DataFrame,
+                                     warmStart: Option[DataFrame] = None,
+                                     prepared: Boolean = false): DataFrame = {
+    val und = if (prepared) pairsIn else {
+      val dir0 = pairsIn.filter(col("a") =!= col("b"))
+      dir0.union(dir0.select(col("b").as("a"), col("a").as("b")))
+        .distinct().localCheckpoint()
+    }
     val nodes = und.select(col("a").as("host")).distinct().localCheckpoint()
     val seed = warmStart match {
       case Some(w) => und.select(col("a").as("u"), col("b").as("v"))
@@ -261,35 +283,43 @@ object WebIndex {
     var round = 0
     while (!converged && round < CcMaxRounds) {
       round += 1
+      val prev = e
       val next = ccRound(e).localCheckpoint()
       // fixpoint test: the alternation's potential strictly decreases
       // until the star state, so set-equality with the previous round is
       // exactly convergence. Counts carry across rounds (one count job per
       // round) and the keys-only anti-join runs only when counts agree.
       val nextCount = next.count()
-      converged = nextCount == eCount && next.except(e).isEmpty
+      converged = nextCount == eCount && next.except(prev).isEmpty
       e = next
       eCount = nextCount
+      // prev's checkpoint blocks are dead the moment next materialized and
+      // the fixpoint test consumed them — release eagerly instead of
+      // waiting on ContextCleaner (many-levels callers: the percolation
+      // curves run this loop K+1 times per query)
+      graft.crawl.CrawlEngine.releaseBlocks(prev)
     }
     if (!converged) throw new IllegalStateException(
       s"components: star alternation did not converge in $CcMaxRounds rounds " +
         "— refusing to return possibly under-merged components")
     // star-shape audit: no center may itself point anywhere, and no
     // member may carry two centers — a violated invariant here means the
-    // convergence test lied, and the only safe behavior is to fail
-    val centers = e.select(col("v").as("c")).distinct()
-    require(centers.join(e, centers("c") === e("u")).isEmpty,
+    // convergence test lied, and the only safe behavior is to fail.
+    // Both invariants are checked in ONE job (per-u distinct-center census
+    // left-joined against the center set), not two — the audit runs per
+    // percolation level, so its per-call job count is paid K+1 times
+    val audit = e.groupBy("u").agg(countDistinct("v").as("nv"))
+      .join(e.select(col("v").as("u")).distinct().withColumn("ctr", lit(1)),
+        Seq("u"), "left")
+      .agg(count(when(col("nv") > 1, 1)).as("multi_center"),
+        count(col("ctr")).as("center_with_out_edge")).head()
+    require(audit.getLong(1) == 0L,
       "components: a star center has an outgoing edge after convergence")
-    require(e.groupBy("u").agg(countDistinct("v").as("nv"))
-      .where(col("nv") > 1).isEmpty,
+    require(audit.getLong(0) == 0L,
       "components: a node carries two star centers after convergence")
     val parents = e.select(col("u").as("host"), col("v").as("plabel"))
-    val labels = nodes.join(parents, Seq("host"), "left")
+    nodes.join(parents, Seq("host"), "left")
       .select(col("host"), coalesce(col("plabel"), col("host")).as("label"))
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("component_size"))
-    labels.join(sizes, "label")
-      .select(col("host"), col("label").as("component"), col("component_size"))
-      .orderBy("host")
   }
 
   /** Driver-contract query: components over the corpus inter-host graph

@@ -253,12 +253,19 @@ object WarcKit {
     val spark = records.sparkSession
     val hconf = new SerConf(spark.sparkContext.hadoopConfiguration)
     val dirPath = new org.apache.hadoop.fs.Path(dir)
-    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(dirPath)
+    val dirFs = dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dirFs.mkdirs(dirPath)
     val ext = codec match {
       case "gz" => ".warc.gz"
       case "zst" => ".warc.zst"
       case _ => ".warc"
     }
+    // overwrite semantics live HERE, on the driver, before any task runs:
+    // stale segments from a previous job into the same dir are removed
+    // once, so the task-side commit can be rename-if-absent (below) and a
+    // racing speculative attempt can never delete a committed segment
+    dirFs.globStatus(new org.apache.hadoop.fs.Path(dirPath, s"$prefix-*$ext"))
+      .foreach(st => dirFs.delete(st.getPath, false))
     records.foreachPartition { (it: Iterator[ArchiveRecord]) =>
       if (it.hasNext) {
         val tc = org.apache.spark.TaskContext.get()
@@ -280,11 +287,19 @@ object WarcKit {
             case _ => out.write(bytes)
           }
         } finally out.close()
-        // last-attempt-wins flip: remove any earlier attempt's segment,
-        // then move this attempt's into place (atomic on HDFS and POSIX)
-        fs.delete(finalPath, false)
-        if (!fs.rename(tmpPath, finalPath))
-          throw new java.io.IOException(s"archive segment rename failed: $tmpPath -> $finalPath")
+        // first-attempt-wins flip: rename into place ONLY if absent.
+        // Attempts of one task produce byte-identical segments (records
+        // and codec are deterministic per partition), so 'destination
+        // exists' means a sibling attempt already committed this exact
+        // content — success, drop our temp. The old delete-then-rename
+        // pair was not atomic: a racing attempt could delete the winner's
+        // committed segment and die before its own rename, silently
+        // losing a segment while the job succeeded.
+        if (!fs.rename(tmpPath, finalPath)) {
+          if (fs.exists(finalPath)) { fs.delete(tmpPath, false); () }
+          else throw new java.io.IOException(
+            s"archive segment rename failed: $tmpPath -> $finalPath")
+        }
       }
     }
   }

@@ -192,7 +192,7 @@ object StreamingCrawl {
         // wide waves fall back to SHUFFLE_HASH — html must never sort
         val relCols = released.select("canonicalUrl", "url", "depth", "parentUrl", "host")
         val fetched = prepared.join(
-          if (relCount <= graft.crawl.CrawlEngine.effectiveBroadcastCap(config.broadcastWaveMaxRows)) broadcast(relCols)
+          if (relCount <= graft.crawl.CrawlEngine.effectiveBroadcastCap(config.broadcastWaveMaxRows, released.sparkSession)) broadcast(relCols)
           else relCols.hint("shuffle_hash"),
           Seq("canonicalUrl"), "inner")
           .select(col("canonicalUrl"), col("url"), col("depth"),

@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Dumps `.explain("formatted")` for named contract queries to files —
+  * the plan evidence the optimization rounds commit under `plans/rNN/`.
+  *
+  * usage: runMain graft.tools.PlanDump <suffix> <q_name>[,<q_name>...] [sfDir] [outDir]
+  *   writes <outDir>/<q_name>_<suffix>.txt for each query.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val suffix = args(0)
+    val names = args(1).split(",").map(_.trim).filter(_.nonEmpty)
+    val sfDir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 3) args(3) else "/root/repo/plans/r06"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    new java.io.File(outDir).mkdirs()
+    names.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      Files.writeString(Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+      println(s"dumped $name -> $outDir/${name}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}
