@@ -61,10 +61,16 @@ object BitextMargin {
       .select(col("vec_id").as("a_id"), col("embedding").as("va"), col("nrm").as("na"))
     val b = vecs.filter(col("vec_id") % 2 === 1)
       .select(col("vec_id").as("b_id"), col("embedding").as("vb"), col("nrm").as("nb"))
+    // materialized ONCE: the forward and backward top-K windows are two
+    // different exchanges over this frame, and without the lineage cut
+    // each would recompute every cross-pair dot product (the whole
+    // N²·dims float work) from scratch — the cut stores 3 longs per pair
+    // and halves the kernel's dot work
     val pairs = a.crossJoin(b)
       .select(col("a_id"), col("b_id"),
         round(dotCol(col("va"), col("vb")) / (col("na") * col("nb")) * 1000000)
           .cast("long").as("cos_micro"))
+      .localCheckpoint()
     val fwdW = Window.partitionBy("a_id").orderBy(desc("cos_micro"), asc("b_id"))
     val fwd = pairs.withColumn("rnk", row_number().over(fwdW))
       .filter(col("rnk") <= K)

@@ -57,24 +57,27 @@ object KcenterCoreset {
 
     var state = vecs.withColumn("mind", lit(InitRadiusMicro))
     var chosen = Vector((1, firstId, InitRadiusMicro))
-    var centerId = firstId
+    // the argmax row CARRIES the next center's vector (round-6: the
+    // separate filter-by-id center-fetch job per round was a third of the
+    // kernel's driver actions — same values, one bounded 1-row read fewer
+    // per round)
+    val c0 = vecs.filter(col("vec_id") === firstId)
+      .select(col("embedding"), col("nrm")).head
+    var centerVec: Seq[Float] = c0.getSeq[Float](0)
+    var centerNrm: Double = c0.getDouble(1)
     for (r <- 2 to k) {
-      val c = state.filter(col("vec_id") === centerId)
-        .select(col("embedding"), col("nrm")).head
-      val (cVec, cNrm) = (c.getSeq[Float](0), c.getDouble(1))
       state = state
-        .withColumn("mind", least(col("mind"), distToCenter(cVec, cNrm)))
+        .withColumn("mind", least(col("mind"), distToCenter(centerVec, centerNrm)))
         .localCheckpoint()
       val next = state.orderBy(desc("mind"), asc("vec_id"))
-        .select("vec_id", "mind").head
+        .select(col("vec_id"), col("mind"), col("embedding"), col("nrm")).head
       chosen :+= ((r, next.getLong(0), next.getLong(1)))
-      centerId = next.getLong(0)
+      centerVec = next.getSeq[Float](2)
+      centerNrm = next.getDouble(3)
     }
     // one more update with the last center closes the cover ledger
-    val cl = state.filter(col("vec_id") === centerId)
-      .select(col("embedding"), col("nrm")).head
     val finalRadius = state
-      .withColumn("mind", least(col("mind"), distToCenter(cl.getSeq[Float](0), cl.getDouble(1))))
+      .withColumn("mind", least(col("mind"), distToCenter(centerVec, centerNrm)))
       .agg(max("mind")).head.getLong(0)
     chosen.toDF("round", "vec_id", "radius_micro")
       .withColumn("round", col("round").cast("long"))

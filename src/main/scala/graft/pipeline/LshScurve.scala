@@ -49,15 +49,27 @@ object LshScurve {
     s"(1000000 - $q16) div 1000"
   }
 
-  /** Audit over (doc_id, text) docs and an (doc_a, doc_b) pair list. */
+  /** Audit over (doc_id, text) docs and an (doc_a, doc_b) pair list.
+    *
+    * Only pair MEMBERS get shingle sets and band signatures: the pair
+    * population is audit-bounded, a doc's buckets depend on its own text
+    * alone, and the candidate flag of a pair needs just its two members'
+    * buckets — so the member-id semi-join prunes the corpus BEFORE the
+    * per-row MinHash work (the [[MinhashCalibration.calibrate]]
+    * discipline; without it every corpus doc paid the 64-permutation
+    * signature for a ~50-doc audit). */
   def lshScurve(docs: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val sh = docs.select(col("doc_id").cast("long"), col("text"))
+    val memberIds = pairs.select(col("doc_a").cast("long").as("doc_id"))
+      .union(pairs.select(col("doc_b").cast("long").as("doc_id"))).distinct()
+    val members = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .join(broadcast(memberIds), Seq("doc_id"), "left_semi")
+    val sh = members
       .as[(Long, String)]
       .map { case (id, t) => (id, Dedup.shingles(t).toSeq.sorted) }
       .toDF("doc_id", "sh")
-    val buckets = Dedup.lshBuckets(spark, docs).toDF()
+    val buckets = Dedup.lshBuckets(spark, members).toDF()
     val cands = buckets.select(col("doc_id").as("doc_a"),
         col("band"), col("bucket"))
       .join(buckets.select(col("doc_id").as("doc_b"), col("band"), col("bucket")),

@@ -109,13 +109,20 @@ object SuffixRepeats {
     // exact small-rep path: rep ≥ L (L = 1, 2) iff the position's
     // L-prefix occurs ≥ 2 times corpus-wide — alphabet-bounded count
     // tables, broadcast back (includes the position itself, hence ≥ 2).
-    // ONE scan of the exploded windows feeds both: group at 2-prefix
-    // granularity (≤ alphabet² rows, map-side combined), then the 1-prefix
-    // table is a second aggregation over that tiny frame, not the corpus.
-    val pre = wins
-      .groupBy(substring(col("win"), 1, 2).as("g2"))
+    // The 2-prefix census is derived from the TEXT directly
+    // (substring(text, pos, 2) ≡ substring(win, 1, 2) by construction):
+    // re-reading `wins` here re-evaluated the whole 64-char-window explode
+    // a second time just to look at each window's first two characters.
+    // Group at 2-prefix granularity (≤ alphabet² rows, map-side combined),
+    // then the 1-prefix table is a second aggregation over that tiny
+    // frame, not the corpus.
+    val pre = docsDf
+      .filter(length(col("text")) > 0)
+      .select(col("text"), explode(sequence(lit(1), length(col("text")))).as("pos"))
+      .select(expr("substring(text, pos, 2)").as("g2v"))
+      .groupBy(col("g2v").as("g2"))
       .agg(count(lit(1)).as("n"),
-        sum(when(length(col("win")) >= 2, 1L).otherwise(0L)).as("c2"))
+        sum(when(length(col("g2v")) >= 2, 1L).otherwise(0L)).as("c2"))
       .localCheckpoint()
     val g1 = pre.groupBy(substring(col("g2"), 1, 1).as("g1"))
       .agg(sum(col("n")).as("c1"))

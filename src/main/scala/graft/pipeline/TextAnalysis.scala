@@ -1030,24 +1030,31 @@ object TextAnalysis {
     * Per document it emits the audit row: word count, words removed, md5
     * of the surviving (original-order) words.
     *
-    * Scale shape (100 TB): sliding windows are keyed by md5(gram) — fixed
-    * 32-char shuffle key. First occurrence is an order-free AGGREGATION
+    * Scale shape (100 TB): sliding windows are keyed by md5(gram) —
+    * shuffled as the 16-byte binary digest (`unhex`), injective on hex, so
+    * grouping and joining are unchanged at half the key bytes. First
+    * occurrence is an order-free AGGREGATION
     * (`min(struct(doc_id, pos))`, map-side combined: a 10^8-copy license
     * header collapses to one row per map task — no windowed sort over a
     * hot key). Only duplicated occurrences explode into covered word
-    * indices (×SpanWords on the minority), deduped per doc before the
-    * word-level anti-mark join, which is keyed (doc_id, widx) and bounded
-    * by document length. Nothing quadratic, nothing driver-side; AQE
-    * splits the probe side of a hot gram hash. */
+    * indices (×SpanWords on the minority), collected to ONE covered-index
+    * set per affected doc; the surviving text is then one codegen
+    * index-filter over the doc's own word array (round-6 optimization —
+    * the previous form exploded EVERY word of EVERY doc into a
+    * (doc_id, widx) mark join + per-doc sorted collect_list, shuffling
+    * the whole corpus's words to rewrite the minority of covered docs).
+    * Nothing quadratic,
+    * nothing driver-side; AQE splits the probe side of a hot gram hash. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val L = SpanWords
     val base = docs(spark, dir)
       .select(col("doc_id").cast("long").as("doc_id"),
         split(col("text"), " ").as("ws"))
     val gramsArr = when(size(col("ws")) >= L,
         transform(sequence(lit(0), size(col("ws")) - L),
-          i => md5(concat_ws(" ", slice(col("ws"), i + 1, lit(L))))))
-      .otherwise(array().cast("array<string>"))
+          i => unhex(md5(concat_ws(" ", slice(col("ws"), i + 1, lit(L)))))))
+      .otherwise(array().cast("array<binary>"))
     val grams = base.select(col("doc_id"), posexplode(gramsArr))
       .toDF("doc_id", "pos", "h")
     val firsts = grams.groupBy("h")
@@ -1057,19 +1064,14 @@ object TextAnalysis {
         col("first.pos") === col("pos")))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + (L - 1))).as("widx"))
-      .distinct()
-      .withColumn("cov", lit(true))
-    base.select(col("doc_id"), posexplode(col("ws")))
-      .toDF("doc_id", "widx", "word")
-      .join(covered, Seq("doc_id", "widx"), "left")
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_words"),
-        sum(when(col("cov"), 1L).otherwise(0L)).as("n_removed"),
+      .groupBy("doc_id").agg(collect_set("widx").as("cov"))
+    base.join(covered, Seq("doc_id"), "left")
+      .withColumn("cov", coalesce(col("cov"), expr("CAST(array() AS array<int>)")))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("cov")).cast("long").as("n_removed"),
         md5(concat_ws(" ",
-          transform(
-            array_sort(collect_list(when(col("cov").isNull, struct(col("widx"), col("word"))))),
-            x => x.getField("word")))).as("clean_md5"))
+          expr("filter(ws, (w, i) -> NOT array_contains(cov, i))"))).as("clean_md5"))
       .orderBy("doc_id")
   }
 
