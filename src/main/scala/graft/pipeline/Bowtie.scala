@@ -99,10 +99,26 @@ object Bowtie {
       .groupBy("host").agg(count(lit(1)).as("d"))
       .orderBy(desc("d"), asc("host")).limit(1)
       .head().getString(0)
-    val fwd = closure(dir, pivot)
-    val bwd = closure(rev, pivot)
+    // the three closures are INDEPENDENT pinned-round recurrences over
+    // already-checkpointed edge frames — run them as concurrent
+    // driver-thread jobs (guide §2.6, the Percolation schedule): the
+    // query's wall time collapses to the slowest closure instead of the
+    // sum of all three
     val und = dir.union(rev).distinct().localCheckpoint()
-    val weak = closure(und, pivot)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      3, r => { val t = new Thread(r, "graft-bowtie-closure"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val (fwd, bwd, weak) =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(Seq(
+          scala.concurrent.Future(closure(dir, pivot)),
+          scala.concurrent.Future(closure(rev, pivot)),
+          scala.concurrent.Future(closure(und, pivot)))),
+        scala.concurrent.duration.Duration.Inf) match {
+        case Seq(f, b, w) => (f, b, w)
+      }
+      finally pool.shutdown()
     def d(c: Column): Column = coalesce(c, lit(-1L))
     nodes
       .join(fwd.withColumnRenamed("dist", "df"), Seq("host"), "left")

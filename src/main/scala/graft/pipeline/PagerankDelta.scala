@@ -79,10 +79,25 @@ object PagerankDelta {
       .union(e.select(col("dst").as("url"))).distinct().localCheckpoint()
     val (nodesBase, nodesFull) = (nodesOf(base), nodesOf(all))
 
-    val base8 = iterate(base, nodesBase, uniform(nodesBase),
-      RefRounds, Set(RefRounds))(RefRounds)
-    val fullSnaps = iterate(all, nodesFull, uniform(nodesFull),
-      RefRounds, Budgets.toSet + RefRounds)
+    // the base-graph and full-graph recurrences are INDEPENDENT — run them
+    // as concurrent driver-thread jobs (guide §2.6, the Percolation
+    // schedule); only the warm restart needs base8, so it follows. The six
+    // per-budget L1 ledgers are independent 1-row reads of checkpointed
+    // snapshots and overlap the same way.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      3, r => { val t = new Thread(r, "graft-prdelta"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val (base8, fullSnaps) =
+      try Await.result(
+        Future(iterate(base, nodesBase, uniform(nodesBase),
+          RefRounds, Set(RefRounds))(RefRounds))
+          .zip(Future(iterate(all, nodesFull, uniform(nodesFull),
+            RefRounds, Budgets.toSet + RefRounds))),
+        Duration.Inf)
+      catch { case e: Throwable => pool.shutdown(); throw e }
     val ref = fullSnaps(RefRounds)
     val warmInit = nodesFull.join(base8, Seq("url"), "left")
       .select(col("url"),
@@ -96,8 +111,11 @@ object PagerankDelta {
         .head
       (variant, r.toLong, row.getLong(0), row.getLong(1))
     }
-    val rows = Budgets.map(r => l1("cold", r, fullSnaps(r))) ++
-      Budgets.map(r => l1("warm", r, warmSnaps(r)))
+    val rows =
+      try Await.result(Future.sequence(
+        Budgets.map(r => Future(l1("cold", r, fullSnaps(r)))) ++
+          Budgets.map(r => Future(l1("warm", r, warmSnaps(r))))), Duration.Inf)
+      finally pool.shutdown()
     rows.toDF("variant", "rounds", "l1_micro", "n_nodes")
       .orderBy("variant", "rounds")
   }

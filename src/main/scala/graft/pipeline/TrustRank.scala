@@ -77,11 +77,23 @@ object TrustRank {
         Cardinality.hostCol(col("dst")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .localCheckpoint()
-    val pr = CQ.pageRankKernel(edges, "host")
-      .select(col("host"), col("rank_micro").as("pr_micro"))
     val nodes = edges.select(col("src").as("url"))
       .union(edges.select(col("dst").as("url"))).distinct().localCheckpoint()
-    val tr = trustKernel(edges, nodes).withColumnRenamed("url", "host")
+    // the PageRank and seeded-trust recurrences are INDEPENDENT over the
+    // same checkpointed edge frame — run them as concurrent driver-thread
+    // jobs (guide §2.6, the Percolation schedule)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      2, r => { val t = new Thread(r, "graft-trustrank"); t.setDaemon(true); t })
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val (pr, tr) =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future(CQ.pageRankKernel(edges, "host")
+            .select(col("host"), col("rank_micro").as("pr_micro")))
+          .zip(scala.concurrent.Future(
+            trustKernel(edges, nodes).withColumnRenamed("url", "host"))),
+        scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     val joined = pr.join(tr, "host").localCheckpoint()
     // two bounded scalar aggregates — the only driver-visible values
     val totals = joined.agg(sum("pr_micro"), sum("tr_micro")).head()
