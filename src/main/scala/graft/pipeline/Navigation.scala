@@ -41,9 +41,12 @@ object Navigation {
     var r = edges.select(col("src"), col("dst").as("cur"), lit(1L).as("d"))
     for (_ <- 1 to DoublingRounds) {
       val b = r.select(col("src").as("b_src"), col("cur").as("b_cur"), col("d").as("b_d"))
+      // pointer doubling SELF-joins r each round — per-round lineage cut,
+      // else the plan tree doubles per round ([[Redirects.resolve]])
       r = r.join(b, r("cur") === b("b_src"), "left")
         .select(col("src"), coalesce(col("b_cur"), col("cur")).as("cur"),
           (col("d") + coalesce(col("b_d"), lit(0L))).as("d"))
+        .localCheckpoint()
     }
     r.select(col("src"), col("cur").as("terminal"), col("d").as("hops"))
   }

@@ -114,7 +114,10 @@ object Redirects {
     * itself for non-redirects, the chain terminal for resolved/dangling,
     * and '' for too_many; `hops` is exact (0 for non-redirects, cap+1
     * sentinel for too_many). */
-  def resolve(log: DataFrame): DataFrame = {
+  def resolve(logIn: DataFrame): DataFrame = {
+    // the log frame feeds three subtrees (followed edges, the known-url
+    // census, the final classification join) — materialize it once
+    val log = logIn.localCheckpoint()
     // followed edges, Location resolved path-absolute → same-host absolute
     val edges = log
       .filter(col("status").isin(FollowedStatuses: _*) && col("location").isNotNull)
@@ -123,12 +126,18 @@ object Redirects {
           concat(regexp_extract(col("url"), "^(https?://[^/]+)", 1), col("location")))
           .otherwise(col("location")).as("cur"),
         lit(1L).as("d"))
+    // pointer doubling SELF-joins r each round: without a per-round
+    // lineage cut the plan tree doubles per round (2^rounds copies of the
+    // edge derivation for the planner to chew) — cut eagerly, the
+    // iterative-kernel discipline (edges itself is a cheap filter over
+    // the checkpointed log)
     var r = edges
     for (_ <- 1 to DoublingRounds) {
       val b = r.select(col("src").as("b_src"), col("cur").as("b_cur"), col("d").as("b_d"))
       r = r.join(b, r("cur") === b("b_src"), "left")
         .select(col("src"), coalesce(col("b_cur"), col("cur")).as("cur"),
           (col("d") + coalesce(col("b_d"), lit(0L))).as("d"))
+        .localCheckpoint()
     }
     val srcs = edges.select(col("src").as("m_src")).distinct()
     val known = log.select(col("url").as("m_url")).distinct()
