@@ -20,10 +20,9 @@ import org.apache.spark.sql.functions._
   * bit-identical at any parallelism AND independently re-executable by the
   * DuckDB oracle as unrolled chained CTEs). Update order is Kleinberg's:
   * auth from PREVIOUS hub, then hub from the NEW auth. The normalization
-  * total is one bounded 1-row scalar aggregate per half-round (the
-  * TrustRank discipline — never a crossJoin in the plan); per-round
-  * lineage cuts keep the executed plan constant-size (the pageRankKernel
-  * discipline).
+  * total rides as a broadcast one-row join (no driver action inside the
+  * loop, no crossJoin in the plan); per-round lineage cuts keep the
+  * executed plan constant-size (the pageRankKernel discipline).
   *
   * Overflow: raw sums are ≤ E·10^6 and the normalization multiply is
   * ≤ E·10^12 — safe in int64 to ~10^6 edges per connected normalization
@@ -33,17 +32,14 @@ object Hits {
   val HitsIters = 8
   val HitsUnitMicro = 1000000L
 
-  /** Normalize `raw` to [[HitsUnitMicro]] total mass via one bounded
-    * 1-row scalar aggregate over the materialized raw frame (the
-    * [[Salsa]]/TrustRank discipline): the total becomes a literal and the
-    * normalized frame a pure projection over the checkpoint — no
-    * broadcast exchange build per half-round. Identical integer
-    * arithmetic (div by max(tot, 1)). */
+  /** Normalize `raw` to [[HitsUnitMicro]] total mass via a broadcast
+    * one-row total (keyed lit join → BroadcastHashJoin, never a product). */
   private def normalized(raw: DataFrame, outName: String): DataFrame = {
-    val r = raw.localCheckpoint()
-    val totRow = r.agg(sum("raw")).head()
-    val tot = math.max(if (totRow.isNullAt(0)) 0L else totRow.getLong(0), 1L)
-    r.select(col("url"), expr(s"raw * $HitsUnitMicro div $tot").as(outName))
+    val tot = raw.agg(sum("raw").as("tot")).withColumn("k", lit(1))
+    raw.withColumn("k", lit(1))
+      .join(broadcast(tot), "k")
+      .select(col("url"),
+        expr(s"raw * $HitsUnitMicro div greatest(tot, 1)").as(outName))
   }
 
   /** The integer HITS iteration over any (src, dst) edge frame. */
@@ -61,13 +57,13 @@ object Hits {
           .groupBy(col("dst").as("url")).agg(sum("hub_micro").as("s")),
         Seq("url"), "left")
         .select(col("url"), coalesce(col("s"), lit(0L)).as("raw"))
-      auth = normalized(aRaw, "auth_micro") // projection over the ckpt inside
+      auth = normalized(aRaw, "auth_micro").localCheckpoint()
       val hRaw = nodes.join(
         edges.join(auth.withColumnRenamed("url", "dst"), "dst")
           .groupBy(col("src").as("url")).agg(sum("auth_micro").as("s")),
         Seq("url"), "left")
         .select(col("url"), coalesce(col("s"), lit(0L)).as("raw"))
-      hub = normalized(hRaw, "hub_micro") // projection over the ckpt inside
+      hub = normalized(hRaw, "hub_micro").localCheckpoint()
     }
     val inDeg = edges.groupBy(col("dst").as("url")).agg(count(lit(1)).as("in_deg"))
     val outDeg = edges.groupBy(col("src").as("url")).agg(count(lit(1)).as("out_deg"))

@@ -17,8 +17,7 @@ import org.apache.spark.sql.functions._
   *
   * Same exact-integer discipline as [[Hits]]/[[TrustRank]]: micro
   * units, `div` by the traversed degree, per-round L1 renormalization
-  * via one bounded 1-row scalar aggregate (the TrustRank discipline),
-  * per-round lineage cuts, DuckDB
+  * via a broadcast one-row total, per-round lineage cuts, DuckDB
   * re-executing every unrolled round. Update order mirrors Kleinberg's:
   * authority from the previous hub vector, hub from the new authority. */
 object Salsa {
@@ -26,18 +25,11 @@ object Salsa {
   val SalsaIters = 8
   val UnitMicro = 1000000L
 
-  /** L1 renormalization via one bounded 1-row driver read over the
-    * materialized raw frame (the TrustRank scalar-aggregate discipline) —
-    * the total becomes a literal and the normalized frame a pure
-    * projection over the checkpoint, so each half-round costs one
-    * materialization job + one 1-row aggregate instead of a broadcast
-    * exchange build + hash join carried through every round's plan.
-    * Identical integer arithmetic (div by max(tot, 1)). */
   private def normalized(raw: DataFrame, outName: String): DataFrame = {
-    val r = raw.localCheckpoint()
-    val totRow = r.agg(sum("raw")).head()
-    val tot = math.max(if (totRow.isNullAt(0)) 0L else totRow.getLong(0), 1L)
-    r.select(col("url"), expr(s"raw * $UnitMicro div $tot").as(outName))
+    val tot = raw.agg(sum("raw").as("tot")).withColumn("k", lit(1))
+    raw.withColumn("k", lit(1))
+      .join(broadcast(tot), "k")
+      .select(col("url"), expr(s"raw * $UnitMicro div greatest(tot, 1)").as(outName))
   }
 
   /** The integer SALSA iteration over any (src, dst) edge frame. */
@@ -58,7 +50,7 @@ object Salsa {
           .groupBy("url").agg(sum("c").as("s")),
         Seq("url"), "left")
         .select(col("url"), coalesce(col("s"), lit(0L)).as("raw"))
-      auth = normalized(aRaw, "auth_micro") // projection over the ckpt inside
+      auth = normalized(aRaw, "auth_micro").localCheckpoint()
       // hub: forward walk — each authority j returns auth(j)/in(j)
       val hRaw = nodes.join(
         edges.join(inDeg, "dst")
@@ -67,7 +59,7 @@ object Salsa {
           .groupBy("url").agg(sum("c").as("s")),
         Seq("url"), "left")
         .select(col("url"), coalesce(col("s"), lit(0L)).as("raw"))
-      hub = normalized(hRaw, "hub_micro") // projection over the ckpt inside
+      hub = normalized(hRaw, "hub_micro").localCheckpoint()
     }
     auth.join(hub, "url")
       .join(inDeg.withColumnRenamed("dst", "url"), Seq("url"), "left")
