@@ -908,23 +908,32 @@ object TextAnalysis {
         transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(ws, i * ParaWords + 1, lit(ParaWords)))))
       .otherwise(array().cast("array<string>"))
-    val paras = docs(spark, dir)
-      .select(col("doc_id").cast("long").as("doc_id"), posexplode(parasArr))
-      .toDF("doc_id", "idx", "para")
-      .withColumn("h", md5(col("para")))
-    val firsts = paras.groupBy("h")
+    val base = docs(spark, dir)
+      .select(col("doc_id").cast("long").as("doc_id"), parasArr.as("paras"))
+    // round-6 shuffle diet (guide §2.3): ONLY 16-byte paragraph digests
+    // enter an exchange — the old form shuffled the full paragraph TEXT
+    // through the first-occurrence join and AGAIN through the per-doc
+    // collect_list regroup; the surviving text is now rebuilt in place by
+    // a codegen index-filter over the doc's own paragraph array
+    val hs = base
+      .select(col("doc_id"), posexplode(expr("transform(paras, p -> unhex(md5(p)))")))
+      .toDF("doc_id", "idx", "h")
+    val firsts = hs.groupBy("h")
       .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    paras.join(firsts, Seq("h"))
-      .withColumn("kept",
-        col("first.doc_id") === col("doc_id") && col("first.idx") === col("idx"))
+    val flags = hs.join(firsts, Seq("h"))
+      .select(col("doc_id"), col("idx"),
+        (col("first.doc_id") === col("doc_id") && col("first.idx") === col("idx"))
+          .as("kept"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_paras"),
         sum(col("kept").cast("long")).as("n_kept"),
+        sort_array(collect_list(when(col("kept"), col("idx")))).as("kept_idx"))
+    base.join(flags, "doc_id")
+      .select(col("doc_id"), col("n_paras"), col("n_kept"),
         md5(concat_ws(" ",
-          transform(
-            array_sort(collect_list(when(col("kept"), struct(col("idx"), col("para"))))),
-            x => x.getField("para")))).as("clean_md5"))
+          expr("filter(paras, (p, i) -> array_contains(kept_idx, i))")))
+          .as("clean_md5"))
       .orderBy("doc_id")
   }
 
