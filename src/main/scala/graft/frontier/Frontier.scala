@@ -260,10 +260,24 @@ object Frontier extends Serializable {
     else if (a.parentUrl <= b.parentUrl) a else b
 
   /** Deterministic within-wave dedup: one entry per canonical URL under
-    * [[merge]]. */
+    * [[merge]], computed as a codegen struct-argmin: [[merge]]'s total
+    * order is (depth, url, parentUrl), and the remaining fields
+    * (host, pathDepth, urlHash) are functions of canonicalUrl — identical
+    * across the group — so `min(struct(depth, url, parentUrl, …))` IS the
+    * merge winner, with map-side partial aggregation over unsafe rows
+    * instead of a typed object reduceGroups (no per-row serde in the
+    * per-wave hot path; round-6 optimization). */
   def dedupeWave(spark: SparkSession, links: Dataset[FrontierEntry]): Dataset[FrontierEntry] = {
     import spark.implicits._
-    links.groupByKey(_.canonicalUrl).reduceGroups(merge[FrontierEntry] _).map(_._2)
+    links.toDF()
+      .groupBy("canonicalUrl")
+      .agg(min(struct(col("depth"), col("url"), col("parentUrl"),
+        col("host"), col("pathDepth"), col("urlHash"))).as("m"))
+      .select(col("canonicalUrl"), col("m.url").as("url"),
+        col("m.depth").as("depth"), col("m.parentUrl").as("parentUrl"),
+        col("m.host").as("host"), col("m.pathDepth").as("pathDepth"),
+        col("m.urlHash").as("urlHash"))
+      .as[FrontierEntry]
   }
 
   /** The documented deterministic priority: (depth asc, pathDepth desc,
